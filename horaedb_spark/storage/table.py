@@ -1,0 +1,204 @@
+"""ColumnarTable: the segmented, manifested, merge-on-read parquet table.
+
+This is the Spark-first re-expression of the reference's ``ColumnarStorage``
+trait and ``ObjectBasedStorage`` impl (columnar_storage/src/storage.rs:75-87,
+189-374). The three entry points match the reference:
+
+- ``write(WriteRequest)``  — storage.rs:307-333: validate the declared time
+  range stays inside one segment, sort the batch by primary key, stamp
+  ``__seq__`` = the newly allocated file id (monotonic, wall-clock seeded,
+  sst.rs:39-46,120-122) and a null ``__reserved__``, write one parquet SST,
+  record it in the manifest.
+- ``scan(ScanRequest)``    — storage.rs:335-370: time-range SST pruning via the
+  manifest, parquet scan with projection/predicate pushdown, residual filter,
+  per-segment merge (Overwrite = last ``__seq__`` wins, Append = ordered binary
+  concat), segments unioned old→new.
+- ``compact()``            — delegated to ``storage.compaction``.
+
+Spark-native deltas from the reference (deliberate, SURVEY.md §3-§4):
+- The per-segment plans + union collapse into ONE declarative plan: a single
+  multi-path parquet scan (Catalyst still prunes files by the manifest-derived
+  path list — pruning happened driver-side) followed by one window/aggregate
+  keyed on ``(__segment__, pks)``. One shuffle, fully parallel, AQE-coalesced —
+  versus the reference's single-threaded SortPreservingMerge+MergeExec
+  pipeline breaker (read.rs:154-156). At cluster scale the dedup shuffle is
+  partitioned by hash(segment, pk) so hot segments spread across executors.
+- An SST is a *directory* (one per write) rather than a single file, so a
+  large distributed write parallelizes; the manifest tracks the directory.
+- Parquet row-group pruning / predicate pushdown / column pruning are Spark
+  built-ins (read.rs:451-469's hand-built equivalents); we assert them in
+  tests via the explain output rather than re-implementing.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from horaedb_spark.core.schema import (
+    RESERVED_COLUMN,
+    SEGMENT_COLUMN,
+    SEQ_COLUMN,
+    StorageSchema,
+)
+from horaedb_spark.core.timeutil import TimeRange, truncate_by
+from horaedb_spark.storage.manifest import Manifest, SstFile
+from horaedb_spark.storage.merge import POS_COLUMN, apply_update_mode
+
+
+@dataclass
+class WriteRequest:
+    df: DataFrame
+    time_range: TimeRange
+    enable_check: bool = True
+
+
+@dataclass
+class ScanRequest:
+    time_range: TimeRange = dc_field(default_factory=TimeRange.all)
+    predicate: Column | str | None = None
+    projections: list[str] | None = None
+    keep_builtin: bool = False
+    ordered: bool = True  # output ordered by (segment, pks) — the scan contract
+                          # (storage.rs:82-84); disable for pure-throughput reads
+
+
+class ColumnarTable:
+    """One table = root dir with ``data/__segment__=<ms>/sst=<id>/*.parquet``
+    plus a ``manifest/`` log."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        schema: StorageSchema,
+        segment_duration_ms: int,
+    ):
+        self.spark = spark
+        self.root = root
+        self.schema = schema
+        self.segment_duration_ms = segment_duration_ms
+        self.data_dir = os.path.join(root, "data")
+        os.makedirs(self.data_dir, exist_ok=True)
+        self.manifest = Manifest(root)
+        # Monotonic file-id allocation, wall-clock seeded exactly like
+        # sst.rs:39-46 (single-writer assumption documented there too).
+        existing = [s.file_id for s in self.manifest.all_ssts()]
+        self._next_id = max([time.time_ns(), *[i + 1 for i in existing]])
+        self._id_lock = threading.Lock()
+
+    def _alloc_file_id(self) -> int:
+        with self._id_lock:
+            fid = self._next_id
+            self._next_id += 1
+            return fid
+
+    # ------------------------------------------------------------------ write
+
+    def write(self, req: WriteRequest) -> SstFile:
+        tr = req.time_range
+        if req.enable_check and not tr.within_one_segment(self.segment_duration_ms):
+            raise ValueError(
+                f"write time range {tr} crosses a segment boundary "
+                f"(segment_duration={self.segment_duration_ms} ms)"
+            )
+        segment = tr.segment(self.segment_duration_ms)
+        file_id = self._alloc_file_id()
+        sst_dir = os.path.join(
+            self.data_dir, f"{SEGMENT_COLUMN}={segment}", f"sst={file_id}"
+        )
+        df = req.df.select(*self.schema.user_columns)
+        # Stamp builtins (types.rs:219-239) and sort by PK within each output
+        # file (storage.rs:244-256) — sortWithinPartitions keeps the write
+        # distributed; global order across SSTs is irrelevant because the
+        # merge re-establishes it.
+        out = (
+            df.withColumn(SEQ_COLUMN, F.lit(file_id).cast("long"))
+            .withColumn(RESERVED_COLUMN, F.lit(None).cast("long"))
+            .sortWithinPartitions(*self.schema.primary_keys)
+        )
+        out.write.mode("overwrite").parquet(sst_dir)
+        num_rows, size_bytes = _parquet_stats(sst_dir)
+        sst = SstFile(
+            file_id=file_id,
+            path=sst_dir,
+            time_range=tr,
+            max_sequence=file_id,
+            num_rows=num_rows,
+            size_bytes=size_bytes,
+        )
+        self.manifest.add_file(sst)
+        return sst
+
+    # ------------------------------------------------------------------- scan
+
+    def scan(self, req: ScanRequest | None = None) -> DataFrame:
+        req = req or ScanRequest()
+        ssts = self.manifest.find_ssts(req.time_range)
+        return self.scan_ssts(ssts, req)
+
+    def scan_ssts(self, ssts: list[SstFile], req: ScanRequest) -> DataFrame:
+        """Scan an explicit SST list (compaction reuses this with the picked
+        files, mirroring executor.rs:155-222)."""
+        if not ssts:
+            return self._empty_df(req)
+        # seq-by-path lets us recover __seq__/__segment__ without trusting
+        # directory parsing; basePath keeps partition-column discovery rooted.
+        paths = [s.path for s in ssts]
+        reader = self.spark.read.option("basePath", self.data_dir)
+        df = reader.parquet(*paths)
+        # Deterministic intra-file tie-break for equal (PK, seq): parquet row
+        # position via the file-source metadata column.
+        df = df.withColumn(POS_COLUMN, F.col("_metadata.row_index"))
+        if req.predicate is not None:
+            pred = F.expr(req.predicate) if isinstance(req.predicate, str) else req.predicate
+            df = df.filter(pred)  # before the merge, like FilterExec (read.rs:467-469)
+        proj = self.schema.fill_required_projections(req.projections)
+        if proj is not None:
+            df = df.select(SEGMENT_COLUMN, POS_COLUMN, RESERVED_COLUMN, *proj)
+        merged = apply_update_mode(
+            df,
+            self.schema,
+            extra_key_cols=[SEGMENT_COLUMN],
+            keep_builtin=req.keep_builtin,
+        )
+        if req.ordered:
+            merged = merged.orderBy(SEGMENT_COLUMN, *self.schema.primary_keys)
+        keep = list(req.projections or self.schema.user_columns)
+        if req.keep_builtin:
+            keep += [SEQ_COLUMN, RESERVED_COLUMN]
+        return merged.select(*keep)
+
+    def _empty_df(self, req: ScanRequest) -> DataFrame:
+        base = self.spark.createDataFrame([], self.schema.physical_schema())
+        keep = list(req.projections or self.schema.user_columns)
+        if req.keep_builtin:
+            keep += [SEQ_COLUMN, RESERVED_COLUMN]
+        return base.select(*keep)
+
+    # ------------------------------------------------------------------- misc
+
+    def segment_of(self, ts_ms: int) -> int:
+        return truncate_by(ts_ms, self.segment_duration_ms)
+
+
+def _parquet_stats(sst_dir: str) -> tuple[int, int]:
+    """Row count + byte size from parquet footers — driver-side metadata read,
+    no Spark job (the reference gets these from the writer, storage.rs:215-224)."""
+    import pyarrow.parquet as pq
+
+    num_rows = 0
+    size = 0
+    for dirpath, _dirnames, filenames in os.walk(sst_dir):
+        for name in filenames:
+            if not name.endswith(".parquet"):
+                continue
+            full = os.path.join(dirpath, name)
+            num_rows += pq.ParquetFile(full).metadata.num_rows
+            size += os.path.getsize(full)
+    return num_rows, size

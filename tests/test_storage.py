@@ -1,0 +1,159 @@
+"""Golden storage tests replicating the reference's canonical cases:
+
+- test_storage_write_and_scan (storage.rs:391-491): two overlapping writes in
+  one segment -> full scan returns merged rows, newest __seq__ wins per
+  (pk1, pk2), PK-ordered; predicate scan pk1=11.
+- append-mode concat (operator.rs:139-159, read.rs:526-536).
+- manifest time-range pruning (manifest/mod.rs:165-172).
+"""
+
+import pytest
+from pyspark.sql import types as T
+
+from horaedb_spark.core.schema import StorageSchema, UpdateMode
+from horaedb_spark.core.timeutil import TimeRange
+from horaedb_spark.storage.manifest import Manifest, ManifestBackpressure, SstFile
+from horaedb_spark.storage.table import ColumnarTable, ScanRequest, WriteRequest
+
+TWO_HOURS = 2 * 3600 * 1000
+
+
+def kv_schema():
+    return StorageSchema(
+        T.StructType(
+            [
+                T.StructField("pk1", T.LongType()),
+                T.StructField("pk2", T.LongType()),
+                T.StructField("value", T.LongType()),
+            ]
+        ),
+        num_primary_keys=2,
+        update_mode=UpdateMode.OVERWRITE,
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return ColumnarTable(spark, str(tmp_path / "kv"), kv_schema(), TWO_HOURS)
+
+
+def _write(table, rows, tr):
+    df = table.spark.createDataFrame(rows, "pk1 long, pk2 long, value long")
+    return table.write(WriteRequest(df, tr))
+
+
+def test_storage_write_and_scan(table):
+    # Rows from the reference golden test (storage.rs:440-463 / FIXTURES.md F1)
+    _write(table, [(11, 100, 2), (11, 100, 7), (9, 1, 4), (10, 2, 6), (5, 3, 1)], TimeRange(1, 10))
+    _write(table, [(11, 100, 22), (11, 99, 77), (9, 1, 44), (10, 2, 66)], TimeRange(10, 20))
+
+    got = [tuple(r) for r in table.scan().collect()]
+    assert got == [(5, 3, 1), (9, 1, 44), (10, 2, 66), (11, 99, 77), (11, 100, 22)]
+
+
+def test_storage_scan_with_predicate(table):
+    _write(table, [(11, 100, 2), (11, 100, 7), (9, 1, 4), (10, 2, 6), (5, 3, 1)], TimeRange(1, 10))
+    _write(table, [(11, 100, 22), (11, 99, 77), (9, 1, 44), (10, 2, 66)], TimeRange(10, 20))
+
+    got = [tuple(r) for r in table.scan(ScanRequest(predicate="pk1 = 11")).collect()]
+    assert got == [(11, 99, 77), (11, 100, 22)]
+
+
+def test_scan_projection_keeps_merge_correct(table):
+    _write(table, [(1, 1, 10)], TimeRange(1, 10))
+    _write(table, [(1, 1, 20)], TimeRange(10, 20))
+    got = table.scan(ScanRequest(projections=["value"])).collect()
+    assert [r.value for r in got] == [20]
+    assert got[0].asDict().keys() == {"value"}
+
+
+def test_scan_keep_builtin_exposes_seq(table):
+    s1 = _write(table, [(1, 1, 10)], TimeRange(1, 10))
+    s2 = _write(table, [(1, 1, 20)], TimeRange(10, 20))
+    assert s2.file_id > s1.file_id
+    row = table.scan(ScanRequest(keep_builtin=True)).collect()[0]
+    assert row["__seq__"] == s2.file_id
+    assert row["__reserved__"] is None
+
+
+def test_equal_pk_in_different_segments_both_survive(table):
+    # Merge is per segment; union is ordered old -> new (storage.rs:343-369).
+    _write(table, [(1, 1, 10)], TimeRange(0, 100))
+    _write(table, [(1, 1, 20)], TimeRange(TWO_HOURS, TWO_HOURS + 100))
+    got = [r.value for r in table.scan().collect()]
+    assert got == [10, 20]
+
+
+def test_time_range_pruning(table):
+    _write(table, [(1, 1, 10)], TimeRange(0, 100))
+    _write(table, [(2, 2, 20)], TimeRange(TWO_HOURS, TWO_HOURS + 100))
+    got = table.scan(ScanRequest(time_range=TimeRange(0, TWO_HOURS))).collect()
+    assert [r.value for r in got] == [10]
+    # and the pruning happened at the manifest, not the executor:
+    assert len(table.manifest.find_ssts(TimeRange(0, TWO_HOURS))) == 1
+
+
+def test_write_rejects_cross_segment_range(table):
+    df = table.spark.createDataFrame([(1, 1, 1)], "pk1 long, pk2 long, value long")
+    with pytest.raises(ValueError):
+        table.write(WriteRequest(df, TimeRange(TWO_HOURS - 10, TWO_HOURS + 10)))
+    # enable_check=False skips the validation (storage.rs:307-316)
+    table.write(WriteRequest(df, TimeRange(TWO_HOURS - 10, TWO_HOURS + 10), enable_check=False))
+
+
+def test_empty_scan_schema(table):
+    df = table.scan()
+    assert df.count() == 0
+    assert df.columns == ["pk1", "pk2", "value"]
+
+
+def test_append_mode_concat(spark, tmp_path):
+    # operator.rs:150-158: one|two|three|four -> onetwothreefour;
+    # read.rs:526-533: cross-batch groups concat in seq order.
+    schema = StorageSchema(
+        T.StructType(
+            [T.StructField("pk1", T.LongType()), T.StructField("value", T.BinaryType())]
+        ),
+        num_primary_keys=1,
+        update_mode=UpdateMode.APPEND,
+    )
+    t = ColumnarTable(spark, str(tmp_path / "append"), schema, TWO_HOURS)
+    mk = lambda rows: spark.createDataFrame(rows, "pk1 long, value binary")
+    t.write(WriteRequest(mk([(1, b"one"), (1, b"two"), (2, b"5")]), TimeRange(1, 5)))
+    t.write(WriteRequest(mk([(1, b"three"), (2, b"6")]), TimeRange(5, 8)))
+    t.write(WriteRequest(mk([(1, b"four"), (2, b"78")]), TimeRange(8, 10)))
+    got = {r.pk1: bytes(r.value) for r in t.scan().collect()}
+    assert got == {1: b"onetwothreefour", 2: b"5678"}
+
+
+def test_manifest_find_ssts_and_replay(tmp_path):
+    root = str(tmp_path / "m")
+    m = Manifest(root)
+    for i in range(20):
+        m.add_file(
+            SstFile(
+                file_id=i,
+                path=f"{root}/sst={i}",
+                time_range=TimeRange(i * 10, i * 10 + 10),
+                max_sequence=i,
+                num_rows=1,
+                size_bytes=10,
+            )
+        )
+    assert [s.file_id for s in m.find_ssts(TimeRange(25, 45))] == [2, 3, 4]
+    m.update([], [0, 1])
+    # recovery: fresh Manifest replays snapshot + deltas into the same state
+    m2 = Manifest(root)
+    assert [s.file_id for s in m2.all_ssts()] == list(range(2, 20))
+    assert m2.delta_count() == 0  # folded into snapshot on open
+
+
+def test_manifest_backpressure(tmp_path):
+    m = Manifest(str(tmp_path / "bp"), merge_soft_threshold=1000, merge_hard_threshold=3)
+    sst = lambda i: SstFile(i, f"p{i}", TimeRange(0, 1), i, 1, 1)
+    for i in range(3):
+        m.add_file(sst(i))
+    with pytest.raises(ManifestBackpressure):
+        m.add_file(sst(99))
+    m.merge_snapshot()
+    m.add_file(sst(100))  # recovered after merge
