@@ -1,0 +1,190 @@
+"""Compaction + TTL: the maintenance path.
+
+Reference semantics (cited into /root/reference):
+- **Picker** (compaction/picker.rs:84-188): split SSTs into expired
+  (``time_range.end < now - ttl``, picker.rs:55-59, sst.rs:109-114) and
+  uncompacted candidates; group candidates by segment
+  (``time_range.start.truncate_by(segment_duration)``, picker.rs:136-153);
+  iterate segments newest→oldest; within a segment sort files by size asc and
+  greedily take up to ``input_sst_max_num`` (30) while the running total stays
+  ≤ 1.1 × ``new_sst_max_size`` (1 GB); a pick needs ≥ ``input_sst_min_num``
+  (5) files (picker.rs:155-188; defaults config.rs:38-50).
+- **Executor** (compaction/executor.rs:155-253): re-run the scan/merge plan
+  over the picked files with ``keep_builtin=true``, write ONE merged SST whose
+  ``max_sequence`` is the new file id, swap the manifest (add new, delete
+  inputs + expired) *before* physical deletes; physical deletes are
+  best-effort ("no error should be returned", executor.rs:218-219).
+- **Scheduler** (compaction/scheduler.rs:49-159): periodic picker loop +
+  bounded task queue. Here: a synchronous ``run_once`` the caller invokes on
+  a cadence (driver thread / external scheduler / every N streaming batches)
+  — Spark jobs are the executor pool, so the reference's in-process runtime
+  and 2 GB memory gate have no analogue to port.
+
+The picker is pure metadata logic over the manifest (no Spark job); the
+executor is one batch Spark job per picked segment. At 100 TB this is the
+"small-files OPTIMIZE" job: each segment compacts independently and could be
+submitted as its own parallel job.
+"""
+
+from __future__ import annotations
+
+import shutil
+import time
+from dataclasses import dataclass, field
+
+from horaedb_spark.core.timeutil import TimeRange, truncate_by
+from horaedb_spark.storage.manifest import SstFile
+from horaedb_spark.storage.table import ColumnarTable, ScanRequest, WriteRequest
+
+
+@dataclass
+class SchedulerConfig:
+    """Defaults mirror config.rs:38-50."""
+
+    new_sst_max_size: int = 1 << 30  # 1 GiB
+    input_sst_max_num: int = 30
+    input_sst_min_num: int = 5
+    memory_estimate_factor: float = 1.1
+    ttl_ms: int | None = None
+
+
+@dataclass
+class CompactionTask:
+    inputs: list[SstFile] = field(default_factory=list)
+    expired: list[SstFile] = field(default_factory=list)
+
+    @property
+    def is_noop(self) -> bool:
+        return not self.inputs and not self.expired
+
+
+def pick_candidate(
+    ssts: list[SstFile],
+    segment_duration_ms: int,
+    config: SchedulerConfig,
+    now_ms: int | None = None,
+) -> CompactionTask:
+    """Pure-metadata picker, 1:1 with picker.rs:84-188 (including the quirk
+    that files already marked in-compaction are excluded, picker.rs:117-134).
+
+    The reference has a unit bug here (ms vs µs TTL, picker.rs:57 vs
+    time_ext.rs:213); we implement milliseconds consistently (SURVEY.md C2).
+    """
+    now_ms = now_ms if now_ms is not None else int(time.time() * 1000)
+    task = CompactionTask()
+    candidates: list[SstFile] = []
+    for sst in ssts:
+        if sst.in_compaction:
+            continue
+        if config.ttl_ms is not None and sst.is_expired(now_ms - config.ttl_ms):
+            task.expired.append(sst)
+        else:
+            candidates.append(sst)
+
+    by_segment: dict[int, list[SstFile]] = {}
+    for sst in candidates:
+        seg = truncate_by(sst.time_range.start, segment_duration_ms)
+        by_segment.setdefault(seg, []).append(sst)
+
+    max_total = config.new_sst_max_size * config.memory_estimate_factor
+    for seg in sorted(by_segment, reverse=True):  # newest segment first
+        files = sorted(by_segment[seg], key=lambda s: s.size_bytes)
+        picked: list[SstFile] = []
+        total = 0
+        for sst in files:
+            if len(picked) >= config.input_sst_max_num:
+                break
+            if total + sst.size_bytes > max_total and picked:
+                break
+            picked.append(sst)
+            total += sst.size_bytes
+        if len(picked) >= config.input_sst_min_num:
+            task.inputs = picked
+            return task
+    return task
+
+
+class Compactor:
+    """Executor + inline scheduler over a ColumnarTable."""
+
+    def __init__(self, table: ColumnarTable, config: SchedulerConfig | None = None):
+        self.table = table
+        self.config = config or SchedulerConfig()
+
+    def run_once(self, now_ms: int | None = None) -> SstFile | None:
+        """One picker+executor cycle; returns the new SST if one was written."""
+        task = pick_candidate(
+            self.table.manifest.all_ssts(),
+            self.table.segment_duration_ms,
+            self.config,
+            now_ms,
+        )
+        if task.is_noop:
+            return None
+        return self.execute(task)
+
+    def execute(self, task: CompactionTask) -> SstFile | None:
+        manifest = self.table.manifest
+        input_ids = [s.file_id for s in task.inputs]
+        if input_ids and not manifest.try_mark_compacting(input_ids):
+            return None  # lost the CAS race (picker.rs:100-105)
+        try:
+            new_sst = None
+            if task.inputs:
+                # Same scan/merge plan as a query, builtins kept so the merged
+                # rows retain their winning __seq__ (executor.rs:163-171).
+                tr = TimeRange(
+                    min(s.time_range.start for s in task.inputs),
+                    max(s.time_range.end for s in task.inputs),
+                )
+                merged = self.table.scan_ssts(
+                    task.inputs, ScanRequest(keep_builtin=True, ordered=False)
+                )
+                seq_df = merged  # __seq__ already carries the max winning seq
+                new_sst = self._write_compacted(seq_df, tr)
+            # Manifest swap BEFORE physical deletes (executor.rs:203-217).
+            to_delete = input_ids + [s.file_id for s in task.expired]
+            manifest.update([new_sst] if new_sst else [], to_delete)
+            # Physical deletes, best-effort (executor.rs:218-253).
+            for sst in [*task.inputs, *task.expired]:
+                shutil.rmtree(sst.path, ignore_errors=True)
+            return new_sst
+        except Exception:
+            manifest.unmark_compacting(input_ids)
+            raise
+
+    def _write_compacted(self, df, tr: TimeRange) -> SstFile:
+        """Write one merged SST carrying the surviving rows' __seq__ values.
+
+        Reuses the table write layout but keeps the original sequences (the
+        reference stamps the *file's* max_sequence as the new id but preserves
+        merge results; here rows keep their winning __seq__ so a later scan
+        still orders correctly against non-compacted files)."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from horaedb_spark.core.schema import RESERVED_COLUMN, SEGMENT_COLUMN, SEQ_COLUMN
+
+        t = self.table
+        file_id = t._alloc_file_id()
+        segment = tr.segment(t.segment_duration_ms)
+        sst_dir = os.path.join(t.data_dir, f"{SEGMENT_COLUMN}={segment}", f"sst={file_id}")
+        cols = [*t.schema.user_columns, SEQ_COLUMN]
+        out = (
+            df.select(*cols)
+            .withColumn(RESERVED_COLUMN, F.lit(None).cast("long"))
+            .sortWithinPartitions(*t.schema.primary_keys)
+        )
+        out.write.mode("overwrite").parquet(sst_dir)
+        from horaedb_spark.storage.table import _parquet_stats
+
+        num_rows, size_bytes = _parquet_stats(sst_dir)
+        return SstFile(
+            file_id=file_id,
+            path=sst_dir,
+            time_range=tr,
+            max_sequence=file_id,
+            num_rows=num_rows,
+            size_bytes=size_bytes,
+        )

@@ -1,0 +1,94 @@
+"""Compaction tests mirroring picker.rs:201-236 (segment grouping, expiry,
+in-compaction exclusion) plus an end-to-end executor round trip."""
+
+from horaedb_spark.core.timeutil import TimeRange
+from horaedb_spark.storage.compaction import Compactor, SchedulerConfig, pick_candidate
+from horaedb_spark.storage.manifest import SstFile
+from horaedb_spark.storage.table import ColumnarTable, ScanRequest, WriteRequest
+from tests.test_storage import TWO_HOURS, kv_schema
+
+
+def _sst(i, start, end, size=10, in_compaction=False):
+    return SstFile(
+        file_id=i,
+        path=f"/nonexistent/sst={i}",
+        time_range=TimeRange(start, end),
+        max_sequence=i,
+        num_rows=1,
+        size_bytes=size,
+        in_compaction=in_compaction,
+    )
+
+
+def test_picker_groups_by_segment_and_prefers_newest():
+    # segments of duration 10: files |0 1|2 3|4| like picker.rs:201-236
+    ssts = [
+        _sst(0, 0, 5),
+        _sst(1, 5, 10),
+        _sst(2, 10, 15),
+        _sst(3, 15, 20),
+        _sst(4, 20, 25),
+    ]
+    cfg = SchedulerConfig(input_sst_min_num=2)
+    task = pick_candidate(ssts, 10, cfg, now_ms=100)
+    # newest segment (20) has only 1 file < min 2; segment 10 has 2 -> picked
+    assert [s.file_id for s in task.inputs] == [2, 3]
+    assert task.expired == []
+
+
+def test_picker_expires_ttl_files():
+    ssts = [_sst(0, 0, 5), _sst(1, 5, 10), _sst(2, 10, 15), _sst(3, 15, 20)]
+    cfg = SchedulerConfig(input_sst_min_num=2, ttl_ms=10)
+    # now=25 -> expire_before=15 -> files ending <15 (0,1) expired
+    task = pick_candidate(ssts, 10, cfg, now_ms=25)
+    assert [s.file_id for s in task.expired] == [0, 1]
+    assert [s.file_id for s in task.inputs] == [2, 3]
+
+
+def test_picker_excludes_in_compaction():
+    ssts = [_sst(0, 0, 5, in_compaction=True), _sst(1, 5, 10), _sst(2, 6, 9)]
+    cfg = SchedulerConfig(input_sst_min_num=2)
+    task = pick_candidate(ssts, 10, cfg, now_ms=100)
+    assert [s.file_id for s in task.inputs] == [1, 2]
+
+
+def test_picker_respects_size_cap():
+    big = 1 << 30
+    ssts = [_sst(i, 0, 5, size=big) for i in range(4)]
+    cfg = SchedulerConfig(input_sst_min_num=1)
+    task = pick_candidate(ssts, 10, cfg, now_ms=100)
+    # 1.1x 1GiB cap: first file always fits, second would exceed
+    assert len(task.inputs) == 1
+
+
+def test_compaction_end_to_end(spark, tmp_path):
+    t = ColumnarTable(spark, str(tmp_path / "c"), kv_schema(), TWO_HOURS)
+    mk = lambda rows: spark.createDataFrame(rows, "pk1 long, pk2 long, value long")
+    for i in range(5):
+        t.write(WriteRequest(mk([(1, 1, i), (2, 2, 100 + i)]), TimeRange(i * 10, i * 10 + 10)))
+    before = [tuple(r) for r in t.scan().collect()]
+    assert before == [(1, 1, 4), (2, 2, 104)]
+    assert len(t.manifest.all_ssts()) == 5
+
+    new_sst = Compactor(t, SchedulerConfig(input_sst_min_num=2)).run_once(now_ms=0)
+    assert new_sst is not None
+    assert len(t.manifest.all_ssts()) == 1
+    assert new_sst.num_rows == 2
+    after = [tuple(r) for r in t.scan().collect()]
+    assert after == before  # scan result unchanged by compaction
+
+    # a post-compaction write still wins the merge (seq ordering preserved)
+    t.write(WriteRequest(mk([(1, 1, 999)]), TimeRange(50, 60)))
+    assert [tuple(r) for r in t.scan().collect()] == [(1, 1, 999), (2, 2, 104)]
+
+
+def test_compaction_ttl_deletes_expired(spark, tmp_path):
+    t = ColumnarTable(spark, str(tmp_path / "ttl"), kv_schema(), 10)
+    mk = lambda rows: spark.createDataFrame(rows, "pk1 long, pk2 long, value long")
+    t.write(WriteRequest(mk([(1, 1, 1)]), TimeRange(0, 10)))
+    t.write(WriteRequest(mk([(2, 2, 2)]), TimeRange(20, 30)))
+    c = Compactor(t, SchedulerConfig(input_sst_min_num=5, ttl_ms=10))
+    c.run_once(now_ms=45)  # expire_before=35 -> first file (end=10) expired... both actually
+    # end<35: file1 (end 10) and file2 (end 30) both expired
+    assert t.manifest.all_ssts() == []
+    assert t.scan().count() == 0
