@@ -1,0 +1,271 @@
+"""Storage-engine queries: the reference's implemented operator set (SURVEY.md
+§2 A1-A12, C1-C3) exercised end-to-end under the DuckDB correctness gate.
+
+Each query ingests driver testdata into a real ``ColumnarTable`` (multi-SST
+writes, manifest, segments), scans it through the merge-on-read path, and
+returns a DataFrame whose content a plain SQL oracle over the *raw* tables can
+reproduce. The ingest slices are pre-deduplicated per slice with a
+deterministic order (ts DESC, event_id DESC), so "newest ``__seq__`` wins"
+collapses to "newest timestamp wins" — SQL-expressible while still exercising
+cross-file versioning for real.
+
+Tables are built once per (sf_dir, flavor) in a process-local temp dir and
+reused across queries.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from horaedb_spark.core.schema import StorageSchema, UpdateMode
+from horaedb_spark.core.timeutil import TimeRange, segments_overlapping, truncate_by
+from horaedb_spark.queries.registry import register
+from horaedb_spark.queries.tables import events_ms, load_table
+from horaedb_spark.storage.compaction import Compactor, SchedulerConfig
+from horaedb_spark.storage.table import ColumnarTable, ScanRequest, WriteRequest
+
+DAY_MS = 86_400_000
+_CACHE: dict[tuple, ColumnarTable] = {}
+
+
+def _events_schema() -> StorageSchema:
+    return StorageSchema(
+        T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("ts_ms", T.LongType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        ),
+        num_primary_keys=2,
+        update_mode=UpdateMode.OVERWRITE,
+    )
+
+
+def _dedup_slice(df: DataFrame) -> DataFrame:
+    """One row per (user_id, event_type) per slice: latest ts, then highest
+    event_id — deterministic so the oracle can mirror it."""
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts_ms"), F.desc("event_id")
+    )
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select("user_id", "event_type", "ts_ms", "value")
+    )
+
+
+def _build_events_table(
+    spark: SparkSession, sf_dir: str, segment_ms: int, slices_per_segment: int
+) -> ColumnarTable:
+    key = (sf_dir, segment_ms, slices_per_segment)
+    if key in _CACHE:
+        return _CACHE[key]
+    ev = events_ms(spark, sf_dir).persist()
+    lo, hi = ev.agg(F.min("ts_ms"), F.max("ts_ms")).first()
+    root = tempfile.mkdtemp(prefix="horaedb_events_")
+    table = ColumnarTable(spark, root, _events_schema(), segment_ms)
+    for seg in segments_overlapping(TimeRange(lo, hi + 1), segment_ms):
+        width = segment_ms // slices_per_segment
+        for i in range(slices_per_segment):
+            start, end = seg + i * width, seg + (i + 1) * width
+            sl = ev.filter((F.col("ts_ms") >= start) & (F.col("ts_ms") < end))
+            if not sl.isEmpty():
+                table.write(WriteRequest(_dedup_slice(sl), TimeRange(start, end)))
+    ev.unpersist()
+    _CACHE[key] = table
+    return table
+
+
+# Oracle building block: latest event per (user, type) within each 15-day
+# epoch-aligned segment — exactly what the segmented merge-on-read scan yields.
+_SEG_15D = 15 * DAY_MS
+
+
+@register(
+    "storage_scan_overwrite",
+    oracle=f"""
+    SELECT user_id, event_type, ts_ms, value FROM (
+      SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, value,
+             row_number() OVER (
+               PARTITION BY user_id, event_type, epoch_ms(ts) // {_SEG_15D}
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+)
+def storage_scan_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 composite scan: events ingested as 4 SSTs per 15-day segment; the
+    merge-on-read dedup keeps the newest ``__seq__`` per (segment, PK); output
+    ordered old→new segment then PK (the scan contract, storage.rs:82-84)."""
+    table = _build_events_table(spark, sf_dir, _SEG_15D, 4)
+    return table.scan()
+
+
+@register(
+    "storage_scan_predicate_projection",
+    # Mirrors the engine's stage order: (1) what's physically stored is one
+    # row per PK per slice (the ingest pre-dedup), (2) the scan filter runs
+    # over stored rows BEFORE the merge, (3) the merge keeps the newest
+    # surviving version per (segment, PK).
+    oracle=f"""
+    WITH stored AS (
+      SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, value,
+             row_number() OVER (
+               PARTITION BY user_id, event_type, epoch_ms(ts) // {_SEG_15D // 4}
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ), surviving AS (
+      SELECT * FROM stored WHERE rn = 1 AND value > 50.0
+    )
+    SELECT user_id, event_type, ts_ms FROM (
+      SELECT user_id, event_type, ts_ms,
+             row_number() OVER (
+               PARTITION BY user_id, event_type, ts_ms // {_SEG_15D}
+               ORDER BY ts_ms DESC) AS rn2
+      FROM surviving
+    ) WHERE rn2 = 1
+    ORDER BY user_id, event_type
+    """,
+)
+def storage_scan_predicate_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+A4: residual predicate on a value column applied BEFORE the merge
+    (FilterExec precedes MergeExec, read.rs:467-492) + projection with
+    PK/__seq__ force-include then drop (types.rs:203-216)."""
+    table = _build_events_table(spark, sf_dir, _SEG_15D, 4)
+    return table.scan(
+        ScanRequest(predicate="value > 50.0", projections=["user_id", "event_type", "ts_ms"])
+    )
+
+
+@register(
+    "storage_time_range_scan",
+    oracle=f"""
+    SELECT user_id, event_type, ts_ms, value FROM (
+      SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, value,
+             row_number() OVER (
+               PARTITION BY user_id, event_type, epoch_ms(ts) // {_SEG_15D}
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+      WHERE epoch_ms(ts) // {_SEG_15D} = (SELECT min(epoch_ms(ts) // {_SEG_15D}) FROM events)
+    ) WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+)
+def storage_time_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 time-range pruning: scan only the first 15-day segment; the manifest
+    prunes the other segments' SSTs before any IO (manifest/mod.rs:165-172)."""
+    table = _build_events_table(spark, sf_dir, _SEG_15D, 4)
+    lo = min(s.time_range.start for s in table.manifest.all_ssts())
+    seg = truncate_by(lo, _SEG_15D)
+    return table.scan(ScanRequest(time_range=TimeRange(seg, seg + _SEG_15D)))
+
+
+@register(
+    "storage_compaction_scan",
+    oracle=f"""
+    SELECT user_id, event_type, ts_ms, value FROM (
+      SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, value,
+             row_number() OVER (
+               PARTITION BY user_id, event_type, epoch_ms(ts) // {_SEG_15D}
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+)
+def storage_compaction_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1-C3: compact every segment (min 2 input SSTs), then scan. The result
+    must be byte-identical to the uncompacted scan — compaction is a physical
+    rewrite, not a semantic change (executor.rs:155-222)."""
+    key = (sf_dir, "compacted")
+    if key not in _CACHE:
+        # fresh table (don't mutate the shared one), then compact to one SST/segment
+        table = _build_fresh_events_table(spark, sf_dir)
+        compactor = Compactor(table, SchedulerConfig(input_sst_min_num=2))
+        while compactor.run_once(now_ms=0) is not None:
+            pass
+        _CACHE[key] = table
+    return _CACHE[key].scan()
+
+
+def _build_fresh_events_table(spark: SparkSession, sf_dir: str) -> ColumnarTable:
+    ev = events_ms(spark, sf_dir).persist()
+    lo, hi = ev.agg(F.min("ts_ms"), F.max("ts_ms")).first()
+    root = tempfile.mkdtemp(prefix="horaedb_events_c_")
+    table = ColumnarTable(spark, root, _events_schema(), _SEG_15D)
+    for seg in segments_overlapping(TimeRange(lo, hi + 1), _SEG_15D):
+        width = _SEG_15D // 4
+        for i in range(4):
+            start, end = seg + i * width, seg + (i + 1) * width
+            sl = ev.filter((F.col("ts_ms") >= start) & (F.col("ts_ms") < end))
+            if not sl.isEmpty():
+                table.write(WriteRequest(_dedup_slice(sl), TimeRange(start, end)))
+    ev.unpersist()
+    return table
+
+
+@register(
+    "storage_append_concat",
+    oracle="""
+    SELECT lang, string_agg(text, '' ORDER BY source, doc_id) AS concat_text
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def storage_append_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 BytesMergeOperator: documents ingested one SST per source (sources in
+    lexicographic order => increasing ``__seq__``), value = text bytes
+    pre-concatenated per lang within each source (doc_id order). The append
+    merge concatenates across SSTs in seq order, reproducing
+    one|two|three|four -> onetwothreefour (operator.rs:150-158) on real data."""
+    key = (sf_dir, "append")
+    if key not in _CACHE:
+        docs = load_table(spark, sf_dir, "documents").persist()
+        schema = StorageSchema(
+            T.StructType(
+                [
+                    T.StructField("lang", T.StringType()),
+                    T.StructField("value", T.BinaryType()),
+                ]
+            ),
+            num_primary_keys=1,
+            update_mode=UpdateMode.APPEND,
+        )
+        root = tempfile.mkdtemp(prefix="horaedb_docs_")
+        table = ColumnarTable(spark, root, schema, 1 << 60)
+        sources = sorted(r[0] for r in docs.select("source").distinct().collect())
+        for i, src in enumerate(sources):
+            sl = (
+                docs.filter(F.col("source") == src)
+                .groupBy("lang")
+                .agg(
+                    F.encode(
+                        F.array_join(
+                            F.transform(
+                                F.array_sort(
+                                    F.collect_list(F.struct("doc_id", "text"))
+                                ),
+                                lambda s: s["text"],
+                            ),
+                            "",
+                        ),
+                        "UTF-8",
+                    ).alias("value")
+                )
+            )
+            table.write(WriteRequest(sl, TimeRange(i, i + 1)))
+        docs.unpersist()
+        _CACHE[key] = table
+    return (
+        _CACHE[key]
+        .scan()
+        .select("lang", F.decode("value", "UTF-8").alias("concat_text"))
+        .orderBy("lang")
+    )
