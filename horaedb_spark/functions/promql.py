@@ -1,0 +1,172 @@
+"""PromQL-style range functions (SURVEY.md §2 D6-D9).
+
+The reference RFC pushes PromQL evaluation into the engine as SQL — e.g.
+``SELECT sum(rate('10m', field)) ... GROUP BY le ORDER BY timestamp``
+(docs/rfcs/20220702-prometheus-read-extension.md:84-99, which notes "rate is
+an UDF in HoraeDB"). Here the function family is implemented as *composable
+DataFrame transforms* over a sample stream — all JVM-side built-ins (window
+functions + aggregates), no Python UDFs in the hot path.
+
+Sample-frame convention: a DataFrame with series-identity columns (``tsid`` or
+any label set), a ``ts_ms`` long (epoch milliseconds — the engine's native
+time unit, common/src/time_ext.rs:213) and a ``value`` double.
+
+Step alignment (D8) mirrors ``Timestamp::truncate_by``
+(columnar_storage/src/types.rs:82-85): buckets are epoch-aligned floors.
+
+At scale each transform is one shuffle on (series, bucket) with map-side
+partial aggregation; skewed hot series are split by AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def time_bucket(ts_ms: Column | str, step_ms: int) -> Column:
+    """Epoch-aligned bucket start (D8): ``floor(ts / step) * step`` in exact
+    integer arithmetic."""
+    c = F.col(ts_ms) if isinstance(ts_ms, str) else ts_ms
+    return (c - (c % F.lit(step_ms))).alias("bucket_ms")
+
+
+def dedup_samples(df: DataFrame, series_cols: list[str], seq_col: str = "seq") -> DataFrame:
+    """D10: duplicate (series, timestamp) resolves to max sequence wins
+    (RFC 20240827:232). ``seq_col`` is the ingest sequence (event id,
+    batch id, ...)."""
+    w = Window.partitionBy(*series_cols, "ts_ms").orderBy(F.desc(seq_col))
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+
+
+def _bucketed(df: DataFrame, step_ms: int) -> DataFrame:
+    return df.withColumn("bucket_ms", time_bucket(F.col("ts_ms"), step_ms))
+
+
+def rate(df: DataFrame, series_cols: list[str], step_ms: int) -> DataFrame:
+    """Per-series per-bucket rate of change in value/second:
+    ``(last - first) / (t_last - t_first)``. Buckets with fewer than two
+    samples yield no row (a rate needs two points — PromQL behaves the same).
+
+    Implemented with ``max_by``/``min_by`` over (value, ts) — one hash
+    aggregate, no window, no UDF."""
+    b = _bucketed(df, step_ms)
+    agg = b.groupBy(*series_cols, "bucket_ms").agg(
+        F.max_by("value", "ts_ms").alias("v_last"),
+        F.min_by("value", "ts_ms").alias("v_first"),
+        F.max("ts_ms").alias("t_last"),
+        F.min("ts_ms").alias("t_first"),
+        F.count("*").alias("n_samples"),
+    )
+    return (
+        agg.filter((F.col("n_samples") >= 2) & (F.col("t_last") > F.col("t_first")))
+        .withColumn(
+            "rate_per_s",
+            (F.col("v_last") - F.col("v_first"))
+            / ((F.col("t_last") - F.col("t_first")) / F.lit(1000.0)),
+        )
+        .select(*series_cols, "bucket_ms", "rate_per_s")
+    )
+
+
+def delta(df: DataFrame, series_cols: list[str], step_ms: int) -> DataFrame:
+    """Gauge delta per bucket: last - first (no per-second normalization)."""
+    b = _bucketed(df, step_ms)
+    return (
+        b.groupBy(*series_cols, "bucket_ms")
+        .agg(
+            (F.max_by("value", "ts_ms") - F.min_by("value", "ts_ms")).alias("delta"),
+            F.count("*").alias("n_samples"),
+        )
+        .filter(F.col("n_samples") >= 2)
+        .select(*series_cols, "bucket_ms", "delta")
+    )
+
+
+def increase(df: DataFrame, series_cols: list[str], step_ms: int) -> DataFrame:
+    """Counter increase per bucket with reset handling: sum over consecutive
+    in-bucket diffs, where a negative diff (counter reset) contributes the
+    new value itself — PromQL's reset rule.
+
+    One window (lag per series ordered by ts) + one aggregate."""
+    b = _bucketed(df, step_ms)
+    w = Window.partitionBy(*series_cols, "bucket_ms").orderBy("ts_ms")
+    diffed = b.withColumn("prev", F.lag("value").over(w)).withColumn(
+        "step_inc",
+        F.when(F.col("prev").isNull(), F.lit(None))
+        .when(F.col("value") >= F.col("prev"), F.col("value") - F.col("prev"))
+        .otherwise(F.col("value")),  # reset: counter restarted at ~0
+    )
+    return (
+        diffed.groupBy(*series_cols, "bucket_ms")
+        .agg(F.sum("step_inc").alias("increase"), F.count("*").alias("n_samples"))
+        .filter(F.col("n_samples") >= 2)
+        .select(*series_cols, "bucket_ms", "increase")
+    )
+
+
+def irate(df: DataFrame, series_cols: list[str], step_ms: int) -> DataFrame:
+    """Instant rate: diff of the LAST TWO samples in the bucket / their time
+    gap (PromQL irate)."""
+    b = _bucketed(df, step_ms)
+    w = Window.partitionBy(*series_cols, "bucket_ms").orderBy(
+        F.desc("ts_ms")
+    )
+    ranked = b.withColumn("__rn__", F.row_number().over(w)).filter(F.col("__rn__") <= 2)
+    agg = ranked.groupBy(*series_cols, "bucket_ms").agg(
+        F.max(F.when(F.col("__rn__") == 1, F.col("value"))).alias("v1"),
+        F.max(F.when(F.col("__rn__") == 2, F.col("value"))).alias("v2"),
+        F.max(F.when(F.col("__rn__") == 1, F.col("ts_ms"))).alias("t1"),
+        F.max(F.when(F.col("__rn__") == 2, F.col("ts_ms"))).alias("t2"),
+    )
+    return (
+        agg.filter(F.col("v2").isNotNull() & (F.col("t1") > F.col("t2")))
+        .withColumn(
+            "irate_per_s",
+            (F.col("v1") - F.col("v2")) / ((F.col("t1") - F.col("t2")) / F.lit(1000.0)),
+        )
+        .select(*series_cols, "bucket_ms", "irate_per_s")
+    )
+
+
+def idelta(df: DataFrame, series_cols: list[str], step_ms: int) -> DataFrame:
+    """Instant delta: diff of the last two samples in the bucket."""
+    b = _bucketed(df, step_ms)
+    w = Window.partitionBy(*series_cols, "bucket_ms").orderBy(F.desc("ts_ms"))
+    ranked = b.withColumn("__rn__", F.row_number().over(w)).filter(F.col("__rn__") <= 2)
+    agg = ranked.groupBy(*series_cols, "bucket_ms").agg(
+        F.max(F.when(F.col("__rn__") == 1, F.col("value"))).alias("v1"),
+        F.max(F.when(F.col("__rn__") == 2, F.col("value"))).alias("v2"),
+    )
+    return (
+        agg.filter(F.col("v2").isNotNull())
+        .withColumn("idelta", F.col("v1") - F.col("v2"))
+        .select(*series_cols, "bucket_ms", "idelta")
+    )
+
+
+def aggregate_by(
+    df: DataFrame,
+    by_labels: list[str],
+    step_ms: int,
+    aggs: dict[str, str] | None = None,
+) -> DataFrame:
+    """D6: ``sum/min/max/avg/count by (labels)`` over aligned time buckets —
+    the RFC's pushdown example (20220702:84-99). ``aggs`` maps output column
+    name -> aggregate ('sum'|'avg'|'min'|'max'|'count')."""
+    aggs = aggs or {"sum_value": "sum"}
+    fns = {
+        "sum": F.sum,
+        "avg": F.avg,
+        "min": F.min,
+        "max": F.max,
+        "count": lambda c: F.count(c),
+    }
+    b = _bucketed(df, step_ms)
+    exprs = [fns[kind](F.col("value")).alias(name) for name, kind in aggs.items()]
+    return b.groupBy(*by_labels, "bucket_ms").agg(*exprs)

@@ -1,0 +1,122 @@
+"""MetricEngine: label-matcher query planning over the metric tables.
+
+Implements the RFC's two-step query path (docs/rfcs/20240827-metric-engine.md:
+120-126): resolve label matchers against the inverted index to a TSID set,
+then join the data table on (metric_id, tsid) and apply the time range.
+
+Spark-first planning choices:
+- each equality/regex matcher is a filter over the index table; the TSID-set
+  intersection of k matchers is ``GROUP BY tsid HAVING count(*) = k`` (the
+  DataFrame analogue of posting-list intersection);
+- the resolved TSID set joins the data table as a LEFT SEMI join — at scale
+  the matcher side is almost always small, so it broadcasts and the data scan
+  stays shuffle-free;
+- the time range lands as a plain ``ts_ms`` predicate, which partition-prunes
+  a segment-partitioned data table (D5).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from horaedb_spark.core.timeutil import TimeRange
+from horaedb_spark.metric import model
+
+
+@dataclass(frozen=True)
+class Matcher:
+    """One PromQL label matcher: op in {'=', '!=', '=~', '!~'}."""
+
+    key: str
+    op: str
+    value: str
+
+    def __post_init__(self):
+        if self.op not in ("=", "!=", "=~", "!~"):
+            raise ValueError(f"bad matcher op {self.op!r}")
+        if self.op in ("=~", "!~"):
+            re.compile(self.value)  # fail fast on bad regex
+
+
+class MetricEngine:
+    """Query layer over a samples frame (name, labels, ts_ms, value, seq)."""
+
+    def __init__(self, samples: DataFrame):
+        self.samples = samples
+        self.metrics = model.build_metrics_table(samples)
+        self.series = model.build_series_table(samples)
+        self.index = model.build_index_table(samples)
+        self.tags = model.build_tags_table(samples)
+        self.data = model.build_data_table(samples)
+
+    # -- D4 ------------------------------------------------------------------
+    def label_values(self, metric: str, tag_key: str) -> DataFrame:
+        """Distinct values of one label for one metric (RFC:127-131)."""
+        mid = F.xxhash64(F.lit(metric))
+        return (
+            self.index.filter((F.col("metric_id") == mid) & (F.col("tag_key") == tag_key))
+            .select("tag_value")
+            .distinct()
+        )
+
+    # -- D3 ------------------------------------------------------------------
+    def resolve_tsids(self, metric: str, matchers: list[Matcher]) -> DataFrame:
+        """Matchers -> TSID set via the inverted index."""
+        mid = F.xxhash64(F.lit(metric))
+        idx = self.index.filter(F.col("metric_id") == mid)
+        positives = [m for m in matchers if m.op in ("=", "=~")]
+        negatives = [m for m in matchers if m.op in ("!=", "!~")]
+
+        if positives:
+            conds = None
+            for m in positives:
+                c = (F.col("tag_key") == m.key) & (
+                    (F.col("tag_value") == m.value)
+                    if m.op == "="
+                    else F.col("tag_value").rlike(m.value)
+                )
+                conds = c if conds is None else conds | c
+            tsids = (
+                idx.filter(conds)
+                .groupBy("tsid")
+                .agg(F.countDistinct("tag_key").alias("__k__"))
+                .filter(F.col("__k__") == len({m.key for m in positives}))
+                .select("tsid")
+            )
+        else:
+            tsids = idx.select("tsid").distinct()
+
+        for m in negatives:
+            c = (F.col("tag_key") == m.key) & (
+                (F.col("tag_value") == m.value)
+                if m.op == "!="
+                else F.col("tag_value").rlike(m.value)
+            )
+            tsids = tsids.join(idx.filter(c).select("tsid"), "tsid", "left_anti")
+        return tsids
+
+    def select_series(
+        self,
+        metric: str,
+        matchers: list[Matcher] | None = None,
+        time_range: TimeRange | None = None,
+        with_labels: bool = True,
+    ) -> DataFrame:
+        """Samples of all series matching the matchers within the range —
+        the index→TSID→data join pipeline (RFC:120-126)."""
+        mid = F.xxhash64(F.lit(metric))
+        out = self.data.filter(F.col("metric_id") == mid)
+        if time_range is not None:
+            out = out.filter(
+                (F.col("ts_ms") >= time_range.start) & (F.col("ts_ms") < time_range.end)
+            )
+        if matchers:
+            tsids = self.resolve_tsids(metric, matchers)
+            out = out.join(F.broadcast(tsids), "tsid", "left_semi")
+        if with_labels:
+            out = out.join(F.broadcast(self.series.select("tsid", "series_key")), "tsid", "left")
+        return out

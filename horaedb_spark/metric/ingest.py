@@ -1,0 +1,210 @@
+"""Prometheus remote-write ingest (SURVEY.md §2 B1).
+
+The reference hand-rolls a streaming protobuf reader for the remote-write
+``WriteRequest`` message (src/remote_write/src/pb_reader.rs:85-565; proto at
+src/pb_types/protos/remote_write.proto:21-77). Its zero-copy/pooling tricks
+(B2) are allocator-level Rust concerns with no JVM analogue — declared a
+non-goal in SURVEY.md §2.
+
+Spark 4's built-in ``from_protobuf`` needs a compiled descriptor set (protoc
+is not in this environment), so the decode is a small pure-Python wire-format
+parser — ~80 lines for the three message shapes we need — executed
+*distributed* via ``mapInPandas``: each executor decodes its partition's
+payload blobs in Arrow batches, so ingest parallelizes with the data. An
+encoder lives alongside for fixtures, mirroring the reference's
+equivalence-vs-independent-decoder test strategy
+(remote_write/tests/equivalence_test.rs:18-23).
+
+Wire format decoded (proto3):
+  WriteRequest{ repeated TimeSeries timeseries = 1 }
+  TimeSeries  { repeated Label labels = 1; repeated Sample samples = 2 }
+  Label       { string name = 1; string value = 2 }
+  Sample      { double value = 1; int64 timestamp = 2 }   # timestamp in ms
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------- wire codec
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+        if shift > 70:
+            raise ValueError("varint too long")
+
+
+def _skip_field(buf: bytes, pos: int, wire_type: int) -> int:
+    if wire_type == 0:
+        _, pos = _read_varint(buf, pos)
+    elif wire_type == 1:
+        pos += 8
+    elif wire_type == 2:
+        n, pos = _read_varint(buf, pos)
+        pos += n
+    elif wire_type == 5:
+        pos += 4
+    else:
+        raise ValueError(f"unsupported wire type {wire_type}")
+    return pos
+
+
+def _decode_label(buf: bytes) -> tuple[str, str]:
+    pos, name, value = 0, "", ""
+    while pos < len(buf):
+        key, pos = _read_varint(buf, pos)
+        field, wt = key >> 3, key & 7
+        if field == 1 and wt == 2:
+            n, pos = _read_varint(buf, pos)
+            name = buf[pos : pos + n].decode("utf-8")
+            pos += n
+        elif field == 2 and wt == 2:
+            n, pos = _read_varint(buf, pos)
+            value = buf[pos : pos + n].decode("utf-8")
+            pos += n
+        else:
+            pos = _skip_field(buf, pos, wt)
+    return name, value
+
+
+def _decode_sample(buf: bytes) -> tuple[float, int]:
+    pos, value, ts = 0, 0.0, 0
+    while pos < len(buf):
+        key, pos = _read_varint(buf, pos)
+        field, wt = key >> 3, key & 7
+        if field == 1 and wt == 1:
+            value = struct.unpack_from("<d", buf, pos)[0]
+            pos += 8
+        elif field == 2 and wt == 0:
+            raw, pos = _read_varint(buf, pos)
+            ts = raw - (1 << 64) if raw >= (1 << 63) else raw  # two's complement int64
+        else:
+            pos = _skip_field(buf, pos, wt)
+    return value, ts
+
+
+def _decode_timeseries(buf: bytes) -> tuple[dict[str, str], list[tuple[float, int]]]:
+    pos, labels, samples = 0, {}, []
+    while pos < len(buf):
+        key, pos = _read_varint(buf, pos)
+        field, wt = key >> 3, key & 7
+        if field == 1 and wt == 2:
+            n, pos = _read_varint(buf, pos)
+            k, v = _decode_label(buf[pos : pos + n])
+            labels[k] = v
+            pos += n
+        elif field == 2 and wt == 2:
+            n, pos = _read_varint(buf, pos)
+            samples.append(_decode_sample(buf[pos : pos + n]))
+            pos += n
+        else:
+            pos = _skip_field(buf, pos, wt)
+    return labels, samples
+
+
+def decode_write_request(buf: bytes) -> list[dict]:
+    """WriteRequest bytes -> flat sample dicts. The metric name is the
+    ``__name__`` label, Prometheus-style; remaining labels are the series
+    label set (metric_engine/src/types.rs:27-36)."""
+    pos, out = 0, []
+    while pos < len(buf):
+        key, pos = _read_varint(buf, pos)
+        field, wt = key >> 3, key & 7
+        if field == 1 and wt == 2:
+            n, pos = _read_varint(buf, pos)
+            labels, samples = _decode_timeseries(buf[pos : pos + n])
+            pos += n
+            name = labels.pop("__name__", "")
+            for value, ts in samples:
+                out.append({"name": name, "labels": labels, "ts_ms": ts, "value": value})
+        else:
+            pos = _skip_field(buf, pos, wt)
+    return out
+
+
+# ------------------------------------------------------------------- encoder
+
+
+def _varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _ld(field: int, payload: bytes) -> bytes:
+    return _varint((field << 3) | 2) + _varint(len(payload)) + payload
+
+
+def encode_write_request(series: list[dict]) -> bytes:
+    """Inverse of :func:`decode_write_request` for fixtures. Each entry:
+    ``{"name": str, "labels": {k: v}, "samples": [(value, ts_ms), ...]}``."""
+    req = bytearray()
+    for s in series:
+        ts_buf = bytearray()
+        labels = {"__name__": s["name"], **s["labels"]}
+        for k, v in labels.items():
+            lab = _ld(1, k.encode()) + _ld(2, v.encode())
+            ts_buf += _ld(1, lab)
+        for value, ts in s["samples"]:
+            raw_ts = ts + (1 << 64) if ts < 0 else ts
+            sample = (
+                _varint((1 << 3) | 1)
+                + struct.pack("<d", value)
+                + _varint((2 << 3) | 0)
+                + _varint(raw_ts)
+            )
+            ts_buf += _ld(2, sample)
+        req += _ld(1, bytes(ts_buf))
+    return bytes(req)
+
+
+# --------------------------------------------------------------- spark entry
+
+SAMPLES_SCHEMA = T.StructType(
+    [
+        T.StructField("name", T.StringType()),
+        T.StructField("labels", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+
+def decode_payloads(payloads: DataFrame, payload_col: str = "payload", seq_col: str = "seq") -> DataFrame:
+    """Distributed decode: a DataFrame with a binary remote-write payload
+    column -> the flat samples frame. Arrow-batched via mapInPandas — the
+    Python decode cost rides inside the executors, scaling with partitions."""
+    import pandas as pd
+
+    def decode_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for payload, seq in zip(pdf[payload_col], pdf[seq_col]):
+                for rec in decode_write_request(bytes(payload)):
+                    rec["seq"] = int(seq)
+                    rows.append(rec)
+            yield pd.DataFrame(
+                rows, columns=["name", "labels", "ts_ms", "value", "seq"]
+            )
+
+    return payloads.mapInPandas(decode_iter, SAMPLES_SCHEMA)

@@ -1,0 +1,104 @@
+"""Metric data model: metrics / series / tags / index / data (SURVEY.md §1.2).
+
+The RFC (docs/rfcs/20240827-metric-engine.md:88-137) defines a time series as
+metric name + sorted label set, identified by ``MetricId = hash(name)`` and
+``TSID = hash(name, sorted labels)`` (src/metric_engine/src/types.rs:18-41
+uses seahash; *stability*, not the hash function, is the contract — we use
+Spark's built-in ``xxhash64`` so id derivation runs JVM-side with codegen).
+
+Five logical tables (RFC:106-137), here built as DataFrames from a samples
+frame (columns: ``name``, ``labels: map<string,string>``, ``ts_ms``,
+``value``, ``seq``):
+
+- ``metrics(metric_name, metric_id, field_name, field_id, field_type)``
+- ``series(metric_id, tsid, series_key)``
+- ``tags(metric_id, tag_key, tag_value)``            (accelerates label_values)
+- ``index(metric_id, tag_key, tag_value, tsid)``     (inverted index)
+- ``data(metric_id, tsid, ts_ms, value)``            (samples, deduped D10)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from horaedb_spark.functions.promql import dedup_samples
+
+
+def sorted_series_key(labels: Column) -> Column:
+    """Canonical series key: label kvs sorted by key, ``k=v`` joined with
+    commas — the RFC's "sorted tag KVs" bytes (RFC 20240827:114-119)."""
+    kvs = F.transform(
+        F.array_sort(F.map_keys(labels)), lambda k: F.concat_ws("=", k, labels[k])
+    )
+    return F.array_join(kvs, ",")
+
+
+def metric_id(name: Column) -> Column:
+    return F.xxhash64(name)
+
+
+def tsid(name: Column, labels: Column) -> Column:
+    return F.xxhash64(name, sorted_series_key(labels))
+
+
+def with_ids(samples: DataFrame) -> DataFrame:
+    """D1+D2 id population: stamp metric_id and tsid on every sample.
+
+    The reference's upsert-on-demand catalog (metric_engine/src/metric/mod.rs:
+    35-40 stub) becomes a pure derivation here — the hash IS the id, so no
+    catalog round-trip or broadcast join is needed on the hot ingest path."""
+    return samples.withColumn("metric_id", metric_id(F.col("name"))).withColumn(
+        "tsid", tsid(F.col("name"), F.col("labels"))
+    )
+
+
+def build_metrics_table(samples: DataFrame) -> DataFrame:
+    """metrics catalog (RFC:106-113). One field ("value", f64) per metric in
+    this snapshot — matching the reference's single-value-column samples."""
+    return (
+        samples.select("name")
+        .distinct()
+        .select(
+            F.col("name").alias("metric_name"),
+            metric_id(F.col("name")).alias("metric_id"),
+            F.lit("value").alias("field_name"),
+            F.lit(0).alias("field_id"),
+            F.lit("f64").alias("field_type"),
+        )
+    )
+
+
+def build_series_table(samples: DataFrame) -> DataFrame:
+    ided = with_ids(samples)
+    return (
+        ided.select("metric_id", "tsid", sorted_series_key(F.col("labels")).alias("series_key"))
+        .distinct()
+    )
+
+
+def build_index_table(samples: DataFrame) -> DataFrame:
+    """Inverted index (RFC:132-137): explode labels into
+    (metric_id, tag_key, tag_value, tsid) posting rows."""
+    ided = with_ids(samples)
+    return (
+        ided.select("metric_id", "tsid", F.explode("labels").alias("tag_key", "tag_value"))
+        .select("metric_id", "tag_key", "tag_value", "tsid")
+        .distinct()
+    )
+
+
+def build_tags_table(samples: DataFrame) -> DataFrame:
+    ided = with_ids(samples)
+    return (
+        ided.select("metric_id", F.explode("labels").alias("tag_key", "tag_value"))
+        .distinct()
+    )
+
+
+def build_data_table(samples: DataFrame) -> DataFrame:
+    """Samples keyed (metric_id, tsid, ts_ms) — the RFC's data-table PK prefix
+    (RFC:229); duplicate (PK, timestamp) resolves to max seq (RFC:232 / D10)."""
+    ided = with_ids(samples)
+    deduped = dedup_samples(ided, ["metric_id", "tsid"], "seq")
+    return deduped.select("metric_id", "tsid", "ts_ms", "value")

@@ -1,0 +1,309 @@
+"""Metric-layer + PromQL queries (SURVEY.md §2 D1-D8) under the oracle gate.
+
+The events table doubles as a metric workload: ``name = event_type``,
+labels = {user: str(user_id), cohort: str(user_id % 10)}, sample =
+(ts_ms, value). The MetricEngine derives ids via xxhash64 internally; oracle
+SQL never needs the hashes because query *outputs* expose labels/values, not
+ids — the ids are engine-internal routing exactly as in the reference.
+
+Sample stream dedup (D10): duplicate (series, ts) keeps the max event_id —
+applied identically in the engine (seq = event_id) and the oracle CTE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from horaedb_spark.core.timeutil import TimeRange
+from horaedb_spark.functions import promql
+from horaedb_spark.metric.engine import Matcher, MetricEngine
+from horaedb_spark.queries.registry import register
+from horaedb_spark.queries.tables import events_ms
+
+_ENGINES: dict[str, MetricEngine] = {}
+
+HOUR_MS = 3_600_000
+DAY_MS = 86_400_000
+
+# Oracle CTE shared by every metric query: the deduped sample stream.
+_DEDUP_CTE = """
+    WITH samples AS (
+      SELECT event_type AS name,
+             CAST(user_id AS VARCHAR) AS user_label,
+             CAST(user_id % 10 AS VARCHAR) AS cohort,
+             ts_ms, value
+      FROM (
+        SELECT *, epoch_ms(ts) AS ts_ms,
+               row_number() OVER (PARTITION BY event_type, user_id, epoch_ms(ts)
+                                  ORDER BY event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+"""
+
+
+def _engine(spark: SparkSession, sf_dir: str) -> MetricEngine:
+    if sf_dir not in _ENGINES:
+        ev = events_ms(spark, sf_dir)
+        samples = ev.select(
+            F.col("event_type").alias("name"),
+            F.create_map(
+                F.lit("user"),
+                F.col("user_id").cast("string"),
+                F.lit("cohort"),
+                (F.col("user_id") % 10).cast("string"),
+            ).alias("labels"),
+            "ts_ms",
+            "value",
+            F.col("event_id").alias("seq"),
+        )
+        _ENGINES[sf_dir] = MetricEngine(samples)
+    return _ENGINES[sf_dir]
+
+
+def _series_with_labels(df: DataFrame) -> DataFrame:
+    """series_key 'cohort=c,user=u' -> label columns for oracle-comparable
+    output."""
+    parts = F.split("series_key", ",")
+    return df.withColumn(
+        "cohort", F.split(F.element_at(parts, 1), "=")[1]
+    ).withColumn("user_label", F.split(F.element_at(parts, 2), "=")[1])
+
+
+# ---------------------------------------------------------------------- D4
+@register(
+    "metric_label_values",
+    oracle=_DEDUP_CTE
+    + """
+    SELECT DISTINCT cohort AS tag_value FROM samples WHERE name = 'click'
+    ORDER BY tag_value
+    """,
+)
+def metric_label_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """label_values('click', 'cohort') served from the inverted index."""
+    return _engine(spark, sf_dir).label_values("click", "cohort").orderBy("tag_value")
+
+
+# ---------------------------------------------------------------------- D3+D5
+@register(
+    "metric_series_select",
+    oracle=_DEDUP_CTE
+    + """
+    SELECT user_label, cohort, ts_ms, value
+    FROM samples
+    WHERE name = 'purchase' AND cohort = '3' AND regexp_matches(user_label, '^1')
+      AND ts_ms >= 1704067200000 AND ts_ms < 1705276800000
+    ORDER BY user_label, ts_ms
+    """,
+)
+def metric_series_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-matcher selection {cohort="3", user=~"^1"} on metric 'purchase'
+    within a two-week range: index semi-join -> TSID set -> data join (the
+    RFC's two-step query, 20240827:120-126)."""
+    eng = _engine(spark, sf_dir)
+    out = eng.select_series(
+        "purchase",
+        [Matcher("cohort", "=", "3"), Matcher("user", "=~", "^1")],
+        TimeRange(1704067200000, 1705276800000),
+    )
+    return (
+        _series_with_labels(out)
+        .select("user_label", "cohort", "ts_ms", "value")
+        .orderBy("user_label", "ts_ms")
+    )
+
+
+# ---------------------------------------------------------------------- D3 negative matchers
+@register(
+    "metric_series_negative_match",
+    oracle=_DEDUP_CTE
+    + """
+    SELECT cohort, count(*) AS n_samples, round(sum(value), 6) AS sum_value
+    FROM samples
+    WHERE name = 'error' AND cohort != '0' AND NOT regexp_matches(user_label, '9$')
+    GROUP BY cohort ORDER BY cohort
+    """,
+)
+def metric_series_negative_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative matchers {cohort!="0", user!~"9$"} — anti-joins on the index."""
+    eng = _engine(spark, sf_dir)
+    out = eng.select_series(
+        "error", [Matcher("cohort", "!=", "0"), Matcher("user", "!~", "9$")]
+    )
+    return (
+        _series_with_labels(out)
+        .groupBy("cohort")
+        .agg(F.count("*").alias("n_samples"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .orderBy("cohort")
+    )
+
+
+# ---------------------------------------------------------------------- D2
+@register(
+    "metric_index_summary",
+    oracle=_DEDUP_CTE
+    + """
+    SELECT name AS metric_name, 'cohort' AS tag_key,
+           count(DISTINCT cohort) AS n_values,
+           count(DISTINCT user_label) AS n_series
+    FROM samples GROUP BY name
+    UNION ALL
+    SELECT name, 'user', count(DISTINCT user_label), count(DISTINCT user_label)
+    FROM samples GROUP BY name
+    ORDER BY metric_name, tag_key
+    """,
+)
+def metric_index_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (D2): per (metric, tag_key), distinct posting
+    values and series counts — joined back to names via the metrics catalog."""
+    eng = _engine(spark, sf_dir)
+    summary = eng.index.groupBy("metric_id", "tag_key").agg(
+        F.countDistinct("tag_value").alias("n_values"),
+        F.countDistinct("tsid").alias("n_series"),
+    )
+    return (
+        summary.join(
+            F.broadcast(eng.metrics.select("metric_id", "metric_name")), "metric_id"
+        )
+        .select("metric_name", "tag_key", "n_values", "n_series")
+        .orderBy("metric_name", "tag_key")
+    )
+
+
+# ---------------------------------------------------------------------- D6
+@register(
+    "metric_agg_by_label",
+    oracle=_DEDUP_CTE
+    + f"""
+    SELECT cohort, ts_ms - ts_ms % {HOUR_MS} AS bucket_ms,
+           round(sum(value), 6) AS sum_value,
+           round(avg(value), 6) AS avg_value,
+           count(*) AS n
+    FROM samples WHERE name = 'view'
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def metric_agg_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sum/avg/count by (cohort) over 1h aligned buckets — the RFC pushdown
+    shape (20220702:84-99)."""
+    eng = _engine(spark, sf_dir)
+    sel = _series_with_labels(eng.select_series("view"))
+    out = promql.aggregate_by(
+        sel, ["cohort"], HOUR_MS, {"sum_value": "sum", "avg_value": "avg", "n": "count"}
+    )
+    return out.select(
+        "cohort",
+        "bucket_ms",
+        F.round("sum_value", 6).alias("sum_value"),
+        F.round("avg_value", 6).alias("avg_value"),
+        "n",
+    ).orderBy("cohort", "bucket_ms")
+
+
+# ---------------------------------------------------------------------- D7 rate
+@register(
+    "promql_rate",
+    oracle=_DEDUP_CTE
+    + f"""
+    SELECT user_label, cohort, bucket_ms,
+           round((v_last - v_first) / ((t_last - t_first) / 1000.0), 6) AS rate_per_s
+    FROM (
+      SELECT user_label, cohort, ts_ms - ts_ms % {DAY_MS} AS bucket_ms,
+             arg_max(value, ts_ms) AS v_last, arg_min(value, ts_ms) AS v_first,
+             max(ts_ms) AS t_last, min(ts_ms) AS t_first, count(*) AS n
+      FROM samples WHERE name = 'click'
+      GROUP BY 1, 2, 3
+    ) WHERE n >= 2 AND t_last > t_first
+    ORDER BY user_label, bucket_ms
+    """,
+)
+def promql_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rate() per series over 1-day buckets (D7): (last-first)/(Δt seconds),
+    buckets needing ≥2 samples — one hash aggregate via max_by/min_by."""
+    eng = _engine(spark, sf_dir)
+    sel = _series_with_labels(eng.select_series("click"))
+    out = promql.rate(sel, ["user_label", "cohort"], DAY_MS)
+    return out.select(
+        "user_label", "cohort", "bucket_ms", F.round("rate_per_s", 6).alias("rate_per_s")
+    ).orderBy("user_label", "bucket_ms")
+
+
+# ---------------------------------------------------------------------- D7 increase w/ resets
+@register(
+    "promql_increase_counter_resets",
+    oracle=_DEDUP_CTE
+    + f"""
+    , counters AS (
+      SELECT user_label, cohort, ts_ms,
+             sum(value) OVER (PARTITION BY user_label, cohort ORDER BY ts_ms
+                              ROWS UNBOUNDED PRECEDING) % 1000 AS cval
+      FROM samples WHERE name = 'signup'
+    ), diffed AS (
+      SELECT user_label, cohort, ts_ms - ts_ms % {DAY_MS} AS bucket_ms,
+             CASE WHEN prev IS NULL THEN NULL
+                  WHEN cval >= prev THEN cval - prev
+                  ELSE cval END AS step_inc
+      FROM (
+        SELECT *, lag(cval) OVER (PARTITION BY user_label, cohort,
+                                  ts_ms - ts_ms % {DAY_MS} ORDER BY ts_ms) AS prev
+        FROM counters
+      )
+    )
+    SELECT user_label, cohort, bucket_ms, round(sum(step_inc), 6) AS increase
+    FROM diffed GROUP BY 1, 2, 3 HAVING count(*) >= 2
+    ORDER BY user_label, bucket_ms
+    """,
+)
+def promql_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """increase() with counter-reset handling (D7): a synthetic wrapping
+    counter (running sum mod 1000) exercises the reset rule — a negative diff
+    contributes the post-reset value itself."""
+    from pyspark.sql.window import Window
+
+    eng = _engine(spark, sf_dir)
+    sel = _series_with_labels(eng.select_series("signup"))
+    wcum = (
+        Window.partitionBy("user_label", "cohort")
+        .orderBy("ts_ms")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    counters = sel.withColumn("value", F.sum("value").over(wcum) % 1000)
+    out = promql.increase(counters, ["user_label", "cohort"], DAY_MS)
+    return out.select(
+        "user_label", "cohort", "bucket_ms", F.round("increase", 6).alias("increase")
+    ).orderBy("user_label", "bucket_ms")
+
+
+# ---------------------------------------------------------------------- D7 irate
+@register(
+    "promql_irate",
+    oracle=_DEDUP_CTE
+    + f"""
+    SELECT user_label, cohort, bucket_ms,
+           round((v1 - v2) / ((t1 - t2) / 1000.0), 6) AS irate_per_s
+    FROM (
+      SELECT user_label, cohort, ts_ms - ts_ms % {DAY_MS} AS bucket_ms,
+             max(CASE WHEN rn = 1 THEN value END) AS v1,
+             max(CASE WHEN rn = 2 THEN value END) AS v2,
+             max(CASE WHEN rn = 1 THEN ts_ms END) AS t1,
+             max(CASE WHEN rn = 2 THEN ts_ms END) AS t2
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_label, cohort,
+                                     ts_ms - ts_ms % {DAY_MS}
+                                     ORDER BY ts_ms DESC) AS rn
+        FROM samples WHERE name = 'error'
+      ) WHERE rn <= 2
+      GROUP BY 1, 2, 3
+    ) WHERE v2 IS NOT NULL AND t1 > t2
+    ORDER BY user_label, bucket_ms
+    """,
+)
+def promql_irate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """irate(): instant rate from the last two samples per 1-day bucket."""
+    eng = _engine(spark, sf_dir)
+    sel = _series_with_labels(eng.select_series("error"))
+    out = promql.irate(sel, ["user_label", "cohort"], DAY_MS)
+    return out.select(
+        "user_label", "cohort", "bucket_ms", F.round("irate_per_s", 6).alias("irate_per_s")
+    ).orderBy("user_label", "bucket_ms")

@@ -1,0 +1,123 @@
+"""Metric layer tests: remote-write codec equivalence (mirrors the reference's
+equivalence_test.rs strategy — decode vs an independent path), id stability,
+matcher planning."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from horaedb_spark.core.timeutil import TimeRange
+from horaedb_spark.metric.engine import Matcher, MetricEngine
+from horaedb_spark.metric.ingest import (
+    decode_payloads,
+    decode_write_request,
+    encode_write_request,
+)
+
+FIXTURE = [
+    {
+        "name": "http_requests_total",
+        "labels": {"job": "proxy", "instance": "host-1"},
+        "samples": [(1.5, 1704067200000), (2.5, 1704067260000)],
+    },
+    {
+        "name": "cpu_usage",
+        "labels": {"core": "0"},
+        "samples": [(0.25, 1704067200123), (-1.0, -5)],  # negative value + ts
+    },
+    {"name": "empty_series", "labels": {}, "samples": []},
+]
+
+
+def test_codec_round_trip():
+    buf = encode_write_request(FIXTURE)
+    decoded = decode_write_request(buf)
+    expect = [
+        {"name": s["name"], "labels": s["labels"], "ts_ms": ts, "value": v}
+        for s in FIXTURE
+        for v, ts in s["samples"]
+    ]
+    assert decoded == expect
+
+
+def test_decode_skips_unknown_fields():
+    # field 9 varint + field 3 (exemplars, length-delimited) must be skipped
+    from horaedb_spark.metric.ingest import _ld, _varint
+
+    buf = encode_write_request(FIXTURE[:1])
+    extra = _varint((9 << 3) | 0) + _varint(42) + _ld(3, b"\x01\x02")
+    assert decode_write_request(buf + extra) == decode_write_request(buf)
+
+
+def test_distributed_decode(spark):
+    buf = encode_write_request(FIXTURE)
+    payloads = spark.createDataFrame([(buf, 1), (buf, 2)], "payload binary, seq long")
+    df = decode_payloads(payloads)
+    rows = df.collect()
+    assert len(rows) == 8  # 4 samples x 2 payloads
+    got = {(r.name, r.ts_ms, r.value, r.seq) for r in rows}
+    assert ("http_requests_total", 1704067200000, 1.5, 1) in got
+    assert ("cpu_usage", -5, -1.0, 2) in got
+    labels = {r.name: r.labels for r in rows}
+    assert labels["http_requests_total"] == {"job": "proxy", "instance": "host-1"}
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    buf = encode_write_request(
+        [
+            {
+                "name": "m",
+                "labels": {"job": f"j{i % 3}", "host": f"h{i}"},
+                "samples": [(float(k), 1000 * k + i) for k in range(1, 4)],
+            }
+            for i in range(6)
+        ]
+    )
+    payloads = spark.createDataFrame([(buf, 7)], "payload binary, seq long")
+    return MetricEngine(decode_payloads(payloads))
+
+
+def test_label_values(engine):
+    vals = sorted(r.tag_value for r in engine.label_values("m", "job").collect())
+    assert vals == ["j0", "j1", "j2"]
+
+
+def test_matcher_eq_and_regex(engine):
+    # job=j0 -> hosts h0, h3
+    out = engine.select_series("m", [Matcher("job", "=", "j0")])
+    keys = {r.series_key for r in out.select("series_key").distinct().collect()}
+    assert keys == {"host=h0,job=j0", "host=h3,job=j0"}
+    # host=~h[12]$ -> h1, h2
+    out2 = engine.select_series("m", [Matcher("host", "=~", "h[12]$")])
+    keys2 = {r.series_key for r in out2.select("series_key").distinct().collect()}
+    assert keys2 == {"host=h1,job=j1", "host=h2,job=j2"}
+    # conjunction: job=j1 AND host=h1
+    out3 = engine.select_series("m", [Matcher("job", "=", "j1"), Matcher("host", "=", "h1")])
+    keys3 = {r.series_key for r in out3.select("series_key").distinct().collect()}
+    assert keys3 == {"host=h1,job=j1"}
+
+
+def test_negative_matcher(engine):
+    out = engine.select_series("m", [Matcher("job", "!=", "j0")])
+    jobs = {r.series_key.split(",")[1] for r in out.select("series_key").distinct().collect()}
+    assert jobs == {"job=j1", "job=j2"}
+
+
+def test_time_range_selection(engine):
+    out = engine.select_series("m", None, TimeRange(2000, 3000))
+    ts = [r.ts_ms for r in out.collect()]
+    assert ts and all(2000 <= t < 3000 for t in ts)
+
+
+def test_d10_dedup_max_seq(spark):
+    # same (series, ts) in two payloads with different seq: max seq wins
+    mk = lambda v: encode_write_request(
+        [{"name": "m", "labels": {"a": "1"}, "samples": [(v, 1000)]}]
+    )
+    payloads = spark.createDataFrame(
+        [(mk(1.0), 1), (mk(2.0), 2)], "payload binary, seq long"
+    )
+    eng = MetricEngine(decode_payloads(payloads))
+    rows = eng.data.collect()
+    assert len(rows) == 1
+    assert rows[0].value == 2.0
