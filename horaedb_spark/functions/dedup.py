@@ -1,0 +1,134 @@
+"""Deduplication operator family (LLM-pipeline surface, SURVEY.md §2
+extension table): exact, MinHash+LSH, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup.
+
+Scale design: every near-dup path is *candidate-generation first* — LSH band
+buckets (or another blocking key) bound the pair space, so the quadratic
+verification only runs inside buckets. At 100 TB the band-bucket join is a
+single shuffle on (band, sig); bucket skew (a viral duplicate cluster) is
+AQE-split, and the verify stage is Jaccard on already-shingled arrays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from horaedb_spark.functions.text import (
+    lsh_band_signatures,
+    minhash_signature,
+    shingles,
+)
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: keep the lowest id per identical text. ``min`` per group —
+    NOT ``dropDuplicates`` (arbitrary row) — so the survivor is deterministic."""
+    keep = df.groupBy(text_col).agg(F.min(id_col).alias(id_col))
+    return df.join(keep, [text_col, id_col], "left_semi")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-duplicate pairs: docs sharing at least one LSH band.
+
+    shingle -> 16-way md5 minhash -> `bands` band keys -> self-join on
+    (band, sig). Returns distinct (id_a < id_b) pairs."""
+    rows = num_hashes // bands
+    sigs = df.select(
+        F.col(id_col),
+        lsh_band_signatures(
+            minhash_signature(shingles(F.col(text_col)), num_hashes), bands, rows
+        ).alias("bands"),
+    ).select(id_col, F.explode("bands").alias("b"))
+    flat = sigs.select(id_col, F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
+    a, b = flat.alias("a"), flat.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    threshold: float,
+    k: int = 3,
+) -> DataFrame:
+    """n-gram Jaccard similarity within a blocking key: pairs (id_a < id_b)
+    in the same block with ``|A∩B| / |A∪B| >= threshold`` over distinct word
+    k-grams. Exact rational arithmetic — engine-portable to the bit."""
+    sh = df.select(
+        F.col(id_col), F.col(block_col), shingles(F.col(text_col), k).alias("sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    jac = inter / union
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine over two double arrays — fold-left dot product and norms, all
+    inside codegen (no UDF)."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, x: s + x * x))
+    return dot / (na * nb)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float
+) -> DataFrame:
+    """Embedding-cosine near-dup: all pairs with cosine >= threshold.
+
+    This is the *verification* operator: run it inside LSH buckets (see
+    ``similarity.lsh_ann``) at scale; all-pairs only for bounded candidate
+    sets."""
+    v = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def keep_minhash_representatives(pairs: DataFrame, df: DataFrame, id_col: str) -> DataFrame:
+    """Collapse candidate pairs to a keep-set: drop every id that appears as
+    the larger member of a pair (transitive-lite survivorship: min id per
+    connected component under one LSH hop)."""
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop, id_col, "left_anti")

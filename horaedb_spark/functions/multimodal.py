@@ -1,0 +1,111 @@
+"""Multimodal column support (LLM-pipeline surface).
+
+Design: media payloads are opaque ``binary`` columns traveling with a typed
+metadata struct ``{modality, mime, width, height, duration_ms}``. Transform
+operators (decode, resize, frame-sample, feature-extract) run as Arrow-batched
+``mapInPandas`` stages so the byte-heavy work stays off the driver and each
+executor processes whole record batches.
+
+The actual codec calls are STUBBED here (image/audio libraries are not in
+this container): ``decode_image`` raises ``NotImplementedError`` unless a
+decoder is injected, and ``extract_features`` ships a deterministic
+bytes-derived fake so the Spark-side plumbing — schema, batch iteration,
+partitioning — is real and tested end-to-end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("modality", T.StringType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("digest", T.StringType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def attach_media_meta(
+    df: DataFrame, payload_col: str, modality: str, mime: str
+) -> DataFrame:
+    """Wrap a binary payload with the typed metadata struct."""
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(modality).alias("modality"),
+            F.lit(mime).alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ),
+    )
+
+
+def decode_image(payload: bytes, decoder: Callable[[bytes], object] | None = None):
+    """Image decode hook. No codec libraries ship in this container — inject
+    ``decoder`` (e.g. PIL.Image.open) in a real deployment."""
+    if decoder is None:
+        raise NotImplementedError(
+            "image decoding requires an injected decoder (no codec libs in this build)"
+        )
+    return decoder(payload)
+
+
+def _fake_features(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for a learned feature extractor: byte-histogram
+    moments. Replace with a real model call in deployment."""
+    if not payload:
+        return [0.0] * dim
+    out = []
+    for i in range(dim):
+        sl = payload[i::dim]
+        out.append((sum(sl) / len(sl)) / 255.0 if sl else 0.0)
+    return out
+
+
+def extract_features(
+    media: DataFrame, id_col: str, payload_col: str, modality_col: str = "media_meta.modality"
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads (the mapInPandas
+    operator shape a real decode/embed stage uses — batch in, batch out)."""
+    import hashlib
+
+    import pandas as pd
+
+    cols = media.select(
+        F.col(id_col).alias("media_id"),
+        F.col(payload_col).alias("payload"),
+        F.col(modality_col).alias("modality"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "modality": pdf["modality"],
+                    "n_bytes": [len(p) for p in payloads],
+                    "digest": [hashlib.md5(p).hexdigest() for p in payloads],
+                    "features": [_fake_features(p) for p in payloads],
+                }
+            )
+
+    return cols.mapInPandas(run, FEATURES_SCHEMA)

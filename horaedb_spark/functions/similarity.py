@@ -1,0 +1,126 @@
+"""Similarity search over embedding columns (LLM-pipeline surface).
+
+Two paths, mirroring what a 100 TB deployment needs:
+
+- ``brute_force_topk`` — the exactness baseline: broadcast the (small) query
+  set against the full corpus; one pass, no shuffle of the corpus, window
+  top-k per query.
+- ``lsh_ann_topk`` — the scale path: random-hyperplane LSH bucketing. Both
+  sides hash into a B-bit bucket; candidates = same-bucket rows; top-k within
+  bucket. The hyperplanes are md5-derived ±1 weights over *quantized integer*
+  components, so bucket assignment is exact integer arithmetic — engine
+  portable (verifiable against a SQL oracle) AND immune to float-association
+  nondeterminism across partitions/engines.
+
+An IVF variant (k-means coarse quantizer) would slot in the same shape:
+assign-to-centroid instead of hyperplane bits; omitted because training state
+is out of scope for a stateless query — noted as the production alternative.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from horaedb_spark.functions.dedup import cosine
+
+_MD5_LOW_HALF = tuple("01234567")
+
+
+def quantize(vec: Column, scale: int = 1000) -> Column:
+    """array<float> -> array<long> by round(x * scale): exact integer space
+    for order-independent arithmetic."""
+    return F.transform(vec.cast("array<double>"), lambda x: F.round(x * scale).cast("long"))
+
+
+def _plane_weight(plane: int, dim: int) -> int:
+    """Deterministic ±1 hyperplane weight from md5 — importable by the SQL
+    oracle as ``CASE WHEN md5(p||':'||d)[1] < '8' THEN 1 ELSE -1 END``."""
+    import hashlib
+
+    h = hashlib.md5(f"{plane}:{dim}".encode()).hexdigest()
+    return 1 if h[0] in _MD5_LOW_HALF else -1
+
+
+def lsh_bucket(qvec: Column, num_planes: int, dim: int) -> Column:
+    """B-bit random-hyperplane bucket of a quantized vector: bit p = sign of
+    the ±1-weighted integer dot product. Weights are baked in as literals
+    (driver-computed md5), so the executor-side expression is pure integer
+    codegen."""
+    bits = []
+    for p in range(num_planes):
+        weights = [_plane_weight(p, d) for d in range(dim)]
+        dot = None
+        for d, w in enumerate(weights):
+            term = F.element_at(qvec, d + 1) * F.lit(w)
+            dot = term if dot is None else dot + term
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (excluding self). The query set
+    broadcasts; the corpus never shuffles until the final per-query top-k."""
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    scored = c.join(F.broadcast(q), F.col("corpus_id") != F.col("query_id")).select(
+        "query_id", "corpus_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "rank", "cos_sim")
+    )
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    num_planes: int,
+    dim: int,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    Cosine is computed on the quantized integer vectors (exact dot/norms,
+    double only at the final division) so results are bit-reproducible."""
+    def prep(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        qz = quantize(F.col(vec_col))
+        return df.select(
+            F.col(id_col).alias(id_alias),
+            qz.alias(vec_alias),
+            lsh_bucket(qz, num_planes, dim).alias("bucket"),
+        )
+
+    c = prep(corpus, "corpus_id", "cv")
+    q = prep(queries, "query_id", "qv").withColumnRenamed("bucket", "qbucket")
+    scored = (
+        c.join(F.broadcast(q), (F.col("bucket") == F.col("qbucket")) & (F.col("corpus_id") != F.col("query_id")))
+        .select(
+            "query_id",
+            "corpus_id",
+            cosine(F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "rank", "cos_sim")
+    )

@@ -1,0 +1,167 @@
+"""Text-analysis operators for the LLM-data-pipeline surface (BASELINE.json
+north star; not in the reference — SURVEY.md §2 extension table).
+
+Everything here is a *column expression builder* over JVM-side built-ins
+(split/transform/aggregate/md5) — no Python UDFs, so the operators ride
+whole-stage codegen and scale with the cluster. Hash-bearing operators use
+``md5`` (present and bit-identical in Spark and DuckDB) so every one of them
+is verifiable against the SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Function-word lists for the language-ID heuristic (tiny on purpose: the
+# heuristic is the operator; the lists are config).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "por", "con", "para"),
+    "fr": ("le", "la", "de", "et", "un", "être", "que", "pour", "dans", "ce"),
+}
+
+QUALITY_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def words(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (the cheap tokenizer); see also
+    ``bpe_ish_token_count`` for the regex sub-word variant."""
+    return F.size(words(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """BPE-flavored proxy: count word-piece-ish units — alphanumeric runs
+    split every 4 chars plus punctuation marks, the standard ~4-chars/token
+    heuristic made deterministic: ceil(len(word)/4) per word + punct count."""
+    c = F.col(text) if isinstance(text, str) else text
+    word_pieces = F.aggregate(
+        words(c),
+        F.lit(0),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("int"),
+    )
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return (word_pieces + punct).alias("bpe_ish_tokens")
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct word k-gram shingles; short docs fall back to the whole text
+    as a single shingle."""
+    w = words(text)
+    n = F.size(w)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, (i + j).cast("int")) for j in range(k)]
+        ),
+    )
+    return F.array_distinct(
+        F.when(n >= k, grams).otherwise(F.array(F.array_join(w, " ")))
+    )
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature: for hash seed k, ``min(md5(k || ':' || shingle))``
+    — the lexicographic min over hex digests is a valid permutation-min and is
+    reproducible in any engine with md5."""
+    # NB: a plain `lambda s, k=k:` must NOT be used here — PySpark reads the
+    # lambda arity, and a defaulted second arg turns it into an (element,
+    # index) lambda, silently binding k to the array index.
+    def hash_k(k: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{k}:"), s))
+
+    return F.array(
+        *[F.array_min(F.transform(shingle_col, hash_k(k))) for k in range(num_hashes)]
+    )
+
+
+def lsh_band_signatures(sig_col: Column, bands: int, rows: int) -> Column:
+    """Slice a minhash signature into ``bands`` concatenated band keys:
+    array of (band_index, band_sig) structs ready for explode + bucket join."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("", F.slice(sig_col, b * rows + 1, rows)).alias("sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def simhash_bits(token_col: Column, num_bits: int = 16) -> Column:
+    """SimHash fingerprint as a bit string: bit i is the sign of
+    ``sum over tokens of (+1 if md5(i:token) starts < '8' else -1)`` —
+    near-identical token multisets flip few bits. md5-derived pseudo-random
+    projections keep it engine-portable."""
+    def fold_bit(i: int):
+        return lambda acc, t: acc + F.when(
+            F.substring(F.md5(F.concat(F.lit(f"{i}:"), t)), 1, 1) < "8", F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    def bit(i: int) -> Column:
+        contrib = F.aggregate(token_col, F.lit(0), fold_bit(i))
+        return F.when(contrib >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    return F.concat(*[bit(i) for i in range(num_bits)])
+
+
+def normalized_fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: md5 of casefolded, whitespace-collapsed text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))
+
+
+def stopword_hits(word_col: Column, stopwords: tuple[str, ...]) -> Column:
+    """Occurrences (with repeats) of any stopword."""
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(word_col, lambda w: F.array_contains(sw, w)))
+
+
+def quality_features(text: Column | str) -> dict[str, Column]:
+    """Deterministic quality-scoring features: length, token stats, punct and
+    stopword ratios, plus a single blended score in [0, 1]."""
+    c = F.col(text) if isinstance(text, str) else text
+    w = words(c)
+    n_tokens = F.size(w)
+    n_chars = F.length(c)
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    sw_ratio = stopword_hits(w, QUALITY_STOPWORDS) / n_tokens
+    mean_tok = (
+        F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x)) / n_tokens
+    )
+    punct_ratio = punct / n_chars
+    score = (
+        F.least(n_tokens / F.lit(64.0), F.lit(1.0)) * 0.4
+        + F.least(sw_ratio * 4.0, F.lit(1.0)) * 0.3
+        + (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.3
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_token_len": mean_tok,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": sw_ratio,
+        "quality_score": score,
+    }
+
+
+def lang_scores(word_col: Column) -> dict[str, Column]:
+    return {lang: stopword_hits(word_col, sws) for lang, sws in LANG_STOPWORDS.items()}
+
+
+def predict_lang(word_col: Column) -> Column:
+    """Language-ID heuristic: argmax of stopword hits with a fixed preference
+    order (en > de > es > fr) on ties; 'und' (undetermined) when nothing hits."""
+    s = lang_scores(word_col)
+    best = F.greatest(*s.values())
+    out = F.when(best <= 0, F.lit("und"))
+    for lang in ("en", "de", "es", "fr"):
+        out = out.when(s[lang] == best, F.lit(lang))
+    return out

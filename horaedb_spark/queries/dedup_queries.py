@@ -1,0 +1,213 @@
+"""Deduplication queries (LLM-pipeline surface), each oracle-gated.
+
+The testdata documents are unique, so near-dup operators would trivially
+return empty sets; to exercise them for real, each query augments the corpus
+with *deterministic* perturbed copies (id + 1,000,000, text lightly edited) —
+the same augmentation is applied in the oracle SQL, so detection quality is
+actually verified: the operator must find exactly the planted duplicates plus
+whatever true near-dups exist.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from horaedb_spark.functions import dedup as DD
+from horaedb_spark.functions import text as TX
+from horaedb_spark.functions.similarity import quantize
+from horaedb_spark.queries.registry import register
+from horaedb_spark.queries.tables import load_table
+
+_COPY_OFFSET = 1_000_000
+
+# shared corpus CTE: documents plus exact copies
+_EXACT_CORPUS = f"""
+    WITH corpus AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id + {_COPY_OFFSET}, text, source FROM documents
+    )
+"""
+
+# near-dup corpus: copies with one appended token
+_NEAR_CORPUS = f"""
+    WITH corpus AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id + {_COPY_OFFSET}, text || ' zz', source FROM documents
+    )
+"""
+
+
+def _with_exact_copies(docs: DataFrame) -> DataFrame:
+    copies = docs.select(
+        (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"), "text", "source"
+    )
+    return docs.select("doc_id", "text", "source").unionByName(copies)
+
+
+def _with_near_copies(docs: DataFrame) -> DataFrame:
+    copies = docs.select(
+        (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+        "source",
+    )
+    return docs.select("doc_id", "text", "source").unionByName(copies)
+
+
+@register(
+    "dedup_exact",
+    oracle=_EXACT_CORPUS
+    + """
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM corpus GROUP BY text ORDER BY doc_id
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash groupBy): survivors are the min id per identical
+    text; every planted copy must collapse onto its original."""
+    docs = _with_exact_copies(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_NEAR_CORPUS
+    + r"""
+    , shingled AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_distinct([array_to_string(w[i:i+2], ' ')
+                                      FOR i IN generate_series(1, len(w)-2)])
+                  ELSE [array_to_string(w, ' ')] END AS sh
+      FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM corpus)
+    ), flat AS (
+      SELECT doc_id, unnest(sh) AS s FROM shingled
+    ), mh AS (
+      SELECT doc_id, k, min(md5(k || ':' || s)) AS h
+      FROM flat CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) ks
+      GROUP BY doc_id, k
+    ), bands AS (
+      SELECT doc_id, k // 4 AS band, string_agg(h, '' ORDER BY k) AS sig
+      FROM mh GROUP BY doc_id, k // 4
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: word-3-shingles → 16 md5 minhashes →
+    4 bands × 4 rows → band-bucket self-join. One-token-appended copies must
+    collide in ≥1 band (3-word shingles overlap almost entirely)."""
+    corpus = _with_near_copies(load_table(spark, sf_dir, "documents"))
+    pairs = DD.minhash_lsh_pairs(corpus, "text", "doc_id", num_hashes=16, bands=4)
+    return pairs.orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_simhash",
+    oracle=r"""
+    WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS words FROM documents)
+    SELECT doc_id,
+           concat(
+    """
+    + ",\n".join(
+        f"CASE WHEN list_sum([CASE WHEN substr(md5({i} || ':' || x), 1, 1) < '8' "
+        f"THEN 1 ELSE -1 END FOR x IN words]) >= 0 THEN '1' ELSE '0' END"
+        for i in range(16)
+    )
+    + r"""
+           ) AS simhash
+    FROM w ORDER BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (16-bit, md5-projected): token-multiset sketches
+    whose Hamming distance tracks edit distance."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TX.simhash_bits(TX.words("text"), 16).alias("simhash")
+    ).orderBy("doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_NEAR_CORPUS
+    + r"""
+    , shingled AS (
+      SELECT doc_id, source,
+             CASE WHEN len(w) >= 3
+                  THEN list_distinct([array_to_string(w[i:i+2], ' ')
+                                      FOR i IN generate_series(1, len(w)-2)])
+                  ELSE [array_to_string(w, ' ')] END AS sh
+      FROM (SELECT doc_id, source, string_split_regex(text, '\s+') AS w FROM corpus)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+    FROM shingled a JOIN shingled b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard verification within a blocking key (source): exact
+    rational similarity over distinct 3-shingles, threshold 0.5."""
+    corpus = _with_near_copies(load_table(spark, sf_dir, "documents"))
+    pairs = DD.ngram_jaccard_pairs(corpus, "text", "doc_id", "source", 0.5, k=3)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) FOR x IN embedding] AS qv
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + {_COPY_OFFSET},
+             [CAST(round(CAST(x AS DOUBLE) * 1000 + 20) AS BIGINT) FOR x IN embedding]
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_sum([a.qv[i] * b.qv[i] FOR i IN generate_series(1, 64)])
+                 / (sqrt(list_sum([a.qv[i] * a.qv[i] FOR i IN generate_series(1, 64)]))
+                    * sqrt(list_sum([b.qv[i] * b.qv[i] FOR i IN generate_series(1, 64)]))),
+                 6) AS cos_sim
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE list_sum([a.qv[i] * b.qv[i] FOR i IN generate_series(1, 64)])
+          / (sqrt(list_sum([a.qv[i] * a.qv[i] FOR i IN generate_series(1, 64)]))
+             * sqrt(list_sum([b.qv[i] * b.qv[i] FOR i IN generate_series(1, 64)]))) >= 0.9
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: quantized-integer cosine (exact arithmetic,
+    engine-portable) over the corpus plus slightly-shifted copies; pairs with
+    cos >= 0.9 are exactly (original, its copy)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+    shifted = emb.select(
+        (F.col("vec_id") + _COPY_OFFSET).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * 1000 + 20).cast("long"),
+        ).alias("qv"),
+    )
+    corpus = base.unionByName(shifted)
+    pairs = DD.embedding_near_dup_pairs(corpus, "qv", "vec_id", 0.9)
+    return pairs.select(
+        F.col("id_a"), F.col("id_b"), F.round("cos_sim", 6).alias("cos_sim")
+    ).orderBy("id_a", "id_b")

@@ -1,0 +1,58 @@
+"""Multimodal-column queries: binary payloads + typed metadata + the
+mapInPandas feature-extraction plumbing (decode stubbed — no codec libs in
+this container; the Spark-side schema/batching/partitioning is real)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from horaedb_spark.functions.multimodal import attach_media_meta, extract_features
+from horaedb_spark.queries.registry import register
+from horaedb_spark.queries.tables import load_table
+
+
+def _media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text UTF-8 bytes standing in for opaque media payloads."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return attach_media_meta(payloads, "payload", "text", "text/plain")
+
+
+@register(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id AS media_id, 'text' AS modality,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS digest
+    FROM documents ORDER BY media_id
+    """,
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + metadata struct: byte length and content digest
+    computed on the opaque bytes."""
+    media = _media_frame(spark, sf_dir)
+    return media.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("media_meta.modality").alias("modality"),
+        F.octet_length("payload").alias("n_bytes"),
+        F.md5("payload").alias("digest"),
+    ).orderBy("media_id")
+
+
+@register("multimodal_feature_extract", oracle=None)  # mapInPandas stage: rows-only check
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads (stubbed
+    byte-histogram extractor standing in for a decode+embed model): exercises
+    the mapInPandas operator shape — schema, batch iteration, executor-side
+    byte handling."""
+    media = _media_frame(spark, sf_dir)
+    feats = extract_features(media, "doc_id", "payload")
+    return feats.select(
+        "media_id",
+        "modality",
+        "n_bytes",
+        "digest",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.size("features").alias("feature_dim"),
+    ).orderBy("media_id")

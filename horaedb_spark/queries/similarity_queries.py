@@ -1,0 +1,106 @@
+"""Similarity-search queries (LLM-pipeline surface): brute-force cosine top-k
+baseline and the LSH-bucketed approximate variant, both oracle-gated.
+
+Cosine runs on quantized integer vectors (round(x*1000)): dot products and
+norms stay exact integers (max |sum| ~2e7 << 2^53), so results are
+bit-reproducible across engines and partitionings — the float-association
+trap in distributed similarity search, solved by moving the inexactness to a
+single final division."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from horaedb_spark.functions.similarity import (
+    brute_force_topk,
+    lsh_ann_topk,
+    quantize,
+)
+from horaedb_spark.queries.registry import register
+from horaedb_spark.queries.tables import load_table
+
+_DIM = 64
+_QV = "[CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) FOR x IN embedding]"
+_DOT = "list_sum([a.qv[i] * b.qv[i] FOR i IN generate_series(1, 64)])"
+_NORM_A = "sqrt(list_sum([a.qv[i] * a.qv[i] FOR i IN generate_series(1, 64)]))"
+_NORM_B = "sqrt(list_sum([b.qv[i] * b.qv[i] FOR i IN generate_series(1, 64)]))"
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {_QV} AS qv FROM embeddings)
+    SELECT query_id, corpus_id, rank, cos_sim FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+             round({_DOT} / ({_NORM_A} * {_NORM_B}), 6) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {_DOT} / ({_NORM_A} * {_NORM_B}) DESC, b.vec_id) AS rank
+      FROM q a JOIN q b ON b.vec_id != a.vec_id
+      WHERE a.vec_id < 5
+    ) WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for query vectors (vec_id < 5): the
+    correctness baseline every ANN variant is measured against. Query side
+    broadcasts; corpus scans once."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qemb = emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+    out = brute_force_topk(qemb, qemb.filter(F.col("vec_id") < 5), "qv", "vec_id", 10)
+    return out.select(
+        "query_id", "corpus_id", "rank", F.round("cos_sim", 6).alias("cos_sim")
+    ).orderBy("query_id", "rank")
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {_QV} AS qv FROM embeddings),
+    planes AS (
+      SELECT p, d, CASE WHEN substr(md5(p || ':' || d), 1, 1) < '8'
+                        THEN 1 ELSE -1 END AS w
+      FROM (SELECT unnest(generate_series(0, 7)) AS p) pp
+      CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d) dd
+    ), bits AS (
+      SELECT q.vec_id, p,
+             CASE WHEN sum(w * qv[d + 1]) >= 0 THEN '1' ELSE '0' END AS bit
+      FROM q, planes GROUP BY q.vec_id, p
+    ), buckets AS (
+      SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket FROM bits GROUP BY vec_id
+    ), v AS (
+      SELECT q.vec_id, qv, bucket FROM q JOIN buckets USING (vec_id)
+    )
+    SELECT query_id, corpus_id, rank, cos_sim FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+             round({_DOT} / ({_NORM_A} * {_NORM_B}), 6) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {_DOT} / ({_NORM_A} * {_NORM_B}) DESC, b.vec_id) AS rank
+      FROM v a JOIN v b ON a.bucket = b.bucket AND b.vec_id != a.vec_id
+      WHERE a.vec_id < 20
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via 8-plane random-hyperplane LSH bucketing
+    (queries: vec_id < 20): candidates limited to the query's bucket — the
+    scale path where the corpus is bucket-partitioned and never fully
+    crossed. Hyperplanes are md5-derived ±1 weights over quantized ints, so
+    bucket assignment is integer-exact in any engine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = lsh_ann_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 20),
+        "embedding",
+        "vec_id",
+        k=5,
+        num_planes=8,
+        dim=_DIM,
+    )
+    return out.select(
+        "query_id", "corpus_id", "rank", F.round("cos_sim", 6).alias("cos_sim")
+    ).orderBy("query_id", "rank")

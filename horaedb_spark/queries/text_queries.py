@@ -1,0 +1,131 @@
+"""Text-analysis queries over ``documents`` (LLM-pipeline surface), each
+oracle-gated: token counting (whitespace + BPE-ish), quality scoring,
+language-ID heuristic, document fingerprinting."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from horaedb_spark.functions import text as TX
+from horaedb_spark.queries.registry import register
+from horaedb_spark.queries.tables import load_table
+
+# the stopword literals, SQL-rendered once so both sides share one source
+def _sql_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+_EN = _sql_list(TX.LANG_STOPWORDS["en"])
+_DE = _sql_list(TX.LANG_STOPWORDS["de"])
+_ES = _sql_list(TX.LANG_STOPWORDS["es"])
+_FR = _sql_list(TX.LANG_STOPWORDS["fr"])
+
+
+@register(
+    "text_token_stats",
+    oracle=r"""
+    WITH w AS (SELECT doc_id, n_chars, string_split_regex(text, '\s+') AS words, text
+               FROM documents)
+    SELECT doc_id, n_chars,
+           len(words) AS n_tokens,
+           list_sum([CAST(ceil(len(x) / 4.0) AS INT) FOR x IN words])
+             + (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+             AS bpe_ish_tokens
+    FROM w ORDER BY doc_id
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish sub-word estimate
+    (ceil(len/4) pieces per word + punctuation marks)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        TX.token_count("text").alias("n_tokens"),
+        TX.bpe_ish_token_count("text").alias("bpe_ish_tokens"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_quality_score",
+    oracle=rf"""
+    WITH w AS (
+      SELECT doc_id, text, string_split_regex(text, '\s+') AS words FROM documents
+    ), feats AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(words) AS n_tokens,
+             len(list_filter(words, x -> x IN ({_EN}))) AS sw_hits,
+             length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS punct
+      FROM w
+    )
+    SELECT doc_id, n_tokens,
+           round(CAST(sw_hits AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+           round(least(n_tokens / 64.0, 1.0) * 0.4
+                 + least(CAST(sw_hits AS DOUBLE) / n_tokens * 4.0, 1.0) * 0.3
+                 + (1.0 - least(CAST(punct AS DOUBLE) / n_chars * 10.0, 1.0)) * 0.3,
+                 6) AS quality_score
+    FROM feats ORDER BY doc_id
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: blended length / stopword-ratio / punctuation-density
+    score in [0,1]."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = TX.quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        F.round(feats["stopword_ratio"], 6).alias("stopword_ratio"),
+        F.round(feats["quality_score"], 6).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_lang_id",
+    oracle=rf"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS words FROM documents
+    ), scores AS (
+      SELECT doc_id,
+             len(list_filter(words, x -> x IN ({_EN}))) AS s_en,
+             len(list_filter(words, x -> x IN ({_DE}))) AS s_de,
+             len(list_filter(words, x -> x IN ({_ES}))) AS s_es,
+             len(list_filter(words, x -> x IN ({_FR}))) AS s_fr
+      FROM w
+    ), pred AS (
+      SELECT doc_id,
+             CASE WHEN greatest(s_en, s_de, s_es, s_fr) <= 0 THEN 'und'
+                  WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+                  WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+                  WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+                  ELSE 'fr' END AS lang_pred
+      FROM scores
+    )
+    SELECT lang_pred, count(*) AS n_docs FROM pred GROUP BY lang_pred
+    ORDER BY lang_pred
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID n-gram/stopword heuristic: per-language function-word hit
+    counts, argmax with fixed tie order."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select(TX.predict_lang(TX.words("text")).alias("lang_pred"))
+    return pred.groupBy("lang_pred").agg(F.count("*").alias("n_docs")).orderBy("lang_pred")
+
+
+@register(
+    "text_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over casefolded, whitespace-collapsed text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TX.normalized_fingerprint("text").alias("fingerprint")
+    ).orderBy("doc_id")
