@@ -1,0 +1,87 @@
+"""Benchmark runner: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes to completion through the noop sink (full plan runs on
+the executors; nothing funnels to the driver), which is the honest measure of
+operator throughput. The headline set spans every subsystem: relational scan/
+join/window, the storage engine's ingest+merge-on-read path, the metric/
+PromQL layer, dedup/similarity, and streaming ingest.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from horaedb_spark.core.session import get_spark  # noqa: E402
+from horaedb_spark.queries.registry import queries_map  # noqa: E402
+
+HEADLINE = [
+    # relational surface
+    "tpch_q1_pricing_summary",
+    "top_customers_by_revenue",
+    "regional_supplier_volume",
+    "distinct_users_daily",
+    "sessionization",
+    "asof_join_purchase_click",
+    # storage engine (ingest + merge-on-read + compaction)
+    "storage_scan_overwrite",
+    "storage_scan_predicate_projection",
+    # metric / promql layer
+    "metric_agg_by_label",
+    "promql_rate",
+    # LLM-pipeline
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_bruteforce_topk",
+    "text_quality_score",
+    # streaming
+    "streaming_ingest_scan",
+]
+
+
+def run_query(fn, spark, sf_dir: str) -> float:
+    start = time.perf_counter()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - start
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark(app_name="horaedb_spark_bench")
+    qmap = queries_map()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qmap.get(name)
+        if fn is None:
+            continue
+        try:
+            timings[name] = round(run_query(fn, spark, sf_dir), 3)
+        except Exception as e:  # a failing query must not hide the others
+            timings[name] = -1.0
+            print(f"# bench error in {name}: {e}", file=sys.stderr)
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

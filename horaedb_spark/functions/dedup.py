@@ -15,11 +15,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from horaedb_spark.functions.text import (
-    lsh_band_signatures,
-    minhash_signature,
-    shingles,
-)
+from horaedb_spark.functions.text import shingles
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -41,13 +37,32 @@ def minhash_lsh_pairs(
     shingle -> 16-way md5 minhash -> `bands` band keys -> self-join on
     (band, sig). Returns distinct (id_a < id_b) pairs."""
     rows = num_hashes // bands
-    sigs = df.select(
-        F.col(id_col),
-        lsh_band_signatures(
-            minhash_signature(shingles(F.col(text_col)), num_hashes), bands, rows
-        ).alias("bands"),
-    ).select(id_col, F.explode("bands").alias("b"))
-    flat = sigs.select(id_col, F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
+    # Exploded/aggregate form rather than nested array expressions: a
+    # 16-way array-expression minhash re-inlines the shingle construction per
+    # hash (Catalyst collapses the projections), blowing up codegen and
+    # recomputing shingles 16x. Exploding to (id, shingle) x (k) rows keeps
+    # the plan linear and the shuffles are tiny (id, k) aggregates.
+    sh = df.select(F.col(id_col), F.explode(shingles(F.col(text_col))).alias("s"))
+    hashed = sh.withColumn(
+        "k", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1)))
+    ).select(
+        id_col,
+        "k",
+        F.md5(F.concat(F.col("k").cast("string"), F.lit(":"), F.col("s"))).alias("h"),
+    )
+    mh = hashed.groupBy(id_col, "k").agg(F.min("h").alias("h"))
+    flat = (
+        mh.withColumn("band", F.expr(f"k div {rows}"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("k", "h"))), lambda x: x["h"]
+                ),
+                "",
+            ).alias("sig")
+        )
+    )
     a, b = flat.alias("a"), flat.alias("b")
     return (
         a.join(

@@ -1,0 +1,132 @@
+"""Structured Streaming queries under the oracle gate.
+
+Streaming results are compared against *batch* oracles: with the file source
+driven to completion (processAllAvailable), a correct streaming pipeline must
+produce exactly the batch answer — the streaming/batch equivalence that
+Structured Streaming's incremental execution model guarantees.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from horaedb_spark.queries.registry import register
+from horaedb_spark.queries.storage_queries import _SEG_15D, _events_schema
+from horaedb_spark.storage.table import ColumnarTable
+from horaedb_spark.streaming.sink import ingest_stream
+
+_CACHE: dict[str, DataFrame] = {}
+
+SIX_H = 6 * 3600 * 1000
+
+
+def _raw_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the streaming file source wants a directory; glob-filter to one table
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # nanos -> engine-native epoch ms (same conversion as the batch loader)
+    return stream.withColumn("ts_ms", F.expr("ts div 1000000"))
+
+
+@register(
+    "streaming_ingest_scan",
+    oracle=f"""
+    SELECT user_id, event_type, ts_ms, value FROM (
+      SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, value,
+             row_number() OVER (
+               PARTITION BY user_id, event_type, epoch_ms(ts) // {_SEG_15D}
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+)
+def streaming_ingest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming ingest (SURVEY.md §3.2): readStream(parquet) ->
+    foreachBatch sink -> segment-split SST writes -> merge-on-read scan.
+    The scan must equal the batch ingest of the same data."""
+    key = f"ingest:{sf_dir}"
+    if key not in _CACHE:
+        stream = _raw_events_stream(spark, sf_dir).select(
+            "user_id", "event_type", "ts_ms", "value", "event_id"
+        )
+        root = tempfile.mkdtemp(prefix="horaedb_stream_")
+        table = ColumnarTable(spark, root + "/table", _events_schema(), _SEG_15D)
+
+        def pre_dedup(df: DataFrame) -> DataFrame:
+            w = Window.partitionBy("user_id", "event_type").orderBy(
+                F.desc("ts_ms"), F.desc("event_id")
+            )
+            return (
+                df.withColumn("__rn__", F.row_number().over(w))
+                .filter(F.col("__rn__") == 1)
+                .select("user_id", "event_type", "ts_ms", "value")
+            )
+
+        q = ingest_stream(stream, table, "ts_ms", root + "/ckpt", pre_dedup)
+        q.processAllAvailable()
+        q.stop()
+        _CACHE[key] = table.scan()
+    return _CACHE[key]
+
+
+@register(
+    "streaming_window_agg",
+    oracle=f"""
+    SELECT epoch_ms(ts) - epoch_ms(ts) % {SIX_H} AS window_start_ms, event_type,
+           count(*) AS n, round(sum(value), 6) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def streaming_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed aggregation: 6h tumbling windows x event_type,
+    complete-mode memory sink, driven to completion — must equal the batch
+    group-by. (Watermark/append-mode late-data handling is unit-tested in
+    tests/test_streaming.py; complete mode here because a single-file source
+    never advances the watermark past its own data.)"""
+    key = f"window:{sf_dir}"
+    if key not in _CACHE:
+        stream = _raw_events_stream(spark, sf_dir).withColumn(
+            "ts_ts", F.timestamp_millis(F.col("ts_ms"))
+        )
+        agg = (
+            stream.groupBy(F.window("ts_ts", "6 hours").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        )
+        name = "horaedb_stream_window_agg"
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        out = spark.table(name).select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        # materialize before the memory sink goes away
+        _CACHE[key] = spark.createDataFrame(
+            out.collect(),
+            T.StructType(
+                [
+                    T.StructField("window_start_ms", T.LongType()),
+                    T.StructField("event_type", T.StringType()),
+                    T.StructField("n", T.LongType()),
+                    T.StructField("sum_value", T.DoubleType()),
+                ]
+            ),
+        ).orderBy("window_start_ms", "event_type")
+    return _CACHE[key]

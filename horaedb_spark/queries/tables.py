@@ -35,7 +35,23 @@ TABLES = (
 )
 
 
+def ensure_session_conf(spark: SparkSession) -> None:
+    """Make an externally-created session safe for this engine: testdata
+    timestamps are TIMESTAMP(NANOS) (unreadable without nanosAsLong) and the
+    oracle comparison is timezone-sensitive. Both are runtime-settable."""
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.parquet.filterPushdown", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # already set or not supported — proceed with the session's value
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in TS_COLUMNS.get(name, []):
         if dict(df.dtypes).get(col) == "bigint":  # nanos surfaced as long
@@ -52,6 +68,7 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 def events_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with an epoch-millisecond long column ``ts_ms`` (the engine's
     native time representation) alongside the timestamp."""
+    ensure_session_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts_ms", F.expr("ts div 1000000")).withColumn(
