@@ -53,11 +53,23 @@ def run_query(fn, spark, sf_dir: str) -> float:
     return time.perf_counter() - start
 
 
+def warmup(spark, sf_dir: str) -> None:
+    """Absorb one-time JVM/codegen/parquet-footer warmup so per-query
+    timings reflect steady-state operator cost."""
+    from horaedb_spark.queries.tables import load_table
+
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    load_table(spark, sf_dir, "lineitem").limit(1000).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     spark = get_spark(app_name="horaedb_spark_bench")
     qmap = queries_map()
+    warmup(spark, sf_dir)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qmap.get(name)

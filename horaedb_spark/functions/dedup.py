@@ -42,27 +42,38 @@ def minhash_lsh_pairs(
     # hash (Catalyst collapses the projections), blowing up codegen and
     # recomputing shingles 16x. Exploding to (id, shingle) x (k) rows keeps
     # the plan linear and the shuffles are tiny (id, k) aggregates.
+    # Spread the hash fan-out across cores: a small text corpus often arrives
+    # as one input partition, which would serialize the md5 work. The
+    # repartition shuffles only (id, text) rows — cheap relative to the
+    # 16x-per-shingle hashing it parallelizes.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par, id_col)
     sh = df.select(F.col(id_col), F.explode(shingles(F.col(text_col))).alias("s"))
-    hashed = sh.withColumn(
-        "k", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1)))
-    ).select(
-        id_col,
-        "k",
-        F.md5(F.concat(F.col("k").cast("string"), F.lit(":"), F.col("s"))).alias("h"),
+    # One shuffle on id with 16 map-side-combined min aggregates — the md5s
+    # are computed map-side per (shingle, seed) but never shuffled as rows.
+    mh = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("s")))).alias(f"h{k}")
+            for k in range(num_hashes)
+        ]
     )
-    mh = hashed.groupBy(id_col, "k").agg(F.min("h").alias("h"))
-    flat = (
-        mh.withColumn("band", F.expr(f"k div {rows}"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("k", "h"))), lambda x: x["h"]
-                ),
-                "",
-            ).alias("sig")
-        )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias("sig"),
+            )
+            for b in range(bands)
+        ]
     )
+    flat = mh.select(id_col, F.explode(band_structs).alias("b")).select(
+        id_col, F.col("b.band").alias("band"), F.col("b.sig").alias("sig")
+    )
+    # The self-join would otherwise recompute the whole shingle+hash pipeline
+    # for both sides; the signature table is tiny relative to the corpus
+    # (4 rows x ~70 bytes per doc), so cache it for the join.
+    flat = flat.persist()
     a, b = flat.alias("a"), flat.alias("b")
     return (
         a.join(

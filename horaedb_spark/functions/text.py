@@ -52,15 +52,18 @@ def bpe_ish_token_count(text: Column | str) -> Column:
 
 def shingles(text: Column | str, k: int = 3) -> Column:
     """Distinct word k-gram shingles; short docs fall back to the whole text
-    as a single shingle."""
+    as a single shingle.
+
+    Built with slice + zip_with rather than an index-lambda: element_at
+    inside a transform() lambda re-evaluates the outer split() per *element*
+    (no CSE across the lambda boundary), which made shingling ~10x slower
+    than the hashing it feeds."""
     w = words(text)
     n = F.size(w)
-    grams = F.transform(
-        F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(w, (i + j).cast("int")) for j in range(k)]
-        ),
-    )
+    shifted = [F.slice(w, 1 + j, n - (k - 1)) for j in range(k)]
+    grams = shifted[0]
+    for nxt in shifted[1:]:
+        grams = F.zip_with(grams, nxt, lambda a, b: F.concat_ws(" ", a, b))
     return F.array_distinct(
         F.when(n >= k, grams).otherwise(F.array(F.array_join(w, " ")))
     )

@@ -62,24 +62,33 @@ def _dedup_slice(df: DataFrame) -> DataFrame:
 
 
 def _build_events_table(
-    spark: SparkSession, sf_dir: str, segment_ms: int, slices_per_segment: int
+    spark: SparkSession,
+    sf_dir: str,
+    segment_ms: int,
+    slices_per_segment: int,
+    shared: bool = True,
 ) -> ColumnarTable:
     key = (sf_dir, segment_ms, slices_per_segment)
-    if key in _CACHE:
+    if shared and key in _CACHE:
         return _CACHE[key]
     ev = events_ms(spark, sf_dir).persist()
-    lo, hi = ev.agg(F.min("ts_ms"), F.max("ts_ms")).first()
+    width = segment_ms // slices_per_segment
+    # One aggregation pass finds the non-empty slices (vs an isEmpty job per
+    # slice), then one write job per SST — the write fan-out is the operator.
+    slices = sorted(
+        r[0] for r in ev.select(F.expr(f"(ts_ms div {width}) * {width}").alias("s"))
+        .distinct()
+        .collect()
+    )
     root = tempfile.mkdtemp(prefix="horaedb_events_")
     table = ColumnarTable(spark, root, _events_schema(), segment_ms)
-    for seg in segments_overlapping(TimeRange(lo, hi + 1), segment_ms):
-        width = segment_ms // slices_per_segment
-        for i in range(slices_per_segment):
-            start, end = seg + i * width, seg + (i + 1) * width
-            sl = ev.filter((F.col("ts_ms") >= start) & (F.col("ts_ms") < end))
-            if not sl.isEmpty():
-                table.write(WriteRequest(_dedup_slice(sl), TimeRange(start, end)))
+    for start in slices:
+        end = start + width
+        sl = ev.filter((F.col("ts_ms") >= start) & (F.col("ts_ms") < end))
+        table.write(WriteRequest(_dedup_slice(sl), TimeRange(start, end)))
     ev.unpersist()
-    _CACHE[key] = table
+    if shared:
+        _CACHE[key] = table
     return table
 
 
@@ -197,19 +206,10 @@ def storage_compaction_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _build_fresh_events_table(spark: SparkSession, sf_dir: str) -> ColumnarTable:
-    ev = events_ms(spark, sf_dir).persist()
-    lo, hi = ev.agg(F.min("ts_ms"), F.max("ts_ms")).first()
-    root = tempfile.mkdtemp(prefix="horaedb_events_c_")
-    table = ColumnarTable(spark, root, _events_schema(), _SEG_15D)
-    for seg in segments_overlapping(TimeRange(lo, hi + 1), _SEG_15D):
-        width = _SEG_15D // 4
-        for i in range(4):
-            start, end = seg + i * width, seg + (i + 1) * width
-            sl = ev.filter((F.col("ts_ms") >= start) & (F.col("ts_ms") < end))
-            if not sl.isEmpty():
-                table.write(WriteRequest(_dedup_slice(sl), TimeRange(start, end)))
-    ev.unpersist()
-    return table
+    """Unshared build for the compaction query: compaction physically deletes
+    input SSTs, which must never happen under a table other queries' lazy
+    plans still reference."""
+    return _build_events_table(spark, sf_dir, _SEG_15D, 4, shared=False)
 
 
 @register(
