@@ -1,0 +1,87 @@
+"""Plan-shape tests — the Spark analogue of the reference's golden-plan
+assert (read.rs:575-617 pins ParquetExec -> FilterExec -> SortPreservingMerge
+-> MergeExec). Here we pin the *properties* that matter at 100 TB rather than
+exact plan strings: predicate pushdown reaches the parquet scan, projection
+prunes the read schema, dimension joins broadcast, and the merge-on-read
+window keys on (segment, PKs)."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from horaedb_spark.core.timeutil import TimeRange
+from horaedb_spark.queries.analytics import regional_volume, tpch_q1
+from horaedb_spark.storage.table import ColumnarTable, ScanRequest, WriteRequest
+from tests.test_storage import TWO_HOURS, kv_schema
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = ColumnarTable(spark, str(tmp_path / "p"), kv_schema(), TWO_HOURS)
+    df = spark.createDataFrame([(1, 1, 10), (2, 2, 20)], "pk1 long, pk2 long, value long")
+    t.write(WriteRequest(df, TimeRange(0, 100)))
+    return t
+
+
+def test_scan_predicate_pushdown_reaches_parquet(table):
+    plan = plan_of(table.scan(ScanRequest(predicate="pk1 = 1", ordered=False)))
+    assert "PushedFilters: [" in plan
+    assert re.search(r"PushedFilters: \[.*pk1", plan), plan[:2000]
+
+
+def test_scan_projection_prunes_read_schema(table):
+    plan = plan_of(table.scan(ScanRequest(projections=["value"], ordered=False)))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan[:2000]
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    # merge needs PKs + __seq__ (+ the row-index metadata column for the
+    # tie-break); __reserved__ must be pruned away
+    assert "pk1" in read_cols and "value" in read_cols
+    assert "__reserved__" not in read_cols
+    assert read_cols <= {
+        "pk1", "pk2", "value", "__seq__", "_tmp_metadata_row_index"
+    }
+
+
+def test_scan_dedup_windows_on_segment_and_pks(table):
+    plan = plan_of(table.scan(ScanRequest(ordered=False)))
+    assert "row_number" in plan
+    w = re.search(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert w, plan[:2000]
+    spec = w.group(1)
+    assert "__segment__" in spec and "pk1" in spec and "pk2" in spec
+    # Spark 4 pushes the rn=1 filter down as a partial WindowGroupLimit:
+    # map-side top-1 per (segment, PK) BEFORE the exchange — the distributed
+    # equivalent of the reference's streaming MergeExec, with partial combine
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = plan_of(regional_volume(spark, "/root/testdata/sf0.001"))
+    # all three dims (supplier, nation, region) must broadcast: no shuffle of
+    # the fact side for the join tree
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:3000]
+    assert "SortMergeJoin" not in plan
+
+
+def test_q1_pushes_filter_and_partial_agg(spark):
+    plan = plan_of(tpch_q1(spark, "/root/testdata/sf0.001"))
+    assert "PushedFilters: [" in plan
+    # partial (map-side) aggregation before the exchange
+    assert re.search(r"HashAggregate.*partial", plan, re.S) or "partial_sum" in plan
+
+
+def test_time_range_scan_reads_only_matching_ssts(spark, tmp_path):
+    t = ColumnarTable(spark, str(tmp_path / "prune"), kv_schema(), TWO_HOURS)
+    df = spark.createDataFrame([(1, 1, 10)], "pk1 long, pk2 long, value long")
+    t.write(WriteRequest(df, TimeRange(0, 100)))
+    t.write(WriteRequest(df, TimeRange(TWO_HOURS, TWO_HOURS + 100)))
+    first_sst = t.manifest.find_ssts(TimeRange(0, TWO_HOURS))[0]
+    files = t.scan(ScanRequest(time_range=TimeRange(0, TWO_HOURS), ordered=False)).inputFiles()
+    # manifest-level pruning: every input file belongs to the one matching SST
+    assert files and all(f"sst={first_sst.file_id}" in f for f in files)

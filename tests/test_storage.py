@@ -157,3 +157,23 @@ def test_manifest_backpressure(tmp_path):
         m.add_file(sst(99))
     m.merge_snapshot()
     m.add_file(sst(100))  # recovered after merge
+
+
+def test_write_path_sorts_by_pk_within_files(spark, tmp_path):
+    """A5 golden test (storage.rs:493-536 parity): every written SST file
+    holds rows in ascending PK order."""
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    t = ColumnarTable(spark, str(tmp_path / "sorted"), kv_schema(), TWO_HOURS)
+    rows = [(9, 1, 4), (5, 3, 1), (11, 100, 2), (10, 2, 6), (5, 1, 7)]
+    df = spark.createDataFrame(rows, "pk1 long, pk2 long, value long")
+    sst = t.write(WriteRequest(df, TimeRange(1, 10)))
+    for f in _glob.glob(f"{sst.path}/**/*.parquet", recursive=True):
+        tbl = pq.read_table(f).to_pylist()
+        keys = [(r["pk1"], r["pk2"]) for r in tbl]
+        assert keys == sorted(keys), f
+    # and __seq__/__reserved__ are stamped (types.rs:219-239)
+    one = pq.read_table(_glob.glob(f"{sst.path}/**/*.parquet", recursive=True)[0]).to_pylist()[0]
+    assert one["__seq__"] == sst.file_id
+    assert one["__reserved__"] is None
