@@ -29,7 +29,9 @@ def time_bucket(ts_ms: Column | str, step_ms: int) -> Column:
     """Epoch-aligned bucket start (D8): ``floor(ts / step) * step`` in exact
     integer arithmetic."""
     c = F.col(ts_ms) if isinstance(ts_ms, str) else ts_ms
-    return (c - (c % F.lit(step_ms))).alias("bucket_ms")
+    # pmod, not %: Spark's % is a signed remainder, which would round
+    # negative timestamps toward zero instead of flooring (truncate_by floors)
+    return (c - F.pmod(c, F.lit(step_ms))).alias("bucket_ms")
 
 
 def dedup_samples(df: DataFrame, series_cols: list[str], seq_col: str = "seq") -> DataFrame:
@@ -104,7 +106,14 @@ def increase(df: DataFrame, series_cols: list[str], step_ms: int) -> DataFrame:
     )
     return (
         diffed.groupBy(*series_cols, "bucket_ms")
-        .agg(F.sum("step_inc").alias("increase"), F.count("*").alias("n_samples"))
+        .agg(
+            # decimal-routed sum: order-independent, reproducible across
+            # partitionings and engines (see queries/precision.py)
+            F.sum(F.col("step_inc").cast("decimal(30,10)"))
+            .cast("double")
+            .alias("increase"),
+            F.count("*").alias("n_samples"),
+        )
         .filter(F.col("n_samples") >= 2)
         .select(*series_cols, "bucket_ms", "increase")
     )
@@ -160,9 +169,12 @@ def aggregate_by(
     the RFC's pushdown example (20220702:84-99). ``aggs`` maps output column
     name -> aggregate ('sum'|'avg'|'min'|'max'|'count')."""
     aggs = aggs or {"sum_value": "sum"}
+    dec_sum = lambda c: F.sum(c.cast("decimal(30,10)")).cast("double")
     fns = {
-        "sum": F.sum,
-        "avg": F.avg,
+        # sum/avg route through decimal so results are order-independent
+        # (reproducible across partitionings/engines; queries/precision.py)
+        "sum": dec_sum,
+        "avg": lambda c: dec_sum(c) / F.count(c),
         "min": F.min,
         "max": F.max,
         "count": lambda c: F.count(c),

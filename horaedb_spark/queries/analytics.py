@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from horaedb_spark.queries.precision import davg, dsum, sql_davg, sql_dsum
 from horaedb_spark.queries.registry import register
 from horaedb_spark.queries.tables import events_ms, load_table
 
@@ -31,15 +32,15 @@ from horaedb_spark.queries.tables import events_ms, load_table
 # Q1-style pricing summary: the canonical groupBy + many-aggs scan.
 @register(
     "tpch_q1_pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                   AS sum_qty,
-           round(sum(l_extendedprice), 2)                              AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 6)                                   AS avg_qty,
-           round(avg(l_extendedprice), 6)                              AS avg_price,
-           round(avg(l_discount), 6)                                   AS avg_disc,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {sql_davg('l_quantity')} AS avg_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           {sql_davg('l_discount')} AS avg_disc,
            count(*)                                                    AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -56,13 +57,13 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -72,9 +73,9 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "top_customers_by_revenue",
-    oracle="""
+    oracle=f"""
     SELECT c.c_custkey, c.c_name, c.c_mktsegment,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
            count(DISTINCT o.o_orderkey) AS n_orders
     FROM customer c
     JOIN orders o   ON o.o_custkey = c.c_custkey
@@ -95,9 +96,7 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name", "c_mktsegment")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
         .orderBy(F.desc("revenue"), "c_custkey")
@@ -108,9 +107,9 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "regional_supplier_volume",
-    oracle="""
+    oracle=f"""
     SELECT r.r_name AS region, n.n_name AS nation,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
     FROM lineitem l
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
     JOIN nation n   ON n.n_nationkey = s.s_nationkey
@@ -131,11 +130,7 @@ def regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy("region", "nation")
     )
 
@@ -143,10 +138,10 @@ def regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "order_priority_monthly",
-    oracle="""
+    oracle=f"""
     SELECT strftime(o_orderdate, '%Y-%m') AS order_month, o_orderpriority,
            count(*) AS order_count,
-           round(sum(o_totalprice), 2) AS total_price
+           {sql_dsum('o_totalprice')} AS total_price
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -167,7 +162,7 @@ def order_priority_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("order_count"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            dsum("o_totalprice").alias("total_price"),
         )
         .orderBy("order_month", "o_orderpriority")
     )
@@ -177,10 +172,11 @@ def order_priority_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "promo_revenue_share",
     oracle="""
-    SELECT round(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+    SELECT round(100.0 * CAST(sum(CAST(CASE WHEN p.p_type LIKE 'PROMO%'
                                   THEN l.l_extendedprice * (1 - l.l_discount)
-                                  ELSE 0 END)
-                 / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_revenue_pct
+                                  ELSE 0 END AS DECIMAL(30,10))) AS DOUBLE)
+                 / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                 AS DECIMAL(30,10))) AS DOUBLE), 6) AS promo_revenue_pct
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     """,
 )
@@ -192,17 +188,24 @@ def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 6).alias("promo_revenue_pct"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(promo.cast("decimal(30,10)")).cast("double")
+                / F.sum(rev.cast("decimal(30,10)")).cast("double"),
+                6,
+            ).alias("promo_revenue_pct")
+        )
     )
 
 
 # --------------------------------------------------------------------------
 @register(
     "returnflag_rollup",
-    oracle="""
+    oracle=f"""
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
            coalesce(l_linestatus, 'ALL') AS linestatus,
-           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+           {sql_dsum('l_quantity')} AS sum_qty, count(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     ORDER BY returnflag, linestatus
@@ -214,7 +217,7 @@ def returnflag_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+        .agg(dsum("l_quantity").alias("sum_qty"), F.count("*").alias("n"))
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
@@ -449,12 +452,12 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "mktsegment_stats",
-    oracle="""
+    oracle=f"""
     SELECT c.c_mktsegment,
            count(DISTINCT c.c_custkey) AS n_customers,
            count(o.o_orderkey) AS n_orders,
-           round(sum(o.o_totalprice), 2) AS total_revenue,
-           round(avg(c.c_acctbal), 6) AS avg_acctbal
+           {sql_dsum('o.o_totalprice')} AS total_revenue,
+           {sql_davg('c.c_acctbal')} AS avg_acctbal
     FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
     """,
@@ -469,8 +472,8 @@ def mktsegment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("c_custkey").alias("n_customers"),
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
-            F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+            dsum("o_totalprice").alias("total_revenue"),
+            davg("c_acctbal").alias("avg_acctbal"),
         )
         .orderBy("c_mktsegment")
     )

@@ -119,7 +119,8 @@ def metric_series_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     "metric_series_negative_match",
     oracle=_DEDUP_CTE
     + """
-    SELECT cohort, count(*) AS n_samples, round(sum(value), 6) AS sum_value
+    SELECT cohort, count(*) AS n_samples,
+           round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 6) AS sum_value
     FROM samples
     WHERE name = 'error' AND cohort != '0' AND NOT regexp_matches(user_label, '9$')
     GROUP BY cohort ORDER BY cohort
@@ -134,7 +135,12 @@ def metric_series_negative_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _series_with_labels(out)
         .groupBy("cohort")
-        .agg(F.count("*").alias("n_samples"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .agg(
+            F.count("*").alias("n_samples"),
+            F.round(F.sum(F.col("value").cast("decimal(30,10)")).cast("double"), 6).alias(
+                "sum_value"
+            ),
+        )
         .orderBy("cohort")
     )
 
@@ -177,8 +183,9 @@ def metric_index_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_DEDUP_CTE
     + f"""
     SELECT cohort, ts_ms - ts_ms % {HOUR_MS} AS bucket_ms,
-           round(sum(value), 6) AS sum_value,
-           round(avg(value), 6) AS avg_value,
+           round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 6) AS sum_value,
+           round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / count(value), 6)
+             AS avg_value,
            count(*) AS n
     FROM samples WHERE name = 'view'
     GROUP BY 1, 2 ORDER BY 1, 2
@@ -250,7 +257,8 @@ def promql_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM counters
       )
     )
-    SELECT user_label, cohort, bucket_ms, round(sum(step_inc), 6) AS increase
+    SELECT user_label, cohort, bucket_ms,
+           round(CAST(sum(CAST(step_inc AS DECIMAL(30,10))) AS DOUBLE), 6) AS increase
     FROM diffed GROUP BY 1, 2, 3 HAVING count(*) >= 2
     ORDER BY user_label, bucket_ms
     """,

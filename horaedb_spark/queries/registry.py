@@ -49,6 +49,7 @@ def register(name: str, oracle: str | None = None):
 
 _QUERY_MODULES = (
     "analytics",
+    "analytics2",
     "setops_queries",
     "storage_queries",
     "metric_queries",

@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from horaedb_spark.queries.precision import dsum, sql_dsum
 from horaedb_spark.queries.registry import register
 from horaedb_spark.queries.tables import load_table
 
@@ -40,10 +41,10 @@ def setop_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cube_order_stats",
-    oracle="""
+    oracle=f"""
     SELECT coalesce(o_orderstatus, 'ALL') AS status,
            coalesce(o_orderpriority, 'ALL') AS priority,
-           count(*) AS n, round(sum(o_totalprice), 2) AS total
+           count(*) AS n, {sql_dsum('o_totalprice')} AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     ORDER BY status, priority
@@ -54,7 +55,7 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return (
         o.cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("total"))
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),

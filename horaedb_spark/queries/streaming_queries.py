@@ -83,7 +83,8 @@ def streaming_ingest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_window_agg",
     oracle=f"""
     SELECT epoch_ms(ts) - epoch_ms(ts) % {SIX_H} AS window_start_ms, event_type,
-           count(*) AS n, round(sum(value), 6) AS sum_value
+           count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 6) AS sum_value
     FROM events GROUP BY 1, 2 ORDER BY 1, 2
     """,
 )
@@ -100,7 +101,12 @@ def streaming_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         agg = (
             stream.groupBy(F.window("ts_ts", "6 hours").alias("w"), "event_type")
-            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+            .agg(
+                F.count("*").alias("n"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(30,10)")).cast("double"), 6
+                ).alias("sum_value"),
+            )
         )
         name = "horaedb_stream_window_agg"
         q = (

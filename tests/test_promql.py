@@ -1,0 +1,89 @@
+"""PromQL function goldens — hand-computed expectations (SURVEY.md §7.3(b):
+'rate/counter-reset semantics are fiddly; define and test against
+hand-computed goldens')."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from horaedb_spark.functions import promql
+
+# one series "s", buckets of 10_000 ms
+ROWS = [
+    # (series, ts_ms, value)
+    ("s", 1_000, 10.0),
+    ("s", 4_000, 16.0),
+    ("s", 9_000, 22.0),   # bucket 0: first=10@1s, last=22@9s
+    ("s", 11_000, 5.0),
+    ("s", 14_000, 2.0),   # bucket 10000: values fall (gauge down / counter reset)
+    ("s", 19_000, 8.0),
+    ("s", 21_000, 100.0),  # bucket 20000: single sample -> no rate
+]
+
+
+@pytest.fixture(scope="module")
+def samples(spark):
+    return spark.createDataFrame(ROWS, "series string, ts_ms long, value double")
+
+
+def _by_bucket(df, col):
+    return {r["bucket_ms"]: r[col] for r in df.collect()}
+
+
+def test_rate_golden(samples):
+    out = _by_bucket(promql.rate(samples, ["series"], 10_000), "rate_per_s")
+    # bucket 0: (22-10)/((9000-1000)/1000) = 12/8 = 1.5
+    assert out[0] == pytest.approx(1.5)
+    # bucket 10000: (8-5)/8s = 0.375
+    assert out[10_000] == pytest.approx(0.375)
+    assert 20_000 not in out  # single sample
+
+
+def test_delta_golden(samples):
+    out = _by_bucket(promql.delta(samples, ["series"], 10_000), "delta")
+    assert out[0] == pytest.approx(12.0)
+    assert out[10_000] == pytest.approx(3.0)
+
+
+def test_increase_with_reset_golden(samples):
+    out = _by_bucket(promql.increase(samples, ["series"], 10_000), "increase")
+    # bucket 0: diffs 6 + 6 = 12 (no resets)
+    assert out[0] == pytest.approx(12.0)
+    # bucket 10000: 5 -> 2 is a reset (contributes 2), 2 -> 8 adds 6 => 8
+    assert out[10_000] == pytest.approx(8.0)
+
+
+def test_irate_and_idelta_golden(samples):
+    ir = _by_bucket(promql.irate(samples, ["series"], 10_000), "irate_per_s")
+    # bucket 0: last two samples 16@4s, 22@9s -> 6/5 = 1.2
+    assert ir[0] == pytest.approx(1.2)
+    idl = _by_bucket(promql.idelta(samples, ["series"], 10_000), "idelta")
+    assert idl[0] == pytest.approx(6.0)
+    assert idl[10_000] == pytest.approx(6.0)  # 2 -> 8
+
+
+def test_time_bucket_alignment(spark):
+    df = spark.createDataFrame([(0,), (9_999,), (10_000,), (-1,)], "ts_ms long")
+    got = [r[0] for r in df.select(promql.time_bucket("ts_ms", 10_000)).collect()]
+    # epoch-aligned FLOOR (truncate_by semantics): -1 belongs to bucket -10000
+    assert got == [0, 0, 10_000, -10_000]
+
+
+def test_aggregate_by_golden(samples):
+    out = promql.aggregate_by(
+        samples, ["series"], 10_000, {"s": "sum", "a": "avg", "m": "max", "n": "count"}
+    )
+    r = {row["bucket_ms"]: row for row in out.collect()}
+    assert r[0]["s"] == pytest.approx(48.0)
+    assert r[0]["a"] == pytest.approx(16.0)
+    assert r[0]["m"] == pytest.approx(22.0)
+    assert r[0]["n"] == 3
+
+
+def test_dedup_samples_d10(spark):
+    df = spark.createDataFrame(
+        [("s", 1000, 1.0, 1), ("s", 1000, 2.0, 2), ("s", 2000, 3.0, 1)],
+        "series string, ts_ms long, value double, seq long",
+    )
+    out = promql.dedup_samples(df, ["series"], "seq")
+    got = {(r.ts_ms): r.value for r in out.collect()}
+    assert got == {1000: 2.0, 2000: 3.0}  # max seq wins on equal ts
