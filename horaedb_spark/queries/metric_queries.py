@@ -315,3 +315,119 @@ def promql_irate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_label", "cohort", "bucket_ms", F.round("irate_per_s", 6).alias("irate_per_s")
     ).orderBy("user_label", "bucket_ms")
+
+
+# ---------------------------------------------------------------------- D7 delta/idelta
+@register(
+    "promql_delta_idelta",
+    oracle=_DEDUP_CTE
+    + f"""
+    , b AS (
+      SELECT user_label, cohort, ts_ms - ts_ms % {DAY_MS} AS bucket_ms, value,
+             row_number() OVER (PARTITION BY user_label, cohort,
+                                ts_ms - ts_ms % {DAY_MS}
+                                ORDER BY ts_ms DESC) AS rn,
+             count(*) OVER (PARTITION BY user_label, cohort,
+                            ts_ms - ts_ms % {DAY_MS}) AS n,
+             arg_max(value, ts_ms) OVER (PARTITION BY user_label, cohort,
+                                         ts_ms - ts_ms % {DAY_MS}) AS v_last,
+             arg_min(value, ts_ms) OVER (PARTITION BY user_label, cohort,
+                                         ts_ms - ts_ms % {DAY_MS}) AS v_first
+      FROM samples WHERE name = 'view'
+    )
+    SELECT user_label, cohort, bucket_ms,
+           round(any_value(v_last) - any_value(v_first), 6) AS delta,
+           round(max(CASE WHEN rn = 1 THEN value END)
+                 - max(CASE WHEN rn = 2 THEN value END), 6) AS idelta
+    FROM b WHERE n >= 2
+    GROUP BY user_label, cohort, bucket_ms
+    ORDER BY user_label, bucket_ms
+    """,
+)
+def promql_delta_idelta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """delta() and idelta() per series over 1-day buckets (D7): full-bucket
+    and last-two-sample gauges."""
+    eng = _engine(spark, sf_dir)
+    sel = _series_with_labels(eng.select_series("view"))
+    d = promql.delta(sel, ["user_label", "cohort"], DAY_MS)
+    i = promql.idelta(sel, ["user_label", "cohort"], DAY_MS)
+    out = d.join(i, ["user_label", "cohort", "bucket_ms"], "inner")
+    return out.select(
+        "user_label",
+        "cohort",
+        "bucket_ms",
+        F.round("delta", 6).alias("delta"),
+        F.round("idelta", 6).alias("idelta"),
+    ).orderBy("user_label", "bucket_ms")
+
+
+# ---------------------------------------------------------------------- B1 e2e
+@register(
+    "remote_write_ingest",
+    oracle=_DEDUP_CTE
+    + """
+    SELECT name AS metric_name, count(*) AS n_samples,
+           round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 6) AS sum_value,
+           count(DISTINCT user_label) AS n_series
+    FROM samples GROUP BY name ORDER BY metric_name
+    """,
+)
+def remote_write_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 end-to-end: events re-encoded as Prometheus remote-write protobuf
+    payloads (one WriteRequest per user partition), decoded distributed via
+    the wire codec (mapInPandas), run through id population + D10 dedup, and
+    aggregated — the full ingest pipeline of SURVEY.md §3.4 with the batch
+    table as oracle."""
+    from horaedb_spark.metric.ingest import decode_payloads, encode_write_request
+
+    key = f"rw:{sf_dir}"
+    if key not in _ENGINES:
+        ev = events_ms(spark, sf_dir)
+        rows = ev.select("user_id", "event_type", "ts_ms", "value", "event_id").collect()
+        by_user: dict[int, list] = {}
+        for r in rows:
+            by_user.setdefault(r.user_id % 8, []).append(r)
+        payloads = []
+        for part, rs in sorted(by_user.items()):
+            series = [
+                {
+                    "name": r.event_type,
+                    "labels": {
+                        "user": str(r.user_id),
+                        "cohort": str(r.user_id % 10),
+                        "eid": str(r.event_id),
+                    },
+                    "samples": [(r.value, r.ts_ms)],
+                }
+                for r in rs
+            ]
+            payloads.append((encode_write_request(series), part))
+        pdf = spark.createDataFrame(payloads, "payload binary, seq long").repartition(8)
+        decoded = decode_payloads(pdf)
+        # eid rides as a label only to carry the D10 sequence; lift it out
+        samples = decoded.select(
+            "name",
+            F.map_filter("labels", lambda k, _v: k != "eid").alias("labels"),
+            "ts_ms",
+            "value",
+            F.element_at("labels", "eid").cast("long").alias("seq"),
+        )
+        _ENGINES[key] = MetricEngine(samples)
+    eng = _ENGINES[key]
+    data_with_labels = _series_with_labels(
+        eng.data.join(F.broadcast(eng.series.select("tsid", "series_key")), "tsid")
+    )
+    named = data_with_labels.join(
+        F.broadcast(eng.metrics.select("metric_id", "metric_name")), "metric_id"
+    )
+    return (
+        named.groupBy("metric_name")
+        .agg(
+            F.count("*").alias("n_samples"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(30,10)")).cast("double"), 6
+            ).alias("sum_value"),
+            F.countDistinct("user_label").alias("n_series"),
+        )
+        .orderBy("metric_name")
+    )
