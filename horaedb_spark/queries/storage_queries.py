@@ -82,10 +82,24 @@ def _build_events_table(
     )
     root = tempfile.mkdtemp(prefix="horaedb_events_")
     table = ColumnarTable(spark, root, _events_schema(), segment_ms)
-    for start in slices:
+
+    # SST writes are independent Spark jobs — submit them concurrently so the
+    # scheduler interleaves their stages (the cluster pattern for bulk
+    # ingest: N writers, one table, manifest serializes metadata only).
+    # File ids are pre-allocated in slice order so version precedence
+    # (__seq__) follows logical time, not write-completion timing.
+    ids = [table.alloc_file_id() for _ in slices]
+
+    def write_slice(arg: tuple[int, int]):
+        start, fid = arg
         end = start + width
         sl = ev.filter((F.col("ts_ms") >= start) & (F.col("ts_ms") < end))
-        table.write(WriteRequest(_dedup_slice(sl), TimeRange(start, end)))
+        table.write(WriteRequest(_dedup_slice(sl), TimeRange(start, end), file_id=fid))
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        list(pool.map(write_slice, zip(slices, ids)))
     ev.unpersist()
     if shared:
         _CACHE[key] = table

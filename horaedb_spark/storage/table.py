@@ -56,6 +56,10 @@ class WriteRequest:
     df: DataFrame
     time_range: TimeRange
     enable_check: bool = True
+    # Optional pre-allocated file id (via table.alloc_file_id()): concurrent
+    # writers use this to pin the sequence order of their SSTs — version
+    # precedence is decided at allocation time, not by write completion order.
+    file_id: int | None = None
 
 
 @dataclass
@@ -92,11 +96,14 @@ class ColumnarTable:
         self._next_id = max([time.time_ns(), *[i + 1 for i in existing]])
         self._id_lock = threading.Lock()
 
-    def _alloc_file_id(self) -> int:
+    def alloc_file_id(self) -> int:
         with self._id_lock:
             fid = self._next_id
             self._next_id += 1
             return fid
+
+    # backwards-compatible private alias
+    _alloc_file_id = alloc_file_id
 
     # ------------------------------------------------------------------ write
 
@@ -108,7 +115,7 @@ class ColumnarTable:
                 f"(segment_duration={self.segment_duration_ms} ms)"
             )
         segment = tr.segment(self.segment_duration_ms)
-        file_id = self._alloc_file_id()
+        file_id = req.file_id if req.file_id is not None else self.alloc_file_id()
         sst_dir = os.path.join(
             self.data_dir, f"{SEGMENT_COLUMN}={segment}", f"sst={file_id}"
         )
