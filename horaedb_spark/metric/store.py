@@ -1,0 +1,125 @@
+"""MetricStore: the metric layer persisted on the storage engine.
+
+The RFC defines each metric table (metrics/series/index/data) as an instance
+of the generic columnar storage with segment-duration partitioning
+(docs/rfcs/20240827-metric-engine.md:102-138). ``MetricEngine`` answers
+queries over in-memory frames; ``MetricStore`` is the durable counterpart:
+each table is a real ``ColumnarTable`` (segmented parquet + manifest +
+merge-on-read), and ingest appends to all of them in one call — the
+``populate_metric_ids`` / ``populate_series_ids`` / ``persist`` pipeline the
+reference stubs out (metric_engine/src/metric/mod.rs:35-40,
+index/mod.rs:35-41, data/mod.rs:36-40).
+
+Catalog tables (metrics/series/index) are keyed so re-ingesting the same
+series is a no-op under overwrite merge — the idempotent upsert the RFC
+wants. The data table's PK is (metric_id, tsid, ts_ms) with ``__seq__``
+carrying the ingest sequence: duplicate samples resolve to max seq (D10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from horaedb_spark.core.schema import StorageSchema, UpdateMode
+from horaedb_spark.core.timeutil import TimeRange
+from horaedb_spark.metric import model
+from horaedb_spark.metric.engine import MetricEngine
+from horaedb_spark.storage.table import ColumnarTable, ScanRequest, WriteRequest
+
+CATALOG_SEGMENT = 1 << 60  # catalogs are not time-partitioned: one segment
+
+
+def _schema(fields: list[tuple[str, T.DataType]], n_pks: int) -> StorageSchema:
+    return StorageSchema(
+        T.StructType([T.StructField(n, t) for n, t in fields]),
+        num_primary_keys=n_pks,
+        update_mode=UpdateMode.OVERWRITE,
+    )
+
+
+class MetricStore:
+    """Durable metric tables over ColumnarTable (RFC:106-137 layout)."""
+
+    def __init__(self, spark: SparkSession, root: str, segment_duration_ms: int):
+        self.spark = spark
+        L, S, D = T.LongType(), T.StringType(), T.DoubleType()
+        self.metrics = ColumnarTable(
+            spark,
+            f"{root}/metrics",
+            _schema(
+                [("metric_name", S), ("metric_id", L), ("field_name", S),
+                 ("field_id", L), ("field_type", S)],
+                1,
+            ),
+            CATALOG_SEGMENT,
+        )
+        self.series = ColumnarTable(
+            spark,
+            f"{root}/series",
+            _schema([("metric_id", L), ("tsid", L), ("series_key", S)], 2),
+            CATALOG_SEGMENT,
+        )
+        self.index = ColumnarTable(
+            spark,
+            f"{root}/index",
+            _schema(
+                [("metric_id", L), ("tag_key", S), ("tag_value", S), ("tsid", L)], 4
+            ),
+            CATALOG_SEGMENT,
+        )
+        self.data = ColumnarTable(
+            spark,
+            f"{root}/data",
+            _schema(
+                [("metric_id", L), ("tsid", L), ("ts_ms", L), ("value", D)], 3
+            ),
+            segment_duration_ms,
+        )
+
+    # ------------------------------------------------------------------ write
+
+    def ingest(self, samples: DataFrame) -> None:
+        """One ingest batch: derive ids, append catalogs (idempotent under
+        overwrite merge), write data per segment. ``samples`` columns:
+        name, labels, ts_ms, value, seq."""
+        ided = model.with_ids(samples).persist()
+        try:
+            self.metrics.write(
+                WriteRequest(model.build_metrics_table(samples), TimeRange(0, 1))
+            )
+            self.series.write(
+                WriteRequest(model.build_series_table(samples), TimeRange(0, 1))
+            )
+            self.index.write(
+                WriteRequest(model.build_index_table(samples), TimeRange(0, 1))
+            )
+            dur = self.data.segment_duration_ms
+            segs = [
+                r[0]
+                for r in ided.select(
+                    F.expr(f"(ts_ms div {dur}) * {dur}").alias("s")
+                ).distinct().collect()
+            ]
+            for seg in sorted(segs):
+                sl = ided.filter(
+                    (F.col("ts_ms") >= seg) & (F.col("ts_ms") < seg + dur)
+                ).select("metric_id", "tsid", "ts_ms", "value")
+                self.data.write(WriteRequest(sl, TimeRange(seg, seg + dur)))
+        finally:
+            ided.unpersist()
+
+    # ------------------------------------------------------------------- read
+
+    def engine(self, time_range: TimeRange | None = None) -> MetricEngine:
+        """A MetricEngine over the persisted (merge-on-read) tables — the
+        query layer is identical whether frames are in-memory or durable."""
+        eng = MetricEngine.__new__(MetricEngine)
+        eng.samples = None
+        eng.metrics = self.metrics.scan(ScanRequest(ordered=False))
+        eng.series = self.series.scan(ScanRequest(ordered=False))
+        eng.index = self.index.scan(ScanRequest(ordered=False))
+        eng.tags = eng.index.select("metric_id", "tag_key", "tag_value").distinct()
+        eng.data = self.data.scan(ScanRequest(time_range or TimeRange.all(), ordered=False))
+        return eng

@@ -70,6 +70,10 @@ class ScanRequest:
     keep_builtin: bool = False
     ordered: bool = True  # output ordered by (segment, pks) — the scan contract
                           # (storage.rs:82-84); disable for pure-throughput reads
+    as_of_seq: int | None = None  # MVCC snapshot read: only SSTs with
+                                  # file_id <= as_of_seq participate — the
+                                  # __seq__ versioning (types.rs:35-41) makes
+                                  # time travel a manifest filter
 
 
 class ColumnarTable:
@@ -119,7 +123,14 @@ class ColumnarTable:
         sst_dir = os.path.join(
             self.data_dir, f"{SEGMENT_COLUMN}={segment}", f"sst={file_id}"
         )
-        df = req.df.select(*self.schema.user_columns)
+        # schema enforcement: select declared columns and cast to declared
+        # types (a lit(0) int must not silently write int32 into a long column)
+        df = req.df.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in self.schema.fields.fields
+            ]
+        )
         # Stamp builtins (types.rs:219-239) and sort by PK within each output
         # file (storage.rs:244-256) — sortWithinPartitions keeps the write
         # distributed; global order across SSTs is irrelevant because the
@@ -147,6 +158,8 @@ class ColumnarTable:
     def scan(self, req: ScanRequest | None = None) -> DataFrame:
         req = req or ScanRequest()
         ssts = self.manifest.find_ssts(req.time_range)
+        if req.as_of_seq is not None:
+            ssts = [s for s in ssts if s.file_id <= req.as_of_seq]
         return self.scan_ssts(ssts, req)
 
     def scan_ssts(self, ssts: list[SstFile], req: ScanRequest) -> DataFrame:

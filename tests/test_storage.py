@@ -177,3 +177,19 @@ def test_write_path_sorts_by_pk_within_files(spark, tmp_path):
     one = pq.read_table(_glob.glob(f"{sst.path}/**/*.parquet", recursive=True)[0]).to_pylist()[0]
     assert one["__seq__"] == sst.file_id
     assert one["__reserved__"] is None
+
+
+def test_snapshot_read_as_of_seq(spark, tmp_path):
+    """MVCC time travel: scanning as of an earlier sequence sees the table as
+    it was after that write — enabled by __seq__ versioning (types.rs:35-41)."""
+    t = ColumnarTable(spark, str(tmp_path / "tt"), kv_schema(), TWO_HOURS)
+    mk = lambda rows: spark.createDataFrame(rows, "pk1 long, pk2 long, value long")
+    s1 = t.write(WriteRequest(mk([(1, 1, 10)]), TimeRange(1, 5)))
+    s2 = t.write(WriteRequest(mk([(1, 1, 20), (2, 2, 5)]), TimeRange(5, 9)))
+    assert [tuple(r) for r in t.scan(ScanRequest(as_of_seq=s1.file_id)).collect()] == [
+        (1, 1, 10)
+    ]
+    assert [tuple(r) for r in t.scan(ScanRequest(as_of_seq=s2.file_id)).collect()] == [
+        (1, 1, 20),
+        (2, 2, 5),
+    ]
