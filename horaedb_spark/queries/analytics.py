@@ -87,17 +87,28 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3-flavored: fact-fact join on orderkey + broadcast customer dim,
-    top-10 by revenue with a deterministic tiebreak."""
+    top-10 by revenue with a deterministic tiebreak.
+
+    Lineitem pre-aggregates revenue per order BEFORE the join — a partial-
+    aggregation pushdown Catalyst doesn't apply across joins on its own; it
+    shrinks the join's probe side ~4x and turns countDistinct(o_orderkey)
+    into a plain count. Equivalent because orderkey is unique post-agg and
+    the inner join drops the same lineitem-less orders either way."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    rev_per_order = li.groupBy("l_orderkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,10)")
+        ).alias("order_rev")
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        rev_per_order.join(o, F.col("l_orderkey") == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name", "c_mktsegment")
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.round(F.sum("order_rev").cast("double"), 2).alias("revenue"),
+            F.count("o_orderkey").alias("n_orders"),
         )
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(10)
