@@ -204,3 +204,58 @@ def udf_registration_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem_v GROUP BY l_returnflag ORDER BY l_returnflag
         """
     )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure filter+aggregate — the pushdown showcase (all four
+    predicates reach the parquet scan; no shuffle beyond the final
+    single-row reduce)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+@register(
+    "customer_order_distribution",
+    oracle="""
+    SELECT n_orders, count(*) AS n_customers FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    ) GROUP BY n_orders ORDER BY n_orders
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13-style two-level aggregation: orders-per-customer histogram
+    (outer join so zero-order customers count)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("n_orders")
+    )

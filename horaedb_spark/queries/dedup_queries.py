@@ -211,3 +211,43 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         F.col("id_a"), F.col("id_b"), F.round("cos_sim", 6).alias("cos_sim")
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_minhash_keepset",
+    oracle=_NEAR_CORPUS
+    + r"""
+    , shingled AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_distinct([array_to_string(w[i:i+2], ' ')
+                                      FOR i IN generate_series(1, len(w)-2)])
+                  ELSE [array_to_string(w, ' ')] END AS sh
+      FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM corpus)
+    ), flat AS (
+      SELECT doc_id, unnest(sh) AS s FROM shingled
+    ), mh AS (
+      SELECT doc_id, k, min(md5(k || ':' || s)) AS h
+      FROM flat CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) ks
+      GROUP BY doc_id, k
+    ), bands AS (
+      SELECT doc_id, k // 4 AS band, string_agg(h, '' ORDER BY k) AS sig
+      FROM mh GROUP BY doc_id, k // 4
+    ), drops AS (
+      SELECT DISTINCT b.doc_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_id FROM corpus c
+    WHERE c.doc_id NOT IN (SELECT doc_id FROM drops)
+    ORDER BY c.doc_id
+    """,
+)
+def dedup_minhash_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup survivorship: collapse LSH candidate pairs to a keep-set
+    (drop every id that appears as the larger member of a pair) — the
+    full document-dedup pipeline output rather than the pair list."""
+    corpus = _with_near_copies(load_table(spark, sf_dir, "documents"))
+    pairs = DD.minhash_lsh_pairs(corpus, "text", "doc_id", num_hashes=16, bands=4)
+    kept = DD.keep_minhash_representatives(pairs, corpus, "doc_id")
+    return kept.select("doc_id").orderBy("doc_id")
