@@ -15,11 +15,14 @@ encoder lives alongside for fixtures, mirroring the reference's
 equivalence-vs-independent-decoder test strategy
 (remote_write/tests/equivalence_test.rs:18-23).
 
-Wire format decoded (proto3):
-  WriteRequest{ repeated TimeSeries timeseries = 1 }
-  TimeSeries  { repeated Label labels = 1; repeated Sample samples = 2 }
-  Label       { string name = 1; string value = 2 }
-  Sample      { double value = 1; int64 timestamp = 2 }   # timestamp in ms
+Wire format decoded (proto3, remote_write.proto:21-77):
+  WriteRequest   { repeated TimeSeries timeseries = 1;
+                   repeated MetricMetadata metadata = 3 }
+  TimeSeries     { repeated Label labels = 1; repeated Sample samples = 2 }
+  Label          { string name = 1; string value = 2 }
+  Sample         { double value = 1; int64 timestamp = 2 }   # timestamp in ms
+  MetricMetadata { MetricType type = 1; string family_name = 2;
+                   string help = 4; string unit = 5 }
 """
 
 from __future__ import annotations
@@ -115,6 +118,48 @@ def _decode_timeseries(buf: bytes) -> tuple[dict[str, str], list[tuple[float, in
     return labels, samples
 
 
+METRIC_TYPES = (
+    "UNKNOWN", "COUNTER", "GAUGE", "HISTOGRAM",
+    "GAUGEHISTOGRAM", "SUMMARY", "INFO", "STATESET",
+)
+
+
+def _decode_metadata(buf: bytes) -> dict:
+    pos = 0
+    out = {"type": "UNKNOWN", "family_name": "", "help": "", "unit": ""}
+    fields = {2: "family_name", 4: "help", 5: "unit"}
+    while pos < len(buf):
+        key, pos = _read_varint(buf, pos)
+        field, wt = key >> 3, key & 7
+        if field == 1 and wt == 0:
+            t, pos = _read_varint(buf, pos)
+            out["type"] = METRIC_TYPES[t] if t < len(METRIC_TYPES) else "UNKNOWN"
+        elif field in fields and wt == 2:
+            n, pos = _read_varint(buf, pos)
+            out[fields[field]] = buf[pos : pos + n].decode("utf-8")
+            pos += n
+        else:
+            pos = _skip_field(buf, pos, wt)
+    return out
+
+
+def decode_metadata(buf: bytes) -> list[dict]:
+    """WriteRequest bytes -> the MetricMetadata records (type/family/help/
+    unit) — feeds the metrics catalog's field_type column (RFC table,
+    20240827:106-113)."""
+    pos, out = 0, []
+    while pos < len(buf):
+        key, pos = _read_varint(buf, pos)
+        field, wt = key >> 3, key & 7
+        if field == 3 and wt == 2:
+            n, pos = _read_varint(buf, pos)
+            out.append(_decode_metadata(buf[pos : pos + n]))
+            pos += n
+        else:
+            pos = _skip_field(buf, pos, wt)
+    return out
+
+
 def decode_write_request(buf: bytes) -> list[dict]:
     """WriteRequest bytes -> flat sample dicts. The metric name is the
     ``__name__`` label, Prometheus-style; remaining labels are the series
@@ -154,10 +199,20 @@ def _ld(field: int, payload: bytes) -> bytes:
     return _varint((field << 3) | 2) + _varint(len(payload)) + payload
 
 
-def encode_write_request(series: list[dict]) -> bytes:
+def encode_write_request(series: list[dict], metadata: list[dict] | None = None) -> bytes:
     """Inverse of :func:`decode_write_request` for fixtures. Each entry:
-    ``{"name": str, "labels": {k: v}, "samples": [(value, ts_ms), ...]}``."""
+    ``{"name": str, "labels": {k: v}, "samples": [(value, ts_ms), ...]}``;
+    optional metadata entries: ``{"type": str, "family_name": str,
+    "help": str, "unit": str}``."""
     req = bytearray()
+    for md in metadata or []:
+        buf = bytearray()
+        t = METRIC_TYPES.index(md.get("type", "UNKNOWN"))
+        buf += _varint((1 << 3) | 0) + _varint(t)
+        for field, k in ((2, "family_name"), (4, "help"), (5, "unit")):
+            if md.get(k):
+                buf += _ld(field, md[k].encode())
+        req += _ld(3, bytes(buf))
     for s in series:
         ts_buf = bytearray()
         labels = {"__name__": s["name"], **s["labels"]}

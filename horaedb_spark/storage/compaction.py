@@ -105,11 +105,58 @@ def pick_candidate(
 
 
 class Compactor:
-    """Executor + inline scheduler over a ColumnarTable."""
+    """Executor + scheduler over a ColumnarTable.
+
+    ``run_once`` is the synchronous cycle; ``start``/``trigger``/``stop``
+    give the reference's background loop (scheduler.rs:49-159): a daemon
+    thread wakes every ``schedule_interval`` (10 s default, config.rs:38-50)
+    or immediately on ``trigger()`` — the ``compact()`` manual entry point
+    (storage.rs:372-374)."""
 
     def __init__(self, table: ColumnarTable, config: SchedulerConfig | None = None):
         self.table = table
         self.config = config or SchedulerConfig()
+        self._stop_evt = None
+        self._wake_evt = None
+        self._thread = None
+
+    # ------------------------------------------------- background loop (C4)
+
+    def start(self, schedule_interval_s: float = 10.0) -> None:
+        import threading
+
+        if self._thread is not None:
+            return
+        self._stop_evt = threading.Event()
+        self._wake_evt = threading.Event()
+
+        def loop():
+            while not self._stop_evt.is_set():
+                self._wake_evt.wait(timeout=schedule_interval_s)
+                self._wake_evt.clear()
+                if self._stop_evt.is_set():
+                    return
+                try:
+                    while self.run_once() is not None:
+                        pass
+                except Exception:  # background loop must survive one failure
+                    pass
+
+        self._thread = threading.Thread(target=loop, name="sst-compact", daemon=True)
+        self._thread.start()
+
+    def trigger(self) -> None:
+        """Manual compaction trigger (the reference's /compact endpoint)."""
+        if self._wake_evt is not None:
+            self._wake_evt.set()
+
+    def stop(self) -> None:
+        if self._thread is None:
+            return
+        self._stop_evt.set()
+        self._wake_evt.set()
+        self._thread.join(timeout=30)
+        self._thread = None
 
     def run_once(self, now_ms: int | None = None) -> SstFile | None:
         """One picker+executor cycle; returns the new SST if one was written."""

@@ -92,3 +92,23 @@ def test_compaction_ttl_deletes_expired(spark, tmp_path):
     # end<35: file1 (end 10) and file2 (end 30) both expired
     assert t.manifest.all_ssts() == []
     assert t.scan().count() == 0
+
+
+def test_background_scheduler_compacts_on_trigger(spark, tmp_path):
+    import time as _time
+
+    t = ColumnarTable(spark, str(tmp_path / "bg"), kv_schema(), TWO_HOURS)
+    mk = lambda rows: spark.createDataFrame(rows, "pk1 long, pk2 long, value long")
+    for i in range(4):
+        t.write(WriteRequest(mk([(1, 1, i)]), TimeRange(i * 10, i * 10 + 10)))
+    c = Compactor(t, SchedulerConfig(input_sst_min_num=2))
+    c.start(schedule_interval_s=3600)  # long interval: only the trigger fires it
+    try:
+        c.trigger()
+        deadline = _time.time() + 60
+        while len(t.manifest.all_ssts()) > 1 and _time.time() < deadline:
+            _time.sleep(0.5)
+        assert len(t.manifest.all_ssts()) == 1
+        assert [tuple(r) for r in t.scan().collect()] == [(1, 1, 3)]
+    finally:
+        c.stop()

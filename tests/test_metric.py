@@ -121,3 +121,17 @@ def test_d10_dedup_max_seq(spark):
     rows = eng.data.collect()
     assert len(rows) == 1
     assert rows[0].value == 2.0
+
+
+def test_metadata_codec_round_trip():
+    from horaedb_spark.metric.ingest import decode_metadata
+
+    md = [
+        {"type": "COUNTER", "family_name": "http_requests_total",
+         "help": "total requests", "unit": ""},
+        {"type": "GAUGE", "family_name": "cpu_usage", "help": "", "unit": "ratio"},
+    ]
+    buf = encode_write_request(FIXTURE, metadata=md)
+    assert decode_metadata(buf) == md
+    # sample decode is unaffected by interleaved metadata records
+    assert decode_write_request(buf) == decode_write_request(encode_write_request(FIXTURE))
