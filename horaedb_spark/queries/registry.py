@@ -51,6 +51,7 @@ _QUERY_MODULES = (
     "analytics",
     "analytics2",
     "setops_queries",
+    "sources_queries",
     "storage_queries",
     "metric_queries",
     "dedup_queries",
