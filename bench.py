@@ -19,6 +19,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from horaedb_spark.core.session import get_spark  # noqa: E402
 from horaedb_spark.queries.registry import queries_map  # noqa: E402
 
@@ -59,9 +61,12 @@ def warmup(spark, sf_dir: str) -> None:
     from horaedb_spark.queries.tables import load_table
 
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    load_table(spark, sf_dir, "lineitem").limit(1000).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # include a decimal aggregate + window so their codegen compiles here,
+    # not inside the first timed query
+    li = load_table(spark, sf_dir, "lineitem").limit(1000)
+    li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(30,10)")).cast("double")
+    ).write.format("noop").mode("overwrite").save()
 
 
 def main() -> None:
