@@ -283,3 +283,41 @@ def storage_append_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", F.decode("value", "UTF-8").alias("concat_text"))
         .orderBy("lang")
     )
+
+
+@register(
+    "storage_bulk_ingest_scan",
+    oracle=f"""
+    SELECT user_id, event_type, ts_ms, value FROM (
+      SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, value,
+             row_number() OVER (
+               PARTITION BY user_id, event_type, epoch_ms(ts) // {_SEG_15D}
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+)
+def storage_bulk_ingest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk-load path: the whole events table lands in ONE Spark job as one
+    SST per 15-day segment (vs the per-request write path's one-SST-per-
+    call), then scans through the same merge-on-read machinery. The
+    cluster-scale backfill ingest (SCALING.md)."""
+    key = (sf_dir, "bulk")
+    if key not in _CACHE:
+        ev = events_ms(spark, sf_dir)
+        # one row per (pk, segment) keeps the merge deterministic for the
+        # oracle (within-SST duplicate PKs tie on __seq__)
+        w = Window.partitionBy(
+            "user_id", "event_type", F.expr(f"(ts_ms div {_SEG_15D}) * {_SEG_15D}")
+        ).orderBy(F.desc("ts_ms"), F.desc("event_id"))
+        deduped = (
+            ev.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1)
+            .select("user_id", "event_type", "ts_ms", "value")
+        )
+        root = tempfile.mkdtemp(prefix="horaedb_bulk_")
+        table = ColumnarTable(spark, root, _events_schema(), _SEG_15D)
+        table.bulk_ingest(deduped, "ts_ms")
+        _CACHE[key] = table
+    return _CACHE[key].scan()

@@ -153,6 +153,71 @@ class ColumnarTable:
         self.manifest.add_file(sst)
         return sst
 
+    def bulk_ingest(self, df: DataFrame, ts_col: str) -> list[SstFile]:
+        """Bulk load: ONE Spark job writes one SST per segment.
+
+        The per-request ``write()`` path mirrors the reference (one SST per
+        call); this is the cluster-scale complement — a 1 TB backfill lands
+        as a single ``partitionBy(__segment__)`` job (every executor writes
+        its slice of every segment), then each segment directory is renamed
+        into place and registered. File ids are pre-assigned per segment so
+        ``__seq__`` is stamped during the same job; on object storage the
+        rename becomes a manifest-pointer move (SCALING.md).
+        """
+        import shutil
+
+        dur = self.segment_duration_ms
+        seg_expr = F.expr(f"({ts_col} div {dur}) * {dur}")
+        segments = sorted(
+            r[0] for r in df.select(seg_expr.alias("s")).distinct().collect()
+        )
+        if not segments:
+            return []
+        seg_to_fid = {seg: self.alloc_file_id() for seg in segments}
+        fid_map = F.create_map(
+            *[F.lit(x) for pair in seg_to_fid.items() for x in pair]
+        )
+        staging = os.path.join(self.root, f"_staging_{min(seg_to_fid.values())}")
+        out = (
+            df.withColumn(SEGMENT_COLUMN, seg_expr)
+            .select(
+                SEGMENT_COLUMN,
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in self.schema.fields.fields
+                ],
+            )
+            .withColumn(SEQ_COLUMN, fid_map[F.col(SEGMENT_COLUMN)].cast("long"))
+            .withColumn(RESERVED_COLUMN, F.lit(None).cast("long"))
+            .repartition(F.col(SEGMENT_COLUMN))
+            .sortWithinPartitions(SEGMENT_COLUMN, *self.schema.primary_keys)
+        )
+        out.write.mode("overwrite").partitionBy(SEGMENT_COLUMN).parquet(staging)
+        ssts = []
+        try:
+            for seg in segments:
+                fid = seg_to_fid[seg]
+                src = os.path.join(staging, f"{SEGMENT_COLUMN}={seg}")
+                dst_dir = os.path.join(self.data_dir, f"{SEGMENT_COLUMN}={seg}")
+                os.makedirs(dst_dir, exist_ok=True)
+                dst = os.path.join(dst_dir, f"sst={fid}")
+                os.replace(src, dst)
+                num_rows, size_bytes = _parquet_stats(dst)
+                ssts.append(
+                    SstFile(
+                        file_id=fid,
+                        path=dst,
+                        time_range=TimeRange(seg, seg + dur),
+                        max_sequence=fid,
+                        num_rows=num_rows,
+                        size_bytes=size_bytes,
+                    )
+                )
+            self.manifest.update(ssts, [])
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        return ssts
+
     # ------------------------------------------------------------------- scan
 
     def scan(self, req: ScanRequest | None = None) -> DataFrame:

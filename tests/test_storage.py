@@ -193,3 +193,30 @@ def test_snapshot_read_as_of_seq(spark, tmp_path):
         (1, 1, 20),
         (2, 2, 5),
     ]
+
+
+def test_bulk_ingest_one_sst_per_segment(spark, tmp_path):
+    """Bulk load: one job, one SST per segment, correct merge vs later writes."""
+    t = ColumnarTable(spark, str(tmp_path / "bulk"), kv_schema(), 1000)
+    df = spark.createDataFrame(
+        [(1, 1, 10, 100), (2, 2, 20, 1500), (3, 3, 30, 2500), (1, 1, 11, 900)],
+        "pk1 long, pk2 long, value long, ts long",
+    )
+    ssts = t.bulk_ingest(df, "ts")
+    assert len(ssts) == 3  # segments 0, 1000, 2000
+    assert {s.time_range.start for s in ssts} == {0, 1000, 2000}
+    assert sum(s.num_rows for s in ssts) == 4
+    # a later per-request write overrides the bulk rows (higher seq)
+    t.write(
+        WriteRequest(
+            spark.createDataFrame([(2, 2, 99)], "pk1 long, pk2 long, value long"),
+            TimeRange(1000, 2000),
+        )
+    )
+    got = [tuple(r) for r in t.scan(ScanRequest(projections=["pk1", "pk2", "value"])).collect()]
+    # segment 0 has duplicate (1,1): highest ts row wrote later in file? both
+    # rows share the SST/seq — the deterministic row-position tie-break keeps
+    # exactly one; assert the stable winners for the unambiguous keys
+    assert (2, 2, 99) in got
+    assert (3, 3, 30) in got
+    assert len([r for r in got if (r[0], r[1]) == (1, 1)]) == 1
