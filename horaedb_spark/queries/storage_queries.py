@@ -23,7 +23,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from horaedb_spark.core.schema import StorageSchema, UpdateMode
-from horaedb_spark.core.timeutil import TimeRange, segments_overlapping, truncate_by
+from horaedb_spark.core.timeutil import TimeRange, truncate_by
 from horaedb_spark.queries.registry import register
 from horaedb_spark.queries.tables import events_ms, load_table
 from horaedb_spark.storage.compaction import Compactor, SchedulerConfig
