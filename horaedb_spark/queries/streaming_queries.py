@@ -80,6 +80,64 @@ def streaming_ingest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_stateful_increase",
+    oracle="""
+    WITH q AS (
+      SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id,
+             CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vq
+      FROM events
+    ), d AS (
+      SELECT user_id, event_type, vq,
+             lag(vq) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts_ms, event_id) AS prev
+      FROM q
+    )
+    SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN prev IS NULL THEN 0
+                         WHEN vq >= prev THEN vq - prev
+                         ELSE vq END) AS BIGINT) AS increase_milli
+    FROM d GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def streaming_stateful_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-series
+    counter-reset-aware cumulative increase carried across micro-batches
+    (streaming counterpart of promql.increase; RFC 20220702:92-95). Values are
+    quantized to int milli-units so state arithmetic is exact — the final
+    emission per series must equal the batch lag()-based computation."""
+    from horaedb_spark.streaming.stateful import stateful_increase
+
+    key = f"stateful:{sf_dir}"
+    if key not in _CACHE:
+        stream = _raw_events_stream(spark, sf_dir).select(
+            "user_id", "event_type", "ts_ms", "event_id", "value"
+        )
+        out = stateful_increase(stream)
+        name = "horaedb_stream_stateful_increase"
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        # update-mode memory sink appends one row per touched key per batch;
+        # n is monotone, so the final state per key is the max-n row
+        w = Window.partitionBy("user_id", "event_type").orderBy(F.desc("n"))
+        final = (
+            spark.table(name)
+            .withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1)
+            .select("user_id", "event_type", "n", "increase_milli")
+        )
+        _CACHE[key] = spark.createDataFrame(
+            final.collect(), final.schema
+        ).orderBy("user_id", "event_type")
+    return _CACHE[key]
+
+
+@register(
     "streaming_window_agg",
     oracle=f"""
     SELECT epoch_ms(ts) - epoch_ms(ts) % {SIX_H} AS window_start_ms, event_type,

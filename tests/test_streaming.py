@@ -69,3 +69,57 @@ def test_foreachbatch_segment_split_and_replay(spark, tmp_path):
     write_batch_segmented(table, batch.select("pk1", "pk2", "value", "ts"), "ts")
     after = [tuple(r) for r in table.scan(ScanRequest(projections=["pk1", "pk2", "value"])).collect()]
     assert before == after
+
+
+def test_stateful_increase_carries_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState operator: three micro-batches (maxFilesPerTrigger
+    =1); per-series state (last value, count, increase) must carry across
+    batches, with counter-reset handling. Series (1,'a') sees 1.0 -> 3.5 ->
+    2.0 (reset) -> 4.0 => increase = 2.5 + 2.0 + 2.0 = 6.5 (6500 milli)."""
+    import os
+    import pandas as pd
+
+    from horaedb_spark.streaming.stateful import stateful_increase
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [
+        [(1, "a", 1, 1, 1.0), (2, "b", 1, 2, 10.0)],
+        [(1, "a", 2, 3, 3.5), (2, "b", 2, 4, 10.25)],
+        [(1, "a", 3, 5, 2.0), (1, "a", 4, 6, 4.0)],
+    ]
+    for i, rows in enumerate(batches):
+        p = str(src / f"b{i}.parquet")
+        pd.DataFrame(
+            rows, columns=["user_id", "event_type", "ts_ms", "event_id", "value"]
+        ).to_parquet(p)
+        os.utime(p, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    schema = (
+        "user_id long, event_type string, ts_ms long, event_id long, value double"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stateful_increase(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_inc_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    emitted = spark.table("stateful_inc_test").collect()
+    per_key = {}
+    for r in emitted:
+        per_key.setdefault((r["user_id"], r["event_type"]), []).append(
+            (r["n"], r["increase_milli"])
+        )
+    # series (1,a) was touched in all three batches -> three emissions with
+    # monotone n: state really crossed micro-batch boundaries
+    assert sorted(per_key[(1, "a")]) == [(1, 0), (2, 2500), (4, 6500)]
+    assert sorted(per_key[(2, "b")]) == [(1, 0), (2, 250)]
