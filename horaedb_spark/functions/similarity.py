@@ -12,9 +12,13 @@ Two paths, mirroring what a 100 TB deployment needs:
   portable (verifiable against a SQL oracle) AND immune to float-association
   nondeterminism across partitions/engines.
 
-An IVF variant (k-means coarse quantizer) would slot in the same shape:
-assign-to-centroid instead of hyperplane bits; omitted because training state
-is out of scope for a stateless query — noted as the production alternative.
+- ``ivf_ann_topk`` — the second scale path: IVF-Flat with a *deterministic
+  seeded* coarse quantizer (centroids = an md5-ordered sample of the corpus,
+  so no k-means training state; assignment is exact integer L2 in quantized
+  space). Corpus rows land in one cell each; a query probes its ``nprobe``
+  nearest cells; exact cosine re-ranks the candidates. At 100 TB the cell
+  column is a partitioning key — candidate generation becomes partition
+  pruning instead of a corpus-wide scan.
 """
 
 from __future__ import annotations
@@ -117,6 +121,86 @@ def lsh_ann_topk(
                 "cos_sim"
             ),
         )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "rank", "cos_sim")
+    )
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Exact squared L2 distance between two quantized integer vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_centroids(corpus: DataFrame, id_col: str, vec_col: str, num_cells: int) -> DataFrame:
+    """Deterministic coarse quantizer: the ``num_cells`` corpus rows with the
+    smallest md5(id) — a seeded pseudo-random sample both engines can
+    reproduce — numbered 1..C in id order. Returns (cid, centv)."""
+    sample = (
+        corpus.select(F.col(id_col).alias("cvid"), F.col(vec_col).alias("centv"))
+        .orderBy(F.md5(F.col("cvid").cast("string")), F.col("cvid"))
+        .limit(num_cells)
+    )
+    w = Window.orderBy("cvid")
+    return sample.withColumn("cid", F.row_number().over(w)).select("cid", "centv")
+
+
+def ivf_assign(
+    df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str, nprobe: int
+) -> DataFrame:
+    """Assign each (id, vec) row its ``nprobe`` nearest cells by exact integer
+    L2 (ties broken by smaller cid). Centroids broadcast; the only shuffle is
+    the per-id partial-aggregated top-nprobe."""
+    pairs = df.join(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col("cid"),
+        _sq_l2(F.col(vec_col), F.col("centv")).alias("d"),
+    )
+    w = Window.partitionBy(id_col).orderBy("d", "cid")
+    return (
+        pairs.withColumn("__r__", F.row_number().over(w))
+        .filter(F.col("__r__") <= nprobe)
+        .select(id_col, F.col("cid").alias("cell"))
+    )
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    num_cells: int,
+    nprobe: int,
+) -> DataFrame:
+    """IVF-Flat approximate top-k: corpus rows live in their single nearest
+    cell; each query probes its ``nprobe`` nearest cells; exact (quantized-
+    integer) cosine re-ranks candidates within the probed cells."""
+    c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    cents = ivf_centroids(corpus, id_col, vec_col, num_cells)
+    c_cell = c.join(
+        ivf_assign(c, cents, "corpus_id", "cv", nprobe=1), "corpus_id"
+    )
+    q_cell = q.join(
+        ivf_assign(q, cents, "query_id", "qv", nprobe=nprobe), "query_id"
+    ).withColumnRenamed("cell", "qcell")
+    scored = c_cell.join(
+        F.broadcast(q_cell),
+        (F.col("cell") == F.col("qcell")) & (F.col("corpus_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "corpus_id",
+        cosine(F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")).alias(
+            "cos_sim"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("corpus_id"))
     return (

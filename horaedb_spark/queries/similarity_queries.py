@@ -104,3 +104,63 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "corpus_id", "rank", F.round("cos_sim", 6).alias("cos_sim")
     ).orderBy("query_id", "rank")
+
+
+_SQL2 = "list_sum([(a.qv[i] - c.cv[i]) * (a.qv[i] - c.cv[i]) FOR i IN generate_series(1, 64)])"
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {_QV} AS qv FROM embeddings),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) AS cid, qv AS cv
+      FROM q WHERE vec_id IN (
+        SELECT vec_id FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)
+    ), pairs AS (
+      SELECT a.vec_id, c.cid, {_SQL2} AS d FROM q a, cent c
+    ), ranked AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r
+      FROM pairs
+    ), cellof AS (
+      SELECT vec_id, cid AS cell FROM ranked WHERE r = 1
+    ), qprobe AS (
+      SELECT vec_id, cid AS cell FROM ranked WHERE r <= 2 AND vec_id < 20
+    )
+    SELECT query_id, corpus_id, rank, cos_sim FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+             round({_DOT} / ({_NORM_A} * {_NORM_B}), 6) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {_DOT} / ({_NORM_A} * {_NORM_B}) DESC, b.vec_id) AS rank
+      FROM q a
+      JOIN qprobe p ON p.vec_id = a.vec_id
+      JOIN cellof cf ON cf.cell = p.cell
+      JOIN q b ON b.vec_id = cf.vec_id AND b.vec_id != a.vec_id
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via IVF-Flat (queries: vec_id < 20): 16 md5-sampled
+    centroids, exact integer-L2 cell assignment, nprobe=2 — the second scale
+    path, where the cell id becomes a partition key and candidate generation
+    is partition pruning. Arithmetic is integer-exact in any engine."""
+    from horaedb_spark.functions.similarity import ivf_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qemb = emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+    out = ivf_ann_topk(
+        qemb,
+        qemb.filter(F.col("vec_id") < 20),
+        "qv",
+        "vec_id",
+        k=5,
+        num_cells=16,
+        nprobe=2,
+    )
+    return out.select(
+        "query_id", "corpus_id", "rank", F.round("cos_sim", 6).alias("cos_sim")
+    ).orderBy("query_id", "rank")
