@@ -182,3 +182,104 @@ def aggregate_by(
     b = _bucketed(df, step_ms)
     exprs = [fns[kind](F.col("value")).alias(name) for name, kind in aggs.items()]
     return b.groupBy(*by_labels, "bucket_ms").agg(*exprs)
+
+
+def over_time(df: DataFrame, series_cols: list[str], step_ms: int) -> DataFrame:
+    """The ``*_over_time`` range-function family in one pass: avg / min /
+    max / sum / count over each per-series step bucket. One hash aggregate
+    with map-side partials; sums are decimal-routed (order-independent)."""
+    b = _bucketed(df, step_ms)
+    dec_sum = F.sum(F.col("value").cast("decimal(30,10)")).cast("double")
+    return b.groupBy(*series_cols, "bucket_ms").agg(
+        (dec_sum / F.count("value")).alias("avg_over_time"),
+        F.min("value").alias("min_over_time"),
+        F.max("value").alias("max_over_time"),
+        dec_sum.alias("sum_over_time"),
+        F.count("value").alias("count_over_time"),
+    )
+
+
+def topk_series(
+    df: DataFrame, series_cols: list[str], by_labels: list[str], step_ms: int, k: int
+) -> DataFrame:
+    """PromQL ``topk(k, sum by (series) (metric))`` per step bucket within
+    each label group: rank series by decimal-exact sum, keep the top k
+    (ties broken by series identity for determinism)."""
+    b = _bucketed(df, step_ms)
+    summed = b.groupBy(*by_labels, *series_cols, "bucket_ms").agg(
+        F.sum(F.col("value").cast("decimal(30,10)")).cast("double").alias("series_sum")
+    )
+    w = Window.partitionBy(*by_labels, "bucket_ms").orderBy(
+        F.desc("series_sum"), *[F.asc(c) for c in series_cols]
+    )
+    return (
+        summed.withColumn("topk_rank", F.row_number().over(w))
+        .filter(F.col("topk_rank") <= k)
+    )
+
+
+def histogram_buckets(
+    df: DataFrame, group_cols: list[str], value_col: str, boundaries: list[float]
+) -> DataFrame:
+    """Build a Prometheus-style cumulative histogram: one row per (group, le)
+    with the cumulative count of values <= le, plus the +Inf bucket (total).
+    Shuffle-light: a single aggregate computing every bucket as a conditional
+    count — no explode, no per-bucket pass."""
+    aggs = [
+        F.count(F.when(F.col(value_col) <= b, 1)).alias(f"__b{i}__")
+        for i, b in enumerate(boundaries)
+    ] + [F.count(value_col).alias("__binf__")]
+    wide = df.groupBy(*group_cols).agg(*aggs)
+    pairs = [
+        F.struct(F.lit(float(b)).alias("le"), F.col(f"__b{i}__").alias("bucket_count"))
+        for i, b in enumerate(boundaries)
+    ] + [F.struct(F.lit(float("inf")).alias("le"), F.col("__binf__").alias("bucket_count"))]
+    return (
+        wide.select(*group_cols, F.explode(F.array(*pairs)).alias("b"))
+        .select(*group_cols, F.col("b.le").alias("le"), F.col("b.bucket_count").alias("bucket_count"))
+    )
+
+
+def histogram_quantile(
+    bucket_df: DataFrame, group_cols: list[str], q: float
+) -> DataFrame:
+    """PromQL ``histogram_quantile(q, ...)`` over a cumulative bucket frame
+    (group_cols, le, bucket_count): pick the lowest bucket whose cumulative
+    count reaches q*total, then interpolate linearly inside it.
+
+    Divergence note (documented): boundaries here are positive, so the
+    lowest bucket's lower bound is 0 (Prometheus's behavior for le > 0); if
+    the quantile lands in the +Inf bucket the largest finite ``le`` is
+    returned, as in Prometheus."""
+    w = Window.partitionBy(*group_cols).orderBy("le")
+    wall = Window.partitionBy(*group_cols)
+    en = (
+        bucket_df.withColumn("prev_count", F.coalesce(F.lag("bucket_count").over(w), F.lit(0)))
+        .withColumn("prev_le", F.coalesce(F.lag("le").over(w), F.lit(0.0)))
+        .withColumn("total", F.max("bucket_count").over(wall))
+        .withColumn(
+            "max_finite_le",
+            F.max(F.when(~F.isnan("le") & (F.col("le") != float("inf")), F.col("le"))).over(wall),
+        )
+        .withColumn("rank_target", F.lit(q) * F.col("total"))
+    )
+    hit = en.filter(
+        (F.col("bucket_count") >= F.col("rank_target")) & (F.col("total") > 0)
+    )
+    w_first = Window.partitionBy(*group_cols).orderBy("le")
+    first_hit = hit.withColumn("__rn__", F.row_number().over(w_first)).filter(
+        F.col("__rn__") == 1
+    )
+    interp = (
+        F.col("prev_le")
+        + (F.col("le") - F.col("prev_le"))
+        * (F.col("rank_target") - F.col("prev_count"))
+        / (F.col("bucket_count") - F.col("prev_count"))
+    )
+    return first_hit.select(
+        *group_cols,
+        F.when(F.col("le") == float("inf"), F.col("max_finite_le"))
+        .when(F.col("bucket_count") == F.col("prev_count"), F.col("le"))
+        .otherwise(interp)
+        .alias("quantile_value"),
+    )

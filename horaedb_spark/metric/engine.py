@@ -63,6 +63,18 @@ class MetricEngine:
             .distinct()
         )
 
+    def select_all_series(self, time_range: TimeRange | None = None) -> DataFrame:
+        """Samples of every metric with the metric name restored from the
+        catalog (broadcast join on metric_id) — the cross-metric scan used by
+        metadata queries and histogram builds."""
+        out = self.data
+        if time_range is not None:
+            out = out.filter(
+                (F.col("ts_ms") >= time_range.start) & (F.col("ts_ms") < time_range.end)
+            )
+        cat = self.metrics.select("metric_id", F.col("metric_name").alias("name"))
+        return out.join(F.broadcast(cat), "metric_id")
+
     # -- D3 ------------------------------------------------------------------
     def resolve_tsids(self, metric: str, matchers: list[Matcher]) -> DataFrame:
         """Matchers -> TSID set via the inverted index."""

@@ -431,3 +431,146 @@ def remote_write_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("metric_name")
     )
+
+
+# ---------------------------------------------------------------------- D7 *_over_time family
+@register(
+    "promql_over_time",
+    oracle=_DEDUP_CTE
+    + f"""
+    SELECT user_label, cohort, bucket_ms,
+           round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE)
+                 / count(value), 6) AS avg_over_time,
+           round(min(value), 6) AS min_over_time,
+           round(max(value), 6) AS max_over_time,
+           round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 6)
+               AS sum_over_time,
+           count(value) AS count_over_time
+    FROM (SELECT user_label, cohort, ts_ms - ts_ms % {7 * DAY_MS} AS bucket_ms,
+                 value
+          FROM samples WHERE name = 'view')
+    GROUP BY 1, 2, 3
+    ORDER BY user_label, cohort, bucket_ms
+    """,
+)
+def promql_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """avg/min/max/sum/count_over_time per series over 7-day steps (D7): the
+    whole range-function family in one decimal-routed hash aggregate."""
+    eng = _engine(spark, sf_dir)
+    sel = _series_with_labels(eng.select_series("view"))
+    out = promql.over_time(sel, ["user_label", "cohort"], 7 * DAY_MS)
+    return out.select(
+        "user_label",
+        "cohort",
+        "bucket_ms",
+        F.round("avg_over_time", 6).alias("avg_over_time"),
+        F.round("min_over_time", 6).alias("min_over_time"),
+        F.round("max_over_time", 6).alias("max_over_time"),
+        F.round("sum_over_time", 6).alias("sum_over_time"),
+        "count_over_time",
+    ).orderBy("user_label", "cohort", "bucket_ms")
+
+
+# ---------------------------------------------------------------------- D6 topk
+@register(
+    "promql_topk",
+    oracle=_DEDUP_CTE
+    + f"""
+    SELECT cohort, bucket_ms, user_label, series_sum, topk_rank FROM (
+      SELECT cohort, bucket_ms, user_label, series_sum,
+             row_number() OVER (PARTITION BY cohort, bucket_ms
+                                ORDER BY series_sum DESC, user_label) AS topk_rank
+      FROM (
+        SELECT cohort, ts_ms - ts_ms % {30 * DAY_MS} AS bucket_ms, user_label,
+               round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 6)
+                   AS series_sum
+        FROM samples WHERE name = 'purchase'
+        GROUP BY 1, 2, 3
+      )
+    ) WHERE topk_rank <= 3
+    ORDER BY cohort, bucket_ms, topk_rank
+    """,
+)
+def promql_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL topk(3, sum by (user) (purchase)) per cohort per 30-day step:
+    decimal-exact series sums ranked inside each label group. Rounding happens
+    BEFORE ranking on both sides so the sort keys are identical doubles."""
+    eng = _engine(spark, sf_dir)
+    sel = _series_with_labels(eng.select_series("purchase"))
+    b = sel.withColumn("bucket_ms", promql.time_bucket(F.col("ts_ms"), 30 * DAY_MS))
+    summed = b.groupBy("cohort", "bucket_ms", "user_label").agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(30,10)")).cast("double"), 6
+        ).alias("series_sum")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("cohort", "bucket_ms").orderBy(
+        F.desc("series_sum"), F.asc("user_label")
+    )
+    return (
+        summed.withColumn("topk_rank", F.row_number().over(w))
+        .filter(F.col("topk_rank") <= 3)
+        .select("cohort", "bucket_ms", "user_label", "series_sum", "topk_rank")
+        .orderBy("cohort", "bucket_ms", "topk_rank")
+    )
+
+
+# ---------------------------------------------------------------------- D7 histogram_quantile
+_HQ_BOUNDS = (10.0, 50.0, 100.0, 250.0)
+
+
+@register(
+    "promql_histogram_quantile",
+    oracle=_DEDUP_CTE
+    + f"""
+    , buckets AS (
+      SELECT name, 10.0 AS le, count(*) FILTER (WHERE value <= 10) AS bucket_count
+      FROM samples GROUP BY name
+      UNION ALL
+      SELECT name, 50.0, count(*) FILTER (WHERE value <= 50) FROM samples GROUP BY name
+      UNION ALL
+      SELECT name, 100.0, count(*) FILTER (WHERE value <= 100) FROM samples GROUP BY name
+      UNION ALL
+      SELECT name, 250.0, count(*) FILTER (WHERE value <= 250) FROM samples GROUP BY name
+      UNION ALL
+      SELECT name, CAST('inf' AS DOUBLE), count(*) FROM samples GROUP BY name
+    ), en AS (
+      SELECT name, le, bucket_count,
+             coalesce(lag(bucket_count) OVER w, 0) AS prev_count,
+             coalesce(lag(le) OVER w, 0.0) AS prev_le,
+             max(bucket_count) OVER (PARTITION BY name) AS total,
+             max(CASE WHEN le != CAST('inf' AS DOUBLE) THEN le END)
+                 OVER (PARTITION BY name) AS max_finite_le
+      FROM buckets WINDOW w AS (PARTITION BY name ORDER BY le)
+    ), hit AS (
+      SELECT *, CAST(0.9 AS DOUBLE) * total AS rank_target,
+             row_number() OVER (PARTITION BY name ORDER BY le) AS rn
+      FROM en WHERE bucket_count >= CAST(0.9 AS DOUBLE) * total AND total > 0
+    )
+    SELECT name,
+           floor((CASE WHEN le = CAST('inf' AS DOUBLE) THEN max_finite_le
+                       WHEN bucket_count = prev_count THEN le
+                       ELSE prev_le + (le - prev_le) * (rank_target - prev_count)
+                            / (bucket_count - prev_count) END) * 1000000 + 0.5)
+               / 1000000 AS quantile_value
+    FROM hit WHERE rn = 1 ORDER BY name
+    """,
+)
+def promql_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram_quantile(0.9) over engine-built cumulative buckets per metric
+    name — the RFC's own flagship query shape (le-bucketed aggregation,
+    20220702:84-99). Bucket build is one conditional-count aggregate; the
+    quantile interpolation is the PromQL rule."""
+    eng = _engine(spark, sf_dir)
+    sel = eng.select_all_series()
+    buckets = promql.histogram_buckets(sel, ["name"], "value", list(_HQ_BOUNDS))
+    out = promql.histogram_quantile(buckets, ["name"], 0.9)
+    # floor(x*1e6+0.5)/1e6, not round(): round() implementations disagree
+    # between engines when the value sits exactly on a half boundary
+    return out.select(
+        "name",
+        (F.floor(F.col("quantile_value") * 1000000 + 0.5) / 1000000).alias(
+            "quantile_value"
+        ),
+    ).orderBy("name")

@@ -87,3 +87,26 @@ def test_dedup_samples_d10(spark):
     out = promql.dedup_samples(df, ["series"], "seq")
     got = {(r.ts_ms): r.value for r in out.collect()}
     assert got == {1000: 2.0, 2000: 3.0}  # max seq wins on equal ts
+
+
+def test_histogram_quantile_goldens(spark):
+    """Hand-computed PromQL interpolation cases: mid-bucket interpolation,
+    +Inf fallback to the largest finite le, and first-bucket lower bound 0."""
+    from horaedb_spark.functions.promql import histogram_quantile
+
+    rows = [
+        ("m", 1.0, 2),
+        ("m", 2.0, 5),
+        ("m", 4.0, 8),
+        ("m", float("inf"), 10),
+    ]
+    buckets = spark.createDataFrame(rows, "name string, le double, bucket_count long")
+    # q=0.5: rank=5 -> bucket le=2 (count 5), interp 1 + 1*(5-2)/(5-2) = 2.0
+    q50 = {r["name"]: r["quantile_value"] for r in histogram_quantile(buckets, ["name"], 0.5).collect()}
+    assert q50 == {"m": 2.0}
+    # q=0.9: rank=9 -> +Inf bucket -> largest finite le = 4.0
+    q90 = {r["name"]: r["quantile_value"] for r in histogram_quantile(buckets, ["name"], 0.9).collect()}
+    assert q90 == {"m": 4.0}
+    # q=0.1: rank=1 -> first bucket, lower bound 0: 0 + 1*(1-0)/(2-0) = 0.5
+    q10 = {r["name"]: r["quantile_value"] for r in histogram_quantile(buckets, ["name"], 0.1).collect()}
+    assert q10 == {"m": 0.5}
