@@ -283,3 +283,69 @@ def histogram_quantile(
         .otherwise(interp)
         .alias("quantile_value"),
     )
+
+
+def instant_vector(
+    df: DataFrame, series_cols: list[str], step_ms: int, lookback_ms: int
+) -> DataFrame:
+    """PromQL instant-vector step evaluation (D8): at every aligned step t in
+    the data's range, each series reports its latest sample with
+    ``t - lookback < sample_ts <= t`` (the staleness rule). Series with no
+    sample in the window emit nothing at that step.
+
+    Implemented as the union+window as-of pattern: step anchors union with
+    samples, one window per series carries the last sample forward — a single
+    shuffle on the series key, no per-sample explode, no range join. At scale
+    anchors are |series| x |steps| rows, tiny next to the sample stream."""
+    bounds = df.agg(F.min("ts_ms").alias("__mn__"), F.max("ts_ms").alias("__mx__"))
+    series = df.select(*series_cols).distinct()
+    anchors = (
+        series.crossJoin(F.broadcast(bounds))
+        .select(
+            *series_cols,
+            F.explode(
+                F.sequence(
+                    F.expr(f"((__mn__ + {step_ms - 1}) div {step_ms}) * {step_ms}"),
+                    F.expr(f"(__mx__ div {step_ms}) * {step_ms}"),
+                    F.lit(step_ms).cast("long"),
+                )
+            ).alias("step_ms"),
+        )
+    )
+    a = anchors.select(
+        *series_cols,
+        F.col("step_ms").alias("ts_ms"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(1).alias("__anchor__"),
+        "step_ms",
+    )
+    s = df.select(
+        *series_cols,
+        "ts_ms",
+        "value",
+        F.lit(0).alias("__anchor__"),
+        F.lit(None).cast("long").alias("step_ms"),
+    )
+    w = (
+        Window.partitionBy(*series_cols)
+        .orderBy("ts_ms", "__anchor__")  # a sample at t sorts before t's anchor
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = (
+        a.unionByName(s)
+        .withColumn("ivalue", F.last("value", ignorenulls=True).over(w))
+        .withColumn(
+            "sample_ts",
+            F.last(
+                F.when(F.col("__anchor__") == 0, F.col("ts_ms")), ignorenulls=True
+            ).over(w),
+        )
+    )
+    return (
+        u.filter(
+            (F.col("__anchor__") == 1)
+            & F.col("sample_ts").isNotNull()
+            & (F.col("sample_ts") > F.col("step_ms") - lookback_ms)
+        )
+        .select(*series_cols, "step_ms", F.col("ivalue").alias("value"))
+    )

@@ -574,3 +574,48 @@ def promql_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quantile_value"
         ),
     ).orderBy("name")
+
+
+# ---------------------------------------------------------------------- D8 instant-vector steps
+@register(
+    "promql_instant_vector",
+    oracle=_DEDUP_CTE
+    + f"""
+    , clicks AS (
+      SELECT user_label, cohort, ts_ms, value FROM samples WHERE name = 'click'
+    ), bounds AS (
+      SELECT ((min(ts_ms) + {7 * DAY_MS - 1}) // {7 * DAY_MS}) * {7 * DAY_MS} AS lo,
+             (max(ts_ms) // {7 * DAY_MS}) * {7 * DAY_MS} AS hi
+      FROM clicks
+    ), steps AS (
+      SELECT unnest(generate_series(lo, hi, {7 * DAY_MS})) AS step_ms FROM bounds
+    ), anchors AS (
+      SELECT user_label, cohort, step_ms
+      FROM (SELECT DISTINCT user_label, cohort FROM clicks) CROSS JOIN steps
+    )
+    SELECT user_label, cohort, step_ms, value FROM (
+      SELECT a.user_label, a.cohort, a.step_ms, s.value,
+             row_number() OVER (PARTITION BY a.user_label, a.cohort, a.step_ms
+                                ORDER BY s.ts_ms DESC) AS rn
+      FROM anchors a
+      JOIN clicks s
+        ON a.user_label = s.user_label AND a.cohort = s.cohort
+       AND s.ts_ms <= a.step_ms AND s.ts_ms > a.step_ms - {3 * DAY_MS}
+    ) WHERE rn = 1
+    ORDER BY user_label, cohort, step_ms
+    """,
+)
+def promql_instant_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instant-vector step evaluation with staleness (D8): at each 7-day
+    aligned step, each 'click' series reports its latest sample within a
+    3-day lookback — PromQL's evaluation model. Union+window as-of (one
+    shuffle on the series key); the oracle is DuckDB's ASOF JOIN."""
+    eng = _engine(spark, sf_dir)
+    sel = _series_with_labels(eng.select_series("click"))
+    out = promql.instant_vector(
+        sel.select("user_label", "cohort", "ts_ms", "value"),
+        ["user_label", "cohort"],
+        7 * DAY_MS,
+        3 * DAY_MS,
+    )
+    return out.orderBy("user_label", "cohort", "step_ms")

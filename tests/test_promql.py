@@ -110,3 +110,27 @@ def test_histogram_quantile_goldens(spark):
     # q=0.1: rank=1 -> first bucket, lower bound 0: 0 + 1*(1-0)/(2-0) = 0.5
     q10 = {r["name"]: r["quantile_value"] for r in histogram_quantile(buckets, ["name"], 0.1).collect()}
     assert q10 == {"m": 0.5}
+
+
+def test_instant_vector_staleness_golden(spark):
+    """A step t serves a series' latest sample with ts in (t - lookback, t].
+    Data range [3,18] yields one aligned step (10). With lookback=5, 'a''s
+    sample at ts=3 is stale for step 10 (3 <= 10-5) and 'b' has nothing at or
+    before 10, so the result is empty; widening lookback to 8 admits ts=3."""
+    from horaedb_spark.functions.promql import instant_vector
+
+    rows = [("a", 3, 1.0), ("a", 12, 2.0), ("b", 18, 7.0)]
+    df = spark.createDataFrame(rows, "sid string, ts_ms long, value double")
+    out = {
+        (r["sid"], r["step_ms"]): r["value"]
+        for r in instant_vector(df, ["sid"], 10, 5).collect()
+    }
+    # data range [3,18] -> steps 10. For step 10: 'a' latest sample <=10 is
+    # ts=3, but 3 <= 10-5 -> stale, excluded. 'b' has no sample <=10.
+    assert out == {}
+    # widen lookback to 8: step 10 serves a's ts=3 (3 > 10-8)
+    out2 = {
+        (r["sid"], r["step_ms"]): r["value"]
+        for r in instant_vector(df, ["sid"], 10, 8).collect()
+    }
+    assert out2 == {("a", 10): 1.0}
