@@ -109,3 +109,106 @@ def extract_features(
             )
 
     return cols.mapInPandas(run, FEATURES_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_payload", T.BinaryType()),
+        T.StructField("frame_digest", T.StringType()),
+        T.StructField("frame_bytes", T.LongType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, id_col: str, payload_col: str, frame_size: int, k: int
+) -> DataFrame:
+    """Evenly sample up to ``k`` fixed-size frames from each opaque payload
+    (the video frame-sampling operator shape): frame j of a payload with
+    ``n = len // frame_size`` frames is index ``j*n//k`` (deduplicated). The
+    byte-slicing and Arrow batch plumbing are real; a production build swaps
+    the byte-window slicer for a container-aware demuxer."""
+    import hashlib
+
+    import pandas as pd
+
+    cols = media.select(
+        F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, payloads, digests, sizes = [], [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(p)
+                n_frames = len(raw) // frame_size
+                if n_frames <= 0:
+                    continue
+                for fi in sorted({(j * n_frames) // k for j in range(k)}):
+                    fr = raw[fi * frame_size : (fi + 1) * frame_size]
+                    ids.append(int(mid))
+                    idxs.append(fi)
+                    payloads.append(fr)
+                    digests.append(hashlib.md5(fr).hexdigest())
+                    sizes.append(len(fr))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_payload": pd.Series(payloads, dtype="object"),
+                    "frame_digest": pd.Series(digests, dtype="object"),
+                    "frame_bytes": pd.Series(sizes, dtype="int64"),
+                }
+            )
+
+    return cols.mapInPandas(run, FRAMES_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame,
+    id_col: str,
+    payload_col: str,
+    width: int,
+    height: int,
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Image-resize operator plumbing: Arrow-batched mapInPandas with the
+    (payload, width, height) output contract. The decode+resample itself
+    needs a codec — inject ``resizer(payload, w, h) -> bytes`` (e.g. a
+    PIL-based callable) in deployment; without one this raises
+    ``NotImplementedError`` at execution, mirroring ``decode_image``."""
+    import pandas as pd
+
+    cols = media.select(
+        F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if resizer is None:
+                raise NotImplementedError(
+                    "resize requires an injected resizer (no codec libs in this build)"
+                )
+            out = [resizer(bytes(p), width, height) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "payload": pd.Series(out, dtype="object"),
+                    "width": pd.Series([width] * len(out), dtype="int32"),
+                    "height": pd.Series([height] * len(out), dtype="int32"),
+                }
+            )
+
+    return cols.mapInPandas(run, RESIZED_SCHEMA)

@@ -56,3 +56,36 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("features", 1), 6).alias("f0"),
         F.size("features").alias("feature_dim"),
     ).orderBy("media_id")
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, text, length(text) // 256 AS n_frames FROM documents
+    ), idx AS (
+      SELECT unnest(generate_series(0, 3)) AS j
+    ), frames AS (
+      SELECT DISTINCT doc_id, (j * n_frames) // 4 AS frame_idx
+      FROM docs CROSS JOIN idx WHERE n_frames > 0
+    )
+    SELECT f.doc_id AS media_id, f.frame_idx,
+           md5(substring(d.text, CAST(f.frame_idx * 256 + 1 AS BIGINT), 256))
+               AS frame_digest,
+           256 AS frame_bytes
+    FROM frames f JOIN docs d USING (doc_id)
+    ORDER BY media_id, frame_idx
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over opaque payloads (mapInPandas): up to 4 evenly
+    spaced 256-byte frames per document payload, digest per frame. The
+    byte-window slicer stands in for a demuxer; batching/schema are the real
+    operator. (Text is ASCII, so the oracle's char slicing == byte slicing.)"""
+    from horaedb_spark.functions.multimodal import sample_frames
+
+    media = _media_frame(spark, sf_dir)
+    out = sample_frames(media, "doc_id", "payload", frame_size=256, k=4)
+    return out.select(
+        "media_id", "frame_idx", "frame_digest", F.col("frame_bytes").cast("int").alias("frame_bytes")
+    ).orderBy("media_id", "frame_idx")

@@ -97,3 +97,29 @@ def test_fill_required_projections():
     s = _schema()
     assert s.fill_required_projections(["value"]) == ["value", "pk1", "pk2", "__seq__"]
     assert s.fill_required_projections(None) is None
+
+
+def test_resize_media_plumbing(spark):
+    """resize_media executes the Arrow-batched contract with an injected
+    resizer (deterministic fake: truncate/pad to w*h bytes) and raises
+    cleanly without one."""
+    import pytest as _pytest
+
+    from horaedb_spark.functions.multimodal import resize_media
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abcdef")), (2, bytearray(b"xy"))],
+        "media_id long, payload binary",
+    )
+
+    def fake_resizer(p: bytes, w: int, h: int) -> bytes:
+        return (p * ((w * h) // max(len(p), 1) + 1))[: w * h]
+
+    out = {
+        r["media_id"]: (bytes(r["payload"]), r["width"], r["height"])
+        for r in resize_media(df, "media_id", "payload", 2, 2, fake_resizer).collect()
+    }
+    assert out == {1: (b"abcd", 2, 2), 2: (b"xyxy", 2, 2)}
+
+    with _pytest.raises(Exception, match="NotImplementedError|resize requires"):
+        resize_media(df, "media_id", "payload", 2, 2).collect()
