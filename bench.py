@@ -38,13 +38,16 @@ HEADLINE = [
     # metric / promql layer
     "metric_agg_by_label",
     "promql_rate",
+    "promql_histogram_quantile",
     # LLM-pipeline
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_bruteforce_topk",
+    "ann_ivf_topk",
     "text_quality_score",
     # streaming
     "streaming_ingest_scan",
+    "streaming_stateful_increase",
 ]
 
 
