@@ -180,6 +180,64 @@ def decode_write_request(buf: bytes) -> list[dict]:
     return out
 
 
+def _decode_exemplar(buf: bytes) -> dict:
+    """Exemplar{labels=1, value=2 (double), timestamp=3 (ms)} — the trace
+    back-reference attached to a sample (remote_write.proto:70-77)."""
+    pos, labels, value, ts = 0, {}, 0.0, 0
+    while pos < len(buf):
+        key, pos = _read_varint(buf, pos)
+        field, wt = key >> 3, key & 7
+        if field == 1 and wt == 2:
+            n, pos = _read_varint(buf, pos)
+            k, v = _decode_label(buf[pos : pos + n])
+            labels[k] = v
+            pos += n
+        elif field == 2 and wt == 1:
+            value = struct.unpack("<d", buf[pos : pos + 8])[0]
+            pos += 8
+        elif field == 3 and wt == 0:
+            raw, pos = _read_varint(buf, pos)
+            ts = raw - (1 << 64) if raw >= (1 << 63) else raw
+        else:
+            pos = _skip_field(buf, pos, wt)
+    return {"labels": labels, "value": value, "ts_ms": ts}
+
+
+def decode_exemplars(buf: bytes) -> list[dict]:
+    """WriteRequest bytes -> exemplar dicts with their series identity
+    attached (name + series labels + exemplar labels/value/ts). The reference
+    parses exemplars on the same path as samples (pb_reader.rs:227-262)."""
+    pos, out = 0, []
+    while pos < len(buf):
+        key, pos = _read_varint(buf, pos)
+        field, wt = key >> 3, key & 7
+        if field == 1 and wt == 2:
+            n, pos = _read_varint(buf, pos)
+            ts_buf = buf[pos : pos + n]
+            pos += n
+            tpos, labels, exemplars = 0, {}, []
+            while tpos < len(ts_buf):
+                tkey, tpos = _read_varint(ts_buf, tpos)
+                tfield, twt = tkey >> 3, tkey & 7
+                if tfield == 1 and twt == 2:
+                    ln, tpos = _read_varint(ts_buf, tpos)
+                    k, v = _decode_label(ts_buf[tpos : tpos + ln])
+                    labels[k] = v
+                    tpos += ln
+                elif tfield == 3 and twt == 2:
+                    ln, tpos = _read_varint(ts_buf, tpos)
+                    exemplars.append(_decode_exemplar(ts_buf[tpos : tpos + ln]))
+                    tpos += ln
+                else:
+                    tpos = _skip_field(ts_buf, tpos, twt)
+            name = labels.pop("__name__", "")
+            for ex in exemplars:
+                out.append({"name": name, "series_labels": labels, **ex})
+        else:
+            pos = _skip_field(buf, pos, wt)
+    return out
+
+
 # ------------------------------------------------------------------- encoder
 
 
@@ -228,6 +286,14 @@ def encode_write_request(series: list[dict], metadata: list[dict] | None = None)
                 + _varint(raw_ts)
             )
             ts_buf += _ld(2, sample)
+        for ex in s.get("exemplars", ()):
+            ex_buf = bytearray()
+            for k, v in ex.get("labels", {}).items():
+                ex_buf += _ld(1, _ld(1, k.encode()) + _ld(2, v.encode()))
+            raw_ts = ex["ts_ms"] + (1 << 64) if ex["ts_ms"] < 0 else ex["ts_ms"]
+            ex_buf += _varint((2 << 3) | 1) + struct.pack("<d", ex["value"])
+            ex_buf += _varint((3 << 3) | 0) + _varint(raw_ts)
+            ts_buf += _ld(3, bytes(ex_buf))
         req += _ld(1, bytes(ts_buf))
     return bytes(req)
 

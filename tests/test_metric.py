@@ -135,3 +135,51 @@ def test_metadata_codec_round_trip():
     assert decode_metadata(buf) == md
     # sample decode is unaffected by interleaved metadata records
     assert decode_write_request(buf) == decode_write_request(encode_write_request(FIXTURE))
+
+
+def test_exemplar_roundtrip_and_sample_isolation():
+    """Exemplars (remote_write.proto:70-77) encode/decode round-trip with
+    series identity attached, and their presence does not perturb the sample
+    decode path (exemplar fields are correctly framed/skipped there)."""
+    from horaedb_spark.metric.ingest import (
+        decode_exemplars,
+        decode_write_request,
+        encode_write_request,
+    )
+
+    series = [
+        {
+            "name": "http_requests",
+            "labels": {"job": "api"},
+            "samples": [(1.5, 1000), (2.5, 2000)],
+            "exemplars": [
+                {"labels": {"trace_id": "abc"}, "value": 1.4, "ts_ms": 999},
+                {"labels": {}, "value": 2.4, "ts_ms": -5},
+            ],
+        },
+        {"name": "plain", "labels": {}, "samples": [(9.0, 42)]},
+    ]
+    buf = encode_write_request(series)
+    samples = decode_write_request(buf)
+    assert [(s["name"], s["value"], s["ts_ms"]) for s in samples] == [
+        ("http_requests", 1.5, 1000),
+        ("http_requests", 2.5, 2000),
+        ("plain", 9.0, 42),
+    ]
+    exemplars = decode_exemplars(buf)
+    assert exemplars == [
+        {
+            "name": "http_requests",
+            "series_labels": {"job": "api"},
+            "labels": {"trace_id": "abc"},
+            "value": 1.4,
+            "ts_ms": 999,
+        },
+        {
+            "name": "http_requests",
+            "series_labels": {"job": "api"},
+            "labels": {},
+            "value": 2.4,
+            "ts_ms": -5,
+        },
+    ]

@@ -85,3 +85,35 @@ def test_time_range_scan_reads_only_matching_ssts(spark, tmp_path):
     files = t.scan(ScanRequest(time_range=TimeRange(0, TWO_HOURS), ordered=False)).inputFiles()
     # manifest-level pruning: every input file belongs to the one matching SST
     assert files and all(f"sst={first_sst.file_id}" in f for f in files)
+
+
+def test_ivf_centroid_assignment_broadcasts(spark):
+    """IVF cell assignment must broadcast the centroid set (no shuffle of
+    the corpus for the quantizer join) — the property that makes candidate
+    generation partition-prunable at scale."""
+    from horaedb_spark.functions.similarity import ivf_assign, ivf_centroids
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3)]) for i in range(50)],
+        "vec_id long, qv array<double>",
+    ).select("vec_id", F.col("qv").cast("array<long>").alias("qv"))
+    cents = ivf_centroids(emb, "vec_id", "qv", 4)
+    plan = plan_of(ivf_assign(emb, cents, "vec_id", "qv", nprobe=1))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_instant_vector_single_series_shuffle(spark):
+    """The union+window as-of form must not range-join or explode samples:
+    exactly one window over the series key, anchors built from a broadcast
+    of the (1-row) bounds aggregate."""
+    from horaedb_spark.functions.promql import instant_vector
+
+    df = spark.createDataFrame(
+        [("a", i * 100, float(i)) for i in range(20)],
+        "sid string, ts_ms long, value double",
+    )
+    plan = plan_of(instant_vector(df, ["sid"], 500, 300))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") >= 1
+    # no join of samples against anchors — the as-of is window-carried
+    assert "SortMergeJoin" not in plan, plan[:3000]
