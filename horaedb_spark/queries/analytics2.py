@@ -259,3 +259,89 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_customers"))
         .orderBy("n_orders")
     )
+
+
+@register(
+    "shipping_priority_q3",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {sql_dsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: two-sided date predicates (both pushed to their scans),
+    broadcast customer dim filtered before the join, fact-fact join on
+    orderkey, top-10 by decimal-exact revenue with a deterministic tiebreak."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "bracket_revenue_q19",
+    oracle=f"""
+    SELECT p.p_brand, count(*) AS n_lines,
+           {sql_dsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1 AND 11
+           AND p.p_size BETWEEN 1 AND 5)
+       OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 10 AND 20
+           AND p.p_size BETWEEN 1 AND 10)
+       OR (p.p_brand = 'Brand#34' AND l.l_quantity BETWEEN 20 AND 30
+           AND p.p_size BETWEEN 1 AND 15)
+    GROUP BY p.p_brand ORDER BY p.p_brand
+    """,
+)
+def bracket_revenue_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-AND bracket predicates spanning both join
+    sides — Catalyst pushes the per-side conjuncts below the join (brand/size
+    to the part scan, quantity to lineitem) and broadcasts the filtered
+    part dim."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("l_quantity").between(1, 11) & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & F.col("l_quantity").between(10, 20) & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#34") & F.col("l_quantity").between(20, 30) & F.col("p_size").between(1, 15))
+    )
+    return (
+        joined.filter(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
