@@ -26,6 +26,13 @@ def test_watermark_append_window(spark, tmp_path):
     ).select(F.col("ts").cast("timestamp").alias("ts"), "v")
     b1.write.parquet(str(src / "f1"))
     b2.write.parquet(str(src / "f2"))
+    # pin distinct mtimes so the file source always sees f1 strictly first
+    # (equal mtimes can batch both files into one trigger under load)
+    import os as _os
+
+    for i, d in enumerate(("f1", "f2")):
+        for f in (src / d).iterdir():
+            _os.utime(f, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
 
     stream = (
         spark.readStream.schema(b1.schema)
