@@ -619,3 +619,57 @@ def promql_instant_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
         3 * DAY_MS,
     )
     return out.orderBy("user_label", "cohort", "step_ms")
+
+
+# ---------------------------------------------------------------------- D4 label_names
+@register(
+    "metric_label_names",
+    oracle=_DEDUP_CTE
+    + """
+    SELECT name AS metric_name, tag_key FROM (
+      SELECT DISTINCT name, 'cohort' AS tag_key FROM samples
+      UNION
+      SELECT DISTINCT name, 'user' FROM samples
+    ) ORDER BY metric_name, tag_key
+    """,
+)
+def metric_label_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """label_names() metadata query (Prometheus /api/v1/labels): distinct
+    tag keys per metric, answered from the inverted index without touching
+    the data table."""
+    eng = _engine(spark, sf_dir)
+    return (
+        eng.index.select("metric_id", "tag_key")
+        .distinct()
+        .join(F.broadcast(eng.metrics.select("metric_id", "metric_name")), "metric_id")
+        .select("metric_name", "tag_key")
+        .orderBy("metric_name", "tag_key")
+    )
+
+
+# ---------------------------------------------------------------------- D3 series listing
+@register(
+    "metric_series_list",
+    oracle=_DEDUP_CTE
+    + """
+    SELECT DISTINCT name AS metric_name,
+           'cohort=' || cohort || ',user=' || user_label AS series_key
+    FROM samples WHERE name = 'error' AND cohort = '7'
+    ORDER BY series_key
+    """,
+)
+def metric_series_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """series() metadata query (Prometheus /api/v1/series): the label sets of
+    all series matching {cohort="7"} on metric 'error' — matcher resolution
+    against the index joined to the series table, no data scan."""
+    eng = _engine(spark, sf_dir)
+    tsids = eng.resolve_tsids("error", [Matcher("cohort", "=", "7")])
+    mid = F.xxhash64(F.lit("error"))
+    return (
+        eng.series.filter(F.col("metric_id") == mid)
+        .join(F.broadcast(tsids), "tsid", "left_semi")
+        .join(F.broadcast(eng.metrics.select("metric_id", "metric_name")), "metric_id")
+        .select("metric_name", "series_key")
+        .distinct()
+        .orderBy("series_key")
+    )
