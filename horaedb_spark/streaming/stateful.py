@@ -36,6 +36,7 @@ OUTPUT_SCHEMA = T.StructType(
         T.StructField("event_type", T.StringType()),
         T.StructField("n", T.LongType()),
         T.StructField("increase_milli", T.LongType()),
+        T.StructField("evicted", T.BooleanType()),
     ]
 )
 
@@ -49,7 +50,29 @@ STATE_SCHEMA = T.StructType(
 )
 
 
-def _update_increase(key, pdfs, state: GroupState):
+def _make_update(idle_timeout_ms):
+    def _update_increase(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # idle-series GC: emit the final snapshot, drop the state — the
+            # mechanism that keeps state O(live series) on unbounded keyspaces
+            last_vq, n, inc = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "event_type": [key[1]],
+                    "n": [n],
+                    "increase_milli": [inc],
+                    "evicted": [True],
+                }
+            )
+            return
+        yield from _update_increase_live(key, pdfs, state, idle_timeout_ms)
+
+    return _update_increase
+
+
+def _update_increase_live(key, pdfs, state: GroupState, idle_timeout_ms):
     if state.exists:
         last_vq, n, inc = state.get
     else:
@@ -73,24 +96,38 @@ def _update_increase(key, pdfs, state: GroupState):
         last_vq = int(vq[-1])
 
     state.update((last_vq, n, inc))
+    if idle_timeout_ms is not None:
+        state.setTimeoutDuration(idle_timeout_ms)
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "event_type": [key[1]],
             "n": [n],
             "increase_milli": [inc],
+            "evicted": [False],
         }
     )
 
 
-def stateful_increase(stream: DataFrame) -> DataFrame:
+def stateful_increase(
+    stream: DataFrame, idle_timeout_ms: int | None = None
+) -> DataFrame:
     """Attach the stateful increase operator to a streaming DataFrame with
     columns (user_id, event_type, ts_ms, event_id, value). Emits one running
-    (n, increase_milli) row per touched series per micro-batch."""
+    (n, increase_milli) row per touched series per micro-batch. With
+    ``idle_timeout_ms`` set, a series untouched for that long is evicted:
+    its final snapshot is emitted with ``evicted=true`` and its state is
+    removed (re-appearing keys restart fresh) — state stays bounded by the
+    number of LIVE series regardless of total keyspace."""
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return stream.groupBy("user_id", "event_type").applyInPandasWithState(
-        _update_increase,
+        _make_update(idle_timeout_ms),
         OUTPUT_SCHEMA,
         STATE_SCHEMA,
         "update",
-        GroupStateTimeout.NoTimeout,
+        timeout,
     )

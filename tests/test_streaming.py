@@ -24,8 +24,11 @@ def test_watermark_append_window(spark, tmp_path):
     b2 = spark.createDataFrame(
         [("2024-01-01 00:00:12", 10), ("2024-01-01 00:01:00", 3)], schema
     ).select(F.col("ts").cast("timestamp").alias("ts"), "v")
-    b1.write.parquet(str(src / "f1"))
-    b2.write.parquet(str(src / "f2"))
+    # exactly ONE data file per logical batch: with more part files,
+    # maxFilesPerTrigger=1 splits a batch and the watermark can advance past
+    # the late row before it arrives (the source of an in-suite flake)
+    b1.coalesce(1).write.parquet(str(src / "f1"))
+    b2.coalesce(1).write.parquet(str(src / "f2"))
     # pin distinct mtimes so the file source always sees f1 strictly first
     # (equal mtimes can batch both files into one trigger under load)
     import os as _os
@@ -179,3 +182,69 @@ def test_rate_source_synthetic_ingest(spark, tmp_path):
     out = table.scan()
     assert out.count() > 0
     assert out.select("k").distinct().count() == out.count()  # PK-deduped
+
+
+def test_stateful_increase_idle_eviction(spark, tmp_path):
+    """With idle_timeout_ms set, a series untouched across later batches is
+    evicted: its final snapshot arrives with evicted=true, its state is
+    removed, and a re-appearing key restarts from scratch. NOTE: with
+    pending processing-time timeouts the engine keeps scheduling no-data
+    batches, so processAllAvailable() never settles — drive by polling."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from horaedb_spark.streaming.stateful import stateful_increase
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [
+        [(1, "a", 1, 1, 5.0), (2, "b", 1, 2, 10.0)],  # both live
+        [(1, "a", 2, 3, 6.0)],  # b idle -> times out
+        [(1, "a", 3, 5, 7.0), (2, "b", 4, 6, 100.0)],  # b returns, fresh
+    ]
+    cols = ["user_id", "event_type", "ts_ms", "event_id", "value"]
+    for i, rows in enumerate(batches):
+        p = str(src / f"b{i}.parquet")
+        pd.DataFrame(rows, columns=cols).to_parquet(p)
+        os.utime(p, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    schema = (
+        "user_id long, event_type string, ts_ms long, event_id long, value double"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stateful_increase(stream, idle_timeout_ms=1)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_evict_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    deadline = _time.time() + 90
+    converged = False
+    while _time.time() < deadline:
+        _time.sleep(2)
+        rows = spark.table("stateful_evict_test").collect()
+        evicted_b = [r for r in rows if r["user_id"] == 2 and r["evicted"]]
+        fresh_b = [r for r in rows if r["user_id"] == 2 and not r["evicted"]]
+        if evicted_b and len(fresh_b) >= 2:
+            converged = True
+            break
+    q.stop()
+    assert converged, "eviction + fresh restart not observed within deadline"
+    rows = spark.table("stateful_evict_test").collect()
+    uniq = {tuple(r) for r in rows}
+    # b: evicted snapshot carries its pre-eviction state (n=1, inc=0)...
+    assert (2, "b", 1, 0, True) in uniq, sorted(uniq)
+    # ...and the post-return incarnation restarted fresh (n=1, no carry),
+    # rather than continuing at n=2
+    assert (2, "b", 2, None, False) not in uniq
+    assert not any(r[:2] == (2, "b") and r[2] > 1 for r in uniq), sorted(uniq)
+    # a progressed monotonically to (3, 2000) while it stayed live
+    assert (1, "a", 3, 2000, False) in uniq, sorted(uniq)
