@@ -349,3 +349,70 @@ def instant_vector(
         )
         .select(*series_cols, "step_ms", F.col("ivalue").alias("value"))
     )
+
+
+def fill_linear(df: DataFrame, series_cols: list[str], step_ms: int) -> DataFrame:
+    """Linear gap-fill at aligned steps (TimescaleDB ``interpolate`` /
+    InfluxDB ``fill(linear)``): each step t between a series' first and last
+    sample gets ``prev + (next-prev) * (t-t_prev)/(t_next-t_prev)`` from its
+    neighboring samples. Steps outside the sampled interior emit nothing.
+
+    Same union+window shape as :func:`instant_vector` — one shuffle on the
+    series key, two window passes (backward carry + forward carry), no range
+    join, no explode."""
+    bounds = df.agg(F.min("ts_ms").alias("__mn__"), F.max("ts_ms").alias("__mx__"))
+    series = df.select(*series_cols).distinct()
+    anchors = series.crossJoin(F.broadcast(bounds)).select(
+        *series_cols,
+        F.explode(
+            F.sequence(
+                F.expr(f"((__mn__ + {step_ms - 1}) div {step_ms}) * {step_ms}"),
+                F.expr(f"(__mx__ div {step_ms}) * {step_ms}"),
+                F.lit(step_ms).cast("long"),
+            )
+        ).alias("step_ms"),
+    )
+    a = anchors.select(
+        *series_cols,
+        F.col("step_ms").alias("ts_ms"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(1).alias("__anchor__"),
+        "step_ms",
+    )
+    s = df.select(
+        *series_cols,
+        "ts_ms",
+        "value",
+        F.lit(0).alias("__anchor__"),
+        F.lit(None).cast("long").alias("step_ms"),
+    )
+    back = (
+        Window.partitionBy(*series_cols)
+        .orderBy("ts_ms", "__anchor__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(*series_cols)
+        .orderBy("ts_ms", "__anchor__")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    sample_ts = F.when(F.col("__anchor__") == 0, F.col("ts_ms"))
+    u = (
+        a.unionByName(s)
+        .withColumn("prev_val", F.last("value", ignorenulls=True).over(back))
+        .withColumn("prev_ts", F.last(sample_ts, ignorenulls=True).over(back))
+        .withColumn("next_val", F.first("value", ignorenulls=True).over(fwd))
+        .withColumn("next_ts", F.first(sample_ts, ignorenulls=True).over(fwd))
+    )
+    interp = F.col("prev_val") + (F.col("next_val") - F.col("prev_val")) * (
+        (F.col("step_ms") - F.col("prev_ts")) / (F.col("next_ts") - F.col("prev_ts"))
+    )
+    return (
+        u.filter(
+            (F.col("__anchor__") == 1)
+            & F.col("prev_ts").isNotNull()
+            & F.col("next_ts").isNotNull()
+            & (F.col("next_ts") != F.col("prev_ts"))
+        )
+        .select(*series_cols, "step_ms", interp.alias("value"))
+    )

@@ -673,3 +673,68 @@ def metric_series_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("series_key")
     )
+
+
+# ---------------------------------------------------------------------- D8 linear gap-fill
+@register(
+    "promql_gap_fill",
+    oracle=_DEDUP_CTE
+    + f"""
+    , sig AS (
+      SELECT user_label, cohort, ts_ms, value FROM samples WHERE name = 'signup'
+    ), bounds AS (
+      SELECT ((min(ts_ms) + {7 * DAY_MS - 1}) // {7 * DAY_MS}) * {7 * DAY_MS} AS lo,
+             (max(ts_ms) // {7 * DAY_MS}) * {7 * DAY_MS} AS hi
+      FROM sig
+    ), steps AS (
+      SELECT unnest(generate_series(lo, hi, {7 * DAY_MS})) AS step_ms FROM bounds
+    ), u AS (
+      SELECT user_label, cohort, ts_ms, value, 0 AS is_anchor,
+             CAST(NULL AS BIGINT) AS step_ms
+      FROM sig
+      UNION ALL
+      SELECT s.user_label, s.cohort, st.step_ms, CAST(NULL AS DOUBLE), 1, st.step_ms
+      FROM (SELECT DISTINCT user_label, cohort FROM sig) s CROSS JOIN steps st
+    ), w AS (
+      SELECT *,
+        last_value(value IGNORE NULLS) OVER bk AS prev_val,
+        last_value(CASE WHEN is_anchor = 0 THEN ts_ms END IGNORE NULLS)
+            OVER bk AS prev_ts,
+        first_value(value IGNORE NULLS) OVER fw AS next_val,
+        first_value(CASE WHEN is_anchor = 0 THEN ts_ms END IGNORE NULLS)
+            OVER fw AS next_ts
+      FROM u
+      WINDOW
+        bk AS (PARTITION BY user_label, cohort ORDER BY ts_ms, is_anchor
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        fw AS (PARTITION BY user_label, cohort ORDER BY ts_ms, is_anchor
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_label, cohort, step_ms,
+           floor((prev_val + (next_val - prev_val)
+                  * ((step_ms - prev_ts) / (next_ts - prev_ts))) * 1000000 + 0.5)
+               / 1000000 AS value
+    FROM w
+    WHERE is_anchor = 1 AND prev_ts IS NOT NULL AND next_ts IS NOT NULL
+      AND next_ts != prev_ts
+    ORDER BY user_label, cohort, step_ms
+    """,
+)
+def promql_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap-fill at 7-day steps over sparse 'signup' series (the
+    Timescale `interpolate` / Influx `fill(linear)` operator): each interior
+    step interpolates between its neighboring samples. Union+window form —
+    one shuffle, no range join."""
+    eng = _engine(spark, sf_dir)
+    sel = _series_with_labels(eng.select_series("signup"))
+    out = promql.fill_linear(
+        sel.select("user_label", "cohort", "ts_ms", "value"),
+        ["user_label", "cohort"],
+        7 * DAY_MS,
+    )
+    return out.select(
+        "user_label",
+        "cohort",
+        "step_ms",
+        (F.floor(F.col("value") * 1000000 + 0.5) / 1000000).alias("value"),
+    ).orderBy("user_label", "cohort", "step_ms")

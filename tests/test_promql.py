@@ -134,3 +134,19 @@ def test_instant_vector_staleness_golden(spark):
         for r in instant_vector(df, ["sid"], 10, 8).collect()
     }
     assert out2 == {("a", 10): 1.0}
+
+
+def test_fill_linear_golden(spark):
+    """Samples (ts=0,v=10) and (ts=20,v=30), step=10: step 0 hits the sample
+    (10.0), step 10 interpolates midway (20.0), step 20 has no *following*
+    sample so it is outside the interior and emits nothing."""
+    from horaedb_spark.functions.promql import fill_linear
+
+    df = spark.createDataFrame(
+        [("x", 0, 10.0), ("x", 20, 30.0)], "sid string, ts_ms long, value double"
+    )
+    out = {
+        (r["sid"], r["step_ms"]): r["value"]
+        for r in fill_linear(df, ["sid"], 10).collect()
+    }
+    assert out == {("x", 0): 10.0, ("x", 10): 20.0}
