@@ -150,3 +150,57 @@ def test_fill_linear_golden(spark):
         for r in fill_linear(df, ["sid"], 10).collect()
     }
     assert out == {("x", 0): 10.0, ("x", 10): 20.0}
+
+
+def test_instant_and_fill_randomized_model_check(spark):
+    """Model check: 40 random series (fixed seed), one Spark call per
+    operator, expectations computed by a direct Python model — catches
+    boundary cases the goldens don't (steps at samples, gaps > lookback,
+    single-sample series, negative-ish alignment)."""
+    import random
+
+    from horaedb_spark.functions.promql import fill_linear, instant_vector
+
+    rng = random.Random(20260813)
+    STEP, LOOKBACK = 100, 70
+    rows = []
+    for s in range(40):
+        n = rng.randint(1, 12)
+        tss = sorted(rng.sample(range(0, 1500), n))
+        for t in tss:
+            rows.append((f"s{s}", t, round(rng.uniform(-50, 50), 3)))
+    df = spark.createDataFrame(rows, "sid string, ts_ms long, value double")
+
+    by_series = {}
+    for sid, t, v in rows:
+        by_series.setdefault(sid, []).append((t, v))
+
+    # python model over the same global step grid the operators use
+    mn = min(t for _, t, _ in rows)
+    mx = max(t for _, t, _ in rows)
+    steps = range(-(-mn // STEP) * STEP, (mx // STEP) * STEP + 1, STEP)
+
+    exp_instant, exp_fill = {}, {}
+    for sid, pts in by_series.items():
+        for t in steps:
+            prev = [(ts, v) for ts, v in pts if ts <= t]
+            if prev:
+                pts_, pv = prev[-1]
+                if pts_ > t - LOOKBACK:
+                    exp_instant[(sid, t)] = pv
+            after = [(ts, v) for ts, v in pts if ts > t]
+            if prev and after:
+                (pt, pv), (nt, nv) = prev[-1], after[0]
+                exp_fill[(sid, t)] = pv + (nv - pv) * ((t - pt) / (nt - pt))
+    got_instant = {
+        (r["sid"], r["step_ms"]): r["value"]
+        for r in instant_vector(df, ["sid"], STEP, LOOKBACK).collect()
+    }
+    assert got_instant == exp_instant
+    got_fill = {
+        (r["sid"], r["step_ms"]): r["value"]
+        for r in fill_linear(df, ["sid"], STEP).collect()
+    }
+    assert set(got_fill) == set(exp_fill)
+    for k in exp_fill:
+        assert abs(got_fill[k] - exp_fill[k]) < 1e-9, (k, got_fill[k], exp_fill[k])
