@@ -159,6 +159,117 @@ def idelta(df: DataFrame, series_cols: list[str], step_ms: int) -> DataFrame:
     )
 
 
+def transition_counts(df: DataFrame, series_cols: list[str], step_ms: int) -> DataFrame:
+    """PromQL ``resets()`` and ``changes()`` in one pass: per series per step
+    bucket, the number of counter resets (value drops between consecutive
+    samples) and the number of value changes. One window (lag per series
+    ordered by ts) + one hash aggregate; buckets with fewer than two samples
+    emit nothing (both functions need two points)."""
+    b = _bucketed(df, step_ms)
+    w = Window.partitionBy(*series_cols, "bucket_ms").orderBy("ts_ms")
+    diffed = b.withColumn("prev", F.lag("value").over(w))
+    return (
+        diffed.groupBy(*series_cols, "bucket_ms")
+        .agg(
+            F.count(F.when(F.col("value") < F.col("prev"), 1)).alias("resets"),
+            F.count(F.when(F.col("value") != F.col("prev"), 1)).alias("changes"),
+            F.count("*").alias("n_samples"),
+        )
+        .filter(F.col("n_samples") >= 2)
+        .select(*series_cols, "bucket_ms", "resets", "changes")
+    )
+
+
+def quantile_over_time(
+    df: DataFrame, series_cols: list[str], step_ms: int, q: float
+) -> DataFrame:
+    """PromQL ``quantile_over_time(q, ...)``: exact linearly-interpolated
+    percentile per series step bucket. Spark's exact ``percentile()`` matches
+    DuckDB's ``quantile_cont`` (same R-7 interpolation); one hash aggregate."""
+    b = _bucketed(df, step_ms)
+    return b.groupBy(*series_cols, "bucket_ms").agg(
+        F.percentile("value", F.lit(q)).alias("quantile_over_time")
+    )
+
+
+def stddev_over_time(
+    df: DataFrame, series_cols: list[str], step_ms: int, quantum: int = 1000
+) -> DataFrame:
+    """PromQL ``stddev_over_time`` / ``stdvar_over_time`` (population).
+
+    Values are quantized to 1/quantum units — exact int64 — so Σq and Σq² are
+    exact integer sums and the variance
+    ``(n·Σq² − (Σq)²) / n² / quantum²`` is order-independent and
+    engine-exact regardless of partitioning (divergence: 1e-3 input
+    quantization, documented in DIVERGENCES.md). Single-sample buckets report
+    0, as PromQL does."""
+    b = _bucketed(df, step_ms).withColumn(
+        "__q__", F.floor(F.col("value") * quantum + F.lit(0.5)).cast("long")
+    )
+    agg = b.groupBy(*series_cols, "bucket_ms").agg(
+        F.sum("__q__").alias("sq"),
+        F.sum(F.col("__q__") * F.col("__q__")).alias("sq2"),
+        F.count("__q__").alias("n"),
+    )
+    var = (
+        (F.col("n") * F.col("sq2") - F.col("sq") * F.col("sq")).cast("double")
+        / (F.col("n") * F.col("n"))
+        / F.lit(float(quantum) * float(quantum))
+    )
+    return agg.select(
+        *series_cols,
+        "bucket_ms",
+        var.alias("stdvar_over_time"),
+        F.sqrt(var).alias("stddev_over_time"),
+    )
+
+
+def label_replace(
+    df: DataFrame,
+    dst: str,
+    replacement: str,
+    src: str,
+    regex: str,
+    labels_col: str = "labels",
+) -> DataFrame:
+    """PromQL ``label_replace()``: when ``regex`` matches the ENTIRE value of
+    label ``src`` (PromQL anchors the pattern), set label ``dst`` to
+    ``replacement`` with ``$n`` capture references expanded; an empty result
+    removes ``dst``; non-matching series pass through unchanged. A missing
+    ``src`` label matches as the empty string, as in PromQL. Pure row-local
+    map expressions — no shuffle, no UDF."""
+    anchored = f"^(?:{regex})$"
+    src_val = F.coalesce(F.element_at(F.col(labels_col), F.lit(src)), F.lit(""))
+    new_val = F.regexp_replace(src_val, anchored, replacement)
+    without_dst = F.map_filter(F.col(labels_col), lambda k, _v: k != F.lit(dst))
+    updated = F.when(new_val == "", without_dst).otherwise(
+        F.map_concat(without_dst, F.create_map(F.lit(dst), new_val))
+    )
+    return df.withColumn(
+        labels_col,
+        F.when(src_val.rlike(anchored), updated).otherwise(F.col(labels_col)),
+    )
+
+
+def label_join(
+    df: DataFrame, dst: str, sep: str, srcs: list[str], labels_col: str = "labels"
+) -> DataFrame:
+    """PromQL ``label_join()``: set label ``dst`` to the values of the source
+    labels joined with ``sep`` (missing labels join as empty strings). Pure
+    map expression — no shuffle."""
+    joined = F.concat_ws(
+        sep,
+        *[
+            F.coalesce(F.element_at(F.col(labels_col), F.lit(s)), F.lit(""))
+            for s in srcs
+        ],
+    )
+    without_dst = F.map_filter(F.col(labels_col), lambda k, _v: k != F.lit(dst))
+    return df.withColumn(
+        labels_col, F.map_concat(without_dst, F.create_map(F.lit(dst), joined))
+    )
+
+
 def aggregate_by(
     df: DataFrame,
     by_labels: list[str],

@@ -621,6 +621,126 @@ def promql_instant_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_label", "cohort", "step_ms")
 
 
+# ---------------------------------------------------------------------- D7 resets/changes
+@register(
+    "promql_resets_changes",
+    oracle=_DEDUP_CTE
+    + f"""
+    SELECT user_label, cohort, bucket_ms, resets, changes FROM (
+      SELECT user_label, cohort, bucket_ms,
+             count(*) FILTER (WHERE value < prev) AS resets,
+             count(*) FILTER (WHERE value != prev) AS changes,
+             count(*) AS n
+      FROM (
+        SELECT user_label, cohort, ts_ms - ts_ms % {DAY_MS} AS bucket_ms, value,
+               lag(value) OVER (PARTITION BY user_label, cohort,
+                                ts_ms - ts_ms % {DAY_MS} ORDER BY ts_ms) AS prev
+        FROM samples WHERE name = 'click'
+      ) GROUP BY 1, 2, 3
+    ) WHERE n >= 2
+    ORDER BY user_label, cohort, bucket_ms
+    """,
+)
+def promql_resets_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resets() and changes() per series over 1-day buckets (D7): counter
+    drops and value transitions between consecutive samples, one window + one
+    hash aggregate."""
+    eng = _engine(spark, sf_dir)
+    sel = _series_with_labels(eng.select_series("click"))
+    out = promql.transition_counts(sel, ["user_label", "cohort"], DAY_MS)
+    return out.orderBy("user_label", "cohort", "bucket_ms")
+
+
+# ---------------------------------------------------------------------- D7 quantile/stddev over time
+@register(
+    "promql_quantile_stddev",
+    oracle=_DEDUP_CTE
+    + f"""
+    , qz AS (
+      SELECT user_label, cohort, ts_ms - ts_ms % {7 * DAY_MS} AS bucket_ms, value,
+             CAST(floor(value * 1000 + 0.5) AS BIGINT) AS q
+      FROM samples WHERE name = 'error'
+    ), s AS (
+      SELECT user_label, cohort, bucket_ms,
+             quantile_cont(value, 0.9) AS p90,
+             sum(q) AS sq, sum(q * q) AS sq2, count(*) AS n
+      FROM qz GROUP BY 1, 2, 3
+    )
+    SELECT user_label, cohort, bucket_ms,
+           floor(p90 * 1000000 + 0.5) / 1000000 AS p90,
+           floor((CAST(n * sq2 - sq * sq AS DOUBLE) / (n * n) / 1000000.0)
+                 * 1000000 + 0.5) / 1000000 AS stdvar,
+           floor(sqrt(CAST(n * sq2 - sq * sq AS DOUBLE) / (n * n) / 1000000.0)
+                 * 1000000 + 0.5) / 1000000 AS stddev
+    FROM s
+    ORDER BY user_label, cohort, bucket_ms
+    """,
+)
+def promql_quantile_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quantile_over_time(0.9) + stddev/stdvar_over_time per series over
+    7-day buckets (D7): exact interpolated percentile (Spark percentile ==
+    DuckDB quantile_cont) and quantized-integer population variance —
+    order-independent on both engines."""
+    eng = _engine(spark, sf_dir)
+    sel = _series_with_labels(eng.select_series("error"))
+    keys = ["user_label", "cohort"]
+    qt = promql.quantile_over_time(sel, keys, 7 * DAY_MS, 0.9)
+    sd = promql.stddev_over_time(sel, keys, 7 * DAY_MS)
+    out = qt.join(sd, [*keys, "bucket_ms"], "inner")
+    r6 = lambda c: (F.floor(F.col(c) * 1000000 + 0.5) / 1000000)
+    return out.select(
+        *keys,
+        "bucket_ms",
+        r6("quantile_over_time").alias("p90"),
+        r6("stdvar_over_time").alias("stdvar"),
+        r6("stddev_over_time").alias("stddev"),
+    ).orderBy("user_label", "cohort", "bucket_ms")
+
+
+# ---------------------------------------------------------------------- D7 label_replace/label_join
+@register(
+    "metric_label_replace_join",
+    oracle=_DEDUP_CTE
+    + """
+    SELECT CASE WHEN regexp_matches(cohort, '^(?:[0-4])$')
+                THEN 'low-' || cohort ELSE 'other' END AS tier,
+           count(*) AS n_samples,
+           count(DISTINCT user_label || '-' || cohort) AS n_series,
+           round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 6) AS sum_value
+    FROM samples WHERE name = 'view'
+    GROUP BY 1 ORDER BY tier
+    """,
+)
+def metric_label_replace_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """label_replace() + label_join() relabeling: cohorts 0-4 gain a
+    tier='low-$1' label (capture-group expansion), every series gains
+    uc=user-cohort, and the stream re-aggregates by the new label — all
+    row-local map expressions, no extra shuffle beyond the final aggregate."""
+    eng = _engine(spark, sf_dir)
+    sel = _series_with_labels(eng.select_series("view")).withColumn(
+        "labels",
+        F.create_map(
+            F.lit("cohort"), F.col("cohort"), F.lit("user"), F.col("user_label")
+        ),
+    )
+    relabeled = promql.label_replace(sel, "tier", "low-$1", "cohort", "([0-4])")
+    relabeled = promql.label_join(relabeled, "uc", "-", ["user", "cohort"])
+    return (
+        relabeled.withColumn(
+            "tier", F.coalesce(F.element_at("labels", F.lit("tier")), F.lit("other"))
+        )
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n_samples"),
+            F.countDistinct(F.element_at("labels", F.lit("uc"))).alias("n_series"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(30,10)")).cast("double"), 6
+            ).alias("sum_value"),
+        )
+        .orderBy("tier")
+    )
+
+
 # ---------------------------------------------------------------------- D4 label_names
 @register(
     "metric_label_names",

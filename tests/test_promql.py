@@ -204,3 +204,74 @@ def test_instant_and_fill_randomized_model_check(spark):
     assert set(got_fill) == set(exp_fill)
     for k in exp_fill:
         assert abs(got_fill[k] - exp_fill[k]) < 1e-9, (k, got_fill[k], exp_fill[k])
+
+
+def test_transition_counts_golden(spark):
+    from horaedb_spark.functions.promql import transition_counts
+
+    rows = [
+        # series a, bucket 0: 5 -> 3 (reset+change) -> 3 (no change) -> 7 (change)
+        ("a", 1, 5.0), ("a", 2, 3.0), ("a", 3, 3.0), ("a", 4, 7.0),
+        # series b, bucket 0: single sample -> no output
+        ("b", 1, 1.0),
+        # series a, bucket 10: 2 -> 1 -> 9
+        ("a", 11, 2.0), ("a", 12, 1.0), ("a", 13, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "sid string, ts_ms long, value double")
+    out = {
+        (r["sid"], r["bucket_ms"]): (r["resets"], r["changes"])
+        for r in transition_counts(df, ["sid"], 10).collect()
+    }
+    assert out == {("a", 0): (1, 2), ("a", 10): (1, 2)}
+
+
+def test_quantile_and_stddev_over_time_golden(spark):
+    import statistics
+
+    from horaedb_spark.functions.promql import quantile_over_time, stddev_over_time
+
+    vals = [1.25, 2.5, 2.5, 10.0, 4.75]
+    rows = [("a", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "sid string, ts_ms long, value double")
+
+    got_q = quantile_over_time(df, ["sid"], 100, 0.5).collect()[0]
+    assert got_q["quantile_over_time"] == statistics.median(vals)
+
+    got_s = stddev_over_time(df, ["sid"], 100).collect()[0]
+    assert abs(got_s["stdvar_over_time"] - statistics.pvariance(vals)) < 1e-9
+    assert abs(got_s["stddev_over_time"] - statistics.pstdev(vals)) < 1e-9
+
+    # single-sample bucket reports 0, like PromQL
+    one = spark.createDataFrame([("b", 0, 42.0)], "sid string, ts_ms long, value double")
+    assert stddev_over_time(one, ["sid"], 100).collect()[0]["stdvar_over_time"] == 0.0
+
+
+def test_label_replace_and_join_goldens(spark):
+    from pyspark.sql import functions as F
+
+    from horaedb_spark.functions.promql import label_join, label_replace
+
+    df = spark.createDataFrame(
+        [({"job": "api-7", "env": "prod"},), ({"job": "worker", "env": "dev"},)],
+        "labels map<string,string>",
+    )
+    # full-match + $1 expansion: only api-7 matches api-(\d+)
+    out = label_replace(df, "shard", "s$1", "job", r"api-(\d+)")
+    got = sorted((r["labels"].get("shard") for r in out.collect()), key=str)
+    assert got == ["s7", None] or got == [None, "s7"]
+
+    # partial match must NOT fire (PromQL anchors the regex)
+    out2 = label_replace(df, "shard", "s$1", "job", r"api")
+    assert all(r["labels"].get("shard") is None for r in out2.collect())
+
+    # empty replacement removes dst; missing src matches as empty string
+    pre = label_join(df, "shard", "", ["env"])
+    removed = label_replace(pre, "shard", "", "job", ".*")
+    assert all("shard" not in r["labels"] for r in removed.collect())
+    missing = label_replace(df, "flag", "none", "absent_label", "")
+    assert all(r["labels"]["flag"] == "none" for r in missing.collect())
+
+    # label_join: dst = src values joined, missing sources join as ""
+    joined = label_join(df, "combo", "-", ["env", "job", "nope"])
+    got_j = sorted(r["labels"]["combo"] for r in joined.collect())
+    assert got_j == ["dev-worker-", "prod-api-7-"]
