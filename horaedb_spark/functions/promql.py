@@ -270,6 +270,60 @@ def label_join(
     )
 
 
+def vector_binop(
+    left: DataFrame,
+    right: DataFrame,
+    op: str,
+    match_on: list[str],
+    l_value: str = "value",
+    r_value: str = "value",
+    out_col: str = "value",
+    bool_mode: bool = False,
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """PromQL binary operation between two instant vectors with one-to-one
+    vector matching: rows pair when their matching labels are equal (the
+    ``on (labels)`` form — pass the shared label/bucket columns as
+    ``match_on``; ``ignoring`` is the same call with the complement).
+
+    Arithmetic ops (``+ - * / %``) emit the computed value; comparison ops
+    (``> >= < <= == !=``) follow PromQL filter semantics — keep the left row
+    (with its value) where the comparison holds — or emit 1.0/0.0 with
+    ``bool_mode=True``. Implemented as an equi-join on the matching columns:
+    one shuffle, or zero with ``broadcast_right`` for a small right side
+    (e.g. a per-group threshold vector). ``group_left``/``group_right``
+    many-to-one matching is out of scope (documented)."""
+    lv, rv = F.col("__lv__"), F.col("__rv__")
+    l = left.select(*match_on, F.col(l_value).alias("__lv__"))
+    r = right.select(*match_on, F.col(r_value).alias("__rv__"))
+    if broadcast_right:
+        r = F.broadcast(r)
+    j = l.join(r, match_on, "inner")
+    arith = {
+        "+": lv + rv,
+        "-": lv - rv,
+        "*": lv * rv,
+        "/": lv / rv,
+        "%": F.pmod(lv, rv),
+    }
+    comps = {
+        ">": lv > rv,
+        ">=": lv >= rv,
+        "<": lv < rv,
+        "<=": lv <= rv,
+        "==": lv == rv,
+        "!=": lv != rv,
+    }
+    if op in arith:
+        return j.select(*match_on, arith[op].alias(out_col))
+    cond = comps[op]
+    if bool_mode:
+        return j.select(
+            *match_on, F.when(cond, F.lit(1.0)).otherwise(F.lit(0.0)).alias(out_col)
+        )
+    return j.filter(cond).select(*match_on, lv.alias(out_col))
+
+
 def aggregate_by(
     df: DataFrame,
     by_labels: list[str],

@@ -168,3 +168,27 @@ def predict_lang(word_col: Column) -> Column:
     for lang in ("en", "de", "es", "fr"):
         out = out.when(s[lang] == best, F.lit(lang))
     return out
+
+
+# Redaction patterns: each must mean the same thing to Spark (Java regex) and
+# DuckDB (RE2) — keep to the common subset (no backrefs, no lookaround).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "phone": r"\+?\d{3}[-. ]\d{3,4}[-. ]\d{4}",
+}
+
+
+def redact_pii(
+    text: Column | str,
+    replacement: str = "[REDACTED]",
+    patterns: dict[str, str] | None = None,
+) -> Column:
+    """Scrub PII-shaped substrings (emails, URLs, phone numbers) from a text
+    column — a standard training-data hygiene pass. Chained ``regexp_replace``
+    built-ins (replace-all semantics), so the operator is pure codegen'd
+    JVM work: no UDF, no shuffle, linear scan per row."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pat in (patterns or PII_PATTERNS).values():
+        c = F.regexp_replace(c, pat, replacement)
+    return c

@@ -741,7 +741,52 @@ def metric_label_replace_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------- D4 label_names
+# ---------------------------------------------------------------------- D6 vector binop
+@register(
+    "promql_vector_ratio",
+    oracle=_DEDUP_CTE
+    + f"""
+    , e AS (
+      SELECT cohort, ts_ms - ts_ms % {7 * DAY_MS} AS bucket_ms,
+             CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS ev
+      FROM samples WHERE name = 'error' GROUP BY 1, 2
+    ), c AS (
+      SELECT cohort, ts_ms - ts_ms % {7 * DAY_MS} AS bucket_ms,
+             CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS cv
+      FROM samples WHERE name = 'click' GROUP BY 1, 2
+    )
+    SELECT e.cohort, e.bucket_ms,
+           floor((ev / cv) * 1000000 + 0.5) / 1000000 AS error_ratio,
+           CASE WHEN ev > CAST(0.5 AS DOUBLE) * cv
+                THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS breach
+    FROM e JOIN c ON e.cohort = c.cohort AND e.bucket_ms = c.bucket_ms
+    ORDER BY e.cohort, e.bucket_ms
+    """,
+)
+def promql_vector_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary operation between two vectors with label matching — PromQL's
+    ``sum by (cohort) (error) / on (cohort) sum by (cohort) (click)`` error
+    ratio per 7-day bucket, plus an ``error > bool 0.5 * click`` breach flag
+    (scalar-scaled vector compared in bool mode). Two hash aggregates + two
+    equi-joins on the matching labels."""
+    eng = _engine(spark, sf_dir)
+    keys = ["cohort", "bucket_ms"]
+    vecs = {}
+    for metric in ("error", "click"):
+        sel = _series_with_labels(eng.select_series(metric))
+        vecs[metric] = promql.aggregate_by(sel, ["cohort"], 7 * DAY_MS, {"value": "sum"})
+    ratio = promql.vector_binop(vecs["error"], vecs["click"], "/", keys)
+    threshold = vecs["click"].withColumn("value", F.lit(0.5) * F.col("value"))
+    breach = promql.vector_binop(
+        vecs["error"], threshold, ">", keys, bool_mode=True, out_col="breach"
+    )
+    out = ratio.join(breach, keys, "inner")
+    return out.select(
+        "cohort",
+        "bucket_ms",
+        (F.floor(F.col("value") * 1000000 + 0.5) / 1000000).alias("error_ratio"),
+        "breach",
+    ).orderBy("cohort", "bucket_ms")
 @register(
     "metric_label_names",
     oracle=_DEDUP_CTE

@@ -104,3 +104,39 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         _DIRS[key] = out
     back = spark.read.parquet(_DIRS[key])
     return back.groupBy("day").agg(F.count("*").alias("n")).orderBy("day")
+
+
+@register(
+    "source_csv_roundtrip",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 6) AS sum_value,
+           min(epoch_ms(ts)) AS min_ts_ms, max(epoch_ms(ts)) AS max_ts_ms
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source with explicit schema: events written to headered CSV, read
+    back, aggregated — must equal the parquet-sourced answer exactly (Java's
+    shortest-round-trip double formatting survives the text round-trip)."""
+    key = f"csv:{sf_dir}"
+    if key not in _DIRS:
+        out = tempfile.mkdtemp(prefix="horaedb_csv_")
+        events_ms(spark, sf_dir).select(
+            "event_id", "ts_ms", "user_id", "event_type", "value"
+        ).write.mode("overwrite").option("header", True).csv(out)
+        _DIRS[key] = out
+    schema = "event_id long, ts_ms long, user_id long, event_type string, value double"
+    ev = spark.read.schema(schema).option("header", True).csv(_DIRS[key])
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(30,10)")).cast("double"), 6
+            ).alias("sum_value"),
+            F.min("ts_ms").alias("min_ts_ms"),
+            F.max("ts_ms").alias("max_ts_ms"),
+        )
+        .orderBy("event_type")
+    )

@@ -129,3 +129,64 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", TX.normalized_fingerprint("text").alias("fingerprint")
     ).orderBy("doc_id")
+
+
+@register(
+    "text_redact_pii",
+    oracle=r"""
+    WITH planted AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or https://ex.com/d/' || CAST(doc_id AS VARCHAR)
+                  || ' call 555-123-4567' AS text
+      FROM documents
+    ), red AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[REDACTED]', 'g'),
+                 'https?://[^\s]+', '[REDACTED]', 'g'),
+               '\+?\d{3}[-. ]\d{3,4}[-. ]\d{4}', '[REDACTED]', 'g') AS redacted,
+             text
+      FROM planted
+    )
+    SELECT doc_id, md5(redacted) AS redacted_md5,
+           length(text) - length(redacted) AS chars_removed,
+           (length(redacted) - length(replace(redacted, '[REDACTED]', '')))
+             // length('[REDACTED]') AS n_redactions
+    FROM red ORDER BY doc_id
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: documents get deterministic planted emails / URLs /
+    phone numbers (the synthetic corpus has none), then ``redact_pii`` scrubs
+    them with chained replace-all regexes. Verified by md5 of the redacted
+    text plus removed-char and redaction counts — byte-exact across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or https://ex.com/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" call 555-123-4567"),
+        ).alias("text"),
+    )
+    red = planted.select(
+        "doc_id",
+        "text",
+        TX.redact_pii("text").alias("redacted"),
+    )
+    marker_len = len("[REDACTED]")
+    return red.select(
+        "doc_id",
+        F.md5("redacted").alias("redacted_md5"),
+        (F.length("text") - F.length("redacted")).alias("chars_removed"),
+        (
+            (F.length("redacted") - F.length(F.replace(F.col("redacted"), F.lit("[REDACTED]"), F.lit(""))))
+            / F.lit(marker_len)
+        ).cast("long").alias("n_redactions"),
+    ).orderBy("doc_id")

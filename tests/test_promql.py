@@ -275,3 +275,27 @@ def test_label_replace_and_join_goldens(spark):
     joined = label_join(df, "combo", "-", ["env", "job", "nope"])
     got_j = sorted(r["labels"]["combo"] for r in joined.collect())
     assert got_j == ["dev-worker-", "prod-api-7-"]
+
+
+def test_vector_binop_goldens(spark):
+    from horaedb_spark.functions.promql import vector_binop
+
+    l = spark.createDataFrame(
+        [("a", 0, 10.0), ("b", 0, 2.0), ("c", 0, 5.0)], "sid string, b long, value double"
+    )
+    r = spark.createDataFrame(
+        [("a", 0, 4.0), ("b", 0, 4.0)], "sid string, b long, value double"
+    )
+    keys = ["sid", "b"]
+    # arithmetic: unmatched 'c' drops (one-to-one matching)
+    div = {r_["sid"]: r_["value"] for r_ in vector_binop(l, r, "/", keys).collect()}
+    assert div == {"a": 2.5, "b": 0.5}
+    # comparison filter semantics: keep LEFT value where cond holds
+    gt = {r_["sid"]: r_["value"] for r_ in vector_binop(l, r, ">", keys).collect()}
+    assert gt == {"a": 10.0}
+    # bool mode: 1.0/0.0 per matched pair
+    gtb = {r_["sid"]: r_["value"] for r_ in vector_binop(l, r, ">", keys, bool_mode=True).collect()}
+    assert gtb == {"a": 1.0, "b": 0.0}
+    # pmod keeps the sign of the divisor (PromQL % is float mod)
+    m = {r_["sid"]: r_["value"] for r_ in vector_binop(l, r, "%", keys).collect()}
+    assert m == {"a": 2.0, "b": 2.0}
