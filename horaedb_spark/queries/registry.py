@@ -50,6 +50,7 @@ def register(name: str, oracle: str | None = None):
 _QUERY_MODULES = (
     "analytics",
     "analytics2",
+    "analytics3",
     "setops_queries",
     "sources_queries",
     "storage_queries",
