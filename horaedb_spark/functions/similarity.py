@@ -208,3 +208,41 @@ def ivf_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "rank", "cos_sim")
     )
+
+
+def mean_pool(
+    df: DataFrame, group_cols: list[str], qv_col: str = "qv", scale: int = 1000
+) -> DataFrame:
+    """Element-wise mean-pooling of quantized embedding vectors per group —
+    the chunk→document / document→corpus pooling stage of a training-data
+    pipeline (and the centroid-update step of k-means, run once).
+
+    Distributed as posexplode → per-(group, dim) integer partial sums →
+    per-group re-assembly ordered by dim: two key-partitioned hash
+    aggregates, no collect, no UDF. Integer sums keep every intermediate
+    exact, so the pooled vector and its norm are identical under any
+    partitioning; the only float ops are the final per-dim division and the
+    norm's sqrt. Output: group cols, ``n_vecs``, ``mean_vec``
+    (array<double>), ``mean_norm`` (L2 of the pooled vector, from the exact
+    integer sum of squares)."""
+    ex = df.select(*group_cols, F.posexplode(qv_col).alias("pos", "q"))
+    per_pos = ex.groupBy(*group_cols, "pos").agg(
+        F.sum("q").alias("sq"), F.count("*").alias("n")
+    )
+    denom = F.col("n_vecs") * scale
+    return (
+        per_pos.groupBy(*group_cols)
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.sum(F.col("sq") * F.col("sq")).alias("__ssq__"),
+            F.array_sort(F.collect_list(F.struct("pos", "sq"))).alias("__pairs__"),
+        )
+        .select(
+            *group_cols,
+            "n_vecs",
+            F.transform(
+                "__pairs__", lambda p: p["sq"].cast("double") / denom
+            ).alias("mean_vec"),
+            (F.sqrt(F.col("__ssq__").cast("double")) / denom).alias("mean_norm"),
+        )
+    )

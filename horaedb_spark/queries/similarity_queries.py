@@ -164,3 +164,41 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "corpus_id", "rank", F.round("cos_sim", 6).alias("cos_sim")
     ).orderBy("query_id", "rank")
+
+
+@register(
+    "embedding_mean_pool",
+    oracle=f"""
+    WITH q AS (SELECT label, {_QV} AS qv FROM embeddings),
+    ex AS (SELECT label, i AS pos, qv[i] AS qe
+           FROM q, unnest(generate_series(1, {_DIM})) AS t(i)),
+    per_pos AS (SELECT label, pos, sum(qe) AS sq, count(*) AS n
+                FROM ex GROUP BY 1, 2),
+    pooled AS (SELECT label, max(n) AS n_vecs, sum(sq * sq) AS ssq,
+                      max(CASE WHEN pos = 1 THEN sq END) AS sq0
+               FROM per_pos GROUP BY label)
+    SELECT label, n_vecs,
+           floor(sqrt(CAST(ssq AS DOUBLE)) / (n_vecs * 1000) * 1000000 + 0.5)
+             / 1000000 AS mean_norm,
+           floor(CAST(sq0 AS DOUBLE) / (n_vecs * 1000) * 1000000 + 0.5)
+             / 1000000 AS mean_d0
+    FROM pooled ORDER BY label
+    """,
+)
+def embedding_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-pooled embedding per label class: the distributed pooling
+    operator over quantized vectors — exact integer sums per dimension, so
+    the pooled vector, first component, and L2 norm reproduce bit-identically
+    on any engine/partitioning."""
+    from horaedb_spark.functions.similarity import mean_pool
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qemb = emb.select("label", quantize(F.col("embedding")).alias("qv"))
+    pooled = mean_pool(qemb, ["label"])
+    r6 = lambda c: (F.floor(c * 1000000 + 0.5) / 1000000)
+    return pooled.select(
+        "label",
+        "n_vecs",
+        r6(F.col("mean_norm")).alias("mean_norm"),
+        r6(F.element_at("mean_vec", 1)).alias("mean_d0"),
+    ).orderBy("label")

@@ -194,3 +194,61 @@ def streaming_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).orderBy("window_start_ms", "event_type")
     return _CACHE[key]
+
+
+GAP_MS = 30 * 60 * 1000
+
+
+@register(
+    "streaming_session_window",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+             CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                       OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= {GAP_MS}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts_ms,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, min(ts_ms) AS session_start_ms,
+           max(ts_ms) + {GAP_MS} AS session_end_ms, count(*) AS n
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, session_start_ms
+    """,
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows: per-user sessions that merge events
+    closer than a 30-minute gap (`F.session_window` — the stateful
+    merging-window operator, session end = last event + gap). Driven to
+    completion in complete mode; must equal the batch lag-based island
+    computation. The batch `sessionization` query is the window-function
+    twin of this operator."""
+    key = f"session:{sf_dir}"
+    if key not in _CACHE:
+        stream = _raw_events_stream(spark, sf_dir).withColumn(
+            "ts_ts", F.timestamp_millis(F.col("ts_ms"))
+        )
+        agg = stream.groupBy(
+            F.session_window("ts_ts", "30 minutes").alias("w"), "user_id"
+        ).agg(F.count("*").alias("n"))
+        name = "horaedb_stream_session_window"
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        _CACHE[key] = spark.table(name).select(
+            "user_id",
+            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("w.end")).alias("session_end_ms"),
+            "n",
+        ).cache()
+    return _CACHE[key].orderBy("user_id", "session_start_ms")
