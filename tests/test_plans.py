@@ -144,3 +144,32 @@ def test_ivf_cell_partitioning_prunes_scan(spark, tmp_path):
     n_dirs = len([d for d in pathlib.Path(path).iterdir() if d.name.startswith("cell=")])
     assert n_dirs > 1  # corpus really spread over multiple cells
     assert pruned.count() == cells.filter(F.col("cell") == 3).count()
+
+
+def test_vector_binop_broadcasts_small_right(spark):
+    """A small threshold vector joined with broadcast_right must not shuffle
+    the left side into a sort-merge join."""
+    from horaedb_spark.functions.promql import vector_binop
+
+    left = spark.range(1000).selectExpr("cast(id % 7 as string) sid", "id b", "cast(id as double) value")
+    right = spark.range(7).selectExpr("cast(id as string) sid", "id b", "cast(id as double) value")
+    out = vector_binop(left, right, "/", ["sid", "b"], broadcast_right=True)
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_mean_pool_is_two_hash_aggregates_no_collect(spark):
+    """mean_pool must plan as generate(posexplode) + two partial/final hash
+    aggregate pairs — fully distributed, nothing funnels to one partition."""
+    from horaedb_spark.functions.similarity import mean_pool
+
+    df = spark.range(100).selectExpr(
+        "id % 5 as label", "array(id, id + 1, id + 2) as qv"
+    )
+    plan = plan_of(mean_pool(df, ["label"]))
+    assert "Generate explode" in plan or "Generate posexplode" in plan, plan[:1500]
+    # ObjectHashAggregate handles collect_list; HashAggregate the integer sums
+    assert plan.count("HashAggregate") >= 2
+    # no single-partition funnel before the final group
+    assert "SinglePartition" not in plan.split("AdaptiveSparkPlan")[0]
