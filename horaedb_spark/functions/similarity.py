@@ -47,13 +47,14 @@ def _plane_weight(plane: int, dim: int) -> int:
     return 1 if h[0] in _MD5_LOW_HALF else -1
 
 
-def lsh_bucket(qvec: Column, num_planes: int, dim: int) -> Column:
+def lsh_bucket(qvec: Column, num_planes: int, dim: int, plane_offset: int = 0) -> Column:
     """B-bit random-hyperplane bucket of a quantized vector: bit p = sign of
     the ±1-weighted integer dot product. Weights are baked in as literals
     (driver-computed md5), so the executor-side expression is pure integer
-    codegen."""
+    codegen. ``plane_offset`` selects an independent plane family — multiple
+    hash tables for recall amplification."""
     bits = []
-    for p in range(num_planes):
+    for p in range(plane_offset, plane_offset + num_planes):
         weights = [_plane_weight(p, d) for d in range(dim)]
         dot = None
         for d, w in enumerate(weights):
@@ -127,6 +128,61 @@ def lsh_ann_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "rank", "cos_sim")
+    )
+
+
+def embedding_lsh_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    dim: int,
+    num_planes: int = 8,
+    num_tables: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-dup, candidate-generation first.
+
+    ``num_tables`` independent random-hyperplane bucket tables block the
+    corpus (each row lands in one bucket per table); the exact quantized
+    cosine (``dedup.cosine``) runs ONLY on same-bucket pairs — the all-pairs
+    cartesian never appears in the plan. Recall amplifies as
+    1-(1-p^planes)^tables; high-cosine pairs collide in at least one table
+    with overwhelming probability. The bucket join is a single hash-shuffle
+    on (table, bucket); a viral duplicate cluster (hot bucket) is AQE-split.
+    Input vectors must already be quantized integers (``quantize``)."""
+    v = df.select(F.col(id_col), F.col(vec_col).alias("qv"))
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_bucket(
+                    F.col("qv"), num_planes, dim, plane_offset=t * num_planes
+                ).alias("bkt"),
+            )
+            for t in range(num_tables)
+        ]
+    )
+    flat = v.select(id_col, "qv", F.explode(tables).alias("b")).select(
+        id_col, "qv", F.col("b.tbl").alias("tbl"), F.col("b.bkt").alias("bkt")
+    )
+    a, b = flat.alias("a"), flat.alias("b")
+    cos = cosine(F.col("a.qv").cast("array<double>"), F.col("b.qv").cast("array<double>"))
+    return (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        # a pair colliding in several tables appears once per collision; the
+        # cosine is a pure function of the pair so distinct() collapses them
+        .distinct()
     )
 
 

@@ -27,6 +27,15 @@ from horaedb_spark.core.timeutil import TimeRange
 from horaedb_spark.metric import model
 
 
+def _anchored(pattern: str) -> str:
+    """PromQL fully anchors matcher regexes: host=~"h1" must NOT match h10.
+
+    (prometheus/pkg/labels: NewMatcher wraps as ^(?:pattern)$; label_replace
+    in functions/promql.py applies the same rule.)
+    """
+    return f"^(?:{pattern})$"
+
+
 @dataclass(frozen=True)
 class Matcher:
     """One PromQL label matcher: op in {'=', '!=', '=~', '!~'}."""
@@ -89,7 +98,7 @@ class MetricEngine:
                 c = (F.col("tag_key") == m.key) & (
                     (F.col("tag_value") == m.value)
                     if m.op == "="
-                    else F.col("tag_value").rlike(m.value)
+                    else F.col("tag_value").rlike(_anchored(m.value))
                 )
                 conds = c if conds is None else conds | c
             tsids = (
@@ -106,7 +115,7 @@ class MetricEngine:
             c = (F.col("tag_key") == m.key) & (
                 (F.col("tag_value") == m.value)
                 if m.op == "!="
-                else F.col("tag_value").rlike(m.value)
+                else F.col("tag_value").rlike(_anchored(m.value))
             )
             tsids = tsids.join(idx.filter(c).select("tsid"), "tsid", "left_anti")
         return tsids

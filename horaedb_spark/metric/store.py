@@ -24,6 +24,7 @@ from pyspark.sql import types as T
 
 from horaedb_spark.core.schema import StorageSchema, UpdateMode
 from horaedb_spark.core.timeutil import TimeRange
+from horaedb_spark.functions.promql import dedup_samples
 from horaedb_spark.metric import model
 from horaedb_spark.metric.engine import MetricEngine
 from horaedb_spark.storage.table import ColumnarTable, ScanRequest, WriteRequest
@@ -84,7 +85,13 @@ class MetricStore:
         """One ingest batch: derive ids, append catalogs (idempotent under
         overwrite merge), write data per segment. ``samples`` columns:
         name, labels, ts_ms, value, seq."""
-        ided = model.with_ids(samples).persist()
+        # D10 within-batch: duplicate (metric_id, tsid, ts_ms) rows must
+        # resolve by max ingest seq BEFORE the write stamps one __seq__ per
+        # file — matching model.build_data_table (remote-write retries folded
+        # into one batch would otherwise resolve by parquet row position).
+        ided = dedup_samples(
+            model.with_ids(samples), ["metric_id", "tsid"], "seq"
+        ).persist()
         try:
             self.metrics.write(
                 WriteRequest(model.build_metrics_table(samples), TimeRange(0, 1))
@@ -96,10 +103,13 @@ class MetricStore:
                 WriteRequest(model.build_index_table(samples), TimeRange(0, 1))
             )
             dur = self.data.segment_duration_ms
+            # floor form (not `div`, which truncates toward zero): pre-epoch
+            # timestamps must map to the segment that contains them, matching
+            # Timestamp::truncate_by (reference types.rs:82-85) / time_bucket.
             segs = [
                 r[0]
                 for r in ided.select(
-                    F.expr(f"(ts_ms div {dur}) * {dur}").alias("s")
+                    (F.col("ts_ms") - F.pmod("ts_ms", F.lit(dur))).alias("s")
                 ).distinct().collect()
             ]
             for seg in sorted(segs):

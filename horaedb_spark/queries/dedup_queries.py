@@ -15,7 +15,11 @@ from pyspark.sql import functions as F
 
 from horaedb_spark.functions import dedup as DD
 from horaedb_spark.functions import text as TX
-from horaedb_spark.functions.similarity import quantize
+from horaedb_spark.functions.similarity import (
+    _plane_weight,
+    embedding_lsh_near_dup_pairs,
+    quantize,
+)
 from horaedb_spark.queries.registry import register
 from horaedb_spark.queries.tables import load_table
 
@@ -170,6 +174,36 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# LSH blocking parameters for the embedding near-dup query: 4 independent
+# 8-plane hash tables over the 64-dim quantized vectors. The oracle SQL
+# reproduces the buckets bit-for-bit from the same md5-derived ±1 weights.
+_LSH_DIM, _LSH_PLANES, _LSH_TABLES = 64, 8, 4
+
+
+def _bucket_sql(tbl: int) -> str:
+    bits = []
+    for p in range(tbl * _LSH_PLANES, (tbl + 1) * _LSH_PLANES):
+        w = "[" + ",".join(str(_plane_weight(p, d)) for d in range(_LSH_DIM)) + "]"
+        bits.append(
+            f"CASE WHEN list_sum([qv[i] * ({w})[i] "
+            f"FOR i IN generate_series(1, {_LSH_DIM})]) >= 0 "
+            "THEN '1' ELSE '0' END"
+        )
+    return "concat(" + ",\n             ".join(bits) + ")"
+
+
+_COS_SQL = """
+    list_sum([a.qv[i] * b.qv[i] FOR i IN generate_series(1, 64)])
+    / (sqrt(list_sum([a.qv[i] * a.qv[i] FOR i IN generate_series(1, 64)]))
+       * sqrt(list_sum([b.qv[i] * b.qv[i] FOR i IN generate_series(1, 64)])))
+"""
+
+_BUCKETS_SQL = "\n      UNION ALL\n".join(
+    f"      SELECT vec_id, qv, {t} AS tbl, {_bucket_sql(t)} AS bkt FROM corpus"
+    for t in range(_LSH_TABLES)
+)
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
@@ -180,23 +214,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id + {_COPY_OFFSET},
              [CAST(round(CAST(x AS DOUBLE) * 1000 + 20) AS BIGINT) FOR x IN embedding]
       FROM embeddings
+    ), buckets AS (
+{_BUCKETS_SQL}
     )
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_sum([a.qv[i] * b.qv[i] FOR i IN generate_series(1, 64)])
-                 / (sqrt(list_sum([a.qv[i] * a.qv[i] FOR i IN generate_series(1, 64)]))
-                    * sqrt(list_sum([b.qv[i] * b.qv[i] FOR i IN generate_series(1, 64)]))),
-                 6) AS cos_sim
-    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
-    WHERE list_sum([a.qv[i] * b.qv[i] FOR i IN generate_series(1, 64)])
-          / (sqrt(list_sum([a.qv[i] * a.qv[i] FOR i IN generate_series(1, 64)]))
-             * sqrt(list_sum([b.qv[i] * b.qv[i] FOR i IN generate_series(1, 64)]))) >= 0.9
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_COS_SQL}, 6) AS cos_sim
+    FROM buckets a JOIN buckets b
+      ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= 0.9
     ORDER BY id_a, id_b
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: quantized-integer cosine (exact arithmetic,
-    engine-portable) over the corpus plus slightly-shifted copies; pairs with
-    cos >= 0.9 are exactly (original, its copy)."""
+    """Embedding-cosine near-dup, candidate-generation first: 4 independent
+    8-plane LSH bucket tables block the corpus; the exact quantized-integer
+    cosine (engine-portable arithmetic) verifies only same-bucket pairs — no
+    cartesian join anywhere in the plan (asserted in tests/test_plans.py).
+    Planted shifted copies collide with their original in ≥1 table with high
+    probability; the oracle reproduces the identical bucketing, so recall is
+    verified, not assumed."""
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
     shifted = emb.select(
@@ -207,7 +243,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qv"),
     )
     corpus = base.unionByName(shifted)
-    pairs = DD.embedding_near_dup_pairs(corpus, "qv", "vec_id", 0.9)
+    pairs = embedding_lsh_near_dup_pairs(
+        corpus,
+        "qv",
+        "vec_id",
+        0.9,
+        dim=_LSH_DIM,
+        num_planes=_LSH_PLANES,
+        num_tables=_LSH_TABLES,
+    )
     return pairs.select(
         F.col("id_a"), F.col("id_b"), F.round("cos_sim", 6).alias("cos_sim")
     ).orderBy("id_a", "id_b")

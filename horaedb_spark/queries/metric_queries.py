@@ -98,13 +98,14 @@ def metric_label_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def metric_series_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Label-matcher selection {cohort="3", user=~"^1"} on metric 'purchase'
+    """Label-matcher selection {cohort="3", user=~"1.*"} on metric 'purchase'
     within a two-week range: index semi-join -> TSID set -> data join (the
-    RFC's two-step query, 20240827:120-126)."""
+    RFC's two-step query, 20240827:120-126). Matcher regexes are fully
+    anchored (PromQL semantics), so "1.*" == users starting with 1."""
     eng = _engine(spark, sf_dir)
     out = eng.select_series(
         "purchase",
-        [Matcher("cohort", "=", "3"), Matcher("user", "=~", "^1")],
+        [Matcher("cohort", "=", "3"), Matcher("user", "=~", "1.*")],
         TimeRange(1704067200000, 1705276800000),
     )
     return (
@@ -127,10 +128,11 @@ def metric_series_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def metric_series_negative_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Negative matchers {cohort!="0", user!~"9$"} — anti-joins on the index."""
+    """Negative matchers {cohort!="0", user!~".*9"} — anti-joins on the index
+    (anchored regex semantics: ".*9" == users ending in 9)."""
     eng = _engine(spark, sf_dir)
     out = eng.select_series(
-        "error", [Matcher("cohort", "!=", "0"), Matcher("user", "!~", "9$")]
+        "error", [Matcher("cohort", "!=", "0"), Matcher("user", "!~", ".*9")]
     )
     return (
         _series_with_labels(out)
@@ -374,35 +376,47 @@ def promql_delta_idelta(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def remote_write_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B1 end-to-end: events re-encoded as Prometheus remote-write protobuf
-    payloads (one WriteRequest per user partition), decoded distributed via
-    the wire codec (mapInPandas), run through id population + D10 dedup, and
-    aggregated — the full ingest pipeline of SURVEY.md §3.4 with the batch
-    table as oracle."""
+    payloads (one WriteRequest per user partition, encoded INSIDE the
+    executors via applyInPandas — no driver collect anywhere in the path),
+    decoded distributed via the wire codec (mapInPandas), run through id
+    population + D10 dedup, and aggregated — the full ingest pipeline of
+    SURVEY.md §3.4 with the batch table as oracle."""
     from horaedb_spark.metric.ingest import decode_payloads, encode_write_request
 
     key = f"rw:{sf_dir}"
     if key not in _ENGINES:
+        import pandas as pd
+
         ev = events_ms(spark, sf_dir)
-        rows = ev.select("user_id", "event_type", "ts_ms", "value", "event_id").collect()
-        by_user: dict[int, list] = {}
-        for r in rows:
-            by_user.setdefault(r.user_id % 8, []).append(r)
-        payloads = []
-        for part, rs in sorted(by_user.items()):
+
+        def _encode_part(pdf):
+            pdf = pdf.sort_values("event_id")
             series = [
                 {
-                    "name": r.event_type,
+                    "name": et,
                     "labels": {
-                        "user": str(r.user_id),
-                        "cohort": str(r.user_id % 10),
-                        "eid": str(r.event_id),
+                        "user": str(uid),
+                        "cohort": str(uid % 10),
+                        "eid": str(eid),
                     },
-                    "samples": [(r.value, r.ts_ms)],
+                    "samples": [(val, int(ts))],
                 }
-                for r in rs
+                for uid, et, ts, val, eid in zip(
+                    pdf["user_id"], pdf["event_type"], pdf["ts_ms"],
+                    pdf["value"], pdf["event_id"],
+                )
             ]
-            payloads.append((encode_write_request(series), part))
-        pdf = spark.createDataFrame(payloads, "payload binary, seq long").repartition(8)
+            return pd.DataFrame(
+                {"payload": [encode_write_request(series)],
+                 "seq": [int(pdf["part"].iloc[0])]}
+            )
+
+        pdf = (
+            ev.select("user_id", "event_type", "ts_ms", "value", "event_id")
+            .withColumn("part", F.col("user_id") % 8)
+            .groupBy("part")
+            .applyInPandas(_encode_part, "payload binary, seq long")
+        )
         decoded = decode_payloads(pdf)
         # eid rides as a label only to carry the D10 sequence; lift it out
         samples = decoded.select(

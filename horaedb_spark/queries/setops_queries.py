@@ -66,18 +66,42 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_sketches", oracle=None)  # HLL/KLL sketches are engine-specific
+@register(
+    "approx_sketches",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS approx_parts_within_tol,
+           TRUE AS approx_median_within_tol
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate sketch operators (approx_count_distinct HLL,
-    percentile_approx KLL-ish): deterministic within Spark but not
-    cross-engine, so this entry takes the rows-only check. The exact
-    counterparts are oracle-gated in distinct_users_daily /
-    event_value_percentiles."""
+    percentile_approx KLL-ish). Sketch internals are engine-specific, so the
+    raw estimates can't hash-match DuckDB — instead the query VERIFIES them:
+    each group's estimate must land within the sketch's error band of the
+    exact value (HLL default rsd 5% → 15% band; approx median → 15% relative
+    band vs the exact median). The oracle asserts the bands hold (TRUE), so a
+    sketch regression is a hard hash failure, not an unverifiable no_oracle."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_quantity", 0.5).alias("approx_median_qty"),
+    exact_median = F.expr("percentile(l_quantity, 0.5)")
+    agg = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey").alias("__ap__"),
+        F.percentile_approx("l_quantity", 0.5).alias("__am__"),
+        exact_median.alias("__em__"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("__ap__") - F.col("exact_parts"))
+            <= 0.15 * F.col("exact_parts")
+        ).alias("approx_parts_within_tol"),
+        (
+            F.abs(F.col("__am__") - F.col("__em__")) <= 0.15 * F.abs(F.col("__em__"))
+        ).alias("approx_median_within_tol"),
     ).orderBy("l_returnflag")
 
 

@@ -1,0 +1,115 @@
+"""HTTP control surface (SURVEY.md §2 B3) — the reference's actix-web
+endpoints re-expressed over the library primitives.
+
+The reference server (server/src/main.rs:59-80) exposes exactly three
+endpoints on the storage node: ``GET /`` (hello), ``GET /toggle`` (pause /
+resume the synthetic write loop), ``GET /compact`` (manually trigger
+compaction). This module mirrors that surface with the stdlib HTTP server —
+a driver-side control plane, NOT a data path: queries stay in Spark, and at
+cluster scale this runs next to the driver the way the reference's actix
+app runs next to its storage (main.rs:82-116).
+
+Extra read-only endpoint ``GET /manifest`` surfaces the SST list the CLI
+prints — the observability hook a real deployment needs.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from horaedb_spark.storage.compaction import Compactor
+
+
+class WriteToggle:
+    """Pause/resume flag for a synthetic/streaming write loop — the
+    reference's ``keep_writing`` AtomicBool (main.rs:66-73, 187-216)."""
+
+    def __init__(self) -> None:
+        self._on = threading.Event()
+        self._on.set()
+
+    def toggle(self) -> bool:
+        if self._on.is_set():
+            self._on.clear()
+        else:
+            self._on.set()
+        return self._on.is_set()
+
+    @property
+    def writing(self) -> bool:
+        return self._on.is_set()
+
+    def wait_until_writing(self, timeout: float | None = None) -> bool:
+        return self._on.wait(timeout)
+
+
+class ControlServer:
+    """Thin HTTP wrapper: hello / toggle / compact (+ manifest)."""
+
+    def __init__(
+        self,
+        compactor: Compactor,
+        toggle: WriteToggle | None = None,
+        host: str = "127.0.0.1",
+        port: int = 0,
+    ) -> None:
+        self.compactor = compactor
+        self.toggle = toggle or WriteToggle()
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args) -> None:  # quiet
+                pass
+
+            def _reply(self, payload: dict, status: int = 200) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self) -> None:  # noqa: N802 (http.server API)
+                if self.path == "/":
+                    # main.rs:59-61: hello
+                    self._reply({"hello": "horaedb-spark"})
+                elif self.path == "/toggle":
+                    # main.rs:63-73: flip the synthetic writer
+                    self._reply({"writing": outer.toggle.toggle()})
+                elif self.path == "/compact":
+                    # main.rs:75-80: manual compaction trigger; run_once keeps
+                    # the handler synchronous like the reference's await
+                    sst = outer.compactor.run_once()
+                    self._reply({"compacted": sst is not None,
+                                 "new_sst": sst.file_id if sst else None})
+                elif self.path == "/manifest":
+                    ssts = outer.compactor.table.manifest.all_ssts()
+                    self._reply({
+                        "n_ssts": len(ssts),
+                        "total_rows": sum(s.num_rows for s in ssts),
+                        "ssts": [s.file_id for s in ssts],
+                    })
+                else:
+                    self._reply({"error": "not found"}, status=404)
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    def start(self) -> None:
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, name="horaedb-http", daemon=True
+        )
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+            self._thread = None

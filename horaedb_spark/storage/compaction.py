@@ -46,6 +46,12 @@ class SchedulerConfig:
     input_sst_min_num: int = 5
     memory_estimate_factor: float = 1.1
     ttl_ms: int | None = None
+    # Admission control (executor.rs:93-137 / scheduler.rs:62-81): a task's
+    # memory estimate is memory_estimate_factor × Σ input sizes; tasks only
+    # run while inuse + estimate ≤ memory_limit_bytes, and at most
+    # max_pending_tasks sit in the queue (excess triggers are dropped).
+    memory_limit_bytes: int = 2 << 30  # 2 GiB
+    max_pending_tasks: int = 10
 
 
 @dataclass
@@ -114,11 +120,78 @@ class Compactor:
     (storage.rs:372-374)."""
 
     def __init__(self, table: ColumnarTable, config: SchedulerConfig | None = None):
+        import collections
+        import threading
+
         self.table = table
         self.config = config or SchedulerConfig()
         self._stop_evt = None
         self._wake_evt = None
         self._thread = None
+        # Admission control state (executor.rs:93-137, scheduler.rs:62-81):
+        # in-use memory estimate + bounded pending-task queue.
+        self._mem_lock = threading.Lock()
+        self._inuse_bytes = 0
+        self._queue: collections.deque[CompactionTask] = collections.deque()
+
+    # -------------------------------------------- admission control (C3/C4)
+
+    @staticmethod
+    def task_estimate(task: CompactionTask, factor: float) -> int:
+        """Memory estimate of a task: factor × Σ input sizes (executor.rs:
+        97-104 — the reference sizes the merge by its inputs, not its
+        output)."""
+        return int(factor * sum(s.size_bytes for s in task.inputs))
+
+    def try_acquire_memory(self, task: CompactionTask) -> bool:
+        """The 2 GB in-use gate (executor.rs:93-114): admit the task only if
+        inuse + estimate stays within the limit. Returns False (task stays
+        pending) when over budget."""
+        est = self.task_estimate(task, self.config.memory_estimate_factor)
+        with self._mem_lock:
+            if self._inuse_bytes + est > self.config.memory_limit_bytes:
+                return False
+            self._inuse_bytes += est
+            return True
+
+    def release_memory(self, task: CompactionTask) -> None:
+        est = self.task_estimate(task, self.config.memory_estimate_factor)
+        with self._mem_lock:
+            self._inuse_bytes = max(0, self._inuse_bytes - est)
+
+    def submit(self, task: CompactionTask) -> bool:
+        """Bounded task queue (scheduler.rs:62-81, queue of 10): a full queue
+        drops the submission — the next picker cycle re-picks the files, so
+        nothing is lost, only deferred."""
+        with self._mem_lock:
+            if len(self._queue) >= self.config.max_pending_tasks:
+                return False
+            self._queue.append(task)
+            return True
+
+    def drain(self) -> list[SstFile]:
+        """Execute queued tasks serially (the reference executes off the
+        queue on a dedicated runtime, executor.rs:139-145). Tasks rejected by
+        the memory gate are re-queued and retried on the next drain."""
+        written: list[SstFile] = []
+        deferred: list[CompactionTask] = []
+        while True:
+            with self._mem_lock:
+                task = self._queue.popleft() if self._queue else None
+            if task is None:
+                break
+            if not self.try_acquire_memory(task):
+                deferred.append(task)
+                continue
+            try:
+                out = self.execute(task)
+            finally:
+                self.release_memory(task)
+            if out is not None:
+                written.append(out)
+        for task in deferred:
+            self.submit(task)
+        return written
 
     # ------------------------------------------------- background loop (C4)
 
@@ -159,7 +232,9 @@ class Compactor:
         self._thread = None
 
     def run_once(self, now_ms: int | None = None) -> SstFile | None:
-        """One picker+executor cycle; returns the new SST if one was written."""
+        """One picker+executor cycle; returns the new SST if one was written.
+        The memory gate applies here too: an over-budget pick is skipped (the
+        next cycle re-picks — executor.rs returns the same "try later")."""
         task = pick_candidate(
             self.table.manifest.all_ssts(),
             self.table.segment_duration_ms,
@@ -168,7 +243,12 @@ class Compactor:
         )
         if task.is_noop:
             return None
-        return self.execute(task)
+        if not self.try_acquire_memory(task):
+            return None
+        try:
+            return self.execute(task)
+        finally:
+            self.release_memory(task)
 
     def execute(self, task: CompactionTask) -> SstFile | None:
         manifest = self.table.manifest
@@ -223,7 +303,9 @@ class Compactor:
             .withColumn(RESERVED_COLUMN, F.lit(None).cast("long"))
             .sortWithinPartitions(*t.schema.primary_keys)
         )
-        out.write.mode("overwrite").parquet(sst_dir)
+        out.write.options(**t.write_config.writer_options()).mode(
+            "overwrite"
+        ).parquet(sst_dir)
         from horaedb_spark.storage.table import _parquet_stats
 
         num_rows, size_bytes = _parquet_stats(sst_dir)

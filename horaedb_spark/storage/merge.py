@@ -75,7 +75,12 @@ def merge_append(
     packed = F.struct(*order_fields, *[F.col(c).alias(c) for c in value_cols])
     agg_cols = [
         F.array_sort(F.collect_list(packed)).alias("__versions__"),
-        F.max(F.col(order_col)).alias(order_col),
+        # Non-value columns take the FIRST row of the run (min seq) — the
+        # reference's BytesMergeOperator rule (operator.rs:100-103). With
+        # keep_builtin compaction this keeps re-merges against SSTs whose seq
+        # falls inside the compacted range ordered identically to the
+        # reference.
+        F.min(F.col(order_col)).alias(order_col),
     ]
     out = df.groupBy(*key_cols).agg(*agg_cols)
 

@@ -51,6 +51,39 @@ from horaedb_spark.storage.manifest import Manifest, SstFile
 from horaedb_spark.storage.merge import POS_COLUMN, apply_update_mode
 
 
+@dataclass(frozen=True)
+class WriteConfig:
+    """Parquet writer configuration — parity with the reference's
+    ``WriteConfig`` (columnar_storage/src/config.rs:120-133: row-group size,
+    write batch, codec choice, optional bloom filters / dictionary,
+    sorting-columns metadata).
+
+    Mapping notes: parquet-mr sizes row groups in BYTES (``parquet.block.
+    size``) where the reference caps them at 8192 ROWS — ``row_group_bytes``
+    is the tuning knob with the same effect (smaller groups → finer row-group
+    pruning). Bloom filters on PK columns are a real point-lookup win on a
+    100 TB table (the scan prunes row groups by PK without reading them).
+    Sort order is enforced by the write path itself (sortWithinPartitions on
+    the PKs) rather than footer metadata Spark wouldn't read back."""
+
+    codec: str = "snappy"  # config.rs default; "zstd" for colder data
+    row_group_bytes: int = 128 << 20
+    enable_dictionary: bool = False  # reference default: dict off
+    bloom_filter_columns: tuple[str, ...] = ()  # reference default: bloom off
+    page_row_count_limit: int = 8192  # reference write_batch_size analogue
+
+    def writer_options(self) -> dict[str, str]:
+        opts = {
+            "compression": self.codec,
+            "parquet.block.size": str(self.row_group_bytes),
+            "parquet.enable.dictionary": str(self.enable_dictionary).lower(),
+            "parquet.page.row.count.limit": str(self.page_row_count_limit),
+        }
+        for c in self.bloom_filter_columns:
+            opts[f"parquet.bloom.filter.enabled#{c}"] = "true"
+        return opts
+
+
 @dataclass
 class WriteRequest:
     df: DataFrame
@@ -86,11 +119,13 @@ class ColumnarTable:
         root: str,
         schema: StorageSchema,
         segment_duration_ms: int,
+        write_config: WriteConfig | None = None,
     ):
         self.spark = spark
         self.root = root
         self.schema = schema
         self.segment_duration_ms = segment_duration_ms
+        self.write_config = write_config or WriteConfig()
         self.data_dir = os.path.join(root, "data")
         os.makedirs(self.data_dir, exist_ok=True)
         self.manifest = Manifest(root)
@@ -140,7 +175,9 @@ class ColumnarTable:
             .withColumn(RESERVED_COLUMN, F.lit(None).cast("long"))
             .sortWithinPartitions(*self.schema.primary_keys)
         )
-        out.write.mode("overwrite").parquet(sst_dir)
+        out.write.options(**self.write_config.writer_options()).mode(
+            "overwrite"
+        ).parquet(sst_dir)
         num_rows, size_bytes = _parquet_stats(sst_dir)
         sst = SstFile(
             file_id=file_id,
@@ -160,24 +197,35 @@ class ColumnarTable:
         call); this is the cluster-scale complement — a 1 TB backfill lands
         as a single ``partitionBy(__segment__)`` job (every executor writes
         its slice of every segment), then each segment directory is renamed
-        into place and registered. File ids are pre-assigned per segment so
-        ``__seq__`` is stamped during the same job; on object storage the
-        rename becomes a manifest-pointer move (SCALING.md).
+        into place and registered. The input is scanned exactly ONCE: the
+        segment list comes from the staging directory listing after the write
+        (driver-side metadata, no second data pass), and ``__seq__`` is
+        stamped inside the same job as ``base_id + segment_index`` — a
+        deterministic per-segment file id that stays monotonic across calls
+        under the documented single-writer assumption (sst.rs:39-46 has the
+        same wall-clock caveat). On object storage the rename becomes a
+        manifest-pointer move (SCALING.md).
         """
         import shutil
 
         dur = self.segment_duration_ms
-        seg_expr = F.expr(f"({ts_col} div {dur}) * {dur}")
-        segments = sorted(
-            r[0] for r in df.select(seg_expr.alias("s")).distinct().collect()
-        )
-        if not segments:
-            return []
-        seg_to_fid = {seg: self.alloc_file_id() for seg in segments}
-        fid_map = F.create_map(
-            *[F.lit(x) for pair in seg_to_fid.items() for x in pair]
-        )
-        staging = os.path.join(self.root, f"_staging_{min(seg_to_fid.values())}")
+        # floor form (not `div`, which truncates toward zero): pre-epoch rows
+        # must land in the segment containing them (truncate_by semantics).
+        seg_expr = F.col(ts_col) - F.pmod(ts_col, F.lit(dur))
+        base_id = self.alloc_file_id()
+        # fid(segment) = base_id + 2^31 + floor(ts/dur). The 2^31 offset keeps
+        # every bulk fid strictly above any previously allocated id even for
+        # pre-epoch (negative-index) segments; segment indexes are bounded
+        # (~5e6 for hourly segments of epoch-ms data) so they never reach the
+        # offset. After the job the allocator jumps past the largest bulk fid,
+        # so later writes sort (and version) after this load.
+        fid_base = base_id + (1 << 31)
+        # derive from __segment__ (ts_col may not survive the schema select);
+        # segments are exact multiples of dur, so the division is integral
+        fid_expr = (
+            F.lit(fid_base) + (F.col(SEGMENT_COLUMN) / F.lit(dur)).cast("long")
+        ).cast("long")
+        staging = os.path.join(self.root, f"_staging_{base_id}")
         out = (
             df.withColumn(SEGMENT_COLUMN, seg_expr)
             .select(
@@ -187,16 +235,29 @@ class ColumnarTable:
                     for f in self.schema.fields.fields
                 ],
             )
-            .withColumn(SEQ_COLUMN, fid_map[F.col(SEGMENT_COLUMN)].cast("long"))
+            .withColumn(SEQ_COLUMN, fid_expr)
             .withColumn(RESERVED_COLUMN, F.lit(None).cast("long"))
             .repartition(F.col(SEGMENT_COLUMN))
             .sortWithinPartitions(SEGMENT_COLUMN, *self.schema.primary_keys)
         )
-        out.write.mode("overwrite").partitionBy(SEGMENT_COLUMN).parquet(staging)
+        out.write.options(**self.write_config.writer_options()).mode(
+            "overwrite"
+        ).partitionBy(SEGMENT_COLUMN).parquet(staging)
+        prefix = f"{SEGMENT_COLUMN}="
+        segments = sorted(
+            int(name[len(prefix):])
+            for name in os.listdir(staging)
+            if name.startswith(prefix)
+        )
+        if segments:
+            with self._id_lock:
+                self._next_id = max(
+                    self._next_id, fid_base + segments[-1] // dur + 1
+                )
         ssts = []
         try:
             for seg in segments:
-                fid = seg_to_fid[seg]
+                fid = fid_base + seg // dur
                 src = os.path.join(staging, f"{SEGMENT_COLUMN}={seg}")
                 dst_dir = os.path.join(self.data_dir, f"{SEGMENT_COLUMN}={seg}")
                 os.makedirs(dst_dir, exist_ok=True)

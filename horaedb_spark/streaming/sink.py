@@ -38,26 +38,33 @@ def write_batch_segmented(
     pre_dedup: Callable[[DataFrame], DataFrame] | None = None,
 ) -> int:
     """Split one (micro-)batch by segment and write each slice as one SST.
-    Returns the number of SSTs written."""
+    Returns the number of SSTs written.
+
+    The batch is persisted so the source is scanned once: segment
+    enumeration and every per-segment slice write read the cached blocks
+    (most micro-batches hit the single-segment fast path and pay no extra
+    pass at all). Segment derivation uses the floor form — ``div`` truncates
+    toward zero, which would map a pre-epoch row into segment 0 and then
+    silently drop it at the slice filter."""
     dur = table.segment_duration_ms
-    segs = [
-        r[0]
-        for r in batch.select(
-            F.expr(f"({ts_col} div {dur}) * {dur}").alias("seg")
+    seg_col = F.col(ts_col) - F.pmod(ts_col, F.lit(dur))
+    batch = batch.persist()
+    try:
+        segs = sorted(
+            r[0] for r in batch.select(seg_col.alias("seg")).distinct().collect()
         )
-        .distinct()
-        .collect()
-    ]
-    n = 0
-    for seg in sorted(segs):
-        sl = batch.filter(
-            (F.col(ts_col) >= seg) & (F.col(ts_col) < seg + dur)
-        )
-        if pre_dedup is not None:
-            sl = pre_dedup(sl)
-        table.write(WriteRequest(sl, TimeRange(seg, seg + dur)))
-        n += 1
-    return n
+        n = 0
+        for seg in segs:
+            sl = batch.filter(
+                (F.col(ts_col) >= seg) & (F.col(ts_col) < seg + dur)
+            )
+            if pre_dedup is not None:
+                sl = pre_dedup(sl)
+            table.write(WriteRequest(sl, TimeRange(seg, seg + dur)))
+            n += 1
+        return n
+    finally:
+        batch.unpersist()
 
 
 def ingest_stream(

@@ -112,3 +112,86 @@ def test_background_scheduler_compacts_on_trigger(spark, tmp_path):
         assert [tuple(r) for r in t.scan().collect()] == [(1, 1, 3)]
     finally:
         c.stop()
+
+
+def test_memory_gate_rejects_over_budget_task():
+    """Admission control (executor.rs:93-137): a pick whose estimate
+    (factor x sum(input sizes)) exceeds the 2 GiB default limit is rejected
+    and nothing is marked compacting."""
+    from horaedb_spark.storage.compaction import CompactionTask
+
+    # build a Compactor without a table: only the gate state is exercised
+    import collections
+    import threading
+
+    c = Compactor.__new__(Compactor)
+    c.table = None
+    c.config = SchedulerConfig()
+    c._mem_lock = threading.Lock()
+    c._inuse_bytes = 0
+    c._queue = collections.deque()
+
+    over = CompactionTask(inputs=[_sst(i, 0, 5, size=1 << 30) for i in range(2)])
+    est = Compactor.task_estimate(over, c.config.memory_estimate_factor)
+    assert est > c.config.memory_limit_bytes
+    assert not c.try_acquire_memory(over)
+    assert c._inuse_bytes == 0
+
+    ok = CompactionTask(inputs=[_sst(9, 0, 5, size=1 << 20)])
+    assert c.try_acquire_memory(ok)
+    assert c._inuse_bytes == Compactor.task_estimate(ok, c.config.memory_estimate_factor)
+    c.release_memory(ok)
+    assert c._inuse_bytes == 0
+
+
+def test_bounded_task_queue_drops_excess():
+    """scheduler.rs:62-81: the task queue holds max_pending_tasks (10);
+    further submissions are dropped (the next picker cycle re-picks)."""
+    import collections
+    import threading
+
+    from horaedb_spark.storage.compaction import CompactionTask
+
+    c = Compactor.__new__(Compactor)
+    c.table = None
+    c.config = SchedulerConfig(max_pending_tasks=10)
+    c._mem_lock = threading.Lock()
+    c._inuse_bytes = 0
+    c._queue = collections.deque()
+
+    tasks = [CompactionTask(inputs=[_sst(i, 0, 5)]) for i in range(12)]
+    accepted = [c.submit(t) for t in tasks]
+    assert accepted.count(True) == 10
+    assert accepted[10:] == [False, False]
+    assert len(c._queue) == 10
+
+
+def test_run_once_skips_when_over_memory_budget(spark, tmp_path):
+    """An over-budget pick defers: run_once returns None, manifest unchanged."""
+    t = ColumnarTable(spark, str(tmp_path / "gate"), kv_schema(), TWO_HOURS)
+    mk = lambda rows: spark.createDataFrame(rows, "pk1 long, pk2 long, value long")
+    for i in range(5):
+        t.write(WriteRequest(mk([(1, 1, i)]), TimeRange(i * 10, i * 10 + 10)))
+    before = len(t.manifest.all_ssts())
+    c = Compactor(t, SchedulerConfig(input_sst_min_num=2, memory_limit_bytes=1))
+    assert c.run_once(now_ms=0) is None
+    assert len(t.manifest.all_ssts()) == before
+    assert not any(s.in_compaction for s in t.manifest.all_ssts())
+
+
+def test_queue_drain_executes_pending(spark, tmp_path):
+    """submit + drain: queued task compacts the table exactly once."""
+    from horaedb_spark.storage.compaction import SchedulerConfig, pick_candidate
+
+    t = ColumnarTable(spark, str(tmp_path / "drain"), kv_schema(), TWO_HOURS)
+    mk = lambda rows: spark.createDataFrame(rows, "pk1 long, pk2 long, value long")
+    for i in range(4):
+        t.write(WriteRequest(mk([(1, 1, i)]), TimeRange(i * 10, i * 10 + 10)))
+    cfg = SchedulerConfig(input_sst_min_num=2)
+    c = Compactor(t, cfg)
+    task = pick_candidate(t.manifest.all_ssts(), t.segment_duration_ms, cfg, now_ms=0)
+    assert c.submit(task)
+    written = c.drain()
+    assert len(written) == 1
+    assert len(t.manifest.all_ssts()) == 1
+    assert [tuple(r) for r in t.scan().collect()] == [(1, 1, 3)]

@@ -87,10 +87,14 @@ def test_matcher_eq_and_regex(engine):
     out = engine.select_series("m", [Matcher("job", "=", "j0")])
     keys = {r.series_key for r in out.select("series_key").distinct().collect()}
     assert keys == {"host=h0,job=j0", "host=h3,job=j0"}
-    # host=~h[12]$ -> h1, h2
-    out2 = engine.select_series("m", [Matcher("host", "=~", "h[12]$")])
+    # host=~h[12] (fully anchored, PromQL semantics) -> h1, h2 only
+    out2 = engine.select_series("m", [Matcher("host", "=~", "h[12]")])
     keys2 = {r.series_key for r in out2.select("series_key").distinct().collect()}
     assert keys2 == {"host=h1,job=j1", "host=h2,job=j2"}
+    # anchoring: h1 must not match a hypothetical h10 — check via prefix regex
+    out2b = engine.select_series("m", [Matcher("host", "=~", "h1")])
+    keys2b = {r.series_key for r in out2b.select("series_key").distinct().collect()}
+    assert keys2b == {"host=h1,job=j1"}
     # conjunction: job=j1 AND host=h1
     out3 = engine.select_series("m", [Matcher("job", "=", "j1"), Matcher("host", "=", "h1")])
     keys3 = {r.series_key for r in out3.select("series_key").distinct().collect()}

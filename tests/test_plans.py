@@ -173,3 +173,15 @@ def test_mean_pool_is_two_hash_aggregates_no_collect(spark):
     assert plan.count("HashAggregate") >= 2
     # no single-partition funnel before the final group
     assert "SinglePartition" not in plan.split("AdaptiveSparkPlan")[0]
+
+
+def test_embedding_near_dup_has_no_cartesian(spark):
+    """VERDICT r01 #3: the registered embedding near-dup must be
+    candidate-generation-first — the physical plan joins on (table, bucket)
+    as an equi-join; no cartesian / nested-loop join anywhere."""
+    from horaedb_spark.queries.dedup_queries import dedup_embedding_cosine
+
+    plan = plan_of(dedup_embedding_cosine(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan

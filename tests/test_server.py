@@ -1,0 +1,46 @@
+"""HTTP control-surface tests (B3): hello / toggle / compact / manifest
+against a live ColumnarTable — mirrors server/src/main.rs:59-80."""
+
+import json
+import urllib.request
+
+from horaedb_spark.core.timeutil import TimeRange
+from horaedb_spark.server import ControlServer, WriteToggle
+from horaedb_spark.storage.compaction import Compactor, SchedulerConfig
+from horaedb_spark.storage.table import ColumnarTable, WriteRequest
+from tests.test_storage import TWO_HOURS, kv_schema
+
+
+def _get(port: int, path: str) -> dict:
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}", timeout=10) as r:
+        return json.loads(r.read())
+
+
+def test_control_server_endpoints(spark, tmp_path):
+    t = ColumnarTable(spark, str(tmp_path / "srv"), kv_schema(), TWO_HOURS)
+    mk = lambda rows: spark.createDataFrame(rows, "pk1 long, pk2 long, value long")
+    for i in range(3):
+        t.write(WriteRequest(mk([(1, 1, i)]), TimeRange(i * 10, i * 10 + 10)))
+
+    toggle = WriteToggle()
+    srv = ControlServer(Compactor(t, SchedulerConfig(input_sst_min_num=2)), toggle)
+    srv.start()
+    try:
+        assert _get(srv.port, "/")["hello"] == "horaedb-spark"
+
+        # toggle flips the writer flag both ways (main.rs:63-73)
+        assert toggle.writing
+        assert _get(srv.port, "/toggle") == {"writing": False}
+        assert not toggle.writing
+        assert _get(srv.port, "/toggle") == {"writing": True}
+
+        before = _get(srv.port, "/manifest")
+        assert before["n_ssts"] == 3
+
+        out = _get(srv.port, "/compact")
+        assert out["compacted"] and out["new_sst"] is not None
+        after = _get(srv.port, "/manifest")
+        assert after["n_ssts"] == 1
+        assert [tuple(r) for r in t.scan().collect()] == [(1, 1, 2)]
+    finally:
+        srv.stop()
