@@ -49,17 +49,20 @@ def _plane_weight(plane: int, dim: int) -> int:
 
 def lsh_bucket(qvec: Column, num_planes: int, dim: int, plane_offset: int = 0) -> Column:
     """B-bit random-hyperplane bucket of a quantized vector: bit p = sign of
-    the ±1-weighted integer dot product. Weights are baked in as literals
-    (driver-computed md5), so the executor-side expression is pure integer
-    codegen. ``plane_offset`` selects an independent plane family — multiple
-    hash tables for recall amplification."""
+    the ±1-weighted integer dot product. Weights are baked in as array
+    literals (driver-computed md5) and folded with zip_with/aggregate — a
+    compact loop in codegen (an unrolled 64-term sum per plane overflows
+    janino's 64 KB method limit at 32 planes and drops the whole projection
+    to interpreted eval). ``plane_offset`` selects an independent plane
+    family — multiple hash tables for recall amplification."""
     bits = []
     for p in range(plane_offset, plane_offset + num_planes):
-        weights = [_plane_weight(p, d) for d in range(dim)]
-        dot = None
-        for d, w in enumerate(weights):
-            term = F.element_at(qvec, d + 1) * F.lit(w)
-            dot = term if dot is None else dot + term
+        w = F.array(*[F.lit(_plane_weight(p, d)) for d in range(dim)])
+        dot = F.aggregate(
+            F.zip_with(qvec, w, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
         bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
