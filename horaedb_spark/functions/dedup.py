@@ -174,6 +174,66 @@ def embedding_near_dup_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: returns
+    ``(id, component)`` where ``component`` is the minimum id reachable from
+    ``id`` — the canonical cluster label for transitive dedup (A~B, B~C ⇒
+    A,B,C collapse even though A~C was never emitted as a pair).
+
+    Min-label propagation: each round every node takes the min of its own
+    label and its neighbors' labels — one join + one map-side-combined min
+    aggregate per round, converging in O(graph diameter) rounds. Near-dup
+    graphs are star-like (planted copies + LSH collisions around a hub), so
+    the diameter is small; each round is fully distributed and the driver
+    only sees the scalar changed-count. ``localCheckpoint`` truncates the
+    lineage each round so the plan doesn't grow with iterations. For
+    adversarial long-chain graphs at 100 TB, the alternating large-star /
+    small-star algorithm (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") drops rounds to O(log²n) with the same
+    join+min building blocks.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr"))
+        )
+        updated = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                F.col("id"),
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
 def keep_minhash_representatives(pairs: DataFrame, df: DataFrame, id_col: str) -> DataFrame:
     """Collapse candidate pairs to a keep-set: drop every id that appears as
     the larger member of a pair (transitive-lite survivorship: min id per

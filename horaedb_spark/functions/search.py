@@ -1,0 +1,99 @@
+"""Full-text retrieval over the documents corpus (LLM-data-pipeline
+surface, SURVEY.md §2 extension table): inverted-index term statistics and
+BM25 ranking, entirely in JVM-side built-ins.
+
+Scale design: document length comes straight from ``size(split(text))`` —
+no explode needed for the corpus-wide pass. Only tokens matching the query
+terms are exploded (the inverted-index posting lists for the query), so the
+shuffled data is proportional to the *hit set*, not the corpus. The term
+statistics (document frequencies) are a handful of rows and broadcast into
+the scoring join; corpus-level scalars (N, avgdl) ride a broadcast
+cross-join so the whole plan stays declarative — no driver collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from horaedb_spark.functions.text import words
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """BM25 top-k: rank documents against a bag-of-terms query.
+
+    idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5)) (the Robertson-Sparck
+    Jones form with the +1 floor, as in Lucene), tf saturation with k1 and
+    length normalization with b. Scores are rounded to 6 digits and ties
+    break on ascending id, so the top-k cut is deterministic and
+    engine-portable. Returns (id, score) ordered by (score desc, id).
+    """
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    base = docs.select(
+        F.col(id_col), words(F.lower(F.col(text_col))).alias("w")
+    ).withColumn("dl", F.size("w"))
+    # Corpus scalars as a 1-row broadcast — stays in-plan, no collect.
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    # Posting lists for the query terms only: the explode is pre-filtered so
+    # shuffle volume is O(hits), not O(corpus tokens).
+    hits = base.select(
+        id_col,
+        "dl",
+        F.explode(F.filter("w", lambda t: F.array_contains(terms, t))).alias("term"),
+    )
+    tf = hits.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "idf", F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("term_score"), 6).alias("score"))
+    )
+    rank = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(rank))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, "score", "rank")
+        .orderBy("rank")
+    )
+
+
+def term_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", min_df: int = 2
+) -> DataFrame:
+    """Inverted-index vocabulary statistics: per term, document frequency and
+    total term frequency across the corpus — the dictionary half of an
+    inverted index (posting lists are the exploded (term, id) pairs this
+    aggregates). One explode + one hash aggregate; min_df prunes the long
+    tail before it is ever shuffled to the caller."""
+    tok = docs.select(
+        F.col(id_col), F.explode(words(F.lower(F.col(text_col)))).alias("term")
+    )
+    per_doc = tok.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        per_doc.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf"))
+        .filter(F.col("df") >= min_df)
+    )

@@ -257,6 +257,67 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+# Shared CTE chain: near-copy corpus → word-3-shingles → 16 md5 minhashes →
+# 4 LSH bands → distinct candidate pairs. Kept verbatim-identical to the
+# dedup_minhash_lsh oracle so the two queries verify the same pair set.
+_PAIRS_CTES = r"""
+    shingled AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_distinct([array_to_string(w[i:i+2], ' ')
+                                      FOR i IN generate_series(1, len(w)-2)])
+                  ELSE [array_to_string(w, ' ')] END AS sh
+      FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM corpus)
+    ), flat AS (
+      SELECT doc_id, unnest(sh) AS s FROM shingled
+    ), mh AS (
+      SELECT doc_id, k, min(md5(k || ':' || s)) AS h
+      FROM flat CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) ks
+      GROUP BY doc_id, k
+    ), bands AS (
+      SELECT doc_id, k // 4 AS band, string_agg(h, '' ORDER BY k) AS sig
+      FROM mh GROUP BY doc_id, k // 4
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    )
+"""
+
+
+@register(
+    "dedup_connected_components",
+    oracle="WITH RECURSIVE "
+    + _NEAR_CORPUS.strip()[len("WITH ") :]
+    + ",\n"
+    + _PAIRS_CTES.strip()
+    + r"""
+    , edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach(id, lbl) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS doc_id, min(lbl) AS component
+    FROM reach GROUP BY id ORDER BY doc_id
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dup clustering: LSH candidate pairs → connected components
+    by distributed min-label propagation (join + min-agg per round, lineage
+    checkpointed). Each node maps to the min id reachable through the pair
+    graph — so A~B, B~C collapse into one cluster even though (A,C) was
+    never emitted. The oracle recomputes the same closure with a recursive
+    CTE, verifying the fixpoint, not just one propagation round."""
+    corpus = _with_near_copies(load_table(spark, sf_dir, "documents"))
+    pairs = DD.minhash_lsh_pairs(corpus, "text", "doc_id", num_hashes=16, bands=4)
+    cc = DD.connected_components(pairs)
+    return cc.select(F.col("id").alias("doc_id"), "component").orderBy("doc_id")
+
+
 @register(
     "dedup_minhash_keepset",
     oracle=_NEAR_CORPUS

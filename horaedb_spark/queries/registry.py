@@ -53,6 +53,8 @@ def register(name: str, oracle: str | None = None):
 # tail of metric_queries) register FIRST this round; the round-1-green
 # relational head registers last (VERDICT r01 "Next round" #1).
 _QUERY_MODULES = (
+    "search_queries",
+    "pipeline_queries",
     "dedup_queries",
     "similarity_queries",
     "text_queries",
