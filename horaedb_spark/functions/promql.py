@@ -159,6 +159,74 @@ def idelta(df: DataFrame, series_cols: list[str], step_ms: int) -> DataFrame:
     )
 
 
+def linear_fit(df: DataFrame, series_cols: list[str], step_ms: int) -> DataFrame:
+    """Per-series per-bucket simple linear regression over (t, value) — the
+    shared kernel behind PromQL ``deriv()`` and ``predict_linear()``.
+
+    Exact-arithmetic design (the DIVERGENCES #16/17 pattern): x is the
+    sample's offset from the bucket *end* quantized to whole seconds
+    (exact pmod floor), y is the value quantized to milli-units — so n, Σx,
+    Σy, Σxy, Σx² are exact int64s small enough to be exactly representable
+    as doubles (|x| ≤ 86400 s, |y| < 2^31 milli ⇒ every sum < 2^53). The
+    closed-form slope/intercept are then a fixed sequence of IEEE ops on
+    identical operands in any engine — bit-stable across partitionings and
+    engines, no regr_slope library-implementation drift.
+
+    Returns (series..., bucket_ms, slope_per_s [value/s], intercept
+    [value at bucket end]) for buckets with ≥2 distinct-x samples.
+    """
+    b = _bucketed(df, step_ms)
+    x_ms = F.col("ts_ms") - (F.col("bucket_ms") + F.lit(step_ms))
+    x = ((x_ms - F.pmod(x_ms, F.lit(1000))) / 1000).cast("long")
+    y = F.round(F.col("value") * 1000).cast("long")
+    agg = (
+        b.withColumn("__x__", x)
+        .withColumn("__y__", y)
+        .groupBy(*series_cols, "bucket_ms")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__x__").alias("sx"),
+            F.sum("__y__").alias("sy"),
+            F.sum(F.col("__x__") * F.col("__y__")).alias("sxy"),
+            F.sum(F.col("__x__") * F.col("__x__")).alias("sxx"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope_milli = num / den  # milli-units per second
+    return (
+        agg.filter((F.col("n") >= 2) & (den != 0))
+        .withColumn("slope_per_s", slope_milli / 1000.0)
+        .withColumn(
+            "intercept",
+            (F.col("sy") - slope_milli * F.col("sx")) / F.col("n") / 1000.0,
+        )
+        .select(*series_cols, "bucket_ms", "slope_per_s", "intercept")
+    )
+
+
+def deriv(df: DataFrame, series_cols: list[str], step_ms: int) -> DataFrame:
+    """PromQL ``deriv()``: per-second derivative of the gauge by least-squares
+    regression over the bucket (not just endpoints — robust to noise)."""
+    fit = linear_fit(df, series_cols, step_ms)
+    return fit.select(*series_cols, "bucket_ms", F.col("slope_per_s").alias("deriv"))
+
+
+def predict_linear(
+    df: DataFrame, series_cols: list[str], step_ms: int, ahead_s: int
+) -> DataFrame:
+    """PromQL ``predict_linear()``: extrapolate the regression line
+    ``ahead_s`` seconds past the bucket end."""
+    fit = linear_fit(df, series_cols, step_ms)
+    return fit.select(
+        *series_cols,
+        "bucket_ms",
+        (F.col("intercept") + F.col("slope_per_s") * F.lit(float(ahead_s))).alias(
+            "predicted"
+        ),
+    )
+
+
 def transition_counts(df: DataFrame, series_cols: list[str], step_ms: int) -> DataFrame:
     """PromQL ``resets()`` and ``changes()`` in one pass: per series per step
     bucket, the number of counter resets (value drops between consecutive

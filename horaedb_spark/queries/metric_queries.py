@@ -917,3 +917,61 @@ def promql_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "step_ms",
         (F.floor(F.col("value") * 1000000 + 0.5) / 1000000).alias("value"),
     ).orderBy("user_label", "cohort", "step_ms")
+
+
+# ---------------------------------------------------------------------- D7 deriv / predict_linear
+@register(
+    "promql_deriv_predict",
+    oracle=_DEDUP_CTE
+    + f"""
+    , quant AS (
+      SELECT user_label, cohort,
+             ts_ms - ts_ms % {DAY_MS} AS bucket_ms,
+             (xm - ((xm % 1000) + 1000) % 1000) // 1000 AS x,
+             CAST(round(value * 1000) AS BIGINT) AS y
+      FROM (
+        SELECT *, ts_ms - (ts_ms - ts_ms % {DAY_MS} + {DAY_MS}) AS xm
+        FROM samples WHERE name = 'click'
+      )
+    ), fit AS (
+      SELECT user_label, cohort, bucket_ms, count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM quant GROUP BY 1, 2, 3
+    )
+    SELECT user_label, cohort, bucket_ms,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) / 1000.0, 6) AS deriv,
+           round((sy - CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) * sx) / n / 1000.0
+                 + CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) / 1000.0 * 3600.0, 6)
+               AS predicted
+    FROM fit WHERE n >= 2 AND n * sxx - sx * sx <> 0
+    ORDER BY user_label, cohort, bucket_ms
+    """,
+)
+def promql_deriv_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deriv() + predict_linear(1h) per series over 1-day buckets (D7):
+    least-squares slope and 1-hour extrapolation from the same linear_fit
+    kernel. Exact int64 regression sums (second-quantized x, milli-quantized
+    y, every sum < 2^53) make the closed-form slope a fixed IEEE op sequence
+    — bit-identical across engines and partitionings, unlike library
+    regr_slope whose accumulation order varies."""
+    eng = _engine(spark, sf_dir)
+    sel = _series_with_labels(eng.select_series("click"))
+    fit = promql.linear_fit(
+        sel.select("user_label", "cohort", "ts_ms", "value"),
+        ["user_label", "cohort"],
+        DAY_MS,
+    )
+    return fit.select(
+        "user_label",
+        "cohort",
+        "bucket_ms",
+        F.round("slope_per_s", 6).alias("deriv"),
+        F.round(
+            F.col("intercept") + F.col("slope_per_s") * F.lit(3600.0), 6
+        ).alias("predicted"),
+    ).orderBy("user_label", "cohort", "bucket_ms")
