@@ -240,3 +240,46 @@ def keep_minhash_representatives(pairs: DataFrame, df: DataFrame, id_col: str) -
     connected component under one LSH hop)."""
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drop, id_col, "left_anti")
+
+
+def cross_set_contamination(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    set_col: str,
+    probe_value: str,
+    k: int = 5,
+) -> DataFrame:
+    """Train-set decontamination: for every row NOT in the probe set, count
+    the word-k-gram shingles it shares with the probe set (e.g. a held-out
+    eval split) and how many distinct probe documents it collides with.
+    Rows with zero overlap are absent from the result — anti-joining the
+    corpus against it yields the decontaminated corpus.
+
+    Scale design: both sides reduce to distinct ``(id, md5(shingle))``
+    pairs, joined on the digest — a single shuffle keyed on a fixed-width
+    32-char key instead of arbitrarily long k-gram strings. md5 keeps the
+    key engine-portable (oracle-verifiable) and uniform, so the join
+    neither skews on hot grams nor ships document text. At 100 TB the
+    standard mitigations apply unchanged: raise k (rarer grams shrink the
+    collision space) and let AQE split residual hot digests.
+    """
+    sh = df.select(
+        F.col(id_col),
+        (F.col(set_col) == probe_value).alias("__probe__"),
+        F.explode(shingles(F.col(text_col), k)).alias("__s__"),
+    ).select(id_col, "__probe__", F.md5("__s__").alias("__h__"))
+    probe = (
+        sh.filter(F.col("__probe__"))
+        .select(F.col(id_col).alias("__probe_id__"), "__h__")
+        .distinct()
+    )
+    corpus = sh.filter(~F.col("__probe__")).select(id_col, "__h__")
+    return (
+        corpus.join(probe, "__h__")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("__h__").alias("n_shared_shingles"),
+            F.countDistinct("__probe_id__").alias("n_probe_docs"),
+        )
+    )

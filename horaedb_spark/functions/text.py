@@ -50,9 +50,9 @@ def bpe_ish_token_count(text: Column | str) -> Column:
     return (word_pieces + punct).alias("bpe_ish_tokens")
 
 
-def shingles(text: Column | str, k: int = 3) -> Column:
-    """Distinct word k-gram shingles; short docs fall back to the whole text
-    as a single shingle.
+def word_grams(text: Column | str, k: int = 3) -> Column:
+    """Word k-grams in document order (NOT deduplicated); short docs fall
+    back to the whole text as a single gram.
 
     Built with slice + zip_with rather than an index-lambda: element_at
     inside a transform() lambda re-evaluates the outer split() per *element*
@@ -64,9 +64,47 @@ def shingles(text: Column | str, k: int = 3) -> Column:
     grams = shifted[0]
     for nxt in shifted[1:]:
         grams = F.zip_with(grams, nxt, lambda a, b: F.concat_ws(" ", a, b))
-    return F.array_distinct(
-        F.when(n >= k, grams).otherwise(F.array(F.array_join(w, " ")))
+    return F.when(n >= k, grams).otherwise(F.array(F.array_join(w, " ")))
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct word k-gram shingles (see ``word_grams`` for construction)."""
+    return F.array_distinct(word_grams(text, k))
+
+
+def repetition_features(text: Column | str, k: int = 2) -> dict[str, Column]:
+    """Gopher-style repetition signals, fully row-local (zero shuffle):
+
+    - ``dup_word_frac``: 1 - distinct(words)/len(words) — how much of the doc
+      is repeated vocabulary;
+    - ``top_gram_frac``: occurrences of the most frequent word k-gram over
+      all k-grams — the "stuck in a loop" boilerplate detector.
+
+    The per-row top-gram count is O(distinct·total) array comparisons, which
+    is fine at document length and keeps the operator a pure map over the
+    corpus — at 100 TB it runs as a scan with no exchange, unlike the
+    explode + groupBy formulation whose shuffle would dominate.
+    Fractions use engine-portable rounding: floor(x*1e6 + 0.5)/1e6."""
+    c = F.col(text) if isinstance(text, str) else text
+    w = words(c)
+    g = word_grams(c, k)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(g),
+            lambda x: F.size(F.filter(g, lambda y: y == x)),
+        )
     )
+
+    def _round6(col: Column) -> Column:
+        return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    return {
+        "n_words": F.size(w),
+        "dup_word_frac": _round6(
+            F.lit(1.0) - F.size(F.array_distinct(w)) / F.size(w)
+        ),
+        "top_gram_frac": _round6(top / F.size(g)),
+    }
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> Column:

@@ -190,3 +190,50 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(marker_len)
         ).cast("long").alias("n_redactions"),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_repetition_filter",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+    ), g AS (
+      SELECT doc_id, w,
+             CASE WHEN len(w) >= 2
+                  THEN [array_to_string(w[i:i+1], ' ')
+                        FOR i IN generate_series(1, len(w)-1)]
+                  ELSE [array_to_string(w, ' ')] END AS g
+      FROM w
+    ), feats AS (
+      SELECT doc_id,
+             len(w) AS n_words,
+             floor((CAST(1.0 AS DOUBLE)
+                    - len(list_distinct(w)) * 1.0 / len(w)) * 1e6 + 0.5) / 1e6
+               AS dup_word_frac,
+             floor((list_max([len(list_filter(g, y -> y = x))
+                              FOR x IN list_distinct(g)])
+                    * 1.0 / len(g)) * 1e6 + 0.5) / 1e6
+               AS top_gram_frac
+      FROM g
+    )
+    SELECT doc_id, n_words, dup_word_frac, top_gram_frac,
+           dup_word_frac <= 0.6 AND top_gram_frac <= 0.05 AS keep
+    FROM feats ORDER BY doc_id
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter: duplicate-word fraction and
+    top-bigram fraction per document, plus the keep/reject decision. Fully
+    row-local column expressions — the whole filter is a scan with zero
+    exchanges, which is exactly what you want for a 100 TB quality pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = TX.repetition_features("text", k=2)
+    return docs.select(
+        "doc_id",
+        feats["n_words"].alias("n_words"),
+        feats["dup_word_frac"].alias("dup_word_frac"),
+        feats["top_gram_frac"].alias("top_gram_frac"),
+        (
+            (feats["dup_word_frac"] <= 0.6) & (feats["top_gram_frac"] <= 0.05)
+        ).alias("keep"),
+    ).orderBy("doc_id")
