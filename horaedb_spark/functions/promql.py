@@ -649,3 +649,122 @@ def fill_linear(df: DataFrame, series_cols: list[str], step_ms: int) -> DataFram
         )
         .select(*series_cols, "step_ms", interp.alias("value"))
     )
+
+
+def clamp(
+    v: Column | str, mn: float | None = None, mx: float | None = None
+) -> Column:
+    """PromQL clamp/clamp_min/clamp_max: pure row-local expressions
+    (prometheus/promql/functions.go funcClamp*). Pass only ``mn`` for
+    clamp_min, only ``mx`` for clamp_max."""
+    c = F.col(v) if isinstance(v, str) else v
+    if mn is not None:
+        c = F.greatest(c, F.lit(float(mn)))
+    if mx is not None:
+        c = F.least(c, F.lit(float(mx)))
+    return c
+
+
+def count_values(
+    df: DataFrame, value_expr: Column, step_ms: int
+) -> DataFrame:
+    """PromQL count_values(): per step bucket, the number of samples carrying
+    each distinct value of ``value_expr`` (the caller quantizes doubles the
+    way PromQL stringifies them). One hash aggregate, map-side combined."""
+    b = _bucketed(df, step_ms)
+    return b.groupBy("bucket_ms", value_expr.alias("value_bucket")).agg(
+        F.count(F.lit(1)).alias("n_samples")
+    )
+
+
+def absent(
+    df: DataFrame, start_ms: int, end_ms: int, step_ms: int
+) -> DataFrame:
+    """PromQL absent() evaluated over a range query: emit ``absent = 1`` for
+    every step in [start, end) where the selection has NO samples.
+
+    The step spine is ``sequence()``-generated and exploded — a few rows per
+    queried range regardless of data volume — then anti-joined against the
+    distinct present buckets, so at 100 TB the cost is the selection scan,
+    not the spine."""
+    spine = df.sparkSession.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(start_ms),
+                F.lit(end_ms - 1),
+                F.lit(step_ms),
+            )
+        ).alias("bucket_ms")
+    )
+    present = _bucketed(df, step_ms).select("bucket_ms").distinct()
+    return (
+        spine.join(present, "bucket_ms", "left_anti")
+        .select("bucket_ms", F.lit(1).alias("absent"))
+    )
+
+
+def holt_winters(
+    df: DataFrame,
+    series_cols: list[str],
+    sf: float,
+    tf: float,
+) -> DataFrame:
+    """PromQL holt_winters (double exponential smoothing) per series over the
+    selected window — the smoothed value after folding all samples in time
+    order (prometheus/promql/functions.go funcHoltWinters / calcTrendValue):
+
+        s1 = v[0]; b = v[1] - v[0]
+        for i in 1..n-1:
+            if i >= 2: b = tf*(s1 - s0) + (1 - tf)*b
+            s0, s1 = s1, sf*v[i] + (1 - sf)*(s1 + b)
+
+    The recursion is order-dependent, so it cannot be a hash aggregate —
+    instead each series' samples are gathered with ``array_sort(
+    collect_list(struct(ts, value)))`` and folded with ``F.aggregate``: the
+    fold runs JVM-side in whole-stage codegen, one pass, deterministic.
+    State is O(window samples) per series — the same bound Prometheus
+    itself has for range functions. Series with < 2 samples are dropped
+    (PromQL returns no point).
+
+    Identical fold order on both engines means the IEEE double sequence is
+    bit-identical — the oracle replays the same recursion as a recursive
+    CTE."""
+    arr = (
+        df.groupBy(*series_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("ts_ms"), F.col("value")))
+            ).alias("__pts__")
+        )
+        .withColumn("__vs__", F.transform("__pts__", lambda p: p["value"]))
+        .filter(F.size("__vs__") >= 2)
+    )
+    sf_l, tf_l = F.lit(float(sf)), F.lit(float(tf))
+    init = F.struct(
+        F.lit(0.0).alias("s0"),
+        F.element_at("__vs__", 1).cast("double").alias("s1"),
+        (F.element_at("__vs__", 2) - F.element_at("__vs__", 1))
+        .cast("double")
+        .alias("b"),
+        F.lit(0).alias("i"),
+    )
+
+    def step(acc: Column, v: Column) -> Column:
+        b = F.when(
+            acc["i"] >= 1, tf_l * (acc["s1"] - acc["s0"]) + (F.lit(1.0) - tf_l) * acc["b"]
+        ).otherwise(acc["b"])
+        s1 = sf_l * v + (F.lit(1.0) - sf_l) * (acc["s1"] + b)
+        return F.struct(
+            acc["s1"].alias("s0"),
+            s1.alias("s1"),
+            b.alias("b"),
+            (acc["i"] + 1).alias("i"),
+        )
+
+    folded = F.aggregate(
+        F.slice("__vs__", 2, F.size("__vs__") - 1),
+        init,
+        step,
+        lambda acc: acc["s1"],
+    )
+    return arr.select(*series_cols, folded.alias("smoothed"))

@@ -975,3 +975,154 @@ def promql_deriv_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("intercept") + F.col("slope_per_s") * F.lit(3600.0), 6
         ).alias("predicted"),
     ).orderBy("user_label", "cohort", "bucket_ms")
+
+
+# ---------------------------------------------------------------------- D7 clamp
+@register(
+    "promql_clamp",
+    oracle=_DEDUP_CTE
+    + """
+    SELECT user_label, cohort, ts_ms,
+           round(greatest(least(value, CAST(300 AS DOUBLE)),
+                          CAST(50 AS DOUBLE)), 6) AS clamped,
+           round(greatest(value, CAST(50 AS DOUBLE)), 6) AS clamped_min,
+           round(least(value, CAST(300 AS DOUBLE)), 6) AS clamped_max
+    FROM samples
+    WHERE name = 'click' AND ts_ms < 1704672000000
+    ORDER BY user_label, cohort, ts_ms
+    """,
+)
+def promql_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clamp / clamp_min / clamp_max over one week of 'click' samples —
+    pure row-local expressions on the selected vector (funcClamp*,
+    prometheus/promql/functions.go)."""
+    eng = _engine(spark, sf_dir)
+    sel = _series_with_labels(
+        eng.select_series("click", time_range=TimeRange(0, 1704672000000))
+    )
+    return sel.select(
+        "user_label",
+        "cohort",
+        "ts_ms",
+        F.round(promql.clamp("value", 50, 300), 6).alias("clamped"),
+        F.round(promql.clamp("value", mn=50), 6).alias("clamped_min"),
+        F.round(promql.clamp("value", mx=300), 6).alias("clamped_max"),
+    ).orderBy("user_label", "cohort", "ts_ms")
+
+
+# ---------------------------------------------------------------------- D6 count_values
+@register(
+    "promql_count_values",
+    oracle=_DEDUP_CTE
+    + f"""
+    SELECT bucket_ms, value_bucket, count(*) AS n_samples
+    FROM (SELECT ts_ms - ts_ms % {DAY_MS} AS bucket_ms,
+                 CAST(floor(value / 50) * 50 AS BIGINT) AS value_bucket
+          FROM samples WHERE name = 'click')
+    GROUP BY 1, 2
+    ORDER BY bucket_ms, value_bucket
+    """,
+)
+def promql_count_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_values() per day bucket over 'click', values quantized to
+    50-unit bins (PromQL stringifies exact values; doubles get binned the
+    way integer-valued gauges group exactly). One map-side-combined hash
+    aggregate."""
+    eng = _engine(spark, sf_dir)
+    sel = eng.select_series("click")
+    vb = (F.floor(F.col("value") / F.lit(50)) * 50).cast("long")
+    return (
+        promql.count_values(sel, vb, DAY_MS)
+        .orderBy("bucket_ms", "value_bucket")
+    )
+
+
+# ---------------------------------------------------------------------- D7 absent
+@register(
+    "promql_absent",
+    oracle=_DEDUP_CTE
+    + """
+    , spine AS (
+      SELECT unnest(generate_series(1704067200000, 1706659199999, 21600000))
+        AS bucket_ms
+    )
+    SELECT s.bucket_ms, 1 AS absent
+    FROM spine s
+    WHERE NOT EXISTS (
+      SELECT 1 FROM samples p
+      WHERE p.name = 'purchase' AND p.user_label = '17'
+        AND p.ts_ms - p.ts_ms % 21600000 = s.bucket_ms)
+    ORDER BY s.bucket_ms
+    """,
+)
+def promql_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """absent({name='purchase', user='17'}) over the month at 6 h steps:
+    the sequence()-generated step spine anti-joined against present buckets
+    — spine cost is O(steps), selection cost is the scan, at any scale."""
+    eng = _engine(spark, sf_dir)
+    sel = eng.select_series("purchase", [Matcher("user", "=", "17")])
+    return promql.absent(
+        sel, 1704067200000, 1706659200000, 21600000
+    ).orderBy("bucket_ms")
+
+
+# ---------------------------------------------------------------------- D7 holt_winters
+@register(
+    "promql_holt_winters",
+    oracle="""
+    WITH RECURSIVE samples AS (
+      SELECT event_type AS name,
+             CAST(user_id AS VARCHAR) AS user_label,
+             CAST(user_id % 10 AS VARCHAR) AS cohort,
+             ts_ms, value
+      FROM (
+        SELECT *, epoch_ms(ts) AS ts_ms,
+               row_number() OVER (PARTITION BY event_type, user_id, epoch_ms(ts)
+                                  ORDER BY event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ), arr AS (
+      SELECT user_label, cohort, list(value ORDER BY ts_ms) AS vs
+      FROM samples WHERE name = 'view' GROUP BY 1, 2
+    ), rec AS (
+      SELECT user_label, cohort, vs, len(vs) AS n, 1 AS i,
+             CAST(0 AS DOUBLE) AS s0,
+             CAST(vs[1] AS DOUBLE) AS s1,
+             CAST(vs[2] - vs[1] AS DOUBLE) AS b
+      FROM arr WHERE len(vs) >= 2
+      UNION ALL
+      SELECT user_label, cohort, vs, n, i + 1,
+             s1 AS s0,
+             CAST(0.5 AS DOUBLE) * vs[i + 1]
+               + CAST(0.5 AS DOUBLE)
+                 * (s1 + CASE WHEN i >= 2
+                              THEN CAST(0.1 AS DOUBLE) * (s1 - s0)
+                                   + CAST(0.9 AS DOUBLE) * b
+                              ELSE b END) AS s1,
+             CASE WHEN i >= 2
+                  THEN CAST(0.1 AS DOUBLE) * (s1 - s0)
+                       + CAST(0.9 AS DOUBLE) * b
+                  ELSE b END AS b
+      FROM rec WHERE i < n
+    )
+    SELECT user_label, cohort,
+           floor(s1 * 1e6 + 0.5) / 1e6 AS smoothed
+    FROM rec WHERE i = n
+    ORDER BY user_label, cohort
+    """,
+)
+def promql_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """holt_winters(view[month], sf=0.5, tf=0.1) per series: the
+    order-dependent double-exponential-smoothing fold runs JVM-side via
+    array_sort(collect_list) + F.aggregate (no UDF). Identical fold order
+    on both engines makes the IEEE double sequence bit-identical; the
+    oracle replays it as a recursive CTE."""
+    eng = _engine(spark, sf_dir)
+    sel = _series_with_labels(eng.select_series("view"))
+    out = promql.holt_winters(sel, ["user_label", "cohort"], sf=0.5, tf=0.1)
+    return out.select(
+        "user_label",
+        "cohort",
+        (F.floor(F.col("smoothed") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+        .alias("smoothed"),
+    ).orderBy("user_label", "cohort")
