@@ -252,3 +252,106 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         ).cache()
     return _CACHE[key].orderBy("user_id", "session_start_ms")
+
+
+@register(
+    "streaming_stream_join",
+    oracle="""
+    SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           epoch_ms(p.ts) AS p_ts_ms, epoch_ms(c.ts) AS c_ts_ms
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND epoch_ms(c.ts) BETWEEN epoch_ms(p.ts) - 3600000 AND epoch_ms(p.ts)
+    ORDER BY 1, 2, 3
+    """,
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval self-join: each purchase joined to the same
+    user's clicks in the preceding hour. Both sides carry event-time
+    watermarks, so at scale the join state holds only the 1-hour tail of
+    each side (Spark drops rows older than watermark - interval); driven to
+    completion it must equal the batch interval join. The batch as-of twin
+    is `asof_join_purchase_click`."""
+    key = f"ssjoin:{sf_dir}"
+    if key not in _CACHE:
+        raw = _raw_events_stream(spark, sf_dir).select(
+            "user_id", "event_type", "event_id",
+            F.timestamp_millis(F.col("ts_ms")).alias("ts_ts"),
+        )
+        p = (
+            raw.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts_ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        c = (
+            raw.filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts_ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "1 hour")
+        )
+        j = p.join(
+            c,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+        )
+        name = "horaedb_stream_join"
+        q = (
+            j.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        _CACHE[key] = spark.table(name).select(
+            F.col("p_user").alias("user_id"),
+            "purchase_id",
+            "click_id",
+            F.unix_millis(F.col("p_ts")).alias("p_ts_ms"),
+            F.unix_millis(F.col("c_ts")).alias("c_ts_ms"),
+        ).cache()
+    return _CACHE[key].orderBy("user_id", "purchase_id", "click_id")
+
+
+@register(
+    "streaming_dedup",
+    oracle="""
+    SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, value
+    FROM events ORDER BY event_id
+    """,
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ingest dedup: the source unioned with itself simulates
+    at-least-once redelivery (every event arrives twice); streaming
+    ``dropDuplicates`` on the event id restores exactly-once, so the result
+    equals the batch table. At scale the dedup state is bounded with
+    ``dropDuplicatesWithinWatermark`` (redeliveries cluster near the
+    original) — unbounded here only because the test source never advances
+    the watermark."""
+    key = f"sdedup:{sf_dir}"
+    if key not in _CACHE:
+        raw = _raw_events_stream(spark, sf_dir).select(
+            "event_id", "user_id", "event_type", "ts_ms", "value"
+        )
+        deduped = raw.union(raw).dropDuplicates(["event_id"])
+        name = "horaedb_stream_dedup"
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        _CACHE[key] = spark.table(name).cache()
+    return _CACHE[key].orderBy("event_id")
