@@ -1,0 +1,411 @@
+"""Analytics batch 4: the last seven canonical TPC-H query shapes (Q2, Q8,
+Q9, Q15, Q20, Q21, Q22), completing 22/22 shape coverage of the suite on the
+driver testdata schema.
+
+The testdata has no partsupp table and lineitem carries no commit/receipt
+dates, so each query keeps its canonical *plan shape* (the part the engine
+must get right — correlated mins, conditional market-share ratios,
+view-plus-max, nested semi-joins, double-correlated exists, scalar-avg
+anti-join) re-expressed over the columns that exist; the adaptation is
+documented per query.
+
+Reference parity: the reference's SQL surface is the datafusion dialect its
+RFC queries compile to (horaedb RFC 20240827); these shapes exercise the
+same logical operators (hash join, broadcast join, window, correlated
+subquery decorrelation) Catalyst must pick for it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from horaedb_spark.queries.precision import dsum, sql_dsum
+from horaedb_spark.queries.registry import register
+from horaedb_spark.queries.tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "min_cost_supplier_q2",
+    oracle="""
+    WITH offers AS (
+      SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, s.s_acctbal,
+             l.l_extendedprice / l.l_quantity AS unit_cost,
+             row_number() OVER (
+               PARTITION BY p.p_partkey
+               ORDER BY l.l_extendedprice / l.l_quantity,
+                        s.s_suppkey, l.l_orderkey, l.l_linenumber) AS rk
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+    )
+    SELECT p_partkey, p_name, s_name, round(s_acctbal, 2) AS s_acctbal,
+           round(unit_cost, 6) AS unit_cost
+    FROM offers WHERE rk = 1
+    ORDER BY s_acctbal DESC, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def min_cost_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — minimum-cost supplier per part within a region.
+    No partsupp table, so "supply cost" is the minimum observed unit price
+    (extendedprice/quantity) a regional supplier sold the part at. The
+    correlated `min` subquery is decorrelated into a per-part window
+    top-1 (map-side WindowGroupLimit — no self-join, one shuffle on
+    partkey); region+type dims broadcast into the fact scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    offers = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .withColumn("unit_cost", F.col("l_extendedprice") / F.col("l_quantity"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        "unit_cost", "s_suppkey", "l_orderkey", "l_linenumber"
+    )
+    return (
+        offers.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            F.round("unit_cost", 6).alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "market_share_q8",
+    oracle=f"""
+    WITH allrev AS (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS rev,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n1.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'PROMO'
+    )
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_1'
+                               THEN CAST(rev AS DECIMAL(30,10))
+                               ELSE CAST(0 AS DECIMAL(30,10)) END) AS DOUBLE)
+                 / CAST(sum(CAST(rev AS DECIMAL(30,10))) AS DOUBLE), 6)
+             AS mkt_share,
+           {sql_dsum("rev")} AS total_rev
+    FROM allrev GROUP BY o_year ORDER BY o_year
+    """,
+)
+def market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — national market share: NATION_1's slice of PROMO-part
+    revenue sold into the AMERICA market per order year. Seven-table join
+    where every dim side broadcasts; the share is a ratio of two
+    decimal-routed conditional sums (order-independent, oracle-exact)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation")
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    dec = "decimal(30,10)"
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    allrev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == n1.n_nationkey)
+        .join(F.broadcast(r), n1.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_nationkey"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            rev.alias("rev"),
+            "supp_nation",
+        )
+    )
+    nat = F.sum(
+        F.when(
+            F.col("supp_nation") == "NATION_1", F.col("rev").cast(dec)
+        ).otherwise(F.lit(0).cast(dec))
+    ).cast("double")
+    tot = F.sum(F.col("rev").cast(dec)).cast("double")
+    return (
+        allrev.groupBy("o_year")
+        .agg(
+            F.round(nat / tot, 6).alias("mkt_share"),
+            dsum("rev").alias("total_rev"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "nation_profit_q9",
+    oracle=f"""
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+           {sql_dsum("l.l_extendedprice * (1 - l.l_discount)")} AS profit
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2 ORDER BY nation, o_year DESC
+    """,
+)
+def nation_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — profit by supplier nation and order year for parts
+    matching a name pattern (no ps_supplycost column, so profit is the
+    discounted revenue). The LIKE filter prunes part before its broadcast;
+    the two fact tables join on orderkey then aggregate decimal-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "top_supplier_q15",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {sql_dsum("l_extendedprice * (1 - l_discount)")} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def top_supplier_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 — top supplier by quarterly revenue (the revenue view +
+    scalar-max subquery). Revenue is decimal-routed and rounded BEFORE the
+    max comparison on both sides, so the equality test compares identical
+    doubles. The max is a window over the 100-row aggregate, not a second
+    scan of lineitem."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    top = revenue.withColumn(
+        "__max__", F.max("total_revenue").over(Window.partitionBy())
+    ).filter(F.col("total_revenue") == F.col("__max__"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(top), s.s_suppkey == top.supplier_no)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "excess_shipments_q20",
+    oracle="""
+    SELECT s.s_name, round(s.s_acctbal, 2) AS s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'EUROPE'
+      AND s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE '%bolt%')
+          AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING sum(l.l_quantity) > 45)
+    ORDER BY s_name
+    """,
+)
+def excess_shipments_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — European suppliers who moved excess volume
+    (>45 units of one bolt part in 1997). Nested IN subqueries become a
+    semi-join chain: part-name filter semi-joins into the lineitem
+    aggregate, whose HAVING set semi-joins into supplier. No decorrelation
+    blow-up — every probe side is the small one."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    heavy = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 45)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "waiting_orders_q21",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_orderkey, l_suppkey,
+             count(DISTINCT l_suppkey) OVER (PARTITION BY l_orderkey)
+               AS n_suppliers,
+             row_number() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY l_shipdate DESC, l_suppkey DESC, l_linenumber DESC)
+               AS rk
+      FROM lineitem
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM ranked k
+    JOIN supplier s ON s.s_suppkey = k.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE k.rk = 1 AND k.n_suppliers >= 2 AND n.n_name = 'NATION_3'
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def waiting_orders_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — suppliers who kept multi-supplier orders waiting.
+    Without commit/receipt dates, "kept waiting" = shipped last (the order's
+    max shipdate belongs to this supplier). The exists/not-exists pair
+    decorrelates to one window pass per order: a distinct-supplier count
+    (the EXISTS) and a deterministic last-shipper top-1 (the NOT EXISTS),
+    then a broadcast dim join and count."""
+    li = _t(spark, sf_dir, "lineitem")
+    w_cnt = Window.partitionBy("l_orderkey")
+    w_rank = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_shipdate"), F.desc("l_suppkey"), F.desc("l_linenumber")
+    )
+    ranked = li.select(
+        "l_orderkey",
+        "l_suppkey",
+        F.size(F.collect_set("l_suppkey").over(w_cnt)).alias("n_suppliers"),
+        F.row_number().over(w_rank).alias("rk"),
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        ranked.filter((F.col("rk") == 1) & (F.col("n_suppliers") >= 2))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "dormant_customers_q22",
+    oracle=f"""
+    WITH scoped AS (
+      SELECT c_custkey, c_acctbal, c_nationkey % 5 AS cntrycode
+      FROM customer WHERE c_nationkey % 5 IN (0, 1, 2)
+    ), cutoff AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE)
+             / count(c_acctbal) AS avg_bal
+      FROM scoped WHERE c_acctbal > 0
+    )
+    SELECT cntrycode, count(*) AS numcust,
+           {sql_dsum("c_acctbal")} AS totacctbal
+    FROM scoped, cutoff
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = scoped.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+    GROUP BY cntrycode ORDER BY cntrycode
+    """,
+)
+def dormant_customers_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — wealthy dormant customers: account balance above
+    the positive-balance average of the scoped country codes (nationkey%5
+    stands in for the phone prefix) and no orders since 1999. The scalar
+    avg is decimal-routed so both engines compare against the identical
+    double; the NOT EXISTS is an anti-join against the pruned recent-orders
+    scan."""
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "cntrycode", F.col("c_nationkey") % 5
+    ).filter(F.col("cntrycode").isin(0, 1, 2))
+    dec = "decimal(30,10)"
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast(dec)).cast("double")
+                / F.count("c_acctbal")
+            ).alias("avg_bal")
+        )
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
