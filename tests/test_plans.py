@@ -185,3 +185,45 @@ def test_embedding_near_dup_has_no_cartesian(spark):
     assert "CartesianProduct" not in plan, plan[:3000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def _final_plan(df) -> str:
+    # strip AQE's "== Initial Plan ==" tail so asserts see the final plan
+    return plan_of(df).split("== Initial Plan ==")[0]
+
+
+def test_q2_min_cost_decorrelates_to_window_top1(spark, sf_dir):
+    """The correlated min-cost subquery must run as a map-side top-1 window
+    (WindowGroupLimit) over one shuffle — not a self-join — and every dim
+    join must broadcast."""
+    from horaedb_spark.queries.analytics4 import min_cost_supplier_q2
+
+    p = _final_plan(min_cost_supplier_q2(spark, sf_dir))
+    assert "WindowGroupLimit" in p, p[:3000]
+    assert "SortMergeJoin" not in p, p[:3000]
+    assert p.count("BroadcastHashJoin") >= 4, p[:3000]
+
+
+def test_q20_nested_in_runs_as_semi_join(spark, sf_dir):
+    from horaedb_spark.queries.analytics4 import excess_shipments_q20
+
+    p = _final_plan(excess_shipments_q20(spark, sf_dir))
+    assert "LeftSemi" in p, p[:3000]
+
+
+def test_decontamination_has_no_cartesian(spark, sf_dir):
+    """The cross-set shingle join must stay a hash/merge join on the md5
+    digest — never a cartesian product."""
+    from horaedb_spark.queries.pipeline_queries import pipeline_decontamination
+
+    p = _final_plan(pipeline_decontamination(spark, sf_dir))
+    assert "Cartesian" not in p and "BroadcastNestedLoop" not in p, p[:3000]
+
+
+def test_holt_winters_fold_stays_jvm_side(spark, sf_dir):
+    """The order-dependent smoothing fold must compile to JVM expressions
+    (aggregate over a sorted array) — no Python evaluation in the plan."""
+    from horaedb_spark.queries.metric_queries import promql_holt_winters
+
+    p = _final_plan(promql_holt_winters(spark, sf_dir))
+    assert "Python" not in p, p[:3000]
