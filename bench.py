@@ -45,6 +45,12 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "ann_ivf_topk",
     "text_quality_score",
+    "pipeline_decontamination",
+    "text_repetition_filter",
+    # relational tail (correlated-subquery decorrelation)
+    "min_cost_supplier_q2",
+    # promql stateful fold
+    "promql_holt_winters",
     # streaming
     "streaming_ingest_scan",
     "streaming_stateful_increase",
