@@ -768,3 +768,58 @@ def holt_winters(
         lambda acc: acc["s1"],
     )
     return arr.select(*series_cols, folded.alias("smoothed"))
+
+
+def math_fn(value: Column | str, name: str) -> Column:
+    """PromQL scalar math functions (funcAbs/funcCeil/... in
+    prometheus/promql/functions.go) as row-local JVM expressions — the whole
+    family costs a scan, no exchange. ``sqrt`` is IEEE-correctly-rounded on
+    every engine; ``exp``/``ln``/``log2``/``log10`` carry a 1-ulp libm
+    tolerance, so oracle-facing callers round with the portable
+    floor(x*1e6+0.5)/1e6 form."""
+    c = F.col(value) if isinstance(value, str) else value
+    fns = {
+        "abs": F.abs,
+        "ceil": F.ceil,
+        "floor": F.floor,
+        "sqrt": F.sqrt,
+        "exp": F.exp,
+        "ln": F.log,
+        "log2": F.log2,
+        "log10": F.log10,
+        "sgn": lambda x: F.signum(x),
+    }
+    if name not in fns:
+        raise ValueError(f"unsupported math fn: {name}")
+    return fns[name](c)
+
+
+def round_to(value: Column | str, nearest: float = 1.0) -> Column:
+    """PromQL round(v, to_nearest): floor(v/to + 0.5) * to — the exact
+    formula Prometheus uses, which is also engine-portable (no banker's/
+    HALF_UP divergence)."""
+    c = F.col(value) if isinstance(value, str) else value
+    to = F.lit(float(nearest))
+    return F.floor(c / to + F.lit(0.5)) * to
+
+
+def time_components(ts_ms: Column | str) -> dict[str, Column]:
+    """PromQL time functions (minute/hour/day_of_week/day_of_month/
+    days_in_month/month/year, prometheus/promql/functions.go funcDaysInMonth
+    et al.) over epoch-ms timestamps, UTC as PromQL specifies.
+
+    minute/hour/day_of_week are pure integer arithmetic on epoch-ms (epoch
+    day 0 was a Thursday, hence the +4 for Sunday=0); the calendar trio uses
+    the engine's UTC date parts (session timezone is pinned UTC)."""
+    c = F.col(ts_ms) if isinstance(ts_ms, str) else ts_ms
+    day_ms, hour_ms, min_ms = F.lit(86_400_000), F.lit(3_600_000), F.lit(60_000)
+    ts = F.timestamp_millis(c)
+    return {
+        "minute": (F.pmod(c, hour_ms) / min_ms).cast("long"),
+        "hour": (F.pmod(c, day_ms) / hour_ms).cast("long"),
+        "day_of_week": F.pmod(F.floor(c / day_ms) + 4, F.lit(7)).cast("long"),
+        "day_of_month": F.dayofmonth(ts).cast("long"),
+        "days_in_month": F.dayofmonth(F.last_day(ts)).cast("long"),
+        "month": F.month(ts).cast("long"),
+        "year": F.year(ts).cast("long"),
+    }

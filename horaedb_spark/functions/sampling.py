@@ -51,3 +51,75 @@ def stratified_sample(
     return df.withColumn("__keep__", keep).filter(
         hash_bucket(id_col, salt) < F.col("__keep__")
     ).drop("__keep__")
+
+
+def domain_cap(
+    df: DataFrame, domain_col: str, id_col: str, cap: int,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Per-domain document cap (the C4/RefinedWeb "no domain dominates"
+    pass): keep at most ``cap`` rows per domain, preferring the highest
+    ``order_col`` (ties broken by ``id_col`` for determinism).
+
+    One shuffle on the domain key; Spark 4 rewrites the rank<=k filter into
+    a map-side WindowGroupLimit, so each input partition forwards at most
+    ``cap`` rows per domain into the exchange — at 100 TB the shuffle
+    carries ~cap x n_domains rows, not the corpus."""
+    from pyspark.sql import Window
+
+    order = [F.col(order_col).desc()] if order_col else []
+    w = Window.partitionBy(domain_col).orderBy(*order, F.col(id_col).asc())
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= cap)
+        .drop("__rn__")
+    )
+
+
+def temperature_resample(
+    df: DataFrame, id_col: str, domain_col: str, alpha: float = 0.5,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-based domain rebalancing (the multilingual-pretraining
+    sampler, XLM-R §3.1): target share per domain ~ n_d^alpha, realized as a
+    deterministic keep-rate r_d = (n_min / n_d)^(1-alpha) — the smallest
+    domain keeps everything, larger domains are downsampled toward the
+    flattened distribution (alpha=1 keeps all, alpha=0 equalizes).
+
+    Membership is row-local and engine-portable: keep row iff the first 8
+    hex digits of md5(salt:id) sort below lpad(hex(floor(r_d * 2^32))) —
+    a lexicographic compare on fixed-width lowercase hex, the same trick as
+    ``hash_bucket`` with 2^32 resolution. Rates are rounded with the
+    portable floor(x*1e6+0.5)/1e6 so pow() libm ulps can't flip a row.
+    Domain counts are one tiny aggregate broadcast back onto the corpus —
+    no second shuffle of the data."""
+    from pyspark.sql import functions as _F
+
+    counts = df.groupBy(domain_col).agg(_F.count(_F.lit(1)).alias("__n__"))
+    min_n = counts.agg(_F.min("__n__").alias("__min_n__"))
+    rates = counts.crossJoin(_F.broadcast(min_n)).select(
+        domain_col,
+        (
+            _F.floor(
+                _F.pow(_F.col("__min_n__") / _F.col("__n__"), _F.lit(1.0 - alpha))
+                * 1e6
+                + _F.lit(0.5)
+            )
+            / 1e6
+        ).alias("__rate__"),
+    )
+    threshold = _F.when(_F.col("__rate__") >= 1.0, _F.lit("g")).otherwise(
+        _F.lpad(
+            _F.lower(_F.hex(_F.floor(_F.col("__rate__") * _F.lit(4294967296.0)))),
+            8,
+            "0",
+        )
+    )
+    digest = _F.substring(
+        _F.md5(_F.concat(_F.lit(f"{salt}:"), _F.col(id_col).cast("string"))), 1, 8
+    )
+    return (
+        df.join(_F.broadcast(rates), on=domain_col)
+        .filter(digest < threshold)
+        .drop("__rate__")
+    )

@@ -245,3 +245,33 @@ def redact_pii(
     for pat in (patterns or PII_PATTERNS).values():
         c = F.regexp_replace(c, pat, replacement)
     return c
+
+
+def chunk_windows(
+    text: Column | str, window: int = 64, stride: int = 48
+) -> Column:
+    """Context-window chunking: split a document into word windows of
+    ``window`` tokens every ``stride`` tokens (overlap = window - stride),
+    the pass that turns variable-length documents into model-sized training
+    sequences. Returns array<struct<chunk_idx, start, n_tokens, chunk>>.
+
+    Pure row-local array arithmetic — at 100 TB the chunker is a scan whose
+    output the caller explodes; no shuffle is introduced. Chunk count is
+    integer math (1 + ceil(max(0, n-window)/stride)) so the layout is
+    bit-identical on any engine."""
+    w = words(text)
+    n = F.size(w)
+    extra = F.greatest(n - F.lit(window), F.lit(0))
+    n_chunks = (
+        F.lit(1)
+        + F.floor((extra + F.lit(stride - 1)) / F.lit(stride)).cast("int")
+    )
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            (i * stride + 1).alias("start"),
+            F.least(F.lit(window), n - i * stride).alias("n_tokens"),
+            F.array_join(F.slice(w, i * stride + 1, window), " ").alias("chunk"),
+        ),
+    )

@@ -1126,3 +1126,97 @@ def promql_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("smoothed") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
         .alias("smoothed"),
     ).orderBy("user_label", "cohort")
+
+
+# ---------------------------------------------------------------------- D7 math fns
+@register(
+    "promql_math_functions",
+    oracle=_DEDUP_CTE
+    + """
+    SELECT user_label, cohort, ts_ms,
+           abs(value) AS abs_v,
+           CAST(ceil(value) AS BIGINT) AS ceil_v,
+           CAST(floor(value) AS BIGINT) AS floor_v,
+           CAST(sign(value) AS BIGINT) AS sgn_v,
+           floor(sqrt(abs(value)) * 1e6 + 0.5) / 1e6 AS sqrt_v,
+           floor(ln(abs(value) + 1) * 1e6 + 0.5) / 1e6 AS ln_v,
+           floor(log2(abs(value) + 1) * 1e6 + 0.5) / 1e6 AS log2_v,
+           floor(value / 10 + 0.5) * 10 AS round_10
+    FROM samples
+    WHERE name = 'error' AND cohort = '1' AND ts_ms < 1704672000000
+    ORDER BY user_label, ts_ms
+    """,
+)
+def promql_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PromQL scalar math family (abs/ceil/floor/sgn/sqrt/ln/log2 +
+    round-to-nearest-10) over one week of 'error' samples — all row-local
+    JVM expressions (no UDF, no exchange beyond the selection itself).
+    Float-valued functions use the engine-portable floor(x*1e6+0.5)/1e6
+    rounding; integer-valued ones compare exactly."""
+    eng = _engine(spark, sf_dir)
+    sel = _series_with_labels(
+        eng.select_series("error", [Matcher("cohort", "=", "1")],
+                          TimeRange(0, 1704672000000))
+    )
+
+    def round6(c: F.Column) -> F.Column:
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    v = F.col("value")
+    return sel.select(
+        "user_label",
+        "cohort",
+        "ts_ms",
+        promql.math_fn(v, "abs").alias("abs_v"),
+        promql.math_fn(v, "ceil").cast("long").alias("ceil_v"),
+        promql.math_fn(v, "floor").cast("long").alias("floor_v"),
+        promql.math_fn(v, "sgn").cast("long").alias("sgn_v"),
+        round6(promql.math_fn(F.abs(v), "sqrt")).alias("sqrt_v"),
+        round6(promql.math_fn(F.abs(v) + 1, "ln")).alias("ln_v"),
+        round6(promql.math_fn(F.abs(v) + 1, "log2")).alias("log2_v"),
+        promql.round_to(v, 10).alias("round_10"),
+    ).orderBy("user_label", "ts_ms")
+
+
+# ---------------------------------------------------------------------- D8 time fns
+@register(
+    "promql_time_functions",
+    oracle=_DEDUP_CTE
+    + """
+    SELECT DISTINCT ts_ms,
+           (ts_ms % 3600000) // 60000 AS minute,
+           (ts_ms % 86400000) // 3600000 AS hour,
+           ((ts_ms // 86400000) + 4) % 7 AS day_of_week,
+           CAST(day(make_timestamp(ts_ms * 1000)) AS BIGINT) AS day_of_month,
+           CAST(day(last_day(make_timestamp(ts_ms * 1000))) AS BIGINT)
+             AS days_in_month,
+           CAST(month(make_timestamp(ts_ms * 1000)) AS BIGINT) AS month,
+           CAST(year(make_timestamp(ts_ms * 1000)) AS BIGINT) AS year
+    FROM samples
+    WHERE name = 'purchase' AND cohort = '2'
+    ORDER BY ts_ms
+    """,
+)
+def promql_time_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL time functions (minute/hour/day_of_week/day_of_month/
+    days_in_month/month/year) over the distinct sample timestamps of one
+    cohort — minute/hour/dow are pure epoch-ms integer arithmetic
+    (Sunday=0 via the epoch-Thursday +4 shift), the calendar trio uses UTC
+    date parts, matching Prometheus's UTC-only contract."""
+    eng = _engine(spark, sf_dir)
+    sel = eng.select_series("purchase", [Matcher("cohort", "=", "2")])
+    tc = promql.time_components("ts_ms")
+    return (
+        sel.select("ts_ms").distinct()
+        .select(
+            "ts_ms",
+            tc["minute"].alias("minute"),
+            tc["hour"].alias("hour"),
+            tc["day_of_week"].alias("day_of_week"),
+            tc["day_of_month"].alias("day_of_month"),
+            tc["days_in_month"].alias("days_in_month"),
+            tc["month"].alias("month"),
+            tc["year"].alias("year"),
+        )
+        .orderBy("ts_ms")
+    )

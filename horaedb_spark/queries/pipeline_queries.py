@@ -104,3 +104,118 @@ def pipeline_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_set_contamination(
         docs, "doc_id", "text", "split", probe_value="test", k=5
     ).orderBy("doc_id")
+
+
+@register(
+    "pipeline_domain_cap",
+    oracle=r"""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM documents
+    )
+    SELECT source, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+           CAST(min(n_chars) AS BIGINT) AS min_chars
+    FROM ranked WHERE rn <= 15 GROUP BY source ORDER BY source
+    """,
+)
+def pipeline_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap (C4/RefinedWeb "no domain dominates"): keep the 15
+    longest docs per source, ties by doc_id. The rank<=k filter compiles to
+    a map-side WindowGroupLimit, so the shuffle carries at most
+    cap x n_domains rows regardless of corpus size (plan-asserted in
+    tests/test_plans.py)."""
+    from horaedb_spark.functions.sampling import domain_cap
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = domain_cap(docs, "source", "doc_id", cap=15, order_col="n_chars")
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("id_checksum"),
+            F.min("n_chars").alias("min_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "pipeline_temperature_resample",
+    oracle=r"""
+    WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    mn AS (SELECT min(n) AS min_n FROM counts),
+    rates AS (
+      SELECT lang,
+             floor(pow(CAST(min_n AS DOUBLE) / n, CAST(0.5 AS DOUBLE)) * 1e6
+                   + 0.5) / 1e6
+               AS rate
+      FROM counts, mn
+    ),
+    thr AS (
+      SELECT lang,
+             CASE WHEN rate >= 1.0 THEN 'g'
+                  ELSE lpad(lower(hex(CAST(floor(rate * 4294967296.0)
+                                           AS BIGINT))), 8, '0') END AS t
+      FROM rates
+    )
+    SELECT d.lang, count(*) AS n_kept,
+           CAST(sum(d.doc_id) AS BIGINT) AS id_checksum
+    FROM documents d JOIN thr ON d.lang = thr.lang
+    WHERE substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < t
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+)
+def pipeline_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature rebalancing at alpha=0.5 over the language distribution:
+    en (3.4x the smallest lang) is downsampled toward sqrt-flattened shares,
+    the smallest language keeps every row. Membership is pinned to the row
+    by the id_checksum: the md5-threshold keep decision must agree with the
+    oracle exactly, not just in expectation."""
+    from horaedb_spark.functions.sampling import temperature_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = temperature_resample(docs, "doc_id", "lang", alpha=0.5)
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("doc_id").alias("id_checksum"))
+        .orderBy("lang")
+    )
+
+
+@register(
+    "pipeline_chunk_windows",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+    ), c AS (
+      SELECT doc_id, w, len(w) AS n,
+             1 + CASE WHEN len(w) > 64 THEN (len(w) - 64 + 47) // 48
+                      ELSE 0 END AS n_chunks
+      FROM w
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+           CAST(least(64, n - i * 48) AS BIGINT) AS n_tokens,
+           md5(array_to_string(w[i * 48 + 1 : i * 48 + 64], ' ')) AS chunk_md5
+    FROM c, unnest(generate_series(0, n_chunks - 1)) AS t(i)
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def pipeline_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 64-token windows every 48 tokens (16-token
+    overlap) — documents become model-sized training sequences in one
+    row-local pass; the md5 of each chunk pins the exact token layout
+    against the oracle's 1-based list slices."""
+    from horaedb_spark.functions.text import chunk_windows
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.select(
+        "doc_id", F.explode(chunk_windows("text", window=64, stride=48)).alias("c")
+    )
+    return c.select(
+        "doc_id",
+        F.col("c.chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("c.n_tokens").cast("long").alias("n_tokens"),
+        F.md5(F.col("c.chunk")).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")

@@ -99,3 +99,84 @@ def test_holt_winters_drops_single_sample_series(spark):
     )
     out = promql.holt_winters(df, ["series"], sf=0.5, tf=0.1).collect()
     assert [r.series for r in out] == ["b"]
+
+
+def test_chunk_windows_layout(spark):
+    from horaedb_spark.functions.text import chunk_windows
+
+    # 10 words, window 4, stride 3 -> chunks at 0,3,6 cover through word 10:
+    # n_chunks = 1 + ceil((10-4)/3) = 3; last chunk has 4 tokens (words 7-10)
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text)], ["id", "text"])
+    rows = df.select(
+        F.explode(chunk_windows("text", window=4, stride=3)).alias("c")
+    ).select("c.*").collect()
+    assert [(r.chunk_idx, r.start, r.n_tokens) for r in rows] == [
+        (0, 1, 4), (1, 4, 4), (2, 7, 4)
+    ]
+    assert rows[1].chunk == "w3 w4 w5 w6"
+    # short doc: one chunk, all tokens
+    short = spark.createDataFrame([(1, "a b")], ["id", "text"]).select(
+        F.explode(chunk_windows("text", window=4, stride=3)).alias("c")
+    ).select("c.*").collect()
+    assert [(r.chunk_idx, r.n_tokens, r.chunk) for r in short] == [(0, 2, "a b")]
+
+
+def test_temperature_resample_keeps_smallest_domain(spark):
+    from horaedb_spark.functions.sampling import temperature_resample
+
+    # domain 'small' has 4 rows (rate 1.0 -> all kept); 'big' has 64 rows
+    # (rate sqrt(4/64)=0.25 -> ~16 kept, exact membership md5-determined)
+    rows = [(i, "small") for i in range(4)] + [(100 + i, "big") for i in range(64)]
+    df = spark.createDataFrame(rows, ["id", "dom"])
+    kept = temperature_resample(df, "id", "dom", alpha=0.5).collect()
+    small = [r.id for r in kept if r.dom == "small"]
+    big = [r.id for r in kept if r.dom == "big"]
+    assert sorted(small) == [0, 1, 2, 3]
+    assert 0 < len(big) < 64
+    # deterministic: same result on re-run
+    again = temperature_resample(df, "id", "dom", alpha=0.5).collect()
+    assert sorted(r.id for r in again) == sorted(r.id for r in kept)
+
+
+def test_domain_cap_orders_and_breaks_ties(spark):
+    from horaedb_spark.functions.sampling import domain_cap
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 30), (3, "a", 30), (4, "a", 5), (5, "b", 1)],
+        ["id", "dom", "quality"],
+    )
+    kept = domain_cap(df, "dom", "id", cap=2, order_col="quality").collect()
+    by_dom = {}
+    for r in kept:
+        by_dom.setdefault(r.dom, []).append(r.id)
+    # quality 30,30 win; tie broken by lower id first (both kept at cap=2)
+    assert sorted(by_dom["a"]) == [2, 3]
+    assert by_dom["b"] == [5]
+
+
+def test_promql_round_to_and_math(spark):
+    df = spark.createDataFrame([(1, -7.5), (2, 12.4), (3, 0.0)], ["id", "v"])
+    out = df.select(
+        "id",
+        promql.round_to("v", 5).alias("r5"),
+        promql.math_fn("v", "sgn").alias("sgn"),
+        promql.math_fn("v", "abs").alias("abs"),
+    ).orderBy("id").collect()
+    # PromQL round: floor(v/to + 0.5)*to -> -7.5/5+0.5 = -1.0 -> -5.0
+    assert [r.r5 for r in out] == [-5.0, 10.0, 0.0]
+    assert [r.sgn for r in out] == [-1.0, 1.0, 0.0]
+    assert [r.abs for r in out] == [7.5, 12.4, 0.0]
+
+
+def test_promql_time_components_known_instant(spark):
+    # 2024-03-15 13:45:00 UTC = 1710510300000 ms, a Friday (dow 5)
+    df = spark.createDataFrame([(1710510300000,)], ["ts_ms"])
+    tc = promql.time_components("ts_ms")
+    r = df.select(
+        tc["minute"].alias("mi"), tc["hour"].alias("h"),
+        tc["day_of_week"].alias("dw"), tc["day_of_month"].alias("dm"),
+        tc["days_in_month"].alias("dim"), tc["month"].alias("mo"),
+        tc["year"].alias("y"),
+    ).collect()[0]
+    assert (r.mi, r.h, r.dw, r.dm, r.dim, r.mo, r.y) == (45, 13, 5, 15, 31, 3, 2024)

@@ -227,3 +227,25 @@ def test_holt_winters_fold_stays_jvm_side(spark, sf_dir):
 
     p = _final_plan(promql_holt_winters(spark, sf_dir))
     assert "Python" not in p, p[:3000]
+
+
+def test_domain_cap_limits_map_side(spark, sf_dir):
+    """The per-domain cap must compile to a WindowGroupLimit: each input
+    partition forwards at most cap rows per domain into the exchange, so
+    the shuffle carries ~cap x n_domains rows at any corpus size."""
+    from horaedb_spark.queries.pipeline_queries import pipeline_domain_cap
+
+    p = _final_plan(pipeline_domain_cap(spark, sf_dir))
+    assert "WindowGroupLimit" in p, p[:3000]
+
+
+def test_temperature_resample_broadcasts_rates(spark, sf_dir):
+    """The per-domain rate table (n_domains rows) must broadcast back onto
+    the corpus — the corpus itself never shuffles for the keep decision."""
+    from horaedb_spark.queries.pipeline_queries import (
+        pipeline_temperature_resample,
+    )
+
+    p = _final_plan(pipeline_temperature_resample(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p[:3000]
+    assert "SortMergeJoin" not in p, p[:3000]
