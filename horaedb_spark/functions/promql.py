@@ -823,3 +823,12 @@ def time_components(ts_ms: Column | str) -> dict[str, Column]:
         "month": F.month(ts).cast("long"),
         "year": F.year(ts).cast("long"),
     }
+
+
+def offset_by(df: DataFrame, offset_ms: int, ts_col: str = "bucket_ms") -> DataFrame:
+    """PromQL ``offset`` modifier: a vector with ``offset 1d`` evaluated at
+    time t reads samples from t - 1d. Realized by shifting the vector's
+    timestamps *forward* by the offset so a plain equi-join on the bucket
+    column pairs each evaluation time with its offset lookback — no range
+    join, no second scan pattern."""
+    return df.withColumn(ts_col, F.col(ts_col) + F.lit(offset_ms))

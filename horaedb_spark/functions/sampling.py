@@ -123,3 +123,53 @@ def temperature_resample(
         .filter(digest < threshold)
         .drop("__rate__")
     )
+
+
+def packed_bins(
+    df: DataFrame, id_col: str, token_col: str, budget: int,
+    block_size: int = 1024,
+) -> DataFrame:
+    """Sequence packing (GPT-style concat-and-chunk): documents are laid out
+    in ``id_col`` order, concatenated, and cut every ``budget`` tokens; each
+    document learns which training sequences (bins) it lands in.
+
+    The global running token total is a prefix sum, which naive
+    ``Window.orderBy(id)`` computes on ONE partition — a non-starter at
+    100 TB. Here it runs as the classic two-phase scan: (1) cumsum inside
+    ``id div block_size`` blocks (parallel across blocks), (2) per-block
+    totals — a metadata-sized table — get their own tiny cumsum and
+    broadcast back as each block's starting offset. The corpus shuffles
+    once, on the block key."""
+    from pyspark.sql import Window
+
+    blk = (F.col(id_col) / F.lit(block_size)).cast("long")
+    with_blk = df.withColumn("__blk__", blk)
+    intra = F.sum(token_col).over(
+        Window.partitionBy("__blk__").orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    block_totals = with_blk.groupBy("__blk__").agg(
+        F.sum(token_col).alias("__btot__")
+    )
+    offsets = block_totals.withColumn(
+        "__offset__",
+        F.coalesce(
+            F.sum("__btot__").over(
+                Window.orderBy("__blk__")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("__blk__", "__offset__")
+    out = (
+        with_blk.join(F.broadcast(offsets), "__blk__")
+        .withColumn("cum_tokens", (F.col("__offset__") + intra).cast("long"))
+    )
+    tokens = F.col(token_col).cast("long")
+    b = F.lit(budget)
+    return out.select(
+        *df.columns,
+        F.col("cum_tokens"),
+        F.floor((F.col("cum_tokens") - tokens) / b).alias("first_bin"),
+        F.floor((F.col("cum_tokens") - 1) / b).alias("last_bin"),
+    )

@@ -275,3 +275,43 @@ def chunk_windows(
             F.array_join(F.slice(w, i * stride + 1, window), " ").alias("chunk"),
         ),
     )
+
+
+def boilerplate_ngram_stats(
+    df, id_col: str, text_col: str, k: int = 3, min_docs: int = 4
+):
+    """Corpus-level boilerplate detection (the C4/RefinedWeb repeated-
+    passage pass): a word k-gram appearing in >= ``min_docs`` distinct
+    documents is boilerplate; each document reports how much of it is made
+    of such grams.
+
+    Shape at scale: per-doc distinct shingles explode once and aggregate to
+    document frequencies (map-side combined); the heavy set (df >= T) is
+    orders of magnitude smaller than the gram table and BROADCASTS back as
+    a semi-join — the corpus-sized gram stream shuffles exactly once, on
+    the fixed-width md5 digest. Returns per-doc (n_grams, n_boilerplate,
+    boiler_frac)."""
+    from pyspark.sql import DataFrame as _DF  # noqa: F401
+
+    g = df.select(
+        F.col(id_col), F.explode(shingles(text_col, k)).alias("__g__")
+    ).select(F.col(id_col), F.md5("__g__").alias("__h__"))
+    heavy = (
+        g.groupBy("__h__")
+        .agg(F.count(F.lit(1)).alias("__df__"))
+        .filter(F.col("__df__") >= min_docs)
+        .select("__h__")
+    )
+    totals = g.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    boiler = (
+        g.join(F.broadcast(heavy), "__h__", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_boilerplate"))
+    )
+    joined = totals.join(boiler, id_col, "left").na.fill({"n_boilerplate": 0})
+    frac = F.floor(
+        F.col("n_boilerplate") / F.col("n_grams") * F.lit(1e6) + F.lit(0.5)
+    ) / F.lit(1e6)
+    return joined.select(
+        id_col, "n_grams", "n_boilerplate", frac.alias("boiler_frac")
+    )

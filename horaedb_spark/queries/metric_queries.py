@@ -1220,3 +1220,47 @@ def promql_time_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ts_ms")
     )
+
+
+# ---------------------------------------------------------------------- D7 offset
+@register(
+    "promql_offset_dod",
+    oracle=_DEDUP_CTE
+    + f"""
+    , daily AS (
+      SELECT cohort, ts_ms - ts_ms % {DAY_MS} AS bucket_ms,
+             CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS sum_value
+      FROM samples WHERE name = 'click' GROUP BY 1, 2
+    )
+    SELECT c.cohort, c.bucket_ms,
+           floor(c.sum_value / p.sum_value * 1e6 + 0.5) / 1e6 AS dod_ratio
+    FROM daily c JOIN daily p
+      ON c.cohort = p.cohort AND p.bucket_ms = c.bucket_ms - {DAY_MS}
+    ORDER BY c.cohort, c.bucket_ms
+    """,
+)
+def promql_offset_dod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PromQL ``offset`` modifier: day-over-day ratio
+    ``sum by (cohort) (x) / sum by (cohort) (x offset 1d)`` — the offset
+    vector's timestamps shift forward so a plain bucket equi-join pairs
+    each day with its predecessor (no range join, one shuffle per side,
+    decimal-routed sums)."""
+    eng = _engine(spark, sf_dir)
+    sel = _series_with_labels(eng.select_series("click"))
+    daily = promql.aggregate_by(sel, ["cohort"], DAY_MS)
+    ratio = promql.vector_binop(
+        daily,
+        promql.offset_by(daily, DAY_MS),
+        "/",
+        ["cohort", "bucket_ms"],
+        l_value="sum_value",
+        r_value="sum_value",
+        out_col="ratio",
+    )
+    return ratio.select(
+        "cohort",
+        "bucket_ms",
+        (F.floor(F.col("ratio") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "dod_ratio"
+        ),
+    ).orderBy("cohort", "bucket_ms")

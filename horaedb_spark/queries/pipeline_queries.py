@@ -219,3 +219,40 @@ def pipeline_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.n_tokens").cast("long").alias("n_tokens"),
         F.md5(F.col("c.chunk")).alias("chunk_md5"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "pipeline_sequence_packing",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, len(string_split_regex(text, '\s+')) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum AS BIGINT) AS cum_tokens,
+           (cum - n_tokens) // 256 AS first_bin,
+           (cum - 1) // 256 AS last_bin
+    FROM c ORDER BY doc_id
+    """,
+)
+def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: docs concatenate in doc_id order and cut
+    every 256 tokens; each doc reports its bin span. The oracle computes the
+    prefix sum with a single global window; the engine runs the scalable
+    two-phase scan (block-local cumsum + broadcast block offsets) — same
+    numbers, but the corpus-sized pass stays parallel (see
+    sampling.packed_bins)."""
+    from horaedb_spark.functions.sampling import packed_bins
+    from horaedb_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", token_count("text").cast("long").alias("n_tokens"))
+    packed = packed_bins(t, "doc_id", "n_tokens", budget=256, block_size=64)
+    return packed.select(
+        "doc_id", "n_tokens", "cum_tokens", "first_bin", "last_bin"
+    ).orderBy("doc_id")

@@ -243,3 +243,44 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep",
         (F.col("dup_word_frac") <= 0.6) & (F.col("top_gram_frac") <= 0.05),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_boilerplate_ngrams",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(w) >= 3
+                    THEN list_distinct([array_to_string(w[i:i+2], ' ')
+                                        FOR i IN generate_series(1, len(w)-2)])
+                    ELSE [array_to_string(w, ' ')] END) AS gram
+      FROM w
+    ), hv AS (
+      SELECT gram FROM (SELECT gram, count(*) AS df FROM g GROUP BY gram)
+      WHERE df >= 4
+    ), tot AS (
+      SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id
+    ), bl AS (
+      SELECT g.doc_id, count(*) AS n_boilerplate
+      FROM g JOIN hv USING (gram) GROUP BY g.doc_id
+    )
+    SELECT t.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
+           CAST(coalesce(b.n_boilerplate, 0) AS BIGINT) AS n_boilerplate,
+           floor(coalesce(b.n_boilerplate, 0) / t.n_grams * 1e6 + 0.5) / 1e6
+             AS boiler_frac
+    FROM tot t LEFT JOIN bl b USING (doc_id) ORDER BY t.doc_id
+    """,
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-boilerplate pass: trigrams shared by >= 4 documents are
+    boilerplate; per-doc boilerplate gram counts and fraction. The heavy
+    set broadcasts back as a semi-join, so the corpus-sized gram stream
+    shuffles once (on md5 digests)."""
+    from horaedb_spark.functions.text import boilerplate_ngram_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return boilerplate_ngram_stats(docs, "doc_id", "text", k=3, min_docs=4).orderBy(
+        "doc_id"
+    )

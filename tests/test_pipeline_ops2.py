@@ -180,3 +180,48 @@ def test_promql_time_components_known_instant(spark):
         tc["year"].alias("y"),
     ).collect()[0]
     assert (r.mi, r.h, r.dw, r.dm, r.dim, r.mo, r.y) == (45, 13, 5, 15, 31, 3, 2024)
+
+
+def test_packed_bins_matches_naive_cumsum(spark):
+    from horaedb_spark.functions.sampling import packed_bins
+
+    # ids 0..9 with varying token counts; block_size=3 forces multi-block
+    # offsets; budget 10 splits bins mid-document
+    rows = [(i, (i * 7) % 5 + 3) for i in range(10)]
+    df = spark.createDataFrame(rows, ["id", "toks"])
+    out = {
+        r.id: (r.cum_tokens, r.first_bin, r.last_bin)
+        for r in packed_bins(df, "id", "toks", budget=10, block_size=3).collect()
+    }
+    cum = 0
+    for i, t in rows:
+        cum += t
+        assert out[i] == (cum, (cum - t) // 10, (cum - 1) // 10), (i, out[i])
+
+
+def test_boilerplate_planted_gram(spark):
+    from horaedb_spark.functions.text import boilerplate_ngram_stats
+
+    # "x y z" appears in 3 docs -> boilerplate at min_docs=3; doc 4 is clean
+    docs = spark.createDataFrame(
+        [
+            (1, "x y z a b c"),
+            (2, "x y z d e f"),
+            (3, "p q x y z r"),
+            (4, "u v w u v w"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: (r.n_grams, r.n_boilerplate)
+        for r in boilerplate_ngram_stats(
+            docs, "doc_id", "text", k=3, min_docs=3
+        ).collect()
+    }
+    assert out[1][1] == 1 and out[2][1] == 1 and out[3][1] == 1
+    assert out[4] == (3, 0)  # 3 distinct trigrams (uvw, vwu, wuv), none shared
+
+
+def test_offset_by_shifts_forward(spark):
+    df = spark.createDataFrame([(1000, 1.0)], ["bucket_ms", "value"])
+    assert promql.offset_by(df, 500).collect()[0].bucket_ms == 1500

@@ -249,3 +249,25 @@ def test_temperature_resample_broadcasts_rates(spark, sf_dir):
     p = _final_plan(pipeline_temperature_resample(spark, sf_dir))
     assert "BroadcastHashJoin" in p, p[:3000]
     assert "SortMergeJoin" not in p, p[:3000]
+
+
+def test_boilerplate_heavy_set_broadcasts(spark, sf_dir):
+    """The heavy-gram set must broadcast back as a semi-join; the
+    corpus-sized gram stream shuffles only for its aggregates."""
+    from horaedb_spark.queries.text_queries import text_boilerplate_ngrams
+
+    p = _final_plan(text_boilerplate_ngrams(spark, sf_dir))
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p, p[:3000]
+
+
+def test_sequence_packing_windows_on_blocks(spark, sf_dir):
+    """The corpus-sized cumsum window must partition by the block key (the
+    two-phase scan); only the metadata-sized block-offset window is global."""
+    import re as _re
+
+    from horaedb_spark.queries.pipeline_queries import pipeline_sequence_packing
+
+    p = _final_plan(pipeline_sequence_packing(spark, sf_dir))
+    specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert any("__blk__" in s for s in specs), specs
+    assert "BroadcastHashJoin" in p, p[:3000]
