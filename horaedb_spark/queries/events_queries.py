@@ -1,0 +1,160 @@
+"""Behavioral analytics over the events stream: funnel progression and
+cohort retention — the two canonical product-analytics shapes a timeseries
+engine's users run after the PromQL surface.
+
+Both are UDF-free. The funnel runs as ONE shuffle: per-user events
+collect into a sorted array and a JVM-side fold walks the stage machine
+(signup -> click -> purchase, strictly increasing timestamps) — the same
+order-dependent-fold pattern as ``promql.holt_winters``. The oracle replays
+the strict semantics with correlated mins, proving the fold equals the
+relational formulation. Retention is two hash aggregates and one
+co-partitioned join on user_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from horaedb_spark.queries.registry import register
+from horaedb_spark.queries.tables import events_ms
+
+DAY_MS = 86_400_000
+
+_STAGES = ("signup", "click", "purchase")
+
+
+def funnel_stages(events: DataFrame, stages: tuple[str, ...] = _STAGES) -> DataFrame:
+    """Per-user funnel progression: walk the user's event stream in time
+    order, advancing one stage each time the next stage's event type occurs
+    at a STRICTLY later timestamp than the previous stage hit. Returns
+    (user_id, stage_reached).
+
+    One shuffle on user_id; the walk is an ``aggregate`` fold over a sorted
+    array — whole-stage-codegen JVM expressions, no Python. Per-user event
+    counts bound the array (document-scale state, same contract as
+    holt_winters); a 100 TB deployment with pathological per-user volumes
+    would pre-filter to the stage event types, which this does first —
+    the array holds only funnel-relevant events."""
+    relevant = events.filter(F.col("event_type").isin(*stages))
+    arr = relevant.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("ts_ms"), F.col("event_type")))
+        ).alias("__evs__")
+    )
+
+    init = F.struct(
+        F.lit(0).alias("stage"), F.lit(-1).cast("long").alias("t_prev")
+    )
+
+    def step(acc, ev):
+        conds = acc["stage"] < len(stages)
+        advance = F.lit(False)
+        for idx, s in enumerate(stages):
+            advance = advance | (
+                (acc["stage"] == idx) & (ev["event_type"] == s)
+            )
+        advance = conds & advance & (ev["ts_ms"] > acc["t_prev"])
+        return F.struct(
+            F.when(advance, acc["stage"] + 1).otherwise(acc["stage"]).alias(
+                "stage"
+            ),
+            F.when(advance, ev["ts_ms"]).otherwise(acc["t_prev"]).alias("t_prev"),
+        )
+
+    folded = F.aggregate("__evs__", init, step, lambda acc: acc["stage"])
+    return arr.select("user_id", folded.alias("stage_reached"))
+
+
+@register(
+    "funnel_conversion",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+    ), s1 AS (
+      SELECT user_id, min(ts_ms) AS t1 FROM ev
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts_ms) AS t2
+      FROM ev e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts_ms > s1.t1 GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts_ms) AS t3
+      FROM ev e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts_ms > s2.t2 GROUP BY e.user_id
+    ), staged AS (
+      SELECT u.user_id,
+             CASE WHEN s3.user_id IS NOT NULL THEN 3
+                  WHEN s2.user_id IS NOT NULL THEN 2
+                  WHEN s1.user_id IS NOT NULL THEN 1
+                  ELSE 0 END AS stage_reached
+      FROM (SELECT DISTINCT user_id FROM ev
+            WHERE event_type IN ('signup', 'click', 'purchase')) u
+      LEFT JOIN s1 ON u.user_id = s1.user_id
+      LEFT JOIN s2 ON u.user_id = s2.user_id
+      LEFT JOIN s3 ON u.user_id = s3.user_id
+    )
+    SELECT stage_reached, count(*) AS n_users,
+           CAST(sum(user_id) AS BIGINT) AS user_checksum
+    FROM staged GROUP BY stage_reached ORDER BY stage_reached
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup -> click -> purchase funnel: how far each user progresses,
+    requiring strictly increasing timestamps between stages. The engine
+    folds each user's sorted event array in one shuffle; the oracle builds
+    the same stages with three correlated-min joins — the checksum pins
+    per-user agreement, not just the histogram."""
+    ev = events_ms(spark, sf_dir)
+    staged = funnel_stages(ev.select("user_id", "event_type", "ts_ms"))
+    return (
+        staged.groupBy("stage_reached")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("user_id").alias("user_checksum"),
+        )
+        .orderBy("stage_reached")
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, epoch_ms(ts) // {DAY_MS} AS day FROM events
+    ), first_day AS (
+      SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id
+    ), active AS (
+      SELECT DISTINCT e.user_id, f.cohort_day, e.day - f.cohort_day AS day_offset
+      FROM ev e JOIN first_day f ON e.user_id = f.user_id
+      WHERE e.day - f.cohort_day BETWEEN 0 AND 7
+    )
+    SELECT cohort_day, day_offset, count(*) AS n_users
+    FROM active GROUP BY 1, 2 ORDER BY cohort_day, day_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention: users grouped by first-seen day; for each
+    cohort, how many return on each of the next 7 days. Two hash aggregates
+    plus one join that co-partitions on user_id (no extra exchange — AQE
+    reuses the shuffle), then a distinct + count. Day arithmetic is pure
+    integer epoch-day math on both engines."""
+    ev = events_ms(spark, sf_dir).select(
+        "user_id", F.floor(F.col("ts_ms") / F.lit(DAY_MS)).alias("day")
+    )
+    first_day = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    active = (
+        ev.join(first_day, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .filter(F.col("day_offset").between(0, 7))
+        .distinct()
+    )
+    return (
+        active.groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )

@@ -1264,3 +1264,57 @@ def promql_offset_dod(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dod_ratio"
         ),
     ).orderBy("cohort", "bucket_ms")
+
+
+# ---------------------------------------------------------------------- D7 subquery
+@register(
+    "promql_subquery_max_rate",
+    oracle=_DEDUP_CTE
+    + f"""
+    , r AS (
+      SELECT user_label, cohort, bucket_ms,
+             round((v_last - v_first) / ((t_last - t_first) / 1000.0), 6)
+               AS rate_per_s
+      FROM (
+        SELECT user_label, cohort, ts_ms - ts_ms % {6 * HOUR_MS} AS bucket_ms,
+               arg_max(value, ts_ms) AS v_last, arg_min(value, ts_ms) AS v_first,
+               max(ts_ms) AS t_last, min(ts_ms) AS t_first, count(*) AS n
+        FROM samples WHERE name = 'click'
+        GROUP BY 1, 2, 3
+      ) WHERE n >= 2 AND t_last > t_first
+    )
+    SELECT user_label, cohort, bucket_ms - bucket_ms % {DAY_MS} AS day_ms,
+           max(rate_per_s) AS max_rate, count(*) AS n_windows
+    FROM r GROUP BY 1, 2, 3
+    ORDER BY user_label, cohort, day_ms
+    """,
+)
+def promql_subquery_max_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL subquery composition ``max_over_time(rate(click[6h])[1d:6h])``:
+    the inner range function materializes per-6h-bucket rates, the outer
+    range function aggregates those results per day — function-over-function
+    with NO re-scan of the raw samples (the inner vector feeds the outer
+    aggregate directly, two hash aggregates total)."""
+    eng = _engine(spark, sf_dir)
+    sel = _series_with_labels(eng.select_series("click"))
+    inner = promql.rate(sel, ["user_label", "cohort"], 6 * HOUR_MS)
+    rounded = inner.select(
+        "user_label",
+        "cohort",
+        "bucket_ms",
+        F.round("rate_per_s", 6).alias("rate_per_s"),
+    )
+    return (
+        rounded.groupBy(
+            "user_label",
+            "cohort",
+            (F.col("bucket_ms") - F.pmod(F.col("bucket_ms"), F.lit(DAY_MS))).alias(
+                "day_ms"
+            ),
+        )
+        .agg(
+            F.max("rate_per_s").alias("max_rate"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .orderBy("user_label", "cohort", "day_ms")
+    )

@@ -59,6 +59,7 @@ _QUERY_MODULES = (
     "similarity_queries",
     "text_queries",
     "multimodal_queries",
+    "events_queries",
     "analytics4",
     "streaming_queries",
     "metric_queries",

@@ -225,3 +225,21 @@ def test_boilerplate_planted_gram(spark):
 def test_offset_by_shifts_forward(spark):
     df = spark.createDataFrame([(1000, 1.0)], ["bucket_ms", "value"])
     assert promql.offset_by(df, 500).collect()[0].bucket_ms == 1500
+
+
+def test_funnel_stages_strict_ordering(spark):
+    from horaedb_spark.queries.events_queries import funnel_stages
+
+    rows = [
+        # u1: full funnel in order
+        (1, "signup", 100), (1, "click", 200), (1, "purchase", 300),
+        # u2: click BEFORE signup doesn't count; no click after -> stage 1
+        (2, "click", 50), (2, "signup", 100), (2, "purchase", 200),
+        # u3: purchase at SAME ts as click is rejected (strict >)
+        (3, "signup", 10), (3, "click", 20), (3, "purchase", 20),
+        # u4: never signs up -> stage 0
+        (4, "click", 10), (4, "purchase", 20),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts_ms"])
+    out = {r.user_id: r.stage_reached for r in funnel_stages(df).collect()}
+    assert out == {1: 3, 2: 1, 3: 2, 4: 0}

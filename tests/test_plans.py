@@ -271,3 +271,13 @@ def test_sequence_packing_windows_on_blocks(spark, sf_dir):
     specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", p)
     assert any("__blk__" in s for s in specs), specs
     assert "BroadcastHashJoin" in p, p[:3000]
+
+
+def test_funnel_fold_is_one_shuffle_no_python(spark, sf_dir):
+    """The funnel stage machine must run as a JVM fold after ONE exchange
+    on user_id — no Python evaluation, no join cascade."""
+    from horaedb_spark.queries.events_queries import funnel_conversion
+
+    p = _final_plan(funnel_conversion(spark, sf_dir))
+    assert "Python" not in p, p[:3000]
+    assert "Join" not in p, p[:3000]
