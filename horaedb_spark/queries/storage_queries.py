@@ -321,3 +321,35 @@ def storage_bulk_ingest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         table.bulk_ingest(deduped, "ts_ms")
         _CACHE[key] = table
     return _CACHE[key].scan()
+
+
+@register(
+    "storage_stats_pruned_scan",
+    oracle=f"""
+    WITH lo AS (SELECT min(epoch_ms(ts)) AS mn FROM events)
+    SELECT user_id, event_type, ts_ms, value FROM (
+      SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, value,
+             row_number() OVER (
+               PARTITION BY user_id, event_type, epoch_ms(ts) // {_SEG_15D}
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+      WHERE epoch_ms(ts) >=
+            (SELECT (mn // {_SEG_15D}) * {_SEG_15D} + {20 * DAY_MS} FROM lo)
+    ) WHERE rn = 1
+    ORDER BY user_id, event_type, ts_ms
+    """,
+)
+def storage_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-stats SST skipping (A2 generalized to value predicates): a
+    plain ``ts_ms >= day 20`` predicate — no explicit time_range — lets the
+    manifest's per-column (min, max) footer stats drop SSTs from the path
+    list before Spark lists a single file. Because stats are per *slice*
+    (sub-segment), this prunes FINER than segment time-range pruning:
+    mid-segment slices that end before the cutoff are skipped too. The
+    oracle sees only the filter; file-level pruning is proven in
+    tests/test_storage.py."""
+    table = _build_events_table(spark, sf_dir, _SEG_15D, 4)
+    lo = min(s.time_range.start for s in table.manifest.all_ssts())
+    cutoff = truncate_by(lo, _SEG_15D) + 20 * DAY_MS
+    df = table.scan(ScanRequest(predicate=f"ts_ms >= {cutoff}"))
+    return df.orderBy("user_id", "event_type", "ts_ms")

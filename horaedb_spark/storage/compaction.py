@@ -306,7 +306,7 @@ class Compactor:
         out.write.options(**t.write_config.writer_options()).mode(
             "overwrite"
         ).parquet(sst_dir)
-        from horaedb_spark.storage.table import _parquet_stats
+        from horaedb_spark.storage.table import _collect_col_stats, _parquet_stats
 
         num_rows, size_bytes = _parquet_stats(sst_dir)
         return SstFile(
@@ -316,4 +316,5 @@ class Compactor:
             max_sequence=file_id,
             num_rows=num_rows,
             size_bytes=size_bytes,
+            col_stats=_collect_col_stats(sst_dir, t.schema.user_columns),
         )

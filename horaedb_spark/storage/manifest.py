@@ -44,7 +44,15 @@ class ManifestBackpressure(RuntimeError):
 
 @dataclass(frozen=True)
 class SstFile:
-    """One SST's metadata (sst.rs:154-160 FileMeta + id + path)."""
+    """One SST's metadata (sst.rs:154-160 FileMeta + id + path).
+
+    ``col_stats`` extends the reference's time-range-only FileMeta with
+    per-column (min, max) collected from the parquet footers at write time:
+    the manifest can then skip SSTs for *value* predicates the same way it
+    skips by time — file-level pruning before Spark ever lists a path.
+    ``None`` means "stats unknown" (older manifests, unsupported types):
+    the file is never skipped. Keys are column names; values are 2-lists
+    of JSON scalars (int/float/str/bool)."""
 
     file_id: int
     path: str
@@ -53,9 +61,10 @@ class SstFile:
     num_rows: int
     size_bytes: int
     in_compaction: bool = False  # runtime-only CAS flag (sst.rs:97-107)
+    col_stats: dict | None = None
 
     def to_json(self) -> dict:
-        return {
+        d = {
             "file_id": self.file_id,
             "path": self.path,
             "start": self.time_range.start,
@@ -64,6 +73,9 @@ class SstFile:
             "num_rows": self.num_rows,
             "size_bytes": self.size_bytes,
         }
+        if self.col_stats is not None:
+            d["col_stats"] = self.col_stats
+        return d
 
     @classmethod
     def from_json(cls, d: dict) -> "SstFile":
@@ -74,6 +86,7 @@ class SstFile:
             max_sequence=d["max_sequence"],
             num_rows=d["num_rows"],
             size_bytes=d["size_bytes"],
+            col_stats=d.get("col_stats"),
         )
 
     def is_expired(self, expire_before_ms: int) -> bool:

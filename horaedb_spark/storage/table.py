@@ -33,6 +33,7 @@ Spark-native deltas from the reference (deliberate, SURVEY.md §3-§4):
 from __future__ import annotations
 
 import os
+import re
 import threading
 import time
 from dataclasses import dataclass, field as dc_field
@@ -186,6 +187,7 @@ class ColumnarTable:
             max_sequence=file_id,
             num_rows=num_rows,
             size_bytes=size_bytes,
+            col_stats=_collect_col_stats(sst_dir, self.schema.user_columns),
         )
         self.manifest.add_file(sst)
         return sst
@@ -272,6 +274,9 @@ class ColumnarTable:
                         max_sequence=fid,
                         num_rows=num_rows,
                         size_bytes=size_bytes,
+                        col_stats=_collect_col_stats(
+                            dst, self.schema.user_columns
+                        ),
                     )
                 )
             self.manifest.update(ssts, [])
@@ -286,6 +291,18 @@ class ColumnarTable:
         ssts = self.manifest.find_ssts(req.time_range)
         if req.as_of_seq is not None:
             ssts = [s for s in ssts if s.file_id <= req.as_of_seq]
+        # Column-stats file skipping: value predicates prune whole SSTs from
+        # the path list (the manifest-side complement of parquet row-group
+        # pruning — at 100 TB this is the difference between listing a
+        # thousand files and a handful). Sound because merge semantics are
+        # per-(PK, segment) row versioning: a row excluded by the predicate
+        # in an old SST is equally excluded from the merged result, so
+        # skipping the file never changes surviving rows' values — the same
+        # argument as A3 filter-before-merge.
+        if isinstance(req.predicate, str):
+            conjuncts = _parse_conjuncts(req.predicate)
+            if conjuncts:
+                ssts = [s for s in ssts if _sst_may_match(s, conjuncts)]
         return self.scan_ssts(ssts, req)
 
     def scan_ssts(self, ssts: list[SstFile], req: ScanRequest) -> DataFrame:
@@ -331,6 +348,110 @@ class ColumnarTable:
 
     def segment_of(self, ts_ms: int) -> int:
         return truncate_by(ts_ms, self.segment_duration_ms)
+
+
+_STATS_TYPES = (int, float, str, bool)
+
+# simple conjunct grammar for stats pruning: `col op literal`, AND-joined.
+_CONJUNCT_RE = re.compile(
+    r"\s*(\w+)\s*(<=|>=|==|=|<|>)\s*('(?:[^']*)'|-?\d+(?:\.\d+)?)\s*"
+)
+
+
+def _collect_col_stats(sst_dir: str, wanted: list[str]) -> dict | None:
+    """Per-column (min, max) folded over every row group's footer statistics —
+    driver-side metadata read, no Spark job (same pass as ``_parquet_stats``).
+    Columns whose chunks lack min/max (unsupported types, stats disabled) are
+    omitted; returns None if nothing usable was found."""
+    import pyarrow.parquet as pq
+
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    dead: set[str] = set()
+    for dirpath, _dirnames, filenames in os.walk(sst_dir):
+        for name in filenames:
+            if not name.endswith(".parquet"):
+                continue
+            meta = pq.ParquetFile(os.path.join(dirpath, name)).metadata
+            for rg in range(meta.num_row_groups):
+                group = meta.row_group(rg)
+                for ci in range(group.num_columns):
+                    col = group.column(ci)
+                    cname = col.path_in_schema
+                    if cname not in wanted or cname in dead:
+                        continue
+                    stats = col.statistics
+                    if (
+                        stats is None
+                        or not stats.has_min_max
+                        or not isinstance(stats.min, _STATS_TYPES)
+                        or not isinstance(stats.max, _STATS_TYPES)
+                    ):
+                        dead.add(cname)
+                        mins.pop(cname, None)
+                        maxs.pop(cname, None)
+                        continue
+                    mins[cname] = (
+                        stats.min if cname not in mins else min(mins[cname], stats.min)
+                    )
+                    maxs[cname] = (
+                        stats.max if cname not in maxs else max(maxs[cname], stats.max)
+                    )
+    if not mins:
+        return None
+    return {c: [mins[c], maxs[c]] for c in mins}
+
+
+def _parse_conjuncts(predicate: str) -> list[tuple[str, str, object]]:
+    """Split a predicate string into provable `col op literal` conjuncts.
+    Anything that doesn't fully match the simple grammar (ORs, functions,
+    BETWEEN, column-to-column) yields [] — pruning is then skipped entirely,
+    never wrong."""
+    parts = re.split(r"(?i)\s+AND\s+", predicate.strip())
+    out = []
+    for part in parts:
+        m = _CONJUNCT_RE.fullmatch(part)
+        if not m:
+            return []
+        col, op, raw = m.group(1), m.group(2), m.group(3)
+        val: object
+        if raw.startswith("'"):
+            val = raw[1:-1]
+        elif "." in raw:
+            val = float(raw)
+        else:
+            val = int(raw)
+        out.append((col, "=" if op == "==" else op, val))
+    return out
+
+
+def _sst_may_match(sst: SstFile, conjuncts: list[tuple[str, str, object]]) -> bool:
+    """Can this SST contain a row satisfying every conjunct? Mixed-type
+    comparisons (string literal vs numeric stats) conservatively keep the
+    file."""
+    if not sst.col_stats:
+        return True
+    for col, op, val in conjuncts:
+        stat = sst.col_stats.get(col)
+        if stat is None:
+            continue
+        lo, hi = stat
+        if isinstance(val, str) != isinstance(lo, str):
+            continue
+        try:
+            if op == "=" and (val < lo or val > hi):
+                return False
+            if op == "<" and not (lo < val):
+                return False
+            if op == "<=" and not (lo <= val):
+                return False
+            if op == ">" and not (hi > val):
+                return False
+            if op == ">=" and not (hi >= val):
+                return False
+        except TypeError:
+            continue
+    return True
 
 
 def _parquet_stats(sst_dir: str) -> tuple[int, int]:

@@ -270,3 +270,69 @@ def test_write_config_reaches_parquet_footers(spark, tmp_path):
         "wc3", WriteConfig(codec="zstd", enable_dictionary=True)
     )[0]
     assert os.path.getsize(files[0]) > os.path.getsize(no_bloom) * 1.5
+
+
+# ---------------------------------------------------------------- col stats
+def test_write_collects_col_stats(spark, tmp_path):
+    t = ColumnarTable(spark, str(tmp_path / "cs"), kv_schema(), TWO_HOURS)
+    df = spark.createDataFrame(
+        [(1, 1, 10), (2, 2, 99)], "pk1 long, pk2 long, value long"
+    )
+    sst = t.write(WriteRequest(df, TimeRange(0, 100)))
+    assert sst.col_stats["value"] == [10, 99]
+    assert sst.col_stats["pk1"] == [1, 2]
+    # stats survive the manifest JSON roundtrip
+    t2 = ColumnarTable(spark, t.root, kv_schema(), TWO_HOURS)
+    assert t2.manifest.all_ssts()[0].col_stats["value"] == [10, 99]
+
+
+def test_scan_prunes_ssts_by_value_stats(spark, tmp_path):
+    t = ColumnarTable(spark, str(tmp_path / "pr"), kv_schema(), TWO_HOURS)
+    lo = spark.createDataFrame(
+        [(1, 1, 10), (2, 2, 20)], "pk1 long, pk2 long, value long"
+    )
+    hi = spark.createDataFrame(
+        [(3, 3, 1000), (4, 4, 2000)], "pk1 long, pk2 long, value long"
+    )
+    t.write(WriteRequest(lo, TimeRange(0, 100)))
+    t.write(WriteRequest(hi, TimeRange(100, 200)))
+    out = t.scan(ScanRequest(predicate="value >= 500", ordered=False))
+    # correctness: only the hi rows
+    assert sorted(r.value for r in out.collect()) == [1000, 2000]
+    # pruning: the lo SST never enters the path list
+    files = out.inputFiles()
+    assert files and all("sst=" in f for f in files)
+    hi_sst = {s.file_id for s in t.manifest.all_ssts() if s.col_stats["value"][0] >= 500}
+    assert {int(f.split("sst=")[1].split("/")[0]) for f in files} == hi_sst
+
+
+def test_stats_pruning_skips_complex_predicates(spark, tmp_path):
+    """Un-parseable predicates (OR, functions) must disable pruning, not
+    mis-prune."""
+    from horaedb_spark.storage.table import _parse_conjuncts
+
+    assert _parse_conjuncts("value > 5 OR pk1 = 1") == []
+    assert _parse_conjuncts("abs(value) > 5") == []
+    assert _parse_conjuncts("value > 5 AND pk1 = 1") == [
+        ("value", ">", 5), ("pk1", "=", 1)
+    ]
+    t = ColumnarTable(spark, str(tmp_path / "cx"), kv_schema(), TWO_HOURS)
+    df = spark.createDataFrame([(1, 1, 10)], "pk1 long, pk2 long, value long")
+    t.write(WriteRequest(df, TimeRange(0, 100)))
+    out = t.scan(ScanRequest(predicate="value > 5 OR pk1 = 99", ordered=False))
+    assert out.count() == 1
+
+
+def test_stats_pruning_respects_overwrite_merge(spark, tmp_path):
+    """A newer SST overwrites a PK with an out-of-range value: the scan with
+    a predicate must not resurrect the old row (filter-before-merge), and
+    pruning must agree."""
+    t = ColumnarTable(spark, str(tmp_path / "ov"), kv_schema(), TWO_HOURS)
+    old = spark.createDataFrame([(1, 1, 900)], "pk1 long, pk2 long, value long")
+    new = spark.createDataFrame([(1, 1, 5)], "pk1 long, pk2 long, value long")
+    t.write(WriteRequest(old, TimeRange(0, 100)))
+    t.write(WriteRequest(new, TimeRange(100, 200)))
+    # predicate matches only the OLD version of the PK; filter-before-merge
+    # means that old version is selected and merges alone -> it survives
+    out = t.scan(ScanRequest(predicate="value >= 500", ordered=False))
+    assert [(r.pk1, r.value) for r in out.collect()] == [(1, 900)]
