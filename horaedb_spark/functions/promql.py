@@ -403,6 +403,19 @@ def aggregate_by(
     name -> aggregate ('sum'|'avg'|'min'|'max'|'count')."""
     aggs = aggs or {"sum_value": "sum"}
     dec_sum = lambda c: F.sum(c.cast("decimal(30,10)")).cast("double")
+
+    def _stdvar(c):
+        # same exact-int scheme as stddev_over_time, across series at an
+        # instant (PromQL's stddev/stdvar BY-label aggregators): quantize to
+        # 1e-3, integer Σq/Σq², population variance — order-independent.
+        q = F.floor(c * 1000 + F.lit(0.5)).cast("long")
+        n = F.count(c)
+        return (
+            (n * F.sum(q * q) - F.sum(q) * F.sum(q)).cast("double")
+            / (n * n)
+            / F.lit(1e6)
+        )
+
     fns = {
         # sum/avg route through decimal so results are order-independent
         # (reproducible across partitionings/engines; queries/precision.py)
@@ -411,9 +424,20 @@ def aggregate_by(
         "min": F.min,
         "max": F.max,
         "count": lambda c: F.count(c),
+        "stdvar": _stdvar,
+        "stddev": lambda c: F.sqrt(_stdvar(c)),
     }
+
+    def resolve(kind: str):
+        # 'quantile@p' = PromQL quantile(p, x) by labels — exact
+        # interpolated percentile (== DuckDB quantile_cont).
+        if kind.startswith("quantile@"):
+            p = float(kind.split("@", 1)[1])
+            return lambda c: F.percentile(c, F.lit(p))
+        return fns[kind]
+
     b = _bucketed(df, step_ms)
-    exprs = [fns[kind](F.col("value")).alias(name) for name, kind in aggs.items()]
+    exprs = [resolve(kind)(F.col("value")).alias(name) for name, kind in aggs.items()]
     return b.groupBy(*by_labels, "bucket_ms").agg(*exprs)
 
 

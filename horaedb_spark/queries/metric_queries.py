@@ -1318,3 +1318,45 @@ def promql_subquery_max_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_label", "cohort", "day_ms")
     )
+
+
+# ------------------------------------------------------------- D6 stddev/quantile by
+@register(
+    "metric_agg_stddev_quantile",
+    oracle=_DEDUP_CTE
+    + f"""
+    , q AS (
+      SELECT cohort, ts_ms - ts_ms % {DAY_MS} AS bucket_ms, value,
+             CAST(floor(value * 1000 + 0.5) AS BIGINT) AS qv
+      FROM samples WHERE name = 'click'
+    )
+    SELECT cohort, bucket_ms,
+           CAST((count(*) * sum(qv * qv) - sum(qv) * sum(qv)) AS DOUBLE)
+             / (count(*) * count(*)) / 1e6 AS stdvar_v,
+           sqrt(CAST((count(*) * sum(qv * qv) - sum(qv) * sum(qv)) AS DOUBLE)
+                / (count(*) * count(*)) / 1e6) AS stddev_v,
+           floor(quantile_cont(value, CAST(0.9 AS DOUBLE)) * 1e6 + 0.5) / 1e6
+             AS p90
+    FROM q GROUP BY 1, 2 ORDER BY cohort, bucket_ms
+    """,
+)
+def metric_agg_stddev_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL's remaining by-label aggregators: ``stdvar/stddev/quantile(0.9)
+    by (cohort)`` per day over 'click'. Variance runs on exact quantized-int
+    sums (order-independent, engine-exact — same scheme as stddev_over_time);
+    the quantile is Spark's exact percentile == DuckDB quantile_cont."""
+    eng = _engine(spark, sf_dir)
+    sel = _series_with_labels(eng.select_series("click"))
+    agg = promql.aggregate_by(
+        sel,
+        ["cohort"],
+        DAY_MS,
+        {"stdvar_v": "stdvar", "stddev_v": "stddev", "p90": "quantile@0.9"},
+    )
+    return agg.select(
+        "cohort",
+        "bucket_ms",
+        "stdvar_v",
+        "stddev_v",
+        (F.floor(F.col("p90") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("p90"),
+    ).orderBy("cohort", "bucket_ms")

@@ -355,3 +355,62 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         _CACHE[key] = spark.table(name).cache()
     return _CACHE[key].orderBy("event_id")
+
+
+@register(
+    "streaming_enrich_join",
+    oracle=f"""
+    WITH dim AS (
+      SELECT DISTINCT user_id, user_id % 5 AS tier FROM events
+    )
+    SELECT d.tier, e.event_type, count(*) AS n,
+           round(CAST(sum(CAST(e.value AS DECIMAL(30,10))) AS DOUBLE), 6)
+             AS sum_value
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+    GROUP BY 1, 2 ORDER BY tier, event_type
+    """,
+)
+def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joins a static profile
+    dimension (user -> tier) via BROADCAST hash join — the standard
+    dimension-enrichment pattern where the stream never shuffles for the
+    join; per-batch the dim is rebroadcast, keeping executors stateless.
+    Driven to completion, must equal the batch join+aggregate."""
+    key = f"enrich:{sf_dir}"
+    if key not in _CACHE:
+        dim = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select("user_id")
+            .distinct()
+            .withColumn("tier", F.pmod(F.col("user_id"), F.lit(5)))
+        )
+        stream = _raw_events_stream(spark, sf_dir)
+        enriched = stream.join(F.broadcast(dim), "user_id")
+        agg = enriched.groupBy("tier", "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(30,10)")).cast("double"), 6
+            ).alias("sum_value"),
+        )
+        name = "horaedb_stream_enrich"
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        out = spark.table(name).select("tier", "event_type", "n", "sum_value")
+        _CACHE[key] = spark.createDataFrame(
+            out.collect(),
+            T.StructType(
+                [
+                    T.StructField("tier", T.LongType()),
+                    T.StructField("event_type", T.StringType()),
+                    T.StructField("n", T.LongType()),
+                    T.StructField("sum_value", T.DoubleType()),
+                ]
+            ),
+        ).orderBy("tier", "event_type")
+    return _CACHE[key]
