@@ -75,6 +75,42 @@ class StorageSchema:
     def user_columns(self) -> tuple[str, ...]:
         return tuple(f.name for f in self.fields.fields)
 
+    def evolved(self, new_fields: list[T.StructField]) -> "StorageSchema":
+        """Schema evolution: append nullable VALUE columns (never PKs — key
+        identity is immutable, same constraint as the reference's sorted-PK
+        layout). Existing SSTs are never rewritten; the scan's explicit read
+        schema surfaces the new columns as NULL for rows written before the
+        evolution."""
+        names = {f.name for f in self.fields.fields}
+        for f in new_fields:
+            if f.name in names or f.name in (*BUILTIN_COLUMNS, SEGMENT_COLUMN):
+                raise ValueError(f"evolved column {f.name!r} collides")
+            if not f.nullable:
+                raise ValueError(
+                    f"evolved column {f.name!r} must be nullable (old SSTs "
+                    "have no values for it)"
+                )
+        return StorageSchema(
+            T.StructType([*self.fields.fields, *new_fields]),
+            num_primary_keys=self.num_primary_keys,
+            update_mode=self.update_mode,
+        )
+
+    def to_json(self) -> dict:
+        return {
+            "fields": self.fields.jsonValue(),
+            "num_primary_keys": self.num_primary_keys,
+            "update_mode": self.update_mode.value,
+        }
+
+    @classmethod
+    def from_json(cls, d: dict) -> "StorageSchema":
+        return cls(
+            T.StructType.fromJson(d["fields"]),
+            num_primary_keys=d["num_primary_keys"],
+            update_mode=UpdateMode(d["update_mode"]),
+        )
+
     def physical_schema(self) -> T.StructType:
         """Schema as written to parquet (builtin columns appended, mirroring
         types.rs:176-183)."""

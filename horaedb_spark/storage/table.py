@@ -129,12 +129,40 @@ class ColumnarTable:
         self.write_config = write_config or WriteConfig()
         self.data_dir = os.path.join(root, "data")
         os.makedirs(self.data_dir, exist_ok=True)
+        # The persisted schema is authoritative: a table evolved in a prior
+        # session reopens with its evolved columns even when the caller
+        # passes the original declaration (schema evolution survives
+        # restarts, like the manifest does).
+        self._schema_path = os.path.join(root, "schema.json")
+        if os.path.exists(self._schema_path):
+            import json as _json
+
+            with open(self._schema_path) as f:
+                self.schema = StorageSchema.from_json(_json.load(f))
+        else:
+            self._persist_schema()
         self.manifest = Manifest(root)
         # Monotonic file-id allocation, wall-clock seeded exactly like
         # sst.rs:39-46 (single-writer assumption documented there too).
         existing = [s.file_id for s in self.manifest.all_ssts()]
         self._next_id = max([time.time_ns(), *[i + 1 for i in existing]])
         self._id_lock = threading.Lock()
+
+    def _persist_schema(self) -> None:
+        import json as _json
+
+        tmp = self._schema_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(self.schema.to_json(), f)
+        os.replace(tmp, self._schema_path)
+
+    def evolve_schema(self, new_fields) -> None:
+        """Add nullable value columns without rewriting a single SST (the
+        100 TB schema change): old files simply surface NULL for the new
+        columns via the scan's explicit read schema. Persisted, so the
+        evolved shape survives reopen."""
+        self.schema = self.schema.evolved(list(new_fields))
+        self._persist_schema()
 
     def alloc_file_id(self) -> int:
         with self._id_lock:
@@ -313,7 +341,12 @@ class ColumnarTable:
         # seq-by-path lets us recover __seq__/__segment__ without trusting
         # directory parsing; basePath keeps partition-column discovery rooted.
         paths = [s.path for s in ssts]
-        reader = self.spark.read.option("basePath", self.data_dir)
+        # Explicit read schema (not inference): SSTs written before a schema
+        # evolution lack the newer columns and surface them as NULL;
+        # __segment__ is appended by partition discovery.
+        reader = self.spark.read.option("basePath", self.data_dir).schema(
+            self.schema.physical_schema()
+        )
         df = reader.parquet(*paths)
         # Deterministic intra-file tie-break for equal (PK, seq): parquet row
         # position via the file-source metadata column.

@@ -336,3 +336,37 @@ def test_stats_pruning_respects_overwrite_merge(spark, tmp_path):
     # means that old version is selected and merges alone -> it survives
     out = t.scan(ScanRequest(predicate="value >= 500", ordered=False))
     assert [(r.pk1, r.value) for r in out.collect()] == [(1, 900)]
+
+
+# ------------------------------------------------------------ schema evolution
+def test_schema_evolution_adds_nullable_column(spark, tmp_path):
+    import pyspark.sql.types as T
+
+    t = ColumnarTable(spark, str(tmp_path / "ev"), kv_schema(), TWO_HOURS)
+    old = spark.createDataFrame([(1, 1, 10)], "pk1 long, pk2 long, value long")
+    t.write(WriteRequest(old, TimeRange(0, 100)))
+    t.evolve_schema([T.StructField("tag", T.StringType(), True)])
+    new = spark.createDataFrame(
+        [(2, 2, 20, "fresh")], "pk1 long, pk2 long, value long, tag string"
+    )
+    t.write(WriteRequest(new, TimeRange(100, 200)))
+    rows = {r.pk1: r.tag for r in t.scan(ScanRequest(ordered=False)).collect()}
+    # old SST surfaces NULL for the evolved column; new SST carries it
+    assert rows == {1: None, 2: "fresh"}
+    # evolution survives reopen even with the ORIGINAL schema passed
+    t2 = ColumnarTable(spark, t.root, kv_schema(), TWO_HOURS)
+    assert "tag" in t2.schema.user_columns
+    rows2 = {r.pk1: r.tag for r in t2.scan(ScanRequest(ordered=False)).collect()}
+    assert rows2 == {1: None, 2: "fresh"}
+
+
+def test_schema_evolution_rejects_bad_columns(spark, tmp_path):
+    import pyspark.sql.types as T
+
+    import pytest as _pytest
+
+    t = ColumnarTable(spark, str(tmp_path / "bad"), kv_schema(), TWO_HOURS)
+    with _pytest.raises(ValueError, match="collides"):
+        t.evolve_schema([T.StructField("value", T.LongType(), True)])
+    with _pytest.raises(ValueError, match="nullable"):
+        t.evolve_schema([T.StructField("x", T.LongType(), False)])
