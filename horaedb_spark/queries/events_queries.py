@@ -23,6 +23,12 @@ DAY_MS = 86_400_000
 
 _STAGES = ("signup", "click", "purchase")
 
+# Funnel over the launch window (first ~26h of the stream): with the full
+# 30-day stream every user eventually converts and the histogram collapses
+# to one row; the time-boxed funnel is both the realistic product question
+# ("who converted during launch?") and a distribution-rich fixture.
+_FUNNEL_CUTOFF_MS = 1_704_160_800_000  # 2024-01-02T02:00Z
+
 
 def funnel_stages(events: DataFrame, stages: tuple[str, ...] = _STAGES) -> DataFrame:
     """Per-user funnel progression: walk the user's event stream in time
@@ -71,6 +77,7 @@ def funnel_stages(events: DataFrame, stages: tuple[str, ...] = _STAGES) -> DataF
     oracle=f"""
     WITH ev AS (
       SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+      WHERE epoch_ms(ts) < {_FUNNEL_CUTOFF_MS}
     ), s1 AS (
       SELECT user_id, min(ts_ms) AS t1 FROM ev
       WHERE event_type = 'signup' GROUP BY user_id
@@ -105,7 +112,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     folds each user's sorted event array in one shuffle; the oracle builds
     the same stages with three correlated-min joins — the checksum pins
     per-user agreement, not just the histogram."""
-    ev = events_ms(spark, sf_dir)
+    ev = events_ms(spark, sf_dir).filter(F.col("ts_ms") < _FUNNEL_CUTOFF_MS)
     staged = funnel_stages(ev.select("user_id", "event_type", "ts_ms"))
     return (
         staged.groupBy("stage_reached")
