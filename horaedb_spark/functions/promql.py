@@ -856,3 +856,72 @@ def offset_by(df: DataFrame, offset_ms: int, ts_col: str = "bucket_ms") -> DataF
     column pairs each evaluation time with its offset lookback — no range
     join, no second scan pattern."""
     return df.withColumn(ts_col, F.col(ts_col) + F.lit(offset_ms))
+
+
+def limitk_series(
+    df: DataFrame, series_cols: list[str], by_labels: list[str],
+    step_ms: int, k: int,
+) -> DataFrame:
+    """PromQL 3.x ``limitk(k, ...)``: an arbitrary-but-deterministic sample
+    of k series per group/bucket. Prometheus picks by internal hash order;
+    here the order is md5 of the series identity - deterministic, engine-
+    portable, and rank<=k compiles to a map-side WindowGroupLimit."""
+    b = _bucketed(df, step_ms)
+    keys = list(dict.fromkeys([*by_labels, *series_cols]))
+    summed = b.groupBy(*keys, "bucket_ms").agg(
+        F.sum(F.col("value").cast("decimal(30,10)")).cast("double").alias("series_sum")
+    )
+    digest = F.md5(F.concat_ws("", *[F.col(c) for c in series_cols]))
+    w = Window.partitionBy(*by_labels, "bucket_ms").orderBy(digest.asc())
+    return (
+        summed.withColumn("__rk__", F.row_number().over(w))
+        .filter(F.col("__rk__") <= k)
+        .drop("__rk__")
+    )
+
+
+def limit_ratio_series(
+    df: DataFrame, series_cols: list[str], by_labels: list[str],
+    step_ms: int, ratio: float,
+) -> DataFrame:
+    """PromQL 3.x ``limit_ratio(r, ...)``: keep a deterministic ~r fraction
+    of series. Same md5-threshold trick as the corpus samplers: a series is
+    kept iff its digest prefix sorts below the ratio threshold - row-local
+    after the aggregate, no ranking shuffle at all (unlike limitk)."""
+    b = _bucketed(df, step_ms)
+    keys = list(dict.fromkeys([*by_labels, *series_cols]))
+    summed = b.groupBy(*keys, "bucket_ms").agg(
+        F.sum(F.col("value").cast("decimal(30,10)")).cast("double").alias("series_sum")
+    )
+    threshold = format(int(ratio * 16**8), "08x") if ratio < 1 else "g"
+    digest = F.substring(
+        F.md5(F.concat_ws("", *[F.col(c) for c in series_cols])), 1, 8
+    )
+    return summed.filter(digest < F.lit(threshold))
+
+
+def moving_avg(
+    df: DataFrame, series_cols: list[str], step_ms: int, k_buckets: int
+) -> DataFrame:
+    """Per-series moving average over the last ``k_buckets`` step buckets
+    (the smoothed dashboard line): one bucket aggregate, then a bounded
+    window over each series' ordered buckets. Sums stay decimal-routed so
+    the result is partitioning-independent; the window frame is
+    rows-bounded, so state per series is O(k)."""
+    b = _bucketed(df, step_ms)
+    per_bucket = b.groupBy(*series_cols, "bucket_ms").agg(
+        F.sum(F.col("value").cast("decimal(30,10)")).alias("__s__"),
+        F.count("value").alias("__n__"),
+    )
+    w = (
+        Window.partitionBy(*series_cols)
+        .orderBy("bucket_ms")
+        .rowsBetween(-(k_buckets - 1), 0)
+    )
+    return per_bucket.select(
+        *series_cols,
+        "bucket_ms",
+        (F.sum("__s__").over(w).cast("double") / F.sum("__n__").over(w)).alias(
+            "moving_avg"
+        ),
+    )

@@ -1360,3 +1360,92 @@ def metric_agg_stddev_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stddev_v",
         (F.floor(F.col("p90") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("p90"),
     ).orderBy("cohort", "bucket_ms")
+
+
+# ---------------------------------------------------------------------- limitk / limit_ratio
+@register(
+    "promql_limitk_ratio",
+    oracle=_DEDUP_CTE
+    + f"""
+    , summed AS (
+      SELECT user_label, cohort, ts_ms - ts_ms % {DAY_MS} AS bucket_ms,
+             CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS series_sum
+      FROM samples WHERE name = 'click' GROUP BY 1, 2, 3
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY cohort, bucket_ms
+               ORDER BY md5(user_label || cohort)) AS rk
+      FROM summed
+    )
+    SELECT user_label, cohort, bucket_ms,
+           round(series_sum, 6) AS series_sum, 'limitk' AS op
+    FROM ranked WHERE rk <= 3
+    UNION ALL
+    SELECT user_label, cohort, bucket_ms,
+           round(series_sum, 6) AS series_sum, 'limit_ratio' AS op
+    FROM summed
+    WHERE substr(md5(user_label || cohort), 1, 8) < '66666666'
+    ORDER BY op, cohort, bucket_ms, user_label
+    """,
+)
+def promql_limitk_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL 3.x sampling aggregators: ``limitk(3, ...)`` (md5-ordered
+    deterministic pick, map-side WindowGroupLimit) and ``limit_ratio(0.4,
+    ...)`` (md5-threshold — row-local, NO ranking shuffle at all) per
+    cohort per day over 'click'. Both engine-portable because the
+    arbitrary-but-stable order is md5, not internal hash order."""
+    eng = _engine(spark, sf_dir)
+    sel = _series_with_labels(eng.select_series("click"))
+    series, by = ["user_label", "cohort"], ["cohort"]
+    lk = promql.limitk_series(sel, series, by, DAY_MS, 3).withColumn(
+        "op", F.lit("limitk")
+    )
+    lr = promql.limit_ratio_series(sel, series, by, DAY_MS, 0.4).withColumn(
+        "op", F.lit("limit_ratio")
+    )
+    return (
+        lk.unionByName(lr)
+        .select(
+            "user_label",
+            "cohort",
+            "bucket_ms",
+            F.round("series_sum", 6).alias("series_sum"),
+            "op",
+        )
+        .orderBy("op", "cohort", "bucket_ms", "user_label")
+    )
+
+
+# ---------------------------------------------------------------------- moving avg
+@register(
+    "promql_moving_avg",
+    oracle=_DEDUP_CTE
+    + f"""
+    , pb AS (
+      SELECT user_label, cohort, ts_ms - ts_ms % {DAY_MS} AS bucket_ms,
+             sum(CAST(value AS DECIMAL(30,10))) AS s, count(*) AS n
+      FROM samples WHERE name = 'purchase' GROUP BY 1, 2, 3
+    )
+    SELECT user_label, cohort, bucket_ms,
+           round(CAST(sum(s) OVER w AS DOUBLE) / sum(n) OVER w, 6)
+             AS moving_avg
+    FROM pb
+    WINDOW w AS (PARTITION BY user_label, cohort ORDER BY bucket_ms
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    ORDER BY user_label, cohort, bucket_ms
+    """,
+)
+def promql_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-bucket per-series moving average over daily buckets of 'purchase'
+    (the smoothed dashboard line): bucket aggregate + a rows-bounded window
+    per series — O(k) state per series, decimal-routed sums so the answer
+    is partitioning-independent."""
+    eng = _engine(spark, sf_dir)
+    sel = _series_with_labels(eng.select_series("purchase"))
+    ma = promql.moving_avg(sel, ["user_label", "cohort"], DAY_MS, 3)
+    return ma.select(
+        "user_label",
+        "cohort",
+        "bucket_ms",
+        F.round("moving_avg", 6).alias("moving_avg"),
+    ).orderBy("user_label", "cohort", "bucket_ms")
