@@ -1449,3 +1449,67 @@ def promql_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket_ms",
         F.round("moving_avg", 6).alias("moving_avg"),
     ).orderBy("user_label", "cohort", "bucket_ms")
+
+
+# ---------------------------------------------------------------------- anomaly
+@register(
+    "promql_zscore_anomalies",
+    oracle=_DEDUP_CTE
+    + """
+    , q AS (
+      SELECT user_label, cohort, ts_ms, value,
+             CAST(floor(value * 1000 + 0.5) AS BIGINT) AS qv
+      FROM samples WHERE name = 'error'
+    ), stats AS (
+      SELECT user_label, cohort, count(*) AS n, sum(qv) AS sq,
+             sum(qv * qv) AS sq2
+      FROM q GROUP BY 1, 2
+    ), scored AS (
+      SELECT q.user_label, q.cohort,
+             (q.qv / 1000.0 - CAST(s.sq AS DOUBLE) / (s.n * 1000.0))
+             / sqrt(CAST((s.n * s.sq2 - s.sq * s.sq) AS DOUBLE)
+                    / (s.n * s.n) / 1e6) AS z
+      FROM q JOIN stats s
+        ON q.user_label = s.user_label AND q.cohort = s.cohort
+      WHERE s.n >= 2
+    )
+    SELECT user_label, cohort, count(*) AS n_samples,
+           CAST(count(*) FILTER (abs(z) > 2.0) AS BIGINT) AS n_anomalies
+    FROM scored GROUP BY 1, 2 ORDER BY user_label, cohort
+    """,
+)
+def promql_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series z-score anomaly detection over 'error' samples: series
+    mean/stddev from exact quantized-int sums (the DIVERGENCES #17 scheme,
+    so z is a fixed IEEE expression over identical operands in any engine),
+    flag |z| > 2. One aggregate for the per-series stats, one co-partitioned
+    join back (AQE reuses the shuffle), one counting aggregate — the
+    monitoring backend's outlier sweep."""
+    eng = _engine(spark, sf_dir)
+    sel = _series_with_labels(eng.select_series("error"))
+    series = ["user_label", "cohort"]
+    q = sel.withColumn(
+        "qv", F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")
+    )
+    stats = q.groupBy(*series).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qv").alias("sq"),
+        F.sum(F.col("qv") * F.col("qv")).alias("sq2"),
+    )
+    joined = q.join(stats, series).filter(F.col("n") >= 2)
+    mean = F.col("sq").cast("double") / (F.col("n") * F.lit(1000.0))
+    var = (
+        (F.col("n") * F.col("sq2") - F.col("sq") * F.col("sq")).cast("double")
+        / (F.col("n") * F.col("n"))
+        / F.lit(1e6)
+    )
+    z = (F.col("qv") / F.lit(1000.0) - mean) / F.sqrt(var)
+    return (
+        joined.withColumn("z", z)
+        .groupBy(*series)
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.count(F.when(F.abs(F.col("z")) > 2.0, 1)).alias("n_anomalies"),
+        )
+        .orderBy("user_label", "cohort")
+    )
