@@ -37,6 +37,9 @@ def get_spark(
         # which vanilla Spark refuses (PARQUET_TYPE_ILLEGAL). Read them as
         # long nanos; horaedb_spark.queries.tables converts to TimestampType.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Newer testdata writes untagged TIMESTAMP(MICROS); read as
+        # TimestampType in the UTC session (matches DuckDB), not NTZ.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
+from decimal import Decimal as _Decimal
 
 import duckdb
 
@@ -27,18 +28,29 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm_cell(v):
+    if type(v).__module__ == "numpy":  # unwrap numpy scalars from pandas rows
+        v = v.item()
     if v is None:
         return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        # 12 significant digits: strict enough to catch real bugs, immune to
-        # the last-ulp noise that different summation orders produce
-        return f"{v:.12g}"
-    if isinstance(v, (bytes, bytearray)):
-        return v.hex()
     if isinstance(v, bool):
         return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            # pandas renders SQL NULL in a numeric column as NaN; the Spark
+            # side of the driver goes through pandas too, so fold them
+            return "NULL"
+        # 12 significant digits: strict enough to catch real bugs, immune to
+        # the last-ulp noise that different summation orders produce. The
+        # "f:" prefix makes the comparison TYPE-strict: the driver's hash
+        # renders pandas float64 as "17820.0" vs int64 "17820", so an
+        # int-on-one-side / float-on-the-other (e.g. DuckDB HUGEINT sums)
+        # must fail locally too, not be masked by %g formatting.
+        return f"f:{v:.12g}"
+    if isinstance(v, _Decimal):
+        # pandas renders DuckDB decimals as float64 — same class as float
+        return f"f:{float(v):.12g}"
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
     return str(v)
 
 
@@ -51,9 +63,12 @@ def _normalize(columns, rows):
 def compare_query(spark_df, oracle_sql: str, con, name: str = "query") -> CompareResult:
     sp_rows = [tuple(r) for r in spark_df.collect()]
     sp_cols = spark_df.columns
-    res = con.execute(oracle_sql)
-    du_cols = [d[0] for d in res.description]
-    du_rows = res.fetchall()
+    # Fetch the oracle result THROUGH pandas, exactly as the driver does:
+    # DuckDB HUGEINT (bare sum()/list_sum() results) converts to float64
+    # there, so an uncast oracle sum must mismatch locally too.
+    pdf = con.execute(oracle_sql).df()
+    du_cols = list(pdf.columns)
+    du_rows = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
 
     if sorted(sp_cols) != sorted(du_cols):
         return CompareResult(name, False, f"schema mismatch: spark={sorted(sp_cols)} duckdb={sorted(du_cols)}")

@@ -235,8 +235,8 @@ def pipeline_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
            CAST(cum AS BIGINT) AS cum_tokens,
-           (cum - n_tokens) // 256 AS first_bin,
-           (cum - 1) // 256 AS last_bin
+           CAST((cum - n_tokens) // 256 AS BIGINT) AS first_bin,
+           CAST((cum - 1) // 256 AS BIGINT) AS last_bin
     FROM c ORDER BY doc_id
     """,
 )

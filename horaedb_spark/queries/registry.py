@@ -47,11 +47,6 @@ def register(name: str, oracle: str | None = None):
     return wrap
 
 
-# Registration order == the driver's correctness-run order. Round 1's run
-# covered only the first 50 registered queries, so the modules whose queries
-# had no hard signal yet (dedup/ANN/text/multimodal/streaming + the PromQL
-# tail of metric_queries) register FIRST this round; the round-1-green
-# relational head registers last (VERDICT r01 "Next round" #1).
 _QUERY_MODULES = (
     "search_queries",
     "pipeline_queries",
@@ -71,6 +66,72 @@ _QUERY_MODULES = (
     "analytics3",
 )
 
+# The driver's correctness run walks queries in map order and covers only
+# ~44-50 per round (time-capped). Queries that still lack a green driver row
+# after rounds 1-2 are listed here explicitly and surface FIRST; everything
+# already driver-green follows in registration order. Keep this list in sync
+# with the latest CORRECTNESS_r{N}.json: drop names once green, promote any
+# regression.
+_RUN_FIRST = (
+    # never driver-verified (registered after round 1's cutoff)
+    "streaming_session_window",
+    "streaming_stream_join",
+    "streaming_dedup",
+    "streaming_enrich_join",
+    "promql_irate",
+    "promql_delta_idelta",
+    "remote_write_ingest",
+    "promql_over_time",
+    "promql_topk",
+    "promql_histogram_quantile",
+    "promql_instant_vector",
+    "promql_resets_changes",
+    "promql_quantile_stddev",
+    "metric_label_replace_join",
+    "promql_vector_ratio",
+    "metric_label_names",
+    "metric_series_list",
+    "promql_gap_fill",
+    "promql_deriv_predict",
+    "promql_clamp",
+    "promql_count_values",
+    "promql_absent",
+    "promql_holt_winters",
+    "promql_math_functions",
+    "promql_time_functions",
+    "promql_offset_dod",
+    "promql_subquery_max_rate",
+    "metric_agg_stddev_quantile",
+    "promql_limitk_ratio",
+    "promql_moving_avg",
+    "promql_zscore_anomalies",
+    # hash-failed in r1/r2 (oracle typing, fixed since)
+    "pipeline_sequence_packing",
+    "text_token_stats",
+    "shipmode_priority_q12",
+    # errored in r2 (TIMESTAMP_NTZ testdata shift, fixed since)
+    "funnel_conversion",
+    "retention_cohorts",
+    "storage_scan_overwrite",
+    "storage_scan_predicate_projection",
+    "storage_time_range_scan",
+    "storage_compaction_scan",
+    "storage_bulk_ingest_scan",
+    "storage_stats_pruned_scan",
+    "storage_continuous_rollup",
+    "streaming_ingest_scan",
+    "streaming_stateful_increase",
+    "streaming_window_agg",
+    # no_oracle entries upgraded to tolerance-style oracles
+    "approx_sketches",
+)
+
+
+def _ordered() -> dict[str, Query]:
+    first = [n for n in _RUN_FIRST if n in QUERIES]
+    rest = [n for n in QUERIES if n not in set(_RUN_FIRST)]
+    return {n: QUERIES[n] for n in (*first, *rest)}
+
 
 def _load_modules() -> None:
     # Import for registration side effects. Modules not yet written are
@@ -88,9 +149,9 @@ def _load_modules() -> None:
 
 def queries_map() -> dict[str, QueryFn]:
     _load_modules()
-    return {name: q.fn for name, q in QUERIES.items()}
+    return {name: q.fn for name, q in _ordered().items()}
 
 
 def oracle_sql_map() -> dict[str, str]:
     _load_modules()
-    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}
+    return {name: q.oracle for name, q in _ordered().items() if q.oracle is not None}

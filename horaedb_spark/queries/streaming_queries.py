@@ -16,6 +16,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from horaedb_spark.queries.registry import register
+from horaedb_spark.queries.tables import ensure_session_conf, ts_ms_expr
 from horaedb_spark.queries.storage_queries import _SEG_15D, _events_schema
 from horaedb_spark.storage.table import ColumnarTable
 from horaedb_spark.streaming.sink import ingest_stream
@@ -26,6 +27,7 @@ SIX_H = 6 * 3600 * 1000
 
 
 def _raw_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session_conf(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the streaming file source wants a directory; glob-filter to one table
     stream = (
@@ -33,8 +35,8 @@ def _raw_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # nanos -> engine-native epoch ms (same conversion as the batch loader)
-    return stream.withColumn("ts_ms", F.expr("ts div 1000000"))
+    # physical ts type -> engine-native epoch ms (same as the batch loader)
+    return stream.withColumn("ts_ms", ts_ms_expr(stream, "ts"))
 
 
 @register(

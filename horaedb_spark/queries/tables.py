@@ -1,17 +1,19 @@
 """Testdata table loader.
 
-The driver testdata (/root/testdata/sf*/) stores timestamps as parquet
-TIMESTAMP(NANOS), which Spark's vectorized reader rejects outright; with
-``spark.sql.legacy.parquet.nanosAsLong=true`` (set in core.session.get_spark)
-they surface as long nanoseconds. This loader converts them to proper
-TimestampType (microsecond truncation — the same conversion DuckDB applies
-when it reads TIMESTAMP_NS into its microsecond TIMESTAMP), so Spark results
-hash-match the DuckDB oracle.
+The driver testdata (/root/testdata/sf*/) has shipped timestamps two ways
+across rounds: parquet TIMESTAMP(NANOS) (Spark's vectorized reader rejects it
+without ``spark.sql.legacy.parquet.nanosAsLong=true``, after which it surfaces
+as long nanoseconds) and plain TIMESTAMP(MICROS) with isAdjustedToUTC=false
+(which Spark 4 infers as TIMESTAMP_NTZ by default). This loader normalises
+BOTH to proper TimestampType in a UTC session — the same wall-clock values
+DuckDB produces reading the identical files into its naive microsecond
+TIMESTAMP — so Spark results hash-match the DuckDB oracle regardless of how
+the files were written.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # timestamp-typed columns per table (everything else reads natively)
@@ -37,10 +39,14 @@ TABLES = (
 
 def ensure_session_conf(spark: SparkSession) -> None:
     """Make an externally-created session safe for this engine: testdata
-    timestamps are TIMESTAMP(NANOS) (unreadable without nanosAsLong) and the
-    oracle comparison is timezone-sensitive. Both are runtime-settable."""
+    timestamps may be TIMESTAMP(NANOS) (unreadable without nanosAsLong) or
+    untagged micros (NTZ-inferred unless disabled), and the oracle comparison
+    is timezone-sensitive. All are runtime-settable SQL confs."""
     for k, v in (
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        # untagged parquet micros should read as TimestampType in the UTC
+        # session (== DuckDB's naive reading), not TIMESTAMP_NTZ
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.parquet.filterPushdown", "true"),
     ):
@@ -50,14 +56,38 @@ def ensure_session_conf(spark: SparkSession) -> None:
             pass  # already set or not supported — proceed with the session's value
 
 
+def normalize_ts(df: DataFrame, col: str) -> DataFrame:
+    """Normalise a testdata timestamp column to TimestampType (UTC session),
+    whatever physical type the reader produced."""
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":  # nanos surfaced as long via nanosAsLong
+        # integer `div`, not `/`: double division of ~1e18 ns loses ulps
+        # and can flip a microsecond at the truncation boundary
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    elif dtype == "timestamp_ntz":
+        # session tz is UTC, so this cast is a pure re-tag: identical
+        # wall-clock micros, now usable by unix_micros & friends
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
+def ts_ms_expr(df: DataFrame, col: str = "ts") -> Column:
+    """Epoch-millisecond long from a testdata timestamp column, robust to the
+    reader's physical type (bigint nanos / timestamp / timestamp_ntz).
+    Streaming-safe: pure column expressions, no data access."""
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        return F.expr(f"`{col}` div 1000000")
+    if dtype == "timestamp_ntz":
+        return F.expr(f"unix_micros(cast(`{col}` as timestamp)) div 1000")
+    return F.expr(f"unix_micros(`{col}`) div 1000")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in TS_COLUMNS.get(name, []):
-        if dict(df.dtypes).get(col) == "bigint":  # nanos surfaced as long
-            # integer `div`, not `/`: double division of ~1e18 ns loses ulps
-            # and can flip a microsecond at the truncation boundary
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        df = normalize_ts(df, col)
     return df
 
 
@@ -70,10 +100,5 @@ def events_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
     native time representation) alongside the timestamp."""
     ensure_session_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts_ms", F.expr("ts div 1000000")).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    else:
-        df = df.withColumn("ts_ms", F.expr("unix_micros(ts) div 1000"))
-    return df
+    df = df.withColumn("ts_ms", ts_ms_expr(df, "ts"))
+    return normalize_ts(df, "ts")

@@ -29,9 +29,9 @@ _FR = _sql_list(TX.LANG_STOPWORDS["fr"])
                FROM documents)
     SELECT doc_id, n_chars,
            len(words) AS n_tokens,
-           list_sum([CAST(ceil(len(x) / 4.0) AS INT) FOR x IN words])
+           CAST(list_sum([CAST(ceil(len(x) / 4.0) AS INT) FOR x IN words])
              + (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
-             AS bpe_ish_tokens
+             AS BIGINT) AS bpe_ish_tokens
     FROM w ORDER BY doc_id
     """,
 )
