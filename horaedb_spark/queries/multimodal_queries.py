@@ -40,12 +40,30 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
-@register("multimodal_feature_extract", oracle=None)  # mapInPandas stage: rows-only check
+@register(
+    "multimodal_feature_extract",
+    # The stub extractor is deterministic (stride-8 byte-histogram moments),
+    # so the mapInPandas stage is hard-verifiable: documents.text is ASCII
+    # (checked: octet_length(encode(text)) == length(text) at every SF), so
+    # ord(substring) enumerates the same bytes Python sees.
+    oracle="""
+    SELECT doc_id AS media_id, 'text' AS modality,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS digest,
+           round(coalesce(list_aggregate(
+             [ord(substring(text, CAST(p AS INT), 1))
+              FOR p IN generate_series(1, length(text)) IF (p - 1) % 8 = 0],
+             'avg'), 0.0) / 255.0, 6) AS f0,
+           CAST(8 AS INT) AS feature_dim
+    FROM documents ORDER BY media_id
+    """,
+)
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads (stubbed
     byte-histogram extractor standing in for a decode+embed model): exercises
     the mapInPandas operator shape — schema, batch iteration, executor-side
-    byte handling."""
+    byte handling. The stub is deterministic, so the whole Arrow round-trip
+    is oracle-gated, not rows-only."""
     media = _media_frame(spark, sf_dir)
     feats = extract_features(media, "doc_id", "payload")
     return feats.select(

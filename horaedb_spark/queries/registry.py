@@ -122,8 +122,9 @@ _RUN_FIRST = (
     "streaming_ingest_scan",
     "streaming_stateful_increase",
     "streaming_window_agg",
-    # no_oracle entries upgraded to tolerance-style oracles
+    # no_oracle entries upgraded to real/tolerance-style oracles
     "approx_sketches",
+    "multimodal_feature_extract",
 )
 
 
