@@ -356,3 +356,44 @@ def dedup_minhash_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = DD.minhash_lsh_pairs(corpus, "text", "doc_id", num_hashes=16, bands=4)
     kept = DD.keep_minhash_representatives(pairs, corpus, "doc_id")
     return kept.select("doc_id").orderBy("doc_id")
+
+
+@register(
+    "dedup_prefix_cluster",
+    oracle=r"""
+    WITH n AS (
+      SELECT doc_id,
+             md5(substring(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                           1, 64)) AS prefix_fp
+      FROM documents
+    )
+    SELECT prefix_fp, count(*) AS n_docs,
+           min(doc_id) AS survivor_id,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM n GROUP BY prefix_fp HAVING count(*) > 1
+    ORDER BY prefix_fp
+    """,
+)
+def dedup_prefix_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-fingerprint containment dedup (RefinedWeb-style exact-substring
+    pass, restricted to the leading window): docs sharing the md5 of their
+    first 64 normalized chars cluster together; min doc_id survives. A pure
+    hash groupBy — row-local map, one shuffle on a fixed-width digest, no
+    pairwise joins, so it scales identically at 100 TB. Catches
+    boilerplate-prefixed and truncated-copy duplicates that full-document
+    hashing misses."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    clustered = docs.select(
+        "doc_id", F.md5(F.substring(norm, 1, 64)).alias("prefix_fp")
+    )
+    return (
+        clustered.groupBy("prefix_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("survivor_id"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("prefix_fp")
+    )

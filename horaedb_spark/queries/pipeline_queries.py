@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from horaedb_spark.functions.dedup import cross_set_contamination
 from horaedb_spark.functions.sampling import stratified_sample, train_test_split
 from horaedb_spark.queries.registry import register
+from horaedb_spark.queries.text_queries import _DE, _EN, _ES, _FR
 from horaedb_spark.queries.tables import load_table
 
 _SAMPLE_RATES = {"en": 128, "de": 64, "es": 26}
@@ -256,3 +257,115 @@ def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select(
         "doc_id", "n_tokens", "cum_tokens", "first_bin", "last_bin"
     ).orderBy("doc_id")
+
+
+@register(
+    "pipeline_corpus_clean",
+    oracle=rf"""
+    WITH w AS (
+      SELECT doc_id, source, text, string_split_regex(text, '\s+') AS words
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, source, text, words,
+             len(list_filter(words, x -> x IN ({_EN}))) AS s_en,
+             len(list_filter(words, x -> x IN ({_DE}))) AS s_de,
+             len(list_filter(words, x -> x IN ({_ES}))) AS s_es,
+             len(list_filter(words, x -> x IN ({_FR}))) AS s_fr,
+             len(words) AS n_tokens,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+               AS punct
+      FROM w
+    ), pred AS (
+      SELECT *,
+             CASE WHEN greatest(s_en, s_de, s_es, s_fr) <= 0 THEN 'und'
+                  WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+                  WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+                  WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+                  ELSE 'fr' END AS lang_pred,
+             round(least(n_tokens / 64.0, 1.0) * 0.4
+                   + least(CAST(s_en AS DOUBLE) / n_tokens * 4.0, 1.0) * 0.3
+                   + (1.0 - least(CAST(punct AS DOUBLE) / n_chars * 10.0, 1.0))
+                     * 0.3, 6) AS score
+      FROM scored
+    ), kept AS (
+      SELECT * FROM pred WHERE lang_pred <> 'und' AND score >= 0.5
+    ), survivors AS (
+      SELECT min(doc_id) AS doc_id FROM kept
+      GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(k.doc_id) AS BIGINT) AS id_checksum
+    FROM kept k JOIN survivors USING (doc_id)
+    GROUP BY source ORDER BY source
+    """,
+)
+def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4-style cleaning chain as ONE composed pipeline: language-ID
+    filter (drop 'und') -> quality-score threshold (>= 0.5) -> exact dedup on
+    the normalized fingerprint (min-id survivor) -> per-source corpus report.
+    Every stage is the already-verified operator; the composition is what a
+    training-data run actually executes. All row-local except one hash
+    aggregate (dedup) and one final aggregate — at 100 TB this is scan +
+    two shuffles, no joins against anything corpus-sized. The id_checksum
+    pins exact survivor membership."""
+    from horaedb_spark.functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = TX.quality_features(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "source",
+        TX.predict_lang(TX.words("text")).alias("lang_pred"),
+        F.round(feats["quality_score"], 6).alias("score"),
+        feats["n_tokens"].alias("n_tokens"),
+        TX.normalized_fingerprint("text").alias("fp"),
+    )
+    kept = scored.filter((F.col("lang_pred") != "und") & (F.col("score") >= 0.5))
+    survivors = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    return (
+        kept.join(survivors, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "pipeline_length_histogram",
+    oracle=r"""
+    WITH t AS (
+      SELECT lang, len(string_split_regex(text, '\s+')) AS n_tokens
+      FROM documents
+    )
+    SELECT lang, length(bin(n_tokens)) AS bucket, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+    FROM t GROUP BY 1, 2 ORDER BY lang, bucket
+    """,
+)
+def pipeline_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length distribution per language in power-of-two buckets
+    (bucket = bit-length of the token count — integer-exact, no float log2
+    boundary ambiguity). The sequence-length histogram that sizes packing
+    budgets and batch shapes for training runs; one map + one hash aggregate
+    at any scale."""
+    from horaedb_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("lang", token_count("text").cast("long").alias("n_tokens"))
+    return (
+        t.groupBy("lang", F.length(F.bin("n_tokens")).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("lang", "bucket")
+    )

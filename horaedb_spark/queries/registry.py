@@ -125,6 +125,11 @@ _RUN_FIRST = (
     # no_oracle entries upgraded to real/tolerance-style oracles
     "approx_sketches",
     "multimodal_feature_extract",
+    # new in round 3 — no driver row yet
+    "ann_recall_check",
+    "pipeline_corpus_clean",
+    "pipeline_length_histogram",
+    "dedup_prefix_cluster",
 )
 
 

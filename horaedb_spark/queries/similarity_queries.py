@@ -167,6 +167,132 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_recall_check",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {_QV} AS qv FROM embeddings),
+    exact AS (
+      SELECT query_id, corpus_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {_DOT} / ({_NORM_A} * {_NORM_B}) DESC, b.vec_id) AS rank
+        FROM q a JOIN q b ON b.vec_id != a.vec_id
+        WHERE a.vec_id < 20
+      ) WHERE rank <= 10
+    ),
+    planes AS (
+      SELECT p, d, CASE WHEN substr(md5(p || ':' || d), 1, 1) < '8'
+                        THEN 1 ELSE -1 END AS w
+      FROM (SELECT unnest(generate_series(0, 7)) AS p) pp
+      CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d) dd
+    ), bits AS (
+      SELECT q.vec_id, p,
+             CASE WHEN sum(w * qv[d + 1]) >= 0 THEN '1' ELSE '0' END AS bit
+      FROM q, planes GROUP BY q.vec_id, p
+    ), buckets AS (
+      SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket FROM bits GROUP BY vec_id
+    ), v AS (
+      SELECT q.vec_id, qv, bucket FROM q JOIN buckets USING (vec_id)
+    ),
+    lsh AS (
+      SELECT query_id, corpus_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {_DOT} / ({_NORM_A} * {_NORM_B}) DESC, b.vec_id) AS rank
+        FROM v a JOIN v b ON a.bucket = b.bucket AND b.vec_id != a.vec_id
+        WHERE a.vec_id < 20
+      ) WHERE rank <= 10
+    ),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) AS cid, qv AS cv
+      FROM q WHERE vec_id IN (
+        SELECT vec_id FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)
+    ), pairs AS (
+      SELECT a.vec_id, c.cid, {_SQL2} AS d FROM q a, cent c
+    ), ranked AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r
+      FROM pairs
+    ), cellof AS (
+      SELECT vec_id, cid AS cell FROM ranked WHERE r = 1
+    ), qprobe AS (
+      SELECT vec_id, cid AS cell FROM ranked WHERE r <= 2 AND vec_id < 20
+    ),
+    ivf AS (
+      SELECT query_id, corpus_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {_DOT} / ({_NORM_A} * {_NORM_B}) DESC, b.vec_id) AS rank
+        FROM q a
+        JOIN qprobe p ON p.vec_id = a.vec_id
+        JOIN cellof cf ON cf.cell = p.cell
+        JOIN q b ON b.vec_id = cf.vec_id AND b.vec_id != a.vec_id
+      ) WHERE rank <= 10
+    ),
+    qids AS (SELECT DISTINCT query_id FROM exact),
+    lh AS (SELECT e.query_id, count(*) AS h FROM exact e
+           JOIN lsh USING (query_id, corpus_id) GROUP BY 1),
+    ih AS (SELECT e.query_id, count(*) AS h FROM exact e
+           JOIN ivf USING (query_id, corpus_id) GROUP BY 1)
+    SELECT 'ivf' AS method, count(*) AS n_queries,
+           round(CAST(sum(coalesce(h, 0)) AS DOUBLE) / (10 * count(*)), 6)
+             AS mean_recall
+    FROM qids LEFT JOIN ih USING (query_id)
+    UNION ALL
+    SELECT 'lsh', count(*),
+           round(CAST(sum(coalesce(h, 0)) AS DOUBLE) / (10 * count(*)), 6)
+    FROM qids LEFT JOIN lh USING (query_id)
+    ORDER BY method
+    """,
+)
+def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of both ANN paths against the exact baseline, per method —
+    the quality gate a production ANN deployment monitors. Every stage is
+    integer-exact (quantized vectors, md5-derived planes/centroids), so the
+    recall numbers are deterministic and hash-checkable, not just banded:
+    hit counts are exact ints, one final division. At scale each branch is
+    the already-bucketed/partition-pruned plan; the recall join itself is
+    query-set-sized (tiny)."""
+    from horaedb_spark.functions.similarity import ivf_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qemb = emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+    queries = qemb.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(qemb, queries, "qv", "vec_id", 10).select(
+        "query_id", "corpus_id"
+    )
+    lsh = lsh_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 20), "embedding", "vec_id",
+        k=10, num_planes=8, dim=_DIM,
+    ).select("query_id", "corpus_id")
+    ivf = ivf_ann_topk(
+        qemb, queries, "qv", "vec_id", k=10, num_cells=16, nprobe=2
+    ).select("query_id", "corpus_id")
+    exact = exact.persist()
+    qids = exact.select("query_id").distinct()
+
+    def recall_row(approx: DataFrame, name: str) -> DataFrame:
+        hits = exact.join(approx, ["query_id", "corpus_id"]).groupBy(
+            "query_id"
+        ).agg(F.count(F.lit(1)).alias("h"))
+        per = qids.join(hits, "query_id", "left").select(
+            F.coalesce("h", F.lit(0)).alias("h")
+        )
+        return per.agg(
+            F.lit(name).alias("method"),
+            F.count(F.lit(1)).alias("n_queries"),
+            F.round(
+                F.sum("h").cast("double") / (10 * F.count(F.lit(1))), 6
+            ).alias("mean_recall"),
+        )
+
+    return recall_row(ivf, "ivf").unionByName(recall_row(lsh, "lsh")).orderBy("method")
+
+
+@register(
     "embedding_mean_pool",
     oracle=f"""
     WITH q AS (SELECT label, {_QV} AS qv FROM embeddings),
