@@ -244,13 +244,30 @@ def ivf_ann_topk(
     integer) cosine re-ranks candidates within the probed cells."""
     c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    cents = ivf_centroids(corpus, id_col, vec_col, num_cells)
-    c_cell = c.join(
-        ivf_assign(c, cents, "corpus_id", "cv", nprobe=1), "corpus_id"
+    # centroid table is num_cells rows — persist so the corpus isn't
+    # re-scanned for each branch that needs it, then broadcast everywhere
+    cents = ivf_centroids(corpus, id_col, vec_col, num_cells).persist()
+
+    def assign_inline(df: DataFrame, id_alias: str, vec_alias: str, probes: int) -> DataFrame:
+        # carry the vector through the assignment window: one broadcast join
+        # + one window, instead of assign-then-self-join (two shuffles saved)
+        pairs = df.join(F.broadcast(cents)).select(
+            id_alias,
+            vec_alias,
+            "cid",
+            _sq_l2(F.col(vec_alias), F.col("centv")).alias("d"),
+        )
+        w = Window.partitionBy(id_alias).orderBy("d", "cid")
+        return (
+            pairs.withColumn("__r__", F.row_number().over(w))
+            .filter(F.col("__r__") <= probes)
+            .select(id_alias, vec_alias, F.col("cid").alias("cell"))
+        )
+
+    c_cell = assign_inline(c, "corpus_id", "cv", 1)
+    q_cell = assign_inline(q, "query_id", "qv", nprobe).withColumnRenamed(
+        "cell", "qcell"
     )
-    q_cell = q.join(
-        ivf_assign(q, cents, "query_id", "qv", nprobe=nprobe), "query_id"
-    ).withColumnRenamed("cell", "qcell")
     scored = c_cell.join(
         F.broadcast(q_cell),
         (F.col("cell") == F.col("qcell")) & (F.col("corpus_id") != F.col("query_id")),

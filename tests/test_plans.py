@@ -281,3 +281,45 @@ def test_funnel_fold_is_one_shuffle_no_python(spark, sf_dir):
     p = _final_plan(funnel_conversion(spark, sf_dir))
     assert "Python" not in p, p[:3000]
     assert "Join" not in p, p[:3000]
+
+
+def test_prefix_cluster_is_pure_hash_aggregate(spark, sf_dir):
+    """Prefix-fingerprint dedup must be scan -> hash aggregate on the digest
+    — no joins, no windows, no Python: the shape that scales to 100 TB as
+    exactly one shuffle."""
+    from horaedb_spark.queries.dedup_queries import dedup_prefix_cluster
+
+    p = _final_plan(dedup_prefix_cluster(spark, sf_dir))
+    assert "Join" not in p, p[:3000]
+    assert "Python" not in p, p[:3000]
+    assert "HashAggregate" in p, p[:3000]
+
+
+def test_corpus_clean_survivor_join_no_cartesian(spark, sf_dir):
+    """The cleaning chain is row-local scoring + a dedup aggregate + the
+    survivor self-join on doc_id — which must stay a hash/merge equi-join
+    (never nested-loop) with no Python stage."""
+    from horaedb_spark.queries.pipeline_queries import pipeline_corpus_clean
+
+    p = _final_plan(pipeline_corpus_clean(spark, sf_dir))
+    assert "Cartesian" not in p and "BroadcastNestedLoop" not in p, p[:3000]
+    assert "Python" not in p, p[:3000]
+
+
+def test_length_histogram_single_aggregate(spark, sf_dir):
+    """The histogram is one map + one hash aggregate — no joins, no windows."""
+    from horaedb_spark.queries.pipeline_queries import pipeline_length_histogram
+
+    p = _final_plan(pipeline_length_histogram(spark, sf_dir))
+    assert "Join" not in p, p[:3000]
+    assert "HashAggregate" in p, p[:3000]
+
+
+def test_ann_recall_joins_stay_broadcast_or_hash(spark, sf_dir):
+    """The recall computation joins query-set-sized frames onto the bucketed
+    ANN outputs: every join must be an equi-join (the ANN branches' own
+    bucket/cell joins included) — no nested-loop fallback anywhere."""
+    from horaedb_spark.queries.similarity_queries import ann_recall_check
+
+    p = _final_plan(ann_recall_check(spark, sf_dir))
+    assert "CartesianProduct" not in p, p[:3000]
