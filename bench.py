@@ -47,6 +47,8 @@ HEADLINE = [
     "text_quality_score",
     "pipeline_decontamination",
     "text_repetition_filter",
+    "pipeline_corpus_clean",
+    "dedup_prefix_cluster",
     # relational tail (correlated-subquery decorrelation)
     "min_cost_supplier_q2",
     # promql stateful fold
