@@ -130,6 +130,7 @@ _RUN_FIRST = (
     "pipeline_corpus_clean",
     "pipeline_length_histogram",
     "dedup_prefix_cluster",
+    "storage_incremental_rollup",
 )
 
 

@@ -423,3 +423,98 @@ def storage_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ROLLUP_CACHE[key] = rollup
     out = _ROLLUP_CACHE[key].scan(ScanRequest(ordered=False))
     return out.orderBy("user_id", "event_type", "day_ms")
+
+
+@register(
+    "storage_incremental_rollup",
+    oracle=f"""
+    SELECT event_type, epoch_ms(ts) - epoch_ms(ts) % {DAY_MS} AS day_ms,
+           count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 6)
+             AS sum_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY event_type, day_ms
+    """,
+)
+def storage_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invalidation-based INCREMENTAL rollup maintenance (storage/rollup.py):
+    phase-1 ingest (early data minus a held-back "late" slice) -> refresh ->
+    phase-2 ingest (the tail PLUS the late early rows) -> refresh. The
+    second refresh discovers invalidated day-buckets from new-SST manifest
+    metadata only and recomputes just those intervals — including the OLD
+    days the late rows landed in — then serves from the rollup. Must equal
+    the full aggregate over all events (the oracle): incremental maintenance
+    is only correct if it is indistinguishable from a rebuild."""
+    key = f"inc_rollup:{sf_dir}"
+    if key in _CACHE:
+        rollup = _CACHE[key]
+    else:
+        from horaedb_spark.storage.rollup import ContinuousRollup
+
+        ev = events_ms(spark, sf_dir).select(
+            "event_id", "ts_ms", "event_type", "value"
+        ).persist()
+        lo, hi = ev.agg(F.min("ts_ms"), F.max("ts_ms")).first()
+        cutoff = truncate_by(lo + int((hi - lo) * 0.7), DAY_MS)
+        late = F.pmod(F.col("event_id"), F.lit(11)) == 5
+        early = F.col("ts_ms") < cutoff
+
+        raw_schema = StorageSchema(
+            T.StructType(
+                [
+                    T.StructField("event_id", T.LongType()),
+                    T.StructField("ts_ms", T.LongType()),
+                    T.StructField("event_type", T.StringType()),
+                    T.StructField("value", T.DoubleType()),
+                ]
+            ),
+            num_primary_keys=1,  # event_id: unique -> idempotent re-ingest
+            update_mode=UpdateMode.OVERWRITE,
+        )
+        roll_schema = StorageSchema(
+            T.StructType(
+                [
+                    T.StructField("event_type", T.StringType()),
+                    T.StructField("day_ms", T.LongType()),
+                    T.StructField("n", T.LongType()),
+                    T.StructField("sum_value", T.DoubleType()),
+                ]
+            ),
+            num_primary_keys=2,
+            update_mode=UpdateMode.OVERWRITE,
+        )
+        raw = ColumnarTable(
+            spark, tempfile.mkdtemp(prefix="horaedb_incraw_") + "/t",
+            raw_schema, _SEG_15D,
+        )
+        roll = ColumnarTable(
+            spark, tempfile.mkdtemp(prefix="horaedb_incroll_") + "/t",
+            roll_schema, _SEG_15D,
+        )
+
+        def daily(df: DataFrame) -> DataFrame:
+            return df.groupBy(
+                "event_type",
+                (F.col("ts_ms") - F.pmod("ts_ms", F.lit(DAY_MS))).alias("day_ms"),
+            ).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(30,10)")).cast("double"), 6
+                ).alias("sum_value"),
+            )
+
+        rollup = ContinuousRollup(raw, roll, "ts_ms", "day_ms", DAY_MS, daily)
+        raw.bulk_ingest(ev.filter(early & ~late), "ts_ms")
+        rollup.refresh()
+        raw.bulk_ingest(ev.filter(~early | (early & late)), "ts_ms")
+        stats = rollup.refresh()
+        assert stats.delta_ssts > 0 and stats.refreshed_rows > 0
+        # a third refresh with no new SSTs must be a metadata-only no-op
+        assert rollup.refresh().delta_ssts == 0
+        ev.unpersist()
+        _CACHE[key] = rollup
+    return (
+        rollup.serve()
+        .select("event_type", "day_ms", "n", "sum_value")
+        .orderBy("event_type", "day_ms")
+    )

@@ -1,0 +1,111 @@
+"""Incremental continuous-rollup maintenance (storage/rollup.py): refreshes
+must touch only invalidated buckets (discovered from manifest metadata), a
+late write must re-materialize exactly its old bucket, and an idle refresh
+must be a metadata-only no-op."""
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from horaedb_spark.core.schema import StorageSchema, UpdateMode
+from horaedb_spark.core.timeutil import TimeRange
+from horaedb_spark.storage.rollup import ContinuousRollup, _merge_intervals
+from horaedb_spark.storage.table import ColumnarTable, WriteRequest
+
+DAY = 86_400_000
+
+
+def _schema(pks, fields):
+    return StorageSchema(
+        T.StructType(fields), num_primary_keys=pks, update_mode=UpdateMode.OVERWRITE
+    )
+
+
+@pytest.fixture()
+def tables(spark, tmp_path):
+    raw = ColumnarTable(
+        spark,
+        str(tmp_path / "raw"),
+        _schema(
+            1,
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("ts_ms", T.LongType()),
+                T.StructField("v", T.LongType()),
+            ],
+        ),
+        segment_duration_ms=4 * DAY,
+    )
+    roll = ColumnarTable(
+        spark,
+        str(tmp_path / "roll"),
+        _schema(
+            1,
+            [
+                T.StructField("day_ms", T.LongType()),
+                T.StructField("n", T.LongType()),
+                T.StructField("sum_v", T.LongType()),
+            ],
+        ),
+        segment_duration_ms=4 * DAY,
+    )
+
+    def daily(df):
+        return df.groupBy(
+            (F.col("ts_ms") - F.pmod("ts_ms", F.lit(DAY))).alias("day_ms")
+        ).agg(F.count(F.lit(1)).alias("n"), F.sum("v").cast("long").alias("sum_v"))
+
+    return raw, roll, ContinuousRollup(raw, roll, "ts_ms", "day_ms", DAY, daily)
+
+
+def _write(spark, raw, rows, lo, hi):
+    df = spark.createDataFrame(rows, "id long, ts_ms long, v long")
+    raw.write(WriteRequest(df, TimeRange(lo, hi)))
+
+
+def test_refresh_then_late_write_recomputes_only_old_bucket(spark, tables):
+    raw, roll, cr = tables
+    # days 0 and 1, one SST per day
+    _write(spark, raw, [(1, 10, 5), (2, 20, 7)], 0, DAY)
+    _write(spark, raw, [(3, DAY + 10, 11)], DAY, 2 * DAY)
+    s1 = cr.refresh()
+    assert s1.delta_ssts == 2
+    assert s1.intervals == [(0, 2 * DAY)]
+    served = {r["day_ms"]: (r["n"], r["sum_v"]) for r in cr.serve().collect()}
+    assert served == {0: (2, 12), DAY: (1, 11)}
+
+    # a LATE row lands back in day 0 — only day 0 may recompute
+    _write(spark, raw, [(4, 30, 100)], 0, DAY)
+    s2 = cr.refresh()
+    assert s2.delta_ssts == 1
+    assert s2.intervals == [(0, DAY)]
+    served = {r["day_ms"]: (r["n"], r["sum_v"]) for r in cr.serve().collect()}
+    assert served == {0: (3, 112), DAY: (1, 11)}
+
+
+def test_idle_refresh_is_noop(spark, tables):
+    raw, roll, cr = tables
+    _write(spark, raw, [(1, 10, 5)], 0, DAY)
+    assert cr.refresh().delta_ssts == 1
+    s = cr.refresh()
+    assert s.delta_ssts == 0 and s.intervals == [] and s.refreshed_rows == 0
+
+
+def test_overwrite_in_raw_propagates_through_refresh(spark, tables):
+    """Raw is an OVERWRITE table: re-writing PK id=1 with a new value must
+    replace (not add) after the bucket recomputes — the rollup aggregates
+    the MERGED raw view, not raw file contents."""
+    raw, roll, cr = tables
+    _write(spark, raw, [(1, 10, 5), (2, 20, 7)], 0, DAY)
+    cr.refresh()
+    _write(spark, raw, [(1, 10, 50)], 0, DAY)  # replaces id=1
+    cr.refresh()
+    served = {r["day_ms"]: (r["n"], r["sum_v"]) for r in cr.serve().collect()}
+    assert served == {0: (2, 57)}
+
+
+def test_merge_intervals():
+    assert _merge_intervals([(2, 4), (0, 2), (6, 8)]) == [(0, 4), (6, 8)]
+    assert _merge_intervals([(0, 3), (1, 2)]) == [(0, 3)]
+    assert _merge_intervals([]) == []
