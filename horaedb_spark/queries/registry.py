@@ -131,6 +131,7 @@ _RUN_FIRST = (
     "pipeline_length_histogram",
     "dedup_prefix_cluster",
     "storage_incremental_rollup",
+    "storage_zorder_scan",
 )
 
 

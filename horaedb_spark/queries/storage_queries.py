@@ -518,3 +518,61 @@ def storage_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "day_ms", "n", "sum_value")
         .orderBy("event_type", "day_ms")
     )
+
+
+@register(
+    "storage_zorder_scan",
+    oracle="""
+    SELECT user_id, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_checksum,
+           round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 6)
+             AS sum_value
+    FROM events WHERE user_id <= 30 AND value >= 250
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def storage_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ordered bulk load + two-dimensional stats-pruned scan: events land
+    curve-sliced on (user_id, value), so the selective predicate prunes
+    whole SSTs on BOTH columns via manifest col_stats before Spark lists a
+    path (functions/layout.py; the Delta/Iceberg OPTIMIZE ZORDER technique
+    on this engine's primitives). The merged result must equal the plain
+    filtered aggregate — layout must never change answers."""
+    key = f"zorder:{sf_dir}"
+    if key not in _CACHE:
+        ev = events_ms(spark, sf_dir).select(
+            "event_id", "ts_ms", "user_id", "value"
+        )
+        schema = StorageSchema(
+            T.StructType(
+                [
+                    T.StructField("event_id", T.LongType()),
+                    T.StructField("ts_ms", T.LongType()),
+                    T.StructField("user_id", T.LongType()),
+                    T.StructField("value", T.DoubleType()),
+                ]
+            ),
+            num_primary_keys=1,
+            update_mode=UpdateMode.OVERWRITE,
+        )
+        table = ColumnarTable(
+            spark, tempfile.mkdtemp(prefix="horaedb_zorder_") + "/t",
+            schema, _SEG_15D,
+        )
+        table.bulk_ingest(ev, "ts_ms", cluster_by=["user_id", "value"],
+                          cluster_slices=8)
+        _CACHE[key] = table
+    out = _CACHE[key].scan(
+        ScanRequest(predicate="user_id <= 30 AND value >= 250", ordered=False)
+    )
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").cast("long").alias("id_checksum"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(30,10)")).cast("double"), 6
+            ).alias("sum_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -51,6 +51,8 @@ from horaedb_spark.core.timeutil import TimeRange, truncate_by
 from horaedb_spark.storage.manifest import Manifest, SstFile
 from horaedb_spark.storage.merge import POS_COLUMN, apply_update_mode
 
+ZSLICE_COLUMN = "__zslice__"  # staging-only partition key for z-ordered bulk loads
+
 
 @dataclass(frozen=True)
 class WriteConfig:
@@ -220,8 +222,23 @@ class ColumnarTable:
         self.manifest.add_file(sst)
         return sst
 
-    def bulk_ingest(self, df: DataFrame, ts_col: str) -> list[SstFile]:
+    def bulk_ingest(
+        self,
+        df: DataFrame,
+        ts_col: str,
+        cluster_by: list[str] | None = None,
+        cluster_slices: int = 8,
+    ) -> list[SstFile]:
         """Bulk load: ONE Spark job writes one SST per segment.
+
+        With ``cluster_by``, each segment is additionally Z-ORDERED into
+        ``cluster_slices`` SSTs along the Morton curve over the given
+        columns (functions/layout.py): each SST then covers a small
+        hyper-rectangle of the value space, its footer min/max stats are
+        tight, and manifest column-stats pruning skips whole files for
+        value predicates on any clustered column. Costs one extra
+        metadata aggregate (global min/max) and one approxQuantile pass
+        for slice boundaries — both corpus-sized scans stay on executors.
 
         The per-request ``write()`` path mirrors the reference (one SST per
         call); this is the cluster-scale complement — a 1 TB backfill lands
@@ -250,29 +267,56 @@ class ColumnarTable:
         # offset. After the job the allocator jumps past the largest bulk fid,
         # so later writes sort (and version) after this load.
         fid_base = base_id + (1 << 31)
-        # derive from __segment__ (ts_col may not survive the schema select);
-        # segments are exact multiples of dur, so the division is integral
-        fid_expr = (
-            F.lit(fid_base) + (F.col(SEGMENT_COLUMN) / F.lit(dur)).cast("long")
-        ).cast("long")
         staging = os.path.join(self.root, f"_staging_{base_id}")
-        out = (
-            df.withColumn(SEGMENT_COLUMN, seg_expr)
-            .select(
-                SEGMENT_COLUMN,
-                *[
-                    F.col(f.name).cast(f.dataType).alias(f.name)
-                    for f in self.schema.fields.fields
-                ],
+        n_slices = cluster_slices if cluster_by else 1
+        # fid(segment, slice) = fid_base + seg_index * n_slices + slice:
+        # monotone in (segment, slice), still bounded far under the next
+        # allocator epoch (~5e6 segments * slices << 2^31 growth headroom).
+        fid_expr = (
+            F.lit(fid_base)
+            + (F.col(SEGMENT_COLUMN) / F.lit(dur)).cast("long") * n_slices
+        ).cast("long")
+        out = df.withColumn(SEGMENT_COLUMN, seg_expr).select(
+            SEGMENT_COLUMN,
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in self.schema.fields.fields
+            ],
+        )
+        part_cols = [SEGMENT_COLUMN]
+        sort_tail: list[str] = []
+        if cluster_by:
+            from horaedb_spark.functions.layout import zorder_key, zorder_slice
+
+            stats = out.agg(
+                *[F.min(c).alias(f"mn_{c}") for c in cluster_by],
+                *[F.max(c).alias(f"mx_{c}") for c in cluster_by],
+            ).first()
+            zk = zorder_key(
+                [F.col(c) for c in cluster_by],
+                [float(stats[f"mn_{c}"]) for c in cluster_by],
+                [float(stats[f"mx_{c}"]) for c in cluster_by],
             )
-            .withColumn(SEQ_COLUMN, fid_expr)
+            out = out.withColumn("__zkey__", zk)
+            bounds = out.approxQuantile(
+                "__zkey__",
+                [i / n_slices for i in range(1, n_slices)],
+                0.001,
+            )
+            out = out.withColumn(ZSLICE_COLUMN, zorder_slice(F.col("__zkey__"), bounds))
+            fid_expr = (fid_expr + F.col(ZSLICE_COLUMN)).cast("long")
+            part_cols.append(ZSLICE_COLUMN)
+            sort_tail = ["__zkey__"]  # row groups follow the curve too
+        out = (
+            out.withColumn(SEQ_COLUMN, fid_expr)
             .withColumn(RESERVED_COLUMN, F.lit(None).cast("long"))
-            .repartition(F.col(SEGMENT_COLUMN))
-            .sortWithinPartitions(SEGMENT_COLUMN, *self.schema.primary_keys)
+            .repartition(*[F.col(c) for c in part_cols])
+            .sortWithinPartitions(*part_cols, *sort_tail, *self.schema.primary_keys)
+            .drop("__zkey__")
         )
         out.write.options(**self.write_config.writer_options()).mode(
             "overwrite"
-        ).partitionBy(SEGMENT_COLUMN).parquet(staging)
+        ).partitionBy(*part_cols).parquet(staging)
         prefix = f"{SEGMENT_COLUMN}="
         segments = sorted(
             int(name[len(prefix):])
@@ -282,31 +326,44 @@ class ColumnarTable:
         if segments:
             with self._id_lock:
                 self._next_id = max(
-                    self._next_id, fid_base + segments[-1] // dur + 1
+                    self._next_id, fid_base + (segments[-1] // dur + 1) * n_slices
                 )
         ssts = []
+
+        def _register(src: str, fid: int, seg: int) -> None:
+            dst_dir = os.path.join(self.data_dir, f"{SEGMENT_COLUMN}={seg}")
+            os.makedirs(dst_dir, exist_ok=True)
+            dst = os.path.join(dst_dir, f"sst={fid}")
+            os.replace(src, dst)
+            num_rows, size_bytes = _parquet_stats(dst)
+            ssts.append(
+                SstFile(
+                    file_id=fid,
+                    path=dst,
+                    time_range=TimeRange(seg, seg + dur),
+                    max_sequence=fid,
+                    num_rows=num_rows,
+                    size_bytes=size_bytes,
+                    col_stats=_collect_col_stats(dst, self.schema.user_columns),
+                )
+            )
+
         try:
             for seg in segments:
-                fid = fid_base + seg // dur
-                src = os.path.join(staging, f"{SEGMENT_COLUMN}={seg}")
-                dst_dir = os.path.join(self.data_dir, f"{SEGMENT_COLUMN}={seg}")
-                os.makedirs(dst_dir, exist_ok=True)
-                dst = os.path.join(dst_dir, f"sst={fid}")
-                os.replace(src, dst)
-                num_rows, size_bytes = _parquet_stats(dst)
-                ssts.append(
-                    SstFile(
-                        file_id=fid,
-                        path=dst,
-                        time_range=TimeRange(seg, seg + dur),
-                        max_sequence=fid,
-                        num_rows=num_rows,
-                        size_bytes=size_bytes,
-                        col_stats=_collect_col_stats(
-                            dst, self.schema.user_columns
-                        ),
-                    )
-                )
+                seg_dir = os.path.join(staging, f"{SEGMENT_COLUMN}={seg}")
+                if cluster_by:
+                    sprefix = f"{ZSLICE_COLUMN}="
+                    for name in sorted(os.listdir(seg_dir)):
+                        if not name.startswith(sprefix):
+                            continue
+                        sl = int(name[len(sprefix):])
+                        _register(
+                            os.path.join(seg_dir, name),
+                            fid_base + (seg // dur) * n_slices + sl,
+                            seg,
+                        )
+                else:
+                    _register(seg_dir, fid_base + seg // dur, seg)
             self.manifest.update(ssts, [])
         finally:
             shutil.rmtree(staging, ignore_errors=True)

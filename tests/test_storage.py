@@ -8,6 +8,7 @@
 """
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from horaedb_spark.core.schema import StorageSchema, UpdateMode
@@ -370,3 +371,67 @@ def test_schema_evolution_rejects_bad_columns(spark, tmp_path):
         t.evolve_schema([T.StructField("value", T.LongType(), True)])
     with _pytest.raises(ValueError, match="nullable"):
         t.evolve_schema([T.StructField("x", T.LongType(), False)])
+
+
+def test_zorder_bulk_ingest_prunes_on_both_dims(spark, tmp_path):
+    """Z-ordered bulk load: each segment splits into curve-aligned SSTs whose
+    col_stats are tight, so value predicates on EITHER clustered column prune
+    whole files — and the merged scan result is byte-identical to the
+    unclustered table's."""
+    import random
+
+    from horaedb_spark.core.schema import StorageSchema, UpdateMode
+    from pyspark.sql import types as T
+
+    rnd = random.Random(7)
+    rows = [
+        (i, rnd.randrange(0, 1000), rnd.randrange(0, 1000), i % 7_200_000)
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "id long, x long, y long, ts_ms long")
+    schema = StorageSchema(
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("x", T.LongType()),
+                T.StructField("y", T.LongType()),
+                T.StructField("ts_ms", T.LongType()),
+            ]
+        ),
+        num_primary_keys=1,
+        update_mode=UpdateMode.OVERWRITE,
+    )
+    zt = ColumnarTable(spark, str(tmp_path / "z"), schema, TWO_HOURS)
+    pt = ColumnarTable(spark, str(tmp_path / "p"), schema, TWO_HOURS)
+    zssts = zt.bulk_ingest(df, "ts_ms", cluster_by=["x", "y"], cluster_slices=8)
+    pt.bulk_ingest(df, "ts_ms")
+    assert len(zssts) == 8  # one segment, eight curve slices
+
+    for pred in ("x >= 900", "y >= 900", "x >= 900 AND y >= 900"):
+        zs = zt.scan(ScanRequest(predicate=pred, ordered=False))
+        ps = pt.scan(ScanRequest(predicate=pred, ordered=False))
+        assert sorted(map(tuple, zs.collect())) == sorted(map(tuple, ps.collect()))
+        read = {
+            int(f.split("sst=")[1].split("/")[0]) for f in zs.inputFiles()
+        }
+        # pruning must actually bite: a 10% slab of one dimension cannot
+        # need every curve slice
+        assert len(read) < len(zssts), (pred, read)
+
+
+def test_zorder_slices_version_after_previous_writes(spark, tmp_path):
+    """Z-sliced fids must stay monotone vs earlier writes so merge-on-read
+    versioning (newest seq wins) is preserved."""
+    t = ColumnarTable(spark, str(tmp_path / "zv"), kv_schema(), TWO_HOURS)
+    first = spark.createDataFrame(
+        [(1, 1, 10), (2, 2, 20)], "pk1 long, pk2 long, value long"
+    )
+    t.write(WriteRequest(first, TimeRange(0, 100)))
+    upd = spark.createDataFrame(
+        [(1, 1, 111), (2, 2, 222)], "pk1 long, pk2 long, value long"
+    )
+    # bulk z-ordered rewrite of the same PKs must win
+    t.bulk_ingest(upd.withColumn("ts_ms", F.lit(50)), "ts_ms",
+                  cluster_by=["value"], cluster_slices=2)
+    got = {r.pk1: r.value for r in t.scan(ScanRequest(ordered=False)).collect()}
+    assert got == {1: 111, 2: 222}
