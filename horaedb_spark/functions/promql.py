@@ -456,6 +456,21 @@ def over_time(df: DataFrame, series_cols: list[str], step_ms: int) -> DataFrame:
     )
 
 
+def edge_over_time(df: DataFrame, series_cols: list[str], step_ms: int) -> DataFrame:
+    """``last_over_time`` / ``first_over_time`` / ``present_over_time`` in
+    one hash aggregate: the bucket-edge samples via max_by/min_by on the
+    timestamp (deterministic — the data table is deduped to one row per
+    (series, ts)), presence as a constant over the surviving groups (a
+    bucket with no samples yields no row, which IS PromQL's absence)."""
+    b = _bucketed(df, step_ms)
+    return b.groupBy(*series_cols, "bucket_ms").agg(
+        F.max_by("value", "ts_ms").alias("last_over_time"),
+        F.min_by("value", "ts_ms").alias("first_over_time"),
+        F.lit(1).alias("present_over_time"),
+        F.max("ts_ms").alias("last_ts_ms"),
+    )
+
+
 def topk_series(
     df: DataFrame, series_cols: list[str], by_labels: list[str], step_ms: int, k: int
 ) -> DataFrame:

@@ -1513,3 +1513,37 @@ def promql_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_label", "cohort")
     )
+
+
+@register(
+    "promql_edge_over_time",
+    oracle=_DEDUP_CTE
+    + f"""
+    SELECT user_label, cohort, bucket_ms,
+           round(arg_max(value, ts_ms), 6) AS last_over_time,
+           round(arg_min(value, ts_ms), 6) AS first_over_time,
+           1 AS present_over_time,
+           max(ts_ms) AS last_ts_ms
+    FROM (SELECT user_label, cohort, ts_ms - ts_ms % {7 * DAY_MS} AS bucket_ms,
+                 ts_ms, value
+          FROM samples WHERE name = 'signup')
+    GROUP BY 1, 2, 3
+    ORDER BY user_label, cohort, bucket_ms
+    """,
+)
+def promql_edge_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """last/first/present_over_time per series over 7-day steps: the
+    bucket-edge range functions as one max_by/min_by hash aggregate —
+    no window, no sort, map-side partials at any scale."""
+    eng = _engine(spark, sf_dir)
+    sel = _series_with_labels(eng.select_series("signup"))
+    out = promql.edge_over_time(sel, ["user_label", "cohort"], 7 * DAY_MS)
+    return out.select(
+        "user_label",
+        "cohort",
+        "bucket_ms",
+        F.round("last_over_time", 6).alias("last_over_time"),
+        F.round("first_over_time", 6).alias("first_over_time"),
+        "present_over_time",
+        "last_ts_ms",
+    ).orderBy("user_label", "cohort", "bucket_ms")

@@ -132,6 +132,7 @@ _RUN_FIRST = (
     "dedup_prefix_cluster",
     "storage_incremental_rollup",
     "storage_zorder_scan",
+    "promql_edge_over_time",
 )
 
 

@@ -9,8 +9,11 @@ a driver-side control plane, NOT a data path: queries stay in Spark, and at
 cluster scale this runs next to the driver the way the reference's actix
 app runs next to its storage (main.rs:82-116).
 
-Extra read-only endpoint ``GET /manifest`` surfaces the SST list the CLI
-prints — the observability hook a real deployment needs.
+Extra read-only endpoints: ``GET /manifest`` surfaces the SST list the CLI
+prints, and ``GET /scan?predicate=...&limit=N`` serves a BOUNDED
+merge-on-read peek as JSON (limit capped at 1000) — debugging/observability
+hooks a real deployment needs. Analytical queries stay in Spark; the scan
+endpoint is a row-bounded driver-side read, never a data path.
 """
 
 from __future__ import annotations
@@ -84,6 +87,23 @@ class ControlServer:
                     sst = outer.compactor.run_once()
                     self._reply({"compacted": sst is not None,
                                  "new_sst": sst.file_id if sst else None})
+                elif self.path.startswith("/scan"):
+                    from urllib.parse import parse_qs, urlparse
+
+                    from horaedb_spark.storage.table import ScanRequest
+
+                    q = parse_qs(urlparse(self.path).query)
+                    pred = q.get("predicate", [None])[0]
+                    try:
+                        limit = min(int(q.get("limit", ["100"])[0]), 1000)
+                        df = outer.compactor.table.scan(
+                            ScanRequest(predicate=pred, ordered=True)
+                        ).limit(limit)
+                        rows = [r.asDict() for r in df.collect()]
+                    except Exception as e:  # bad predicate -> client error
+                        self._reply({"error": str(e)[:500]}, status=400)
+                        return
+                    self._reply({"n": len(rows), "rows": rows})
                 elif self.path == "/manifest":
                     ssts = outer.compactor.table.manifest.all_ssts()
                     self._reply({

@@ -44,3 +44,28 @@ def test_control_server_endpoints(spark, tmp_path):
         assert [tuple(r) for r in t.scan().collect()] == [(1, 1, 2)]
     finally:
         srv.stop()
+
+
+def test_scan_endpoint_bounded_read(spark, tmp_path):
+    t = ColumnarTable(spark, str(tmp_path / "q"), kv_schema(), TWO_HOURS)
+    df = spark.createDataFrame(
+        [(i, i, i * 10) for i in range(5)], "pk1 long, pk2 long, value long"
+    )
+    t.write(WriteRequest(df, TimeRange(0, 100)))
+    srv = ControlServer(Compactor(t, SchedulerConfig()))
+    srv.start()
+    try:
+        out = _get(srv.port, "/scan?predicate=value%20%3E%3D%2020&limit=2")
+        assert out["n"] == 2
+        assert [r["value"] for r in out["rows"]] == [20, 30]  # PK-ordered peek
+        everything = _get(srv.port, "/scan")
+        assert everything["n"] == 5
+        # malformed predicate is a client error, not a server crash
+        import urllib.error
+        try:
+            _get(srv.port, "/scan?predicate=no_such_col%20%3E%201")
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.stop()
