@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle SQL for every SQL-expressible query (all but the
-    mapInPandas feature-extraction stage, which gets the rows-only check)."""
+    """DuckDB oracle SQL for every registered query — including the
+    mapInPandas feature-extraction stage, whose deterministic stub extractor
+    is replayed in SQL."""
     return oracle_sql_map()

@@ -397,3 +397,85 @@ def dedup_prefix_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") > 1)
         .orderBy("prefix_fp")
     )
+
+
+@register(
+    "dedup_minhash_estimate_check",
+    oracle=_NEAR_CORPUS
+    + rf"""
+    , shingled AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_distinct([array_to_string(w[i:i+2], ' ')
+                                      FOR i IN generate_series(1, len(w)-2)])
+                  ELSE [array_to_string(w, ' ')] END AS sh
+      FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM corpus)
+    ), flat AS (
+      SELECT doc_id, unnest(sh) AS s FROM shingled
+    ), mh AS (
+      SELECT doc_id, k, min(md5(k || ':' || s)) AS h
+      FROM flat CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) ks
+      GROUP BY doc_id, k
+    ), pairs AS (
+      SELECT doc_id AS id_a, doc_id + {_COPY_OFFSET} AS id_b FROM documents
+    ), est AS (
+      SELECT p.id_a, sum(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END) AS agree
+      FROM pairs p
+      JOIN mh ma ON ma.doc_id = p.id_a
+      JOIN mh mb ON mb.doc_id = p.id_b AND mb.k = ma.k
+      GROUP BY p.id_a
+    ), ex AS (
+      SELECT p.id_a,
+             len(list_intersect(sa.sh, sb.sh)) AS inter,
+             len(list_distinct(list_concat(sa.sh, sb.sh))) AS uni
+      FROM pairs p
+      JOIN shingled sa ON sa.doc_id = p.id_a
+      JOIN shingled sb ON sb.doc_id = p.id_b
+    )
+    SELECT e.id_a AS doc_id,
+           round(CAST(x.inter AS DOUBLE) / x.uni, 6) AS exact_jaccard,
+           round(CAST(e.agree AS DOUBLE) / 16, 6) AS minhash_estimate,
+           abs(CAST(e.agree AS DOUBLE) / 16
+               - CAST(x.inter AS DOUBLE) / x.uni) <= 0.35 AS within_band
+    FROM est e JOIN ex x USING (id_a) ORDER BY doc_id
+    """,
+)
+def dedup_minhash_estimate_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash accuracy gate: on every planted near-dup pair, the
+    16-hash signature agreement must estimate the exact shingle Jaccard
+    within a 3-sigma band (sqrt(J(1-J)/16) ~ 0.12). Both the estimate and
+    the exact value are deterministic (md5-derived mins, distinct-shingle
+    sets), so the comparison hash-matches the oracle — the dedup
+    machinery's statistical behavior is itself under test, the
+    quality-gate pattern a production dedup pipeline monitors."""
+    corpus = _with_near_copies(load_table(spark, sf_dir, "documents"))
+    sh = corpus.select(
+        "doc_id",
+        TX.shingles("text", 3).alias("sh"),
+    ).withColumn("sig", TX.minhash_signature(F.col("sh"), 16))
+    a = sh.filter(F.col("doc_id") < _COPY_OFFSET).alias("a")
+    b = sh.filter(F.col("doc_id") >= _COPY_OFFSET).alias("b")
+    joined = a.join(
+        b, F.col("b.doc_id") == F.col("a.doc_id") + _COPY_OFFSET
+    ).select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.col("a.sh").alias("sha"),
+        F.col("b.sh").alias("shb"),
+        F.col("a.sig").alias("siga"),
+        F.col("b.sig").alias("sigb"),
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("siga", "sigb", lambda x, y: x == y), lambda m: m
+        )
+    )
+    inter = F.size(F.array_intersect("sha", "shb"))
+    uni = F.size(F.array_union("sha", "shb"))
+    est = agree.cast("double") / 16
+    exact = inter.cast("double") / uni
+    return joined.select(
+        "doc_id",
+        F.round(exact, 6).alias("exact_jaccard"),
+        F.round(est, 6).alias("minhash_estimate"),
+        (F.abs(est - exact) <= 0.35).alias("within_band"),
+    ).orderBy("doc_id")

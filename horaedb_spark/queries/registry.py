@@ -133,6 +133,7 @@ _RUN_FIRST = (
     "storage_incremental_rollup",
     "storage_zorder_scan",
     "promql_edge_over_time",
+    "dedup_minhash_estimate_check",
 )
 
 
