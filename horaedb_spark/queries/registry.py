@@ -134,6 +134,7 @@ _RUN_FIRST = (
     "storage_zorder_scan",
     "promql_edge_over_time",
     "dedup_minhash_estimate_check",
+    "streaming_continuous_rollup",
 )
 
 

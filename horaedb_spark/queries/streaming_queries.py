@@ -16,7 +16,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from horaedb_spark.queries.registry import register
-from horaedb_spark.queries.tables import ensure_session_conf, ts_ms_expr
+from horaedb_spark.queries.tables import ensure_session_conf, events_ms, ts_ms_expr
 from horaedb_spark.queries.storage_queries import _SEG_15D, _events_schema
 from horaedb_spark.storage.table import ColumnarTable
 from horaedb_spark.streaming.sink import ingest_stream
@@ -416,3 +416,118 @@ def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).orderBy("tier", "event_type")
     return _CACHE[key]
+
+
+@register(
+    "streaming_continuous_rollup",
+    oracle=f"""
+    SELECT event_type,
+           epoch_ms(ts) - epoch_ms(ts) % {86_400_000} AS day_ms,
+           count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 6)
+             AS sum_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY event_type, day_ms
+    """,
+)
+def streaming_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS rollup maintenance under streaming ingest: the event
+    stream (4 time-sliced source files -> 4 micro-batches) bulk-ingests
+    into the raw table and the incremental refresh runs INSIDE foreachBatch
+    — invalidation from each batch's new SSTs only. Four refreshes later
+    the served rollup must equal the one-shot batch aggregate: streaming
+    incremental maintenance is indistinguishable from a rebuild."""
+    import os as _os
+
+    from horaedb_spark.core.schema import StorageSchema, UpdateMode
+    from horaedb_spark.queries.storage_queries import _SEG_15D
+    from horaedb_spark.storage.rollup import ContinuousRollup
+
+    DAY = 86_400_000
+    key = f"cont_rollup:{sf_dir}"
+    if key not in _CACHE:
+        ev = events_ms(spark, sf_dir).select(
+            "event_id", "ts_ms", "event_type", "value"
+        )
+        src = tempfile.mkdtemp(prefix="horaedb_controll_src_")
+        ev.repartitionByRange(4, "ts_ms").write.mode("overwrite").parquet(src)
+
+        raw = ColumnarTable(
+            spark,
+            tempfile.mkdtemp(prefix="horaedb_controll_raw_") + "/t",
+            StorageSchema(
+                T.StructType(
+                    [
+                        T.StructField("event_id", T.LongType()),
+                        T.StructField("ts_ms", T.LongType()),
+                        T.StructField("event_type", T.StringType()),
+                        T.StructField("value", T.DoubleType()),
+                    ]
+                ),
+                num_primary_keys=1,
+                update_mode=UpdateMode.OVERWRITE,
+            ),
+            _SEG_15D,
+        )
+        roll = ColumnarTable(
+            spark,
+            tempfile.mkdtemp(prefix="horaedb_controll_roll_") + "/t",
+            StorageSchema(
+                T.StructType(
+                    [
+                        T.StructField("event_type", T.StringType()),
+                        T.StructField("day_ms", T.LongType()),
+                        T.StructField("n", T.LongType()),
+                        T.StructField("sum_value", T.DoubleType()),
+                    ]
+                ),
+                num_primary_keys=2,
+                update_mode=UpdateMode.OVERWRITE,
+            ),
+            _SEG_15D,
+        )
+
+        def daily(df: DataFrame) -> DataFrame:
+            return df.groupBy(
+                "event_type",
+                (F.col("ts_ms") - F.pmod("ts_ms", F.lit(DAY))).alias("day_ms"),
+            ).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(30,10)")).cast("double"), 6
+                ).alias("sum_value"),
+            )
+
+        cr = ContinuousRollup(raw, roll, "ts_ms", "day_ms", DAY, daily)
+        refreshes: list[int] = []
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            raw.bulk_ingest(batch_df, "ts_ms")
+            refreshes.append(cr.refresh().delta_ssts)
+
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="horaedb_controll_ckpt_"),
+            )
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        # several independent incremental refreshes must have run
+        assert len([r for r in refreshes if r > 0]) >= 2, refreshes
+        _CACHE[key] = cr
+    return (
+        _CACHE[key]
+        .serve()
+        .select("event_type", "day_ms", "n", "sum_value")
+        .orderBy("event_type", "day_ms")
+    )
