@@ -67,17 +67,16 @@ _QUERY_MODULES = (
 )
 
 # The driver's correctness run walks queries in map order and covers only
-# ~44-50 per round (time-capped). Queries that still lack a green driver row
-# after rounds 1-2 are listed here explicitly and surface FIRST; everything
-# already driver-green follows in registration order. Keep this list in sync
-# with the latest CORRECTNESS_r{N}.json: drop names once green, promote any
+# ~44-50 per round (time-capped). Queries that still lack ANY green driver
+# row across all rounds surface FIRST (a query that never had hard signal is
+# the most valuable row to produce); queries that were green in round 1 but
+# errored in round 2 (the TIMESTAMP_NTZ testdata shift, fixed since) come
+# next — they at least carry historical evidence; everything already
+# driver-green follows in registration order. Keep this list in sync with
+# the latest CORRECTNESS_r{N}.json: drop names once green, promote any
 # regression.
 _RUN_FIRST = (
-    # never driver-verified (registered after round 1's cutoff)
-    "streaming_session_window",
-    "streaming_stream_join",
-    "streaming_dedup",
-    "streaming_enrich_join",
+    # --- never ANY driver row: metric/PromQL tail (cheap, shared fixture)
     "promql_irate",
     "promql_delta_idelta",
     "remote_write_ingest",
@@ -105,36 +104,41 @@ _RUN_FIRST = (
     "promql_limitk_ratio",
     "promql_moving_avg",
     "promql_zscore_anomalies",
-    # hash-failed in r1/r2 (oracle typing, fixed since)
+    "promql_edge_over_time",
+    # --- never ANY driver row: streaming
+    "streaming_session_window",
+    "streaming_stream_join",
+    "streaming_dedup",
+    "streaming_enrich_join",
+    "streaming_ingest_scan",
+    "streaming_stateful_increase",
+    "streaming_window_agg",
+    "streaming_continuous_rollup",
+    # --- never ANY driver row: storage + round-3 additions
+    "storage_stats_pruned_scan",
+    "storage_continuous_rollup",
+    "storage_incremental_rollup",
+    "storage_zorder_scan",
+    "funnel_conversion",
+    "retention_cohorts",
+    "ann_recall_check",
+    "pipeline_corpus_clean",
+    "pipeline_length_histogram",
+    "dedup_prefix_cluster",
+    "dedup_minhash_estimate_check",
+    # --- no_oracle upgraded to real/tolerance oracles (r1 row was weak)
+    "approx_sketches",
+    "multimodal_feature_extract",
+    # --- hash-failed in r1/r2 on oracle typing (values matched; fixed since)
     "pipeline_sequence_packing",
     "text_token_stats",
     "shipmode_priority_q12",
-    # errored in r2 (TIMESTAMP_NTZ testdata shift, fixed since)
-    "funnel_conversion",
-    "retention_cohorts",
+    # --- r1-green but r2-errored (NTZ shift, fixed): re-confirm last
     "storage_scan_overwrite",
     "storage_scan_predicate_projection",
     "storage_time_range_scan",
     "storage_compaction_scan",
     "storage_bulk_ingest_scan",
-    "storage_stats_pruned_scan",
-    "storage_continuous_rollup",
-    "streaming_ingest_scan",
-    "streaming_stateful_increase",
-    "streaming_window_agg",
-    # no_oracle entries upgraded to real/tolerance-style oracles
-    "approx_sketches",
-    "multimodal_feature_extract",
-    # new in round 3 — no driver row yet
-    "ann_recall_check",
-    "pipeline_corpus_clean",
-    "pipeline_length_histogram",
-    "dedup_prefix_cluster",
-    "storage_incremental_rollup",
-    "storage_zorder_scan",
-    "promql_edge_over_time",
-    "dedup_minhash_estimate_check",
-    "streaming_continuous_rollup",
 )
 
 
