@@ -369,6 +369,47 @@ class ColumnarTable:
             shutil.rmtree(staging, ignore_errors=True)
         return ssts
 
+    def recluster(
+        self,
+        ts_col: str,
+        cluster_by: list[str],
+        cluster_slices: int = 8,
+        time_range: TimeRange | None = None,
+    ) -> list[SstFile]:
+        """OPTIMIZE ZORDER for existing data: rewrite the SSTs overlapping
+        ``time_range`` (default: all) as Z-clustered slices.
+
+        Compaction merges by primary key and loses value-space clustering;
+        this is the maintenance pass that restores it. The rewrite scans the
+        chosen SSTs through normal merge-on-read (so only winning row
+        versions survive), bulk-ingests them clustered (new, higher fids —
+        precedence over the inputs is automatic), swaps the manifest BEFORE
+        deleting the input files (same crash-safety order as the compaction
+        executor), then removes the inputs. A scan racing the swap sees old
+        and new SSTs together and still resolves to identical values.
+        Returns the new SSTs; [] if another maintenance pass holds the
+        inputs."""
+        import shutil
+
+        ssts = self.manifest.find_ssts(time_range)
+        if not ssts:
+            return []
+        ids = [s.file_id for s in ssts]
+        if not self.manifest.try_mark_compacting(ids):
+            return []
+        try:
+            merged = self.scan_ssts(ssts, ScanRequest(ordered=False))
+            new_ssts = self.bulk_ingest(
+                merged, ts_col, cluster_by=cluster_by, cluster_slices=cluster_slices
+            )
+            self.manifest.update([], ids)
+            for s in ssts:
+                shutil.rmtree(s.path, ignore_errors=True)
+            return new_ssts
+        except Exception:
+            self.manifest.unmark_compacting(ids)
+            raise
+
     # ------------------------------------------------------------------- scan
 
     def scan(self, req: ScanRequest | None = None) -> DataFrame:

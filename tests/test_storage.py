@@ -435,3 +435,50 @@ def test_zorder_slices_version_after_previous_writes(spark, tmp_path):
                   cluster_by=["value"], cluster_slices=2)
     got = {r.pk1: r.value for r in t.scan(ScanRequest(ordered=False)).collect()}
     assert got == {1: 111, 2: 222}
+
+
+def test_recluster_restores_zorder_pruning(spark, tmp_path):
+    """OPTIMIZE ZORDER maintenance: a plainly-loaded table reads every SST
+    for a value predicate; after recluster() the same scan returns identical
+    rows but prunes most slices, the input SSTs are gone from manifest and
+    disk, and versioning still resolves correctly."""
+    import os
+    import random
+
+    from horaedb_spark.core.schema import StorageSchema, UpdateMode
+
+    rnd = random.Random(11)
+    rows = [
+        (i, rnd.randrange(0, 1000), rnd.randrange(0, 1000), i % 7_200_000)
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "id long, x long, y long, ts_ms long")
+    schema = StorageSchema(
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("x", T.LongType()),
+                T.StructField("y", T.LongType()),
+                T.StructField("ts_ms", T.LongType()),
+            ]
+        ),
+        num_primary_keys=1,
+        update_mode=UpdateMode.OVERWRITE,
+    )
+    t = ColumnarTable(spark, str(tmp_path / "rz"), schema, TWO_HOURS)
+    t.bulk_ingest(df, "ts_ms")  # unclustered: one SST per segment
+    before = sorted(map(tuple, t.scan(
+        ScanRequest(predicate="x >= 900", ordered=False)).collect()))
+    old_paths = [s.path for s in t.manifest.all_ssts()]
+
+    new_ssts = t.recluster("ts_ms", cluster_by=["x", "y"], cluster_slices=8)
+    assert len(new_ssts) == 8
+    assert {s.file_id for s in t.manifest.all_ssts()} == {
+        s.file_id for s in new_ssts
+    }
+    assert all(not os.path.exists(p) for p in old_paths)
+
+    out = t.scan(ScanRequest(predicate="x >= 900", ordered=False))
+    assert sorted(map(tuple, out.collect())) == before
+    read = {int(f.split("sst=")[1].split("/")[0]) for f in out.inputFiles()}
+    assert len(read) < len(new_ssts)
