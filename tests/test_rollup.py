@@ -64,24 +64,44 @@ def _write(spark, raw, rows, lo, hi):
     raw.write(WriteRequest(df, TimeRange(lo, hi)))
 
 
-def test_refresh_then_late_write_recomputes_only_old_bucket(spark, tables):
+def test_refresh_then_late_write_recomputes_only_its_segment(spark, tables):
+    """Invalidation granularity is the raw SEGMENT (4 days here): a late
+    write to segment 0 recomputes segment 0's buckets and must NOT touch
+    segment 1."""
     raw, roll, cr = tables
-    # days 0 and 1, one SST per day
+    # segment 0: days 0 and 1; segment 1: one row
     _write(spark, raw, [(1, 10, 5), (2, 20, 7)], 0, DAY)
     _write(spark, raw, [(3, DAY + 10, 11)], DAY, 2 * DAY)
+    _write(spark, raw, [(9, 4 * DAY + 10, 99)], 4 * DAY, 5 * DAY)
     s1 = cr.refresh()
-    assert s1.delta_ssts == 2
-    assert s1.intervals == [(0, 2 * DAY)]
+    assert s1.delta_ssts == 3
+    assert s1.intervals == [(0, 8 * DAY)]  # both touched segments, merged
     served = {r["day_ms"]: (r["n"], r["sum_v"]) for r in cr.serve().collect()}
-    assert served == {0: (2, 12), DAY: (1, 11)}
+    assert served == {0: (2, 12), DAY: (1, 11), 4 * DAY: (1, 99)}
 
-    # a LATE row lands back in day 0 — only day 0 may recompute
+    # a LATE row lands back in segment 0 — segment 1 must not recompute
     _write(spark, raw, [(4, 30, 100)], 0, DAY)
     s2 = cr.refresh()
     assert s2.delta_ssts == 1
-    assert s2.intervals == [(0, DAY)]
+    assert s2.intervals == [(0, 4 * DAY)]
     served = {r["day_ms"]: (r["n"], r["sum_v"]) for r in cr.serve().collect()}
-    assert served == {0: (3, 112), DAY: (1, 11)}
+    assert served == {0: (3, 112), DAY: (1, 11), 4 * DAY: (1, 99)}
+
+
+def test_pk_overwrite_moving_buckets_tombstones_old_bucket(spark, tables):
+    """The hole the property test found: an OVERWRITE that moves a PK's
+    timestamp to another bucket of the same segment must vacate the old
+    bucket — served state equals a full rebuild, the stale row is
+    tombstoned, not left behind."""
+    raw, roll, cr = tables
+    _write(spark, raw, [(1, 10, 5)], 0, DAY)
+    cr.refresh()
+    assert {r["day_ms"] for r in cr.serve().collect()} == {0}
+    # same pk, new timestamp in day 1 (same 4-day segment): day 0 empties
+    _write(spark, raw, [(1, DAY + 10, 5)], DAY, 2 * DAY)
+    cr.refresh()
+    served = {r["day_ms"]: (r["n"], r["sum_v"]) for r in cr.serve().collect()}
+    assert served == {DAY: (1, 5)}
 
 
 def test_idle_refresh_is_noop(spark, tables):
