@@ -76,6 +76,56 @@ def rate(df: DataFrame, series_cols: list[str], step_ms: int) -> DataFrame:
     )
 
 
+def sliding_rate(
+    df: DataFrame, series_cols: list[str], step_ms: int, range_ms: int
+) -> DataFrame:
+    """True range-vector rate: at each step-aligned evaluation time T, the
+    rate over the SLIDING window ``(T - range, T]`` — PromQL's
+    ``rate(x[range])`` evaluated on a step grid, where range > step makes
+    windows overlap (unlike the bucket-aligned `rate`, where range == step).
+
+    Scale shape: each sample explodes to its <= range/step window
+    memberships (a small constant fan-out, e.g. 4 for rate(x[4d]) @ 1d
+    step), then ONE hash aggregate per (series, T) computes the window
+    edges via max_by/min_by. No self-joins, no windows over the stream —
+    the fan-out bound is the knob that keeps 100 TB tractable. Windows
+    with < 2 samples yield no row (PromQL's behavior)."""
+    k = range_ms // step_ms
+    if k < 1 or range_ms % step_ms != 0:
+        raise ValueError("range_ms must be a positive multiple of step_ms")
+    # first step-aligned T with ts in (T - range, T] is ceil(ts/step)*step;
+    # the sample then belongs to T, T+step, ..., T+(k-1)*step
+    first_t = (
+        F.col("ts_ms")
+        + F.pmod(F.lit(step_ms) - F.pmod("ts_ms", F.lit(step_ms)), F.lit(step_ms))
+    )
+    exploded = df.withColumn(
+        "eval_ms",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda i: first_t + i * F.lit(step_ms),
+            )
+        ),
+    )
+    agg = exploded.groupBy(*series_cols, "eval_ms").agg(
+        F.max_by("value", "ts_ms").alias("v_last"),
+        F.min_by("value", "ts_ms").alias("v_first"),
+        F.max("ts_ms").alias("t_last"),
+        F.min("ts_ms").alias("t_first"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )
+    return (
+        agg.filter((F.col("n_samples") >= 2) & (F.col("t_last") > F.col("t_first")))
+        .withColumn(
+            "rate_per_s",
+            (F.col("v_last") - F.col("v_first"))
+            / ((F.col("t_last") - F.col("t_first")) / F.lit(1000.0)),
+        )
+        .select(*series_cols, "eval_ms", "rate_per_s", "n_samples")
+    )
+
+
 def delta(df: DataFrame, series_cols: list[str], step_ms: int) -> DataFrame:
     """Gauge delta per bucket: last - first (no per-second normalization)."""
     b = _bucketed(df, step_ms)

@@ -1547,3 +1547,44 @@ def promql_edge_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "present_over_time",
         "last_ts_ms",
     ).orderBy("user_label", "cohort", "bucket_ms")
+
+
+@register(
+    "promql_sliding_rate",
+    oracle=_DEDUP_CTE
+    + f"""
+    , ex AS (
+      SELECT user_label, cohort, ts_ms, value,
+             ts_ms + ({DAY_MS} - ts_ms % {DAY_MS}) % {DAY_MS} + k * {DAY_MS}
+               AS eval_ms
+      FROM samples
+      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k)
+      WHERE name = 'click'
+    )
+    SELECT user_label, cohort, eval_ms,
+           round((arg_max(value, ts_ms) - arg_min(value, ts_ms))
+                 / ((max(ts_ms) - min(ts_ms)) / 1000.0), 6) AS rate_per_s,
+           count(*) AS n_samples
+    FROM ex GROUP BY 1, 2, 3
+    HAVING count(*) >= 2 AND max(ts_ms) > min(ts_ms)
+    ORDER BY user_label, cohort, eval_ms
+    """,
+)
+def promql_sliding_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rate(click[4d]) evaluated on a 1-day step grid — TRUE sliding
+    range-vector semantics (overlapping windows), not the bucket-aligned
+    special case. Each sample fans out to its <= 4 window memberships, then
+    one hash aggregate per (series, T); no self-joins. Removes the
+    range==step restriction documented in DIVERGENCES #11."""
+    eng = _engine(spark, sf_dir)
+    sel = _series_with_labels(eng.select_series("click"))
+    out = promql.sliding_rate(
+        sel, ["user_label", "cohort"], step_ms=DAY_MS, range_ms=4 * DAY_MS
+    )
+    return out.select(
+        "user_label",
+        "cohort",
+        "eval_ms",
+        F.round("rate_per_s", 6).alias("rate_per_s"),
+        "n_samples",
+    ).orderBy("user_label", "cohort", "eval_ms")

@@ -105,6 +105,7 @@ _RUN_FIRST = (
     "promql_moving_avg",
     "promql_zscore_anomalies",
     "promql_edge_over_time",
+    "promql_sliding_rate",
     # --- never ANY driver row: streaming
     "streaming_session_window",
     "streaming_stream_join",

@@ -299,3 +299,21 @@ def test_vector_binop_goldens(spark):
     # pmod keeps the sign of the divisor (PromQL % is float mod)
     m = {r_["sid"]: r_["value"] for r_ in vector_binop(l, r, "%", keys).collect()}
     assert m == {"a": 2.0, "b": 2.0}
+
+
+def test_sliding_rate_golden(samples):
+    """rate over sliding (T-20s, T] windows on a 10s step grid: overlapping
+    windows see samples from two adjacent buckets; windows with < 2 samples
+    vanish. Hand-computed over the shared ROWS fixture."""
+    out = promql.sliding_rate(samples, ["series"], step_ms=10_000, range_ms=20_000)
+    got = {r["eval_ms"]: (round(r["rate_per_s"], 6), r["n_samples"])
+           for r in out.collect()}
+    # T=10000: (0,10000]    -> 1s..9s: (22-10)/8s = 1.5, n=3
+    # T=20000: (0,20000]    -> 1s..19s: (8-10)/18s, n=6
+    # T=30000: (10000,30000]-> 11s..21s: (100-5)/10s = 9.5, n=4
+    # T=40000: (20000,40000]-> only 21s -> dropped
+    assert got == {
+        10_000: (1.5, 3),
+        20_000: (round(-2 / 18.0, 6), 6),
+        30_000: (9.5, 4),
+    }
