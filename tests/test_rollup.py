@@ -129,3 +129,19 @@ def test_merge_intervals():
     assert _merge_intervals([(2, 4), (0, 2), (6, 8)]) == [(0, 4), (6, 8)]
     assert _merge_intervals([(0, 3), (1, 2)]) == [(0, 3)]
     assert _merge_intervals([]) == []
+
+
+def test_refresh_idempotent_after_lost_watermark(spark, tables):
+    """Crash between bulk_ingest and the watermark save re-processes the
+    same delta on the next refresh — the upsert path must make that
+    idempotent (identical served state)."""
+    import os
+
+    raw, roll, cr = tables
+    _write(spark, raw, [(1, 10, 5), (2, DAY + 20, 7)], 0, 2 * DAY)
+    cr.refresh()
+    before = sorted(map(tuple, cr.serve().collect()))
+    os.remove(cr._state_path)  # simulate losing the watermark post-ingest
+    s = cr.refresh()  # re-processes the same SSTs
+    assert s.delta_ssts == 1
+    assert sorted(map(tuple, cr.serve().collect())) == before

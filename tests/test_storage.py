@@ -482,3 +482,27 @@ def test_recluster_restores_zorder_pruning(spark, tmp_path):
     assert sorted(map(tuple, out.collect())) == before
     read = {int(f.split("sst=")[1].split("/")[0]) for f in out.inputFiles()}
     assert len(read) < len(new_ssts)
+
+
+def test_recluster_crash_window_scan_stays_correct(spark, tmp_path):
+    """Crash-safety of the manifest-swap-before-delete order: in the window
+    where the clustered rewrite SSTs are registered but the inputs are not
+    yet removed, a scan sees BOTH generations and must still resolve to the
+    same rows (new fids outrank old)."""
+    t = ColumnarTable(spark, str(tmp_path / "cw"), kv_schema(), TWO_HOURS)
+    df = spark.createDataFrame(
+        [(i, i, i * 10) for i in range(20)], "pk1 long, pk2 long, value long"
+    )
+    t.write(WriteRequest(df, TimeRange(0, 100)))
+    expect = sorted(map(tuple, t.scan(ScanRequest(ordered=False)).collect()))
+    # replay recluster's first half only: merge + clustered re-ingest,
+    # NO manifest removal, NO physical delete (the crash window)
+    merged = t.scan_ssts(t.manifest.all_ssts(), ScanRequest(ordered=False))
+    t.bulk_ingest(
+        merged.withColumn("ts_ms", F.lit(50)), "ts_ms",
+        cluster_by=["value"], cluster_slices=2,
+    )
+    both = t.manifest.all_ssts()
+    assert len(both) == 3  # original + 2 slices coexist
+    got = sorted(map(tuple, t.scan(ScanRequest(ordered=False)).collect()))
+    assert got == expect
