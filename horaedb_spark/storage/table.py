@@ -477,6 +477,15 @@ class ColumnarTable:
 
     # ------------------------------------------------------------------- misc
 
+    def create_or_replace_view(self, name: str, req: ScanRequest | None = None) -> None:
+        """Register the merged (merge-on-read) table state as a temp view so
+        plain ``spark.sql`` works against it — the engine's equivalent of
+        the reference's SQL-over-tables surface (it executes through
+        DataFusion; we execute through Catalyst). The view captures the
+        CURRENT manifest snapshot; re-register after writes to see them
+        (same freshness contract as any snapshot-isolated view)."""
+        self.scan(req).createOrReplaceTempView(name)
+
     def segment_of(self, ts_ms: int) -> int:
         return truncate_by(ts_ms, self.segment_duration_ms)
 

@@ -506,3 +506,20 @@ def test_recluster_crash_window_scan_stays_correct(spark, tmp_path):
     assert len(both) == 3  # original + 2 slices coexist
     got = sorted(map(tuple, t.scan(ScanRequest(ordered=False)).collect()))
     assert got == expect
+
+
+def test_sql_view_over_merged_table(spark, tmp_path):
+    """spark.sql over a registered view sees merge-on-read state (newest seq
+    wins) with predicates honored — the SQL-over-tables surface."""
+    t = ColumnarTable(spark, str(tmp_path / "sqlv"), kv_schema(), TWO_HOURS)
+    mk = lambda rows: spark.createDataFrame(rows, "pk1 long, pk2 long, value long")
+    t.write(WriteRequest(mk([(1, 1, 10), (2, 2, 20)]), TimeRange(0, 100)))
+    t.write(WriteRequest(mk([(1, 1, 11)]), TimeRange(100, 200)))
+    t.create_or_replace_view("kv")
+    got = {
+        (r.pk1, r.pk2): r.value
+        for r in spark.sql("SELECT pk1, pk2, value FROM kv WHERE value > 5").collect()
+    }
+    assert got == {(1, 1): 11, (2, 2): 20}
+    agg = spark.sql("SELECT sum(value) AS s FROM kv").first()["s"]
+    assert agg == 31
