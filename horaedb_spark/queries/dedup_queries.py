@@ -479,3 +479,66 @@ def dedup_minhash_estimate_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(est, 6).alias("minhash_estimate"),
         (F.abs(est - exact) <= 0.35).alias("within_band"),
     ).orderBy("doc_id")
+
+
+@register(
+    "dedup_quality_survivors",
+    oracle="WITH RECURSIVE "
+    + _NEAR_CORPUS.strip()[len("WITH ") :]
+    + ",\n"
+    + _PAIRS_CTES.strip()
+    + r"""
+    , edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach(id, lbl) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    ), cc AS (
+      SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id
+    ), labeled AS (
+      SELECT c.doc_id, c.source, length(c.text) AS n_chars,
+             coalesce(cc.component, c.doc_id) AS comp
+      FROM corpus c LEFT JOIN cc ON cc.doc_id = c.doc_id
+    ), surv AS (
+      SELECT comp,
+             arg_max(doc_id, n_chars * 10000000 - doc_id) AS doc_id,
+             max(n_chars * 10000000 - doc_id) AS k
+      FROM labeled GROUP BY comp
+    )
+    SELECT l.source, count(*) AS n_survivors,
+           CAST(sum(l.doc_id) AS BIGINT) AS id_checksum,
+           CAST(sum(l.n_chars) AS BIGINT) AS kept_chars
+    FROM surv s JOIN labeled l ON l.doc_id = s.doc_id
+    GROUP BY l.source ORDER BY l.source
+    """,
+)
+def dedup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup survivorship: cluster candidates into
+    connected components, then keep the BEST doc per cluster (longest
+    text, tie-broken by smaller id via an exact integer composite key) —
+    the production policy ("keep the richest copy"), vs the min-id
+    convenience elsewhere. Composition of two verified operators plus one
+    max_by aggregate; singletons survive as their own component."""
+    corpus = _with_near_copies(load_table(spark, sf_dir, "documents"))
+    pairs = DD.minhash_lsh_pairs(corpus, "text", "doc_id", num_hashes=16, bands=4)
+    cc = DD.connected_components(pairs)
+    labeled = (
+        corpus.select("doc_id", "source", F.length("text").alias("n_chars"))
+        .join(cc.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .withColumn("comp", F.coalesce("component", "doc_id"))
+    )
+    key = F.col("n_chars").cast("long") * 10_000_000 - F.col("doc_id")
+    surv = labeled.groupBy("comp").agg(F.max_by("doc_id", key).alias("doc_id"))
+    return (
+        labeled.join(surv.select("doc_id"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_survivors"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+            F.sum("n_chars").cast("long").alias("kept_chars"),
+        )
+        .orderBy("source")
+    )

@@ -127,6 +127,7 @@ _RUN_FIRST = (
     "pipeline_length_histogram",
     "dedup_prefix_cluster",
     "dedup_minhash_estimate_check",
+    "dedup_quality_survivors",
     # --- no_oracle upgraded to real/tolerance oracles (r1 row was weak)
     "approx_sketches",
     "multimodal_feature_extract",
