@@ -126,6 +126,49 @@ def sliding_rate(
     )
 
 
+def sliding_increase(
+    df: DataFrame, series_cols: list[str], step_ms: int, range_ms: int
+) -> DataFrame:
+    """Counter-reset-aware ``increase(x[range])`` on a step grid — the
+    sliding companion of `increase`. Values quantize to int milli-units
+    (exact arithmetic, DIVERGENCES #16 precedent); within each (series, T)
+    window the increase is the sum of clamped adjacent diffs (a negative
+    diff contributes the post-reset value, PromQL's rule). Same bounded
+    range/step fan-out as `sliding_rate`, then one lag window per
+    membership partition."""
+    k = range_ms // step_ms
+    if k < 1 or range_ms % step_ms != 0:
+        raise ValueError("range_ms must be a positive multiple of step_ms")
+    first_t = (
+        F.col("ts_ms")
+        + F.pmod(F.lit(step_ms) - F.pmod("ts_ms", F.lit(step_ms)), F.lit(step_ms))
+    )
+    exploded = df.withColumn(
+        "eval_ms",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda i: first_t + i * F.lit(step_ms),
+            )
+        ),
+    ).withColumn("vq", F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long"))
+    w = Window.partitionBy(*series_cols, "eval_ms").orderBy("ts_ms")
+    stepped = exploded.withColumn("prev", F.lag("vq").over(w))
+    inc = (
+        F.when(F.col("prev").isNull(), F.lit(0))
+        .when(F.col("vq") >= F.col("prev"), F.col("vq") - F.col("prev"))
+        .otherwise(F.col("vq"))
+    )
+    return (
+        stepped.groupBy(*series_cols, "eval_ms")
+        .agg(
+            F.sum(inc).cast("long").alias("increase_milli"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+        .filter(F.col("n_samples") >= 2)
+    )
+
+
 def delta(df: DataFrame, series_cols: list[str], step_ms: int) -> DataFrame:
     """Gauge delta per bucket: last - first (no per-second normalization)."""
     b = _bucketed(df, step_ms)

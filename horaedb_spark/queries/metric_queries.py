@@ -1588,3 +1588,44 @@ def promql_sliding_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rate_per_s", 6).alias("rate_per_s"),
         "n_samples",
     ).orderBy("user_label", "cohort", "eval_ms")
+
+
+@register(
+    "promql_sliding_increase",
+    oracle=_DEDUP_CTE
+    + f"""
+    , ex AS (
+      SELECT user_label, cohort, ts_ms,
+             CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vq,
+             ts_ms + ({DAY_MS} - ts_ms % {DAY_MS}) % {DAY_MS} + k * {DAY_MS}
+               AS eval_ms
+      FROM samples
+      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k)
+      WHERE name = 'error'
+    ), stepped AS (
+      SELECT user_label, cohort, eval_ms, vq,
+             lag(vq) OVER (PARTITION BY user_label, cohort, eval_ms
+                           ORDER BY ts_ms) AS prev
+      FROM ex
+    )
+    SELECT user_label, cohort, eval_ms,
+           CAST(sum(CASE WHEN prev IS NULL THEN 0
+                         WHEN vq >= prev THEN vq - prev
+                         ELSE vq END) AS BIGINT) AS increase_milli,
+           count(*) AS n_samples
+    FROM stepped GROUP BY 1, 2, 3 HAVING count(*) >= 2
+    ORDER BY user_label, cohort, eval_ms
+    """,
+)
+def promql_sliding_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """increase(error[4d]) on a 1-day step grid: sliding-window
+    counter-reset-aware increase with exact milli-unit arithmetic —
+    overlapping windows each fold their own clamped-diff sum."""
+    eng = _engine(spark, sf_dir)
+    sel = _series_with_labels(eng.select_series("error"))
+    out = promql.sliding_increase(
+        sel, ["user_label", "cohort"], step_ms=DAY_MS, range_ms=4 * DAY_MS
+    )
+    return out.select(
+        "user_label", "cohort", "eval_ms", "increase_milli", "n_samples"
+    ).orderBy("user_label", "cohort", "eval_ms")

@@ -106,6 +106,7 @@ _RUN_FIRST = (
     "promql_zscore_anomalies",
     "promql_edge_over_time",
     "promql_sliding_rate",
+    "promql_sliding_increase",
     # --- never ANY driver row: streaming
     "streaming_session_window",
     "streaming_stream_join",
