@@ -25,17 +25,16 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.join(keep, [text_col, id_col], "left_semi")
 
 
-def minhash_lsh_pairs(
+def minhash_band_signatures(
     df: DataFrame,
     text_col: str,
     id_col: str,
     num_hashes: int = 16,
     bands: int = 4,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs: docs sharing at least one LSH band.
-
-    shingle -> 16-way md5 minhash -> `bands` band keys -> self-join on
-    (band, sig). Returns distinct (id_a < id_b) pairs."""
+    """(id, band, sig) LSH band-signature table for a corpus — the
+    persistable dedup INDEX: production materializes this once for the
+    existing corpus and joins each new batch against it."""
     rows = num_hashes // bands
     # Exploded/aggregate form rather than nested array expressions: a
     # 16-way array-expression minhash re-inlines the shingle construction per
@@ -67,9 +66,23 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    flat = mh.select(id_col, F.explode(band_structs).alias("b")).select(
+    return mh.select(id_col, F.explode(band_structs).alias("b")).select(
         id_col, F.col("b.band").alias("band"), F.col("b.sig").alias("sig")
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-duplicate pairs: docs sharing at least one LSH band.
+
+    shingle -> 16-way md5 minhash -> `bands` band keys -> self-join on
+    (band, sig). Returns distinct (id_a < id_b) pairs."""
+    flat = minhash_band_signatures(df, text_col, id_col, num_hashes, bands)
     # The self-join would otherwise recompute the whole shingle+hash pipeline
     # for both sides; the signature table is tiny relative to the corpus
     # (4 rows x ~70 bytes per doc). localCheckpoint (eager) materializes it
@@ -91,6 +104,48 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
+
+
+def incremental_dedup_keepset(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """New-batch docs that survive dedup against the EXISTING corpus — the
+    production scenario ("dedup today's crawl against the 100 TB corpus")
+    where the corpus side is a persisted signature index, never re-scanned
+    pairwise. Drops a batch doc if (a) its normalized fingerprint already
+    exists in the corpus (exact dup), or (b) it shares any LSH band with a
+    corpus doc (near-dup candidate). Both checks are semi-joins against
+    index-shaped tables (fingerprints, band sigs); the batch never joins
+    the corpus text itself."""
+    from horaedb_spark.functions.text import normalized_fingerprint
+
+    near_hits = (
+        minhash_band_signatures(batch, text_col, id_col, num_hashes, bands)
+        .join(
+            minhash_band_signatures(corpus, text_col, id_col, num_hashes, bands)
+            .select("band", "sig"),
+            ["band", "sig"],
+            "left_semi",
+        )
+        .select(id_col)
+        .distinct()
+    )
+    exact_hits = (
+        batch.select(id_col, normalized_fingerprint(text_col).alias("__fp__"))
+        .join(
+            corpus.select(normalized_fingerprint(text_col).alias("__fp__")),
+            "__fp__",
+            "left_semi",
+        )
+        .select(id_col)
+    )
+    drops = near_hits.unionByName(exact_hits).distinct()
+    return batch.join(drops, id_col, "left_anti")
 
 
 def ngram_jaccard_pairs(

@@ -542,3 +542,117 @@ def dedup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_SHINGLE_BANDS_SQL = r"""
+  __P__sh AS (
+    SELECT doc_id,
+           CASE WHEN len(w) >= 3
+                THEN list_distinct([array_to_string(w[i:i+2], ' ')
+                                    FOR i IN generate_series(1, len(w)-2)])
+                ELSE [array_to_string(w, ' ')] END AS sh
+    FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM __T__)
+  ), __P__mh AS (
+    SELECT doc_id, k, min(md5(k || ':' || s)) AS h
+    FROM (SELECT doc_id, unnest(sh) AS s FROM __P__sh)
+    CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) ks
+    GROUP BY doc_id, k
+  ), __P__bands AS (
+    SELECT doc_id, k // 4 AS band, string_agg(h, '' ORDER BY k) AS sig
+    FROM __P__mh GROUP BY doc_id, k // 4
+  )
+"""
+
+
+def _bands_cte(prefix: str, table: str) -> str:
+    return _SHINGLE_BANDS_SQL.replace("__P__", prefix).replace("__T__", table)
+
+
+_FRESH_TEXT_SQL = " || ' ' || ".join(
+    f"md5('f{i}:' || CAST(doc_id AS VARCHAR))" for i in range(8)
+)
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH batch AS (
+      SELECT doc_id + {_COPY_OFFSET} AS doc_id, text || ' zz' AS text,
+             'near' AS kind
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + {2 * _COPY_OFFSET}, text, 'exact'
+      FROM documents WHERE doc_id % 3 = 1
+      UNION ALL
+      SELECT doc_id + {3 * _COPY_OFFSET}, {_FRESH_TEXT_SQL}, 'fresh'
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    {_bands_cte('c', 'documents')},
+    {_bands_cte('b', 'batch')},
+    nearhits AS (
+      SELECT DISTINCT b.doc_id FROM bbands b
+      JOIN cbands c ON b.band = c.band AND b.sig = c.sig
+    ),
+    cfp AS (
+      SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+        AS fp FROM documents
+    ),
+    exacthits AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM batch
+      ) WHERE fp IN (SELECT fp FROM cfp)
+    ),
+    keep AS (
+      SELECT * FROM batch
+      WHERE doc_id NOT IN (SELECT doc_id FROM nearhits
+                           UNION SELECT doc_id FROM exacthits)
+    )
+    SELECT kind, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM keep GROUP BY kind ORDER BY kind
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a NEW batch against the EXISTING corpus — the
+    production shape ('dedup today's crawl against the persisted index'):
+    exact drops via fingerprint semi-join, near drops via LSH band
+    semi-join against the corpus signature index; the batch never joins
+    corpus text. The planted batch mixes near-copies (must drop),
+    exact copies (must drop), and md5-synthesized fresh docs (must
+    survive); membership is pinned by id checksums."""
+    docs = load_table(spark, sf_dir, "documents")
+    near = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+        F.concat("text", F.lit(" zz")).alias("text"),
+        F.lit("near").alias("kind"),
+    )
+    exact = docs.filter(F.col("doc_id") % 3 == 1).select(
+        (F.col("doc_id") + 2 * _COPY_OFFSET).alias("doc_id"),
+        "text",
+        F.lit("exact").alias("kind"),
+    )
+    fresh_text = F.concat_ws(
+        " ",
+        *[
+            F.md5(F.concat(F.lit(f"f{i}:"), F.col("doc_id").cast("string")))
+            for i in range(8)
+        ],
+    )
+    fresh = docs.filter(F.col("doc_id") % 3 == 2).select(
+        (F.col("doc_id") + 3 * _COPY_OFFSET).alias("doc_id"),
+        fresh_text.alias("text"),
+        F.lit("fresh").alias("kind"),
+    )
+    batch = near.unionByName(exact).unionByName(fresh)
+    kept = DD.incremental_dedup_keepset(
+        batch, docs.select("doc_id", "text"), "text", "doc_id"
+    )
+    return (
+        kept.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("kind")
+    )

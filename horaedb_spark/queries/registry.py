@@ -129,6 +129,7 @@ _RUN_FIRST = (
     "dedup_prefix_cluster",
     "dedup_minhash_estimate_check",
     "dedup_quality_survivors",
+    "dedup_incremental_batch",
     # --- no_oracle upgraded to real/tolerance oracles (r1 row was weak)
     "approx_sketches",
     "multimodal_feature_extract",
