@@ -120,6 +120,7 @@ _RUN_FIRST = (
     "storage_stats_pruned_scan",
     "storage_continuous_rollup",
     "storage_incremental_rollup",
+    "storage_retention_downsample",
     "storage_zorder_scan",
     "funnel_conversion",
     "retention_cohorts",

@@ -576,3 +576,99 @@ def storage_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "storage_retention_downsample",
+    oracle=f"""
+    SELECT event_type,
+           epoch_ms(ts) - epoch_ms(ts) % {DAY_MS} AS day_ms,
+           count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 6)
+             AS sum_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY event_type, day_ms
+    """,
+)
+def storage_retention_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The observability retention pattern end-to-end: raw events roll up
+    daily, then a TTL compaction pass EXPIRES every raw SST — and the
+    rollup must still serve the FULL history (the oracle aggregates the
+    original events, which the raw table no longer holds). Raw keeps days;
+    rollups keep years; queries older than raw retention transparently come
+    from the rollup."""
+    key = f"retention:{sf_dir}"
+    if key in _CACHE:
+        rollup = _CACHE[key]
+    else:
+        from horaedb_spark.storage.rollup import ContinuousRollup
+
+        DAY = DAY_MS
+        ev = events_ms(spark, sf_dir).select(
+            "event_id", "ts_ms", "event_type", "value"
+        )
+        raw = ColumnarTable(
+            spark, tempfile.mkdtemp(prefix="horaedb_ret_raw_") + "/t",
+            StorageSchema(
+                T.StructType(
+                    [
+                        T.StructField("event_id", T.LongType()),
+                        T.StructField("ts_ms", T.LongType()),
+                        T.StructField("event_type", T.StringType()),
+                        T.StructField("value", T.DoubleType()),
+                    ]
+                ),
+                num_primary_keys=1,
+                update_mode=UpdateMode.OVERWRITE,
+            ),
+            _SEG_15D,
+        )
+        roll = ColumnarTable(
+            spark, tempfile.mkdtemp(prefix="horaedb_ret_roll_") + "/t",
+            StorageSchema(
+                T.StructType(
+                    [
+                        T.StructField("event_type", T.StringType()),
+                        T.StructField("day_ms", T.LongType()),
+                        T.StructField("n", T.LongType()),
+                        T.StructField("sum_value", T.DoubleType()),
+                    ]
+                ),
+                num_primary_keys=2,
+                update_mode=UpdateMode.OVERWRITE,
+            ),
+            _SEG_15D,
+        )
+
+        def daily(df: DataFrame) -> DataFrame:
+            return df.groupBy(
+                "event_type",
+                (F.col("ts_ms") - F.pmod("ts_ms", F.lit(DAY))).alias("day_ms"),
+            ).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(30,10)")).cast("double"), 6
+                ).alias("sum_value"),
+            )
+
+        rollup = ContinuousRollup(raw, roll, "ts_ms", "day_ms", DAY, daily)
+        raw.bulk_ingest(ev, "ts_ms")
+        rollup.refresh()
+        # TTL pass: expire EVERYTHING in raw (retention := 1ms before "now"
+        # = just past the data's max ts). Loop: each run_once processes one
+        # picked task; with no merge candidates (min_num high) only expiry
+        # remains — run until the manifest is empty.
+        hi = ev.agg(F.max("ts_ms")).first()[0]
+        comp = Compactor(raw, SchedulerConfig(input_sst_min_num=999, ttl_ms=1))
+        for _ in range(64):
+            if not raw.manifest.all_ssts():
+                break
+            comp.run_once(now_ms=hi + _SEG_15D)
+        assert raw.manifest.all_ssts() == [], "raw retention must have expired"
+        assert raw.scan(ScanRequest(ordered=False)).count() == 0
+        _CACHE[key] = rollup
+    return (
+        rollup.serve()
+        .select("event_type", "day_ms", "n", "sum_value")
+        .orderBy("event_type", "day_ms")
+    )
