@@ -323,3 +323,28 @@ def test_ann_recall_joins_stay_broadcast_or_hash(spark, sf_dir):
 
     p = _final_plan(ann_recall_check(spark, sf_dir))
     assert "CartesianProduct" not in p, p[:3000]
+
+
+def test_sliding_rate_no_self_join(spark, sf_dir):
+    """The sliding range-vector evaluates via bounded fan-out + ONE hash
+    aggregate. The only join allowed is the metric engine's broadcast
+    label enrichment — the sample stream itself must never self-join,
+    fall to a nested loop, or leave the JVM."""
+    from horaedb_spark.queries.metric_queries import promql_sliding_rate
+
+    p = _final_plan(promql_sliding_rate(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p[:3000]
+    assert "SortMergeJoin" not in p, p[:3000]  # any join present is broadcast
+    assert "Python" not in p, p[:3000]
+    assert "Explode" in p or "Generate" in p, p[:3000]  # the bounded fan-out
+
+
+def test_incremental_dedup_is_semi_joins_only(spark, sf_dir):
+    """Batch-vs-corpus dedup must reach the corpus only through semi/anti
+    joins on index-shaped keys — no cartesian products, no Python."""
+    from horaedb_spark.queries.dedup_queries import dedup_incremental_batch
+
+    p = _final_plan(dedup_incremental_batch(spark, sf_dir))
+    assert "Cartesian" not in p and "BroadcastNestedLoop" not in p, p[:3000]
+    assert "LeftSemi" in p and "LeftAnti" in p, p[:3000]
+    assert "Python" not in p, p[:3000]
