@@ -116,6 +116,7 @@ _RUN_FIRST = (
     "streaming_stateful_increase",
     "streaming_window_agg",
     "streaming_continuous_rollup",
+    "streaming_ann_retrieval",
     # --- never ANY driver row: storage + round-3 additions
     "storage_stats_pruned_scan",
     "storage_continuous_rollup",

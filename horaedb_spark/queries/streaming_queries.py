@@ -531,3 +531,100 @@ def streaming_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "day_ms", "n", "sum_value")
         .orderBy("event_type", "day_ms")
     )
+
+
+@register(
+    "streaming_ann_retrieval",
+    # identical result contract as the batch LSH top-k over the same query
+    # set — online retrieval must equal offline retrieval
+    oracle="""
+    WITH q AS (SELECT vec_id,
+               [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) FOR x IN embedding]
+                 AS qv FROM embeddings),
+    planes AS (
+      SELECT p, d, CASE WHEN substr(md5(p || ':' || d), 1, 1) < '8'
+                        THEN 1 ELSE -1 END AS w
+      FROM (SELECT unnest(generate_series(0, 7)) AS p) pp
+      CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d) dd
+    ), bits AS (
+      SELECT q.vec_id, p,
+             CASE WHEN sum(w * qv[d + 1]) >= 0 THEN '1' ELSE '0' END AS bit
+      FROM q, planes GROUP BY q.vec_id, p
+    ), buckets AS (
+      SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket FROM bits GROUP BY vec_id
+    ), v AS (
+      SELECT q.vec_id, qv, bucket FROM q JOIN buckets USING (vec_id)
+    )
+    SELECT query_id, corpus_id, rank, cos_sim FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+             round(list_sum([a.qv[i] * b.qv[i] FOR i IN generate_series(1, 64)])
+                   / (sqrt(list_sum([a.qv[i] * a.qv[i] FOR i IN generate_series(1, 64)]))
+                      * sqrt(list_sum([b.qv[i] * b.qv[i] FOR i IN generate_series(1, 64)]))),
+                   6) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_sum([a.qv[i] * b.qv[i] FOR i IN generate_series(1, 64)])
+                        / (sqrt(list_sum([a.qv[i] * a.qv[i] FOR i IN generate_series(1, 64)]))
+                           * sqrt(list_sum([b.qv[i] * b.qv[i] FOR i IN generate_series(1, 64)])))
+                        DESC, b.vec_id) AS rank
+      FROM v a JOIN v b ON a.bucket = b.bucket AND b.vec_id != a.vec_id
+      WHERE a.vec_id < 20
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def streaming_ann_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE similarity retrieval: a stream of query vectors (two
+    micro-batches) joins the STATIC corpus through the LSH bucket index per
+    batch — the serving shape where the index is resident and queries
+    arrive continuously. Driven to completion, the accumulated results
+    must equal offline batch retrieval over the same query set."""
+    from horaedb_spark.functions.similarity import lsh_ann_topk
+    from horaedb_spark.queries.tables import load_table
+
+    key = f"ann_stream:{sf_dir}"
+    if key not in _CACHE:
+        corpus = load_table(spark, sf_dir, "embeddings")
+        queries = corpus.filter(F.col("vec_id") < 20)
+        src = tempfile.mkdtemp(prefix="horaedb_annq_src_")
+        # two source files == two micro-batches of arriving queries
+        queries.repartitionByRange(2, "vec_id").write.mode("overwrite").parquet(src)
+        results: list = []
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            out = lsh_ann_topk(
+                corpus, batch_df, "embedding", "vec_id",
+                k=5, num_planes=8, dim=64,
+            )
+            results.extend(out.collect())
+
+        stream = (
+            spark.readStream.schema(queries.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="horaedb_annq_ckpt_")
+            )
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        out_schema = T.StructType(
+            [
+                T.StructField("query_id", T.LongType()),
+                T.StructField("corpus_id", T.LongType()),
+                T.StructField("rank", T.IntegerType()),
+                T.StructField("cos_sim", T.DoubleType()),
+            ]
+        )
+        _CACHE[key] = spark.createDataFrame(results, out_schema)
+    return (
+        _CACHE[key]
+        .select("query_id", "corpus_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
+        .orderBy("query_id", "rank")
+    )

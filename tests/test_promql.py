@@ -317,3 +317,32 @@ def test_sliding_rate_golden(samples):
         20_000: (round(-2 / 18.0, 6), 6),
         30_000: (9.5, 4),
     }
+
+
+def test_sliding_increase_reset_golden(samples):
+    """Reset-aware sliding increase: the value drop inside a window
+    contributes the post-reset value (PromQL's rule), in exact milli-units."""
+    out = promql.sliding_increase(samples, ["series"], step_ms=10_000, range_ms=20_000)
+    got = {r["eval_ms"]: (r["increase_milli"], r["n_samples"]) for r in out.collect()}
+    # T=10000: 10->16->22: +12000 milli
+    # T=20000: 10,16,22,5(reset->+5000),2(reset->+2000),8(+6000) = 25000
+    # T=30000: 5,2(reset->2000),8(+6000),100(+92000) = 100000
+    # T=40000: single sample -> dropped
+    assert got == {
+        10_000: (12_000, 3),
+        20_000: (25_000, 6),
+        30_000: (100_000, 4),
+    }
+
+
+def test_edge_over_time_golden(samples):
+    out = promql.edge_over_time(samples, ["series"], step_ms=10_000)
+    got = {
+        r["bucket_ms"]: (r["last_over_time"], r["first_over_time"], r["present_over_time"])
+        for r in out.collect()
+    }
+    assert got == {
+        0: (22.0, 10.0, 1),
+        10_000: (8.0, 5.0, 1),
+        20_000: (100.0, 100.0, 1),
+    }
