@@ -126,6 +126,7 @@ _RUN_FIRST = (
     "funnel_conversion",
     "retention_cohorts",
     "ann_recall_check",
+    "ann_rerank_pipeline",
     "pipeline_corpus_clean",
     "pipeline_length_histogram",
     "dedup_prefix_cluster",

@@ -328,3 +328,107 @@ def embedding_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.col("mean_norm")).alias("mean_norm"),
         r6(F.element_at("mean_vec", 1)).alias("mean_d0"),
     ).orderBy("label")
+
+
+@register(
+    "ann_rerank_pipeline",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {_QV} AS qv FROM embeddings),
+    planes AS (
+      SELECT p, d, CASE WHEN substr(md5(p || ':' || d), 1, 1) < '8'
+                        THEN 1 ELSE -1 END AS w
+      FROM (SELECT unnest(generate_series(0, 7)) AS p) pp
+      CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d) dd
+    ), bits AS (
+      SELECT q.vec_id, p,
+             CASE WHEN sum(w * qv[d + 1]) >= 0 THEN '1' ELSE '0' END AS bit
+      FROM q, planes GROUP BY q.vec_id, p
+    ), buckets AS (
+      SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket FROM bits GROUP BY vec_id
+    ), v AS (
+      SELECT q.vec_id, qv, bucket FROM q JOIN buckets USING (vec_id)
+    ), cands AS (
+      SELECT query_id, corpus_id, cos_sim FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+               {_DOT} / ({_NORM_A} * {_NORM_B}) AS cos_sim,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {_DOT} / ({_NORM_A} * {_NORM_B}) DESC, b.vec_id) AS rank
+        FROM v a JOIN v b ON a.bucket = b.bucket AND b.vec_id != a.vec_id
+        WHERE a.vec_id < 10
+      ) WHERE rank <= 5
+    ), scored AS (
+      SELECT query_id, corpus_id,
+             round(0.7 * cos_sim
+                   + 0.3 * (CAST(('0x' || substr(
+                       md5(CAST(query_id AS VARCHAR) || ':'
+                           || CAST(corpus_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                     / 4294967296.0), 6) AS fused_score
+      FROM cands
+    )
+    SELECT query_id, corpus_id, fused_score, rerank_rank FROM (
+      SELECT query_id, corpus_id, fused_score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY fused_score DESC, corpus_id)
+               AS rerank_rank
+      FROM scored
+    ) WHERE rerank_rank <= 3
+    ORDER BY query_id, rerank_rank
+    """,
+)
+def ann_rerank_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieve -> rerank, the two-stage serving pipeline: LSH candidate
+    generation (top-5 per query), then an Arrow-batched cross-encoder
+    rerank stage via mapInPandas (stubbed with a deterministic md5-derived
+    model score — the real model is a drop-in for the stub, the Spark-side
+    batching/schema/fusion plumbing is what's under test), fused
+    0.7*retrieval + 0.3*model, top-3 kept. Stage 2 touches only the
+    candidate set (queries x 5 rows), never the corpus."""
+    import hashlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from horaedb_spark.functions.similarity import lsh_ann_topk
+    from pyspark.sql import types as T
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cands = lsh_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 10), "embedding", "vec_id",
+        k=5, num_planes=8, dim=_DIM,
+    ).select("query_id", "corpus_id", "cos_sim")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("corpus_id", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+            T.StructField("model_score", T.DoubleType()),
+        ]
+    )
+
+    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["model_score"] = [
+                int(hashlib.md5(f"{q}:{c}".encode()).hexdigest()[:8], 16)
+                / 4294967296.0
+                for q, c in zip(pdf["query_id"], pdf["corpus_id"])
+            ]
+            yield pdf
+
+    scored = cands.mapInPandas(rerank, out_schema).withColumn(
+        "fused_score",
+        F.round(0.7 * F.col("cos_sim") + 0.3 * F.col("model_score"), 6),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("fused_score"), F.asc("corpus_id")
+    )
+    return (
+        scored.withColumn("rerank_rank", F.row_number().over(w))
+        .filter(F.col("rerank_rank") <= 3)
+        .select("query_id", "corpus_id", "fused_score", "rerank_rank")
+        .orderBy("query_id", "rerank_rank")
+    )

@@ -477,6 +477,32 @@ class ColumnarTable:
 
     # ------------------------------------------------------------------- misc
 
+    def vacuum(self) -> list[str]:
+        """Remove orphan SST directories — files on disk that the manifest
+        no longer (or never) references. Orphans are the deliberate residue
+        of the crash-safety order used everywhere (manifest swap BEFORE
+        physical deletes, compaction/recluster/TTL): a crash in the window
+        leaves unreferenced directories that scans can never read (scans
+        use the manifest's explicit path list) but that hold disk. Safe by
+        the same argument: anything not in the manifest is invisible.
+        Returns the removed paths."""
+        import shutil
+
+        live = {os.path.abspath(s.path) for s in self.manifest.all_ssts()}
+        removed: list[str] = []
+        if not os.path.isdir(self.data_dir):
+            return removed
+        for seg_name in os.listdir(self.data_dir):
+            seg_dir = os.path.join(self.data_dir, seg_name)
+            if not os.path.isdir(seg_dir):
+                continue
+            for sst_name in os.listdir(seg_dir):
+                path = os.path.join(seg_dir, sst_name)
+                if os.path.abspath(path) not in live:
+                    shutil.rmtree(path, ignore_errors=True)
+                    removed.append(path)
+        return removed
+
     def create_or_replace_view(self, name: str, req: ScanRequest | None = None) -> None:
         """Register the merged (merge-on-read) table state as a temp view so
         plain ``spark.sql`` works against it — the engine's equivalent of

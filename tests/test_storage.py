@@ -523,3 +523,26 @@ def test_sql_view_over_merged_table(spark, tmp_path):
     assert got == {(1, 1): 11, (2, 2): 20}
     agg = spark.sql("SELECT sum(value) AS s FROM kv").first()["s"]
     assert agg == 31
+
+
+def test_vacuum_removes_only_orphans(spark, tmp_path):
+    """vacuum() deletes exactly the unreferenced SST dirs (crash residue)
+    and never touches manifest-live ones; scans are unchanged."""
+    import os
+
+    t = ColumnarTable(spark, str(tmp_path / "vac"), kv_schema(), TWO_HOURS)
+    mk = lambda rows: spark.createDataFrame(rows, "pk1 long, pk2 long, value long")
+    t.write(WriteRequest(mk([(1, 1, 10)]), TimeRange(0, 100)))
+    t.write(WriteRequest(mk([(2, 2, 20)]), TimeRange(100, 200)))
+    before = sorted(map(tuple, t.scan(ScanRequest(ordered=False)).collect()))
+    # fabricate an orphan: drop one SST from the manifest but keep its files
+    victim = t.manifest.all_ssts()[0]
+    t.manifest.update([], [victim.file_id])
+    assert os.path.exists(victim.path)
+    removed = t.vacuum()
+    assert removed == [victim.path]
+    assert not os.path.exists(victim.path)
+    # live SST untouched; scan equals the post-removal manifest state
+    after = sorted(map(tuple, t.scan(ScanRequest(ordered=False)).collect()))
+    assert len(after) == len(before) - 1
+    assert t.vacuum() == []  # idempotent
