@@ -216,7 +216,7 @@ def metric_agg_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_DEDUP_CTE
     + f"""
     SELECT user_label, cohort, bucket_ms,
-           round((v_last - v_first) / ((t_last - t_first) / 1000.0), 6) AS rate_per_s
+           round((v_last - v_first) / ((t_last - t_first) / 1000.0), 6) + 0 AS rate_per_s
     FROM (
       SELECT user_label, cohort, ts_ms - ts_ms % {DAY_MS} AS bucket_ms,
              arg_max(value, ts_ms) AS v_last, arg_min(value, ts_ms) AS v_first,
@@ -942,11 +942,11 @@ def promql_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_label, cohort, bucket_ms,
            round(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / CAST(n * sxx - sx * sx AS DOUBLE) / 1000.0, 6) AS deriv,
+                 / CAST(n * sxx - sx * sx AS DOUBLE) / 1000.0, 6) + 0 AS deriv,
            round((sy - CAST(n * sxy - sx * sy AS DOUBLE)
                        / CAST(n * sxx - sx * sx AS DOUBLE) * sx) / n / 1000.0
                  + CAST(n * sxy - sx * sy AS DOUBLE)
-                   / CAST(n * sxx - sx * sx AS DOUBLE) / 1000.0 * 3600.0, 6)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) / 1000.0 * 3600.0, 6) + 0
                AS predicted
     FROM fit WHERE n >= 2 AND n * sxx - sx * sx <> 0
     ORDER BY user_label, cohort, bucket_ms
@@ -1273,7 +1273,7 @@ def promql_offset_dod(spark: SparkSession, sf_dir: str) -> DataFrame:
     + f"""
     , r AS (
       SELECT user_label, cohort, bucket_ms,
-             round((v_last - v_first) / ((t_last - t_first) / 1000.0), 6)
+             round((v_last - v_first) / ((t_last - t_first) / 1000.0), 6) + 0
                AS rate_per_s
       FROM (
         SELECT user_label, cohort, ts_ms - ts_ms % {6 * HOUR_MS} AS bucket_ms,
@@ -1562,8 +1562,11 @@ def promql_edge_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE name = 'click'
     )
     SELECT user_label, cohort, eval_ms,
+           -- + 0 collapses IEEE -0.0 (DuckDB round keeps the sign bit;
+           -- Spark's BigDecimal round does not — a tiny negative rate
+           -- would otherwise hash as "-0.0" vs "0.0")
            round((arg_max(value, ts_ms) - arg_min(value, ts_ms))
-                 / ((max(ts_ms) - min(ts_ms)) / 1000.0), 6) AS rate_per_s,
+                 / ((max(ts_ms) - min(ts_ms)) / 1000.0), 6) + 0 AS rate_per_s,
            count(*) AS n_samples
     FROM ex GROUP BY 1, 2, 3
     HAVING count(*) >= 2 AND max(ts_ms) > min(ts_ms)

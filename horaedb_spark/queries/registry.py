@@ -11,7 +11,11 @@ Conventions that make the driver's hash comparison deterministic:
   on BOTH sides — partial/final aggregation order in Spark vs sequential
   DuckDB can differ in the last ulp;
 - timestamps in outputs are rendered as epoch-ms longs or formatted strings,
-  never raw timestamp values.
+  never raw timestamp values;
+- rounded columns that can go negative get ``+ 0`` in the ORACLE SQL:
+  DuckDB's round keeps IEEE -0.0 while Spark's BigDecimal round returns
+  +0.0, so a tiny negative value would hash as "-0.0" vs "0.0" (observed
+  at sf0.1 in the rate family; adding zero collapses the sign bit).
 """
 
 from __future__ import annotations
