@@ -1033,3 +1033,36 @@ def moving_avg(
             "moving_avg"
         ),
     )
+
+
+def sliding_over_time(
+    df: DataFrame, series_cols: list[str], step_ms: int, range_ms: int
+) -> DataFrame:
+    """``avg/sum/min/max/count_over_time(x[range])`` on a step grid with
+    overlapping windows — the sliding companion of `over_time`, same
+    bounded range/step fan-out as `sliding_rate`, one hash aggregate,
+    decimal-routed sums."""
+    k = range_ms // step_ms
+    if k < 1 or range_ms % step_ms != 0:
+        raise ValueError("range_ms must be a positive multiple of step_ms")
+    first_t = (
+        F.col("ts_ms")
+        + F.pmod(F.lit(step_ms) - F.pmod("ts_ms", F.lit(step_ms)), F.lit(step_ms))
+    )
+    exploded = df.withColumn(
+        "eval_ms",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda i: first_t + i * F.lit(step_ms),
+            )
+        ),
+    )
+    dec_sum = F.sum(F.col("value").cast("decimal(30,10)")).cast("double")
+    return exploded.groupBy(*series_cols, "eval_ms").agg(
+        (dec_sum / F.count("value")).alias("avg_over_time"),
+        F.min("value").alias("min_over_time"),
+        F.max("value").alias("max_over_time"),
+        dec_sum.alias("sum_over_time"),
+        F.count("value").alias("count_over_time"),
+    )

@@ -1632,3 +1632,48 @@ def promql_sliding_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_label", "cohort", "eval_ms", "increase_milli", "n_samples"
     ).orderBy("user_label", "cohort", "eval_ms")
+
+
+@register(
+    "promql_sliding_over_time",
+    oracle=_DEDUP_CTE
+    + f"""
+    , ex AS (
+      SELECT user_label, cohort, ts_ms, value,
+             ts_ms + ({DAY_MS} - ts_ms % {DAY_MS}) % {DAY_MS} + k * {DAY_MS}
+               AS eval_ms
+      FROM samples
+      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k)
+      WHERE name = 'view'
+    )
+    SELECT user_label, cohort, eval_ms,
+           round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE)
+                 / count(value), 6) AS avg_over_time,
+           round(min(value), 6) AS min_over_time,
+           round(max(value), 6) AS max_over_time,
+           round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 6)
+               AS sum_over_time,
+           count(value) AS count_over_time
+    FROM ex GROUP BY 1, 2, 3
+    ORDER BY user_label, cohort, eval_ms
+    """,
+)
+def promql_sliding_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """avg/min/max/sum/count_over_time(view[4d]) on a 1-day step grid:
+    the whole sliding range-function family in one decimal-routed hash
+    aggregate over the bounded window fan-out."""
+    eng = _engine(spark, sf_dir)
+    sel = _series_with_labels(eng.select_series("view"))
+    out = promql.sliding_over_time(
+        sel, ["user_label", "cohort"], step_ms=DAY_MS, range_ms=4 * DAY_MS
+    )
+    return out.select(
+        "user_label",
+        "cohort",
+        "eval_ms",
+        F.round("avg_over_time", 6).alias("avg_over_time"),
+        F.round("min_over_time", 6).alias("min_over_time"),
+        F.round("max_over_time", 6).alias("max_over_time"),
+        F.round("sum_over_time", 6).alias("sum_over_time"),
+        "count_over_time",
+    ).orderBy("user_label", "cohort", "eval_ms")
