@@ -174,8 +174,17 @@ def test_write_path_sorts_by_pk_within_files(spark, tmp_path):
         tbl = pq.read_table(f).to_pylist()
         keys = [(r["pk1"], r["pk2"]) for r in tbl]
         assert keys == sorted(keys), f
-    # and __seq__/__reserved__ are stamped (types.rs:219-239)
-    one = pq.read_table(_glob.glob(f"{sst.path}/**/*.parquet", recursive=True)[0]).to_pylist()[0]
+    # and __seq__/__reserved__ are stamped (types.rs:219-239). A part file
+    # may be empty (executor partition with no rows) — read the first
+    # NON-empty one, not blindly part 0.
+    one = next(
+        rows[0]
+        for rows in (
+            pq.read_table(f).to_pylist()
+            for f in sorted(_glob.glob(f"{sst.path}/**/*.parquet", recursive=True))
+        )
+        if rows
+    )
     assert one["__seq__"] == sst.file_id
     assert one["__reserved__"] is None
 
