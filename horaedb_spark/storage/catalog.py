@@ -1,0 +1,95 @@
+"""Named-table catalog: the engine's table-management surface.
+
+The reference manages tables by name through its storage API (open/create
+with per-table options); this is the same contract on the library side —
+`create_table` / `open_table` / `list_tables` / `drop_table` under one
+catalog root, with per-table metadata (segment duration) persisted in a
+``table.json`` sidecar so ``open_table`` needs only the name. The table's
+COLUMN schema is already persisted and authoritative inside ColumnarTable
+(schema.json, evolution-safe); the catalog adds the name -> directory
+mapping and the engine parameters a reopen requires.
+
+Driver-side metadata only — no Spark jobs; at cluster scale this lives
+next to the driver exactly like the manifests do.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+from horaedb_spark.core.schema import StorageSchema
+from horaedb_spark.storage.table import ColumnarTable, WriteConfig
+
+
+class TableExistsError(RuntimeError):
+    pass
+
+
+class NoSuchTableError(RuntimeError):
+    pass
+
+
+class TableCatalog:
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _dir(self, name: str) -> str:
+        if not name or "/" in name or name.startswith("."):
+            raise ValueError(f"invalid table name {name!r}")
+        return os.path.join(self.root, name)
+
+    def _meta_path(self, name: str) -> str:
+        return os.path.join(self._dir(name), "table.json")
+
+    def create_table(
+        self,
+        name: str,
+        schema: StorageSchema,
+        segment_duration_ms: int,
+        write_config: WriteConfig | None = None,
+    ) -> ColumnarTable:
+        d = self._dir(name)
+        if os.path.exists(self._meta_path(name)):
+            raise TableExistsError(name)
+        table = ColumnarTable(
+            self.spark, d, schema, segment_duration_ms, write_config=write_config
+        )
+        tmp = self._meta_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"segment_duration_ms": segment_duration_ms}, f)
+        os.replace(tmp, self._meta_path(name))  # meta last: create is atomic-ish
+        return table
+
+    def open_table(
+        self, name: str, write_config: WriteConfig | None = None
+    ) -> ColumnarTable:
+        if not os.path.exists(self._meta_path(name)):
+            raise NoSuchTableError(name)
+        with open(self._meta_path(name)) as f:
+            meta = json.load(f)
+        d = self._dir(name)
+        # schema arg is a placeholder: the persisted schema.json inside the
+        # table dir is authoritative on reopen (ColumnarTable contract)
+        with open(os.path.join(d, "schema.json")) as f:
+            schema = StorageSchema.from_json(json.load(f))
+        return ColumnarTable(
+            self.spark, d, schema, meta["segment_duration_ms"],
+            write_config=write_config,
+        )
+
+    def list_tables(self) -> list[str]:
+        return sorted(
+            n for n in os.listdir(self.root)
+            if os.path.exists(self._meta_path(n))
+        )
+
+    def drop_table(self, name: str) -> None:
+        if not os.path.exists(self._meta_path(name)):
+            raise NoSuchTableError(name)
+        shutil.rmtree(self._dir(name))

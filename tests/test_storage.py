@@ -555,3 +555,35 @@ def test_vacuum_removes_only_orphans(spark, tmp_path):
     after = sorted(map(tuple, t.scan(ScanRequest(ordered=False)).collect()))
     assert len(after) == len(before) - 1
     assert t.vacuum() == []  # idempotent
+
+
+def test_table_catalog_lifecycle(spark, tmp_path):
+    """create / open-by-name (schema + segment duration from persisted
+    metadata, data intact across reopen) / list / drop; duplicate create and
+    missing open are loud errors."""
+    import pytest as _pytest
+
+    from horaedb_spark.storage.catalog import (
+        NoSuchTableError,
+        TableCatalog,
+        TableExistsError,
+    )
+
+    cat = TableCatalog(spark, str(tmp_path / "cat"))
+    t = cat.create_table("events_kv", kv_schema(), TWO_HOURS)
+    mk = lambda rows: spark.createDataFrame(rows, "pk1 long, pk2 long, value long")
+    t.write(WriteRequest(mk([(1, 1, 10), (2, 2, 20)]), TimeRange(0, 100)))
+    assert cat.list_tables() == ["events_kv"]
+    with _pytest.raises(TableExistsError):
+        cat.create_table("events_kv", kv_schema(), TWO_HOURS)
+
+    reopened = cat.open_table("events_kv")
+    assert reopened.segment_duration_ms == TWO_HOURS
+    assert list(reopened.schema.primary_keys) == ["pk1", "pk2"]
+    got = sorted(map(tuple, reopened.scan(ScanRequest(ordered=False)).collect()))
+    assert got == [(1, 1, 10), (2, 2, 20)]
+
+    cat.drop_table("events_kv")
+    assert cat.list_tables() == []
+    with _pytest.raises(NoSuchTableError):
+        cat.open_table("events_kv")
