@@ -145,3 +145,23 @@ def test_refresh_idempotent_after_lost_watermark(spark, tables):
     s = cr.refresh()  # re-processes the same SSTs
     assert s.delta_ssts == 1
     assert sorted(map(tuple, cr.serve().collect())) == before
+
+
+def test_refresh_after_raw_compaction_is_stable(spark, tables):
+    """Compaction rewrites raw SSTs into one merged file with a HIGHER
+    file_id, which the next refresh sees as new delta — the recompute must
+    re-derive the identical rollup state (wasted work at most, never
+    corruption), and a further refresh is a no-op."""
+    from horaedb_spark.storage.compaction import Compactor, SchedulerConfig
+
+    raw, roll, cr = tables
+    _write(spark, raw, [(1, 10, 5), (2, 20, 7)], 0, DAY)
+    _write(spark, raw, [(1, 10, 50)], 0, DAY)  # overwrite id=1
+    cr.refresh()
+    before = sorted(map(tuple, cr.serve().collect()))
+    comp = Compactor(raw, SchedulerConfig(input_sst_min_num=2))
+    assert comp.run_once() is not None  # 2 SSTs -> 1 merged SST, higher fid
+    s = cr.refresh()  # compacted SST looks like delta
+    assert s.delta_ssts == 1
+    assert sorted(map(tuple, cr.serve().collect())) == before
+    assert cr.refresh().delta_ssts == 0
