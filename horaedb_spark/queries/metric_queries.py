@@ -1677,3 +1677,84 @@ def promql_sliding_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sum_over_time", 6).alias("sum_over_time"),
         "count_over_time",
     ).orderBy("user_label", "cohort", "eval_ms")
+
+
+@register(
+    "promql_sliding_histogram_quantile",
+    oracle=_DEDUP_CTE
+    + f"""
+    , ex AS (
+      SELECT name, ts_ms, value,
+             ts_ms + ({DAY_MS} - ts_ms % {DAY_MS}) % {DAY_MS} + k * {DAY_MS}
+               AS eval_ms
+      FROM samples
+      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k)
+    ), buckets AS (
+      SELECT name, eval_ms, 10.0 AS le,
+             count(*) FILTER (WHERE value <= 10) AS bucket_count
+      FROM ex GROUP BY 1, 2
+      UNION ALL
+      SELECT name, eval_ms, 50.0, count(*) FILTER (WHERE value <= 50)
+      FROM ex GROUP BY 1, 2
+      UNION ALL
+      SELECT name, eval_ms, 100.0, count(*) FILTER (WHERE value <= 100)
+      FROM ex GROUP BY 1, 2
+      UNION ALL
+      SELECT name, eval_ms, 250.0, count(*) FILTER (WHERE value <= 250)
+      FROM ex GROUP BY 1, 2
+      UNION ALL
+      SELECT name, eval_ms, CAST('inf' AS DOUBLE), count(*)
+      FROM ex GROUP BY 1, 2
+    ), en AS (
+      SELECT name, eval_ms, le, bucket_count,
+             coalesce(lag(bucket_count) OVER w, 0) AS prev_count,
+             coalesce(lag(le) OVER w, 0.0) AS prev_le,
+             max(bucket_count) OVER (PARTITION BY name, eval_ms) AS total,
+             max(CASE WHEN le != CAST('inf' AS DOUBLE) THEN le END)
+                 OVER (PARTITION BY name, eval_ms) AS max_finite_le
+      FROM buckets WINDOW w AS (PARTITION BY name, eval_ms ORDER BY le)
+    ), hit AS (
+      SELECT *, CAST(0.9 AS DOUBLE) * total AS rank_target,
+             row_number() OVER (PARTITION BY name, eval_ms ORDER BY le) AS rn
+      FROM en WHERE bucket_count >= CAST(0.9 AS DOUBLE) * total AND total > 0
+    )
+    SELECT name, eval_ms,
+           floor((CASE WHEN le = CAST('inf' AS DOUBLE) THEN max_finite_le
+                       WHEN bucket_count = prev_count THEN le
+                       ELSE prev_le + (le - prev_le) * (rank_target - prev_count)
+                            / (bucket_count - prev_count) END) * 1000000 + 0.5)
+               / 1000000 AS quantile_value
+    FROM hit WHERE rn = 1 ORDER BY name, eval_ms
+    """,
+)
+def promql_sliding_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram_quantile(0.9, metric[4d]) on a 1-day step grid — THE
+    canonical Prometheus latency query (p90 over a sliding window) with
+    true overlapping range-vectors: bounded window fan-out -> one
+    conditional-count bucket aggregate per (metric, T) -> the PromQL
+    interpolation rule. Integer bucket counts make the quantile
+    deterministic on any engine."""
+    eng = _engine(spark, sf_dir)
+    sel = eng.select_all_series()
+    k = 4
+    first_t = (
+        F.col("ts_ms")
+        + F.pmod(F.lit(DAY_MS) - F.pmod("ts_ms", F.lit(DAY_MS)), F.lit(DAY_MS))
+    )
+    ex = sel.withColumn(
+        "eval_ms",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda i: first_t + i * F.lit(DAY_MS),
+            )
+        ),
+    )
+    buckets = promql.histogram_buckets(
+        ex, ["name", "eval_ms"], "value", list(_HQ_BOUNDS)
+    )
+    out = promql.histogram_quantile(buckets, ["name", "eval_ms"], 0.9)
+    r6 = lambda c: (F.floor(F.col(c) * 1000000 + 0.5) / 1000000)
+    return out.select(
+        "name", "eval_ms", r6("quantile_value").alias("quantile_value")
+    ).orderBy("name", "eval_ms")

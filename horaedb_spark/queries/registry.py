@@ -112,6 +112,7 @@ _RUN_FIRST = (
     "promql_sliding_rate",
     "promql_sliding_increase",
     "promql_sliding_over_time",
+    "promql_sliding_histogram_quantile",
     # --- never ANY driver row: streaming
     "streaming_session_window",
     "streaming_stream_join",
