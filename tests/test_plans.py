@@ -87,10 +87,11 @@ def test_time_range_scan_reads_only_matching_ssts(spark, tmp_path):
     assert files and all(f"sst={first_sst.file_id}" in f for f in files)
 
 
-def test_ivf_centroid_assignment_broadcasts(spark):
-    """IVF cell assignment must broadcast the centroid set (no shuffle of
-    the corpus for the quantizer join) — the property that makes candidate
-    generation partition-prunable at scale."""
+def test_ivf_centroid_assignment_is_map_only(spark):
+    """IVF cell assignment must be a pure map over the corpus — the coarse
+    quantizer rides in as expression literals (faiss-style), so the plan has
+    NO join and NO exchange: the property that makes candidate generation
+    partition-prunable (and assignment embarrassingly parallel) at scale."""
     from horaedb_spark.functions.similarity import ivf_assign, ivf_centroids
 
     emb = spark.createDataFrame(
@@ -99,7 +100,9 @@ def test_ivf_centroid_assignment_broadcasts(spark):
     ).select("vec_id", F.col("qv").cast("array<long>").alias("qv"))
     cents = ivf_centroids(emb, "vec_id", "qv", 4)
     plan = plan_of(ivf_assign(emb, cents, "vec_id", "qv", nprobe=1))
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
+    assert "Exchange" not in plan, plan[:3000]
+    assert "Window" not in plan, plan[:3000]
 
 
 def test_instant_vector_single_series_shuffle(spark):
