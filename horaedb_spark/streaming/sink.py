@@ -40,19 +40,29 @@ def write_batch_segmented(
     """Split one (micro-)batch by segment and write each slice as one SST.
     Returns the number of SSTs written.
 
-    The batch is persisted so the source is scanned once: segment
-    enumeration and every per-segment slice write read the cached blocks
-    (most micro-batches hit the single-segment fast path and pay no extra
-    pass at all). Segment derivation uses the floor form — ``div`` truncates
-    toward zero, which would map a pre-epoch row into segment 0 and then
-    silently drop it at the slice filter."""
+    Segment enumeration is ONE partial-aggregated ``collect_set`` (a
+    metadata-sized result — segments present in a micro-batch are few), not
+    a ``distinct()`` of the data. The common case — every row in one
+    segment — then writes directly with no persist and no slice filters:
+    one enumeration pass + one write pass total. Only a genuinely
+    multi-segment batch (late data) is persisted so each per-segment slice
+    write reads cached blocks. ``pre_dedup`` runs per segment slice, never
+    across segments: an SST covers its segment, and collapsing versions
+    across segments would change time-range scan results. Segment
+    derivation uses the floor form — ``div`` truncates toward zero, which
+    would map a pre-epoch row into segment 0 and then silently drop it at
+    the slice filter."""
     dur = table.segment_duration_ms
     seg_col = F.col(ts_col) - F.pmod(ts_col, F.lit(dur))
+    segs = sorted(batch.agg(F.collect_set(seg_col.alias("seg"))).first()[0])
+    if not segs:
+        return 0
+    if len(segs) == 1:
+        sl = pre_dedup(batch) if pre_dedup is not None else batch
+        table.write(WriteRequest(sl, TimeRange(segs[0], segs[0] + dur)))
+        return 1
     batch = batch.persist()
     try:
-        segs = sorted(
-            r[0] for r in batch.select(seg_col.alias("seg")).distinct().collect()
-        )
         n = 0
         for seg in segs:
             sl = batch.filter(
