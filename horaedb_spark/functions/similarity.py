@@ -325,6 +325,62 @@ def ivf_ann_topk(
     )
 
 
+def kmeans_lloyd(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iters: int,
+) -> tuple[list[tuple[int, list[int]]], DataFrame]:
+    """Deterministic Lloyd's k-means over quantized integer vectors — the
+    clustering stage of semantic dedup / corpus curation, and the trained
+    upgrade of the IVF coarse quantizer.
+
+    Engine-portable by construction: init is the md5-seeded corpus sample
+    (``ivf_centroids`` — no RNG state), assignment is exact integer L2 with
+    ties to the smaller cid, and the centroid update is floor(sum/count)
+    per dimension — integers in, integers out, so a SQL oracle replays the
+    identical trajectory. Clusters that lose all members drop out (both
+    engines drop them in the update group-by).
+
+    Distribution: per iteration, one narrow Arrow-kernel assignment map +
+    one two-level hash aggregate (posexplode → (cell, dim) partial sums);
+    only the k×dim centroid matrix (metadata-sized) ever reaches the
+    driver — the classic Spark ML k-means shape. Returns the final
+    ``(cid, centroid)`` list and the final assignment DataFrame
+    ``(id_col, vec_col, cell)``."""
+    cent_rows = [
+        (r["cid"], r["centv"])
+        for r in ivf_centroids(corpus, id_col, vec_col, k).collect()
+    ]
+
+    def assign(cents: list[tuple[int, list[int]]]) -> DataFrame:
+        return corpus.withColumn(
+            "cell", F.element_at(ivf_probe_udf(cents, 1)(F.col(vec_col)), 1)
+        )
+
+    for _ in range(iters):
+        upd = (
+            assign(cent_rows)
+            .select("cell", F.posexplode(vec_col).alias("pos", "q"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("pairs"),
+                F.max("n").alias("n"),
+            )
+        )
+        # Python // is floor division — identical to the oracle's
+        # CAST(floor(s * 1.0 / n) AS BIGINT) because |s| <= ~2^22 keeps the
+        # double quotient more than 1/n away from any wrong integer
+        cent_rows = sorted(
+            (int(r["cell"]), [int(p["s"]) // int(r["n"]) for p in r["pairs"]])
+            for r in upd.collect()
+        )
+    return cent_rows, assign(cent_rows)
+
+
 def mean_pool(
     df: DataFrame, group_cols: list[str], qv_col: str = "qv", scale: int = 1000
 ) -> DataFrame:

@@ -10,7 +10,7 @@ is verifiable against the SQL oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Function-word lists for the language-ID heuristic (tiny on purpose: the
@@ -314,4 +314,62 @@ def boilerplate_ngram_stats(
     ) / F.lit(1e6)
     return joined.select(
         id_col, "n_grams", "n_boilerplate", frac.alias("boiler_frac")
+    )
+
+
+def bpe_pair_counts(docs: DataFrame, text_col: str, min_word_len: int = 2) -> DataFrame:
+    """Byte-pair statistics — the first merge-candidate table of BPE
+    tokenizer training. Exactly the distributed shape real BPE training
+    uses: collapse the corpus to a word-frequency table FIRST (the heavy
+    shuffle happens on words, whose cardinality is vocabulary-sized, not
+    corpus-sized), then explode each distinct word into its adjacent
+    character pairs weighted by the word's frequency. Two hash aggregates,
+    no UDF; at 100 TB the pair aggregation input is |vocab| x avg_len rows
+    regardless of corpus size. Returns (pair, cnt)."""
+    wf = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("w")
+        )
+        .filter(F.length("w") >= min_word_len)
+        .groupBy("w")
+        .agg(F.count("*").alias("wn"))
+    )
+    return (
+        wf.select(
+            F.explode(
+                F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+            ).alias("pair"),
+            "wn",
+        )
+        .groupBy("pair")
+        .agg(F.sum("wn").cast("long").alias("cnt"))
+    )
+
+
+def char_entropy(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution (bits) —
+    the classic gibberish / low-diversity quality gate. Computed from
+    integer counts as log2(n) - sum(c*log2(c))/n, so the only float ops are
+    the final per-doc combination (order-independent aggregates in between).
+    Two key-partitioned hash aggregates on (doc, char); no UDF. Returns
+    (id_col, n_distinct_chars, char_entropy rounded to 4)."""
+    chars = docs.filter(F.length(text_col) > 0).select(
+        F.col(id_col),
+        F.explode(
+            F.expr(f"transform(sequence(1, length({text_col})), i -> substring({text_col}, i, 1))")
+        ).alias("ch"),
+    )
+    per = chars.groupBy(id_col, "ch").agg(F.count("*").alias("c"))
+    return (
+        per.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_distinct_chars"),
+            F.sum("c").alias("__n__"),
+            F.sum(F.expr("c * log2(c)")).alias("__clog__"),
+        )
+        .select(
+            id_col,
+            "n_distinct_chars",
+            F.round(F.expr("log2(__n__) - __clog__ / __n__"), 4).alias("char_entropy"),
+        )
     )

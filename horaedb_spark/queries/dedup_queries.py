@@ -656,3 +656,87 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+def _semantic_clusters_oracle() -> str:
+    # the kmeans CTE chain lives next to the other similarity oracles;
+    # the import is safe at module-register time (similarity_queries only
+    # registers more queries — registration is name-keyed and idempotent
+    # per process because modules import once)
+    from horaedb_spark.queries.similarity_queries import kmeans_oracle_ctes
+
+    qv = "[CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) FOR x IN embedding]"
+    corpus_select = f"""SELECT vec_id, {qv} AS qv FROM embeddings
+      UNION ALL
+      SELECT vec_id + {_COPY_OFFSET},
+             [CAST(round(CAST(x AS DOUBLE) * 1000 + 20) AS BIGINT) FOR x IN embedding]
+      FROM embeddings"""
+    return f"""
+    WITH {kmeans_oracle_ctes(8, 1, corpus_select)},
+    dropped AS (
+      SELECT DISTINCT fb.cid AS cell, b.vec_id AS vec_id
+      FROM afinal fa JOIN q a ON a.vec_id = fa.vec_id
+      JOIN afinal fb ON fb.cid = fa.cid AND fb.vec_id > fa.vec_id
+      JOIN q b ON b.vec_id = fb.vec_id
+      WHERE {_COS_SQL} >= 0.9
+    )
+    SELECT CAST(f.cid AS BIGINT) AS cid,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(d.vec_id) AS BIGINT) AS n_dropped,
+           CAST(sum(CASE WHEN d.vec_id IS NULL THEN f.vec_id END) AS BIGINT) AS survivors_sum
+    FROM afinal f LEFT JOIN dropped d ON d.vec_id = f.vec_id AND d.cell = f.cid
+    GROUP BY f.cid ORDER BY cid
+    """
+
+
+@register("dedup_semantic_clusters", oracle=_semantic_clusters_oracle())
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup-style semantic dedup: deterministic k-means (k=8, 1
+    iteration) blocks the corpus into clusters; the exact quantized cosine
+    runs ONLY on same-cluster pairs, and any doc with a higher-similarity
+    (>= 0.9) smaller-id neighbour in its cluster is dropped. Planted
+    shifted copies must land in their original's cluster and be caught.
+    At scale, k grows with the corpus (k ~ N / target_cluster_size) so
+    in-cluster candidate sets stay bounded — clustering IS the candidate
+    generation; no corpus-wide pair join exists in the plan."""
+    from horaedb_spark.functions.dedup import cosine
+    from horaedb_spark.functions.similarity import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+    shifted = emb.select(
+        (F.col("vec_id") + _COPY_OFFSET).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * 1000 + 20).cast("long"),
+        ).alias("qv"),
+    )
+    corpus = base.unionByName(shifted)
+    _, assign = kmeans_lloyd(corpus, "vec_id", "qv", k=8, iters=1)
+    m = assign.select("cell", "vec_id", "qv")
+    a, b = m.alias("a"), m.alias("b")
+    cos = cosine(F.col("a.qv").cast("array<double>"), F.col("b.qv").cast("array<double>"))
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= 0.9)
+        .select(F.col("b.cell").alias("cell"), F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        m.select("cell", "vec_id")
+        .join(dropped, ["cell", "vec_id"], "left")
+        .groupBy(F.col("cell").cast("long").alias("cid"))
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).cast("long").alias("n_dropped"),
+            F.sum(F.when(F.col("is_dup").isNull(), F.col("vec_id"))).cast("long").alias("survivors_sum"),
+        )
+        .orderBy("cid")
+    )
+
+

@@ -80,6 +80,11 @@ _QUERY_MODULES = (
 # the latest CORRECTNESS_r{N}.json: drop names once green, promote any
 # regression.
 _RUN_FIRST = (
+    # --- round-3 additions (never ANY driver row)
+    "embedding_kmeans",
+    "dedup_semantic_clusters",
+    "text_bpe_pairs",
+    "text_char_entropy",
     # --- never ANY driver row: metric/PromQL tail (cheap, shared fixture)
     "promql_irate",
     "promql_delta_idelta",

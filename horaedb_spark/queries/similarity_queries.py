@@ -432,3 +432,88 @@ def ann_rerank_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "corpus_id", "fused_score", "rerank_rank")
         .orderBy("query_id", "rerank_rank")
     )
+
+
+_SQL2C = _SQL2  # integer L2 between q alias `a` and centroid alias `c`
+
+
+def kmeans_oracle_ctes(k: int, iters: int, corpus_select: str) -> str:
+    """DuckDB CTE chain replaying ``kmeans_lloyd`` exactly — md5-seeded init,
+    integer-L2 argmin assignment (ties to the smaller cid), floor(sum/count)
+    centroid update — ending in ``afinal(vec_id, cid, d)`` (final assignment
+    with its squared distance). Shared by every clustering-derived oracle so
+    the trajectory is verified once and reused."""
+    ctes = f"""q AS ({corpus_select}),
+    seed AS (
+      SELECT vec_id FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}
+    ),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY q.vec_id) AS cid, q.qv AS cv
+      FROM q JOIN seed USING (vec_id)
+    )"""
+    prev = "c0"
+    for t in range(1, iters + 1):
+        ctes += f""", a{t} AS (
+      SELECT vec_id, cid FROM (
+        SELECT a.vec_id, c.cid,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY {_SQL2C}, c.cid) AS r
+        FROM q a, {prev} c
+      ) WHERE r = 1
+    ), c{t} AS (
+      SELECT cid, list(CAST(floor(s * 1.0 / n) AS BIGINT) ORDER BY i) AS cv
+      FROM (
+        SELECT x.cid, i.i AS i, sum(a.qv[i.i]) AS s, count(*) AS n
+        FROM a{t} x JOIN q a USING (vec_id)
+        CROSS JOIN (SELECT unnest(generate_series(1, {_DIM})) AS i) i
+        GROUP BY x.cid, i.i
+      ) GROUP BY cid
+    )"""
+        prev = f"c{t}"
+    ctes += f""", afinal AS (
+      SELECT vec_id, cid, d FROM (
+        SELECT a.vec_id, c.cid, {_SQL2C} AS d,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY {_SQL2C}, c.cid) AS r
+        FROM q a, {prev} c
+      ) WHERE r = 1
+    )"""
+    return ctes
+
+
+@register(
+    "embedding_kmeans",
+    oracle=f"""
+    WITH {kmeans_oracle_ctes(8, 2, f"SELECT vec_id, {_QV} AS qv FROM embeddings")}
+    SELECT CAST(cid AS BIGINT) AS cid,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(d) AS BIGINT) AS inertia
+    FROM afinal GROUP BY cid ORDER BY cid
+    """,
+)
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means (k=8, 2 iterations) over the corpus
+    embeddings: md5-seeded init, Arrow-kernel integer-L2 assignment,
+    floor-div centroid updates. Reports per-cluster size and exact integer
+    inertia — the whole trajectory hash-matches the SQL oracle, so the
+    clustering itself is verified, not just its shape. Per iteration the
+    corpus is touched by one narrow map + one partial-aggregated shuffle;
+    only k×dim integers reach the driver."""
+    from horaedb_spark.functions.similarity import _sq_l2, kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", quantize(F.col("embedding")).alias("qv")
+    )
+    cents, assign = kmeans_lloyd(emb, "vec_id", "qv", k=8, iters=2)
+    cdf = spark.createDataFrame(
+        [(int(cid), [int(x) for x in cv]) for cid, cv in cents],
+        "cid long, cv array<long>",
+    )
+    return (
+        assign.join(F.broadcast(cdf), assign["cell"] == cdf["cid"])
+        .select("cid", _sq_l2(F.col("qv"), F.col("cv")).alias("d"))
+        .groupBy("cid")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum("d").cast("long").alias("inertia"),
+        )
+        .orderBy("cid")
+    )

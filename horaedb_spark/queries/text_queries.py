@@ -284,3 +284,57 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate_ngram_stats(docs, "doc_id", "text", k=3, min_docs=4).orderBy(
         "doc_id"
     )
+
+
+@register(
+    "text_bpe_pairs",
+    oracle=r"""
+    WITH w AS (
+      SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w FROM documents
+    ), wf AS (
+      SELECT w, count(*) AS wn FROM w WHERE length(w) >= 2 GROUP BY w
+    ), p AS (
+      SELECT unnest([substr(w, i, 2) FOR i IN generate_series(1, length(w) - 1)]) AS pair,
+             wn
+      FROM wf
+    )
+    SELECT pair, CAST(sum(wn) AS BIGINT) AS cnt
+    FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20
+    """,
+)
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer induction, stage 1: the top-20 adjacent character pairs by
+    corpus frequency — the first BPE merge candidates. The corpus collapses
+    to a word-frequency table before pair explosion, so the expensive
+    aggregate runs over vocabulary-sized input (the real-world BPE training
+    layout)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        TX.bpe_pair_counts(docs, "text")
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(20)
+    )
+
+
+@register(
+    "text_char_entropy",
+    oracle=r"""
+    WITH ch AS (
+      SELECT doc_id,
+             unnest([substr(text, i, 1) FOR i IN generate_series(1, length(text))]) AS ch
+      FROM documents WHERE length(text) > 0
+    ), pc AS (
+      SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_distinct_chars,
+           round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) + 0 AS char_entropy
+    FROM pc GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document — the gibberish /
+    compression-artifact quality gate. Integer count aggregates everywhere;
+    the single float combination happens once per document at the end."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.char_entropy(docs, "doc_id", "text").orderBy("doc_id")
