@@ -369,3 +369,64 @@ def pipeline_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket")
     )
+
+
+@register(
+    "pipeline_token_budget",
+    oracle=rf"""
+    WITH w AS (
+      SELECT doc_id, text, string_split_regex(text, '\s+') AS words FROM documents
+    ), feats AS (
+      SELECT doc_id,
+             len(words) AS n_tokens,
+             length(text) AS n_chars,
+             len(list_filter(words, x -> x IN ({_EN}))) AS sw_hits,
+             length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS punct
+      FROM w
+    ), scored AS (
+      SELECT doc_id, n_tokens,
+             round(least(n_tokens / 64.0, 1.0) * 0.4
+                   + least(CAST(sw_hits AS DOUBLE) / n_tokens * 4.0, 1.0) * 0.3
+                   + (1.0 - least(CAST(punct AS DOUBLE) / n_chars * 10.0, 1.0)) * 0.3,
+                   6) AS quality_score
+      FROM feats
+    ), budget AS (
+      SELECT CAST(floor(0.4 * sum(n_tokens)) AS BIGINT) AS b FROM scored
+    ), ranked AS (
+      SELECT doc_id, n_tokens, quality_score,
+             CAST(sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id) AS BIGINT)
+               AS cum_tokens
+      FROM scored
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, quality_score, cum_tokens
+    FROM ranked, budget WHERE cum_tokens <= b
+    ORDER BY cum_tokens
+    """,
+)
+def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget fill: take documents in quality order (best
+    first) until 40% of the corpus token count is spent — the "assemble a
+    training mix under a budget" cut. The cumulative sum is the distributed
+    two-phase scan (``functions/prefix.py``): one range shuffle + per-
+    partition offsets + an Arrow carry pass — NO single-partition window
+    anywhere (plan-asserted), which is what makes the cut possible on a
+    100 TB corpus where ``sum() OVER (ORDER BY ...)`` would serialize."""
+    from horaedb_spark.functions import text as TX
+    from horaedb_spark.functions.prefix import ordered_prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = TX.quality_features(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        feats["n_tokens"].cast("long").alias("n_tokens"),
+        F.round(feats["quality_score"], 6).alias("quality_score"),
+    )
+    budget = int(scored.agg(F.floor(0.4 * F.sum("n_tokens"))).first()[0])
+    cum = ordered_prefix_sum(
+        scored,
+        [F.col("quality_score").desc(), F.col("doc_id").asc()],
+        "n_tokens",
+        out_col="cum_tokens",
+        num_partitions=8,
+    )
+    return cum.filter(F.col("cum_tokens") <= budget).orderBy("cum_tokens")

@@ -81,6 +81,7 @@ _QUERY_MODULES = (
 # regression.
 _RUN_FIRST = (
     # --- round-3 additions (never ANY driver row)
+    "pipeline_token_budget",
     "embedding_kmeans",
     "dedup_semantic_clusters",
     "text_bpe_pairs",

@@ -351,3 +351,32 @@ def test_incremental_dedup_is_semi_joins_only(spark, sf_dir):
     assert "Cartesian" not in p and "BroadcastNestedLoop" not in p, p[:3000]
     assert "LeftSemi" in p and "LeftAnti" in p, p[:3000]
     assert "Python" not in p, p[:3000]
+
+
+def test_ordered_prefix_sum_has_no_single_partition_stage(spark):
+    """The distributed prefix scan must never collapse to one partition —
+    the failure mode of sum() OVER (ORDER BY ...) — and must range-shuffle
+    exactly once."""
+    from horaedb_spark.functions.prefix import ordered_prefix_sum
+
+    df = spark.createDataFrame(
+        [(i, (7 * i) % 13, i % 5 + 1) for i in range(200)],
+        "id long, pri long, v long",
+    )
+    out = ordered_prefix_sum(
+        df, [F.col("pri").desc(), F.col("id").asc()], "v", num_partitions=6
+    )
+    plan = plan_of(out)
+    assert "SinglePartition" not in plan, plan[:3000]
+    assert "rangepartitioning" in plan.lower(), plan[:3000]
+    assert "Window" not in plan, plan[:3000]
+    # correctness vs a driver-side model
+    rows = out.orderBy("cum_sum").collect()
+    expect = sorted(
+        [(i, (7 * i) % 13, i % 5 + 1) for i in range(200)],
+        key=lambda t: (-t[1], t[0]),
+    )
+    acc = 0
+    for got, row in zip(expect, rows):
+        acc += got[2]
+        assert (row["id"], row["pri"], row["v"], row["cum_sum"]) == (*got, acc)
