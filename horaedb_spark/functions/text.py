@@ -373,3 +373,45 @@ def char_entropy(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.round(F.expr("log2(__n__) - __clog__ / __n__"), 4).alias("char_entropy"),
         )
     )
+
+
+def bigram_lm_scores(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Char-bigram language-model scoring — the perplexity-style quality
+    filter (score docs by how "language-like" they are under a model trained
+    on the corpus itself). Train: one corpus pass aggregates bigram counts —
+    the model is alphabet²-bounded (a few KB) no matter the corpus size, so
+    it BROADCASTS to the scoring join. Score: per-doc average negative
+    log2-likelihood with add-1 smoothing over the observed alphabet. Two
+    corpus passes total, both ending in key-partitioned hash aggregates; no
+    UDF. Returns (id_col, n_bigrams, avg_nll)."""
+    t = docs.filter(F.length(text_col) >= 2).select(
+        F.col(id_col), F.lower(F.col(text_col)).alias("t")
+    )
+    bg = t.select(
+        id_col,
+        F.explode(
+            F.expr("transform(sequence(1, length(t) - 1), i -> substr(t, i, 2))")
+        ).alias("bg"),
+    )
+    model = bg.groupBy("bg").agg(F.count("*").alias("c"))
+    starts = model.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
+        F.sum("c").alias("tot")
+    )
+    # observed alphabet size: a model-sized distinct aggregate (driver scalar)
+    v = (
+        t.select(
+            F.explode(
+                F.expr("transform(sequence(1, length(t)), i -> substr(t, i, 1))")
+            ).alias("ch")
+        )
+        .distinct()
+        .count()
+    )
+    scored = bg.join(F.broadcast(model), "bg").join(
+        F.broadcast(starts), F.substring("bg", 1, 1) == F.col("c1")
+    )
+    nll = -F.log2((F.col("c") + F.lit(1.0)) / (F.col("tot") + F.lit(float(v))))
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.sum(nll) / F.count("*"), 4).alias("avg_nll"),
+    )

@@ -338,3 +338,40 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the single float combination happens once per document at the end."""
     docs = load_table(spark, sf_dir, "documents")
     return TX.char_entropy(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@register(
+    "text_bigram_lm",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) >= 2
+    ), bg AS (
+      SELECT doc_id,
+             unnest([substr(t, i, 2) FOR i IN generate_series(1, length(t) - 1)]) AS bg
+      FROM t
+    ), model AS (
+      SELECT bg, count(*) AS c FROM bg GROUP BY bg
+    ), starts AS (
+      SELECT substr(bg, 1, 1) AS c1, sum(c) AS tot FROM model GROUP BY c1
+    ), uni AS (
+      SELECT DISTINCT unnest([substr(t, i, 1) FOR i IN generate_series(1, length(t))]) AS ch
+      FROM t
+    ), v AS (SELECT count(*) AS v FROM uni)
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(-sum(log2((m.c + 1.0) / (s.tot + v.v))) / count(*), 4) + 0 AS avg_nll
+    FROM bg b
+    JOIN model m USING (bg)
+    JOIN starts s ON s.c1 = substr(b.bg, 1, 1)
+    CROSS JOIN v
+    GROUP BY b.doc_id ORDER BY b.doc_id
+    """,
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality filter: score every document by its average
+    negative log2-likelihood under a char-bigram LM trained on the corpus
+    itself (add-1 smoothing over the observed alphabet). The model table is
+    alphabet²-bounded so it broadcasts into the scoring join — training and
+    scoring are each one corpus pass regardless of scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.bigram_lm_scores(docs, "doc_id", "text").orderBy("doc_id")
