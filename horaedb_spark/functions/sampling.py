@@ -173,3 +173,36 @@ def packed_bins(
         F.floor((F.col("cum_tokens") - tokens) / b).alias("first_bin"),
         F.floor((F.col("cum_tokens") - 1) / b).alias("last_bin"),
     )
+
+
+def export_shards(
+    df: DataFrame,
+    id_col: str,
+    num_shards: int,
+    weight_col: Column | None = None,
+    salt: str = "shard",
+) -> DataFrame:
+    """Deterministic training-export sharding: every row gets a shard id and
+    a rank inside its shard under a pseudo-random global shuffle — the
+    "shuffle the corpus and write N shards" step that precedes training.
+
+    Shard = md5-derived uniform bucket (engine-portable, no RNG state);
+    within-shard order = md5('shuffle:'||id) with the id as tie-break, so
+    the PERMUTATION itself is reproducible to the row on any engine. The
+    rank window partitions by shard — per-shard work, never a global sort.
+    Returns df + (shard, shard_rank)."""
+    from pyspark.sql.window import Window
+
+    c = F.col(id_col).cast("string")
+    digit = F.expr(
+        f"instr('0123456789abcdef', substr(md5(concat('{salt}:', cast({id_col} as string))), 1, 1)) - 1"
+    )
+    key = F.md5(F.concat(F.lit("shuffle:"), c))
+    out = df.withColumn("shard", (digit % num_shards).cast("long")).withColumn(
+        "__skey__", key
+    )
+    w = Window.partitionBy("shard").orderBy("__skey__", id_col)
+    return (
+        out.withColumn("shard_rank", F.row_number().over(w).cast("long"))
+        .drop("__skey__")
+    )

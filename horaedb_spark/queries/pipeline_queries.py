@@ -430,3 +430,54 @@ def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_partitions=8,
     )
     return cum.filter(F.col("cum_tokens") <= budget).orderBy("cum_tokens")
+
+
+@register(
+    "pipeline_export_shards",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id,
+             len(string_split_regex(text, '\s+')) AS n_tokens,
+             (strpos('0123456789abcdef',
+                     substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 8
+               AS shard,
+             md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS skey
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, n_tokens, shard,
+             row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS rk
+      FROM s
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+           CAST(sum(rk * doc_id) AS BIGINT) AS order_checksum
+    FROM ranked GROUP BY shard ORDER BY shard
+    """,
+)
+def pipeline_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The export step that precedes training: deterministic pseudo-random
+    global shuffle + 8-way sharding. ``order_checksum`` = sum(rank x id)
+    pins the exact within-shard permutation, so the shuffle itself is
+    hash-verified against the oracle — not just shard membership. All work
+    is per-shard (window partitioned by shard); no global sort exists."""
+    from horaedb_spark.functions import text as TX
+    from horaedb_spark.functions.sampling import export_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = export_shards(
+        docs.select("doc_id", TX.token_count("text").cast("long").alias("n_tokens")),
+        "doc_id",
+        num_shards=8,
+    )
+    return (
+        sh.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+            F.sum(F.col("shard_rank") * F.col("doc_id")).cast("long").alias("order_checksum"),
+        )
+        .orderBy("shard")
+    )

@@ -82,6 +82,7 @@ _QUERY_MODULES = (
 _RUN_FIRST = (
     # --- round-3 additions (never ANY driver row)
     "pipeline_token_budget",
+    "pipeline_export_shards",
     "text_bigram_lm",
     "embedding_kmeans",
     "dedup_semantic_clusters",
