@@ -1758,3 +1758,76 @@ def promql_sliding_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataF
     return out.select(
         "name", "eval_ms", r6("quantile_value").alias("quantile_value")
     ).orderBy("name", "eval_ms")
+
+
+# --------------------------------------------------------------- SRE burn rate
+@register(
+    "promql_slo_burn_rate",
+    oracle=_DEDUP_CTE
+    + f"""
+    , agg AS (
+      SELECT cohort,
+             ts_ms - ts_ms % {6 * HOUR_MS} AS b6,
+             ts_ms - ts_ms % {DAY_MS} AS b24,
+             CASE WHEN name = 'error' THEN 1 ELSE 0 END AS is_err
+      FROM samples
+    ), short AS (
+      SELECT cohort, b6, CAST(sum(is_err) AS DOUBLE) / count(*) AS r6
+      FROM agg GROUP BY 1, 2
+    ), long AS (
+      SELECT cohort, b24, CAST(sum(is_err) AS DOUBLE) / count(*) AS r24
+      FROM agg GROUP BY 1, 2
+    )
+    SELECT s.cohort, s.b6 AS bucket_ms,
+           round(s.r6 / 0.2, 6) AS burn_short,
+           round(l.r24 / 0.2, 6) AS burn_long,
+           CAST(CASE WHEN s.r6 / 0.2 > 1 AND l.r24 / 0.2 > 1
+                THEN 1 ELSE 0 END AS BIGINT) AS alert
+    FROM short s
+    JOIN long l ON l.cohort = s.cohort AND l.b24 = s.b6 - s.b6 % {DAY_MS}
+    ORDER BY s.cohort, bucket_ms
+    """,
+)
+def promql_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiwindow multi-burn-rate SLO alert (the canonical SRE error-budget
+    query): per cohort, the 6h and 24h error-event ratios against a 20%
+    error budget; alert fires only when BOTH windows burn above 1x — the
+    short window gives responsiveness, the long window suppresses blips.
+    Two bucketed counting aggregates over the deduped cross-metric scan and
+    one short-to-containing-long-bucket equi-join; the alert comparison runs
+    on the unrounded ratios (identical IEEE division in any engine)."""
+    eng = _engine(spark, sf_dir)
+    sel = _series_with_labels(
+        eng.select_all_series().join(
+            F.broadcast(eng.series.select("tsid", "series_key")), "tsid"
+        )
+    )
+    b6 = F.col("ts_ms") - F.col("ts_ms") % (6 * HOUR_MS)
+    b24 = F.col("ts_ms") - F.col("ts_ms") % DAY_MS
+    agg = sel.select(
+        "cohort",
+        b6.alias("b6"),
+        b24.alias("b24"),
+        F.when(F.col("name") == "error", 1).otherwise(0).alias("is_err"),
+    )
+    short = agg.groupBy("cohort", "b6").agg(
+        (F.sum("is_err").cast("double") / F.count("*")).alias("r6")
+    )
+    long_ = agg.groupBy("cohort", "b24").agg(
+        (F.sum("is_err").cast("double") / F.count("*")).alias("r24")
+    )
+    joined = short.join(
+        long_,
+        (long_["cohort"] == short["cohort"])
+        & (long_["b24"] == short["b6"] - short["b6"] % DAY_MS),
+    )
+    return joined.select(
+        short["cohort"],
+        short["b6"].alias("bucket_ms"),
+        F.round(F.col("r6") / 0.2, 6).alias("burn_short"),
+        F.round(F.col("r24") / 0.2, 6).alias("burn_long"),
+        F.when((F.col("r6") / 0.2 > 1) & (F.col("r24") / 0.2 > 1), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("alert"),
+    ).orderBy("cohort", "bucket_ms")

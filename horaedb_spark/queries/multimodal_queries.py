@@ -107,3 +107,44 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "media_id", "frame_idx", "frame_digest", F.col("frame_bytes").cast("int").alias("frame_bytes")
     ).orderBy("media_id", "frame_idx")
+
+
+@register(
+    "multimodal_dedup",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id AS media_id, md5(text) AS digest FROM documents
+      UNION ALL
+      SELECT doc_id + 500000, md5(text) FROM documents WHERE doc_id % 5 = 0
+    ), cl AS (
+      SELECT digest, count(*) AS n_copies, min(media_id) AS survivor,
+             CAST(sum(media_id) AS BIGINT) AS id_checksum
+      FROM media GROUP BY digest
+    )
+    SELECT digest, CAST(n_copies AS BIGINT) AS n_copies, survivor, id_checksum
+    FROM cl WHERE n_copies > 1 ORDER BY digest
+    """,
+)
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload dedup by content digest — the first pass of any
+    image/audio dedup stack (byte-identical copies collapse BEFORE any
+    decode or perceptual hashing spends a cycle). One hash aggregate over
+    md5(payload); survivor = smallest id; the id checksum pins exact
+    cluster membership. Planted byte-identical copies (every 5th payload)
+    must be caught."""
+    media = _media_frame(spark, sf_dir)
+    copies = media.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 500000
+    )
+    allm = media.unionByName(copies)
+    return (
+        allm.groupBy(F.md5("payload").alias("digest"))
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.min("doc_id").alias("survivor"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select("digest", "n_copies", "survivor", "id_checksum")
+        .orderBy("digest")
+    )

@@ -82,6 +82,9 @@ _QUERY_MODULES = (
 _RUN_FIRST = (
     # --- round-3 additions (never ANY driver row)
     "pipeline_token_budget",
+    "promql_slo_burn_rate",
+    "multimodal_dedup",
+    "storage_snapshot_diff",
     "pipeline_export_shards",
     "text_bigram_lm",
     "embedding_kmeans",

@@ -672,3 +672,90 @@ def storage_retention_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "day_ms", "n", "sum_value")
         .orderBy("event_type", "day_ms")
     )
+
+
+@register(
+    "storage_snapshot_diff",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, value, event_id
+      FROM events
+    ), sl AS (
+      SELECT DISTINCT (ts_ms // {_SEG_15D // 4}) * {_SEG_15D // 4} AS s FROM ev
+    ), cut AS (
+      SELECT max(s) + {_SEG_15D // 4} AS c FROM (
+        SELECT s, row_number() OVER (ORDER BY s) AS rn, count(*) OVER () AS n
+        FROM sl
+      ) WHERE rn <= n // 2
+    ), ma AS (
+      SELECT * FROM (
+        SELECT user_id, event_type, ts_ms, value, ts_ms // {_SEG_15D} AS seg,
+               row_number() OVER (
+                 PARTITION BY user_id, event_type, ts_ms // {_SEG_15D}
+                 ORDER BY ts_ms DESC, event_id DESC) AS rn
+        FROM ev, cut WHERE ev.ts_ms < cut.c
+      ) WHERE rn = 1
+    ), mb AS (
+      SELECT * FROM (
+        SELECT user_id, event_type, ts_ms, value, ts_ms // {_SEG_15D} AS seg,
+               row_number() OVER (
+                 PARTITION BY user_id, event_type, ts_ms // {_SEG_15D}
+                 ORDER BY ts_ms DESC, event_id DESC) AS rn
+        FROM ev
+      ) WHERE rn = 1
+    ), diff AS (
+      SELECT b.user_id, b.ts_ms,
+             CASE WHEN a.user_id IS NULL THEN 'added'
+                  WHEN a.ts_ms != b.ts_ms OR a.value != b.value THEN 'updated'
+             END AS change_type
+      FROM mb b LEFT JOIN ma a
+        ON a.seg = b.seg AND a.user_id = b.user_id AND a.event_type = b.event_type
+    )
+    SELECT change_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(user_id) AS BIGINT) AS id_checksum,
+           CAST(sum(ts_ms) AS BIGINT) AS ts_checksum
+    FROM diff WHERE change_type IS NOT NULL
+    GROUP BY change_type ORDER BY change_type
+    """,
+)
+def storage_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MVCC time travel as a DIFF: scan the table as-of the mid-ingest
+    sequence (the first half of its SSTs) and against head, then classify
+    every head row per (segment, PK) as added (key absent at the snapshot)
+    or updated (version advanced). Both scans are ordinary manifest-filtered
+    merge-on-read reads — time travel costs a metadata filter, never a data
+    rewrite — and the diff is one co-keyed left join of the two merged
+    views. The change-set checksums pin exact membership."""
+    table = _build_events_table(spark, sf_dir, _SEG_15D, 4)
+    seqs = sorted(s.file_id for s in table.manifest.all_ssts())
+    as_of = seqs[len(seqs) // 2 - 1]
+    cols = ["user_id", "event_type", "ts_ms", "value"]
+
+    def merged(req: ScanRequest) -> DataFrame:
+        # every row's segment is the one containing its timestamp (the write
+        # path guarantees it), so the diff key derives from ts_ms directly
+        return table.scan(req).select(
+            F.expr(f"ts_ms div {_SEG_15D}").alias("seg"), *cols
+        )
+
+    a = merged(ScanRequest(ordered=False, as_of_seq=as_of))
+    b = merged(ScanRequest(ordered=False))
+    a = a.select("seg", "user_id", "event_type",
+                 F.col("ts_ms").alias("a_ts"), F.col("value").alias("a_v"))
+    diff = b.join(a, ["seg", "user_id", "event_type"], "left").withColumn(
+        "change_type",
+        F.when(F.col("a_ts").isNull(), F.lit("added")).when(
+            (F.col("a_ts") != F.col("ts_ms")) | (F.col("a_v") != F.col("value")),
+            F.lit("updated"),
+        ),
+    )
+    return (
+        diff.filter(F.col("change_type").isNotNull())
+        .groupBy("change_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("user_id").cast("long").alias("id_checksum"),
+            F.sum("ts_ms").cast("long").alias("ts_checksum"),
+        )
+        .orderBy("change_type")
+    )
