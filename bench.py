@@ -49,6 +49,11 @@ HEADLINE = [
     "text_repetition_filter",
     "pipeline_corpus_clean",
     "dedup_prefix_cluster",
+    # round-3 pipeline additions
+    "embedding_kmeans",
+    "pipeline_token_budget",
+    "pipeline_export_shards",
+    "text_bigram_lm",
     # relational tail (correlated-subquery decorrelation)
     "min_cost_supplier_q2",
     # promql stateful fold
