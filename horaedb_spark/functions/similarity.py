@@ -346,9 +346,13 @@ def kmeans_lloyd(
     Distribution: per iteration, one narrow Arrow-kernel assignment map +
     one two-level hash aggregate (posexplode → (cell, dim) partial sums);
     only the k×dim centroid matrix (metadata-sized) ever reaches the
-    driver — the classic Spark ML k-means shape. Returns the final
-    ``(cid, centroid)`` list and the final assignment DataFrame
-    ``(id_col, vec_col, cell)``."""
+    driver — the classic Spark ML k-means shape. The corpus is persisted
+    for the duration (init + every iteration + the returned assignment all
+    read it; recomputing the upstream scan per Lloyd action is the classic
+    iterative-algorithm mistake) — the caller owns unpersisting via the
+    returned frame's lineage. Returns the final ``(cid, centroid)`` list
+    and the final assignment DataFrame ``(id_col, vec_col, cell)``."""
+    corpus = corpus.persist()
     cent_rows = [
         (r["cid"], r["centv"])
         for r in ivf_centroids(corpus, id_col, vec_col, k).collect()
