@@ -85,6 +85,7 @@ _RUN_FIRST = (
     "promql_slo_burn_rate",
     "multimodal_dedup",
     "storage_snapshot_diff",
+    "sketch_heavy_hitters",
     "pipeline_export_shards",
     "text_bigram_lm",
     "embedding_kmeans",

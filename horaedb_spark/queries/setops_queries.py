@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from horaedb_spark.queries.precision import dsum, sql_dsum
 from horaedb_spark.queries.registry import register
-from horaedb_spark.queries.tables import load_table
+from horaedb_spark.queries.tables import events_ms, load_table
 
 
 @register(
@@ -130,3 +130,66 @@ def region_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.ascii(F.substring(F.md5(key), 1, 1)) % 8).alias("shard")
     )
     return sharded.groupBy("shard").agg(F.count("*").alias("n_series")).orderBy("shard")
+
+
+@register(
+    "sketch_heavy_hitters",
+    oracle="""
+    WITH items AS (
+      SELECT CAST(user_id AS VARCHAR) AS item FROM events
+    ), hashed AS (
+      SELECT item, j,
+             (strpos('0123456789abcdef', substr(md5(j || ':' || item), 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(j || ':' || item), 2, 1)) - 1)
+               AS bucket
+      FROM items, (SELECT unnest([0, 1, 2, 3]) AS j)
+    ), sketch AS (
+      SELECT j, bucket, count(*) AS c FROM hashed GROUP BY j, bucket
+    ), cand AS (
+      SELECT DISTINCT item, j,
+             (strpos('0123456789abcdef', substr(md5(j || ':' || item), 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(j || ':' || item), 2, 1)) - 1)
+               AS bucket
+      FROM items, (SELECT unnest([0, 1, 2, 3]) AS j)
+    ), est AS (
+      SELECT c.item, min(s.c) AS est
+      FROM cand c JOIN sketch s ON s.j = c.j AND s.bucket = c.bucket
+      GROUP BY c.item
+    ), truth AS (
+      SELECT item, count(*) AS true_cnt FROM items GROUP BY item
+    )
+    SELECT e.item, CAST(e.est AS BIGINT) AS est,
+           CAST(t.true_cnt AS BIGINT) AS true_cnt,
+           CAST(e.est - t.true_cnt AS BIGINT) AS overcount
+    FROM est e JOIN truth t USING (item)
+    ORDER BY est DESC, item LIMIT 10
+    """,
+)
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters over the event stream's user ids: build the
+    deterministic d=4 x w=256 md5 sketch (one hash aggregate; map-side
+    combine IS the sketch merge), broadcast it, and point-estimate every
+    candidate as min over its bucket counters. The oracle replays the
+    sketch bit-for-bit — estimates AND their overcounts hash-match, which
+    no tolerance-band check can claim. True counts ride along to exhibit
+    the ~N/w overcount bias."""
+    from horaedb_spark.functions.sketch import cm_build, cm_estimate
+
+    ev = events_ms(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("item")
+    )
+    sketch = cm_build(ev, F.col("item"))
+    cands = ev.distinct()
+    est = cm_estimate(cands, sketch, "item")
+    truth = ev.groupBy("item").agg(F.count("*").alias("true_cnt"))
+    return (
+        est.join(truth, "item")
+        .select(
+            "item",
+            F.col("est").cast("long").alias("est"),
+            F.col("true_cnt").cast("long").alias("true_cnt"),
+            (F.col("est") - F.col("true_cnt")).cast("long").alias("overcount"),
+        )
+        .orderBy(F.desc("est"), "item")
+        .limit(10)
+    )
