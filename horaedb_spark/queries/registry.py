@@ -86,6 +86,7 @@ _RUN_FIRST = (
     "multimodal_dedup",
     "storage_snapshot_diff",
     "sketch_heavy_hitters",
+    "ann_pq_topk",
     "pipeline_export_shards",
     "text_bigram_lm",
     "embedding_kmeans",

@@ -517,3 +517,63 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+_PQ_SUB_L2 = (
+    "list_sum([(a.qv[(m.m - 1) * 8 + i] - c.cv[(m.m - 1) * 8 + i])"
+    " * (a.qv[(m.m - 1) * 8 + i] - c.cv[(m.m - 1) * 8 + i])"
+    " FOR i IN generate_series(1, 8)])"
+)
+
+
+@register(
+    "ann_pq_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {_QV} AS qv FROM embeddings),
+    cb AS (
+      SELECT row_number() OVER (ORDER BY q.vec_id) AS k, q.qv AS cv
+      FROM q JOIN (
+        SELECT vec_id FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+      ) s USING (vec_id)
+    ),
+    codes AS (
+      SELECT vec_id, m, k AS code FROM (
+        SELECT a.vec_id, m.m, c.k,
+               row_number() OVER (
+                 PARTITION BY a.vec_id, m.m
+                 ORDER BY {_PQ_SUB_L2}, c.k) AS r
+        FROM q a, cb c, (SELECT unnest(generate_series(1, 8)) AS m) m
+      ) WHERE r = 1
+    ),
+    adc AS (
+      SELECT a.vec_id AS query_id, cd.vec_id AS corpus_id,
+             sum({_PQ_SUB_L2.replace("m.m", "cd.m")}) AS dist
+      FROM q a, codes cd
+      JOIN cb c ON c.k = cd.code
+      WHERE a.vec_id < 20 AND cd.vec_id != a.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, corpus_id, rank, dist FROM (
+      SELECT query_id, corpus_id, CAST(dist AS BIGINT) AS dist,
+             row_number() OVER (PARTITION BY query_id ORDER BY dist, corpus_id) AS rank
+      FROM adc
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (M=8 subspaces, K=16 codes): the corpus is
+    encoded once into 8 small integer codes per vector (the 100 TB memory
+    play — encoded corpus ~= 1/30th of float32), queries rank candidates by
+    ADC: per subspace the distance is a codebook lookup. The md5-seeded
+    codebook keeps training out of the loop, so the entire encode+ADC
+    pipeline is exact integer arithmetic the oracle replays bit-for-bit."""
+    from horaedb_spark.functions.similarity import pq_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", quantize(F.col("embedding")).alias("qv")
+    )
+    out = pq_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 20), "qv", "vec_id", k=5
+    )
+    return out.orderBy("query_id", "rank")
