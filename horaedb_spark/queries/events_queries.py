@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from horaedb_spark.queries.precision import dsum
 from horaedb_spark.queries.registry import register
 from horaedb_spark.queries.tables import events_ms
 
@@ -164,4 +165,59 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         active.groupBy("cohort_day", "day_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_day", "day_offset")
+    )
+
+
+_T0_MS = 1_704_067_200_000  # 2024-01-01T00:00Z — the testdata epoch
+_CAMPAIGN_STEP = 3 * DAY_MS
+_CAMPAIGN_LEN = 36 * 3_600_000  # 36h — deliberately not bucket-aligned
+_N_CAMPAIGNS = 20
+
+
+@register(
+    "campaign_interval_join",
+    oracle=f"""
+    WITH campaigns AS (
+      SELECT i AS campaign_id,
+             {_T0_MS} + i * {_CAMPAIGN_STEP} AS start_ms,
+             {_T0_MS} + i * {_CAMPAIGN_STEP} + {_CAMPAIGN_LEN} AS end_ms
+      FROM (SELECT unnest(generate_series(0, {_N_CAMPAIGNS - 1})) AS i)
+    ), hits AS (
+      SELECT c.campaign_id, e.user_id, e.value
+      FROM events e JOIN campaigns c
+        ON epoch_ms(e.ts) >= c.start_ms AND epoch_ms(e.ts) < c.end_ms
+    )
+    SELECT campaign_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 2) AS total_value
+    FROM hits GROUP BY campaign_id ORDER BY campaign_id
+    """,
+)
+def campaign_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join at scale: attribute events to the (possibly
+    overlapping) campaign windows containing them. Spark plans the naive
+    BETWEEN join as a nested loop — O(events x campaigns); here each
+    campaign explodes into its covered day buckets and the match is ONE
+    hash equi-join on the bucket key plus a residual bounds filter
+    (functions/intervals.py; plan-asserted nested-loop-free). The 36h
+    windows deliberately straddle bucket boundaries to exercise the
+    residual filter."""
+    from horaedb_spark.functions.intervals import interval_equi_join
+
+    ev = events_ms(spark, sf_dir)
+    campaigns = spark.range(_N_CAMPAIGNS).select(
+        F.col("id").alias("campaign_id"),
+        (F.lit(_T0_MS) + F.col("id") * _CAMPAIGN_STEP).alias("start_ms"),
+        (F.lit(_T0_MS) + F.col("id") * _CAMPAIGN_STEP + _CAMPAIGN_LEN).alias("end_ms"),
+    )
+    hits = interval_equi_join(ev, "ts_ms", campaigns, "start_ms", "end_ms", DAY_MS)
+    return (
+        hits.groupBy("campaign_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            dsum("value", 2).alias("total_value"),
+        )
+        .orderBy("campaign_id")
     )

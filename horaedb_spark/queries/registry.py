@@ -87,6 +87,7 @@ _RUN_FIRST = (
     "storage_snapshot_diff",
     "sketch_heavy_hitters",
     "ann_pq_topk",
+    "campaign_interval_join",
     "pipeline_export_shards",
     "text_bigram_lm",
     "embedding_kmeans",

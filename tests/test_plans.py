@@ -380,3 +380,25 @@ def test_ordered_prefix_sum_has_no_single_partition_stage(spark):
     for got, row in zip(expect, rows):
         acc += got[2]
         assert (row["id"], row["pri"], row["v"], row["cum_sum"]) == (*got, acc)
+
+
+def test_interval_join_is_hash_equi_not_nested_loop(spark):
+    """Point-in-interval matching must bucketize into a hash equi-join —
+    never the BroadcastNestedLoopJoin/cartesian Spark plans for a raw
+    BETWEEN condition."""
+    from horaedb_spark.functions.intervals import interval_equi_join
+
+    facts = spark.range(500).selectExpr("id", "id * 97 as ts")
+    iv = spark.range(10).selectExpr(
+        "id as iv_id", "id * 5000 as s", "id * 5000 + 7000 as e"
+    )
+    out = interval_equi_join(facts, "ts", iv, "s", "e", 4000)
+    plan = plan_of(out)
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "Join" in plan
+    # semantics: equals the naive range join
+    naive = facts.join(iv, (F.col("ts") >= F.col("s")) & (F.col("ts") < F.col("e")))
+    assert sorted(map(tuple, out.select("id", "iv_id").collect())) == sorted(
+        map(tuple, naive.select("id", "iv_id").collect())
+    )
