@@ -88,6 +88,7 @@ _RUN_FIRST = (
     "sketch_heavy_hitters",
     "ann_pq_topk",
     "campaign_interval_join",
+    "streaming_heavy_hitters",
     "pipeline_export_shards",
     "text_bigram_lm",
     "embedding_kmeans",

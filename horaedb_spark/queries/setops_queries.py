@@ -132,9 +132,7 @@ def region_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sharded.groupBy("shard").agg(F.count("*").alias("n_series")).orderBy("shard")
 
 
-@register(
-    "sketch_heavy_hitters",
-    oracle="""
+CM_HEAVY_HITTERS_SQL = """
     WITH items AS (
       SELECT CAST(user_id AS VARCHAR) AS item FROM events
     ), hashed AS (
@@ -163,8 +161,10 @@ def region_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(e.est - t.true_cnt AS BIGINT) AS overcount
     FROM est e JOIN truth t USING (item)
     ORDER BY est DESC, item LIMIT 10
-    """,
-)
+    """
+
+
+@register("sketch_heavy_hitters", oracle=CM_HEAVY_HITTERS_SQL)
 def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min heavy hitters over the event stream's user ids: build the
     deterministic d=4 x w=256 md5 sketch (one hash aggregate; map-side

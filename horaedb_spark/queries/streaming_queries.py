@@ -628,3 +628,74 @@ def streaming_ann_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "corpus_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "streaming_heavy_hitters",
+    # identical oracle to the batch sketch: summed per-batch sketches must
+    # equal the one-shot sketch (counter addition is the merge), so the
+    # streaming path is held to bit-exact equality, not approximation
+    oracle=None,  # bound below from setops_queries to avoid duplication
+)
+def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters maintained over the event STREAM: each
+    micro-batch builds its own distributed sketch (map-side combine), and
+    the d×w counter grid — metadata-sized state, the canonical streaming
+    sketch aggregator — folds into the running sketch by addition. After
+    the stream drains, estimates must match the batch-built sketch
+    bit-for-bit (same oracle as sketch_heavy_hitters): the merge property
+    that makes the sketch shardable across executors is exactly what makes
+    it incrementally maintainable across time."""
+    key = f"hh:{sf_dir}"
+    if key not in _CACHE:
+        import collections
+
+        from horaedb_spark.functions.sketch import cm_build, cm_estimate
+
+        acc: collections.Counter = collections.Counter()
+        stream = _raw_events_stream(spark, sf_dir).select(
+            F.col("user_id").cast("string").alias("item")
+        )
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            for r in cm_build(batch_df, F.col("item")).collect():
+                acc[(r["j"], r["bucket"])] += r["c"]
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="hh_") + "/ckpt")
+            .outputMode("update")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        sketch = spark.createDataFrame(
+            [(j, b, int(c)) for (j, b), c in acc.items()], "j int, bucket int, c long"
+        )
+        ev = events_ms(spark, sf_dir).select(
+            F.col("user_id").cast("string").alias("item")
+        )
+        est = cm_estimate(ev.distinct(), sketch, "item")
+        truth = ev.groupBy("item").agg(F.count("*").alias("true_cnt"))
+        _CACHE[key] = (
+            est.join(truth, "item")
+            .select(
+                "item",
+                F.col("est").cast("long").alias("est"),
+                F.col("true_cnt").cast("long").alias("true_cnt"),
+                (F.col("est") - F.col("true_cnt")).cast("long").alias("overcount"),
+            )
+            .orderBy(F.desc("est"), "item")
+            .limit(10)
+        )
+    return _CACHE[key]
+
+
+def _bind_hh_oracle() -> None:
+    from horaedb_spark.queries.registry import QUERIES
+    from horaedb_spark.queries.setops_queries import CM_HEAVY_HITTERS_SQL
+
+    QUERIES["streaming_heavy_hitters"].oracle = CM_HEAVY_HITTERS_SQL
+
+
+_bind_hh_oracle()
