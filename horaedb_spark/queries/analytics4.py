@@ -409,3 +409,77 @@ def dormant_customers_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+def _profile_col_sql(col: str, render: str) -> str:
+    """One ANALYZE row for a column: counts, null count, exact NDV, min/max
+    and the modal value (ties to the smaller rendered value) — all rendered
+    through an explicit canonical string so both engines agree."""
+    return f"""
+    SELECT '{col}' AS col_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count({col}) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+           CAST(min({col}) AS VARCHAR) AS min_value,
+           CAST(max({col}) AS VARCHAR) AS max_value,
+           (SELECT v FROM (
+              SELECT {render} AS v, count(*) AS c FROM orders
+              WHERE {col} IS NOT NULL GROUP BY 1
+            ) ORDER BY c DESC, v LIMIT 1) AS top_value
+    FROM orders"""
+
+
+@register(
+    "analyze_table_profile",
+    oracle=" UNION ALL ".join(
+        [
+            _profile_col_sql("o_orderstatus", "o_orderstatus"),
+            _profile_col_sql("o_orderpriority", "o_orderpriority"),
+            _profile_col_sql("o_custkey", "CAST(o_custkey AS VARCHAR)"),
+        ]
+    )
+    + " ORDER BY col_name",
+)
+def analyze_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profiling of a table in one logical pass per
+    column: row/null/exact-NDV counts, min/max, and the modal value — the
+    stats a warehouse keeps for query planning and a pipeline keeps for
+    drift monitoring. Each column is a pair of hash aggregates (value
+    counts -> min_by for the mode); the per-column branches reuse one scan
+    and union into the report. Values render through canonical strings so
+    the report is engine-portable."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def profile(col: str, render: F.Column) -> DataFrame:
+        vals = orders.select(render.alias("v"), F.col(col).alias("raw"))
+        counts = (
+            vals.filter(F.col("raw").isNotNull())
+            .groupBy("v")
+            .agg(F.count("*").alias("c"))
+        )
+        top = counts.agg(
+            F.expr("min_by(v, struct(-c, v))").alias("top_value")
+        )
+        stats = vals.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            (F.count("*") - F.count("raw")).cast("long").alias("n_null"),
+            F.countDistinct("raw").cast("long").alias("n_distinct"),
+            F.min("raw").cast("string").alias("min_value"),
+            F.max("raw").cast("string").alias("max_value"),
+        )
+        return stats.join(top).select(
+            F.lit(col).alias("col_name"),
+            "n_rows",
+            "n_null",
+            "n_distinct",
+            "min_value",
+            "max_value",
+            "top_value",
+        )
+
+    out = (
+        profile("o_orderstatus", F.col("o_orderstatus"))
+        .unionByName(profile("o_orderpriority", F.col("o_orderpriority")))
+        .unionByName(profile("o_custkey", F.col("o_custkey").cast("string")))
+    )
+    return out.orderBy("col_name")

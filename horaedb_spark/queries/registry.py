@@ -89,6 +89,7 @@ _RUN_FIRST = (
     "ann_pq_topk",
     "campaign_interval_join",
     "streaming_heavy_hitters",
+    "analyze_table_profile",
     "pipeline_export_shards",
     "text_bigram_lm",
     "embedding_kmeans",
