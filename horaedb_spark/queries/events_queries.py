@@ -221,3 +221,82 @@ def campaign_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("campaign_id")
     )
+
+
+@register(
+    "user_journey_paths",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE OR
+                       lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, event_id, event_type, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), seqs AS (
+      SELECT user_id, session_id,
+             list(event_type ORDER BY ts, event_id) AS seq
+      FROM sessions GROUP BY user_id, session_id
+    ), paths AS (
+      SELECT unnest([seq[i] || '>' || seq[i + 1] || '>' || seq[i + 2]
+                     FOR i IN generate_series(1, len(seq) - 2)]) AS path
+      FROM seqs WHERE len(seq) >= 3
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n
+    FROM paths GROUP BY path ORDER BY n DESC, path LIMIT 10
+    """,
+)
+def user_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: sessionize (30-min gap), then count every 3-step
+    event-type sub-path across all sessions — the product-analytics "what
+    do users actually do" query. One shuffle to sessionize (lag + running
+    sum per user), one per-session collect (sessions are short by
+    construction — the gap bounds them), path n-grams as a row-local array
+    transform, and a final count aggregate. Ties in event order break on
+    event_id so the paths are deterministic."""
+    ev = events_ms(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0)),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(ws))
+    seqs = (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ).alias("seq")
+        )
+        .filter(F.size("seq") >= 3)
+    )
+    paths = seqs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(seq) - 2),"
+                " i -> concat(seq[i - 1], '>', seq[i], '>', seq[i + 1]))"
+            )
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(10)
+    )

@@ -90,6 +90,7 @@ _RUN_FIRST = (
     "campaign_interval_join",
     "streaming_heavy_hitters",
     "analyze_table_profile",
+    "user_journey_paths",
     "pipeline_export_shards",
     "text_bigram_lm",
     "embedding_kmeans",
