@@ -483,3 +483,50 @@ def analyze_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(profile("o_custkey", F.col("o_custkey").cast("string")))
     )
     return out.orderBy("col_name")
+
+
+@register(
+    "dq_referential_check",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_orphans
+    FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+    UNION ALL
+    SELECT 'orders->customer', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    UNION ALL
+    SELECT 'customer->nation', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM customer cu LEFT JOIN nation n ON n.n_nationkey = cu.c_nationkey
+    ORDER BY fk
+    """,
+)
+def dq_referential_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the FK chain — the data-quality
+    gate a pipeline runs after every load. Each edge is one left join
+    counting unmatched child rows; parent key sets are dimension-sized so
+    the joins broadcast and the fact side never shuffles."""
+
+    def edge(name: str, child: DataFrame, ckey: str, parent: DataFrame, pkey: str) -> DataFrame:
+        p = parent.select(F.col(pkey).alias("__pk__")).distinct()
+        j = child.join(F.broadcast(p), child[ckey] == F.col("__pk__"), "left")
+        return j.agg(
+            F.lit(name).alias("fk"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("__pk__").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphans"),
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    out = (
+        edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey")
+        .unionByName(edge("orders->customer", o, "o_custkey", c, "c_custkey"))
+        .unionByName(edge("customer->nation", c, "c_nationkey", n, "n_nationkey"))
+    )
+    return out.orderBy("fk")

@@ -91,6 +91,7 @@ _RUN_FIRST = (
     "streaming_heavy_hitters",
     "analyze_table_profile",
     "user_journey_paths",
+    "dq_referential_check",
     "pipeline_export_shards",
     "text_bigram_lm",
     "embedding_kmeans",
