@@ -1,0 +1,396 @@
+"""Analytics batch 5: market-basket pair mining, RFM segmentation,
+GROUPING SETS reporting, salted skew-proof aggregation, per-dimension
+embedding statistics, a dataset-card report, and a tolerance-bounded as-of
+join. All DuckDB-oracle-gated.
+
+Reference parity: the reference engine's query surface is scan+merge feeding
+DataFusion (SURVEY.md §0); these are the Spark-native relational/vector
+operators a user of that engine composes downstream. Scale notes inline —
+every query is one or two hash-shuffles with bounded intermediate
+cardinality; nothing is quadratic in the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from horaedb_spark.functions.similarity import quantize
+from horaedb_spark.functions.skew import salted_agg
+from horaedb_spark.functions.text import token_count
+from horaedb_spark.queries.precision import DEC, dsum, sql_dsum
+from horaedb_spark.queries.registry import register
+from horaedb_spark.queries.tables import events_ms, load_table
+
+# ---------------------------------------------------------------------------
+# Market-basket pair mining (frequent co-ordered part pairs).
+
+
+@register(
+    "market_basket_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT part_a, part_b, count(*) AS support
+    FROM pairs GROUP BY 1, 2
+    HAVING count(*) >= 2
+    ORDER BY support DESC, part_a, part_b
+    LIMIT 50
+    """,
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent co-ordered part pairs (market-basket support counts).
+
+    Scale shape: the self-join is co-partitioned on l_orderkey (one shuffle,
+    no broadcast of the fact table), and the pair blow-up is bounded by
+    basket size squared (max 13 distinct parts/order in the testdata, and
+    baskets stay O(10) at any corpus scale), never corpus-squared. The
+    support aggregation map-side combines before its shuffle."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation.
+
+
+@register(
+    "customer_rfm_segments",
+    oracle=f"""
+    WITH cust AS (
+      SELECT o_custkey,
+             max(epoch_ms(o_orderdate)) AS last_ms,
+             count(*) AS freq,
+             {sql_dsum('o_totalprice')} AS monetary
+      FROM orders GROUP BY 1
+    ), scored AS (
+      SELECT o_custkey,
+             ntile(4) OVER (ORDER BY last_ms DESC, o_custkey) AS r_score,
+             ntile(4) OVER (ORDER BY freq DESC, o_custkey) AS f_score,
+             ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+      FROM cust
+    )
+    SELECT r_score, f_score, m_score,
+           count(*) AS n_customers,
+           CAST(sum(o_custkey) AS BIGINT) AS cust_checksum
+    FROM scored GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: quartile recency/frequency/monetary scores per
+    customer, reported as segment sizes with an id-checksum pinning exact
+    membership.
+
+    The per-customer aggregate is one hash shuffle over the fact table; the
+    ntile windows then run over the *aggregated* customer list (|customers|
+    rows, tiny next to orders). Ties are broken by custkey so quartile
+    membership is deterministic. At extreme customer cardinality the global
+    ntile sort becomes the bottleneck — swap for approx quantile boundaries
+    there; exact quartiles keep this oracle-checkable."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.max(F.unix_millis("o_orderdate")).alias("last_ms"),
+        F.count(F.lit(1)).alias("freq"),
+        dsum("o_totalprice").alias("monetary"),
+    )
+    scored = cust.select(
+        "o_custkey",
+        F.ntile(4).over(Window.orderBy(F.desc("last_ms"), "o_custkey")).alias("r_score"),
+        F.ntile(4).over(Window.orderBy(F.desc("freq"), "o_custkey")).alias("f_score"),
+        F.ntile(4).over(Window.orderBy(F.desc("monetary"), "o_custkey")).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("o_custkey").alias("cust_checksum"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS report (beyond the existing rollup/cube coverage).
+
+
+@register(
+    "grouping_sets_report",
+    oracle=f"""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n_lines,
+           {sql_dsum('l_extendedprice')} AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY returnflag, linestatus
+    """,
+)
+def grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (detail + per-flag subtotal + grand total) —
+    the irregular-hierarchy sibling of the registered rollup/cube queries.
+    Spark expands the sets into one Expand + single hash aggregate: one scan,
+    one shuffle, regardless of how many sets are listed."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_gsets")
+    return spark.sql(
+        f"""
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               count(*) AS n_lines,
+               round(CAST(sum(CAST(l_extendedprice AS {DEC})) AS DOUBLE), 2)
+                 AS revenue
+        FROM li_gsets
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY returnflag, linestatus
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Salted (skew-proof) aggregation, registered under the oracle gate.
+
+
+@register(
+    "skew_salted_rollup",
+    oracle=f"""
+    SELECT event_type, count(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def skew_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over the (low-cardinality, skewed)
+    event_type key — the straggler-proof plan for hot-key aggregation
+    (functions/skew.py). Phase 1 aggregates per (key, salt) so a hot key's
+    rows reduce in parallel across partitions; phase 2 merges the ≤16
+    partials per key. The oracle is the plain GROUP BY: salting must be
+    invisible in the result (decimal-routed sums make the merge order
+    irrelevant)."""
+    ev = events_ms(spark, sf_dir)
+    merged = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": F.count(F.lit(1)),
+            "sum_dec": F.sum(F.col("value").cast(DEC)),
+        },
+        lambda name: F.sum(name),
+    )
+    return merged.select(
+        "event_type",
+        "n_events",
+        F.round(F.col("sum_dec").cast("double"), 2).alias("total_value"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding statistics (feature-scaling / drift input).
+
+
+@register(
+    "embedding_dim_stats",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+              FOR x IN embedding] AS qv
+      FROM embeddings
+    ), ex AS (
+      SELECT i AS dim, qv[i] AS v
+      FROM q, unnest(generate_series(1, 64)) AS t(i)
+    )
+    SELECT dim, count(*) AS n,
+           CAST(sum(v) AS BIGINT) AS sum_q,
+           CAST(sum(v * v) AS BIGINT) AS sum_sq,
+           floor(sum(v) * 1000000.0 / (count(*) * 1000) + 0.5) / 1000000.0
+             AS mean
+    FROM ex GROUP BY dim ORDER BY dim
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics over the embedding column — the
+    normalization/drift-detection input every feature pipeline computes.
+    posexplode → one map-side-combined hash aggregate keyed on dimension
+    (64 groups, trivially balanced). Quantized integer sums are exact, and
+    the mean is rounded with the floor(x*1e6+0.5) idiom — pure IEEE ops on
+    exact integers, so it reproduces bit-identically on any engine or
+    partitioning (Spark's BigDecimal `round` and DuckDB's binary `round`
+    disagree on decimal-representable half-ties like -0.0010205)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.posexplode(quantize(F.col("embedding"))).alias("pos", "v")
+    ).select((F.col("pos") + 1).alias("dim"), "v")
+    return (
+        ex.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("sum_q"),
+            F.sum(F.col("v") * F.col("v")).alias("sum_sq"),
+        )
+        .select(
+            "dim",
+            "n",
+            "sum_q",
+            "sum_sq",
+            (
+                F.floor(
+                    F.col("sum_q") * F.lit(1000000.0) / (F.col("n") * F.lit(1000))
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("mean"),
+        )
+        .orderBy("dim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card: the corpus composition report shipped with a training set.
+
+
+@register(
+    "pipeline_dataset_card",
+    oracle=r"""
+    WITH per AS (
+      SELECT source, lang, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT)
+               AS total_tokens
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT source, lang, n_docs, total_chars, total_tokens,
+           round(n_docs * 1.0 / sum(n_docs) OVER (), 6) AS doc_share
+    FROM per ORDER BY source, lang
+    """,
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card composition report: per (source, lang) document counts,
+    char and whitespace-token totals, and each cell's share of the corpus.
+    One hash aggregate over the corpus; the share window runs over the
+    aggregated cells (|sources|x|langs| rows), so the second pass is free."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(token_count("text")).alias("total_tokens"),
+    )
+    w = Window.partitionBy()
+    return per.select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_chars",
+        "total_tokens",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("doc_share"),
+    ).orderBy("source", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Tolerance-bounded as-of join.
+
+_ASOF_TOL_MS = 6 * 3600 * 1000  # only attribute clicks within 6 hours
+
+
+@register(
+    "asof_join_tolerance",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT user_id, ts, max(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ), purchases AS (
+      SELECT event_id AS purchase_id, user_id, ts, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT purchase_id, user_id, purchase_value, click_ts_ms, click_id,
+           staleness_ms
+    FROM (
+      SELECT p.purchase_id, p.user_id, round(p.value, 6) AS purchase_value,
+             epoch_ms(c.ts) AS click_ts_ms, c.click_id,
+             epoch_ms(p.ts) - epoch_ms(c.ts) AS staleness_ms
+      FROM purchases p
+      ASOF JOIN clicks c ON p.user_id = c.user_id AND c.ts <= p.ts
+    ) WHERE staleness_ms <= {_ASOF_TOL_MS}
+    ORDER BY purchase_id
+    """,
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance: each purchase matched to the
+    latest same-user click at-or-before it, but only if that click happened
+    within the attribution window (6 h) — the production variant of
+    asof_join_purchase_click (stale matches are worse than no match).
+
+    Same scale-first plan: union + one window shuffle on user_id, then a
+    row-local staleness filter — no range join, no nested loop."""
+    ev = events_ms(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts", "ts_ms")
+        .agg(F.max("event_id").alias("click_id"))
+        .select(
+            "user_id",
+            "ts",
+            F.col("ts_ms").alias("click_ts_ms"),
+            "click_id",
+            F.lit(None).cast("long").alias("purchase_id"),
+            F.lit(None).cast("double").alias("value"),
+            F.lit(None).cast("long").alias("purchase_ts_ms"),
+            F.lit(0).alias("is_purchase"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("click_ts_ms"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+        "value",
+        F.col("ts_ms").alias("purchase_ts_ms"),
+        F.lit(1).alias("is_purchase"),
+    )
+    # clicks sort before purchases at the same timestamp => `<=` semantics
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    joined = (
+        clicks.unionByName(purchases)
+        .withColumn("last_click_ts_ms", F.last("click_ts_ms", ignorenulls=True).over(w))
+        .withColumn("last_click_id", F.last("click_id", ignorenulls=True).over(w))
+        .filter((F.col("is_purchase") == 1) & F.col("last_click_ts_ms").isNotNull())
+        .withColumn(
+            "staleness_ms", F.col("purchase_ts_ms") - F.col("last_click_ts_ms")
+        )
+        .filter(F.col("staleness_ms") <= F.lit(_ASOF_TOL_MS))
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.round("value", 6).alias("purchase_value"),
+        F.col("last_click_ts_ms").alias("click_ts_ms"),
+        F.col("last_click_id").alias("click_id"),
+        "staleness_ms",
+    ).orderBy("purchase_id")

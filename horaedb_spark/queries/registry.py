@@ -68,6 +68,7 @@ _QUERY_MODULES = (
     "analytics",
     "analytics2",
     "analytics3",
+    "analytics5",
 )
 
 # The driver's correctness run walks queries in map order and covers only
@@ -80,6 +81,14 @@ _QUERY_MODULES = (
 # the latest CORRECTNESS_r{N}.json: drop names once green, promote any
 # regression.
 _RUN_FIRST = (
+    # --- round-3 batch-5 additions (never ANY driver row)
+    "market_basket_pairs",
+    "customer_rfm_segments",
+    "grouping_sets_report",
+    "skew_salted_rollup",
+    "embedding_dim_stats",
+    "pipeline_dataset_card",
+    "asof_join_tolerance",
     # --- round-3 additions (never ANY driver row)
     "pipeline_token_budget",
     "promql_slo_burn_rate",
