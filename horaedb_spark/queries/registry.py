@@ -89,6 +89,7 @@ _RUN_FIRST = (
     "embedding_dim_stats",
     "pipeline_dataset_card",
     "asof_join_tolerance",
+    "storage_secondary_index_scan",
     # --- round-3 additions (never ANY driver row)
     "pipeline_token_budget",
     "promql_slo_burn_rate",

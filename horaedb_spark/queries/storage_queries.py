@@ -759,3 +759,43 @@ def storage_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+_INDEX_CACHE: dict[str, "SecondaryIndex"] = {}
+
+
+@register(
+    "storage_secondary_index_scan",
+    oracle=f"""
+    SELECT user_id, event_type, ts_ms, value FROM (
+      SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, value,
+             row_number() OVER (
+               PARTITION BY user_id, event_type, epoch_ms(ts) // {_SEG_15D}
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 AND event_type = 'purchase'
+    ORDER BY user_id, ts_ms
+    """,
+)
+def storage_secondary_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary inverted index (storage/index.py — the RFC's index-table
+    design generalized from the metric layer to any PK column): a persisted
+    posting list ``event_type -> SST file ids`` built in one distributed
+    pass, consulted before the scan so the point lookup reads only SSTs
+    containing the value. On uniformly distributed testdata every slice
+    holds every type (no files drop here — tests/test_storage.py proves the
+    pruning on a sparse fixture); what this query pins is SOUNDNESS: the
+    index-pruned merge-on-read result must equal the plain filtered merge.
+    """
+    from horaedb_spark.storage.index import SecondaryIndex
+
+    table = _build_events_table(spark, sf_dir, _SEG_15D, 4)
+    key = f"etype:{sf_dir}"
+    if key not in _INDEX_CACHE:
+        idx = SecondaryIndex(table, "event_type")
+        idx.build()
+        _INDEX_CACHE[key] = idx
+    df = _INDEX_CACHE[key].scan_eq("purchase", ScanRequest(ordered=False))
+    return df.select("user_id", "event_type", "ts_ms", "value").orderBy(
+        "user_id", "ts_ms"
+    )

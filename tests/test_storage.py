@@ -587,3 +587,35 @@ def test_table_catalog_lifecycle(spark, tmp_path):
     assert cat.list_tables() == []
     with _pytest.raises(NoSuchTableError):
         cat.open_table("events_kv")
+
+
+def test_secondary_index_prunes_and_matches(table):
+    from horaedb_spark.storage.index import SecondaryIndex
+
+    # pk2 is sparse per file: file 1 has pk2 in {1,2}, file 2 {2,3}, file 3 {9}
+    _write(table, [(1, 1, 10), (2, 2, 20)], TimeRange(1, 10))
+    _write(table, [(3, 2, 30), (4, 3, 40)], TimeRange(10, 20))
+    _write(table, [(5, 9, 50)], TimeRange(20, 30))
+
+    idx = SecondaryIndex(table, "pk2")
+    assert idx.build() == 5  # 5 (value, file) postings
+    files_for_2 = idx.lookup(2)
+    assert len(files_for_2) == 2  # files 1 and 2 only — file 3 pruned
+
+    got = [tuple(r) for r in idx.scan_eq(2).collect()]
+    want = [
+        tuple(r)
+        for r in table.scan(ScanRequest(predicate="pk2 = 2")).collect()
+    ]
+    assert got == want and len(got) == 2
+
+    # value 9 lives in exactly one file
+    assert len(idx.lookup(9)) == 1
+    assert [tuple(r) for r in idx.scan_eq(9).collect()] == [(5, 9, 50)]
+
+
+def test_secondary_index_refuses_non_pk_on_overwrite(table):
+    from horaedb_spark.storage.index import SecondaryIndex
+
+    with pytest.raises(ValueError, match="unsound"):
+        SecondaryIndex(table, "value")
