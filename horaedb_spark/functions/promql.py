@@ -565,17 +565,24 @@ def edge_over_time(df: DataFrame, series_cols: list[str], step_ms: int) -> DataF
 
 
 def topk_series(
-    df: DataFrame, series_cols: list[str], by_labels: list[str], step_ms: int, k: int
+    df: DataFrame,
+    series_cols: list[str],
+    by_labels: list[str],
+    step_ms: int,
+    k: int,
+    largest: bool = True,
 ) -> DataFrame:
-    """PromQL ``topk(k, sum by (series) (metric))`` per step bucket within
-    each label group: rank series by decimal-exact sum, keep the top k
-    (ties broken by series identity for determinism)."""
+    """PromQL ``topk(k, sum by (series) (metric))`` — or ``bottomk`` with
+    ``largest=False`` — per step bucket within each label group: rank series
+    by decimal-exact sum, keep the k largest/smallest (ties broken by series
+    identity for determinism)."""
     b = _bucketed(df, step_ms)
     summed = b.groupBy(*by_labels, *series_cols, "bucket_ms").agg(
         F.sum(F.col("value").cast("decimal(30,10)")).cast("double").alias("series_sum")
     )
+    order = F.desc("series_sum") if largest else F.asc("series_sum")
     w = Window.partitionBy(*by_labels, "bucket_ms").orderBy(
-        F.desc("series_sum"), *[F.asc(c) for c in series_cols]
+        order, *[F.asc(c) for c in series_cols]
     )
     return (
         summed.withColumn("topk_rank", F.row_number().over(w))

@@ -530,6 +530,52 @@ def promql_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------------ D6 bottomk
+@register(
+    "promql_bottomk",
+    oracle=_DEDUP_CTE
+    + f"""
+    SELECT cohort, bucket_ms, user_label, series_sum, bottomk_rank FROM (
+      SELECT cohort, bucket_ms, user_label, series_sum,
+             row_number() OVER (PARTITION BY cohort, bucket_ms
+                                ORDER BY series_sum ASC, user_label) AS bottomk_rank
+      FROM (
+        SELECT cohort, ts_ms - ts_ms % {30 * DAY_MS} AS bucket_ms, user_label,
+               round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 6)
+                   AS series_sum
+        FROM samples WHERE name = 'purchase'
+        GROUP BY 1, 2, 3
+      )
+    ) WHERE bottomk_rank <= 3
+    ORDER BY cohort, bucket_ms, bottomk_rank
+    """,
+)
+def promql_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL bottomk(3, sum by (user) (purchase)) per cohort per 30-day
+    step — the ascending mirror of promql_topk (functions/promql.py
+    topk_series(largest=False)). Rounding happens BEFORE ranking on both
+    sides so the sort keys are identical doubles."""
+    eng = _engine(spark, sf_dir)
+    sel = _series_with_labels(eng.select_series("purchase"))
+    b = sel.withColumn("bucket_ms", promql.time_bucket(F.col("ts_ms"), 30 * DAY_MS))
+    summed = b.groupBy("cohort", "bucket_ms", "user_label").agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(30,10)")).cast("double"), 6
+        ).alias("series_sum")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("cohort", "bucket_ms").orderBy(
+        F.asc("series_sum"), F.asc("user_label")
+    )
+    return (
+        summed.withColumn("bottomk_rank", F.row_number().over(w))
+        .filter(F.col("bottomk_rank") <= 3)
+        .select("cohort", "bucket_ms", "user_label", "series_sum", "bottomk_rank")
+        .orderBy("cohort", "bucket_ms", "bottomk_rank")
+    )
+
+
 # ---------------------------------------------------------------------- D7 histogram_quantile
 _HQ_BOUNDS = (10.0, 50.0, 100.0, 250.0)
 

@@ -114,6 +114,7 @@ _RUN_FIRST = (
     "remote_write_ingest",
     "promql_over_time",
     "promql_topk",
+    "promql_bottomk",
     "promql_histogram_quantile",
     "promql_instant_vector",
     "promql_resets_changes",

@@ -86,6 +86,41 @@ class SecondaryIndex:
         os.replace(tmp, self.path)
         return self.table.spark.read.parquet(self.path).count()
 
+    def refresh(self) -> int:
+        """Incremental maintenance: append postings for SSTs written since
+        the last build/refresh (one distributed pass over only the NEW
+        files — the steady-state cost on an ingesting table). File ids are
+        monotonic, so "new" is a max-file-id watermark. Compaction replaces
+        file ids wholesale; detect a vanished indexed id and fall back to a
+        full rebuild (the simple correct policy — see module docstring).
+        Returns postings added (or total, after a rebuild)."""
+        if not os.path.exists(self.path):
+            return self.build()
+        spark = self.table.spark
+        indexed = {
+            r[0]
+            for r in spark.read.parquet(self.path).select("file_id").distinct().collect()
+        }
+        live = {s.file_id for s in self.table.manifest.all_ssts()}
+        if indexed - live:  # an indexed file was compacted away
+            return self.build()
+        new = [s for s in self.table.manifest.all_ssts() if s.file_id not in indexed]
+        if not new:
+            return 0
+        reader = spark.read.option("basePath", self.table.data_dir).schema(
+            self.table.schema.physical_schema()
+        )
+        postings = (
+            reader.parquet(*[s.path for s in new])
+            .select(
+                F.col(self.column).alias("value"), F.col(SEQ_COLUMN).alias("file_id")
+            )
+            .distinct()
+        )
+        n = postings.count()
+        postings.write.mode("append").parquet(self.path)
+        return n
+
     def lookup(self, value) -> set[int]:
         """File ids whose SST contains ``value`` (pushdown-filtered read of
         the posting table — metadata-sized result)."""

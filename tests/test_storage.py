@@ -619,3 +619,24 @@ def test_secondary_index_refuses_non_pk_on_overwrite(table):
 
     with pytest.raises(ValueError, match="unsound"):
         SecondaryIndex(table, "value")
+
+
+def test_secondary_index_refresh_incremental_and_rebuild(table):
+    from horaedb_spark.storage.index import SecondaryIndex
+
+    _write(table, [(1, 1, 10), (2, 2, 20)], TimeRange(1, 10))
+    idx = SecondaryIndex(table, "pk2")
+    assert idx.build() == 2
+
+    # incremental: only the new SST is scanned and appended
+    _write(table, [(3, 3, 30)], TimeRange(10, 20))
+    assert idx.refresh() == 1
+    assert len(idx.lookup(3)) == 1
+    # no-op refresh
+    assert idx.refresh() == 0
+
+    # pk2=2 row rewritten in a later file: posting list gains the new file
+    _write(table, [(9, 2, 99)], TimeRange(20, 30))
+    assert idx.refresh() == 1
+    got = [tuple(r) for r in idx.scan_eq(2).collect()]
+    assert got == [(2, 2, 20), (9, 2, 99)]
