@@ -143,6 +143,7 @@ _RUN_FIRST = (
     "promql_sliding_over_time",
     "promql_sliding_histogram_quantile",
     # --- never ANY driver row: streaming
+    "streaming_late_data",
     "streaming_session_window",
     "streaming_stream_join",
     "streaming_dedup",

@@ -699,3 +699,118 @@ def _bind_hh_oracle() -> None:
 
 
 _bind_hh_oracle()
+
+
+# Late-data constants: events span 2024-01-01..01-31 (all SFs). Three
+# ordered micro-batches: days 10-20 first, then the newest slice (>= day
+# 20, which advances the watermark), then the late tail (< day 10). With a
+# 12-day delay the drop frontier the late batch meets is
+# max(batch-1 event time) - delay ~= day 7.95 (late rows in windows ending
+# at or below it are discarded; later ones are still admitted), and the
+# emission frontier is global max - delay ~= day 17.98. Nothing is
+# 6h-aligned, so no window end ever ties a watermark exactly.
+_EPOCH0 = 1704067200000  # 2024-01-01 00:00:00 UTC
+_LATE_C1 = _EPOCH0 + 10 * 86_400_000
+_LATE_C2 = _EPOCH0 + 20 * 86_400_000
+_LATE_DELAY_MS = 12 * 86_400_000
+
+
+@register(
+    "streaming_late_data",
+    oracle=f"""
+    WITH params AS (
+      SELECT (SELECT max(epoch_ms(ts)) FROM events
+              WHERE epoch_ms(ts) >= {_LATE_C1} AND epoch_ms(ts) < {_LATE_C2})
+               - {_LATE_DELAY_MS} AS wm_drop,
+             (SELECT max(epoch_ms(ts)) FROM events) - {_LATE_DELAY_MS} AS wm_final
+    ), tagged AS (
+      SELECT epoch_ms(ts) AS ts_ms, event_type, value,
+             epoch_ms(ts) - epoch_ms(ts) % {SIX_H} + {SIX_H} AS wend
+      FROM events
+    ), accepted AS (
+      SELECT t.* FROM tagged t, params p
+      WHERE t.ts_ms >= {_LATE_C1}      -- on-time batches: admitted in full
+         OR t.wend > p.wm_drop         -- late batch: beats the watermark
+    )
+    SELECT a.wend - {SIX_H} AS window_start_ms, a.event_type,
+           count(*) AS n,
+           round(CAST(sum(CAST(a.value AS DECIMAL(30,10))) AS DOUBLE), 6)
+             AS sum_value
+    FROM accepted a, params p
+    WHERE a.wend <= p.wm_final         -- only finalized windows are emitted
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics under the oracle gate: append-mode 6h
+    windows with a 12-day watermark over three ordered micro-batches —
+    on-time data, a newer slice that advances the watermark, then the late
+    tail. The batch oracle replays Spark's contract arithmetically: a late
+    row survives iff its window end beats the watermark in force when it
+    arrives (numRowsDroppedByWatermark counts the rest), and a window is
+    emitted iff its end is at or below the final watermark. Dropped rows
+    and still-open windows are invisible on both engines — the
+    bounded-state guarantee that makes streaming aggregation feasible at
+    100 TB/day (state is O(windows inside the watermark), not O(history))."""
+    key = f"late:{sf_dir}"
+    if key not in _CACHE:
+        import os as _os
+
+        ev = events_ms(spark, sf_dir).select("ts_ms", "event_type", "value")
+        batches = (
+            ev.filter((F.col("ts_ms") >= _LATE_C1) & (F.col("ts_ms") < _LATE_C2)),
+            ev.filter(F.col("ts_ms") >= _LATE_C2),
+            ev.filter(F.col("ts_ms") < _LATE_C1),
+        )
+        root = tempfile.mkdtemp(prefix="horaedb_late_")
+        # one data file per logical batch + strictly ordered mtimes: the
+        # file source must replay the arrival order (test_streaming.py)
+        for i, df in enumerate(batches):
+            d = f"{root}/f{i}"
+            df.coalesce(1).write.parquet(d)
+            for fn in _os.listdir(d):
+                _os.utime(f"{d}/{fn}", (1_700_000_000 + i * 10,) * 2)
+        stream = (
+            spark.readStream.schema(batches[0].schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/f*")
+            .withColumn("ts_ts", F.timestamp_millis(F.col("ts_ms")))
+        )
+        agg = (
+            stream.withWatermark("ts_ts", "288 hours")
+            .groupBy(F.window("ts_ts", "6 hours").alias("w"), "event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(30,10)")).cast("double"), 6
+                ).alias("sum_value"),
+            )
+        )
+        name = "horaedb_stream_late_data"
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        out = spark.table(name).select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        _CACHE[key] = spark.createDataFrame(
+            out.collect(),
+            T.StructType(
+                [
+                    T.StructField("window_start_ms", T.LongType()),
+                    T.StructField("event_type", T.StringType()),
+                    T.StructField("n", T.LongType()),
+                    T.StructField("sum_value", T.DoubleType()),
+                ]
+            ),
+        ).orderBy("window_start_ms", "event_type")
+    return _CACHE[key]
