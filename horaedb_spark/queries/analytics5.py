@@ -394,3 +394,184 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last_click_id").alias("click_id"),
         "staleness_ms",
     ).orderBy("purchase_id")
+
+
+# ---------------------------------------------------------------------------
+# Corpus mixture weights (data-mixing plan for a token-budgeted training set).
+
+
+@register(
+    "pipeline_mixture_weights",
+    oracle=r"""
+    WITH per AS (
+      SELECT source,
+             CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT)
+               AS tokens,
+             1.0 + CAST(('0x' || substr(md5(source), 1, 2)) AS INTEGER) / 255.0
+               AS w
+      FROM documents GROUP BY source
+    ), shares AS (
+      SELECT source, tokens, w / sum(w) OVER () AS share FROM per
+    ), budget AS (
+      SELECT min(tokens / share) AS b FROM shares
+    )
+    SELECT s.source, s.tokens,
+           round(s.share, 6) AS target_share,
+           round(s.share * b.b / s.tokens, 6) AS keep_prob,
+           CAST(floor(s.share * b.b) AS BIGINT) AS expected_tokens
+    FROM shares s, budget b
+    ORDER BY s.source
+    """,
+)
+def pipeline_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing plan: given md5-derived target shares per source, compute
+    the largest downsampling-only budget (no source upsampled) and each
+    source's keep probability and expected token yield — the arithmetic
+    every pretraining mixture pass runs before sampling. One token-count
+    aggregate over the corpus; shares/budget run over |sources| rows, and
+    the budget scalar broadcasts back. Deterministic: integer token counts,
+    identical IEEE ratio arithmetic on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(F.sum(token_count("text")).alias("tokens"))
+    per = per.withColumn(
+        "w",
+        F.lit(1.0)
+        + F.conv(F.substring(F.md5("source"), 1, 2), 16, 10).cast("int") / F.lit(255.0),
+    )
+    shares = per.withColumn(
+        "share", F.col("w") / F.sum("w").over(Window.partitionBy())
+    )
+    b = shares.agg(F.min(F.col("tokens") / F.col("share")).alias("b"))
+    return (
+        shares.crossJoin(F.broadcast(b))
+        .select(
+            "source",
+            "tokens",
+            F.round("share", 6).alias("target_share"),
+            F.round(F.col("share") * F.col("b") / F.col("tokens"), 6).alias(
+                "keep_prob"
+            ),
+            F.floor(F.col("share") * F.col("b")).alias("expected_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust (median/MAD) outlier detection over the event stream.
+
+
+@register(
+    "events_mad_outliers",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vq
+      FROM events
+    ), med AS (
+      SELECT event_type, median(vq) AS med_milli FROM q GROUP BY event_type
+    ), dev AS (
+      SELECT q.event_type, q.vq, m.med_milli, abs(q.vq - m.med_milli) AS adev
+      FROM q JOIN med m USING (event_type)
+    ), mad AS (
+      SELECT event_type, median(adev) AS mad_milli FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type, count(*) AS n,
+           max(d.med_milli) AS med_milli, max(m.mad_milli) AS mad_milli,
+           CAST(count(*) FILTER (WHERE d.adev > 3 * 1.4826 * m.mad_milli)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type ORDER BY d.event_type
+    """,
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: median/MAD outlier counts per event type
+    (the z-score variant is promql_zscore_anomalies; MAD survives the heavy
+    tails that wreck mean/stddev). Values quantize to milli-ints, so the
+    exact interpolated medians land on the half-integer grid and reproduce
+    bit-identically on both engines — including the 3*1.4826*MAD threshold
+    comparison. Plan: two median aggregates and a final count, each one
+    shuffle keyed by the (tiny) event_type domain; the per-type medians
+    broadcast back onto the stream."""
+    ev = events_ms(spark, sf_dir).select(
+        "event_type", F.floor(F.col("value") * 1000 + F.lit(0.5)).alias("vq")
+    )
+    med = ev.groupBy("event_type").agg(F.percentile("vq", 0.5).alias("med_milli"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("vq") - F.col("med_milli"))
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("adev", 0.5).alias("mad_milli"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("med_milli").alias("med_milli"),
+            F.max("mad_milli").alias("mad_milli"),
+            F.sum(
+                (F.col("adev") > F.lit(3 * 1.4826) * F.col("mad_milli")).cast("long")
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lag-1 autocorrelation per event-type series.
+
+
+@register(
+    "events_lag_autocorr",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             CAST(floor(value + 0.5) AS BIGINT) AS x,
+             lag(CAST(floor(value + 0.5) AS BIGINT)) OVER (
+               PARTITION BY event_type ORDER BY epoch_ms(ts), event_id) AS y
+      FROM events
+    ), s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM q WHERE y IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+             AS lag1_autocorr
+    FROM s ORDER BY event_type
+    """,
+)
+def events_lag_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation per event-type series (is the stream trending
+    or i.i.d.? — the diagnostic behind seasonality/anomaly model choice).
+    Values quantize to unit ints, so every Pearson sum is an exact BIGINT
+    (bounded ~1e17 at sf0.1, inside int64) and the final correlation is one
+    deterministic IEEE expression. One window shuffle keyed by series for
+    the lag, one partial-aggregated shuffle for the sums."""
+    ev = events_ms(spark, sf_dir).select(
+        "event_type",
+        "ts_ms",
+        "event_id",
+        F.floor(F.col("value") + F.lit(0.5)).alias("x"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts_ms", "event_id")
+    pairs = ev.withColumn("y", F.lag("x").over(w)).filter(F.col("y").isNotNull())
+    s = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return s.select(
+        "event_type", "n", F.round(num / den, 6).alias("lag1_autocorr")
+    ).orderBy("event_type")

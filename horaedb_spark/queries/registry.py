@@ -90,6 +90,9 @@ _RUN_FIRST = (
     "pipeline_dataset_card",
     "asof_join_tolerance",
     "storage_secondary_index_scan",
+    "pipeline_mixture_weights",
+    "events_mad_outliers",
+    "events_lag_autocorr",
     # --- round-3 additions (never ANY driver row)
     "pipeline_token_budget",
     "promql_slo_burn_rate",
