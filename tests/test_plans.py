@@ -402,3 +402,49 @@ def test_interval_join_is_hash_equi_not_nested_loop(spark):
     assert sorted(map(tuple, out.select("id", "iv_id").collect())) == sorted(
         map(tuple, naive.select("id", "iv_id").collect())
     )
+
+
+def test_market_basket_self_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The basket self-join must be an equi-join co-partitioned on
+    l_orderkey (the `part_a < part_b` half stays a residual filter), never
+    a cartesian/nested-loop pair blow-up."""
+    from horaedb_spark.queries.analytics5 import market_basket_pairs
+
+    plan = plan_of(market_basket_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_asof_tolerance_is_window_not_range_join(spark, sf_dir):
+    """The tolerance-bounded as-of join must keep the union+window shape
+    (one shuffle on user_id): no join operator at all in the plan —
+    the staleness filter is row-local after the window."""
+    from horaedb_spark.queries.analytics5 import asof_join_tolerance
+
+    plan = plan_of(asof_join_tolerance(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" not in plan, plan[:3000]
+    assert "windowspecdefinition" in plan or "Window" in plan
+
+
+def test_embedding_dim_stats_partial_aggregates(spark, sf_dir):
+    """posexplode -> hash aggregate must map-side combine (partial_ +
+    final merge), so the shuffle carries 64 partials per task, not the
+    exploded corpus."""
+    from horaedb_spark.queries.analytics5 import embedding_dim_stats
+
+    plan = _final_plan(embedding_dim_stats(spark, sf_dir))
+    assert "Generate posexplode" in plan or "posexplode" in plan
+    assert "partial_sum" in plan or "partial sum" in plan.lower(), plan[:3000]
+
+
+def test_mad_outliers_medians_broadcast_back(spark, sf_dir):
+    """Per-type medians are metadata-sized and must broadcast onto the
+    event stream (no shuffle of the fact side for the join)."""
+    from horaedb_spark.queries.analytics5 import events_mad_outliers
+
+    plan = plan_of(events_mad_outliers(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
