@@ -575,3 +575,107 @@ def events_lag_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "event_type", "n", F.round(num / den, 6).alias("lag1_autocorr")
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix (detector quality against the labeled corpus).
+
+
+def _langid_confusion_oracle() -> str:
+    from horaedb_spark.queries.text_queries import _DE, _EN, _ES, _FR
+
+    return rf"""
+    WITH w AS (
+      SELECT doc_id, lang, string_split_regex(text, '\s+') AS words
+      FROM documents
+    ), scores AS (
+      SELECT doc_id, lang,
+             len(list_filter(words, x -> x IN ({_EN}))) AS s_en,
+             len(list_filter(words, x -> x IN ({_DE}))) AS s_de,
+             len(list_filter(words, x -> x IN ({_ES}))) AS s_es,
+             len(list_filter(words, x -> x IN ({_FR}))) AS s_fr
+      FROM w
+    ), pred AS (
+      SELECT doc_id, lang,
+             CASE WHEN greatest(s_en, s_de, s_es, s_fr) <= 0 THEN 'und'
+                  WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+                  WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+                  WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+                  ELSE 'fr' END AS lang_pred
+      FROM scores
+    )
+    SELECT lang, lang_pred, count(*) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM pred GROUP BY 1, 2 ORDER BY lang, lang_pred
+    """
+
+
+@register("text_langid_confusion", oracle=_langid_confusion_oracle())
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detector-quality confusion matrix: labeled lang x predicted lang with
+    id-checksums pinning exact membership — the evaluation every language-ID
+    stage ships with. Same row-local detector as text_lang_id (no shuffle
+    until the tiny matrix aggregate)."""
+    from horaedb_spark.functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select(
+        "doc_id", "lang", TX.predict_lang(TX.words("text")).alias("lang_pred")
+    )
+    return (
+        pred.groupBy("lang", "lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("lang", "lang_pred")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order-to-ship latency distribution.
+
+_WEEK_MS = 7 * 86_400_000
+
+
+@register(
+    "order_ship_latency",
+    oracle=f"""
+    WITH joined AS (
+      -- floor, not BIGINT `//` (which truncates toward zero): the synthetic
+      -- dates make delays of either sign and week buckets must floor
+      SELECT CAST(floor((epoch_ms(l.l_shipdate) - epoch_ms(o.o_orderdate))
+                        * 1.0 / {_WEEK_MS}) AS BIGINT) AS delay_wk,
+             l.l_orderkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT delay_wk, count(*) AS n_lines,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+    FROM joined GROUP BY delay_wk ORDER BY delay_wk
+    """,
+)
+def order_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency histogram in whole weeks — the fulfillment-SLA
+    distribution. Fact-fact equi-join on the order key (co-partitioned SMJ
+    at scale; AQE may downgrade the orders side to a broadcast at small SFs)
+    followed by one map-side-combined aggregate on integer week buckets —
+    exact arithmetic end to end."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    joined = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        # floor (not truncation): matches DuckDB's `//` if a delay were
+        # ever negative
+        F.floor(
+            (F.unix_millis("l_shipdate") - F.unix_millis("o_orderdate"))
+            / F.lit(_WEEK_MS)
+        ).alias("delay_wk"),
+        "l_orderkey",
+    )
+    return (
+        joined.groupBy("delay_wk")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+        .orderBy("delay_wk")
+    )

@@ -93,6 +93,8 @@ _RUN_FIRST = (
     "pipeline_mixture_weights",
     "events_mad_outliers",
     "events_lag_autocorr",
+    "text_langid_confusion",
+    "order_ship_latency",
     # --- round-3 additions (never ANY driver row)
     "pipeline_token_budget",
     "promql_slo_burn_rate",
