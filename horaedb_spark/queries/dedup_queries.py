@@ -740,3 +740,49 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "dedup_cluster_histogram",
+    oracle="WITH RECURSIVE "
+    + _NEAR_CORPUS.strip()[len("WITH ") :]
+    + ",\n"
+    + _PAIRS_CTES.strip()
+    + r"""
+    , edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach(id, lbl) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    ), comp AS (
+      SELECT id, min(lbl) AS component FROM reach GROUP BY id
+    ), sizes AS (
+      SELECT component, count(*) AS csize FROM comp GROUP BY component
+    )
+    SELECT csize, count(*) AS n_clusters,
+           CAST(sum(component) AS BIGINT) AS comp_checksum
+    FROM sizes GROUP BY csize ORDER BY csize
+    """,
+)
+def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the report that tells a corpus
+    curator whether duplication is pairwise noise or giant boilerplate
+    families (the curation decision differs!). Same LSH pair graph and
+    min-label-propagation fixpoint as dedup_connected_components, then two
+    tiny aggregates (per-component size, size histogram); singleton docs
+    never enter the pair graph and are out of scope by construction."""
+    corpus = _with_near_copies(load_table(spark, sf_dir, "documents"))
+    pairs = DD.minhash_lsh_pairs(corpus, "text", "doc_id", num_hashes=16, bands=4)
+    cc = DD.connected_components(pairs)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
+    return (
+        sizes.groupBy("csize")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("component").alias("comp_checksum"),
+        )
+        .orderBy("csize")
+    )

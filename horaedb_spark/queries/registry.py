@@ -95,6 +95,8 @@ _RUN_FIRST = (
     "events_lag_autocorr",
     "text_langid_confusion",
     "order_ship_latency",
+    "dedup_cluster_histogram",
+    "embedding_quantize_int8",
     # --- round-3 additions (never ANY driver row)
     "pipeline_token_budget",
     "promql_slo_burn_rate",

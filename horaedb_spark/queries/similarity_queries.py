@@ -577,3 +577,92 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") < 20), "qv", "vec_id", k=5
     )
     return out.orderBy("query_id", "rank")
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {_QV} AS qv FROM embeddings),
+    ex AS (
+      SELECT i AS dim, qv[i] AS v
+      FROM q, unnest(generate_series(1, {_DIM})) AS t(i)
+    ), rng AS (
+      SELECT dim, min(v) AS mn, max(v) AS mx FROM ex GROUP BY dim
+    ), quant AS (
+      SELECT e.dim, e.v, r.mn, r.mx,
+             CASE WHEN r.mx = r.mn THEN 0
+                  ELSE CAST(floor((e.v - r.mn) * 255.0 / (r.mx - r.mn) + 0.5)
+                            AS BIGINT) END AS q8
+      FROM ex e JOIN rng r USING (dim)
+    ), err AS (
+      SELECT dim, mn, mx,
+             abs(255 * (v - mn) - q8 * (mx - mn)) AS err_num
+      FROM quant
+    )
+    SELECT dim, max(mn) AS mn, max(mx) AS mx, count(*) AS n,
+           CAST(max(err_num) AS BIGINT) AS max_err_num,
+           CAST(sum(err_num) AS BIGINT) AS sum_err_num,
+           floor(sum(err_num) * 1000000.0 / (count(*) * 255 * 1000) + 0.5)
+             / 1000000.0 AS mean_abs_err
+    FROM err GROUP BY dim ORDER BY dim
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension affine int8 quantization (min/max calibration) with
+    exact reconstruction-error accounting — the compression pass that cuts
+    vector storage 4x before ANN serving. Everything stays on the integer
+    grid: q8 codes floor-round a ratio of exact ints, and the error
+    numerator |255*(v-mn) - q8*(mx-mn)| is an exact BIGINT, so max/mean
+    reconstruction error reproduces bit-identically. Plan: posexplode ->
+    per-dim min/max aggregate (64 rows, broadcast back) -> row-local
+    quantize -> one final map-side-combined aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.posexplode(quantize(F.col("embedding"))).alias("pos", "v")
+    ).select((F.col("pos") + 1).alias("dim"), "v")
+    rng = ex.groupBy("dim").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    quant = ex.join(F.broadcast(rng), "dim").withColumn(
+        "q8",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+            F.floor(
+                (F.col("v") - F.col("mn")) * F.lit(255.0)
+                / (F.col("mx") - F.col("mn"))
+                + F.lit(0.5)
+            )
+        ),
+    )
+    err = quant.withColumn(
+        "err_num",
+        F.abs(
+            F.lit(255) * (F.col("v") - F.col("mn"))
+            - F.col("q8") * (F.col("mx") - F.col("mn"))
+        ),
+    )
+    return (
+        err.groupBy("dim")
+        .agg(
+            F.max("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+            F.count(F.lit(1)).alias("n"),
+            F.max("err_num").alias("max_err_num"),
+            F.sum("err_num").alias("sum_err_num"),
+        )
+        .select(
+            "dim",
+            "mn",
+            "mx",
+            "n",
+            "max_err_num",
+            "sum_err_num",
+            (
+                F.floor(
+                    F.col("sum_err_num")
+                    * F.lit(1000000.0)
+                    / (F.col("n") * F.lit(255 * 1000))
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("mean_abs_err"),
+        )
+        .orderBy("dim")
+    )
