@@ -61,6 +61,11 @@ HEADLINE = [
     # streaming
     "streaming_ingest_scan",
     "streaming_stateful_increase",
+    # round-3 continuation additions
+    "storage_secondary_index_scan",
+    "market_basket_pairs",
+    "events_mad_outliers",
+    "embedding_quantize_int8",
 ]
 
 
@@ -79,6 +84,7 @@ FIXTURE_QUERIES = (
     "storage_scan_overwrite",
     "streaming_ingest_scan",
     "streaming_stateful_increase",
+    "storage_secondary_index_scan",
 )
 
 

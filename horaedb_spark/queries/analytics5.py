@@ -679,3 +679,156 @@ def order_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("delay_wk")
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection per event-type series.
+
+
+@register(
+    "events_change_point",
+    oracle="""
+    WITH q AS (
+      SELECT event_type, epoch_ms(ts) AS ts_ms, event_id,
+             CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vq
+      FROM events
+    ), pre AS (
+      SELECT event_type, ts_ms, event_id, vq,
+             sum(vq) OVER (PARTITION BY event_type ORDER BY ts_ms, event_id
+                           ROWS UNBOUNDED PRECEDING) AS prefix,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts_ms, event_id) AS k,
+             CAST(sum(vq) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM q
+    ), dev AS (
+      -- D_k = n*prefix_k - k*total: n times the centered cumulative sum,
+      -- exact integers throughout
+      SELECT event_type, ts_ms, k, n,
+             abs(n * prefix - k * total) AS d
+      FROM pre
+    ), best AS (
+      SELECT event_type, ts_ms, k, n, d,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY d DESC, k ASC) AS rn
+      FROM dev
+    )
+    SELECT event_type, ts_ms AS change_ts_ms, k AS change_rank,
+           CAST(d AS BIGINT) AS cusum_num,
+           floor(d * 1000000.0 / (n * n * 1000) + 0.5) / 1000000.0
+             AS cusum_per_row
+    FROM best WHERE rn = 1 ORDER BY event_type
+    """,
+)
+def events_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event-type series: the row where the
+    centered cumulative sum |n*prefix_k - k*total| peaks — the classic
+    level-shift locator. Milli-quantized values keep every statistic an
+    exact BIGINT (n*prefix ~ 1e16 at sf0.1, inside int64), so the argmax
+    and its timestamp are bit-deterministic (ties break to the earliest
+    row). Plan: one window shuffle keyed by series carries the prefix sum,
+    rank, and per-series totals together; the argmax is a top-1 window."""
+    ev = events_ms(spark, sf_dir).select(
+        "event_type",
+        "ts_ms",
+        "event_id",
+        F.floor(F.col("value") * 1000 + F.lit(0.5)).alias("vq"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("ts_ms", "event_id")
+    wp = Window.partitionBy("event_type")
+    pre = ev.select(
+        "event_type",
+        "ts_ms",
+        F.sum("vq").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("prefix"),
+        F.row_number().over(wo).alias("k"),
+        F.sum("vq").over(wp).alias("total"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    dev = pre.withColumn(
+        "d", F.abs(F.col("n") * F.col("prefix") - F.col("k") * F.col("total"))
+    )
+    best = dev.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("event_type").orderBy(F.desc("d"), F.asc("k")))
+    ).filter(F.col("rn") == 1)
+    return best.select(
+        "event_type",
+        F.col("ts_ms").alias("change_ts_ms"),
+        F.col("k").alias("change_rank"),
+        F.col("d").alias("cusum_num"),
+        (
+            F.floor(
+                F.col("d") * F.lit(1000000.0) / (F.col("n") * F.col("n") * F.lit(1000))
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        ).alias("cusum_per_row"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Pareto revenue concentration (decile curve).
+
+
+@register(
+    "orders_pareto_deciles",
+    oracle=f"""
+    WITH cust AS (
+      SELECT o_custkey, {sql_dsum('o_totalprice')} AS revenue
+      FROM orders GROUP BY 1
+    ), ranked AS (
+      SELECT revenue,
+             ntile(10) OVER (ORDER BY revenue DESC, o_custkey) AS decile
+      FROM cust
+    ), per AS (
+      SELECT decile, count(*) AS n_customers,
+             round(CAST(sum(CAST(revenue AS DECIMAL(30,10))) AS DOUBLE), 2)
+               AS decile_revenue
+      FROM ranked GROUP BY decile
+    ), tot AS (
+      SELECT CAST(sum(CAST(revenue AS DECIMAL(30,10))) AS DECIMAL(30,10))
+               AS total FROM cust
+    )
+    SELECT p.decile, p.n_customers, p.decile_revenue,
+           round(CAST(sum(CAST(p.decile_revenue AS DECIMAL(30,10)))
+                        OVER (ORDER BY p.decile) / t.total AS DOUBLE), 6)
+             AS cum_share
+    FROM per p, tot t ORDER BY p.decile
+    """,
+)
+def orders_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto) curve: customers ranked into revenue
+    deciles with each decile's revenue and the cumulative share — "do the
+    top 10% carry 40% of revenue?". One hash aggregate over the fact table;
+    the decile ntile and cumulative share run over |customers| and 10 rows
+    respectively. Decimal-routed sums make every share deterministic; ties
+    in the decile sort break by custkey."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(dsum("o_totalprice").alias("revenue"))
+    ranked = cust.select(
+        "revenue",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("revenue"), F.asc("o_custkey")))
+        .alias("decile"),
+    )
+    per = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("revenue").alias("decile_revenue"),
+    )
+    tot = cust.agg(F.sum(F.col("revenue").cast(DEC)).alias("total"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            "decile_revenue",
+            F.round(
+                (
+                    F.sum(F.col("decile_revenue").cast(DEC))
+                    .over(Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0))
+                    / F.col("total")
+                ).cast("double"),
+                6,
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )

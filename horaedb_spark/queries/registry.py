@@ -97,6 +97,8 @@ _RUN_FIRST = (
     "order_ship_latency",
     "dedup_cluster_histogram",
     "embedding_quantize_int8",
+    "events_change_point",
+    "orders_pareto_deciles",
     # --- round-3 additions (never ANY driver row)
     "pipeline_token_budget",
     "promql_slo_burn_rate",
