@@ -99,6 +99,8 @@ _RUN_FIRST = (
     "embedding_quantize_int8",
     "events_change_point",
     "orders_pareto_deciles",
+    "text_tfidf_keywords",
+    "embedding_label_outliers",
     # --- round-3 additions (never ANY driver row)
     "pipeline_token_budget",
     "promql_slo_burn_rate",

@@ -666,3 +666,87 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+@register(
+    "embedding_label_outliers",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, label, {_QV} AS qv FROM embeddings),
+    ex AS (
+      SELECT vec_id, label, i AS dim, qv[i] AS v
+      FROM q, unnest(generate_series(1, {_DIM})) AS t(i)
+    ), cent AS (
+      SELECT label, dim, CAST(sum(v) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM ex GROUP BY label, dim
+    ), dist AS (
+      -- ||n*v - sum||^2: n^2 times the squared distance to the class
+      -- centroid, exact integers throughout
+      SELECT e.vec_id, e.label, max(c.n) AS n,
+             CAST(sum((c.n * e.v - c.s) * (c.n * e.v - c.s)) AS BIGINT) AS d2n2
+      FROM ex e JOIN cent c ON e.label = c.label AND e.dim = c.dim
+      GROUP BY e.vec_id, e.label
+    ), ranked AS (
+      SELECT label, vec_id, d2n2, n,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY d2n2 DESC, vec_id) AS rk
+      FROM dist
+    )
+    SELECT label, rk, vec_id,
+           floor(sqrt(CAST(d2n2 AS DOUBLE)) / (n * 1000) * 1000000 + 0.5)
+             / 1000000 AS centroid_dist
+    FROM ranked WHERE rk <= 5
+    ORDER BY label, rk
+    """,
+)
+def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding outliers: the 5 vectors farthest from their
+    label's centroid — the mislabeled-data / contamination screen every
+    embedding pipeline runs. Distances stay exact by scaling: ||n*v - sum||²
+    is an integer (n²·dist²), so the ranking is bit-deterministic and only
+    the final display value touches floating point (floor-rounded IEEE).
+    Plan: posexplode → (label, dim) centroid sums (|labels|×64 rows,
+    broadcast back) → per-vector exact distance aggregate → top-5 window
+    per label (map-side WindowGroupLimit)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode(quantize(F.col("embedding"))).alias("pos", "v")
+    ).select("vec_id", "label", (F.col("pos") + 1).alias("dim"), "v")
+    cent = ex.groupBy("label", "dim").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    dist = (
+        ex.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(
+                (F.col("n") * F.col("v") - F.col("s"))
+                * (F.col("n") * F.col("v") - F.col("s"))
+            ).alias("d2n2"),
+        )
+    )
+    from pyspark.sql.window import Window as _W
+
+    rk = F.row_number().over(
+        _W.partitionBy("label").orderBy(F.desc("d2n2"), F.asc("vec_id"))
+    )
+    return (
+        dist.withColumn("rk", rk)
+        .filter(F.col("rk") <= 5)
+        .select(
+            "label",
+            "rk",
+            "vec_id",
+            (
+                F.floor(
+                    F.sqrt(F.col("d2n2").cast("double"))
+                    / (F.col("n") * F.lit(1000))
+                    * F.lit(1000000)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000)
+            ).alias("centroid_dist"),
+        )
+        .orderBy("label", "rk")
+    )

@@ -375,3 +375,65 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring are each one corpus pass regardless of scale."""
     docs = load_table(spark, sf_dir, "documents")
     return TX.bigram_lm_scores(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@register(
+    "text_tfidf_keywords",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2
+    ), df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ln(n.n_docs * 1.0 / df.df) AS score
+      FROM tf JOIN df USING (term), n
+    ), ranked AS (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rk
+      FROM scored
+    )
+    SELECT doc_id, rk, term, round(score, 6) AS tfidf
+    FROM ranked WHERE rk <= 3 AND doc_id < 50
+    ORDER BY doc_id, rk
+    """,
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyword extraction (top-3 terms, docs < 50 for a
+    bounded result): the classic relevance weighting behind search and
+    corpus labeling. Plan: one explode → (doc, term) hash aggregate, the
+    document-frequency table derived from it (terms-domain sized) joins
+    back on the fixed-width term key, and the per-doc top-3 runs as a
+    map-side WindowGroupLimit. The idf ratio is one IEEE expression over
+    exact counts, identical on both engines; ties break lexically."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.explode(TX.words("text")).alias("term"))
+    tf = w.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("score"),
+        )
+    )
+    from pyspark.sql.window import Window as _W
+
+    rk = F.row_number().over(
+        _W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter((F.col("rk") <= 3) & (F.col("doc_id") < 50))
+        .select("doc_id", "rk", "term", F.round("score", 6).alias("tfidf"))
+        .orderBy("doc_id", "rk")
+    )
