@@ -1073,3 +1073,122 @@ def sliding_over_time(
         dec_sum.alias("sum_over_time"),
         F.count("value").alias("count_over_time"),
     )
+
+
+def histogram_fraction(
+    bucket_df: DataFrame, group_cols: list[str], lo: float, hi: float
+) -> DataFrame:
+    """PromQL ``histogram_fraction(lo, hi, ...)`` over a cumulative bucket
+    frame (group_cols, le, bucket_count): the estimated fraction of
+    observations in (lo, hi], linearly interpolated inside the buckets the
+    endpoints land in (promql/quantile.go ``histogramFraction`` semantics for
+    classic histograms, endpoints clamped to [0, max finite le]).
+
+    Plan: the bucket frame is O(groups × buckets); one window pass per group
+    computes the interpolated cumulative rank at each endpoint, one aggregate
+    folds them — no join back to samples."""
+    w = Window.partitionBy(*group_cols).orderBy("le")
+    wall = Window.partitionBy(*group_cols)
+    en = (
+        bucket_df.withColumn(
+            "prev_count", F.coalesce(F.lag("bucket_count").over(w), F.lit(0))
+        )
+        .withColumn("prev_le", F.coalesce(F.lag("le").over(w), F.lit(0.0)))
+        .withColumn("total", F.max("bucket_count").over(wall))
+    )
+
+    def rank_at(x: float) -> Column:
+        # interpolated cumulative count at x inside the bucket containing it
+        inside = (F.lit(x) > F.col("prev_le")) & (F.lit(x) <= F.col("le"))
+        interp = F.col("prev_count") + (
+            (F.col("bucket_count") - F.col("prev_count"))
+            * (F.lit(x) - F.col("prev_le"))
+            / (F.col("le") - F.col("prev_le"))
+        )
+        at_inf = F.col("le") == float("inf")
+        return F.max(
+            F.when(inside & at_inf, F.col("prev_count").cast("double"))
+            .when(inside, interp)
+            .otherwise(F.lit(None))
+        )
+
+    return (
+        en.groupBy(*group_cols)
+        .agg(
+            rank_at(lo).alias("__rlo__"),
+            rank_at(hi).alias("__rhi__"),
+            F.max("total").alias("__total__"),
+        )
+        .select(
+            *group_cols,
+            (
+                (
+                    F.coalesce(F.col("__rhi__"), F.col("__total__").cast("double"))
+                    - F.coalesce(F.col("__rlo__"), F.lit(0.0))
+                )
+                / F.col("__total__")
+            ).alias("fraction"),
+        )
+    )
+
+
+def absent_over_time(
+    df: DataFrame,
+    start_ms: int,
+    end_ms: int,
+    step_ms: int,
+    range_ms: int,
+) -> DataFrame:
+    """PromQL ``absent_over_time(sel[range])`` on a step grid: 1 for every
+    eval step whose lookback window [t-range, t) holds no sample of the
+    selection. Presence is aggregated to step buckets first (scan-sized
+    work); each present bucket then explodes into the ≤k eval steps whose
+    window covers it (bounded fan-out, like `sliding_rate`) and the
+    O(steps) spine anti-equi-joins it — no nested-loop range join
+    anywhere, and the heavy side never sees the spine."""
+    k = range_ms // step_ms
+    if k < 1 or range_ms % step_ms != 0:
+        raise ValueError("range_ms must be a positive multiple of step_ms")
+    # eval at t covers sample buckets [t-range, t); bucket b (step-aligned)
+    # is covered by t ∈ {b+step, …, b+k·step}
+    covered = (
+        df.filter((F.col("ts_ms") >= start_ms - range_ms) & (F.col("ts_ms") < end_ms))
+        .select(time_bucket("ts_ms", step_ms).alias("bucket_ms"))
+        .distinct()
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(k)),
+                    lambda i: F.col("bucket_ms") + i * F.lit(step_ms),
+                )
+            ).alias("eval_ms")
+        )
+        .distinct()
+    )
+    spine = df.sparkSession.range(start_ms, end_ms, step_ms).select(
+        F.col("id").alias("eval_ms")
+    )
+    return spine.join(covered, "eval_ms", "left_anti").select(
+        "eval_ms", F.lit(1).alias("absent")
+    )
+
+
+def mad_over_time(
+    df: DataFrame, series_cols: list[str], step_ms: int
+) -> DataFrame:
+    """PromQL (experimental) ``mad_over_time``: median absolute deviation
+    around the median, per series step bucket. Exact interpolated medians
+    (Spark ``percentile`` == DuckDB ``quantile_cont``); two hash aggregates
+    on the same (series, bucket) key — the second groupBy reuses the
+    shuffle partitioning of the join output, and the median table joining
+    back is co-partitioned, so one shuffle of the samples total."""
+    b = _bucketed(df, step_ms)
+    med = b.groupBy(*series_cols, "bucket_ms").agg(
+        F.percentile("value", F.lit(0.5)).alias("__med__")
+    )
+    back = b.join(med, [*series_cols, "bucket_ms"])
+    return back.groupBy(*series_cols, "bucket_ms").agg(
+        F.percentile(F.abs(F.col("value") - F.col("__med__")), F.lit(0.5)).alias(
+            "mad_over_time"
+        )
+    )

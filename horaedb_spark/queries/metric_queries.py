@@ -1877,3 +1877,124 @@ def promql_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alert"),
     ).orderBy("cohort", "bucket_ms")
+
+
+# ---------------------------------------------------------------------- D7 histogram_fraction
+@register(
+    "promql_histogram_fraction",
+    oracle=_DEDUP_CTE
+    + """
+    , buckets AS (
+      SELECT name, 10.0 AS le, count(*) FILTER (WHERE value <= 10) AS bucket_count
+      FROM samples GROUP BY name
+      UNION ALL
+      SELECT name, 50.0, count(*) FILTER (WHERE value <= 50) FROM samples GROUP BY name
+      UNION ALL
+      SELECT name, 100.0, count(*) FILTER (WHERE value <= 100) FROM samples GROUP BY name
+      UNION ALL
+      SELECT name, 250.0, count(*) FILTER (WHERE value <= 250) FROM samples GROUP BY name
+      UNION ALL
+      SELECT name, CAST('inf' AS DOUBLE), count(*) FROM samples GROUP BY name
+    ), en AS (
+      SELECT name, le, bucket_count,
+             coalesce(lag(bucket_count) OVER w, 0) AS prev_count,
+             coalesce(lag(le) OVER w, 0.0) AS prev_le,
+             max(bucket_count) OVER (PARTITION BY name) AS total
+      FROM buckets WINDOW w AS (PARTITION BY name ORDER BY le)
+    ), ranks AS (
+      SELECT name, max(total) AS total,
+             max(CASE WHEN 25.0 > prev_le AND 25.0 <= le THEN
+                   prev_count + (bucket_count - prev_count)
+                     * (25.0 - prev_le) / (le - prev_le) END) AS rlo,
+             max(CASE WHEN 150.0 > prev_le AND 150.0 <= le THEN
+                   prev_count + (bucket_count - prev_count)
+                     * (150.0 - prev_le) / (le - prev_le) END) AS rhi
+      FROM en GROUP BY name
+    )
+    SELECT name,
+           floor((coalesce(rhi, CAST(total AS DOUBLE)) - coalesce(rlo, 0.0))
+                 / total * 1000000 + 0.5) / 1000000 AS fraction
+    FROM ranks ORDER BY name
+    """,
+)
+def promql_histogram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram_fraction(25, 150) per metric name over the same engine-built
+    cumulative buckets as histogram_quantile — interpolated cumulative rank
+    at both endpoints, one bucket-frame window pass + one aggregate
+    (promql/quantile.go histogramFraction for classic histograms)."""
+    eng = _engine(spark, sf_dir)
+    sel = eng.select_all_series()
+    buckets = promql.histogram_buckets(sel, ["name"], "value", list(_HQ_BOUNDS))
+    out = promql.histogram_fraction(buckets, ["name"], 25.0, 150.0)
+    return out.select(
+        "name",
+        (F.floor(F.col("fraction") * 1000000 + 0.5) / 1000000).alias("fraction"),
+    ).orderBy("name")
+
+
+# ---------------------------------------------------------------------- D7 absent_over_time
+@register(
+    "promql_absent_over_time",
+    oracle=_DEDUP_CTE
+    + f"""
+    , present AS (
+      SELECT DISTINCT ts_ms - ts_ms % {6 * HOUR_MS} AS b
+      FROM samples WHERE name = 'purchase' AND user_label = '17'
+    ), covered AS (
+      SELECT DISTINCT b + i * {6 * HOUR_MS} AS eval_ms
+      FROM present, (SELECT unnest(generate_series(1, 4)) AS i)
+    ), spine AS (
+      SELECT unnest(generate_series(1704067200000, 1706659199999, {6 * HOUR_MS}))
+        AS eval_ms
+    )
+    SELECT s.eval_ms, 1 AS absent FROM spine s
+    WHERE s.eval_ms NOT IN (SELECT eval_ms FROM covered)
+    ORDER BY s.eval_ms
+    """,
+)
+def promql_absent_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """absent_over_time({name='purchase', user='17'}[24h]) at 6 h steps over
+    the month: presence buckets explode into the ≤4 eval steps covering them
+    (bounded fan-out), the O(steps) spine anti-equi-joins — no nested-loop
+    range join at any scale."""
+    eng = _engine(spark, sf_dir)
+    sel = eng.select_series("purchase", [Matcher("user", "=", "17")])
+    return promql.absent_over_time(
+        sel, 1704067200000, 1706659200000, 6 * HOUR_MS, DAY_MS
+    ).orderBy("eval_ms")
+
+
+# ---------------------------------------------------------------------- D7 mad_over_time
+@register(
+    "promql_mad_over_time",
+    oracle=_DEDUP_CTE
+    + f"""
+    , views AS (
+      SELECT user_label, cohort, ts_ms - ts_ms % {DAY_MS} AS bucket_ms, value
+      FROM samples WHERE name = 'view'
+    ), med AS (
+      SELECT user_label, cohort, bucket_ms,
+             quantile_cont(value, 0.5) AS m
+      FROM views GROUP BY 1, 2, 3
+    )
+    SELECT v.user_label, v.cohort, v.bucket_ms,
+           floor(quantile_cont(abs(v.value - med.m), 0.5) * 1000000 + 0.5)
+               / 1000000 AS mad
+    FROM views v
+    JOIN med USING (user_label, cohort, bucket_ms)
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def promql_mad_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mad_over_time(view[1d]) per series — exact interpolated medians
+    (Spark percentile == DuckDB quantile_cont, identical IEEE midpoints),
+    median table joined back co-partitioned: one shuffle of the samples."""
+    eng = _engine(spark, sf_dir)
+    sel = _series_with_labels(eng.select_series("view"))
+    out = promql.mad_over_time(sel, ["user_label", "cohort"], DAY_MS)
+    return out.select(
+        "user_label",
+        "cohort",
+        "bucket_ms",
+        (F.floor(F.col("mad_over_time") * 1000000 + 0.5) / 1000000).alias("mad"),
+    ).orderBy("user_label", "cohort", "bucket_ms")

@@ -346,3 +346,54 @@ def test_edge_over_time_golden(samples):
         10_000: (8.0, 5.0, 1),
         20_000: (100.0, 100.0, 1),
     }
+
+
+def test_histogram_fraction_goldens(spark):
+    """Hand-computed histogramFraction cases on one cumulative frame:
+    counts per bucket (0,1]:2 (1,2]:3 (2,4]:3 (4,inf]:2, total 10."""
+    from horaedb_spark.functions.promql import histogram_fraction
+
+    rows = [
+        ("m", 1.0, 2),
+        ("m", 2.0, 5),
+        ("m", 4.0, 8),
+        ("m", float("inf"), 10),
+    ]
+    buckets = spark.createDataFrame(rows, "name string, le double, bucket_count long")
+
+    def frac(lo, hi):
+        [r] = histogram_fraction(buckets, ["name"], lo, hi).collect()
+        return r["fraction"]
+
+    # whole finite range up to le=4: rank(4)=8 of 10
+    assert frac(0.0, 4.0) == 0.8
+    # (1, 2]: exact bucket: (5-2)/10
+    assert abs(frac(1.0, 2.0) - 0.3) < 1e-12
+    # (1.5, 3]: half of (1,2] = 1.5, plus half of (2,4] = 1.5 -> 3/10
+    assert abs(frac(1.5, 3.0) - 0.3) < 1e-12
+    # finite hi inside the unbounded +Inf bucket clamps to the max finite
+    # le's cumulative count (same fallback as histogram_quantile): rank 8
+    assert abs(frac(2.0, 100.0) - 0.3) < 1e-12
+
+
+def test_absent_over_time_golden(spark):
+    """step=10, range=20 (k=2): samples in bucket 20 cover evals 30 and 40;
+    evals 10, 20 (before any sample) and 50+ (after coverage) are absent."""
+    from horaedb_spark.functions.promql import absent_over_time
+
+    df = spark.createDataFrame([(25, 1.0)], "ts_ms long, value double")
+    out = sorted(
+        r["eval_ms"] for r in absent_over_time(df, 10, 70, 10, 20).collect()
+    )
+    assert out == [10, 20, 50, 60]
+
+
+def test_mad_over_time_golden(spark):
+    """values [1, 2, 4, 10] in one bucket: median 3, |x-3| = [2,1,1,7],
+    MAD = median = 1.5."""
+    from horaedb_spark.functions.promql import mad_over_time
+
+    rows = [("a", t, v) for t, v in ((1, 1.0), (2, 2.0), (3, 4.0), (4, 10.0))]
+    df = spark.createDataFrame(rows, "sid string, ts_ms long, value double")
+    [r] = mad_over_time(df, ["sid"], 100).collect()
+    assert r["bucket_ms"] == 0 and r["mad_over_time"] == 1.5
