@@ -69,6 +69,7 @@ _QUERY_MODULES = (
     "analytics2",
     "analytics3",
     "analytics5",
+    "analytics6",
 )
 
 # The driver's correctness run walks queries in map order and covers only
@@ -81,6 +82,12 @@ _QUERY_MODULES = (
 # the latest CORRECTNESS_r{N}.json: drop names once green, promote any
 # regression.
 _RUN_FIRST = (
+    "events_m4_downsample",
+    "events_rolling_distinct_users",
+    "text_oov_rate",
+    "promql_histogram_fraction",
+    "promql_absent_over_time",
+    "promql_mad_over_time",
     # --- round-3 batch-5 additions (never ANY driver row)
     "market_basket_pairs",
     "customer_rfm_segments",

@@ -448,3 +448,23 @@ def test_mad_outliers_medians_broadcast_back(spark, sf_dir):
     plan = plan_of(events_mad_outliers(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan[:3000]
     assert "CartesianProduct" not in plan
+
+
+def test_m4_downsample_single_partial_aggregate(spark, sf_dir):
+    """M4 must be ONE map-side-combined hash aggregate over the scan —
+    partial min/max/min_by/max_by before the shuffle, no join, no window."""
+    from horaedb_spark.queries.analytics6 import events_m4_downsample
+
+    plan = plan_of(events_m4_downsample(spark, sf_dir))
+    assert "partial_min" in plan and "partial_max" in plan, plan[:3000]
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_oov_rate_vocab_broadcasts(spark, sf_dir):
+    """The V-row vocabulary must broadcast onto the exploded corpus — the
+    corpus side never shuffles for the membership join."""
+    from horaedb_spark.queries.analytics6 import text_oov_rate
+
+    plan = plan_of(text_oov_rate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
