@@ -82,6 +82,7 @@ _QUERY_MODULES = (
 # the latest CORRECTNESS_r{N}.json: drop names once green, promote any
 # regression.
 _RUN_FIRST = (
+    "storage_delete_scan",
     "events_m4_downsample",
     "events_rolling_distinct_users",
     "text_oov_rate",

@@ -799,3 +799,41 @@ def storage_secondary_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("user_id", "event_type", "ts_ms", "value").orderBy(
         "user_id", "ts_ms"
     )
+
+
+_DELETED_TABLES: dict[str, ColumnarTable] = {}
+
+
+@register(
+    "storage_delete_scan",
+    oracle=f"""
+    SELECT user_id, event_type, ts_ms, value FROM (
+      SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, value,
+             row_number() OVER (
+               PARTITION BY user_id, event_type, epoch_ms(ts) // {_SEG_15D}
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 AND NOT (event_type = 'click' AND value < 50.0)
+    ORDER BY user_id, event_type, ts_ms
+    """,
+)
+def storage_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE (LSM tombstones): ``DELETE WHERE event_type='click'
+    AND value < 50`` against the merged current state, then a normal scan.
+    The delete is one Spark job writing kilobyte-sized tombstone SSTs (PKs +
+    NULL values, ``__reserved__`` marker, winning ``__seq__``) — no data
+    rewrite, which is the only delete shape that works on a 100 TB table.
+    Scans drop tombstone winners post-merge; the first full-segment
+    compaction garbage-collects them (tests/test_delete.py pins partial vs
+    full GC). The reference has no row-delete surface — extension documented
+    in DIVERGENCES.md."""
+    key = f"{sf_dir}:deleted"
+    if key not in _DELETED_TABLES:
+        table = _build_events_table(spark, sf_dir, _SEG_15D, 4, shared=False)
+        table.delete("event_type = 'click' AND value < 50.0")
+        _DELETED_TABLES[key] = table
+    return (
+        _DELETED_TABLES[key]
+        .scan()
+        .orderBy("user_id", "event_type", "ts_ms")
+    )

@@ -264,8 +264,25 @@ class Compactor:
                     min(s.time_range.start for s in task.inputs),
                     max(s.time_range.end for s in task.inputs),
                 )
+                # Tombstone GC (the LSM bottom-level rule): a rewrite that
+                # covers EVERY live SST of its segment can drop delete
+                # tombstones — no non-picked file can hold an older version
+                # to resurrect. A partial pick must keep them.
+                seg = truncate_by(tr.start, self.table.segment_duration_ms)
+                seg_ids = {
+                    s.file_id
+                    for s in manifest.all_ssts()
+                    if truncate_by(s.time_range.start, self.table.segment_duration_ms)
+                    == seg
+                }
+                full_segment = seg_ids <= set(input_ids)
                 merged = self.table.scan_ssts(
-                    task.inputs, ScanRequest(keep_builtin=True, ordered=False)
+                    task.inputs,
+                    ScanRequest(
+                        keep_builtin=True,
+                        ordered=False,
+                        drop_tombstones=full_segment,
+                    ),
                 )
                 seq_df = merged  # __seq__ already carries the max winning seq
                 new_sst = self._write_compacted(seq_df, tr)
@@ -297,12 +314,11 @@ class Compactor:
         file_id = t._alloc_file_id()
         segment = tr.segment(t.segment_duration_ms)
         sst_dir = os.path.join(t.data_dir, f"{SEGMENT_COLUMN}={segment}", f"sst={file_id}")
-        cols = [*t.schema.user_columns, SEQ_COLUMN]
-        out = (
-            df.select(*cols)
-            .withColumn(RESERVED_COLUMN, F.lit(None).cast("long"))
-            .sortWithinPartitions(*t.schema.primary_keys)
-        )
+        # __reserved__ passes through (not re-nulled): a surviving delete
+        # tombstone from a partial compaction must keep masking older
+        # versions in non-picked SSTs.
+        cols = [*t.schema.user_columns, SEQ_COLUMN, RESERVED_COLUMN]
+        out = df.select(*cols).sortWithinPartitions(*t.schema.primary_keys)
         out.write.options(**t.write_config.writer_options()).mode(
             "overwrite"
         ).parquet(sst_dir)

@@ -37,6 +37,13 @@ from horaedb_spark.core.schema import RESERVED_COLUMN, SEQ_COLUMN, StorageSchema
 
 POS_COLUMN = "__pos__"
 
+# ``__reserved__`` value marking a delete tombstone. The reference reserves
+# this builtin for future use (types.rs:219-239, always NULL); we use it to
+# carry row-level DELETE through the same versioning machinery: a tombstone
+# is a normal row whose ``__seq__`` wins, filtered out after the merge
+# (DIVERGENCES.md — the reference has no row-delete surface at all).
+TOMBSTONE = 1
+
 
 def dedup_overwrite(
     df: DataFrame, key_cols: list[str], order_col: str = SEQ_COLUMN, pos_col: str | None = None
@@ -100,11 +107,25 @@ def apply_update_mode(
     extra_key_cols: list[str],
     keep_builtin: bool,
     pos_col: str | None = POS_COLUMN,
+    drop_tombstones: bool | None = None,
 ) -> DataFrame:
-    """Collapse versions per (extra_key_cols + primary keys) per update mode."""
+    """Collapse versions per (extra_key_cols + primary keys) per update mode.
+
+    ``drop_tombstones``: filter out keys whose WINNING version is a delete
+    tombstone (OVERWRITE mode only). Default (None) drops them exactly when
+    ``keep_builtin`` is false — user scans never see deleted rows, while the
+    maintenance surface (compaction re-writes, keep_builtin=True) preserves
+    tombstones so a partial compaction can't resurrect rows that still have
+    live versions in non-picked SSTs (the LSM bottom-level rule)."""
     keys = [*extra_key_cols, *schema.primary_keys]
     if schema.update_mode == UpdateMode.OVERWRITE:
         out = dedup_overwrite(df, keys, SEQ_COLUMN, pos_col)
+        drop_t = (not keep_builtin) if drop_tombstones is None else drop_tombstones
+        if drop_t and RESERVED_COLUMN in out.columns:
+            # NULL-safe: ordinary rows carry NULL __reserved__
+            out = out.filter(
+                F.coalesce(F.col(RESERVED_COLUMN) != TOMBSTONE, F.lit(True))
+            )
     else:
         value_cols = [c for c in schema.value_fields if c in df.columns]
         out = merge_append(df, keys, value_cols, SEQ_COLUMN, pos_col)

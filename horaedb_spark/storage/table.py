@@ -110,6 +110,9 @@ class ScanRequest:
                                   # file_id <= as_of_seq participate — the
                                   # __seq__ versioning (types.rs:35-41) makes
                                   # time travel a manifest filter
+    drop_tombstones: bool | None = None  # None = drop iff not keep_builtin;
+                                         # compaction sets True on a
+                                         # full-segment rewrite (tombstone GC)
 
 
 class ColumnarTable:
@@ -410,6 +413,122 @@ class ColumnarTable:
             self.manifest.unmark_compacting(ids)
             raise
 
+    # ------------------------------------------------------------------ delete
+
+    def delete(
+        self,
+        predicate: Column | str,
+        time_range: TimeRange | None = None,
+    ) -> list[SstFile]:
+        """Row-level DELETE for OVERWRITE tables, LSM-style: write tombstone
+        SSTs instead of rewriting data (the only delete that works at 100 TB
+        — a predicate delete over a petabyte segment lands as a
+        kilobyte-sized tombstone file).
+
+        Semantics: SQL ``DELETE WHERE p`` — keys whose CURRENT merged row
+        satisfies ``p`` get a tombstone (PKs + NULL value columns,
+        ``__reserved__`` = TOMBSTONE) with a fresh ``__seq__`` that outranks
+        every live version. Scans drop tombstone winners post-merge; a later
+        write of the same key outranks the tombstone (insert-after-delete);
+        ``as_of_seq`` snapshots before the delete still see the rows (time
+        travel over deletes). Tombstones are garbage-collected by the first
+        full-segment compaction (executor's bottom-level rule).
+
+        One Spark job regardless of how many segments the predicate spans:
+        merge-on-read → filter → distinct keys → partitionBy-staged tombstone
+        SSTs, mirroring ``bulk_ingest``'s registration path."""
+        import shutil
+
+        from horaedb_spark.core.schema import UpdateMode
+        from horaedb_spark.storage.merge import TOMBSTONE
+
+        if self.schema.update_mode != UpdateMode.OVERWRITE:
+            raise ValueError("delete() requires an OVERWRITE-mode table")
+        ssts = self.manifest.find_ssts(time_range)
+        if not ssts:
+            return []
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        # current state WITH segment (scan_ssts drops it): same read + merge
+        reader = self.spark.read.option("basePath", self.data_dir).schema(
+            self.schema.physical_schema()
+        )
+        df = reader.parquet(*[s.path for s in ssts]).withColumn(
+            POS_COLUMN, F.col("_metadata.row_index")
+        )
+        merged = apply_update_mode(
+            df, self.schema, extra_key_cols=[SEGMENT_COLUMN], keep_builtin=False
+        )
+        keys = (
+            merged.filter(pred)
+            .select(SEGMENT_COLUMN, *self.schema.primary_keys)
+            .distinct()
+        )
+        pk_set = set(self.schema.primary_keys)
+        tomb = keys.select(
+            SEGMENT_COLUMN,
+            *[
+                (F.col(f.name) if f.name in pk_set else F.lit(None))
+                .cast(f.dataType)
+                .alias(f.name)
+                for f in self.schema.fields.fields
+            ],
+        )
+        dur = self.segment_duration_ms
+        base_id = self.alloc_file_id()
+        fid_base = base_id + (1 << 31)  # same epoch-jump scheme as bulk_ingest
+        # floor (not truncate-toward-zero) so the stamped __seq__ agrees with
+        # the registration's python `seg // dur` even for pre-epoch segments
+        fid_expr = (
+            F.lit(fid_base) + F.floor(F.col(SEGMENT_COLUMN) / F.lit(dur)).cast("long")
+        ).cast("long")
+        out = (
+            tomb.withColumn(SEQ_COLUMN, fid_expr)
+            .withColumn(RESERVED_COLUMN, F.lit(TOMBSTONE).cast("long"))
+            .repartition(F.col(SEGMENT_COLUMN))
+            .sortWithinPartitions(SEGMENT_COLUMN, *self.schema.primary_keys)
+        )
+        staging = os.path.join(self.root, f"_staging_del_{base_id}")
+        out.write.options(**self.write_config.writer_options()).mode(
+            "overwrite"
+        ).partitionBy(SEGMENT_COLUMN).parquet(staging)
+        prefix = f"{SEGMENT_COLUMN}="
+        segments = sorted(
+            int(name[len(prefix):])
+            for name in os.listdir(staging)
+            if name.startswith(prefix)
+        )
+        if segments:
+            with self._id_lock:
+                self._next_id = max(
+                    self._next_id, fid_base + segments[-1] // dur + 1
+                )
+        new_ssts: list[SstFile] = []
+        try:
+            for seg in segments:
+                src = os.path.join(staging, f"{SEGMENT_COLUMN}={seg}")
+                fid = fid_base + seg // dur
+                dst_dir = os.path.join(self.data_dir, f"{SEGMENT_COLUMN}={seg}")
+                os.makedirs(dst_dir, exist_ok=True)
+                dst = os.path.join(dst_dir, f"sst={fid}")
+                os.replace(src, dst)
+                num_rows, size_bytes = _parquet_stats(dst)
+                new_ssts.append(
+                    SstFile(
+                        file_id=fid,
+                        path=dst,
+                        time_range=TimeRange(seg, seg + dur),
+                        max_sequence=fid,
+                        num_rows=num_rows,
+                        size_bytes=size_bytes,
+                        col_stats=_collect_col_stats(dst, self.schema.user_columns),
+                    )
+                )
+            if new_ssts:
+                self.manifest.update(new_ssts, [])
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        return new_ssts
+
     # ------------------------------------------------------------------- scan
 
     def scan(self, req: ScanRequest | None = None) -> DataFrame:
@@ -451,6 +570,16 @@ class ColumnarTable:
         df = df.withColumn(POS_COLUMN, F.col("_metadata.row_index"))
         if req.predicate is not None:
             pred = F.expr(req.predicate) if isinstance(req.predicate, str) else req.predicate
+            from horaedb_spark.core.schema import UpdateMode
+            from horaedb_spark.storage.merge import TOMBSTONE
+
+            if self.schema.update_mode == UpdateMode.OVERWRITE:
+                # Tombstones (NULL value columns) must always reach the merge:
+                # filtering them out pre-merge would resurrect a deleted row
+                # whose old version matches the predicate. Data SSTs carry
+                # all-NULL __reserved__, so the disjunct matches nothing there
+                # and parquet row-group pruning on `pred` is unaffected.
+                pred = pred | (F.col(RESERVED_COLUMN) == TOMBSTONE)
             df = df.filter(pred)  # before the merge, like FilterExec (read.rs:467-469)
         proj = self.schema.fill_required_projections(req.projections)
         if proj is not None:
@@ -460,6 +589,7 @@ class ColumnarTable:
             self.schema,
             extra_key_cols=[SEGMENT_COLUMN],
             keep_builtin=req.keep_builtin,
+            drop_tombstones=req.drop_tombstones,
         )
         if req.ordered:
             merged = merged.orderBy(SEGMENT_COLUMN, *self.schema.primary_keys)

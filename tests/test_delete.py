@@ -1,0 +1,100 @@
+"""Row-level DELETE via tombstones: scan masking, insert-after-delete,
+predicate-scan safety, MVCC time travel over deletes, and the compaction
+GC rule (partial pick keeps tombstones, full-segment pick drops them).
+
+The reference has no row-delete surface (DIVERGENCES.md); these pin the
+extension's LSM semantics: tombstone = row with __reserved__=TOMBSTONE and
+a winning __seq__, filtered post-merge.
+"""
+
+from pyspark.sql import functions as F
+
+from horaedb_spark.core.timeutil import TimeRange
+from horaedb_spark.storage.compaction import CompactionTask, Compactor, SchedulerConfig
+from horaedb_spark.storage.merge import TOMBSTONE
+from horaedb_spark.storage.table import ColumnarTable, ScanRequest, WriteRequest
+from tests.test_storage import TWO_HOURS, kv_schema
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "pk1 long, pk2 long, value long")
+
+
+def _build(spark, path):
+    t = ColumnarTable(spark, str(path), kv_schema(), TWO_HOURS)
+    t.write(WriteRequest(_mk(spark, [(1, 1, 10), (2, 2, 20)]), TimeRange(0, 10)))
+    t.write(WriteRequest(_mk(spark, [(3, 3, 30)]), TimeRange(10, 20)))
+    return t
+
+
+def test_delete_masks_rows_and_insert_after_delete(spark, tmp_path):
+    t = _build(spark, tmp_path / "d1")
+    ssts = t.delete("value >= 20")
+    assert len(ssts) == 1 and ssts[0].num_rows == 2  # both keys, one segment
+    assert [tuple(r) for r in t.scan().collect()] == [(1, 1, 10)]
+    # a later write of a deleted key outranks the tombstone
+    t.write(WriteRequest(_mk(spark, [(2, 2, 200)]), TimeRange(20, 30)))
+    assert [tuple(r) for r in t.scan().collect()] == [(1, 1, 10), (2, 2, 200)]
+
+
+def test_delete_semantics_are_current_state_not_any_version(spark, tmp_path):
+    t = ColumnarTable(spark, str(tmp_path / "d2"), kv_schema(), TWO_HOURS)
+    t.write(WriteRequest(_mk(spark, [(1, 1, 99)]), TimeRange(0, 10)))
+    # overwrite to a non-matching value BEFORE the delete
+    t.write(WriteRequest(_mk(spark, [(1, 1, 5)]), TimeRange(10, 20)))
+    assert t.delete("value >= 50") == []  # current row (5) doesn't match
+    assert [tuple(r) for r in t.scan().collect()] == [(1, 1, 5)]
+
+
+def test_predicate_scan_does_not_resurrect_deleted_rows(spark, tmp_path):
+    t = _build(spark, tmp_path / "d3")
+    t.delete("pk1 = 2")
+    # the old version (value=20) matches the scan predicate; the tombstone's
+    # NULL value column must not let it slip past the pre-merge filter
+    out = t.scan(ScanRequest(predicate="value >= 20"))
+    assert [tuple(r) for r in out.collect()] == [(3, 3, 30)]
+
+
+def test_as_of_seq_snapshot_sees_rows_before_delete(spark, tmp_path):
+    t = _build(spark, tmp_path / "d4")
+    before = max(s.file_id for s in t.manifest.all_ssts())
+    t.delete("pk1 = 1")
+    assert [tuple(r) for r in t.scan().collect()] == [(2, 2, 20), (3, 3, 30)]
+    snap = t.scan(ScanRequest(as_of_seq=before))
+    assert [tuple(r) for r in snap.collect()] == [(1, 1, 10), (2, 2, 20), (3, 3, 30)]
+
+
+def _compact(t, inputs):
+    comp = Compactor(t, SchedulerConfig(input_sst_min_num=1))
+    task = CompactionTask(inputs=inputs)
+    return comp.execute(task)
+
+
+def test_partial_compaction_keeps_tombstones(spark, tmp_path):
+    t = ColumnarTable(spark, str(tmp_path / "d5"), kv_schema(), TWO_HOURS)
+    t.write(WriteRequest(_mk(spark, [(1, 1, 10)]), TimeRange(0, 10)))
+    t.write(WriteRequest(_mk(spark, [(1, 1, 11)]), TimeRange(10, 20)))
+    t.delete("pk1 = 1")
+    assert t.scan().count() == 0
+    # compact ONLY the newer data SST + the tombstone SST — the oldest
+    # version (value=10) stays outside the pick and must remain masked
+    ssts = sorted(t.manifest.all_ssts(), key=lambda s: s.file_id)
+    new_sst = _compact(t, ssts[1:])
+    assert new_sst is not None
+    assert t.scan().count() == 0  # not resurrected
+    kept = t.scan(ScanRequest(keep_builtin=True, ordered=False))
+    assert kept.filter(F.col("__reserved__") == TOMBSTONE).count() == 1
+
+
+def test_full_segment_compaction_garbage_collects_tombstones(spark, tmp_path):
+    t = ColumnarTable(spark, str(tmp_path / "d6"), kv_schema(), TWO_HOURS)
+    t.write(WriteRequest(_mk(spark, [(1, 1, 10), (2, 2, 20)]), TimeRange(0, 10)))
+    t.write(WriteRequest(_mk(spark, [(1, 1, 11)]), TimeRange(10, 20)))
+    t.delete("pk1 = 1")
+    new_sst = _compact(t, sorted(t.manifest.all_ssts(), key=lambda s: s.file_id))
+    assert new_sst is not None
+    assert [tuple(r) for r in t.scan().collect()] == [(2, 2, 20)]
+    # tombstone physically gone after the bottom-level rewrite
+    kept = t.scan(ScanRequest(keep_builtin=True, ordered=False))
+    assert kept.filter(F.col("__reserved__") == TOMBSTONE).count() == 0
+    assert new_sst.num_rows == 1
