@@ -285,19 +285,27 @@ class Compactor:
                     ),
                 )
                 seq_df = merged  # __seq__ already carries the max winning seq
-                new_sst = self._write_compacted(seq_df, tr)
+                carries_tombstones = (
+                    any(s.tombstone for s in task.inputs) and not full_segment
+                )
+                new_sst = self._write_compacted(seq_df, tr, carries_tombstones)
             # Manifest swap BEFORE physical deletes (executor.rs:203-217).
             to_delete = input_ids + [s.file_id for s in task.expired]
             manifest.update([new_sst] if new_sst else [], to_delete)
-            # Physical deletes, best-effort (executor.rs:218-253).
+            # Physical deletes, best-effort (executor.rs:218-253). External
+            # (clone-referenced) files belong to another table: drop only
+            # the reference, never the shared bytes.
             for sst in [*task.inputs, *task.expired]:
-                shutil.rmtree(sst.path, ignore_errors=True)
+                if not sst.external:
+                    shutil.rmtree(sst.path, ignore_errors=True)
             return new_sst
         except Exception:
             manifest.unmark_compacting(input_ids)
             raise
 
-    def _write_compacted(self, df, tr: TimeRange) -> SstFile:
+    def _write_compacted(
+        self, df, tr: TimeRange, carries_tombstones: bool = False
+    ) -> SstFile:
         """Write one merged SST carrying the surviving rows' __seq__ values.
 
         Reuses the table write layout but keeps the original sequences (the
@@ -333,4 +341,5 @@ class Compactor:
             num_rows=num_rows,
             size_bytes=size_bytes,
             col_stats=_collect_col_stats(sst_dir, t.schema.user_columns),
+            tombstone=carries_tombstones,
         )

@@ -62,6 +62,14 @@ class SstFile:
     size_bytes: int
     in_compaction: bool = False  # runtime-only CAS flag (sst.rs:97-107)
     col_stats: dict | None = None
+    # True for SSTs referenced from ANOTHER table's data dir (zero-copy
+    # clone): readable like any file, but this table's maintenance must
+    # never physically delete it — only drop the reference.
+    external: bool = False
+    # True if the SST (possibly) holds delete-tombstone rows. Scans of SST
+    # sets with no tombstone file skip the tombstone machinery entirely, so
+    # a delete-free table reads zero extra columns.
+    tombstone: bool = False
 
     def to_json(self) -> dict:
         d = {
@@ -75,6 +83,10 @@ class SstFile:
         }
         if self.col_stats is not None:
             d["col_stats"] = self.col_stats
+        if self.external:
+            d["external"] = True
+        if self.tombstone:
+            d["tombstone"] = True
         return d
 
     @classmethod
@@ -87,6 +99,8 @@ class SstFile:
             num_rows=d["num_rows"],
             size_bytes=d["size_bytes"],
             col_stats=d.get("col_stats"),
+            external=d.get("external", False),
+            tombstone=d.get("tombstone", False),
         )
 
     def is_expired(self, expire_before_ms: int) -> bool:

@@ -397,17 +397,38 @@ class ColumnarTable:
         ssts = self.manifest.find_ssts(time_range)
         if not ssts:
             return []
+        if any(s.tombstone for s in ssts):
+            # The rewrite goes through bulk_ingest (data rows only), which
+            # cannot carry tombstones forward — so it must be allowed to
+            # DROP them, which is only sound when every SST of every
+            # touched segment is being rewritten (the compaction GC rule).
+            touched = {truncate_by(s.time_range.start, self.segment_duration_ms) for s in ssts}
+            picked = {s.file_id for s in ssts}
+            all_in_touched = {
+                s.file_id
+                for s in self.manifest.all_ssts()
+                if truncate_by(s.time_range.start, self.segment_duration_ms) in touched
+            }
+            if not all_in_touched <= picked:
+                raise ValueError(
+                    "recluster over a partial segment that holds delete "
+                    "tombstones would resurrect deleted rows; widen the "
+                    "time_range to whole segments or compact first"
+                )
         ids = [s.file_id for s in ssts]
         if not self.manifest.try_mark_compacting(ids):
             return []
         try:
-            merged = self.scan_ssts(ssts, ScanRequest(ordered=False))
+            merged = self.scan_ssts(
+                ssts, ScanRequest(ordered=False, drop_tombstones=True)
+            )
             new_ssts = self.bulk_ingest(
                 merged, ts_col, cluster_by=cluster_by, cluster_slices=cluster_slices
             )
             self.manifest.update([], ids)
             for s in ssts:
-                shutil.rmtree(s.path, ignore_errors=True)
+                if not s.external:  # clone-referenced bytes stay
+                    shutil.rmtree(s.path, ignore_errors=True)
             return new_ssts
         except Exception:
             self.manifest.unmark_compacting(ids)
@@ -449,12 +470,7 @@ class ColumnarTable:
             return []
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         # current state WITH segment (scan_ssts drops it): same read + merge
-        reader = self.spark.read.option("basePath", self.data_dir).schema(
-            self.schema.physical_schema()
-        )
-        df = reader.parquet(*[s.path for s in ssts]).withColumn(
-            POS_COLUMN, F.col("_metadata.row_index")
-        )
+        df = self._read_ssts(ssts)
         merged = apply_update_mode(
             df, self.schema, extra_key_cols=[SEGMENT_COLUMN], keep_builtin=False
         )
@@ -521,6 +537,7 @@ class ColumnarTable:
                         num_rows=num_rows,
                         size_bytes=size_bytes,
                         col_stats=_collect_col_stats(dst, self.schema.user_columns),
+                        tombstone=True,
                     )
                 )
             if new_ssts:
@@ -550,30 +567,51 @@ class ColumnarTable:
                 ssts = [s for s in ssts if _sst_may_match(s, conjuncts)]
         return self.scan_ssts(ssts, req)
 
+    def _read_ssts(self, ssts: list[SstFile]) -> DataFrame:
+        """Raw multi-path parquet read of an SST list with the explicit
+        physical schema (SSTs written before a schema evolution surface NULL
+        for newer columns) and ``__segment__`` from partition discovery.
+
+        A zero-copy clone references SSTs under the SOURCE table's data dir,
+        so paths are grouped by their data root (the directory holding
+        ``__segment__=``) and the groups unioned — for a non-cloned table
+        this is exactly one group, the same single-scan plan as before.
+        Deterministic intra-file tie-break for equal (PK, seq): parquet row
+        position via the file-source metadata column."""
+        from collections import defaultdict
+        from functools import reduce
+
+        groups: dict[str, list[str]] = defaultdict(list)
+        for s in ssts:
+            groups[os.path.dirname(os.path.dirname(s.path))].append(s.path)
+        parts = []
+        for base, paths in sorted(groups.items()):
+            reader = self.spark.read.option("basePath", base).schema(
+                self.schema.physical_schema()
+            )
+            parts.append(
+                reader.parquet(*paths).withColumn(
+                    POS_COLUMN, F.col("_metadata.row_index")
+                )
+            )
+        return reduce(DataFrame.unionByName, parts)
+
     def scan_ssts(self, ssts: list[SstFile], req: ScanRequest) -> DataFrame:
         """Scan an explicit SST list (compaction reuses this with the picked
         files, mirroring executor.rs:155-222)."""
         if not ssts:
             return self._empty_df(req)
-        # seq-by-path lets us recover __seq__/__segment__ without trusting
-        # directory parsing; basePath keeps partition-column discovery rooted.
-        paths = [s.path for s in ssts]
-        # Explicit read schema (not inference): SSTs written before a schema
-        # evolution lack the newer columns and surface them as NULL;
-        # __segment__ is appended by partition discovery.
-        reader = self.spark.read.option("basePath", self.data_dir).schema(
-            self.schema.physical_schema()
-        )
-        df = reader.parquet(*paths)
-        # Deterministic intra-file tie-break for equal (PK, seq): parquet row
-        # position via the file-source metadata column.
-        df = df.withColumn(POS_COLUMN, F.col("_metadata.row_index"))
+        # Tombstone machinery engages only when a tombstone SST is actually
+        # in the scanned set — a delete-free table's plan (read schema,
+        # filters) is bit-identical to the pre-delete-feature plan.
+        has_tombstones = any(s.tombstone for s in ssts)
+        df = self._read_ssts(ssts)
         if req.predicate is not None:
             pred = F.expr(req.predicate) if isinstance(req.predicate, str) else req.predicate
             from horaedb_spark.core.schema import UpdateMode
             from horaedb_spark.storage.merge import TOMBSTONE
 
-            if self.schema.update_mode == UpdateMode.OVERWRITE:
+            if has_tombstones and self.schema.update_mode == UpdateMode.OVERWRITE:
                 # Tombstones (NULL value columns) must always reach the merge:
                 # filtering them out pre-merge would resurrect a deleted row
                 # whose old version matches the predicate. Data SSTs carry
@@ -584,12 +622,15 @@ class ColumnarTable:
         proj = self.schema.fill_required_projections(req.projections)
         if proj is not None:
             df = df.select(SEGMENT_COLUMN, POS_COLUMN, RESERVED_COLUMN, *proj)
+        drop_tombstones = req.drop_tombstones
+        if not has_tombstones and drop_tombstones is None:
+            drop_tombstones = False  # no tombstones to drop: skip the filter
         merged = apply_update_mode(
             df,
             self.schema,
             extra_key_cols=[SEGMENT_COLUMN],
             keep_builtin=req.keep_builtin,
-            drop_tombstones=req.drop_tombstones,
+            drop_tombstones=drop_tombstones,
         )
         if req.ordered:
             merged = merged.orderBy(SEGMENT_COLUMN, *self.schema.primary_keys)
@@ -606,6 +647,55 @@ class ColumnarTable:
         return base.select(*keep)
 
     # ------------------------------------------------------------------- misc
+
+    def clone(self, dest_root: str, deep: bool = False) -> "ColumnarTable":
+        """Snapshot clone (CREATE TABLE ... CLONE): a new table whose
+        manifest references this table's CURRENT SSTs.
+
+        ``deep=False`` (default) is zero-copy — the clone's manifest points
+        at the source files, marked ``external`` so the clone's maintenance
+        (compaction/TTL/recluster) only ever drops the reference, never the
+        shared bytes. At 100 TB this is a metadata-only operation: instant
+        dev/test copies, what-if compactions, schema experiments. Writes and
+        deletes on either table never affect the other (new SSTs land in
+        each table's own data dir). Caveat, as with any shallow clone over a
+        shared store: physically destructive maintenance on the SOURCE
+        (compaction deletes, vacuum) invalidates the clone's references —
+        use ``deep=True`` (full file copy) for a clone that must outlive the
+        source's maintenance."""
+        import shutil
+
+        new = ColumnarTable(
+            self.spark,
+            dest_root,
+            self.schema,
+            self.segment_duration_ms,
+            self.write_config,
+        )
+        from dataclasses import replace as _dc_replace
+
+        entries: list[SstFile] = []
+        for s in self.manifest.all_ssts():
+            if deep:
+                seg = os.path.basename(os.path.dirname(s.path))
+                dst_dir = os.path.join(new.data_dir, seg)
+                os.makedirs(dst_dir, exist_ok=True)
+                dst = os.path.join(dst_dir, os.path.basename(s.path))
+                shutil.copytree(s.path, dst)
+                entries.append(
+                    _dc_replace(s, path=dst, in_compaction=False)
+                )
+            else:
+                entries.append(
+                    _dc_replace(s, external=True, in_compaction=False)
+                )
+        if entries:
+            new.manifest.update(entries, [])
+            with new._id_lock:
+                new._next_id = max(
+                    new._next_id, max(e.file_id for e in entries) + 1
+                )
+        return new
 
     def vacuum(self) -> list[str]:
         """Remove orphan SST directories — files on disk that the manifest

@@ -640,3 +640,52 @@ def test_secondary_index_refresh_incremental_and_rebuild(table):
     assert idx.refresh() == 1
     got = [tuple(r) for r in idx.scan_eq(2).collect()]
     assert got == [(2, 2, 20), (9, 2, 99)]
+
+
+def test_zero_copy_clone_snapshot_isolation(spark, tmp_path):
+    """clone(): instant metadata-only snapshot — same rows, then fully
+    independent: writes/deletes on either side stay invisible to the other,
+    and the clone's compaction never deletes the source's bytes."""
+    import os
+
+    from horaedb_spark.storage.compaction import CompactionTask, Compactor, SchedulerConfig
+
+    t = ColumnarTable(spark, str(tmp_path / "src"), kv_schema(), TWO_HOURS)
+    mk = lambda rows: spark.createDataFrame(rows, "pk1 long, pk2 long, value long")
+    t.write(WriteRequest(mk([(1, 1, 10), (2, 2, 20)]), TimeRange(0, 10)))
+    t.write(WriteRequest(mk([(1, 1, 11)]), TimeRange(10, 20)))
+
+    c = t.clone(str(tmp_path / "clone"))
+    assert [tuple(r) for r in c.scan().collect()] == [(1, 1, 11), (2, 2, 20)]
+    assert all(s.external for s in c.manifest.all_ssts())
+
+    # divergent writes: each table only sees its own
+    t.write(WriteRequest(mk([(3, 3, 30)]), TimeRange(20, 30)))
+    c.write(WriteRequest(mk([(4, 4, 40)]), TimeRange(20, 30)))
+    assert [tuple(r) for r in t.scan().collect()] == [(1, 1, 11), (2, 2, 20), (3, 3, 30)]
+    assert [tuple(r) for r in c.scan().collect()] == [(1, 1, 11), (2, 2, 20), (4, 4, 40)]
+
+    # clone-side delete doesn't touch the source
+    c.delete("pk1 = 2")
+    assert any(tuple(r)[:2] == (2, 2) for r in t.scan().collect())
+    assert not any(tuple(r)[:2] == (2, 2) for r in c.scan().collect())
+
+    # clone-side full compaction rewrites into the CLONE's data dir and
+    # leaves every shared source file on disk
+    src_paths = [s.path for s in t.manifest.all_ssts()]
+    comp = Compactor(c, SchedulerConfig(input_sst_min_num=1))
+    task = CompactionTask(inputs=sorted(c.manifest.all_ssts(), key=lambda s: s.file_id))
+    assert comp.execute(task) is not None
+    assert all(os.path.isdir(p) for p in src_paths)
+    assert [tuple(r) for r in t.scan().collect()] == [(1, 1, 11), (2, 2, 20), (3, 3, 30)]
+
+
+def test_deep_clone_survives_source_removal(spark, tmp_path):
+    import shutil
+
+    t = ColumnarTable(spark, str(tmp_path / "src2"), kv_schema(), TWO_HOURS)
+    mk = lambda rows: spark.createDataFrame(rows, "pk1 long, pk2 long, value long")
+    t.write(WriteRequest(mk([(1, 1, 10)]), TimeRange(0, 10)))
+    c = t.clone(str(tmp_path / "deep"), deep=True)
+    shutil.rmtree(str(tmp_path / "src2"))
+    assert [tuple(r) for r in c.scan().collect()] == [(1, 1, 10)]
