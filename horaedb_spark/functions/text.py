@@ -413,3 +413,77 @@ def bigram_lm_scores(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.count("*").cast("long").alias("n_bigrams"),
         F.round(F.sum(nll) / F.count("*"), 4).alias("avg_nll"),
     )
+
+
+def bpe_learn_and_apply(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_merges: int = 4,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges on the corpus and tokenize with them —
+    the real (Sennrich) algorithm in its distributed shape.
+
+    The corpus collapses to a word-frequency table ONCE (the only
+    corpus-sized shuffle); every merge iteration then runs two
+    vocabulary-sized steps: (1) adjacent-pair counts weighted by word
+    frequency, (2) argmax merge applied to the spaced representation via one
+    string replace. Only the single winning pair row crosses to the driver
+    per iteration (the codebook-to-driver pattern, same as k-means
+    centroids). Ties break deterministically: count desc, pair asc.
+
+    Returns one row per document: (id_col, chars_before, tokens_after) —
+    character-token count vs post-merge token count. At 100 TB the per-
+    iteration cost is O(|vocab|), independent of corpus size."""
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("w"),
+    ).filter(F.col("w") != "")
+    vocab = words.groupBy("w").agg(F.count("*").alias("wn"))
+    # 'hello' -> 'h e l l o' (spaced token sequence, boundary-free)
+    spaced = vocab.withColumn(
+        "sp", F.trim(F.regexp_replace("w", "(.)", "$1 "))
+    ).persist()
+    pair_expr = F.expr(
+        """
+        CASE WHEN size(split(sp, ' ')) > 1 THEN
+          transform(sequence(1, size(split(sp, ' ')) - 1),
+                    i -> concat(element_at(split(sp, ' '), i), '|',
+                                element_at(split(sp, ' '), i + 1)))
+        ELSE array() END
+        """
+    )
+    for _ in range(n_merges):
+        top = (
+            spaced.select(F.explode(pair_expr).alias("pair"), "wn")
+            .groupBy("pair")
+            .agg(F.sum("wn").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            .first()
+        )
+        if top is None:
+            break
+        a, b = top["pair"].split("|")
+        nxt = spaced.withColumn(
+            "sp",
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("sp"), F.lit(" ")),
+                    F.lit(f" {a} {b} "),
+                    F.lit(f" {a}{b} "),
+                )
+            ),
+        ).persist()
+        spaced.unpersist()
+        spaced = nxt
+    final = spaced.select(
+        "w", F.size(F.split("sp", " ")).alias("__ntok__")
+    )
+    return (
+        words.join(F.broadcast(final), "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.length("w")).cast("long").alias("chars_before"),
+            F.sum("__ntok__").cast("long").alias("tokens_after"),
+        )
+    )

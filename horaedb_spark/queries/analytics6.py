@@ -1,6 +1,6 @@
 """Analytics batch 6: M4 visual time-series downsampling, rolling
-7-day distinct-user counts, and vocabulary OOV-rate scoring. All
-DuckDB-oracle-gated.
+7-day distinct-user counts, vocabulary OOV-rate scoring, and PSI
+distribution-drift detection. All DuckDB-oracle-gated.
 
 Reference parity: the reference engine serves dashboard/monitoring reads
 over its scan+merge surface (SURVEY.md §0); M4 is the canonical
@@ -182,4 +182,102 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PSI distribution-drift detection (the training-serving skew monitor).
+
+_T0 = 1_704_067_200_000  # dataset epoch (2024-01-01)
+_W1_END = _T0 + 7 * DAY_MS
+_W4_START = _T0 + 21 * DAY_MS
+_W4_END = _T0 + 28 * DAY_MS
+_PSI_BINS = 10
+
+
+@register(
+    "events_psi_drift",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type, epoch_ms(ts) AS ts_ms, value FROM events
+    ), ref AS (
+      SELECT event_type, value FROM ev
+      WHERE ts_ms >= {_T0} AND ts_ms < {_W1_END}
+    ), cur AS (
+      SELECT event_type, value FROM ev
+      WHERE ts_ms >= {_W4_START} AND ts_ms < {_W4_END}
+    ), edges AS (
+      SELECT event_type,
+             [{", ".join(f"quantile_cont(value, {i / 10.0})" for i in range(1, _PSI_BINS))}] AS es
+      FROM ref GROUP BY event_type
+    ), binned AS (
+      SELECT r.event_type, 'ref' AS side,
+             len(list_filter(e.es, x -> r.value > x)) AS bin
+      FROM ref r JOIN edges e ON r.event_type = e.event_type
+      UNION ALL
+      SELECT c.event_type, 'cur',
+             len(list_filter(e.es, x -> c.value > x))
+      FROM cur c JOIN edges e ON c.event_type = e.event_type
+    ), counts AS (
+      SELECT event_type, bin,
+             count(*) FILTER (WHERE side = 'ref') AS n1,
+             count(*) FILTER (WHERE side = 'cur') AS n2
+      FROM binned GROUP BY event_type, bin
+    ), shares AS (
+      SELECT event_type, bin,
+             (n1 + 0.5) / (sum(n1) OVER (PARTITION BY event_type) + {_PSI_BINS * 0.5}) AS p1,
+             (n2 + 0.5) / (sum(n2) OVER (PARTITION BY event_type) + {_PSI_BINS * 0.5}) AS p2
+      FROM counts
+    )
+    SELECT event_type,
+           floor(sum((p2 - p1) * ln(p2 / p1)) * 1000000 + 0.5) / 1000000 AS psi
+    FROM shares GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between week 1 (reference) and week 4
+    (current) of the value distribution per event type — the drift monitor
+    run between training and serving windows. Decile edges come from exact
+    interpolated quantiles of the reference window (a bins-1-element array
+    per type, broadcast back onto both windows); bin shares are
+    Laplace-smoothed so empty bins stay finite. Two scans + three
+    metadata-sized aggregates; the fact stream never self-joins. PSI > 0.2
+    is the conventional "retrain" alarm."""
+    ev = events_ms(spark, sf_dir).select("event_type", "ts_ms", "value")
+    ref = ev.filter((F.col("ts_ms") >= _T0) & (F.col("ts_ms") < _W1_END))
+    cur = ev.filter((F.col("ts_ms") >= _W4_START) & (F.col("ts_ms") < _W4_END))
+    edges = ref.groupBy("event_type").agg(
+        F.array(
+            *[F.percentile("value", F.lit(i / 10.0)) for i in range(1, _PSI_BINS)]
+        ).alias("es")
+    )
+    def binned(df, side):
+        return df.join(F.broadcast(edges), "event_type").select(
+            "event_type",
+            F.lit(side).alias("side"),
+            F.size(F.filter("es", lambda x: F.col("value") > x)).alias("bin"),
+        )
+    counts = (
+        binned(ref, "ref")
+        .unionByName(binned(cur, "cur"))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count(F.when(F.col("side") == "ref", 1)).alias("n1"),
+            F.count(F.when(F.col("side") == "cur", 1)).alias("n2"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    wt = W.partitionBy("event_type")
+    smooth = _PSI_BINS * 0.5
+    shares = counts.select(
+        "event_type",
+        ((F.col("n1") + 0.5) / (F.sum("n1").over(wt) + smooth)).alias("p1"),
+        ((F.col("n2") + 0.5) / (F.sum("n2").over(wt) + smooth)).alias("p2"),
+    )
+    psi = (F.col("p2") - F.col("p1")) * F.log(F.col("p2") / F.col("p1"))
+    return (
+        shares.groupBy("event_type")
+        .agg((F.floor(F.sum(psi) * 1000000 + 0.5) / 1000000).alias("psi"))
+        .orderBy("event_type")
     )

@@ -83,6 +83,8 @@ _QUERY_MODULES = (
 # regression.
 _RUN_FIRST = (
     "storage_delete_scan",
+    "text_bpe_apply",
+    "events_psi_drift",
     "events_m4_downsample",
     "events_rolling_distinct_users",
     "text_oov_rate",

@@ -437,3 +437,64 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rk", "term", F.round("score", 6).alias("tfidf"))
         .orderBy("doc_id", "rk")
     )
+
+
+def _bpe_oracle(n_merges: int = 4) -> str:
+    """Unrolled DuckDB replica of the iterative merge loop: each step is an
+    argmax CTE (count desc, pair asc) + a replace CTE over the spaced
+    vocabulary — identical ranking and left-to-right non-overlapping replace
+    semantics as the Spark side."""
+    pair_src = (
+        "SELECT wn, unnest(list_transform("
+        "generate_series(1, len(str_split(sp, ' ')) - 1), "
+        "i -> str_split(sp, ' ')[i] || '|' || str_split(sp, ' ')[i + 1])) AS pair "
+        "FROM v{k} WHERE len(str_split(sp, ' ')) > 1"
+    )
+    steps = []
+    for k in range(n_merges):
+        steps.append(
+            f", p{k} AS (SELECT pair, sum(wn) AS cnt FROM ({pair_src.format(k=k)}) GROUP BY pair)"
+            f", m{k} AS (SELECT pair FROM p{k} ORDER BY cnt DESC, pair LIMIT 1)"
+            f", v{k + 1} AS ("
+            f"  SELECT w, wn, trim(replace(' ' || sp || ' ',"
+            f"    ' ' || replace(m{k}.pair, '|', ' ') || ' ',"
+            f"    ' ' || replace(m{k}.pair, '|', '') || ' ')) AS sp"
+            f"  FROM v{k}, m{k})"
+        )
+    return (
+        """
+    WITH words AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        FROM documents
+      ) WHERE w != ''
+    ), v0 AS (
+      SELECT w, count(*) AS wn,
+             trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sp
+      FROM words GROUP BY w
+    )
+    """
+        + "\n".join(steps)
+        + f"""
+    , final AS (SELECT w, len(str_split(sp, ' ')) AS ntok FROM v{n_merges})
+    SELECT words.doc_id,
+           CAST(sum(length(words.w)) AS BIGINT) AS chars_before,
+           CAST(sum(final.ntok) AS BIGINT) AS tokens_after
+    FROM words JOIN final ON words.w = final.w
+    GROUP BY words.doc_id ORDER BY words.doc_id
+    """
+    )
+
+
+@register("text_bpe_apply", oracle=_bpe_oracle())
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE: learn 4 merges on the corpus (Sennrich alg — pair
+    counts and merge application run over the VOCABULARY table, so each
+    iteration is O(|vocab|) whatever the corpus size; only the single
+    winning pair crosses to the driver per round), then tokenize every
+    document with the learned merges via one broadcast join. Completes the
+    tokenizer-training story started by text_bpe_pairs (stats only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.bpe_learn_and_apply(docs, "doc_id", "text", n_merges=4).orderBy(
+        "doc_id"
+    )

@@ -243,3 +243,19 @@ def test_funnel_stages_strict_ordering(spark):
     df = spark.createDataFrame(rows, ["user_id", "event_type", "ts_ms"])
     out = {r.user_id: r.stage_reached for r in funnel_stages(df).collect()}
     assert out == {1: 3, 2: 1, 3: 2, 4: 0}
+
+
+def test_bpe_learn_and_apply_golden(spark):
+    """Corpus 'aaab aaab ab': merges learned in order (a,a) then (aa,b)...
+    hand-checked: pairs of 'aaab'x2 + 'ab' -> (a,a):4, (a,b):3 =>
+    merge1 = 'a a'->'aa'; then 'aa a b' pairs (aa,a):2,(a,b):2,(aa,b):1 =>
+    merge2 = (a,b) [tie broken lexicographically: 'a|b' < 'aa|a'].
+    'aaab' -> 'aa ab' (2 tokens), 'ab' -> 'ab' (1 token)."""
+    from horaedb_spark.functions.text import bpe_learn_and_apply
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab"), (2, "ab")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: (r["chars_before"], r["tokens_after"])
+           for r in bpe_learn_and_apply(docs, "doc_id", "text", n_merges=2).collect()}
+    assert out == {1: (8, 4), 2: (2, 1)}
