@@ -83,6 +83,7 @@ _QUERY_MODULES = (
 # regression.
 _RUN_FIRST = (
     "storage_delete_scan",
+    "storage_point_lookup",
     "text_bpe_apply",
     "events_psi_drift",
     "events_m4_downsample",

@@ -93,3 +93,19 @@ class TableCatalog:
         if not os.path.exists(self._meta_path(name)):
             raise NoSuchTableError(name)
         shutil.rmtree(self._dir(name))
+
+    def clone_table(self, src: str, dst: str, deep: bool = False) -> ColumnarTable:
+        """CREATE TABLE dst CLONE src — catalog-level snapshot clone.
+        Zero-copy by default (the clone's manifest references the source's
+        SSTs as external; see ColumnarTable.clone for the maintenance
+        contract); ``deep=True`` copies the files. The destination becomes a
+        first-class catalog table (open/list/drop)."""
+        if os.path.exists(self._meta_path(dst)):
+            raise TableExistsError(dst)
+        source = self.open_table(src)
+        table = source.clone(self._dir(dst), deep=deep)
+        tmp = self._meta_path(dst) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"segment_duration_ms": source.segment_duration_ms}, f)
+        os.replace(tmp, self._meta_path(dst))
+        return table

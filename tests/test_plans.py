@@ -468,3 +468,18 @@ def test_oov_rate_vocab_broadcasts(spark, sf_dir):
     plan = plan_of(text_oov_rate(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan[:3000]
     assert "CartesianProduct" not in plan
+
+
+def test_point_lookup_prunes_files(spark, sf_dir):
+    """The clustered layout + manifest stats must let a PK point lookup
+    read strictly fewer files than the table holds."""
+    from horaedb_spark.queries.storage_queries import (
+        _build_point_lookup_table,
+        storage_point_lookup,
+    )
+
+    df = storage_point_lookup(spark, sf_dir)
+    table = _build_point_lookup_table(spark, sf_dir)
+    total = len(table.manifest.all_ssts())
+    read = len(df.inputFiles())
+    assert read < total, f"read {read} files of {total} — no pruning"

@@ -689,3 +689,22 @@ def test_deep_clone_survives_source_removal(spark, tmp_path):
     c = t.clone(str(tmp_path / "deep"), deep=True)
     shutil.rmtree(str(tmp_path / "src2"))
     assert [tuple(r) for r in c.scan().collect()] == [(1, 1, 10)]
+
+
+def test_catalog_clone_table(spark, tmp_path):
+    from horaedb_spark.storage.catalog import TableCatalog
+
+    cat = TableCatalog(spark, str(tmp_path / "cat"))
+    t = cat.create_table("src", kv_schema(), TWO_HOURS)
+    mk = lambda rows: spark.createDataFrame(rows, "pk1 long, pk2 long, value long")
+    t.write(WriteRequest(mk([(1, 1, 10)]), TimeRange(0, 10)))
+    c = cat.clone_table("src", "dev")
+    assert cat.list_tables() == ["dev", "src"]
+    assert [tuple(r) for r in c.scan().collect()] == [(1, 1, 10)]
+    # reopen by name; divergent write stays local to the clone
+    c2 = cat.open_table("dev")
+    c2.write(WriteRequest(mk([(2, 2, 20)]), TimeRange(10, 20)))
+    assert cat.open_table("src").scan().count() == 1
+    assert cat.open_table("dev").scan().count() == 2
+    cat.drop_table("dev")  # dropping the clone must not touch src's bytes
+    assert cat.open_table("src").scan().count() == 1
