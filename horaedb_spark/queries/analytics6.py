@@ -281,3 +281,102 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.floor(F.sum(psi) * 1000000 + 0.5) / 1000000).alias("psi"))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weekly seasonality profile (hour-of-week periodic aggregate).
+
+
+@register(
+    "events_weekly_seasonality",
+    oracle=f"""
+    SELECT event_type,
+           (epoch_ms(ts) // {HOUR_MS}) % 168 AS hour_of_week,
+           count(*) AS n,
+           floor(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE)
+                 / count(*) * 1000000 + 0.5) / 1000000 AS avg_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_weekly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week seasonality profile per event type — the periodic
+    template dashboards overlay on live traffic (and the input to
+    seasonal-adjusted anomaly thresholds). One map-side-combined aggregate
+    into a fixed 168-row grid per series; decimal-routed sums keep the
+    average order-independent. O(series × 168) output at any scale."""
+    ev = events_ms(spark, sf_dir)
+    how = (F.col("ts_ms") / F.lit(HOUR_MS)).cast("long") % 168
+    dec_sum = F.sum(F.col("value").cast("decimal(30,10)")).cast("double")
+    return (
+        ev.groupBy("event_type", how.alias("hour_of_week"))
+        .agg(
+            F.count("*").alias("n"),
+            (F.floor(dec_sum / F.count("*") * 1000000 + 0.5) / 1000000).alias(
+                "avg_value"
+            ),
+        )
+        .orderBy("event_type", "hour_of_week")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order-backlog time series (running net flow).
+
+
+@register(
+    "orders_backlog_series",
+    oracle=f"""
+    WITH placed AS (
+      SELECT epoch_ms(o_orderdate) // {DAY_MS} AS day, count(*) AS n_in
+      FROM orders GROUP BY 1
+    ), shipped AS (
+      SELECT epoch_ms(l.l_shipdate) // {DAY_MS} AS day,
+             count(DISTINCT l.l_orderkey) AS n_out
+      FROM lineitem l GROUP BY 1
+    ), flow AS (
+      SELECT coalesce(p.day, s.day) AS day,
+             coalesce(n_in, 0) AS n_in, coalesce(n_out, 0) AS n_out
+      FROM placed p FULL OUTER JOIN shipped s ON p.day = s.day
+    )
+    SELECT day * {DAY_MS} AS day_ms, n_in, n_out,
+           CAST(sum(n_in - n_out) OVER (ORDER BY day) AS BIGINT) AS backlog
+    FROM flow ORDER BY day_ms
+    """,
+)
+def orders_backlog_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time: daily order placements minus daily
+    first-ship completions, cumulated. The heavy side is two fact
+    aggregates (orders, lineitem) down to day grain; the running sum then
+    operates on the METADATA-SIZED day series — the only unpartitioned
+    window in the plan runs over O(days) rows, never the facts (same
+    argument as the PromQL step spines)."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    placed = orders.groupBy(
+        (F.unix_millis(F.col("o_orderdate").cast("timestamp")) / DAY_MS)
+        .cast("long")
+        .alias("day")
+    ).agg(F.count("*").alias("n_in"))
+    shipped = li.groupBy(
+        (F.unix_millis(F.col("l_shipdate").cast("timestamp")) / DAY_MS)
+        .cast("long")
+        .alias("day")
+    ).agg(F.count_distinct("l_orderkey").alias("n_out"))
+    flow = (
+        placed.join(shipped, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_in", F.lit(0)).alias("n_in"),
+            F.coalesce("n_out", F.lit(0)).alias("n_out"),
+        )
+    )
+    w = W.orderBy("day")
+    return flow.select(
+        (F.col("day") * DAY_MS).alias("day_ms"),
+        "n_in",
+        "n_out",
+        F.sum(F.col("n_in") - F.col("n_out")).over(w).cast("long").alias("backlog"),
+    ).orderBy("day_ms")

@@ -83,6 +83,9 @@ _QUERY_MODULES = (
 # regression.
 _RUN_FIRST = (
     "storage_delete_scan",
+    "streaming_left_outer_join",
+    "events_weekly_seasonality",
+    "orders_backlog_series",
     "storage_point_lookup",
     "text_bpe_apply",
     "events_psi_drift",

@@ -814,3 +814,94 @@ def streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).orderBy("window_start_ms", "event_type")
     return _CACHE[key]
+
+
+@register(
+    "streaming_left_outer_join",
+    # Emission frontier arithmetic (same genre as streaming_late_data): the
+    # inner matches always emit; an UNMATCHED purchase emits its null row
+    # only once the global watermark (min of both streams' max event time,
+    # minus the 1 h delay) has passed its timestamp — later purchases are
+    # still "open" in state when the stream ends.
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id AS purchase_id, epoch_ms(ts) AS p_ts_ms
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, event_id AS click_id, epoch_ms(ts) AS c_ts_ms
+      FROM events WHERE event_type = 'click'
+    ), wm AS (
+      SELECT least((SELECT max(p_ts_ms) FROM p),
+                   (SELECT max(c_ts_ms) FROM c)) - 3600000 AS frontier
+    ), matched AS (
+      SELECT p.user_id, p.purchase_id, c.click_id, p.p_ts_ms, c.c_ts_ms
+      FROM p JOIN c ON p.user_id = c.user_id
+        AND c.c_ts_ms >= p.p_ts_ms - 3600000 AND c.c_ts_ms <= p.p_ts_ms
+    )
+    SELECT user_id, purchase_id, click_id, p_ts_ms, c_ts_ms FROM matched
+    UNION ALL
+    SELECT p.user_id, p.purchase_id, -1, p.p_ts_ms, -1
+    FROM p, wm
+    WHERE p.p_ts_ms < wm.frontier
+      AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.purchase_id = p.purchase_id)
+    ORDER BY user_id, purchase_id, click_id
+    """,
+)
+def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every purchase joined to the
+    same user's preceding-hour clicks, purchases WITHOUT such a click
+    emitted with nulls — but only after the watermark proves no matching
+    click can still arrive (the semantics that make outer streaming joins
+    hard). State stays bounded to the 1 h tail on both sides; the oracle
+    replays Spark's eviction frontier arithmetically: null rows exist
+    exactly for unmatched purchases older than min(max p_ts, max c_ts) - 1 h."""
+    key = f"ssleftjoin:{sf_dir}"
+    if key not in _CACHE:
+        raw = _raw_events_stream(spark, sf_dir).select(
+            "user_id", "event_type", "event_id",
+            F.timestamp_millis(F.col("ts_ms")).alias("ts_ts"),
+        )
+        p = (
+            raw.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts_ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        c = (
+            raw.filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts_ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "1 hour")
+        )
+        j = p.join(
+            c,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+            "left_outer",
+        )
+        name = "horaedb_stream_left_join"
+        q = (
+            j.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        # unmatched rows surface as -1 (not NULL): a nullable bigint column
+        # turns float64 through the driver's pandas hash on ONE side only
+        _CACHE[key] = spark.table(name).select(
+            F.col("p_user").alias("user_id"),
+            "purchase_id",
+            F.coalesce("click_id", F.lit(-1)).alias("click_id"),
+            F.unix_millis(F.col("p_ts")).alias("p_ts_ms"),
+            F.coalesce(F.unix_millis(F.col("c_ts")), F.lit(-1)).alias("c_ts_ms"),
+        ).cache()
+    return _CACHE[key].orderBy("user_id", "purchase_id", "click_id")
