@@ -66,6 +66,11 @@ HEADLINE = [
     "market_basket_pairs",
     "events_mad_outliers",
     "embedding_quantize_int8",
+    # batch-7 additions
+    "storage_point_lookup",
+    "storage_delete_scan",
+    "events_m4_downsample",
+    "text_bpe_apply",
 ]
 
 
@@ -85,6 +90,8 @@ FIXTURE_QUERIES = (
     "streaming_ingest_scan",
     "streaming_stateful_increase",
     "storage_secondary_index_scan",
+    "storage_point_lookup",
+    "storage_delete_scan",
 )
 
 
