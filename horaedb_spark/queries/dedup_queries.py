@@ -786,3 +786,74 @@ def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("csize")
     )
+
+
+_SWEEP_THRESHOLDS = (0.5, 0.8, 0.9, 0.95, 0.99)
+
+
+@register(
+    "dedup_threshold_sweep",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) FOR x IN embedding] AS qv
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + {_COPY_OFFSET},
+             [CAST(round(CAST(x AS DOUBLE) * 1000 + 20) AS BIGINT) FOR x IN embedding]
+      FROM embeddings
+    ), buckets AS (
+{_BUCKETS_SQL}
+    ), pairs AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_COS_SQL} AS cos_sim
+      FROM buckets a JOIN buckets b
+        ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+      WHERE {_COS_SQL} >= {_SWEEP_THRESHOLDS[0]}
+    ), thresholds AS (
+      SELECT unnest([{", ".join(str(t) for t in _SWEEP_THRESHOLDS)}]) AS threshold
+    )
+    SELECT t.threshold,
+           CAST(count(p.cos_sim) AS BIGINT) AS n_pairs,
+           CAST(coalesce(sum(p.id_a + p.id_b), 0) AS BIGINT) AS pair_checksum
+    FROM thresholds t LEFT JOIN pairs p ON p.cos_sim >= t.threshold
+    GROUP BY t.threshold ORDER BY t.threshold
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup THRESHOLD SWEEP — the "choose your cutoff" report run
+    before committing a dedup policy: candidate pairs come from the same
+    4-table LSH blocking as dedup_embedding_cosine, the exact cosine is
+    computed ONCE per candidate pair, and every sweep threshold counts
+    from that one pass (a 5-row threshold table joins the pair set — no
+    re-scan per cutoff). Checksums pin the exact pair membership at every
+    threshold."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+    shifted = emb.select(
+        (F.col("vec_id") + _COPY_OFFSET).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * 1000 + 20).cast("long"),
+        ).alias("qv"),
+    )
+    corpus = base.unionByName(shifted)
+    pairs = embedding_lsh_near_dup_pairs(
+        corpus, "qv", "vec_id", _SWEEP_THRESHOLDS[0],
+        dim=_LSH_DIM, num_planes=_LSH_PLANES, num_tables=_LSH_TABLES,
+    )
+    thresholds = spark.createDataFrame(
+        [(t,) for t in _SWEEP_THRESHOLDS], "threshold double"
+    )
+    joined = F.broadcast(thresholds).join(
+        pairs, pairs.cos_sim >= thresholds.threshold, "left"
+    )
+    return (
+        joined.groupBy("threshold")
+        .agg(
+            F.count("cos_sim").alias("n_pairs"),
+            F.coalesce(F.sum(F.col("id_a") + F.col("id_b")), F.lit(0))
+            .cast("long")
+            .alias("pair_checksum"),
+        )
+        .orderBy("threshold")
+    )

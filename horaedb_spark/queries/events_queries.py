@@ -31,7 +31,11 @@ _STAGES = ("signup", "click", "purchase")
 _FUNNEL_CUTOFF_MS = 1_704_160_800_000  # 2024-01-02T02:00Z
 
 
-def funnel_stages(events: DataFrame, stages: tuple[str, ...] = _STAGES) -> DataFrame:
+def funnel_stages(
+    events: DataFrame,
+    stages: tuple[str, ...] = _STAGES,
+    window_ms: int | None = None,
+) -> DataFrame:
     """Per-user funnel progression: walk the user's event stream in time
     order, advancing one stage each time the next stage's event type occurs
     at a STRICTLY later timestamp than the previous stage hit. Returns
@@ -62,6 +66,12 @@ def funnel_stages(events: DataFrame, stages: tuple[str, ...] = _STAGES) -> DataF
                 (acc["stage"] == idx) & (ev["event_type"] == s)
             )
         advance = conds & advance & (ev["ts_ms"] > acc["t_prev"])
+        if window_ms is not None:
+            # conversion window: a step only counts within window_ms of the
+            # previous stage hit (stage 1 entry is unconstrained)
+            advance = advance & (
+                (acc["stage"] == 0) | (ev["ts_ms"] <= acc["t_prev"] + window_ms)
+            )
         return F.struct(
             F.when(advance, acc["stage"] + 1).otherwise(acc["stage"]).alias(
                 "stage"
@@ -299,4 +309,132 @@ def user_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n"))
         .orderBy(F.desc("n"), "path")
         .limit(10)
+    )
+
+
+_FUNNEL_WINDOW_MS = 3 * DAY_MS
+
+
+@register(
+    "funnel_time_bounded",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+      WHERE epoch_ms(ts) < {_FUNNEL_CUTOFF_MS}
+    ), s1 AS (
+      SELECT user_id, min(ts_ms) AS t1 FROM ev
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts_ms) AS t2
+      FROM ev e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts_ms > s1.t1
+        AND e.ts_ms <= s1.t1 + {_FUNNEL_WINDOW_MS}
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts_ms) AS t3
+      FROM ev e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts_ms > s2.t2
+        AND e.ts_ms <= s2.t2 + {_FUNNEL_WINDOW_MS}
+      GROUP BY e.user_id
+    ), staged AS (
+      SELECT u.user_id,
+             CASE WHEN s3.t3 IS NOT NULL THEN 3
+                  WHEN s2.t2 IS NOT NULL THEN 2
+                  WHEN s1.t1 IS NOT NULL THEN 1
+                  ELSE 0 END AS stage_reached
+      FROM (SELECT DISTINCT user_id FROM ev
+            WHERE event_type IN ('signup', 'click', 'purchase')) u
+      LEFT JOIN s1 ON u.user_id = s1.user_id
+      LEFT JOIN s2 ON u.user_id = s2.user_id
+      LEFT JOIN s3 ON u.user_id = s3.user_id
+    )
+    SELECT stage_reached, count(*) AS n_users,
+           CAST(sum(user_id) AS BIGINT) AS user_checksum
+    FROM staged GROUP BY stage_reached ORDER BY stage_reached
+    """,
+)
+def funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel with a CONVERSION WINDOW: each step must land within 3 days
+    of the previous stage hit (the form product analytics actually runs —
+    un-windowed funnels overcount). Same single-shuffle array fold as
+    funnel_conversion with one extra row-local bound; greedy
+    earliest-qualifying semantics make it equivalent to the oracle's
+    windowed correlated-min chain (the earliest next-stage event either
+    falls inside the window or none does — later ones are later)."""
+    ev = events_ms(spark, sf_dir).filter(F.col("ts_ms") < _FUNNEL_CUTOFF_MS)
+    staged = funnel_stages(
+        ev.select("user_id", "event_type", "ts_ms"), window_ms=_FUNNEL_WINDOW_MS
+    )
+    return (
+        staged.groupBy("stage_reached")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("user_id").alias("user_checksum"),
+        )
+        .orderBy("stage_reached")
+    )
+
+
+@register(
+    "events_churn_flow",
+    oracle=f"""
+    WITH w1 AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE epoch_ms(ts) >= {1_704_067_200_000}
+        AND epoch_ms(ts) < {1_704_067_200_000 + 7 * DAY_MS}
+    ), w4 AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE epoch_ms(ts) >= {1_704_067_200_000 + 21 * DAY_MS}
+        AND epoch_ms(ts) < {1_704_067_200_000 + 28 * DAY_MS}
+    ), flow AS (
+      SELECT coalesce(w1.user_id, w4.user_id) AS user_id,
+             CASE WHEN w1.user_id IS NOT NULL AND w4.user_id IS NOT NULL
+                    THEN 'retained'
+                  WHEN w1.user_id IS NOT NULL THEN 'churned'
+                  ELSE 'new' END AS status
+      FROM w1 FULL OUTER JOIN w4 ON w1.user_id = w4.user_id
+    )
+    SELECT user_id % 10 AS cohort, status, count(*) AS n_users,
+           CAST(sum(user_id) AS BIGINT) AS user_checksum
+    FROM flow GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_churn_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-1 → week-4 user flow per cohort: retained (active both),
+    churned (active then gone), new (appeared late). Two distinct
+    aggregates down to user grain, one co-partitioned full-outer join on
+    user_id, one metadata-sized rollup — the user dimension is the only
+    shuffle key, so the plan is two fact scans + one user-sized join at
+    any scale. Checksums pin per-user membership, not just counts."""
+    ev = events_ms(spark, sf_dir)
+    t0 = 1_704_067_200_000
+    w1 = (
+        ev.filter((F.col("ts_ms") >= t0) & (F.col("ts_ms") < t0 + 7 * DAY_MS))
+        .select("user_id")
+        .distinct()
+        .withColumn("__w1__", F.lit(1))
+    )
+    w4 = (
+        ev.filter(
+            (F.col("ts_ms") >= t0 + 21 * DAY_MS)
+            & (F.col("ts_ms") < t0 + 28 * DAY_MS)
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("__w4__", F.lit(1))
+    )
+    flow = w1.join(w4, "user_id", "full_outer").select(
+        "user_id",
+        F.when(F.col("__w1__").isNotNull() & F.col("__w4__").isNotNull(), "retained")
+        .when(F.col("__w1__").isNotNull(), "churned")
+        .otherwise("new")
+        .alias("status"),
+    )
+    return (
+        flow.groupBy((F.col("user_id") % 10).alias("cohort"), "status")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("user_id").alias("user_checksum"),
+        )
+        .orderBy("cohort", "status")
     )

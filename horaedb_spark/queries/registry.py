@@ -83,6 +83,9 @@ _QUERY_MODULES = (
 # regression.
 _RUN_FIRST = (
     "storage_delete_scan",
+    "funnel_time_bounded",
+    "events_churn_flow",
+    "dedup_threshold_sweep",
     "streaming_left_outer_join",
     "events_weekly_seasonality",
     "orders_backlog_series",
