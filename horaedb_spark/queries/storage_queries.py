@@ -899,3 +899,41 @@ def storage_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.scan(
         ScanRequest(predicate="user_id = 42")
     ).orderBy("event_type", "ts_ms")
+
+
+_UPDATED_TABLES: dict[str, ColumnarTable] = {}
+
+
+@register(
+    "storage_update_scan",
+    oracle=f"""
+    SELECT user_id, event_type, ts_ms,
+           CASE WHEN event_type = 'error' THEN value * 2 ELSE value END AS value
+    FROM (
+      SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, value,
+             row_number() OVER (
+               PARTITION BY user_id, event_type, epoch_ms(ts) // {_SEG_15D}
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id, event_type, ts_ms
+    """,
+)
+def storage_update_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE (new-version rewrite): ``UPDATE SET value = value*2
+    WHERE event_type='error'`` against the merged current state, then a
+    normal scan. The update writes one per-segment SST holding ONLY the
+    touched rows with a winning ``__seq__`` — the untouched data is never
+    rewritten, which with delete/write/bulk_ingest completes the DML
+    surface (tests/test_delete.py pins as-of time travel across updates).
+    Extension over the reference, documented in DIVERGENCES.md."""
+    key = f"{sf_dir}:updated"
+    if key not in _UPDATED_TABLES:
+        table = _build_events_table(spark, sf_dir, _SEG_15D, 4, shared=False)
+        table.update("event_type = 'error'", {"value": "value * 2"})
+        _UPDATED_TABLES[key] = table
+    return (
+        _UPDATED_TABLES[key]
+        .scan()
+        .orderBy("user_id", "event_type", "ts_ms")
+    )

@@ -489,6 +489,65 @@ class ColumnarTable:
                 for f in self.schema.fields.fields
             ],
         )
+        return self._stage_segmented_write(tomb, reserved=TOMBSTONE)
+
+    def update(
+        self,
+        predicate: Column | str,
+        assignments: dict[str, Column | str],
+        time_range: TimeRange | None = None,
+    ) -> list[SstFile]:
+        """Row-level UPDATE for OVERWRITE tables (completing the DML set
+        with write/bulk_ingest/delete): rows whose CURRENT merged state
+        satisfies ``predicate`` are re-written with ``assignments`` applied
+        as NEW VERSIONS — one per-segment SST carrying only the touched
+        rows, whose fresh ``__seq__`` outranks the old ones. The untouched
+        petabytes are never rewritten; ``as_of_seq`` snapshots before the
+        update see the old values. Primary-key columns cannot be assigned
+        (that is a delete + insert)."""
+        from horaedb_spark.core.schema import UpdateMode
+
+        if self.schema.update_mode != UpdateMode.OVERWRITE:
+            raise ValueError("update() requires an OVERWRITE-mode table")
+        bad = set(assignments) & set(self.schema.primary_keys)
+        if bad:
+            raise ValueError(f"cannot assign primary-key columns: {sorted(bad)}")
+        unknown = set(assignments) - set(self.schema.user_columns)
+        if unknown:
+            raise ValueError(f"unknown columns in assignments: {sorted(unknown)}")
+        ssts = self.manifest.find_ssts(time_range)
+        if not ssts:
+            return []
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        df = self._read_ssts(ssts)
+        merged = apply_update_mode(
+            df, self.schema, extra_key_cols=[SEGMENT_COLUMN], keep_builtin=False
+        )
+        touched = merged.filter(pred)
+        exprs = {
+            c: (F.expr(e) if isinstance(e, str) else e)
+            for c, e in assignments.items()
+        }
+        rows = touched.select(
+            SEGMENT_COLUMN,
+            *[
+                (exprs[f.name] if f.name in exprs else F.col(f.name))
+                .cast(f.dataType)
+                .alias(f.name)
+                for f in self.schema.fields.fields
+            ],
+        )
+        return self._stage_segmented_write(rows, reserved=None)
+
+    def _stage_segmented_write(
+        self, rows: DataFrame, reserved: int | None
+    ) -> list[SstFile]:
+        """ONE Spark job writing (SEGMENT + user columns) rows as one SST
+        per touched segment, with a fresh per-segment ``__seq__`` that
+        outranks all live versions — the shared tail of delete()/update(),
+        mirroring bulk_ingest's staging/registration path."""
+        import shutil
+
         dur = self.segment_duration_ms
         base_id = self.alloc_file_id()
         fid_base = base_id + (1 << 31)  # same epoch-jump scheme as bulk_ingest
@@ -498,12 +557,17 @@ class ColumnarTable:
             F.lit(fid_base) + F.floor(F.col(SEGMENT_COLUMN) / F.lit(dur)).cast("long")
         ).cast("long")
         out = (
-            tomb.withColumn(SEQ_COLUMN, fid_expr)
-            .withColumn(RESERVED_COLUMN, F.lit(TOMBSTONE).cast("long"))
+            rows.withColumn(SEQ_COLUMN, fid_expr)
+            .withColumn(
+                RESERVED_COLUMN,
+                (F.lit(reserved) if reserved is not None else F.lit(None)).cast(
+                    "long"
+                ),
+            )
             .repartition(F.col(SEGMENT_COLUMN))
             .sortWithinPartitions(SEGMENT_COLUMN, *self.schema.primary_keys)
         )
-        staging = os.path.join(self.root, f"_staging_del_{base_id}")
+        staging = os.path.join(self.root, f"_staging_dml_{base_id}")
         out.write.options(**self.write_config.writer_options()).mode(
             "overwrite"
         ).partitionBy(SEGMENT_COLUMN).parquet(staging)
@@ -537,7 +601,7 @@ class ColumnarTable:
                         num_rows=num_rows,
                         size_bytes=size_bytes,
                         col_stats=_collect_col_stats(dst, self.schema.user_columns),
-                        tombstone=True,
+                        tombstone=reserved is not None,
                     )
                 )
             if new_ssts:

@@ -98,3 +98,34 @@ def test_full_segment_compaction_garbage_collects_tombstones(spark, tmp_path):
     kept = t.scan(ScanRequest(keep_builtin=True, ordered=False))
     assert kept.filter(F.col("__reserved__") == TOMBSTONE).count() == 0
     assert new_sst.num_rows == 1
+
+
+def test_update_rewrites_only_matching_rows(spark, tmp_path):
+    """UPDATE applies expressions to current matching rows as new versions;
+    untouched rows and pre-update snapshots keep their values."""
+    t = _build(spark, tmp_path / "u1")
+    before = max(s.file_id for s in t.manifest.all_ssts())
+    ssts = t.update("value >= 20", {"value": "value * 10"})
+    assert len(ssts) == 1 and ssts[0].num_rows == 2 and not ssts[0].tombstone
+    assert [tuple(r) for r in t.scan().collect()] == [
+        (1, 1, 10), (2, 2, 200), (3, 3, 300),
+    ]
+    snap = t.scan(ScanRequest(as_of_seq=before))
+    assert [tuple(r) for r in snap.collect()] == [(1, 1, 10), (2, 2, 20), (3, 3, 30)]
+
+
+def test_update_rejects_pk_assignment_and_append_mode(spark, tmp_path):
+    import pytest
+
+    t = _build(spark, tmp_path / "u2")
+    with pytest.raises(ValueError, match="primary-key"):
+        t.update("value > 0", {"pk1": "pk1 + 1"})
+    with pytest.raises(ValueError, match="unknown"):
+        t.update("value > 0", {"nope": "1"})
+
+
+def test_update_then_delete_compose(spark, tmp_path):
+    t = _build(spark, tmp_path / "u3")
+    t.update("pk1 = 2", {"value": "999"})
+    t.delete("value = 999")  # deletes the row the update just produced
+    assert [tuple(r) for r in t.scan().collect()] == [(1, 1, 10), (3, 3, 30)]
