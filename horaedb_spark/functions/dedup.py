@@ -338,3 +338,56 @@ def cross_set_contamination(
             F.countDistinct("__probe_id__").alias("n_probe_docs"),
         )
     )
+
+
+def duplicated_span_stats(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 20,
+    stride: int = 10,
+) -> DataFrame:
+    """Span-level (paragraph) dedup stats — ExactSubstr-lite (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"): slide a
+    ``window``-token fingerprint with ``stride`` over every document, find
+    fingerprints shared by ≥2 documents, and report each document's
+    duplicated-span fraction (the retain/trim signal span-level dedup acts
+    on).
+
+    Shapes: the window explode is row-local with ~tokens/stride fan-out;
+    duplicated fingerprints reduce by ONE hash aggregate keyed on the md5
+    (16-byte keys, not text); membership flows back through a broadcast-able
+    semi-join of the duplicated-hash set when small, an ordinary hash join
+    otherwise — Catalyst/AQE picks. Nothing quadratic, no text shuffles."""
+    toks = F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+    toks = F.filter(toks, lambda w: w != "")
+    n = F.size(toks)
+    n_win = F.when(n <= window, F.lit(1)).otherwise(
+        F.floor((n - window) / stride).cast("int") + 1
+    )
+    hashes = F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda i: F.md5(
+            F.concat_ws(" ", F.slice(toks, i * stride + 1, window))
+        ),
+    )
+    wins = docs.select(F.col(id_col), F.explode(hashes).alias("h"))
+    dup_h = (
+        wins.groupBy("h")
+        .agg(F.count_distinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    flagged = wins.join(dup_h, "h", "left_semi").groupBy(id_col).agg(
+        F.count("*").alias("n_dup_windows")
+    )
+    totals = wins.groupBy(id_col).agg(F.count("*").alias("n_windows"))
+    return totals.join(flagged, id_col, "left").select(
+        id_col,
+        "n_windows",
+        F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+        F.round(
+            F.coalesce("n_dup_windows", F.lit(0)) / F.col("n_windows").cast("double"),
+            6,
+        ).alias("dup_fraction"),
+    )

@@ -857,3 +857,75 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+@register(
+    "dedup_span_stats",
+    # corpus: documents + planted near-copies that share the FIRST half of
+    # an original (a duplicated leading span with a divergent tail) — the
+    # exact case span-level dedup exists for and whole-doc dedup misses
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_COPY_OFFSET},
+             array_to_string(
+               (string_split_regex(lower(text), '[^a-z0-9]+'))
+                 [1:greatest(len(string_split_regex(lower(text), '[^a-z0-9]+')) // 2, 1)],
+               ' ') || ' divergent tail entirely new words'
+      FROM documents WHERE doc_id % 5 = 0
+    ), toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         w -> w != '') AS t
+      FROM corpus
+    ), wins AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) <= 20
+                    THEN [md5(array_to_string(t[1:20], ' '))]
+                    ELSE [md5(array_to_string(t[(i-1)*10+1:(i-1)*10+20], ' '))
+                          FOR i IN generate_series(1, (len(t)-20)//10 + 1)]
+                    END) AS h
+      FROM toks
+    ), dup_h AS (
+      SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ), flagged AS (
+      SELECT w.doc_id, count(*) AS n_dup
+      FROM wins w JOIN dup_h USING (h) GROUP BY w.doc_id
+    )
+    SELECT t.doc_id,
+           count(*) AS n_windows,
+           CAST(coalesce(max(f.n_dup), 0) AS BIGINT) AS n_dup_windows,
+           round(coalesce(max(f.n_dup), 0) / CAST(count(*) AS DOUBLE), 6)
+             AS dup_fraction
+    FROM wins t LEFT JOIN flagged f ON t.doc_id = f.doc_id
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+)
+def dedup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup (ExactSubstr-lite): 20-token/stride-10 fingerprint
+    windows; windows shared by ≥2 docs mark duplicated spans; per-doc
+    duplicated fraction is the trim/retain signal. The planted corpus
+    copies each 5th document's FIRST HALF with a divergent tail — whole-doc
+    dedup (exact/minhash at tight thresholds) misses these, the span
+    fraction exposes them (docs shorter than ~2 windows are below the
+    method's granularity floor — their half merges with the divergent tail
+    inside a single fingerprint; that is inherent to windowed span dedup,
+    not a defect). Row-local explode + one md5-keyed aggregate +
+    semi-join back: no text ever shuffles."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda w: w != ""
+    )
+    half = F.concat_ws(
+        " ",
+        F.slice(toks, 1, F.greatest((F.size(toks) / 2).cast("int"), F.lit(1))),
+    )
+    copies = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+        F.concat(half, F.lit(" divergent tail entirely new words")).alias("text"),
+    )
+    corpus = docs.unionByName(copies)
+    from horaedb_spark.functions.dedup import duplicated_span_stats
+
+    return duplicated_span_stats(corpus, "doc_id", "text").orderBy("doc_id")

@@ -259,3 +259,22 @@ def test_bpe_learn_and_apply_golden(spark):
     out = {r["doc_id"]: (r["chars_before"], r["tokens_after"])
            for r in bpe_learn_and_apply(docs, "doc_id", "text", n_merges=2).collect()}
     assert out == {1: (8, 4), 2: (2, 1)}
+
+
+def test_duplicated_span_stats_golden(spark):
+    """Two 40-token docs sharing their first 30 tokens: doc 1 windows
+    (stride 10, width 20) at offsets 0/10/20; offsets 0 and 10 lie inside
+    the shared prefix (tokens 1-30) for both docs -> 2 of 3 windows dup.
+    Doc 3 is disjoint -> 0 dup."""
+    from horaedb_spark.functions.dedup import duplicated_span_stats
+
+    shared = " ".join(f"w{i}" for i in range(30))
+    a = shared + " " + " ".join(f"a{i}" for i in range(10))
+    b = shared + " " + " ".join(f"b{i}" for i in range(10))
+    c = " ".join(f"c{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+           for r in duplicated_span_stats(docs, "doc_id", "text").collect()}
+    assert out == {1: (3, 2), 2: (3, 2), 3: (3, 0)}
