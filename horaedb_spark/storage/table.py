@@ -761,6 +761,29 @@ class ColumnarTable:
                 )
         return new
 
+    def history(self) -> list[dict]:
+        """DESCRIBE HISTORY analogue: the live SST versions in __seq__
+        order (each write/bulk/delete/update/compaction leaves its file
+        ids here). ``file_id`` values double as ``as_of_seq`` pins for
+        time travel — `scan(ScanRequest(as_of_seq=h[i]["file_id"]))`
+        reads the table as of that version. Driver-side metadata only."""
+        return _table_history(self)
+
+    def restore(self, as_of_seq: int) -> list[int]:
+        """RESTORE TABLE TO VERSION: drop every SST newer than
+        ``as_of_seq`` from the manifest — the rollback that undoes bad
+        writes/deletes/updates instantly at any scale (metadata-only; the
+        orphaned files remain on disk until ``vacuum()``, so the restore
+        itself is also reversible forensics-wise). Returns the dropped
+        file ids. Refuses to run while any file is mid-compaction."""
+        ssts = self.manifest.all_ssts()
+        if any(s.in_compaction for s in ssts):
+            raise RuntimeError("restore() refused: compaction in flight")
+        doomed = [s.file_id for s in ssts if s.file_id > as_of_seq]
+        if doomed:
+            self.manifest.update([], doomed)
+        return doomed
+
     def vacuum(self) -> list[str]:
         """Remove orphan SST directories — files on disk that the manifest
         no longer (or never) references. Orphans are the deliberate residue
@@ -919,3 +942,21 @@ def _parquet_stats(sst_dir: str) -> tuple[int, int]:
             num_rows += pq.ParquetFile(full).metadata.num_rows
             size += os.path.getsize(full)
     return num_rows, size
+
+
+def _table_history(table: "ColumnarTable") -> list[dict]:
+    """Module-level helper for ColumnarTable.history (kept separate so the
+    class body stays focused on the reference's three entry points)."""
+    out: list[dict] = []
+    for s in sorted(table.manifest.all_ssts(), key=lambda s: s.file_id):
+        out.append(
+            {
+                "file_id": s.file_id,
+                "segment_start_ms": s.time_range.start,
+                "num_rows": s.num_rows,
+                "size_bytes": s.size_bytes,
+                "tombstone": s.tombstone,
+                "external": s.external,
+            }
+        )
+    return out

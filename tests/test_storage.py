@@ -708,3 +708,24 @@ def test_catalog_clone_table(spark, tmp_path):
     assert cat.open_table("dev").scan().count() == 2
     cat.drop_table("dev")  # dropping the clone must not touch src's bytes
     assert cat.open_table("src").scan().count() == 1
+
+
+def test_history_and_restore_rollback(spark, tmp_path):
+    """restore(as_of_seq) is the instant metadata rollback: bad writes and
+    deletes disappear; vacuum then reclaims the orphaned files."""
+    import os
+
+    t = ColumnarTable(spark, str(tmp_path / "hist"), kv_schema(), TWO_HOURS)
+    mk = lambda rows: spark.createDataFrame(rows, "pk1 long, pk2 long, value long")
+    t.write(WriteRequest(mk([(1, 1, 10)]), TimeRange(0, 10)))
+    good = max(h["file_id"] for h in t.history())
+    t.write(WriteRequest(mk([(1, 1, 666)]), TimeRange(10, 20)))   # bad write
+    t.delete("pk1 = 1")                                            # bad delete
+    assert t.scan().count() == 0
+    assert len(t.history()) == 3 and any(h["tombstone"] for h in t.history())
+
+    dropped = t.restore(good)
+    assert len(dropped) == 2
+    assert [tuple(r) for r in t.scan().collect()] == [(1, 1, 10)]
+    removed = t.vacuum()  # orphans of the rollback reclaimed
+    assert len(removed) == 2 and all(not os.path.isdir(p) for p in removed)
