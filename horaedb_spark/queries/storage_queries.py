@@ -937,3 +937,128 @@ def storage_update_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .scan()
         .orderBy("user_id", "event_type", "ts_ms")
     )
+
+
+@register(
+    "storage_rollup_cascade",
+    # milli-quantized sums keep the cascade EXACT: level-2 sums level-1
+    # integer partials, so cascaded == direct (stddv_over_time-style
+    # quantization divergence, documented)
+    oracle=f"""
+    SELECT event_type,
+           epoch_ms(ts) - epoch_ms(ts) % {DAY_MS} AS day_ms,
+           count(*) AS n,
+           round(CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 1000.0, 6) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def storage_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-RESOLUTION rollup cascade (the hypertable pattern): raw →
+    6-hour continuous rollup → daily continuous rollup MAINTAINED FROM THE
+    6-HOUR ONE. Both levels refresh incrementally off manifest metadata;
+    writing new raw segments invalidates 6 h buckets, whose rollup SSTs in
+    turn invalidate day buckets — the refresh cost at every level is
+    proportional to invalidated data, never history, and the daily level
+    never rescans raw at all. Level-1 sums are exact int64 milli-units so
+    the cascade is bit-lossless (sum-of-partials == direct aggregate, the
+    oracle). Two-phase ingest exercises the propagation."""
+    key = f"cascade:{sf_dir}"
+    if key in _CACHE:
+        l2 = _CACHE[key]
+    else:
+        from horaedb_spark.storage.rollup import ContinuousRollup
+
+        ev = events_ms(spark, sf_dir).select(
+            "event_id", "ts_ms", "event_type", "value"
+        ).persist()
+        lo, hi = ev.agg(F.min("ts_ms"), F.max("ts_ms")).first()
+        cutoff = truncate_by(lo + int((hi - lo) * 0.6), DAY_MS)
+        H6 = 6 * 3_600_000
+
+        raw_schema = StorageSchema(
+            T.StructType(
+                [
+                    T.StructField("event_id", T.LongType()),
+                    T.StructField("ts_ms", T.LongType()),
+                    T.StructField("event_type", T.StringType()),
+                    T.StructField("value", T.DoubleType()),
+                ]
+            ),
+            num_primary_keys=1,
+            update_mode=UpdateMode.OVERWRITE,
+        )
+
+        def _lvl_schema(bucket_col: str) -> StorageSchema:
+            return StorageSchema(
+                T.StructType(
+                    [
+                        T.StructField("event_type", T.StringType()),
+                        T.StructField(bucket_col, T.LongType()),
+                        T.StructField("n", T.LongType()),
+                        T.StructField("sum_milli", T.LongType()),
+                    ]
+                ),
+                num_primary_keys=2,
+                update_mode=UpdateMode.OVERWRITE,
+            )
+
+        raw = ColumnarTable(
+            spark, tempfile.mkdtemp(prefix="horaedb_cascraw_") + "/t",
+            raw_schema, _SEG_15D,
+        )
+        r6 = ColumnarTable(
+            spark, tempfile.mkdtemp(prefix="horaedb_casc6h_") + "/t",
+            _lvl_schema("b6_ms"), _SEG_15D,
+        )
+        r1d = ColumnarTable(
+            spark, tempfile.mkdtemp(prefix="horaedb_casc1d_") + "/t",
+            _lvl_schema("day_ms"), _SEG_15D,
+        )
+
+        def agg6(df: DataFrame) -> DataFrame:
+            return df.groupBy(
+                "event_type",
+                (F.col("ts_ms") - F.pmod("ts_ms", F.lit(H6))).alias("b6_ms"),
+            ).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.floor(F.col("value") * 1000 + 0.5).cast("long"))
+                .cast("long")
+                .alias("sum_milli"),
+            )
+
+        def agg1d(df: DataFrame) -> DataFrame:
+            # input rows are LEVEL-1 rollup rows — sums of partials, no raw
+            return df.groupBy(
+                "event_type",
+                (F.col("b6_ms") - F.pmod("b6_ms", F.lit(DAY_MS))).alias("day_ms"),
+            ).agg(
+                F.sum("n").cast("long").alias("n"),
+                F.sum("sum_milli").cast("long").alias("sum_milli"),
+            )
+
+        l1 = ContinuousRollup(raw, r6, "ts_ms", "b6_ms", H6, agg6)
+        l2 = ContinuousRollup(r6, r1d, "b6_ms", "day_ms", DAY_MS, agg1d)
+
+        raw.bulk_ingest(ev.filter(F.col("ts_ms") < cutoff), "ts_ms")
+        l1.refresh()
+        l2.refresh()
+        raw.bulk_ingest(ev.filter(F.col("ts_ms") >= cutoff), "ts_ms")
+        s1 = l1.refresh()
+        s2 = l2.refresh()
+        assert s1.delta_ssts > 0 and s2.delta_ssts > 0
+        assert l2.refresh().delta_ssts == 0  # cascade quiesces
+        ev.unpersist()
+        _CACHE[key] = l2
+    return (
+        l2.serve()
+        .select(
+            "event_type",
+            "day_ms",
+            "n",
+            F.round(F.col("sum_milli").cast("double") / 1000.0, 6).alias(
+                "sum_value"
+            ),
+        )
+        .orderBy("event_type", "day_ms")
+    )
