@@ -83,6 +83,7 @@ _QUERY_MODULES = (
 # regression.
 _RUN_FIRST = (
     "storage_delete_scan",
+    "storage_merge_into_scan",
     "storage_rollup_cascade",
     "dedup_span_stats",
     "storage_update_scan",

@@ -1062,3 +1062,64 @@ def storage_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day_ms")
     )
+
+
+_MERGED_TABLES: dict[str, ColumnarTable] = {}
+
+
+@register(
+    "storage_merge_into_scan",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id, event_type, ts_ms, value FROM (
+        SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, value,
+               row_number() OVER (
+                 PARTITION BY user_id, event_type, epoch_ms(ts) // {_SEG_15D}
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT user_id, event_type, ts_ms,
+           CASE WHEN event_type = 'click' AND user_id < 30
+                THEN value + 100 ELSE value END AS value
+    FROM base
+    WHERE NOT (event_type = 'click' AND user_id >= 30 AND user_id < 40)
+    UNION ALL
+    SELECT 10000 + i, 'click', 1704067200000, 42.0
+    FROM (SELECT unnest(generate_series(0, 4)) AS i)
+    ORDER BY user_id, event_type, ts_ms
+    """,
+)
+def storage_merge_into_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert-with-conditions): one source batch updates the
+    click rows of users <30 (`value = cur_value + 100` — current columns
+    visible in the clause), deletes the click rows of users 30-39, and
+    inserts five brand-new users — in ONE staged write mixing new versions
+    and tombstones with per-row markers. The scan after the merge must
+    equal the oracle's hand-applied semantics over the segment-latest
+    state."""
+    key = f"{sf_dir}:merged"
+    if key not in _MERGED_TABLES:
+        table = _build_events_table(spark, sf_dir, _SEG_15D, 4, shared=False)
+        # source: the CURRENT click rows of users <40 (their own ts keeps
+        # them in their segment) + 5 synthetic new users
+        cur = table.scan(ScanRequest(predicate="event_type = 'click'"))
+        src = cur.filter(F.col("user_id") < 40).select(
+            "user_id", "event_type", "ts_ms", "value"
+        )
+        inserts = spark.range(5).select(
+            (F.col("id") + 10000).alias("user_id"),
+            F.lit("click").alias("event_type"),
+            F.lit(1704067200000).alias("ts_ms"),
+            F.lit(42.0).alias("value"),
+        )
+        table.merge_into(
+            src.unionByName(inserts),
+            "ts_ms",
+            when_matched_update={"value": "cur_value + 100"},
+            when_matched_delete="user_id >= 30 AND user_id < 40",
+        )
+        _MERGED_TABLES[key] = table
+    return (
+        _MERGED_TABLES[key].scan().orderBy("user_id", "event_type", "ts_ms")
+    )

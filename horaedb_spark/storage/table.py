@@ -539,13 +539,116 @@ class ColumnarTable:
         )
         return self._stage_segmented_write(rows, reserved=None)
 
+    def merge_into(
+        self,
+        source: DataFrame,
+        ts_col: str,
+        when_matched_update: dict[str, Column | str] | None = None,
+        when_matched_delete: Column | str | None = None,
+        when_not_matched_insert: bool = True,
+    ) -> list[SstFile]:
+        """MERGE INTO for OVERWRITE tables — the upsert-with-conditions DML
+        verb completing write/bulk_ingest/update/delete.
+
+        Each source row targets the (segment(ts_col), PKs) merge key.
+        MATCHED rows (a live current row exists for the key) either become
+        tombstones (``when_matched_delete`` predicate, evaluated over the
+        source row with current columns as ``cur_<name>``) or new versions
+        with ``when_matched_update`` assignments applied (same namespace;
+        omitted columns take the SOURCE value). NOT-MATCHED rows insert
+        as-is when enabled. One Spark job: current state joins the source
+        on the merge key (the source is typically batch-sized — Catalyst
+        broadcasts it; a corpus-sized source falls back to a hash join),
+        and ONE staged write lands data rows and tombstones together with
+        per-row markers."""
+        from horaedb_spark.core.schema import UpdateMode
+        from horaedb_spark.storage.merge import TOMBSTONE
+
+        if self.schema.update_mode != UpdateMode.OVERWRITE:
+            raise ValueError("merge_into() requires an OVERWRITE-mode table")
+        if when_matched_update:
+            bad = set(when_matched_update) & set(self.schema.primary_keys)
+            if bad:
+                raise ValueError(
+                    f"cannot assign primary-key columns: {sorted(bad)}"
+                )
+        dur = self.segment_duration_ms
+        pks = list(self.schema.primary_keys)
+        src = source.withColumn(
+            SEGMENT_COLUMN, F.col(ts_col) - F.pmod(ts_col, F.lit(dur))
+        ).select(
+            SEGMENT_COLUMN,
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in self.schema.fields.fields
+            ],
+        )
+        ssts = self.manifest.find_ssts(None)
+        if ssts:
+            cur = apply_update_mode(
+                self._read_ssts(ssts),
+                self.schema,
+                extra_key_cols=[SEGMENT_COLUMN],
+                keep_builtin=False,
+            ).select(
+                SEGMENT_COLUMN,
+                *pks,
+                *[
+                    F.col(c).alias(f"cur_{c}")
+                    for c in self.schema.user_columns
+                    if c not in pks
+                ],
+                F.lit(1).alias("__matched__"),
+            )
+            joined = src.join(cur, [SEGMENT_COLUMN, *pks], "left")
+        else:
+            joined = src.withColumn("__matched__", F.lit(None).cast("int"))
+            for c in self.schema.user_columns:
+                if c not in pks:
+                    joined = joined.withColumn(f"cur_{c}", F.lit(None))
+        matched = F.col("__matched__").isNotNull()
+        del_pred = (
+            (F.expr(when_matched_delete) if isinstance(when_matched_delete, str)
+             else when_matched_delete)
+            if when_matched_delete is not None
+            else F.lit(False)
+        )
+        upd = {
+            c: (F.expr(e) if isinstance(e, str) else e)
+            for c, e in (when_matched_update or {}).items()
+        }
+        is_delete = matched & del_pred
+        keep = matched | F.lit(when_not_matched_insert)
+        rows = joined.filter(keep).select(
+            SEGMENT_COLUMN,
+            *[
+                F.when(is_delete & F.lit(f.name not in pks), F.lit(None))
+                .otherwise(
+                    F.when(matched & ~is_delete, upd.get(f.name, F.col(f.name)))
+                    .otherwise(F.col(f.name))
+                )
+                .cast(f.dataType)
+                .alias(f.name)
+                for f in self.schema.fields.fields
+            ],
+            F.when(is_delete, F.lit(TOMBSTONE))
+            .otherwise(F.lit(None))
+            .cast("long")
+            .alias(RESERVED_COLUMN),
+        )
+        return self._stage_segmented_write(rows, reserved="column")
+
     def _stage_segmented_write(
-        self, rows: DataFrame, reserved: int | None
+        self, rows: DataFrame, reserved: int | None | str = None
     ) -> list[SstFile]:
         """ONE Spark job writing (SEGMENT + user columns) rows as one SST
         per touched segment, with a fresh per-segment ``__seq__`` that
-        outranks all live versions — the shared tail of delete()/update(),
-        mirroring bulk_ingest's staging/registration path."""
+        outranks all live versions — the shared tail of
+        delete()/update()/merge_into(), mirroring bulk_ingest's
+        staging/registration path. ``reserved``: an int stamps that marker
+        on every row, None stamps NULL, the string "column" passes a
+        per-row ``__reserved__`` already present in ``rows`` through
+        (merge_into mixes tombstones and data rows in one job)."""
         import shutil
 
         dur = self.segment_duration_ms
@@ -556,16 +659,17 @@ class ColumnarTable:
         fid_expr = (
             F.lit(fid_base) + F.floor(F.col(SEGMENT_COLUMN) / F.lit(dur)).cast("long")
         ).cast("long")
-        out = (
-            rows.withColumn(SEQ_COLUMN, fid_expr)
-            .withColumn(
+        out = rows.withColumn(SEQ_COLUMN, fid_expr)
+        if reserved != "column":
+            out = out.withColumn(
                 RESERVED_COLUMN,
                 (F.lit(reserved) if reserved is not None else F.lit(None)).cast(
                     "long"
                 ),
             )
-            .repartition(F.col(SEGMENT_COLUMN))
-            .sortWithinPartitions(SEGMENT_COLUMN, *self.schema.primary_keys)
+        has_tombstones = reserved == "column" or reserved is not None
+        out = out.repartition(F.col(SEGMENT_COLUMN)).sortWithinPartitions(
+            SEGMENT_COLUMN, *self.schema.primary_keys
         )
         staging = os.path.join(self.root, f"_staging_dml_{base_id}")
         out.write.options(**self.write_config.writer_options()).mode(
@@ -601,7 +705,7 @@ class ColumnarTable:
                         num_rows=num_rows,
                         size_bytes=size_bytes,
                         col_stats=_collect_col_stats(dst, self.schema.user_columns),
-                        tombstone=reserved is not None,
+                        tombstone=has_tombstones,
                     )
                 )
             if new_ssts:

@@ -129,3 +129,47 @@ def test_update_then_delete_compose(spark, tmp_path):
     t.update("pk1 = 2", {"value": "999"})
     t.delete("value = 999")  # deletes the row the update just produced
     assert [tuple(r) for r in t.scan().collect()] == [(1, 1, 10), (3, 3, 30)]
+
+
+def test_merge_into_update_delete_insert_one_pass(spark, tmp_path):
+    """One merge_into: matched+delete-cond rows tombstone, other matched
+    rows update (with cur_<col> visible), not-matched rows insert."""
+    t = _build(spark, tmp_path / "m1")  # (1,1,10) (2,2,20) seg0; (3,3,30) seg0
+    src = spark.createDataFrame(
+        [
+            (1, 1, 5, 1000),    # matched, value<15 -> delete clause
+            (2, 2, 7, 2000),    # matched -> update: value = cur_value + src
+            (9, 9, 90, 3000),   # not matched -> insert
+        ],
+        "pk1 long, pk2 long, value long, ts long",
+    )
+    ssts = t.merge_into(
+        src,
+        "ts",
+        when_matched_update={"value": "cur_value + value"},
+        when_matched_delete="cur_value < 15",
+    )
+    assert len(ssts) == 1 and ssts[0].tombstone  # one segment, mixed rows
+    assert [tuple(r) for r in t.scan().collect()] == [
+        (2, 2, 27), (3, 3, 30), (9, 9, 90),
+    ]
+
+
+def test_merge_into_insert_only_into_empty_table(spark, tmp_path):
+    t = ColumnarTable(spark, str(tmp_path / "m2"), kv_schema(), TWO_HOURS)
+    src = spark.createDataFrame(
+        [(1, 1, 10, 100), (2, 2, 20, 100)], "pk1 long, pk2 long, value long, ts long"
+    )
+    t.merge_into(src, "ts")
+    assert [tuple(r) for r in t.scan().collect()] == [(1, 1, 10), (2, 2, 20)]
+
+
+def test_merge_into_no_insert_flag(spark, tmp_path):
+    t = _build(spark, tmp_path / "m3")
+    src = spark.createDataFrame(
+        [(1, 1, 777, 100), (8, 8, 888, 100)], "pk1 long, pk2 long, value long, ts long"
+    )
+    t.merge_into(src, "ts", when_matched_update={"value": "value"},
+                 when_not_matched_insert=False)
+    out = [tuple(r) for r in t.scan().collect()]
+    assert (1, 1, 777) in out and not any(r[0] == 8 for r in out)
