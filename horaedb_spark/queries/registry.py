@@ -83,6 +83,7 @@ _QUERY_MODULES = (
 # regression.
 _RUN_FIRST = (
     "storage_delete_scan",
+    "streaming_cdc_apply",
     "storage_merge_into_scan",
     "storage_rollup_cascade",
     "dedup_span_stats",

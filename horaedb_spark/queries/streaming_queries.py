@@ -905,3 +905,93 @@ def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.unix_millis(F.col("c_ts")), F.lit(-1)).alias("c_ts_ms"),
         ).cache()
     return _CACHE[key].orderBy("user_id", "purchase_id", "click_id")
+
+
+_CDC_T0 = 1_704_067_200_000
+
+
+@register(
+    "streaming_cdc_apply",
+    # the oracle replays the three change batches arithmetically: inserts
+    # 0-59 at value=u, then upserts 30-79 to 2u, then deletes 0-19 and
+    # re-points 40 to 444
+    oracle=f"""
+    SELECT i AS user_id, {_CDC_T0} AS ts_ms,
+           CASE WHEN i = 40 THEN 444.0
+                WHEN i >= 30 THEN i * 2.0
+                ELSE i * 1.0 END AS value
+    FROM (SELECT unnest(generate_series(20, 79)) AS i)
+    ORDER BY user_id
+    """,
+)
+def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC ingestion (the Debezium-consumer shape): a change stream with an
+    op flag applies to a ColumnarTable inside foreachBatch via MERGE INTO —
+    upserts become new versions, D-ops become tombstones, all in one staged
+    write per micro-batch, replay-ordered by the file source. The final
+    merged scan must equal the oracle's arithmetic replay of the three
+    change batches. At scale each micro-batch costs one (segment, PK) hash
+    join of batch-size × touched-segment state — the CDC apply pattern that
+    needs no full-table rewrite anywhere."""
+    key = f"cdc:{sf_dir}"
+    if key not in _CACHE:
+        import os as _os
+
+        from horaedb_spark.core.schema import StorageSchema, UpdateMode
+        from pyspark.sql import types as T
+
+        def batch_df(rows):
+            return spark.createDataFrame(
+                rows, "user_id long, ts_ms long, value double, op string"
+            )
+
+        b1 = batch_df([(u, _CDC_T0, float(u), "I") for u in range(60)])
+        b2 = batch_df([(u, _CDC_T0, u * 2.0, "U") for u in range(30, 80)])
+        b3 = batch_df(
+            [(u, _CDC_T0, 0.0, "D") for u in range(20)]
+            + [(40, _CDC_T0, 444.0, "U")]
+        )
+        root = tempfile.mkdtemp(prefix="horaedb_cdc_")
+        for i, df in enumerate((b1, b2, b3)):
+            d = f"{root}/f{i}"
+            df.coalesce(1).write.parquet(d)
+            for fn in _os.listdir(d):
+                _os.utime(f"{d}/{fn}", (1_700_000_000 + i * 10,) * 2)
+
+        schema = StorageSchema(
+            T.StructType(
+                [
+                    T.StructField("user_id", T.LongType()),
+                    T.StructField("ts_ms", T.LongType()),
+                    T.StructField("value", T.DoubleType()),
+                ]
+            ),
+            num_primary_keys=1,
+            update_mode=UpdateMode.OVERWRITE,
+        )
+        table = ColumnarTable(
+            spark, tempfile.mkdtemp(prefix="horaedb_cdctbl_") + "/t",
+            schema, _SEG_15D,
+        )
+
+        def apply_cdc(batch_df, batch_id):
+            if batch_df.isEmpty():
+                return
+            table.merge_into(batch_df, "ts_ms", when_matched_delete="op = 'D'")
+
+        stream = (
+            spark.readStream.schema(b1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/f*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(apply_cdc)
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="horaedb_cdc_ckpt_")
+            )
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        _CACHE[key] = table
+    return _CACHE[key].scan().orderBy("user_id")

@@ -574,6 +574,13 @@ class ColumnarTable:
                 )
         dur = self.segment_duration_ms
         pks = list(self.schema.primary_keys)
+        # keep EXTRA source columns (CDC op flags etc.) through the join —
+        # the matched/delete clauses may reference them; only the final
+        # select narrows to the declared schema
+        extras = [
+            c for c in source.columns
+            if c not in self.schema.user_columns and c != SEGMENT_COLUMN
+        ]
         src = source.withColumn(
             SEGMENT_COLUMN, F.col(ts_col) - F.pmod(ts_col, F.lit(dur))
         ).select(
@@ -582,6 +589,7 @@ class ColumnarTable:
                 F.col(f.name).cast(f.dataType).alias(f.name)
                 for f in self.schema.fields.fields
             ],
+            *extras,
         )
         ssts = self.manifest.find_ssts(None)
         if ssts:

@@ -173,3 +173,22 @@ def test_merge_into_no_insert_flag(spark, tmp_path):
                  when_not_matched_insert=False)
     out = [tuple(r) for r in t.scan().collect()]
     assert (1, 1, 777) in out and not any(r[0] == 8 for r in out)
+
+
+def test_merge_into_cdc_apply_with_op_column(spark, tmp_path):
+    """CDC apply: a change batch with an op flag (extra source column,
+    visible to the delete clause) — D deletes, everything else upserts to
+    the source values."""
+    t = _build(spark, tmp_path / "cdc")  # (1,1,10) (2,2,20) (3,3,30)
+    src = spark.createDataFrame(
+        [
+            (2, 2, 222, 100, "U"),
+            (3, 3, 0, 100, "D"),
+            (7, 7, 70, 100, "I"),
+        ],
+        "pk1 long, pk2 long, value long, ts long, op string",
+    )
+    t.merge_into(src, "ts", when_matched_delete="op = 'D'")
+    assert [tuple(r) for r in t.scan().collect()] == [
+        (1, 1, 10), (2, 2, 222), (7, 7, 70),
+    ]
