@@ -519,6 +519,8 @@ def aggregate_by(
         "count": lambda c: F.count(c),
         "stdvar": _stdvar,
         "stddev": lambda c: F.sqrt(_stdvar(c)),
+        # PromQL `group` aggregator: 1 for every group that has any sample
+        "group": lambda c: F.min(F.lit(1)).cast("long"),
     }
 
     def resolve(kind: str):

@@ -380,3 +380,141 @@ def orders_backlog_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_out",
         F.sum(F.col("n_in") - F.col("n_out")).over(w).cast("long").alias("backlog"),
     ).orderBy("day_ms")
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-adjusted anomaly detection (residual z-score vs the weekly profile).
+
+
+@register(
+    "events_seasonal_anomalies",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT event_id, event_type, epoch_ms(ts) AS ts_ms, value,
+             (epoch_ms(ts) // {HOUR_MS}) % 168 AS how,
+             CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vq
+      FROM events
+    ), prof AS (
+      SELECT event_type, how,
+             count(*) AS n, sum(vq) AS sq, sum(vq * vq) AS sq2
+      FROM keyed GROUP BY 1, 2
+    ), scored AS (
+      SELECT k.event_id, k.event_type, k.ts_ms, k.value,
+             (k.value - CAST(p.sq AS DOUBLE) / p.n / 1000.0)
+               / sqrt((p.n * p.sq2 - p.sq * p.sq) / CAST(p.n AS DOUBLE)
+                      / p.n / 1e6) AS z
+      FROM keyed k JOIN prof p
+        ON k.event_type = p.event_type AND k.how = p.how
+      WHERE p.n >= 2 AND p.n * p.sq2 > p.sq * p.sq
+    )
+    SELECT event_id, event_type, ts_ms, value,
+           floor(z * 1000000 + 0.5) / 1000000 AS z
+    FROM scored WHERE abs(z) > 3 ORDER BY event_id
+    """,
+)
+def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-ADJUSTED anomaly detection: each event scores against the
+    mean/stddev of ITS OWN hour-of-week slot (the weekly profile), so a
+    Saturday-night spike isn't flagged just for being Saturday night —
+    the upgrade over the plain z-score detector. The profile is an exact
+    quantized-integer aggregate into ≤ series×168 rows, broadcast back
+    onto the stream (the fact side never shuffles); |z| > 3 flags. Exact
+    integer sums make the thresholds bit-deterministic across engines."""
+    ev = events_ms(spark, sf_dir).select(
+        "event_id", "event_type", "ts_ms", "value"
+    )
+    keyed = ev.withColumn(
+        "how", (F.col("ts_ms") / F.lit(HOUR_MS)).cast("long") % 168
+    ).withColumn("vq", F.floor(F.col("value") * 1000 + 0.5).cast("long"))
+    prof = keyed.groupBy("event_type", "how").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vq").alias("sq"),
+        F.sum(F.col("vq") * F.col("vq")).alias("sq2"),
+    )
+    joined = keyed.join(F.broadcast(prof), ["event_type", "how"]).filter(
+        (F.col("n") >= 2) & (F.col("n") * F.col("sq2") > F.col("sq") * F.col("sq"))
+    )
+    mean = F.col("sq").cast("double") / F.col("n") / 1000.0
+    var = (
+        (F.col("n") * F.col("sq2") - F.col("sq") * F.col("sq")).cast("double")
+        / F.col("n")
+        / F.col("n")
+        / F.lit(1e6)
+    )
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        joined.withColumn("z", z)
+        .filter(F.abs("z") > 3)
+        .select(
+            "event_id",
+            "event_type",
+            "ts_ms",
+            "value",
+            (F.floor(F.col("z") * 1000000 + 0.5) / 1000000).alias("z"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort lifetime value (cumulative revenue by acquisition year).
+
+
+@register(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey, min(year(o_orderdate)) AS cohort_year FROM orders
+      GROUP BY o_custkey
+    ), rev AS (
+      SELECT f.cohort_year,
+             year(o.o_orderdate) - f.cohort_year AS offset_years,
+             count(DISTINCT o.o_custkey) AS active_customers,
+             round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(30,10))) AS DOUBLE), 2)
+               AS revenue
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT cohort_year, offset_years, active_customers, revenue,
+           round(sum(revenue) OVER (PARTITION BY cohort_year
+                                    ORDER BY offset_years), 2) AS cum_revenue
+    FROM rev ORDER BY cohort_year, offset_years
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value: customers grouped by acquisition year, revenue
+    accumulated by years-since-acquisition — the LTV curve. Two fact
+    aggregates joined co-partitioned on custkey; the cumulative window runs
+    over the METADATA-SIZED (cohort, offset) grid only. Decimal-routed
+    sums; cum_revenue sums the already-rounded per-cell revenue so both
+    engines accumulate identical doubles."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey",
+        F.year(F.col("o_orderdate").cast("timestamp")).alias("yr"),
+        "o_totalprice",
+    )
+    firsts = o.groupBy("o_custkey").agg(F.min("yr").alias("cohort_year"))
+    rev = (
+        o.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort_year", (F.col("yr") - F.col("cohort_year")).alias("offset_years")
+        )
+        .agg(
+            F.count_distinct("o_custkey").alias("active_customers"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(30,10)")).cast("double"),
+                2,
+            ).alias("revenue"),
+        )
+    )
+    w = W.partitionBy("cohort_year").orderBy("offset_years")
+    return rev.select(
+        "cohort_year",
+        "offset_years",
+        "active_customers",
+        "revenue",
+        F.round(F.sum("revenue").over(w), 2).alias("cum_revenue"),
+    ).orderBy("cohort_year", "offset_years")

@@ -1998,3 +1998,29 @@ def promql_mad_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket_ms",
         (F.floor(F.col("mad_over_time") * 1000000 + 0.5) / 1000000).alias("mad"),
     ).orderBy("user_label", "cohort", "bucket_ms")
+
+
+# ---------------------------------------------------------------------- D6 group / without
+@register(
+    "promql_group_without",
+    oracle=_DEDUP_CTE
+    + f"""
+    SELECT cohort, ts_ms - ts_ms % {DAY_MS} AS bucket_ms,
+           1 AS present, count(*) AS n_samples
+    FROM samples WHERE name = 'click'
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def promql_group_without(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``group without(user) (click)`` per day bucket: the PromQL `group`
+    aggregator (constant 1 per populated label group — the presence
+    matrix), with `without` resolved to the complement label set (all
+    labels minus user ⇒ cohort). One map-side-combined aggregate."""
+    eng = _engine(spark, sf_dir)
+    sel = _series_with_labels(eng.select_series("click"))
+    out = promql.aggregate_by(
+        sel, ["cohort"], DAY_MS, aggs={"present": "group", "n_samples": "count"}
+    )
+    return out.select("cohort", "bucket_ms", "present", "n_samples").orderBy(
+        "cohort", "bucket_ms"
+    )

@@ -83,6 +83,9 @@ _QUERY_MODULES = (
 # regression.
 _RUN_FIRST = (
     "storage_delete_scan",
+    "events_seasonal_anomalies",
+    "orders_cohort_ltv",
+    "promql_group_without",
     "streaming_cdc_apply",
     "storage_merge_into_scan",
     "storage_rollup_cascade",
