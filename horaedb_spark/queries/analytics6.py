@@ -518,3 +518,152 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round(F.sum("revenue").over(w), 2).alias("cum_revenue"),
     ).orderBy("cohort_year", "offset_years")
+
+
+# ---------------------------------------------------------------------------
+# Window-function suite (rank family over customer spend).
+
+
+@register(
+    "window_function_suite",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_nationkey AS nation, o.o_custkey,
+             round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(30,10))) AS DOUBLE), 2)
+               AS total
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT nation, o_custkey, total,
+           row_number()  OVER w AS rn,
+           rank()        OVER w AS rnk,
+           dense_rank()  OVER w AS drnk,
+           ntile(4)      OVER w AS quartile,
+           floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pct_rank,
+           floor(cume_dist()    OVER w * 1000000 + 0.5) / 1000000 AS cume,
+           round(coalesce(lag(total)  OVER w, 0) + 0, 2) AS prev_total,
+           round(coalesce(lead(total) OVER w, 0) + 0, 2) AS next_total,
+           round(first_value(total) OVER w, 2) AS top_total
+    FROM spend
+    WINDOW w AS (PARTITION BY nation ORDER BY total DESC, o_custkey)
+    ORDER BY nation, rn
+    """,
+)
+def window_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full rank-family window surface in one plan — row_number, rank,
+    dense_rank, ntile, percent_rank, cume_dist, lag/lead, first_value —
+    over per-nation customer spend with a total-order tie-break (required
+    for cross-engine determinism). ONE window spec means one sort within
+    the partition; all nine functions evaluate in a single pass."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    spend = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_nationkey").alias("nation"), "o_custkey")
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(30,10)")).cast("double"),
+                2,
+            ).alias("total")
+        )
+    )
+    w = W.partitionBy("nation").orderBy(F.desc("total"), F.asc("o_custkey"))
+    return spend.select(
+        "nation",
+        "o_custkey",
+        "total",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        (F.floor(F.percent_rank().over(w) * 1000000 + 0.5) / 1000000).alias(
+            "pct_rank"
+        ),
+        (F.floor(F.cume_dist().over(w) * 1000000 + 0.5) / 1000000).alias("cume"),
+        F.round(F.coalesce(F.lag("total").over(w), F.lit(0)) + 0, 2).alias(
+            "prev_total"
+        ),
+        F.round(F.coalesce(F.lead("total").over(w), F.lit(0)) + 0, 2).alias(
+            "next_total"
+        ),
+        F.round(F.first("total").over(w), 2).alias("top_total"),
+    ).orderBy("nation", "rn")
+
+
+# ---------------------------------------------------------------------------
+# Event-type affinity (co-occurrence lift per user).
+
+
+@register(
+    "events_type_affinity",
+    oracle="""
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ), n_users AS (
+      SELECT count(DISTINCT user_id) AS n FROM events
+    ), singles AS (
+      SELECT event_type, count(*) AS cnt FROM ut GROUP BY event_type
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS both_cnt
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.both_cnt,
+           floor(CAST(p.both_cnt AS DOUBLE) * n.n
+                 / (sa.cnt * CAST(sb.cnt AS DOUBLE)) * 1000000 + 0.5)
+             / 1000000 AS lift
+    FROM pairs p
+    JOIN singles sa ON sa.event_type = p.type_a
+    JOIN singles sb ON sb.event_type = p.type_b
+    CROSS JOIN n_users n
+    ORDER BY type_a, type_b
+    """,
+)
+def events_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type affinity: lift = P(a,b) / (P(a)·P(b)) over per-user
+    type sets — which behaviors co-occur beyond chance (the association
+    complement of order-level market-basket mining). The self-join runs on
+    the DISTINCT (user, type) table — at most |types| rows per user, so
+    the pair blow-up is alphabet-bounded, never corpus-quadratic; the
+    type-count tables broadcast back."""
+    ev = events_ms(spark, sf_dir)
+    ut = ev.select("user_id", "event_type").distinct()
+    n_users = ut.select("user_id").distinct().count()
+    singles = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    a, b = ut.alias("a"), ut.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("both_cnt"))
+    )
+    sa = singles.select(F.col("event_type").alias("type_a"), F.col("cnt").alias("cnt_a"))
+    sb = singles.select(F.col("event_type").alias("type_b"), F.col("cnt").alias("cnt_b"))
+    lift = (
+        F.col("both_cnt").cast("double")
+        * F.lit(n_users)
+        / (F.col("cnt_a") * F.col("cnt_b").cast("double"))
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "both_cnt",
+            (F.floor(lift * 1000000 + 0.5) / 1000000).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -83,6 +83,8 @@ _QUERY_MODULES = (
 # regression.
 _RUN_FIRST = (
     "storage_delete_scan",
+    "window_function_suite",
+    "events_type_affinity",
     "events_seasonal_anomalies",
     "orders_cohort_ltv",
     "promql_group_without",
