@@ -667,3 +667,51 @@ def events_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scrape-gap detection (missing-sample monitoring).
+
+_GAP_MS = 2 * DAY_MS
+
+
+@register(
+    "events_gap_detection",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, event_type, epoch_ms(ts) AS ts_ms,
+             lag(epoch_ms(ts)) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY epoch_ms(ts), event_id) AS prev_ms
+      FROM events
+    )
+    SELECT user_id, event_type, prev_ms AS gap_start_ms, ts_ms AS gap_end_ms,
+           ts_ms - prev_ms AS gap_ms
+    FROM s WHERE prev_ms IS NOT NULL AND ts_ms - prev_ms > {_GAP_MS}
+    ORDER BY user_id, event_type, gap_start_ms
+    """,
+)
+def events_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrape-gap detection: per series, report every inter-sample gap
+    exceeding 2 days — the "target stopped reporting" monitor every TSDB
+    deployment runs. One lag window per series partition (event-id
+    tie-break for equal timestamps keeps both engines deterministic),
+    integer millisecond arithmetic, no joins."""
+    from pyspark.sql import Window as W
+
+    ev = events_ms(spark, sf_dir)
+    w = W.partitionBy("user_id", "event_type").orderBy("ts_ms", "event_id")
+    s = ev.withColumn("prev_ms", F.lag("ts_ms").over(w))
+    return (
+        s.filter(
+            F.col("prev_ms").isNotNull()
+            & (F.col("ts_ms") - F.col("prev_ms") > _GAP_MS)
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.col("prev_ms").alias("gap_start_ms"),
+            F.col("ts_ms").alias("gap_end_ms"),
+            (F.col("ts_ms") - F.col("prev_ms")).alias("gap_ms"),
+        )
+        .orderBy("user_id", "event_type", "gap_start_ms")
+    )

@@ -83,6 +83,8 @@ _QUERY_MODULES = (
 # regression.
 _RUN_FIRST = (
     "storage_delete_scan",
+    "streaming_ingest_autocompact",
+    "events_gap_detection",
     "window_function_suite",
     "events_type_affinity",
     "events_seasonal_anomalies",

@@ -995,3 +995,92 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         _CACHE[key] = table
     return _CACHE[key].scan().orderBy("user_id")
+
+
+@register(
+    "streaming_ingest_autocompact",
+    oracle=f"""
+    SELECT user_id, event_type, ts_ms, value FROM (
+      SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, value,
+             row_number() OVER (
+               PARTITION BY user_id, event_type, epoch_ms(ts) // {_SEG_15D}
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+)
+def streaming_ingest_autocompact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest with BACKGROUND COMPACTION folded into the loop:
+    four time-ordered micro-batches each land small per-segment SSTs, and a
+    compaction cycle (min 2 inputs) runs after every batch — the
+    steady-state small-files story. The final merge-on-read scan must equal
+    the one-shot batch ingest (compaction preserving winning __seq__ per
+    row is what makes the interleaving invisible), and the table must end
+    with FEWER SSTs than the ingest wrote (asserted in-code)."""
+    key = f"autocompact:{sf_dir}"
+    if key not in _CACHE:
+        import os as _os
+
+        from horaedb_spark.storage.compaction import Compactor, SchedulerConfig
+
+        ev = events_ms(spark, sf_dir).select(
+            "user_id", "event_type", "ts_ms", "value", "event_id"
+        ).persist()
+        lo, hi = ev.agg(F.min("ts_ms"), F.max("ts_ms")).first()
+        width = (hi - lo) // 4 + 1
+        root = tempfile.mkdtemp(prefix="horaedb_autocomp_")
+        for i in range(4):
+            sl = ev.filter(
+                (F.col("ts_ms") >= lo + i * width)
+                & (F.col("ts_ms") < lo + (i + 1) * width)
+            )
+            d = f"{root}/f{i}"
+            sl.coalesce(1).write.parquet(d)
+            for fn in _os.listdir(d):
+                _os.utime(f"{d}/{fn}", (1_700_000_000 + i * 10,) * 2)
+        ev.unpersist()
+
+        table = ColumnarTable(
+            spark, root + "/table", _events_schema(), _SEG_15D
+        )
+        comp = Compactor(table, SchedulerConfig(input_sst_min_num=2))
+        writes = {"n": 0}
+
+        def sink(batch_df, batch_id):
+            if batch_df.isEmpty():
+                return
+            # per (PK, SEGMENT): a time slice can straddle a segment
+            # boundary, and versions in different segments are distinct rows
+            w = Window.partitionBy(
+                "user_id", "event_type", F.expr(f"ts_ms div {_SEG_15D}")
+            ).orderBy(F.desc("ts_ms"), F.desc("event_id"))
+            deduped = (
+                batch_df.withColumn("__rn__", F.row_number().over(w))
+                .filter(F.col("__rn__") == 1)
+                .select("user_id", "event_type", "ts_ms", "value")
+            )
+            writes["n"] += len(table.bulk_ingest(deduped, "ts_ms"))
+            comp.run_once(now_ms=0)
+
+        stream = (
+            spark.readStream.schema(
+                spark.read.parquet(f"{root}/f0").schema
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/f*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="horaedb_autocomp_ckpt_"),
+            )
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        n_final = len(table.manifest.all_ssts())
+        assert n_final < writes["n"], (n_final, writes["n"])
+        _CACHE[key] = table.scan()
+    return _CACHE[key]

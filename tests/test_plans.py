@@ -483,3 +483,34 @@ def test_point_lookup_prunes_files(spark, sf_dir):
     total = len(table.manifest.all_ssts())
     read = len(df.inputFiles())
     assert read < total, f"read {read} files of {total} — no pruning"
+
+
+def test_seasonal_anomalies_profile_broadcasts(spark, sf_dir):
+    """The ≤ series×168 weekly profile must broadcast onto the event
+    stream — the fact side never shuffles for the join."""
+    from horaedb_spark.queries.analytics6 import events_seasonal_anomalies
+
+    plan = plan_of(events_seasonal_anomalies(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
+
+
+def test_type_affinity_self_join_is_equi(spark, sf_dir):
+    """The per-user type self-join must be a hash equi-join on user_id
+    (alphabet-bounded blow-up), never a nested loop."""
+    from horaedb_spark.queries.analytics6 import events_type_affinity
+
+    plan = plan_of(events_type_affinity(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_window_suite_single_sort(spark, sf_dir):
+    """Nine window functions share ONE window spec -> exactly one Window
+    physical node (one sort per partition)."""
+    from horaedb_spark.queries.analytics6 import window_function_suite
+
+    plan = plan_of(window_function_suite(spark, sf_dir))
+    # count Window operator nodes (exclude the word in function names)
+    n_window_nodes = plan.count("\n   +- Window") + plan.count("\n+- Window") + plan.count(" Window [")
+    assert plan.count("windowspecdefinition") >= 9  # all functions in specs
+    assert n_window_nodes <= 2, plan[:2000]
