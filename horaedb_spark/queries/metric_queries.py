@@ -2024,3 +2024,70 @@ def promql_group_without(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("cohort", "bucket_ms", "present", "n_samples").orderBy(
         "cohort", "bucket_ms"
     )
+
+
+# ---------------------------------------------------------------------- B-ext line protocol
+@register(
+    "ingest_line_protocol",
+    oracle=_DEDUP_CTE
+    + f"""
+    SELECT name AS measurement, cohort,
+           count(*) AS n_samples,
+           round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 6)
+             AS sum_value,
+           CAST(sum(ts_ms) AS BIGINT) AS ts_checksum
+    FROM samples GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def ingest_line_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxDB line-protocol ingest (the second wire format TSDB clients
+    speak, next to remote-write protobuf): events render to
+    ``measurement,user=..,cohort=.. value=<v> <ts_ns>`` lines, then the
+    parser recovers measurement/tags/field/timestamp with row-local
+    regexp/cast expressions — whole-stage-codegen JVM ops, no Python in
+    the pipeline. The oracle aggregates the ORIGINAL rows, so the
+    encode→parse round trip must be lossless (Spark's shortest-roundtrip
+    double rendering makes the value exact; nanosecond timestamps divide
+    back to engine-native ms). D10 dedup applies after parsing, exactly as
+    for the protobuf path."""
+    ev = events_ms(spark, sf_dir)
+    lines = ev.select(
+        F.concat(
+            F.col("event_type"),
+            F.lit(",user="),
+            F.col("user_id").cast("string"),
+            F.lit(",cohort="),
+            (F.col("user_id") % 10).cast("string"),
+            F.lit(" value="),
+            F.col("value").cast("string"),
+            F.lit(" "),
+            (F.col("ts_ms") * 1_000_000).cast("string"),
+        ).alias("line"),
+        F.col("event_id").alias("seq"),
+    )
+    parsed = lines.select(
+        F.regexp_extract("line", r"^([^,]+),", 1).alias("measurement"),
+        F.regexp_extract("line", r"user=([0-9]+)", 1).alias("user_label"),
+        F.regexp_extract("line", r"cohort=([0-9]+)", 1).alias("cohort"),
+        F.regexp_extract("line", r"value=([^ ]+)", 1).cast("double").alias("value"),
+        # integer `div`, not `/`: double division of ~1e18 ns loses ulps
+        # (same rule as the nanos loader in queries/tables.py)
+        F.expr(
+            "cast(regexp_extract(line, ' ([0-9]+)$', 1) AS BIGINT) div 1000000"
+        ).alias("ts_ms"),
+        "seq",
+    )
+    deduped = promql.dedup_samples(
+        parsed, ["measurement", "user_label", "cohort"], "seq"
+    )
+    return (
+        deduped.groupBy("measurement", "cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(30,10)")).cast("double"), 6
+            ).alias("sum_value"),
+            F.sum("ts_ms").cast("long").alias("ts_checksum"),
+        )
+        .orderBy("measurement", "cohort")
+    )

@@ -83,6 +83,7 @@ _QUERY_MODULES = (
 # regression.
 _RUN_FIRST = (
     "storage_delete_scan",
+    "ingest_line_protocol",
     "streaming_ingest_autocompact",
     "events_gap_detection",
     "window_function_suite",
