@@ -458,8 +458,6 @@ class ColumnarTable:
         One Spark job regardless of how many segments the predicate spans:
         merge-on-read → filter → distinct keys → partitionBy-staged tombstone
         SSTs, mirroring ``bulk_ingest``'s registration path."""
-        import shutil
-
         from horaedb_spark.core.schema import UpdateMode
         from horaedb_spark.storage.merge import TOMBSTONE
 
