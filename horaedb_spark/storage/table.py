@@ -907,6 +907,14 @@ class ColumnarTable:
 
         live = {os.path.abspath(s.path) for s in self.manifest.all_ssts()}
         removed: list[str] = []
+        # crashed DML/bulk staging dirs (between write and registration) —
+        # safe under the table's documented single-writer assumption
+        # (sst.rs:39-46): vacuum is a maintenance call, not concurrent DML
+        for name in os.listdir(self.root):
+            if name.startswith("_staging"):
+                path = os.path.join(self.root, name)
+                shutil.rmtree(path, ignore_errors=True)
+                removed.append(path)
         if not os.path.isdir(self.data_dir):
             return removed
         for seg_name in os.listdir(self.data_dir):

@@ -729,3 +729,17 @@ def test_history_and_restore_rollback(spark, tmp_path):
     assert [tuple(r) for r in t.scan().collect()] == [(1, 1, 10)]
     removed = t.vacuum()  # orphans of the rollback reclaimed
     assert len(removed) == 2 and all(not os.path.isdir(p) for p in removed)
+
+
+def test_vacuum_reclaims_crashed_staging_dirs(spark, tmp_path):
+    import os
+
+    t = ColumnarTable(spark, str(tmp_path / "vst"), kv_schema(), TWO_HOURS)
+    mk = lambda rows: spark.createDataFrame(rows, "pk1 long, pk2 long, value long")
+    t.write(WriteRequest(mk([(1, 1, 10)]), TimeRange(0, 10)))
+    # simulate a crash mid-DML: an orphaned staging dir under the root
+    os.makedirs(os.path.join(t.root, "_staging_dml_999", "x"))
+    removed = t.vacuum()
+    assert any("_staging_dml_999" in p for p in removed)
+    assert not os.path.exists(os.path.join(t.root, "_staging_dml_999"))
+    assert t.scan().count() == 1  # live data untouched
