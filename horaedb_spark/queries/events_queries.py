@@ -438,3 +438,53 @@ def events_churn_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "status")
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_ms(ts), event_id) AS nxt
+      FROM events
+    ), pairs AS (
+      SELECT cur, nxt, count(*) AS cnt FROM seq WHERE nxt IS NOT NULL
+      GROUP BY cur, nxt
+    )
+    SELECT cur, nxt, cnt,
+           floor(CAST(cnt AS DOUBLE)
+                 / sum(cnt) OVER (PARTITION BY cur) * 1000000 + 0.5)
+             / 1000000 AS p
+    FROM pairs ORDER BY cur, nxt
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event streams:
+    P(next = b | current = a), the behavioral model behind journey
+    prediction and anomaly scoring. One lead() window per user partition
+    (event-id tie-break), one alphabet²-bounded aggregate, and the row
+    normalization runs over the |types|² matrix — never the facts."""
+    from pyspark.sql import Window as W
+
+    ev = events_ms(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    pairs = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("cnt"))
+    wnorm = W.partitionBy("cur")
+    return pairs.select(
+        "cur",
+        "nxt",
+        "cnt",
+        (
+            F.floor(
+                F.col("cnt").cast("double") / F.sum("cnt").over(wnorm) * 1000000
+                + 0.5
+            )
+            / 1000000
+        ).alias("p"),
+    ).orderBy("cur", "nxt")

@@ -83,6 +83,9 @@ _QUERY_MODULES = (
 # regression.
 _RUN_FIRST = (
     "storage_delete_scan",
+    "storage_schema_evolution_scan",
+    "events_markov_transitions",
+    "embedding_centroid_confusion",
     "ingest_line_protocol",
     "streaming_ingest_autocompact",
     "events_gap_detection",

@@ -750,3 +750,87 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "rk")
     )
+
+
+@register(
+    "embedding_centroid_confusion",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label, {_QV} AS qv FROM embeddings
+    ), sums AS (
+      SELECT label, i, sum(qv[i]) AS s, count(*) AS n
+      FROM q, (SELECT unnest(generate_series(1, 64)) AS i)
+      GROUP BY label, i
+    ), cents AS (
+      SELECT label AS clabel,
+             list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS cv
+      FROM sums GROUP BY label
+    ), dists AS (
+      SELECT q.vec_id, q.label, c.clabel,
+             list_sum([(q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])
+                       FOR i IN generate_series(1, 64)]) AS d,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY list_sum([(q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])
+                                                   FOR i IN generate_series(1, 64)]),
+                                         c.clabel) AS rn
+      FROM q CROSS JOIN cents c
+    )
+    SELECT label AS true_label, clabel AS predicted_label,
+           count(*) AS n, CAST(sum(vec_id) AS BIGINT) AS id_checksum
+    FROM dists WHERE rn = 1
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def embedding_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification eval: per-label integer centroids
+    (exact sums, floor-div means), every embedding assigned to its closest
+    label centroid by integer L2 (label-asc tie-break), confusion counts
+    with id checksums — the embedding-quality report run before trusting a
+    labeled corpus. The centroid table is |labels|×dim and broadcasts; the
+    corpus is touched by two narrow passes. The per-vector k-way argmin is
+    a small cross join against the 10-row centroid table, not a corpus
+    self-join."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", quantize(F.col("embedding")).alias("qv")
+    )
+    sums = emb.select(
+        "label", F.posexplode("qv").alias("i", "x")
+    ).groupBy("label", "i").agg(
+        F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    cents = (
+        sums.withColumn(
+            "e", F.floor(F.col("s").cast("double") / F.col("n")).cast("long")
+        )
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("i"), F.col("e")))
+            ).alias("packed")
+        )
+        .select(
+            F.col("label").alias("clabel"),
+            F.transform("packed", lambda p: p["e"]).alias("cv"),
+        )
+    )
+    d = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).withColumn("d", d)
+    w = W.partitionBy("vec_id").orderBy("d", "clabel")
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.groupBy(
+            F.col("label").alias("true_label"),
+            F.col("clabel").alias("predicted_label"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("vec_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("true_label", "predicted_label")
+    )

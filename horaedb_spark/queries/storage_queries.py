@@ -1123,3 +1123,67 @@ def storage_merge_into_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _MERGED_TABLES[key].scan().orderBy("user_id", "event_type", "ts_ms")
     )
+
+
+_EVOLVED_TABLES: dict[str, ColumnarTable] = {}
+
+
+@register(
+    "storage_schema_evolution_scan",
+    oracle=f"""
+    SELECT user_id, event_type, ts_ms, value,
+           CASE WHEN ts_ms >= 1705276800000
+                THEN 'v2:' || event_type END AS note
+    FROM (
+      SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, value,
+             row_number() OVER (
+               PARTITION BY user_id, event_type, epoch_ms(ts) // {_SEG_15D}
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id, event_type, ts_ms
+    """,
+)
+def storage_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online schema evolution under the oracle gate (A12+): ingest phase 1,
+    ALTER TABLE ADD COLUMN note (nullable, zero rewrite), ingest phase 2
+    with the column populated — the scan surfaces NULL for every pre-
+    evolution SST and the real values for post-evolution rows, merged
+    across both generations. The 100 TB property: the old petabytes are
+    never touched; the explicit read schema projects the new column as
+    NULL out of old files."""
+    key = f"{sf_dir}:evolved"
+    if key not in _EVOLVED_TABLES:
+        cutoff = 1_705_276_800_000  # day 14 — mid-month phase split
+        ev = events_ms(spark, sf_dir)
+        w = Window.partitionBy(
+            "user_id", "event_type", F.expr(f"ts_ms div {_SEG_15D}")
+        ).orderBy(F.desc("ts_ms"), F.desc("event_id"))
+
+        def dedup(df):
+            return (
+                df.withColumn("__rn__", F.row_number().over(w))
+                .filter(F.col("__rn__") == 1)
+            )
+
+        table = ColumnarTable(
+            spark, tempfile.mkdtemp(prefix="horaedb_evo_") + "/t",
+            _events_schema(), _SEG_15D,
+        )
+        p1 = dedup(ev.filter(F.col("ts_ms") < cutoff)).select(
+            "user_id", "event_type", "ts_ms", "value"
+        )
+        table.bulk_ingest(p1, "ts_ms")
+        table.evolve_schema([T.StructField("note", T.StringType())])
+        p2 = dedup(ev.filter(F.col("ts_ms") >= cutoff)).select(
+            "user_id",
+            "event_type",
+            "ts_ms",
+            "value",
+            F.concat(F.lit("v2:"), F.col("event_type")).alias("note"),
+        )
+        table.bulk_ingest(p2, "ts_ms")
+        _EVOLVED_TABLES[key] = table
+    return (
+        _EVOLVED_TABLES[key].scan().orderBy("user_id", "event_type", "ts_ms")
+    )
