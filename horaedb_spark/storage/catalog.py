@@ -89,9 +89,24 @@ class TableCatalog:
             if os.path.exists(self._meta_path(n))
         )
 
-    def drop_table(self, name: str) -> None:
+    def drop_table(self, name: str, force: bool = False) -> None:
+        """Drop a table. Refuses (unless ``force=True``) while zero-copy
+        clones still reference the table's files — rmtree'ing the source
+        would silently corrupt every shallow clone. Dropping a table that IS
+        a shallow clone releases its leases first, so deferred physical
+        deletes on the source can proceed."""
         if not os.path.exists(self._meta_path(name)):
             raise NoSuchTableError(name)
+        table = self.open_table(name)
+        clones = table.live_clone_roots()
+        if clones and not force:
+            raise RuntimeError(
+                f"drop_table({name!r}) refused: zero-copy clones still "
+                f"reference its files: {clones}. Drop the clones first "
+                "(or re-create them with deep=True), or pass force=True "
+                "to corrupt them knowingly."
+            )
+        table.release_clone_leases()
         shutil.rmtree(self._dir(name))
 
     def clone_table(self, src: str, dst: str, deep: bool = False) -> ColumnarTable:

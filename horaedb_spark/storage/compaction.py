@@ -258,6 +258,21 @@ class Compactor:
         try:
             new_sst = None
             if task.inputs:
+                # The picker only ever picks within ONE segment; execute()
+                # is public and hand-built tasks must honor that too — the
+                # full-segment tombstone-GC check below derives the segment
+                # from tr.start, so a multi-segment task would wrongly drop
+                # tombstones from partially covered segments.
+                segs = {
+                    truncate_by(s.time_range.start, self.table.segment_duration_ms)
+                    for s in task.inputs
+                }
+                if len(segs) > 1:
+                    raise ValueError(
+                        f"compaction task spans segments {sorted(segs)}; "
+                        "inputs must share one segment (submit one task per "
+                        "segment, as the picker does)"
+                    )
                 # Same scan/merge plan as a query, builtins kept so the merged
                 # rows retain their winning __seq__ (executor.rs:163-171).
                 tr = TimeRange(
@@ -288,15 +303,35 @@ class Compactor:
                 carries_tombstones = (
                     any(s.tombstone for s in task.inputs) and not full_segment
                 )
-                new_sst = self._write_compacted(seq_df, tr, carries_tombstones)
+                # Same rule for value-mutated inputs: a full-segment rewrite
+                # collapses all versions (one per key — divergence gone); a
+                # partial one keeps rows that still outrank older versions
+                # with different values in non-picked files.
+                carries_mutations = (
+                    any(s.value_mutated for s in task.inputs) and not full_segment
+                )
+                new_sst = self._write_compacted(
+                    seq_df,
+                    tr,
+                    carries_tombstones,
+                    value_mutated=carries_mutations,
+                    # rows keep their ORIGINAL __seq__, so the output may
+                    # contain rows as old as the oldest input — restore()
+                    # uses this to refuse rollbacks past this compaction
+                    min_seq=min(s.effective_min_seq for s in task.inputs),
+                )
             # Manifest swap BEFORE physical deletes (executor.rs:203-217).
             to_delete = input_ids + [s.file_id for s in task.expired]
             manifest.update([new_sst] if new_sst else [], to_delete)
             # Physical deletes, best-effort (executor.rs:218-253). External
             # (clone-referenced) files belong to another table: drop only
-            # the reference, never the shared bytes.
+            # the reference, never the shared bytes. Symmetrically, while a
+            # live zero-copy clone references THIS table's files, defer the
+            # deletes (the dropped manifest entries become orphans that
+            # vacuum reclaims once every clone lease is released).
+            protected = bool(self.table.live_clone_roots())
             for sst in [*task.inputs, *task.expired]:
-                if not sst.external:
+                if not sst.external and not protected:
                     shutil.rmtree(sst.path, ignore_errors=True)
             return new_sst
         except Exception:
@@ -304,7 +339,12 @@ class Compactor:
             raise
 
     def _write_compacted(
-        self, df, tr: TimeRange, carries_tombstones: bool = False
+        self,
+        df,
+        tr: TimeRange,
+        carries_tombstones: bool = False,
+        value_mutated: bool = False,
+        min_seq: int | None = None,
     ) -> SstFile:
         """Write one merged SST carrying the surviving rows' __seq__ values.
 
@@ -342,4 +382,6 @@ class Compactor:
             size_bytes=size_bytes,
             col_stats=_collect_col_stats(sst_dir, t.schema.user_columns),
             tombstone=carries_tombstones,
+            value_mutated=value_mutated,
+            min_seq=min_seq,
         )

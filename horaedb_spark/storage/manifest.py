@@ -70,6 +70,24 @@ class SstFile:
     # sets with no tombstone file skip the tombstone machinery entirely, so
     # a delete-free table reads zero extra columns.
     tombstone: bool = False
+    # True if the SST was produced by a version-MUTATING DML (update /
+    # merge_into matched-row rewrite): its rows outrank older versions whose
+    # VALUE columns differ. Scans over a set containing such a file must use
+    # SQL semantics for value predicates (apply after the merge) — the
+    # reference's filter-before-merge shortcut is only sound when versions of
+    # a key never diverge in value columns. Cleared by a full-segment
+    # compaction (all versions collapse to one per key).
+    value_mutated: bool = False
+    # Minimum ORIGINAL row __seq__ the file may contain. Writes stamp one
+    # seq == file_id, so None means "== file_id"; compaction/recluster
+    # outputs carry rows from older inputs and record min over their inputs
+    # — restore(as_of_seq) uses this to refuse a rollback that would drop a
+    # file still holding rows from before the rollback point.
+    min_seq: int | None = None
+
+    @property
+    def effective_min_seq(self) -> int:
+        return self.file_id if self.min_seq is None else self.min_seq
 
     def to_json(self) -> dict:
         d = {
@@ -87,6 +105,10 @@ class SstFile:
             d["external"] = True
         if self.tombstone:
             d["tombstone"] = True
+        if self.value_mutated:
+            d["value_mutated"] = True
+        if self.min_seq is not None:
+            d["min_seq"] = self.min_seq
         return d
 
     @classmethod
@@ -101,6 +123,8 @@ class SstFile:
             col_stats=d.get("col_stats"),
             external=d.get("external", False),
             tombstone=d.get("tombstone", False),
+            value_mutated=d.get("value_mutated", False),
+            min_seq=d.get("min_seq"),
         )
 
     def is_expired(self, expire_before_ms: int) -> bool:

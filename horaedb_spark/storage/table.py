@@ -397,24 +397,27 @@ class ColumnarTable:
         ssts = self.manifest.find_ssts(time_range)
         if not ssts:
             return []
-        if any(s.tombstone for s in ssts):
-            # The rewrite goes through bulk_ingest (data rows only), which
-            # cannot carry tombstones forward — so it must be allowed to
-            # DROP them, which is only sound when every SST of every
-            # touched segment is being rewritten (the compaction GC rule).
-            touched = {truncate_by(s.time_range.start, self.segment_duration_ms) for s in ssts}
-            picked = {s.file_id for s in ssts}
-            all_in_touched = {
-                s.file_id
-                for s in self.manifest.all_ssts()
-                if truncate_by(s.time_range.start, self.segment_duration_ms) in touched
-            }
-            if not all_in_touched <= picked:
-                raise ValueError(
-                    "recluster over a partial segment that holds delete "
-                    "tombstones would resurrect deleted rows; widen the "
-                    "time_range to whole segments or compact first"
-                )
+        # The rewrite RESTAMPS ``__seq__`` (bulk_ingest allocates fresh file
+        # ids), so it must cover every live SST of every touched segment:
+        # a partial pick would (a) drop tombstones whose older versions
+        # survive in non-picked files, and (b) promote rewritten old
+        # versions over NEWER versions sitting in non-picked files of the
+        # same segment. Full coverage collapses all versions, making both
+        # impossible.
+        touched = {truncate_by(s.time_range.start, self.segment_duration_ms) for s in ssts}
+        picked = {s.file_id for s in ssts}
+        all_in_touched = {
+            s.file_id
+            for s in self.manifest.all_ssts()
+            if truncate_by(s.time_range.start, self.segment_duration_ms) in touched
+        }
+        if not all_in_touched <= picked:
+            raise ValueError(
+                "recluster over a partial segment would re-order row "
+                "versions (and drop tombstones) against the non-picked "
+                "files; widen the time_range to whole segments or compact "
+                "first"
+            )
         ids = [s.file_id for s in ssts]
         if not self.manifest.try_mark_compacting(ids):
             return []
@@ -425,9 +428,19 @@ class ColumnarTable:
             new_ssts = self.bulk_ingest(
                 merged, ts_col, cluster_by=cluster_by, cluster_slices=cluster_slices
             )
-            self.manifest.update([], ids)
+            # The rewrite restamped __seq__, but its rows originally date
+            # back to the oldest input — record that so restore() knows a
+            # rollback past this point would lose them. Full-segment
+            # coverage (asserted above) collapses versions, so the outputs
+            # are NOT value_mutated even if inputs were.
+            from dataclasses import replace as _dc_replace
+
+            min_in = min(s.effective_min_seq for s in ssts)
+            new_ssts = [_dc_replace(s, min_seq=min_in) for s in new_ssts]
+            self.manifest.update(new_ssts, ids)
+            protected = bool(self.live_clone_roots())
             for s in ssts:
-                if not s.external:  # clone-referenced bytes stay
+                if not s.external and not protected:  # clone-referenced bytes stay
                     shutil.rmtree(s.path, ignore_errors=True)
             return new_ssts
         except Exception:
@@ -535,7 +548,10 @@ class ColumnarTable:
                 for f in self.schema.fields.fields
             ],
         )
-        return self._stage_segmented_write(rows, reserved=None)
+        # value_mutated: the new versions DIVERGE from the old ones in value
+        # columns, so predicate scans must evaluate on the merged state (SQL
+        # semantics) — see scan_ssts.
+        return self._stage_segmented_write(rows, reserved=None, value_mutated=True)
 
     def merge_into(
         self,
@@ -642,10 +658,18 @@ class ColumnarTable:
             .cast("long")
             .alias(RESERVED_COLUMN),
         )
-        return self._stage_segmented_write(rows, reserved="column")
+        # Matched rows become new versions whose values come from the source
+        # / update assignments — divergent from the current versions, so the
+        # output is value-mutating whenever live rows existed to match.
+        return self._stage_segmented_write(
+            rows, reserved="column", value_mutated=bool(ssts)
+        )
 
     def _stage_segmented_write(
-        self, rows: DataFrame, reserved: int | None | str = None
+        self,
+        rows: DataFrame,
+        reserved: int | None | str = None,
+        value_mutated: bool = False,
     ) -> list[SstFile]:
         """ONE Spark job writing (SEGMENT + user columns) rows as one SST
         per touched segment, with a fresh per-segment ``__seq__`` that
@@ -712,6 +736,7 @@ class ColumnarTable:
                         size_bytes=size_bytes,
                         col_stats=_collect_col_stats(dst, self.schema.user_columns),
                         tombstone=has_tombstones,
+                        value_mutated=value_mutated,
                     )
                 )
             if new_ssts:
@@ -727,16 +752,37 @@ class ColumnarTable:
         ssts = self.manifest.find_ssts(req.time_range)
         if req.as_of_seq is not None:
             ssts = [s for s in ssts if s.file_id <= req.as_of_seq]
+            # A compaction/recluster output carries rows ORIGINALLY written
+            # before its own file id; a snapshot older than such a file but
+            # needing its rows is gone (the inputs were deleted). Refuse
+            # rather than return a silently incomplete snapshot.
+            lost = [
+                s.file_id
+                for s in self.manifest.find_ssts(req.time_range)
+                if s.file_id > req.as_of_seq
+                and s.effective_min_seq <= req.as_of_seq
+            ]
+            if lost:
+                raise ValueError(
+                    f"snapshot as_of_seq={req.as_of_seq} predates compacted "
+                    f"SSTs {lost} whose inputs were physically removed; "
+                    "time travel is bounded by the last compaction"
+                )
         # Column-stats file skipping: value predicates prune whole SSTs from
         # the path list (the manifest-side complement of parquet row-group
         # pruning — at 100 TB this is the difference between listing a
-        # thousand files and a handful). Sound because merge semantics are
-        # per-(PK, segment) row versioning: a row excluded by the predicate
-        # in an old SST is equally excluded from the merged result, so
-        # skipping the file never changes surviving rows' values — the same
-        # argument as A3 filter-before-merge.
+        # thousand files and a handful). Sound while versions of a key never
+        # diverge in value columns: a row excluded by the predicate in an old
+        # SST is then equally excluded from the merged result (the A3
+        # filter-before-merge argument). Once a version-mutating DML
+        # (update/merge_into) is in the scanned set, only KEY-column
+        # conjuncts may skip files — a value conjunct could skip the file
+        # holding the new version and resurrect the old one.
         if isinstance(req.predicate, str):
             conjuncts = _parse_conjuncts(req.predicate)
+            if conjuncts and any(s.value_mutated for s in ssts):
+                safe = {*self.schema.primary_keys, SEGMENT_COLUMN}
+                conjuncts = [c for c in conjuncts if c[0] in safe]
             if conjuncts:
                 ssts = [s for s in ssts if _sst_may_match(s, conjuncts)]
         return self.scan_ssts(ssts, req)
@@ -780,20 +826,49 @@ class ColumnarTable:
         # filters) is bit-identical to the pre-delete-feature plan.
         has_tombstones = any(s.tombstone for s in ssts)
         df = self._read_ssts(ssts)
+        post_filter: Column | None = None
         if req.predicate is not None:
             pred = F.expr(req.predicate) if isinstance(req.predicate, str) else req.predicate
             from horaedb_spark.core.schema import UpdateMode
             from horaedb_spark.storage.merge import TOMBSTONE
 
-            if has_tombstones and self.schema.update_mode == UpdateMode.OVERWRITE:
-                # Tombstones (NULL value columns) must always reach the merge:
-                # filtering them out pre-merge would resurrect a deleted row
-                # whose old version matches the predicate. Data SSTs carry
-                # all-NULL __reserved__, so the disjunct matches nothing there
-                # and parquet row-group pruning on `pred` is unaffected.
-                pred = pred | (F.col(RESERVED_COLUMN) == TOMBSTONE)
-            df = df.filter(pred)  # before the merge, like FilterExec (read.rs:467-469)
+            overwrite = self.schema.update_mode == UpdateMode.OVERWRITE
+            if overwrite and any(s.value_mutated for s in ssts):
+                # A version-mutating DML (update/merge_into) wrote versions
+                # whose VALUE columns diverge from older ones, so the
+                # filter-before-merge shortcut below is unsound: it could
+                # drop the new version and let the old one win the merge.
+                # SQL semantics instead — decide the predicate on the MERGED
+                # current state. Pre-merge we push only key-column conjuncts
+                # (identical across every version of a key, tombstones
+                # included), keeping parquet pushdown for point lookups.
+                post_filter = pred
+                safe_cols = {*self.schema.primary_keys, SEGMENT_COLUMN}
+                if isinstance(req.predicate, str):
+                    pre, exact = _key_only_prefilter(req.predicate, safe_cols)
+                    if exact:
+                        post_filter = None  # whole predicate is key-only
+                    if pre is not None:
+                        df = df.filter(F.expr(pre))
+            else:
+                if has_tombstones and overwrite:
+                    # Tombstones (NULL value columns) must always reach the
+                    # merge: filtering them out pre-merge would resurrect a
+                    # deleted row whose old version matches the predicate.
+                    # Data SSTs carry all-NULL __reserved__, so the disjunct
+                    # matches nothing there and parquet row-group pruning on
+                    # `pred` is unaffected.
+                    pred = pred | (F.col(RESERVED_COLUMN) == TOMBSTONE)
+                df = df.filter(pred)  # before the merge, like FilterExec (read.rs:467-469)
         proj = self.schema.fill_required_projections(req.projections)
+        if proj is not None and post_filter is not None:
+            # the post-merge filter needs its columns carried through the
+            # merge; the final select still narrows to req.projections
+            extra = _predicate_columns(req.predicate, self.schema.user_columns)
+            if extra is None:
+                proj = None  # unknown references: keep all columns through merge
+            else:
+                proj = list(dict.fromkeys([*proj, *extra]))
         if proj is not None:
             df = df.select(SEGMENT_COLUMN, POS_COLUMN, RESERVED_COLUMN, *proj)
         drop_tombstones = req.drop_tombstones
@@ -806,6 +881,8 @@ class ColumnarTable:
             keep_builtin=req.keep_builtin,
             drop_tombstones=drop_tombstones,
         )
+        if post_filter is not None:
+            merged = merged.filter(post_filter)
         if req.ordered:
             merged = merged.orderBy(SEGMENT_COLUMN, *self.schema.primary_keys)
         keep = list(req.projections or self.schema.user_columns)
@@ -820,6 +897,75 @@ class ColumnarTable:
             keep += [SEQ_COLUMN, RESERVED_COLUMN]
         return base.select(*keep)
 
+    # ------------------------------------------------------------ clone leases
+
+    def live_clone_roots(self) -> list[str]:
+        """Roots of zero-copy clones that still reference this table's
+        files. Each shallow clone leaves a lease file under ``_clones/``;
+        physical deletion (compaction/recluster input removal, vacuum,
+        drop_table) is deferred while any lease is live. A lease whose
+        clone directory no longer exists (manually removed clone) is stale
+        and reclaimed here."""
+        import json as _json
+
+        d = os.path.join(self.root, "_clones")
+        if not os.path.isdir(d):
+            return []
+        out: list[str] = []
+        for name in sorted(os.listdir(d)):
+            path = os.path.join(d, name)
+            try:
+                with open(path) as f:
+                    dest = _json.load(f)["dest_root"]
+            except (OSError, ValueError, KeyError):
+                continue
+            if os.path.isdir(dest):
+                out.append(dest)
+            else:
+                try:
+                    os.unlink(path)  # stale: clone dir is gone
+                except OSError:
+                    pass
+        return out
+
+    @staticmethod
+    def _lease_token(dest_root: str) -> str:
+        import hashlib
+
+        return hashlib.sha1(os.path.abspath(dest_root).encode()).hexdigest()[:16]
+
+    def _register_clone_lease(self, source_root: str, dest_root: str) -> None:
+        import json as _json
+
+        d = os.path.join(source_root, "_clones")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, self._lease_token(dest_root) + ".json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"dest_root": os.path.abspath(dest_root)}, f)
+        os.replace(tmp, path)
+
+    def release_clone_leases(self) -> None:
+        """Called when THIS table (a zero-copy clone) is dropped: remove its
+        lease files from every source root recorded at clone time, letting
+        the sources' deferred physical deletes proceed."""
+        import json as _json
+
+        meta = os.path.join(self.root, "clone.json")
+        if not os.path.exists(meta):
+            return
+        try:
+            with open(meta) as f:
+                sources = _json.load(f).get("source_roots", [])
+        except (OSError, ValueError):
+            return
+        token = self._lease_token(self.root)
+        for src in sources:
+            try:
+                os.unlink(os.path.join(src, "_clones", token + ".json"))
+            except OSError:
+                pass
+
     # ------------------------------------------------------------------- misc
 
     def clone(self, dest_root: str, deep: bool = False) -> "ColumnarTable":
@@ -832,11 +978,14 @@ class ColumnarTable:
         shared bytes. At 100 TB this is a metadata-only operation: instant
         dev/test copies, what-if compactions, schema experiments. Writes and
         deletes on either table never affect the other (new SSTs land in
-        each table's own data dir). Caveat, as with any shallow clone over a
-        shared store: physically destructive maintenance on the SOURCE
-        (compaction deletes, vacuum) invalidates the clone's references —
-        use ``deep=True`` (full file copy) for a clone that must outlive the
-        source's maintenance."""
+        each table's own data dir). The clone leaves a LEASE file under the
+        source's ``_clones/`` dir: while it lives, the source's physically
+        destructive paths (compaction/recluster input deletes, vacuum,
+        catalog drop_table) defer their file removals, so routine source
+        maintenance can no longer corrupt the clone. Dropping the clone
+        (catalog.drop_table, or ``release_clone_leases()`` + rmtree)
+        releases the lease and the deferred deletes proceed via vacuum.
+        ``deep=True`` (full file copy) makes a clone with no ties at all."""
         import shutil
 
         new = ColumnarTable(
@@ -869,6 +1018,28 @@ class ColumnarTable:
                 new._next_id = max(
                     new._next_id, max(e.file_id for e in entries) + 1
                 )
+        if not deep and entries:
+            # Register a lease at every root owning referenced bytes (this
+            # table, plus any root this table itself shallow-cloned from) so
+            # those tables defer physical deletes while the clone is live.
+            import json as _json
+
+            source_roots = sorted(
+                {
+                    os.path.abspath(
+                        os.path.dirname(os.path.dirname(os.path.dirname(e.path)))
+                    )
+                    for e in entries
+                }
+                | {os.path.abspath(self.root)}
+            )
+            for src in source_roots:
+                self._register_clone_lease(src, dest_root)
+            meta = os.path.join(new.root, "clone.json")
+            tmp = meta + ".tmp"
+            with open(tmp, "w") as f:
+                _json.dump({"source_roots": source_roots}, f)
+            os.replace(tmp, meta)
         return new
 
     def history(self) -> list[dict]:
@@ -879,20 +1050,37 @@ class ColumnarTable:
         reads the table as of that version. Driver-side metadata only."""
         return _table_history(self)
 
-    def restore(self, as_of_seq: int) -> list[int]:
+    def restore(self, as_of_seq: int, force: bool = False) -> list[int]:
         """RESTORE TABLE TO VERSION: drop every SST newer than
         ``as_of_seq`` from the manifest — the rollback that undoes bad
         writes/deletes/updates instantly at any scale (metadata-only; the
         orphaned files remain on disk until ``vacuum()``, so the restore
         itself is also reversible forensics-wise). Returns the dropped
-        file ids. Refuses to run while any file is mid-compaction."""
+        file ids. Refuses to run while any file is mid-compaction.
+
+        Restore is only valid back to the LAST COMPACTION: a compaction/
+        recluster output has a new file id but carries rows from inputs that
+        were physically deleted — dropping it would silently lose rows that
+        existed before ``as_of_seq``. Each maintenance output records the
+        minimum original row sequence it contains (``SstFile.min_seq``);
+        restore refuses when a to-be-dropped SST still holds pre-rollback
+        rows, unless ``force=True`` (accepting that loss)."""
         ssts = self.manifest.all_ssts()
         if any(s.in_compaction for s in ssts):
             raise RuntimeError("restore() refused: compaction in flight")
-        doomed = [s.file_id for s in ssts if s.file_id > as_of_seq]
+        doomed = [s for s in ssts if s.file_id > as_of_seq]
+        blockers = [s.file_id for s in doomed if s.effective_min_seq <= as_of_seq]
+        if blockers and not force:
+            raise ValueError(
+                f"restore(as_of_seq={as_of_seq}) would drop compacted SSTs "
+                f"{blockers} that still carry rows from before the rollback "
+                "point (their inputs were physically deleted) — rows would "
+                "silently vanish. Restore only to a version at or after the "
+                "last compaction, or pass force=True to accept the loss."
+            )
         if doomed:
-            self.manifest.update([], doomed)
-        return doomed
+            self.manifest.update([], [s.file_id for s in doomed])
+        return [s.file_id for s in doomed]
 
     def vacuum(self) -> list[str]:
         """Remove orphan SST directories — files on disk that the manifest
@@ -915,6 +1103,12 @@ class ColumnarTable:
                 path = os.path.join(self.root, name)
                 shutil.rmtree(path, ignore_errors=True)
                 removed.append(path)
+        # A live zero-copy clone may still reference SSTs this manifest has
+        # already dropped (compaction/recluster defer their physical deletes
+        # for the same reason) — reclaiming them would corrupt the clone.
+        # Staging dirs are never clone-visible, so those were still safe.
+        if self.live_clone_roots():
+            return removed
         if not os.path.isdir(self.data_dir):
             return removed
         for seg_name in os.listdir(self.data_dir):
@@ -1014,6 +1208,42 @@ def _parse_conjuncts(predicate: str) -> list[tuple[str, str, object]]:
             val = int(raw)
         out.append((col, "=" if op == "==" else op, val))
     return out
+
+
+def _key_only_prefilter(
+    predicate: str, safe_cols: set[str]
+) -> tuple[str | None, bool]:
+    """Extract the AND-joined conjuncts of ``predicate`` that reference only
+    ``safe_cols`` (key columns — identical across every version of a key, so
+    they may run before the merge). Returns ``(prefilter_sql, exact)``:
+    ``prefilter_sql`` is None when nothing is provably safe; ``exact`` is True
+    when EVERY conjunct was safe (the prefilter equals the whole predicate).
+    Anything outside the simple `col op literal` grammar (ORs, parens,
+    functions) contributes nothing — never wrong, only less pushdown."""
+    if re.search(r"(?i)\bor\b", predicate) or "(" in predicate:
+        return None, False
+    parts = re.split(r"(?i)\s+AND\s+", predicate.strip())
+    safe_parts = []
+    for part in parts:
+        m = _CONJUNCT_RE.fullmatch(part)
+        if m and m.group(1) in safe_cols:
+            safe_parts.append(part.strip())
+    if not safe_parts:
+        return None, False
+    return " AND ".join(safe_parts), len(safe_parts) == len(parts)
+
+
+def _predicate_columns(
+    predicate: "Column | str", user_columns: tuple[str, ...]
+) -> list[str] | None:
+    """Best-effort column references of a predicate (to widen a projection so
+    a post-merge filter can run). For strings, identifiers ∩ schema; for
+    Column objects, parsed from the repr. None = could not determine (caller
+    keeps all columns)."""
+    text = predicate if isinstance(predicate, str) else str(predicate)
+    words = set(re.findall(r"[A-Za-z_]\w*", text))
+    hit = [c for c in user_columns if c in words]
+    return hit if hit else None
 
 
 def _sst_may_match(sst: SstFile, conjuncts: list[tuple[str, str, object]]) -> bool:
