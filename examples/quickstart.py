@@ -74,7 +74,7 @@ def main() -> None:
     from horaedb_spark.functions.dedup import exact_dedup
 
     docs = load_table(spark, sf_dir, "documents")
-    kept = exact_dedup(docs, "doc_id", "text")
+    kept = exact_dedup(docs, "text", "doc_id")
     print("documents kept after exact dedup:", kept.count(), "of", docs.count())
 
 

@@ -20,9 +20,34 @@ from horaedb_spark.functions.text import shingles
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup: keep the lowest id per identical text. ``min`` per group —
-    NOT ``dropDuplicates`` (arbitrary row) — so the survivor is deterministic."""
-    keep = df.groupBy(text_col).agg(F.min(id_col).alias(id_col))
-    return df.join(keep, [text_col, id_col], "left_semi")
+    NOT ``dropDuplicates`` (arbitrary row) — so the survivor is deterministic.
+
+    Shuffle-width design: grouping on the raw text column would push the
+    corpus' full bytes through the exchange; instead the group key is a
+    ``(xxhash64(text), length(text))`` fingerprint — ~16 bytes/doc with
+    map-side partial ``min`` — and only SUSPECT groups (fingerprint held by
+    more than one row) are re-verified on the actual text, so at 100 TB the
+    text column crosses the wire only for the duplicate-candidate sliver of
+    the corpus. A fingerprint collision between different texts is caught by
+    the verify stage, never collapsed silently."""
+    fp, ln, n = "__fp__", "__ln__", "__n__"
+    keyed = df.withColumn(fp, F.xxhash64(F.col(text_col))).withColumn(
+        ln, F.length(F.col(text_col))
+    )
+    grp = (
+        keyed.select(fp, ln, id_col)
+        .groupBy(fp, ln)
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias(n))
+    )
+    solo_ids = grp.filter(F.col(n) == 1).select(id_col)
+    multi_keys = grp.filter(F.col(n) > 1).select(fp, ln)
+    multi_ids = (
+        keyed.join(multi_keys, [fp, ln], "left_semi")
+        .groupBy(fp, ln, text_col)
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(solo_ids.unionByName(multi_ids), id_col, "left_semi")
 
 
 def minhash_band_signatures(

@@ -70,14 +70,34 @@ def _with_near_copies(docs: DataFrame) -> DataFrame:
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup (hash groupBy): survivors are the min id per identical
-    text; every planted copy must collapse onto its original."""
+    text; every planted copy must collapse onto its original.
+
+    Fingerprint-keyed: the aggregate shuffles (xxhash64, length, id) —
+    ~16 B/doc — never the text bytes; only fingerprint groups holding more
+    than one row are re-verified on the actual text (collision safety).
+    Same answer as the oracle's group-by-raw-text, ~100x narrower exchange
+    at corpus scale."""
     docs = _with_exact_copies(load_table(spark, sf_dir, "documents"))
-    return (
-        docs.groupBy("text")
-        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
-        .select("doc_id", "n_copies")
-        .orderBy("doc_id")
+    keyed = docs.select(
+        "doc_id",
+        "text",
+        F.xxhash64("text").alias("fp"),
+        F.length("text").alias("ln"),
     )
+    grp = (
+        keyed.select("fp", "ln", "doc_id")
+        .groupBy("fp", "ln")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+    solo = grp.filter(F.col("n_copies") == 1).select("doc_id", "n_copies")
+    multi_keys = grp.filter(F.col("n_copies") > 1).select("fp", "ln")
+    multi = (
+        keyed.join(multi_keys, ["fp", "ln"], "left_semi")
+        .groupBy("fp", "ln", "text")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("doc_id", "n_copies")
+    )
+    return solo.unionByName(multi).orderBy("doc_id")
 
 
 @register(

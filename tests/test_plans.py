@@ -514,3 +514,14 @@ def test_window_suite_single_sort(spark, sf_dir):
     n_window_nodes = plan.count("\n   +- Window") + plan.count("\n+- Window") + plan.count(" Window [")
     assert plan.count("windowspecdefinition") >= 9  # all functions in specs
     assert n_window_nodes <= 2, plan[:2000]
+
+
+def test_exact_dedup_shuffles_fingerprints_not_text(spark, sf_dir):
+    """The exact-dedup aggregate must key its exchange on the 16-byte
+    (xxhash64, length) fingerprint — the corpus text bytes never cross the
+    main shuffle (only suspect fingerprint groups re-verify on text)."""
+    from horaedb_spark.queries.dedup_queries import dedup_exact
+
+    p = _final_plan(dedup_exact(spark, sf_dir))
+    assert "hashpartitioning(fp" in p, p[:3000]
+    assert "hashpartitioning(text" not in p, p[:3000]
