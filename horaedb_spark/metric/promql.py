@@ -1,0 +1,615 @@
+"""PromQL text front-end: parse a query string, compile it to the engine.
+
+The RFC's contract is PromQL evaluation pushed into the engine
+(docs/rfcs/20220702-prometheus-read-extension.md:84-99 — the flagship shape
+is ``histogram_quantile(0.9, sum by (le) (rate(bucket[10m])))``). Every
+evaluator already exists in ``functions/promql.py`` as a DataFrame operator;
+this module adds the missing surface a monitoring user actually speaks: a
+recursive-descent parser over the PromQL grammar and a compiler from the AST
+to ``MetricEngine.select_series`` + the operator calls, so the string and the
+hand-built pipeline produce the *same Spark plan shapes* (and, oracle-gated,
+the same rows).
+
+Supported surface (everything the operator layer implements):
+- selectors with label matchers (``=``, ``!=``, ``=~``, ``!~``), ``offset``;
+- range functions ``rate/increase/irate/idelta/delta`` and
+  ``avg/min/max/sum/count/last/quantile_over_time`` — bucket-aligned when
+  ``range == step``, sliding (bounded range/step fan-out) otherwise;
+- aggregations ``sum/avg/min/max/count/group/stddev/stdvar/topk/bottomk/
+  quantile`` with ``by (...)`` / ``without (...)`` in either position;
+- ``histogram_quantile(q, expr)`` over vectors carrying an ``le`` label;
+- subqueries ``expr[range:step]`` feeding an outer ``*_over_time``;
+- scalar arithmetic (``expr * 60``, ``1 - expr``) and the scalar math
+  functions (abs/ceil/floor/sqrt/exp/ln/log2/log10, clamp_min/clamp_max).
+
+Not supported (documented): vector-vector binary operators (the operator
+exists as ``functions.promql.vector_binop``; wiring the matching rules —
+on/ignoring/group_left — is future work) and ``@`` modifiers.
+
+Evaluation model: every vector expression compiles to a frame with columns
+``(series_key string, ts_ms long, value double)`` where ``series_key`` is
+the canonical ``k=v,...`` label-set encoding the engine already uses;
+aggregations re-key it from the retained labels. The frame contract makes
+composition closed — any node's output is any other node's input — exactly
+like Prometheus's Vector type.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from horaedb_spark.functions import promql as P
+from horaedb_spark.metric.engine import Matcher, MetricEngine
+
+# --------------------------------------------------------------------- AST
+
+
+@dataclass(frozen=True)
+class Selector:
+    name: str
+    matchers: tuple[Matcher, ...] = ()
+    range_ms: int | None = None
+    offset_ms: int = 0
+
+
+@dataclass(frozen=True)
+class Subquery:
+    expr: object
+    range_ms: int
+    step_ms: int
+
+
+@dataclass(frozen=True)
+class Call:
+    fn: str
+    args: tuple = ()
+
+
+@dataclass(frozen=True)
+class Agg:
+    op: str
+    expr: object
+    grouping: tuple[str, ...] = ()
+    without: bool = False
+    param: float | None = None
+
+
+@dataclass(frozen=True)
+class BinOp:
+    op: str
+    lhs: object
+    rhs: object
+
+
+@dataclass(frozen=True)
+class Number:
+    value: float
+
+
+# ------------------------------------------------------------------- lexer
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+      (?P<DURATION>\d+(?:ms|[smhdwy]))
+     |(?P<NUMBER>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?|\.\d+)
+     |(?P<IDENT>[A-Za-z_][A-Za-z0-9_:]*)
+     |(?P<STRING>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+     |(?P<OP>=~|!~|!=|=|\{|\}|\(|\)|\[|\]|,|:|\+|-|\*|/)
+    )""",
+    re.X,
+)
+
+_UNIT_MS = {
+    "ms": 1,
+    "s": 1000,
+    "m": 60_000,
+    "h": 3_600_000,
+    "d": 86_400_000,
+    "w": 7 * 86_400_000,
+    "y": 365 * 86_400_000,
+}
+
+AGG_OPS = {
+    "sum", "avg", "min", "max", "count", "group", "stddev", "stdvar",
+    "topk", "bottomk", "quantile",
+}
+PARAM_AGGS = {"topk", "bottomk", "quantile"}
+RANGE_FNS = {
+    "rate", "increase", "irate", "idelta", "delta",
+    "avg_over_time", "min_over_time", "max_over_time", "sum_over_time",
+    "count_over_time", "last_over_time", "quantile_over_time",
+}
+MATH_FNS = {"abs", "ceil", "floor", "sqrt", "exp", "ln", "log2", "log10"}
+
+
+class PromQLError(ValueError):
+    pass
+
+
+def _duration_ms(text: str) -> int:
+    m = re.fullmatch(r"(\d+)(ms|[smhdwy])", text)
+    if not m:
+        raise PromQLError(f"bad duration {text!r}")
+    return int(m.group(1)) * _UNIT_MS[m.group(2)]
+
+
+class _Lexer:
+    def __init__(self, text: str):
+        self.tokens: list[tuple[str, str]] = []
+        pos = 0
+        while pos < len(text):
+            m = _TOKEN_RE.match(text, pos)
+            if not m or m.end() == pos:
+                if text[pos:].strip():
+                    raise PromQLError(f"cannot tokenize at: {text[pos:pos+20]!r}")
+                break
+            pos = m.end()
+            kind = m.lastgroup
+            self.tokens.append((kind, m.group(kind)))
+        self.i = 0
+
+    def peek(self, k: int = 0) -> tuple[str, str]:
+        j = self.i + k
+        return self.tokens[j] if j < len(self.tokens) else ("EOF", "")
+
+    def next(self) -> tuple[str, str]:
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def expect(self, kind: str, value: str | None = None) -> str:
+        k, v = self.next()
+        if k != kind or (value is not None and v != value):
+            raise PromQLError(f"expected {value or kind}, got {v!r}")
+        return v
+
+
+# ------------------------------------------------------------------ parser
+
+
+def parse_promql(text: str):
+    """Parse a PromQL expression string into the AST above."""
+    lx = _Lexer(text)
+    node = _parse_expr(lx)
+    if lx.peek()[0] != "EOF":
+        raise PromQLError(f"trailing input at {lx.peek()[1]!r}")
+    return node
+
+
+def _parse_expr(lx: _Lexer):
+    node = _parse_term(lx)
+    while lx.peek() == ("OP", "+") or lx.peek() == ("OP", "-"):
+        op = lx.next()[1]
+        node = BinOp(op, node, _parse_term(lx))
+    return node
+
+
+def _parse_term(lx: _Lexer):
+    node = _parse_postfix(lx)
+    while lx.peek() == ("OP", "*") or lx.peek() == ("OP", "/"):
+        op = lx.next()[1]
+        node = BinOp(op, node, _parse_postfix(lx))
+    return node
+
+
+def _parse_postfix(lx: _Lexer):
+    node = _parse_atom(lx)
+    # [range] / [range:step] / offset apply to the atom just parsed
+    while True:
+        k, v = lx.peek()
+        if (k, v) == ("OP", "["):
+            lx.next()
+            rng = _duration_ms(lx.expect("DURATION"))
+            if lx.peek() == ("OP", ":"):
+                lx.next()
+                step = _duration_ms(lx.expect("DURATION"))
+                lx.expect("OP", "]")
+                node = Subquery(node, rng, step)
+            else:
+                lx.expect("OP", "]")
+                if not isinstance(node, Selector) or node.range_ms is not None:
+                    raise PromQLError("[range] only applies to a selector")
+                node = Selector(node.name, node.matchers, rng, node.offset_ms)
+        elif k == "IDENT" and v == "offset":
+            lx.next()
+            off = _duration_ms(lx.expect("DURATION"))
+            if not isinstance(node, Selector):
+                raise PromQLError("offset only applies to a selector")
+            node = Selector(node.name, node.matchers, node.range_ms, off)
+        else:
+            return node
+
+
+def _parse_atom(lx: _Lexer):
+    k, v = lx.peek()
+    if (k, v) == ("OP", "("):
+        lx.next()
+        node = _parse_expr(lx)
+        lx.expect("OP", ")")
+        return node
+    if (k, v) == ("OP", "-"):
+        lx.next()
+        return BinOp("-", Number(0.0), _parse_atom(lx))
+    if k == "NUMBER":
+        lx.next()
+        return Number(float(v))
+    if k == "DURATION":  # a bare number like `5m` outside brackets is odd
+        raise PromQLError(f"unexpected duration {v!r}")
+    if k == "IDENT":
+        if v in AGG_OPS:
+            return _parse_agg(lx)
+        if lx.peek(1) == ("OP", "("):
+            lx.next()
+            return _parse_call(lx, v)
+        return _parse_selector(lx)
+    raise PromQLError(f"unexpected token {v!r}")
+
+
+def _parse_grouping(lx: _Lexer) -> tuple[str, ...]:
+    lx.expect("OP", "(")
+    labels = []
+    while lx.peek() != ("OP", ")"):
+        labels.append(lx.expect("IDENT"))
+        if lx.peek() == ("OP", ","):
+            lx.next()
+    lx.expect("OP", ")")
+    return tuple(labels)
+
+
+def _parse_agg(lx: _Lexer):
+    op = lx.expect("IDENT")
+    grouping: tuple[str, ...] = ()
+    without = False
+    if lx.peek()[0] == "IDENT" and lx.peek()[1] in ("by", "without"):
+        without = lx.next()[1] == "without"
+        grouping = _parse_grouping(lx)
+        got_mod = True
+    else:
+        got_mod = False
+    lx.expect("OP", "(")
+    param = None
+    if op in PARAM_AGGS:
+        t = lx.expect("NUMBER")
+        param = float(t)
+        lx.expect("OP", ",")
+    expr = _parse_expr(lx)
+    lx.expect("OP", ")")
+    if not got_mod and lx.peek()[0] == "IDENT" and lx.peek()[1] in ("by", "without"):
+        without = lx.next()[1] == "without"
+        grouping = _parse_grouping(lx)
+        got_mod = True
+    return Agg(op, expr, grouping, without, param)
+
+
+def _parse_call(lx: _Lexer, fn: str):
+    lx.expect("OP", "(")
+    args = []
+    while lx.peek() != ("OP", ")"):
+        k, v = lx.peek()
+        if k == "NUMBER" and fn in (
+            "histogram_quantile", "quantile_over_time", "clamp_min",
+            "clamp_max", "round",
+        ) and not args:
+            lx.next()
+            args.append(Number(float(v)))
+        else:
+            args.append(_parse_expr(lx))
+        if lx.peek() == ("OP", ","):
+            lx.next()
+    lx.expect("OP", ")")
+    return Call(fn, tuple(args))
+
+
+def _parse_selector(lx: _Lexer):
+    name = lx.expect("IDENT")
+    matchers: list[Matcher] = []
+    if lx.peek() == ("OP", "{"):
+        lx.next()
+        while lx.peek() != ("OP", "}"):
+            key = lx.expect("IDENT")
+            op = lx.expect("OP")
+            if op not in ("=", "!=", "=~", "!~"):
+                raise PromQLError(f"bad matcher op {op!r}")
+            raw = lx.expect("STRING")
+            matchers.append(Matcher(key, op, raw[1:-1]))
+            if lx.peek() == ("OP", ","):
+                lx.next()
+        lx.expect("OP", "}")
+    return Selector(name, tuple(matchers))
+
+
+# ---------------------------------------------------------------- compiler
+
+_DEC_SUM = lambda c: F.sum(c.cast("decimal(30,10)")).cast("double")  # noqa: E731
+
+
+def _labels(col: str = "series_key") -> Column:
+    return F.str_to_map(F.col(col), F.lit(","), F.lit("="))
+
+
+def _canonical_key(labels_map: Column) -> Column:
+    """map<k,v> -> 'k1=v1,k2=v2' with keys sorted — the engine's series_key
+    encoding, re-derivable after any label subset/drop."""
+    entries = F.array_sort(F.map_entries(labels_map))
+    return F.array_join(
+        F.transform(entries, lambda e: F.concat(e["key"], F.lit("="), e["value"])),
+        ",",
+    )
+
+
+class PromQLCompiler:
+    """Compile parsed PromQL to DataFrames over a MetricEngine."""
+
+    def __init__(self, engine: MetricEngine, step_ms: int):
+        self.engine = engine
+        self.step_ms = step_ms
+
+    # -- public -----------------------------------------------------------
+
+    def compile(self, query: str) -> DataFrame:
+        """Evaluate a PromQL string on the engine's data at this compiler's
+        step resolution. Returns (series_key, ts_ms, value)."""
+        out = self._eval(parse_promql(query))
+        if not isinstance(out, DataFrame):
+            raise PromQLError("query evaluates to a scalar, not a vector")
+        return out.select("series_key", "ts_ms", F.col("value").cast("double"))
+
+    # -- evaluation -------------------------------------------------------
+
+    def _eval(self, node):
+        if isinstance(node, Number):
+            return node.value
+        if isinstance(node, BinOp):
+            return self._binop(node)
+        if isinstance(node, Agg):
+            return self._agg(node)
+        if isinstance(node, Call):
+            return self._call(node)
+        if isinstance(node, Selector):
+            if node.range_ms is not None:
+                raise PromQLError(
+                    "range selector outside a range function"
+                )
+            raise PromQLError(
+                "bare instant selectors are not supported; wrap in a range "
+                "function (e.g. last_over_time(x[step]))"
+            )
+        raise PromQLError(f"cannot evaluate {node!r}")
+
+    def _samples(self, sel: Selector) -> DataFrame:
+        """Selector -> raw sample frame (series_key, ts_ms, value); offset
+        shifts timestamps FORWARD so evaluation at T reads data at
+        T - offset (functions/promql.offset_by rule)."""
+        df = self.engine.select_series(sel.name, list(sel.matchers) or None)
+        if sel.offset_ms:
+            df = df.withColumn("ts_ms", F.col("ts_ms") + F.lit(sel.offset_ms))
+        return df.select("series_key", "ts_ms", "value")
+
+    def _range_input(self, node) -> tuple[DataFrame, int]:
+        """A range-function argument: a range selector or a subquery.
+        Returns (sample-shaped frame, range_ms)."""
+        if isinstance(node, Selector):
+            if node.range_ms is None:
+                raise PromQLError("range function needs a [range] selector")
+            return self._samples(node), node.range_ms
+        if isinstance(node, Subquery):
+            inner = PromQLCompiler(self.engine, node.step_ms)._eval(node.expr)
+            if not isinstance(inner, DataFrame):
+                raise PromQLError("subquery body must be a vector")
+            return inner.select("series_key", "ts_ms", "value"), node.range_ms
+        raise PromQLError("range function needs a [range] selector/subquery")
+
+    def _call(self, node: Call):
+        fn = node.fn
+        if fn in RANGE_FNS:
+            return self._range_fn(node)
+        if fn == "histogram_quantile":
+            q = node.args[0]
+            if not isinstance(q, Number):
+                raise PromQLError("histogram_quantile needs a literal q")
+            return self._histogram_quantile(q.value, self._eval(node.args[1]))
+        if fn in MATH_FNS:
+            df = self._eval(node.args[0])
+            return df.withColumn("value", P.math_fn(F.col("value"), fn))
+        if fn in ("clamp_min", "clamp_max"):
+            df = self._eval(node.args[1 if isinstance(node.args[0], Number) else 0])
+            bound = node.args[0].value if isinstance(node.args[0], Number) else node.args[1].value
+            lo = bound if fn == "clamp_min" else None
+            hi = bound if fn == "clamp_max" else None
+            return df.withColumn("value", P.clamp(F.col("value"), lo, hi))
+        if fn == "round":
+            df = self._eval(node.args[-1])
+            nearest = node.args[0].value if len(node.args) > 1 else 1.0
+            return df.withColumn("value", P.round_to(F.col("value"), nearest))
+        raise PromQLError(f"unsupported function {fn!r}")
+
+    def _range_fn(self, node: Call):
+        fn = node.fn
+        q = None
+        args = list(node.args)
+        if fn == "quantile_over_time":
+            if not args or not isinstance(args[0], Number):
+                raise PromQLError("quantile_over_time needs a literal q")
+            q = args.pop(0).value
+        df, range_ms = self._range_input(args[0])
+        step = self.step_ms
+        sliding = range_ms != step
+        if sliding and (range_ms % step != 0 or range_ms < step):
+            raise PromQLError(
+                f"range {range_ms}ms must be a positive multiple of the "
+                f"step {step}ms"
+            )
+        keys = ["series_key"]
+        if fn == "rate":
+            out = (
+                P.sliding_rate(df, keys, step, range_ms)
+                .withColumnRenamed("eval_ms", "ts_ms")
+                if sliding
+                else P.rate(df, keys, step).withColumnRenamed("bucket_ms", "ts_ms")
+            )
+            return out.select(*keys, "ts_ms", F.col("rate_per_s").alias("value"))
+        if fn == "increase":
+            if sliding:
+                out = P.sliding_increase(df, keys, step, range_ms)
+                return out.select(
+                    *keys,
+                    F.col("eval_ms").alias("ts_ms"),
+                    (F.col("increase_milli") / 1000.0).alias("value"),
+                )
+            out = P.increase(df, keys, step)
+            return out.select(
+                *keys, F.col("bucket_ms").alias("ts_ms"), F.col("increase").alias("value")
+            )
+        if fn in ("irate", "idelta", "delta"):
+            if sliding:
+                raise PromQLError(f"{fn} supports range == step only")
+            out = {"irate": P.irate, "idelta": P.idelta, "delta": P.delta}[fn](
+                df, keys, step
+            )
+            val = {"irate": "irate_per_s", "idelta": "idelta", "delta": "delta"}[fn]
+            return out.select(
+                *keys, F.col("bucket_ms").alias("ts_ms"), F.col(val).alias("value")
+            )
+        if fn == "quantile_over_time":
+            if sliding:
+                raise PromQLError("quantile_over_time supports range == step only")
+            out = P.quantile_over_time(df, keys, step, q)
+            return out.select(
+                *keys,
+                F.col("bucket_ms").alias("ts_ms"),
+                F.col("quantile_over_time").alias("value"),
+            )
+        if fn == "last_over_time":
+            if sliding:
+                raise PromQLError("last_over_time supports range == step only")
+            out = P.edge_over_time(df, keys, step)
+            return out.select(
+                *keys,
+                F.col("bucket_ms").alias("ts_ms"),
+                F.col("last_over_time").alias("value"),
+            )
+        # avg/min/max/sum/count_over_time
+        if sliding:
+            out = P.sliding_over_time(df, keys, step, range_ms)
+            ts = "eval_ms"
+        else:
+            out = P.over_time(df, keys, step)
+            ts = "bucket_ms"
+        return out.select(
+            *keys, F.col(ts).alias("ts_ms"), F.col(fn).alias("value")
+        )
+
+    def _agg(self, node: Agg):
+        df = self._eval(node.expr)
+        if not isinstance(df, DataFrame):
+            raise PromQLError("aggregation needs a vector")
+        lbls = _labels()
+        if node.without and node.grouping:
+            kept = _canonical_key(
+                F.map_filter(lbls, lambda k, _v: ~k.isin([*node.grouping]))
+            )
+        elif node.without:
+            kept = F.col("series_key")  # without () keeps every label
+        elif node.grouping:
+            kept = _canonical_key(
+                F.map_filter(lbls, lambda k, _v: k.isin([*node.grouping]))
+            )
+        else:
+            kept = F.lit("")  # plain sum(...): one output series
+        keyed = df.withColumn("__gkey__", kept)
+        if node.op in ("topk", "bottomk"):
+            k = int(node.param or 1)
+            order = (
+                [F.desc("value")] if node.op == "topk" else [F.asc("value")]
+            ) + [F.asc("series_key")]
+            w = Window.partitionBy("__gkey__", "ts_ms").orderBy(*order)
+            return (
+                keyed.withColumn("__rn__", F.row_number().over(w))
+                .filter(F.col("__rn__") <= k)
+                .select("series_key", "ts_ms", "value")
+            )
+        v = F.col("value")
+        if node.op == "sum":
+            agg = _DEC_SUM(v)
+        elif node.op == "avg":
+            agg = _DEC_SUM(v) / F.count(v)
+        elif node.op == "min":
+            agg = F.min(v)
+        elif node.op == "max":
+            agg = F.max(v)
+        elif node.op == "count":
+            agg = F.count(v).cast("double")
+        elif node.op == "group":
+            agg = F.lit(1.0)
+        elif node.op == "quantile":
+            agg = F.percentile(v, F.lit(node.param))
+        elif node.op in ("stddev", "stdvar"):
+            # aggregate_by's quantized order-independent scheme
+            qz = F.floor(v * 1000 + F.lit(0.5)).cast("long")
+            n = F.count(v)
+            var = (
+                (n * F.sum(qz * qz) - F.sum(qz) * F.sum(qz)).cast("double")
+                / (n * n)
+                / F.lit(1e6)
+            )
+            agg = F.sqrt(var) if node.op == "stddev" else var
+        else:
+            raise PromQLError(f"unsupported aggregation {node.op!r}")
+        return (
+            keyed.groupBy("__gkey__", "ts_ms")
+            .agg(agg.alias("value"))
+            .select(F.col("__gkey__").alias("series_key"), "ts_ms", "value")
+        )
+
+    def _histogram_quantile(self, q: float, df: DataFrame):
+        if not isinstance(df, DataFrame):
+            raise PromQLError("histogram_quantile needs a vector")
+        lbls = _labels()
+        le_str = F.element_at(lbls, "le")
+        le = (
+            F.when(le_str.isin("+Inf", "Inf", "inf"), F.lit(float("inf")))
+            .otherwise(le_str.cast("double"))
+        )
+        rest = F.map_filter(lbls, lambda k, _v: k != F.lit("le"))
+        buckets = df.select(
+            _canonical_key(rest).alias("series_key"),
+            "ts_ms",
+            le.alias("le"),
+            F.col("value").alias("bucket_count"),
+        )
+        out = P.histogram_quantile(buckets, ["series_key", "ts_ms"], q)
+        return out.select(
+            "series_key", "ts_ms", F.col("quantile_value").alias("value")
+        )
+
+    def _binop(self, node: BinOp):
+        lhs, rhs = self._eval(node.lhs), self._eval(node.rhs)
+        scalar_l = not isinstance(lhs, DataFrame)
+        scalar_r = not isinstance(rhs, DataFrame)
+        ops = {
+            "+": lambda a, b: a + b,
+            "-": lambda a, b: a - b,
+            "*": lambda a, b: a * b,
+            "/": lambda a, b: a / b,
+        }
+        if scalar_l and scalar_r:
+            return ops[node.op](lhs, rhs)
+        if scalar_l:
+            return rhs.withColumn("value", ops[node.op](F.lit(lhs), F.col("value")))
+        if scalar_r:
+            return lhs.withColumn("value", ops[node.op](F.col("value"), F.lit(rhs)))
+        raise PromQLError(
+            "vector-vector binary operators are not wired into the parser "
+            "yet (use functions.promql.vector_binop directly)"
+        )
+
+
+def promql_eval(engine: MetricEngine, query: str, step_ms: int) -> DataFrame:
+    """One-call convenience: parse + compile + evaluate. Returns
+    (series_key, ts_ms, value)."""
+    return PromQLCompiler(engine, step_ms).compile(query)

@@ -1,0 +1,289 @@
+"""PromQL STRING front-end under the oracle gate (SURVEY.md §2 D-surface).
+
+``promql_parse_eval`` compiles six RFC-shaped PromQL strings through the
+parser (``metric/promql.py``) — matchers, rate, increase, offset, by/without
+aggregation, topk, subquery, scalar arithmetic, and the RFC's flagship
+``histogram_quantile(0.9, sum by (le) (rate(bucket[10m])))``
+(docs/rfcs/20220702-prometheus-read-extension.md:84-99) — and hash-matches
+every row against DuckDB replicas of the same semantics. The hand-built
+pipeline equivalence (string-compiled == operator-called) is pinned in
+``tests/test_promql_parse.py``.
+
+The flagship needs a bucket-counter metric carrying an ``le`` label; it is
+synthesized deterministically from the click stream: per cohort, cumulative
+counts of events with value <= {10, 50, 100, +Inf} sampled at every event
+timestamp — exactly a Prometheus ``_bucket`` counter family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from horaedb_spark.metric.engine import MetricEngine
+from horaedb_spark.metric.promql import promql_eval
+from horaedb_spark.queries.metric_queries import _DEDUP_CTE, _engine
+from horaedb_spark.queries.registry import register
+from horaedb_spark.queries.tables import events_ms
+
+DAY_MS = 86_400_000
+
+_BUCKET_ENGINES: dict[str, MetricEngine] = {}
+
+_LES = (10.0, 50.0, 100.0)
+
+
+def _bucket_engine(spark: SparkSession, sf_dir: str) -> MetricEngine:
+    """Synthetic ``click_bucket`` counter family: one series per
+    (cohort, le), value = cumulative count of deduped click events with
+    value <= le, sampled at each event timestamp."""
+    if sf_dir in _BUCKET_ENGINES:
+        return _BUCKET_ENGINES[sf_dir]
+    ev = events_ms(spark, sf_dir).filter(F.col("event_type") == "click")
+    # same D10 dedup as the engine's sample stream (_DEDUP_CTE)
+    w = Window.partitionBy("user_id", "ts_ms").orderBy(F.desc("event_id"))
+    s = (
+        ev.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .withColumn("cohort", (F.col("user_id") % 10).cast("string"))
+    )
+    per_ts = s.groupBy("cohort", "ts_ms").agg(
+        *[
+            F.count(F.when(F.col("value") <= b, 1)).alias(f"c{i}")
+            for i, b in enumerate(_LES)
+        ],
+        F.count(F.lit(1)).alias("cinf"),
+    )
+    cw = (
+        Window.partitionBy("cohort")
+        .orderBy("ts_ms")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_ts.select(
+        "cohort",
+        "ts_ms",
+        *[F.sum(f"c{i}").over(cw).alias(f"b{i}") for i in range(len(_LES))],
+        F.sum("cinf").over(cw).alias("binf"),
+    )
+    pairs = [
+        F.struct(F.lit(f"{b:g}").alias("le"), F.col(f"b{i}").alias("v"))
+        for i, b in enumerate(_LES)
+    ] + [F.struct(F.lit("+Inf").alias("le"), F.col("binf").alias("v"))]
+    samples = cum.select(
+        "cohort", "ts_ms", F.explode(F.array(*pairs)).alias("p")
+    ).select(
+        F.lit("click_bucket").alias("name"),
+        F.create_map(
+            F.lit("cohort"), F.col("cohort"), F.lit("le"), F.col("p.le")
+        ).alias("labels"),
+        "ts_ms",
+        F.col("p.v").cast("double").alias("value"),
+        F.col("ts_ms").alias("seq"),
+    )
+    _BUCKET_ENGINES[sf_dir] = MetricEngine(samples)
+    return _BUCKET_ENGINES[sf_dir]
+
+
+_Q1 = 'sum by (cohort) (rate(click{cohort=~"[0-3]"}[1d]))'
+_Q2 = "histogram_quantile(0.9, sum by (le) (rate(click_bucket[1d])))"
+_Q3 = "topk(3, sum by (user) (increase(purchase[1d])))"
+_Q4 = "avg by (cohort) (max_over_time(click[1d] offset 1d))"
+_Q5 = "min_over_time((sum by (cohort) (rate(click[1d])))[4d:1d])"
+_Q6 = "sum(rate(click[1d])) by (cohort) * 60"
+
+# DuckDB replicas. Shared rate-per-series CTE over the deduped samples;
+# floor(x*1e6+0.5)/1e6 is the cross-engine rounding convention.
+_ORACLE = (
+    _DEDUP_CTE
+    + f"""
+    , rates AS (
+      SELECT name, user_label, cohort,
+             ts_ms - ts_ms % {DAY_MS} AS bucket_ms,
+             arg_max(value, ts_ms) AS v_last, arg_min(value, ts_ms) AS v_first,
+             max(ts_ms) AS t_last, min(ts_ms) AS t_first, count(*) AS n
+      FROM samples GROUP BY 1, 2, 3, 4
+    ), rate_s AS (
+      SELECT name, user_label, cohort, bucket_ms,
+             (v_last - v_first) / ((t_last - t_first) / 1000.0) AS r
+      FROM rates WHERE n >= 2 AND t_last > t_first
+    ),
+    q1 AS (
+      SELECT 'q1' AS query_id, 'cohort=' || cohort AS series_key,
+             bucket_ms AS ts_ms,
+             floor(CAST(sum(CAST(r AS DECIMAL(30,10))) AS DOUBLE)
+                   * 1000000 + 0.5) / 1000000 AS value
+      FROM rate_s
+      WHERE name = 'click' AND regexp_matches(cohort, '^(?:[0-3])$')
+      GROUP BY 2, 3
+    ),
+    bs AS (
+      SELECT CAST(user_id % 10 AS VARCHAR) AS cohort, ts_ms, value
+      FROM (
+        SELECT *, epoch_ms(ts) AS ts_ms,
+               row_number() OVER (PARTITION BY user_id, epoch_ms(ts)
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click'
+      ) WHERE rn = 1
+    ), per_ts AS (
+      SELECT cohort, ts_ms,
+             count(*) FILTER (WHERE value <= 10) AS c0,
+             count(*) FILTER (WHERE value <= 50) AS c1,
+             count(*) FILTER (WHERE value <= 100) AS c2,
+             count(*) AS cinf
+      FROM bs GROUP BY 1, 2
+    ), cum AS (
+      SELECT cohort, ts_ms,
+             sum(c0) OVER w AS b0, sum(c1) OVER w AS b1,
+             sum(c2) OVER w AS b2, sum(cinf) OVER w AS binf
+      FROM per_ts
+      WINDOW w AS (PARTITION BY cohort ORDER BY ts_ms
+                   ROWS UNBOUNDED PRECEDING)
+    ), bsam AS (
+      SELECT cohort, 10.0 AS le, ts_ms, CAST(b0 AS DOUBLE) AS value FROM cum
+      UNION ALL SELECT cohort, 50.0, ts_ms, CAST(b1 AS DOUBLE) FROM cum
+      UNION ALL SELECT cohort, 100.0, ts_ms, CAST(b2 AS DOUBLE) FROM cum
+      UNION ALL SELECT cohort, CAST('inf' AS DOUBLE), ts_ms,
+                       CAST(binf AS DOUBLE) FROM cum
+    ), brate AS (
+      SELECT cohort, le, ts_ms - ts_ms % {DAY_MS} AS bucket_ms,
+             arg_max(value, ts_ms) AS v_last, arg_min(value, ts_ms) AS v_first,
+             max(ts_ms) AS t_last, min(ts_ms) AS t_first, count(*) AS n
+      FROM bsam GROUP BY 1, 2, 3
+    ), bsum AS (
+      -- decimal-routed like the compiler's sum-by (order-independent and
+      -- bit-identical across engines); the quantile interpolation divides
+      -- by bucket deltas, which amplifies any last-bit sum divergence
+      SELECT le, bucket_ms,
+             CAST(sum(CAST((v_last - v_first) / ((t_last - t_first) / 1000.0)
+                           AS DECIMAL(30,10))) AS DOUBLE) AS bucket_count
+      FROM brate WHERE n >= 2 AND t_last > t_first GROUP BY 1, 2
+    ), ben AS (
+      SELECT le, bucket_ms, bucket_count,
+             coalesce(lag(bucket_count) OVER w, 0) AS prev_count,
+             coalesce(lag(le) OVER w, 0.0) AS prev_le,
+             max(bucket_count) OVER (PARTITION BY bucket_ms) AS total,
+             max(CASE WHEN le != CAST('inf' AS DOUBLE) THEN le END)
+                 OVER (PARTITION BY bucket_ms) AS max_finite_le
+      FROM bsum WINDOW w AS (PARTITION BY bucket_ms ORDER BY le)
+    ), bhit AS (
+      SELECT *, CAST(0.9 AS DOUBLE) * total AS rank_target,
+             row_number() OVER (PARTITION BY bucket_ms ORDER BY le) AS rn
+      FROM ben
+      WHERE bucket_count >= CAST(0.9 AS DOUBLE) * total AND total > 0
+    ),
+    q2 AS (
+      SELECT 'q2' AS query_id, '' AS series_key, bucket_ms AS ts_ms,
+             floor((CASE WHEN le = CAST('inf' AS DOUBLE) THEN max_finite_le
+                         WHEN bucket_count = prev_count THEN le
+                         ELSE prev_le + (le - prev_le)
+                              * (rank_target - prev_count)
+                              / (bucket_count - prev_count) END)
+                   * 1000000 + 0.5) / 1000000 AS value
+      FROM bhit WHERE rn = 1
+    ),
+    inc AS (
+      SELECT user_label, cohort, bucket_ms,
+             CAST(sum(CAST(step_inc AS DECIMAL(30,10))) AS DOUBLE)
+               AS increase, count(*) AS n
+      FROM (
+        SELECT user_label, cohort, ts_ms - ts_ms % {DAY_MS} AS bucket_ms,
+               CASE WHEN prev IS NULL THEN NULL
+                    WHEN value >= prev THEN value - prev
+                    ELSE value END AS step_inc
+        FROM (
+          SELECT *, lag(value) OVER (
+                   PARTITION BY user_label, cohort, ts_ms - ts_ms % {DAY_MS}
+                   ORDER BY ts_ms) AS prev
+          FROM samples WHERE name = 'purchase'
+        )
+      ) GROUP BY 1, 2, 3
+    ), sum3 AS (
+      SELECT user_label, bucket_ms,
+             CAST(sum(CAST(increase AS DECIMAL(30,10))) AS DOUBLE) AS v
+      FROM inc WHERE n >= 2 GROUP BY 1, 2
+    ), rank3 AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY bucket_ms
+               ORDER BY v DESC, 'user=' || user_label ASC) AS rn
+      FROM sum3
+    ),
+    q3 AS (
+      SELECT 'q3' AS query_id, 'user=' || user_label AS series_key,
+             bucket_ms AS ts_ms,
+             floor(v * 1000000 + 0.5) / 1000000 AS value
+      FROM rank3 WHERE rn <= 3
+    ),
+    m4 AS (
+      SELECT user_label, cohort,
+             (ts_ms + {DAY_MS}) - (ts_ms + {DAY_MS}) % {DAY_MS} AS bucket_ms,
+             max(value) AS v
+      FROM samples WHERE name = 'click' GROUP BY 1, 2, 3
+    ),
+    q4 AS (
+      SELECT 'q4' AS query_id, 'cohort=' || cohort AS series_key,
+             bucket_ms AS ts_ms,
+             floor((CAST(sum(CAST(v AS DECIMAL(30,10))) AS DOUBLE)
+                    / count(v)) * 1000000 + 0.5) / 1000000 AS value
+      FROM m4 GROUP BY 2, 3
+    ),
+    s5 AS (
+      SELECT cohort, bucket_ms AS ts_ms,
+             CAST(sum(CAST(r AS DECIMAL(30,10))) AS DOUBLE) AS v
+      FROM rate_s WHERE name = 'click' GROUP BY 1, 2
+    ),
+    q5 AS (
+      SELECT 'q5' AS query_id, 'cohort=' || cohort AS series_key,
+             ts_ms + i * {DAY_MS} AS eval_ms,
+             floor(min(v) * 1000000 + 0.5) / 1000000 AS value
+      FROM s5 CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)
+      GROUP BY 2, 3
+    ),
+    q6 AS (
+      SELECT 'q6' AS query_id, 'cohort=' || cohort AS series_key,
+             ts_ms, floor(v * 60 * 1000000 + 0.5) / 1000000 AS value
+      FROM s5
+    )
+    SELECT * FROM (
+      SELECT * FROM q1 UNION ALL SELECT * FROM q2 UNION ALL
+      SELECT * FROM q3 UNION ALL SELECT * FROM q4 UNION ALL
+      SELECT query_id, series_key, eval_ms, value FROM q5 UNION ALL
+      SELECT * FROM q6
+    ) ORDER BY query_id, series_key, ts_ms
+    """
+)
+
+
+@register("promql_parse_eval", oracle=_ORACLE)
+def promql_parse_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six PromQL strings -> parser -> compiler -> engine, all rows
+    hash-gated against DuckDB replicas (see module docstring). The string
+    path exercises matchers, range functions (aligned + sliding), offset,
+    by-aggregation, topk, a subquery, scalar arithmetic, and the RFC
+    flagship histogram_quantile-over-rate shape."""
+    eng = _engine(spark, sf_dir)
+    beng = _bucket_engine(spark, sf_dir)
+    parts = []
+    for tag, engine, q in [
+        ("q1", eng, _Q1),
+        ("q2", beng, _Q2),
+        ("q3", eng, _Q3),
+        ("q4", eng, _Q4),
+        ("q5", eng, _Q5),
+        ("q6", eng, _Q6),
+    ]:
+        out = promql_eval(engine, q, DAY_MS)
+        parts.append(
+            out.select(
+                F.lit(tag).alias("query_id"),
+                "series_key",
+                "ts_ms",
+                (F.floor(F.col("value") * 1_000_000 + 0.5) / 1_000_000).alias(
+                    "value"
+                ),
+            )
+        )
+    from functools import reduce
+
+    allq = reduce(DataFrame.unionByName, parts)
+    return allq.orderBy("query_id", "series_key", "ts_ms")

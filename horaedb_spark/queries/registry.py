@@ -52,6 +52,7 @@ def register(name: str, oracle: str | None = None):
 
 
 _QUERY_MODULES = (
+    "promql_parse_queries",
     "search_queries",
     "pipeline_queries",
     "dedup_queries",
