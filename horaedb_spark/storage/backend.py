@@ -1,0 +1,217 @@
+"""StorageBackend: the file-op substrate under tables, manifests, catalogs.
+
+The reference is built on an object-store abstraction end-to-end
+(columnar_storage/src/storage.rs:189-225 writes SSTs through
+``ParquetObjectWriter`` to an ``ObjectStore``; manifest deltas are object
+puts, manifest/mod.rs:131-157). Rounds 1-3 hard-coded POSIX calls
+(``os.replace`` staging renames, ``os.listdir`` walks, local JSON manifest
+files); this module factors every such call behind a small interface with
+two implementations:
+
+- ``PosixBackend`` — the prior behavior, byte-for-byte: atomic renames are
+  real renames, staging directories move into place with ``os.replace``.
+- ``ObjectStoreBackend`` — object-store SEMANTICS: there is no rename, so
+  ``commit_dir`` publishes a staged SST by RETURNING ITS STAGING PATH for
+  the manifest to reference (the "rename becomes a manifest-pointer move"
+  design, SCALING.md §storage): data bytes are written once and never
+  touched again; only the manifest changes. ``put_if_absent`` exposes the
+  conditional-put every real object store has (S3 If-None-Match, GCS
+  x-goog-if-generation-match: 0, ABS If-None-Match: *), which the manifest
+  uses for lock-free multi-writer delta appends.
+
+This in-repo implementation runs over a local directory (the container has
+no cloud credentials); a real S3/GCS deployment subclasses
+``ObjectStoreBackend`` and reroutes the primitive ops through its SDK —
+every caller above this interface is already object-store-shaped. Spark
+reads/writes parquet by path string in both cases (``spark_path`` is the
+hook where ``s3a://`` URL translation would go).
+
+Design rule for callers: LIST/READ/PUT/DELETE and conditional-put are the
+only primitives; no caller may assume rename exists (``commit_dir`` is the
+one publish verb, and its return value is the path of record).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import threading
+
+
+def threading_ident() -> int:
+    return threading.get_ident()
+
+
+class StorageBackend:
+    """Primitive object ops. Paths are plain strings; directories are
+    prefixes. Subclasses must implement everything."""
+
+    name = "abstract"
+    # True when commit_dir publishes in place (object store): staged paths
+    # can then be LIVE data, so maintenance must treat staging dirs as
+    # potentially referenced (by this manifest or by clones).
+    commits_in_place = False
+
+    # -- small objects (manifest deltas, schema, leases) -------------------
+
+    def read_text(self, path: str) -> str:
+        raise NotImplementedError
+
+    def put_text(self, path: str, data: str) -> None:
+        """Atomic publish of a small object (PUT semantics: readers see the
+        old or the new content, never a torn write)."""
+        raise NotImplementedError
+
+    def put_if_absent(self, path: str, data: str) -> bool:
+        """Conditional PUT: create the object only if it does not exist.
+        Returns False (and writes nothing) when it does — the CAS primitive
+        for multi-writer coordination."""
+        raise NotImplementedError
+
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def list_dir(self, path: str) -> list[str]:
+        """Child names (not full paths) under a directory/prefix; [] if the
+        prefix does not exist."""
+        raise NotImplementedError
+
+    def delete(self, path: str) -> None:
+        """Delete one object; no error if missing."""
+        raise NotImplementedError
+
+    def delete_tree(self, path: str) -> None:
+        """Recursive best-effort delete of a prefix."""
+        raise NotImplementedError
+
+    # -- directories / larger structures -----------------------------------
+
+    def makedirs(self, path: str) -> None:
+        raise NotImplementedError
+
+    def is_dir(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def commit_dir(self, src: str, dst: str) -> str:
+        """Publish a staged directory (one SST) at its final identity and
+        return THE PATH OF RECORD for the manifest. POSIX renames and
+        returns ``dst``; an object store cannot rename, so it returns
+        ``src`` — the staged bytes are final and the manifest pointer is
+        the only thing that moves."""
+        raise NotImplementedError
+
+    def copy_tree(self, src: str, dst: str) -> None:
+        raise NotImplementedError
+
+    def walk_files(self, path: str, suffix: str = "") -> list[str]:
+        """All file paths under a prefix (recursive), filtered by suffix."""
+        raise NotImplementedError
+
+    def open_binary(self, path: str):
+        """File-like object for metadata reads (parquet footers)."""
+        raise NotImplementedError
+
+    def size(self, path: str) -> int:
+        raise NotImplementedError
+
+    def spark_path(self, path: str) -> str:
+        """Translate a backend path for Spark's reader/writer (s3a:// etc.);
+        identity for local-backed implementations."""
+        return path
+
+
+class PosixBackend(StorageBackend):
+    """Local filesystem: renames are renames (the rounds-1-3 behavior)."""
+
+    name = "posix"
+
+    def read_text(self, path: str) -> str:
+        with open(path) as f:
+            return f.read()
+
+    def put_text(self, path: str, data: str) -> None:
+        tmp = f"{path}.tmp.{os.getpid()}.{threading_ident()}"
+        with open(tmp, "w") as f:
+            f.write(data)
+        os.replace(tmp, path)
+
+    def put_if_absent(self, path: str, data: str) -> bool:
+        # Write the full content to a private temp object, then publish with
+        # a hard link — exclusive AND content-atomic (a reader can never see
+        # a created-but-unwritten object, matching object-store PUT
+        # semantics where the object appears only when complete).
+        tmp = f"{path}.tmp.{os.getpid()}.{threading_ident()}"
+        with open(tmp, "w") as f:
+            f.write(data)
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def list_dir(self, path: str) -> list[str]:
+        try:
+            return sorted(os.listdir(path))
+        except FileNotFoundError:
+            return []
+
+    def delete(self, path: str) -> None:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+
+    def delete_tree(self, path: str) -> None:
+        shutil.rmtree(path, ignore_errors=True)
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def is_dir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def commit_dir(self, src: str, dst: str) -> str:
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.replace(src, dst)
+        return dst
+
+    def copy_tree(self, src: str, dst: str) -> None:
+        shutil.copytree(src, dst)
+
+    def walk_files(self, path: str, suffix: str = "") -> list[str]:
+        out: list[str] = []
+        for dirpath, _dirs, files in os.walk(path):
+            for name in files:
+                if name.endswith(suffix):
+                    out.append(os.path.join(dirpath, name))
+        return sorted(out)
+
+    def open_binary(self, path: str):
+        return open(path, "rb")
+
+    def size(self, path: str) -> int:
+        return os.path.getsize(path)
+
+
+class ObjectStoreBackend(PosixBackend):
+    """Object-store semantics over a local directory: no renames.
+
+    ``commit_dir`` leaves the staged bytes where they were written and
+    returns the STAGING path — callers record it in the manifest (the
+    pointer move). Everything else inherits the local primitives, which
+    match object-store PUT/LIST/DELETE semantics closely enough for
+    correctness testing: ``put_text`` is an atomic PUT, ``put_if_absent``
+    is a conditional PUT (S3 If-None-Match), ``list_dir`` is a prefix
+    LIST. A cloud deployment overrides the primitives with SDK calls and
+    inherits the same commit/manifest behavior."""
+
+    name = "object_store"
+    commits_in_place = True
+
+    def commit_dir(self, src: str, dst: str) -> str:
+        return src  # no rename on an object store: the pointer moves instead

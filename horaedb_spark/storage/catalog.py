@@ -22,6 +22,7 @@ import shutil
 from pyspark.sql import SparkSession
 
 from horaedb_spark.core.schema import StorageSchema
+from horaedb_spark.storage.backend import PosixBackend, StorageBackend
 from horaedb_spark.storage.table import ColumnarTable, WriteConfig
 
 
@@ -34,10 +35,16 @@ class NoSuchTableError(RuntimeError):
 
 
 class TableCatalog:
-    def __init__(self, spark: SparkSession, root: str) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        backend: StorageBackend | None = None,
+    ) -> None:
         self.spark = spark
         self.root = root
-        os.makedirs(root, exist_ok=True)
+        self.backend = backend or PosixBackend()
+        self.backend.makedirs(root)
 
     def _dir(self, name: str) -> str:
         if not name or "/" in name or name.startswith("."):
@@ -58,7 +65,8 @@ class TableCatalog:
         if os.path.exists(self._meta_path(name)):
             raise TableExistsError(name)
         table = ColumnarTable(
-            self.spark, d, schema, segment_duration_ms, write_config=write_config
+            self.spark, d, schema, segment_duration_ms,
+            write_config=write_config, backend=self.backend,
         )
         tmp = self._meta_path(name) + ".tmp"
         with open(tmp, "w") as f:
@@ -80,7 +88,7 @@ class TableCatalog:
             schema = StorageSchema.from_json(json.load(f))
         return ColumnarTable(
             self.spark, d, schema, meta["segment_duration_ms"],
-            write_config=write_config,
+            write_config=write_config, backend=self.backend,
         )
 
     def list_tables(self) -> list[str]:
@@ -107,7 +115,7 @@ class TableCatalog:
                 "to corrupt them knowingly."
             )
         table.release_clone_leases()
-        shutil.rmtree(self._dir(name))
+        self.backend.delete_tree(self._dir(name))
 
     def clone_table(self, src: str, dst: str, deep: bool = False) -> ColumnarTable:
         """CREATE TABLE dst CLONE src — catalog-level snapshot clone.

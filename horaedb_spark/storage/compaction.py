@@ -28,7 +28,6 @@ submitted as its own parallel job.
 
 from __future__ import annotations
 
-import shutil
 import time
 from dataclasses import dataclass, field
 
@@ -332,7 +331,7 @@ class Compactor:
             protected = bool(self.table.live_clone_roots())
             for sst in [*task.inputs, *task.expired]:
                 if not sst.external and not protected:
-                    shutil.rmtree(sst.path, ignore_errors=True)
+                    self.table.backend.delete_tree(sst.path)
             return new_sst
         except Exception:
             manifest.unmark_compacting(input_ids)
@@ -369,10 +368,10 @@ class Compactor:
         out = df.select(*cols).sortWithinPartitions(*t.schema.primary_keys)
         out.write.options(**t.write_config.writer_options()).mode(
             "overwrite"
-        ).parquet(sst_dir)
+        ).parquet(t.backend.spark_path(sst_dir))
         from horaedb_spark.storage.table import _collect_col_stats, _parquet_stats
 
-        num_rows, size_bytes = _parquet_stats(sst_dir)
+        num_rows, size_bytes = _parquet_stats(sst_dir, t.backend)
         return SstFile(
             file_id=file_id,
             path=sst_dir,
@@ -380,7 +379,7 @@ class Compactor:
             max_sequence=file_id,
             num_rows=num_rows,
             size_bytes=size_bytes,
-            col_stats=_collect_col_stats(sst_dir, t.schema.user_columns),
+            col_stats=_collect_col_stats(sst_dir, t.schema.user_columns, t.backend),
             tombstone=carries_tombstones,
             value_mutated=value_mutated,
             min_seq=min_seq,

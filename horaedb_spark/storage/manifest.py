@@ -33,8 +33,10 @@ import time
 from dataclasses import dataclass, replace
 
 from horaedb_spark.core.timeutil import TimeRange
+from horaedb_spark.storage.backend import PosixBackend, StorageBackend
 
-SNAPSHOT_NAME = "snapshot.json"
+SNAPSHOT_NAME = "snapshot.json"  # legacy unversioned snapshot (pre-round-4)
+SNAP_PREFIX = "snapshot-"
 DELTA_PREFIX = "delta-"
 
 
@@ -134,10 +136,21 @@ class SstFile:
 
 
 class Manifest:
-    """Delta-log + snapshot manifest over a local/posix directory.
+    """Delta-log + snapshot manifest over a StorageBackend.
 
-    Thread-safe for the single-process case (an RLock mirrors the reference's
-    RwLock around the in-memory list).
+    Thread-safe in-process (an RLock mirrors the reference's RwLock around
+    the in-memory list) AND multi-writer safe across processes/drivers:
+    every delta append is a CONDITIONAL PUT of the next delta id — when two
+    writers race for the same id, the loser refreshes its view from the log
+    (picking up the winner's delta) and retries with the next id, so no
+    update is ever lost. Snapshots are versioned objects
+    (``snapshot-<v>``, v = 1 + the highest delta id folded) published with
+    the same conditional put; a racing merge at the same fold point is a
+    no-op, and a merge at a later point simply supersedes (readers load the
+    highest version and replay deltas with id > its ``folded_through``).
+    This is the conditional-put delta log the reference's single-writer
+    design lacks (sst.rs:39-43; DIVERGENCES.md #12) — on S3 it maps to
+    If-None-Match PUTs.
     """
 
     def __init__(
@@ -145,8 +158,10 @@ class Manifest:
         root: str,
         merge_soft_threshold: int = 50,
         merge_hard_threshold: int = 90,
+        backend: StorageBackend | None = None,
     ):
         self.root = root
+        self.backend = backend or PosixBackend()
         self.dir = os.path.join(root, "manifest")
         self.delta_dir = os.path.join(self.dir, "delta")
         self.soft = merge_soft_threshold
@@ -154,32 +169,96 @@ class Manifest:
         self._lock = threading.RLock()
         self._ssts: dict[int, SstFile] = {}
         self._next_delta_id = 0
-        os.makedirs(self.delta_dir, exist_ok=True)
+        self._folded_through = -1
+        self.backend.makedirs(self.delta_dir)
         self._recover()
 
     # -- recovery (mod.rs:76-113) -------------------------------------------
 
     def _delta_files(self) -> list[str]:
-        names = [n for n in os.listdir(self.delta_dir) if n.startswith(DELTA_PREFIX)]
+        names = [
+            n for n in self.backend.list_dir(self.delta_dir)
+            if n.startswith(DELTA_PREFIX)
+            and n[len(DELTA_PREFIX):].isdigit()  # skip in-flight temp objects
+        ]
         # Replay in delta-id order; ids are zero-padded so lexical == numeric.
         return sorted(names)
 
-    def _recover(self) -> None:
-        snap_path = os.path.join(self.dir, SNAPSHOT_NAME)
-        if os.path.exists(snap_path):
-            with open(snap_path) as f:
-                snap = json.load(f)
+    def _snapshot_files(self) -> list[str]:
+        return sorted(
+            n for n in self.backend.list_dir(self.dir)
+            if n.startswith(SNAP_PREFIX) and n.endswith(".json")
+        )
+
+    def _load_log(self) -> tuple[dict[int, SstFile], int, int]:
+        """Read snapshot + deltas into a fresh view, retrying when a
+        concurrent snapshot fold deletes an object between LIST and GET
+        (its content is in the newer snapshot the retry picks up). Returns
+        (ssts, folded_through, next_delta_id)."""
+        last_err: Exception | None = None
+        for _attempt in range(50):
+            try:
+                return self._load_log_once()
+            except FileNotFoundError as e:
+                last_err = e
+        raise last_err  # pragma: no cover — 50 racing folds in a row
+
+    def _load_log_once(self) -> tuple[dict[int, SstFile], int, int, int]:
+        ssts: dict[int, SstFile] = {}
+        folded = -1
+        snaps = self._snapshot_files()
+        if snaps:
+            snap = json.loads(
+                self.backend.read_text(os.path.join(self.dir, snaps[-1]))
+            )
+            folded = snap.get("folded_through", -1)
             for d in snap["ssts"]:
                 sst = SstFile.from_json(d)
-                self._ssts[sst.file_id] = sst
+                ssts[sst.file_id] = sst
+        elif self.backend.exists(os.path.join(self.dir, SNAPSHOT_NAME)):
+            # legacy unversioned snapshot: all live deltas are unfolded
+            snap = json.loads(
+                self.backend.read_text(os.path.join(self.dir, SNAPSHOT_NAME))
+            )
+            for d in snap["ssts"]:
+                sst = SstFile.from_json(d)
+                ssts[sst.file_id] = sst
+        next_id = folded + 1
+        applied_max = folded
         for name in self._delta_files():
-            with open(os.path.join(self.delta_dir, name)) as f:
-                delta = json.load(f)
-            self._apply_delta(delta)
-            self._next_delta_id = max(self._next_delta_id, int(name[len(DELTA_PREFIX) :]) + 1)
+            did = int(name[len(DELTA_PREFIX):])
+            next_id = max(next_id, did + 1)
+            if did <= folded:
+                continue  # folded but not yet garbage-collected
+            delta = json.loads(
+                self.backend.read_text(os.path.join(self.delta_dir, name))
+            )
+            applied_max = max(applied_max, did)
+            for d in delta.get("to_adds", []):
+                sst = SstFile.from_json(d)
+                ssts[sst.file_id] = sst
+            for fid in delta.get("to_deletes", []):
+                ssts.pop(fid, None)
+        return ssts, folded, next_id, applied_max
+
+    def _recover(self) -> None:
+        self._ssts, self._folded_through, self._next_delta_id, _ = self._load_log()
         # Fold leftover deltas into the snapshot, as the reference does on open.
-        if self._delta_files():
+        if any(
+            int(n[len(DELTA_PREFIX):]) > self._folded_through
+            for n in self._delta_files()
+        ):
             self.merge_snapshot()
+
+    def _refresh(self) -> None:
+        """Re-read the log after losing a conditional-put race: pick up
+        concurrent writers' deltas. Runtime-only ``in_compaction`` flags are
+        preserved for files still live."""
+        flags = {fid for fid, s in self._ssts.items() if s.in_compaction}
+        self._ssts, self._folded_through, self._next_delta_id, _ = self._load_log()
+        for fid in flags:
+            if fid in self._ssts:
+                self._ssts[fid] = replace(self._ssts[fid], in_compaction=True)
 
     def _apply_delta(self, delta: dict) -> None:
         for d in delta.get("to_adds", []):
@@ -195,21 +274,48 @@ class Manifest:
 
     def update(self, to_adds: list[SstFile], to_deletes: list[int]) -> None:
         with self._lock:
-            n_deltas = len(self._delta_files())
+            names = self._delta_files()
+            # Backpressure counts UNFOLDED deltas (replay cost); folded
+            # deltas kept by the GC retention window are dead weight, not
+            # pending work.
+            n_deltas = len(
+                [n for n in names if int(n[len(DELTA_PREFIX):]) > self._folded_through]
+            )
             if n_deltas >= self.hard:
                 raise ManifestBackpressure(
                     f"manifest delta count {n_deltas} >= hard threshold {self.hard}"
+                )
+            # Sync the next id with what other writers have published (the
+            # LIST above is free) so a stale writer never lands a delta id
+            # at or below a fold point — combined with the fold retention
+            # window below, folded delta names are never silently reused.
+            if names:
+                self._next_delta_id = max(
+                    self._next_delta_id,
+                    max(int(n[len(DELTA_PREFIX):]) for n in names) + 1,
+                )
+            snaps = self._snapshot_files()
+            if snaps:
+                self._next_delta_id = max(
+                    self._next_delta_id,
+                    int(snaps[-1][len(SNAP_PREFIX):-len(".json")]),
                 )
             delta = {
                 "to_adds": [s.to_json() for s in to_adds],
                 "to_deletes": list(to_deletes),
                 "ts_ms": int(time.time() * 1000),
             }
-            path = os.path.join(self.delta_dir, f"{DELTA_PREFIX}{self._next_delta_id:012d}")
-            tmp = path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(delta, f)
-            os.replace(tmp, path)
+            payload = json.dumps(delta)
+            while True:
+                path = os.path.join(
+                    self.delta_dir, f"{DELTA_PREFIX}{self._next_delta_id:012d}"
+                )
+                if self.backend.put_if_absent(path, payload):
+                    break
+                # a concurrent writer took this delta id: absorb its view
+                # (their delta included) and retry with the next id — the
+                # CAS loop that makes two drivers on one table safe
+                self._refresh()
             self._next_delta_id += 1
             self._apply_delta(delta)
             if n_deltas + 1 >= self.soft:
@@ -219,17 +325,53 @@ class Manifest:
 
     # -- snapshot merge (mod.rs:184-334) --------------------------------------
 
+    # Folded deltas are kept for this many ids past the fold point before
+    # deletion: a writer would have to be further behind than this, right
+    # after having LISTed the log, to land a delta at a reused name. Real
+    # deployments add writer epochs on top; this mirrors Delta/Iceberg log
+    # retention.
+    DELTA_RETAIN = 10
+
     def merge_snapshot(self) -> None:
         with self._lock:
-            deltas = self._delta_files()
-            snap = {"ssts": [s.to_json() for s in self._ssts.values()]}
-            snap_path = os.path.join(self.dir, SNAPSHOT_NAME)
-            tmp = snap_path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(snap, f)
-            os.replace(tmp, snap_path)  # atomic swap = the commit point
-            for name in deltas:
-                os.unlink(os.path.join(self.delta_dir, name))
+            # Fold from the FULL log, never from this writer's memory: a
+            # concurrent writer's deltas may not have been applied locally,
+            # and a snapshot built from a stale view would drop them when
+            # the deltas are garbage-collected.
+            flags = {fid for fid, s in self._ssts.items() if s.in_compaction}
+            ssts, _snap_folded, next_id, folded_through = self._load_log()
+            if folded_through <= self._folded_through and self._snapshot_files():
+                return  # nothing new to fold
+            snap = {
+                "ssts": [s.to_json() for s in ssts.values()],
+                "folded_through": folded_through,
+            }
+            name = f"{SNAP_PREFIX}{folded_through + 1:012d}.json"
+            published = self.backend.put_if_absent(
+                os.path.join(self.dir, name), json.dumps(snap)
+            )
+            if published:
+                # adopt the folded view locally (preserving runtime flags)
+                self._ssts = ssts
+                self._folded_through = folded_through
+                self._next_delta_id = max(self._next_delta_id, next_id)
+                for fid in flags:
+                    if fid in self._ssts:
+                        self._ssts[fid] = replace(
+                            self._ssts[fid], in_compaction=True
+                        )
+                # GC: folded deltas outside the retention window, superseded
+                # snapshots (keep last 2), and the legacy unversioned file
+                for n in self._delta_files():
+                    if int(n[len(DELTA_PREFIX):]) <= folded_through - self.DELTA_RETAIN:
+                        self.backend.delete(os.path.join(self.delta_dir, n))
+                for n in self._snapshot_files()[:-2]:
+                    self.backend.delete(os.path.join(self.dir, n))
+                self.backend.delete(os.path.join(self.dir, SNAPSHOT_NAME))
+            else:
+                # a concurrent merge folded the same point first — identical
+                # fold set, nothing lost; absorb and move on
+                self._refresh()
 
     # -- queries (mod.rs:165-172) ---------------------------------------------
 
@@ -247,7 +389,16 @@ class Manifest:
         return self.find_ssts(None)
 
     def delta_count(self) -> int:
-        return len(self._delta_files())
+        """Unfolded deltas pending snapshot fold (the replay-cost measure the
+        soft/hard thresholds govern)."""
+        with self._lock:
+            return len(
+                [
+                    n
+                    for n in self._delta_files()
+                    if int(n[len(DELTA_PREFIX):]) > self._folded_through
+                ]
+            )
 
     # -- compaction bookkeeping (sst.rs:97-107) -------------------------------
 

@@ -48,6 +48,7 @@ from horaedb_spark.core.schema import (
     StorageSchema,
 )
 from horaedb_spark.core.timeutil import TimeRange, truncate_by
+from horaedb_spark.storage.backend import PosixBackend, StorageBackend
 from horaedb_spark.storage.manifest import Manifest, SstFile
 from horaedb_spark.storage.merge import POS_COLUMN, apply_update_mode
 
@@ -126,27 +127,35 @@ class ColumnarTable:
         schema: StorageSchema,
         segment_duration_ms: int,
         write_config: WriteConfig | None = None,
+        backend: StorageBackend | None = None,
     ):
         self.spark = spark
         self.root = root
         self.schema = schema
         self.segment_duration_ms = segment_duration_ms
         self.write_config = write_config or WriteConfig()
+        # Every metadata/file op below routes through the backend
+        # (storage/backend.py): PosixBackend keeps the rename-based layout;
+        # ObjectStoreBackend publishes staged SSTs by manifest-pointer move
+        # (no rename), matching the reference's ObjectStore layering
+        # (storage.rs:189-225, manifest/mod.rs:131-157).
+        self.backend = backend or PosixBackend()
         self.data_dir = os.path.join(root, "data")
-        os.makedirs(self.data_dir, exist_ok=True)
+        self.backend.makedirs(self.data_dir)
         # The persisted schema is authoritative: a table evolved in a prior
         # session reopens with its evolved columns even when the caller
         # passes the original declaration (schema evolution survives
         # restarts, like the manifest does).
         self._schema_path = os.path.join(root, "schema.json")
-        if os.path.exists(self._schema_path):
+        if self.backend.exists(self._schema_path):
             import json as _json
 
-            with open(self._schema_path) as f:
-                self.schema = StorageSchema.from_json(_json.load(f))
+            self.schema = StorageSchema.from_json(
+                _json.loads(self.backend.read_text(self._schema_path))
+            )
         else:
             self._persist_schema()
-        self.manifest = Manifest(root)
+        self.manifest = Manifest(root, backend=self.backend)
         # Monotonic file-id allocation, wall-clock seeded exactly like
         # sst.rs:39-46 (single-writer assumption documented there too).
         existing = [s.file_id for s in self.manifest.all_ssts()]
@@ -156,10 +165,7 @@ class ColumnarTable:
     def _persist_schema(self) -> None:
         import json as _json
 
-        tmp = self._schema_path + ".tmp"
-        with open(tmp, "w") as f:
-            _json.dump(self.schema.to_json(), f)
-        os.replace(tmp, self._schema_path)
+        self.backend.put_text(self._schema_path, _json.dumps(self.schema.to_json()))
 
     def evolve_schema(self, new_fields) -> None:
         """Add nullable value columns without rewriting a single SST (the
@@ -211,8 +217,8 @@ class ColumnarTable:
         )
         out.write.options(**self.write_config.writer_options()).mode(
             "overwrite"
-        ).parquet(sst_dir)
-        num_rows, size_bytes = _parquet_stats(sst_dir)
+        ).parquet(self.backend.spark_path(sst_dir))
+        num_rows, size_bytes = _parquet_stats(sst_dir, self.backend)
         sst = SstFile(
             file_id=file_id,
             path=sst_dir,
@@ -220,7 +226,9 @@ class ColumnarTable:
             max_sequence=file_id,
             num_rows=num_rows,
             size_bytes=size_bytes,
-            col_stats=_collect_col_stats(sst_dir, self.schema.user_columns),
+            col_stats=_collect_col_stats(
+                sst_dir, self.schema.user_columns, self.backend
+            ),
         )
         self.manifest.add_file(sst)
         return sst
@@ -246,18 +254,17 @@ class ColumnarTable:
         The per-request ``write()`` path mirrors the reference (one SST per
         call); this is the cluster-scale complement — a 1 TB backfill lands
         as a single ``partitionBy(__segment__)`` job (every executor writes
-        its slice of every segment), then each segment directory is renamed
-        into place and registered. The input is scanned exactly ONCE: the
-        segment list comes from the staging directory listing after the write
-        (driver-side metadata, no second data pass), and ``__seq__`` is
-        stamped inside the same job as ``base_id + segment_index`` — a
-        deterministic per-segment file id that stays monotonic across calls
-        under the documented single-writer assumption (sst.rs:39-46 has the
-        same wall-clock caveat). On object storage the rename becomes a
-        manifest-pointer move (SCALING.md).
+        its slice of every segment), then each segment directory is
+        committed (``backend.commit_dir``: a rename on POSIX, a
+        manifest-pointer move on an object store) and registered. The input
+        is scanned exactly ONCE: the segment list comes from the staging
+        directory listing after the write (driver-side metadata, no second
+        data pass), and ``__seq__`` is stamped inside the same job as
+        ``base_id + segment_index`` — a deterministic per-segment file id
+        that stays monotonic across calls under the documented
+        single-writer assumption (sst.rs:39-46 has the same wall-clock
+        caveat).
         """
-        import shutil
-
         dur = self.segment_duration_ms
         # floor form (not `div`, which truncates toward zero): pre-epoch rows
         # must land in the segment containing them (truncate_by semantics).
@@ -323,7 +330,7 @@ class ColumnarTable:
         prefix = f"{SEGMENT_COLUMN}="
         segments = sorted(
             int(name[len(prefix):])
-            for name in os.listdir(staging)
+            for name in self.backend.list_dir(staging)
             if name.startswith(prefix)
         )
         if segments:
@@ -334,20 +341,22 @@ class ColumnarTable:
         ssts = []
 
         def _register(src: str, fid: int, seg: int) -> None:
-            dst_dir = os.path.join(self.data_dir, f"{SEGMENT_COLUMN}={seg}")
-            os.makedirs(dst_dir, exist_ok=True)
-            dst = os.path.join(dst_dir, f"sst={fid}")
-            os.replace(src, dst)
-            num_rows, size_bytes = _parquet_stats(dst)
+            dst = os.path.join(
+                self.data_dir, f"{SEGMENT_COLUMN}={seg}", f"sst={fid}"
+            )
+            final = self.backend.commit_dir(src, dst)
+            num_rows, size_bytes = _parquet_stats(final, self.backend)
             ssts.append(
                 SstFile(
                     file_id=fid,
-                    path=dst,
+                    path=final,
                     time_range=TimeRange(seg, seg + dur),
                     max_sequence=fid,
                     num_rows=num_rows,
                     size_bytes=size_bytes,
-                    col_stats=_collect_col_stats(dst, self.schema.user_columns),
+                    col_stats=_collect_col_stats(
+                        final, self.schema.user_columns, self.backend
+                    ),
                 )
             )
 
@@ -356,7 +365,7 @@ class ColumnarTable:
                 seg_dir = os.path.join(staging, f"{SEGMENT_COLUMN}={seg}")
                 if cluster_by:
                     sprefix = f"{ZSLICE_COLUMN}="
-                    for name in sorted(os.listdir(seg_dir)):
+                    for name in self.backend.list_dir(seg_dir):
                         if not name.startswith(sprefix):
                             continue
                         sl = int(name[len(sprefix):])
@@ -369,7 +378,7 @@ class ColumnarTable:
                     _register(seg_dir, fid_base + seg // dur, seg)
             self.manifest.update(ssts, [])
         finally:
-            shutil.rmtree(staging, ignore_errors=True)
+            _cleanup_staging(self.backend, staging, [s.path for s in ssts])
         return ssts
 
     def recluster(
@@ -392,8 +401,6 @@ class ColumnarTable:
         and new SSTs together and still resolves to identical values.
         Returns the new SSTs; [] if another maintenance pass holds the
         inputs."""
-        import shutil
-
         ssts = self.manifest.find_ssts(time_range)
         if not ssts:
             return []
@@ -441,7 +448,7 @@ class ColumnarTable:
             protected = bool(self.live_clone_roots())
             for s in ssts:
                 if not s.external and not protected:  # clone-referenced bytes stay
-                    shutil.rmtree(s.path, ignore_errors=True)
+                    self.backend.delete_tree(s.path)
             return new_ssts
         except Exception:
             self.manifest.unmark_compacting(ids)
@@ -679,8 +686,6 @@ class ColumnarTable:
         on every row, None stamps NULL, the string "column" passes a
         per-row ``__reserved__`` already present in ``rows`` through
         (merge_into mixes tombstones and data rows in one job)."""
-        import shutil
-
         dur = self.segment_duration_ms
         base_id = self.alloc_file_id()
         fid_base = base_id + (1 << 31)  # same epoch-jump scheme as bulk_ingest
@@ -708,7 +713,7 @@ class ColumnarTable:
         prefix = f"{SEGMENT_COLUMN}="
         segments = sorted(
             int(name[len(prefix):])
-            for name in os.listdir(staging)
+            for name in self.backend.list_dir(staging)
             if name.startswith(prefix)
         )
         if segments:
@@ -721,20 +726,22 @@ class ColumnarTable:
             for seg in segments:
                 src = os.path.join(staging, f"{SEGMENT_COLUMN}={seg}")
                 fid = fid_base + seg // dur
-                dst_dir = os.path.join(self.data_dir, f"{SEGMENT_COLUMN}={seg}")
-                os.makedirs(dst_dir, exist_ok=True)
-                dst = os.path.join(dst_dir, f"sst={fid}")
-                os.replace(src, dst)
-                num_rows, size_bytes = _parquet_stats(dst)
+                dst = os.path.join(
+                    self.data_dir, f"{SEGMENT_COLUMN}={seg}", f"sst={fid}"
+                )
+                final = self.backend.commit_dir(src, dst)
+                num_rows, size_bytes = _parquet_stats(final, self.backend)
                 new_ssts.append(
                     SstFile(
                         file_id=fid,
-                        path=dst,
+                        path=final,
                         time_range=TimeRange(seg, seg + dur),
                         max_sequence=fid,
                         num_rows=num_rows,
                         size_bytes=size_bytes,
-                        col_stats=_collect_col_stats(dst, self.schema.user_columns),
+                        col_stats=_collect_col_stats(
+                            final, self.schema.user_columns, self.backend
+                        ),
                         tombstone=has_tombstones,
                         value_mutated=value_mutated,
                     )
@@ -742,7 +749,7 @@ class ColumnarTable:
             if new_ssts:
                 self.manifest.update(new_ssts, [])
         finally:
-            shutil.rmtree(staging, ignore_errors=True)
+            _cleanup_staging(self.backend, staging, [s.path for s in new_ssts])
         return new_ssts
 
     # ------------------------------------------------------------------- scan
@@ -792,27 +799,42 @@ class ColumnarTable:
         physical schema (SSTs written before a schema evolution surface NULL
         for newer columns) and ``__segment__`` from partition discovery.
 
-        A zero-copy clone references SSTs under the SOURCE table's data dir,
-        so paths are grouped by their data root (the directory holding
-        ``__segment__=``) and the groups unioned — for a non-cloned table
-        this is exactly one group, the same single-scan plan as before.
+        Paths are grouped by their partition base — the directory holding
+        the ``__segment__=`` component — and the groups unioned. A
+        non-cloned POSIX table has exactly one group (``<root>/data``), the
+        same single-scan plan as before; zero-copy clones (source data
+        dirs) and object-store commits (staging dirs referenced in place)
+        contribute their own groups. Columns are normalized to
+        (segment, physical schema, pos) so groups with extra partition
+        components (e.g. a z-order slice dir) union cleanly.
         Deterministic intra-file tie-break for equal (PK, seq): parquet row
         position via the file-source metadata column."""
         from collections import defaultdict
         from functools import reduce
 
+        def partition_base(path: str) -> str:
+            parts = path.split(os.sep)
+            for i in range(len(parts) - 1, -1, -1):
+                if parts[i].startswith(f"{SEGMENT_COLUMN}="):
+                    return os.sep.join(parts[:i])
+            return os.path.dirname(os.path.dirname(path))
+
         groups: dict[str, list[str]] = defaultdict(list)
         for s in ssts:
-            groups[os.path.dirname(os.path.dirname(s.path))].append(s.path)
+            groups[partition_base(s.path)].append(s.path)
+        cols = [
+            SEGMENT_COLUMN,
+            *[f.name for f in self.schema.physical_schema().fields],
+        ]
         parts = []
         for base, paths in sorted(groups.items()):
-            reader = self.spark.read.option("basePath", base).schema(
-                self.schema.physical_schema()
-            )
+            reader = self.spark.read.option(
+                "basePath", self.backend.spark_path(base)
+            ).schema(self.schema.physical_schema())
             parts.append(
-                reader.parquet(*paths).withColumn(
-                    POS_COLUMN, F.col("_metadata.row_index")
-                )
+                reader.parquet(*[self.backend.spark_path(p) for p in paths])
+                .withColumn(POS_COLUMN, F.col("_metadata.row_index"))
+                .select(*cols, POS_COLUMN)
             )
         return reduce(DataFrame.unionByName, parts)
 
@@ -909,23 +931,17 @@ class ColumnarTable:
         import json as _json
 
         d = os.path.join(self.root, "_clones")
-        if not os.path.isdir(d):
-            return []
         out: list[str] = []
-        for name in sorted(os.listdir(d)):
+        for name in self.backend.list_dir(d):
             path = os.path.join(d, name)
             try:
-                with open(path) as f:
-                    dest = _json.load(f)["dest_root"]
+                dest = _json.loads(self.backend.read_text(path))["dest_root"]
             except (OSError, ValueError, KeyError):
                 continue
-            if os.path.isdir(dest):
+            if self.backend.is_dir(dest):
                 out.append(dest)
             else:
-                try:
-                    os.unlink(path)  # stale: clone dir is gone
-                except OSError:
-                    pass
+                self.backend.delete(path)  # stale: clone dir is gone
         return out
 
     @staticmethod
@@ -938,12 +954,11 @@ class ColumnarTable:
         import json as _json
 
         d = os.path.join(source_root, "_clones")
-        os.makedirs(d, exist_ok=True)
-        path = os.path.join(d, self._lease_token(dest_root) + ".json")
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            _json.dump({"dest_root": os.path.abspath(dest_root)}, f)
-        os.replace(tmp, path)
+        self.backend.makedirs(d)
+        self.backend.put_text(
+            os.path.join(d, self._lease_token(dest_root) + ".json"),
+            _json.dumps({"dest_root": os.path.abspath(dest_root)}),
+        )
 
     def release_clone_leases(self) -> None:
         """Called when THIS table (a zero-copy clone) is dropped: remove its
@@ -952,19 +967,17 @@ class ColumnarTable:
         import json as _json
 
         meta = os.path.join(self.root, "clone.json")
-        if not os.path.exists(meta):
+        if not self.backend.exists(meta):
             return
         try:
-            with open(meta) as f:
-                sources = _json.load(f).get("source_roots", [])
+            sources = _json.loads(self.backend.read_text(meta)).get(
+                "source_roots", []
+            )
         except (OSError, ValueError):
             return
         token = self._lease_token(self.root)
         for src in sources:
-            try:
-                os.unlink(os.path.join(src, "_clones", token + ".json"))
-            except OSError:
-                pass
+            self.backend.delete(os.path.join(src, "_clones", token + ".json"))
 
     # ------------------------------------------------------------------- misc
 
@@ -986,14 +999,13 @@ class ColumnarTable:
         (catalog.drop_table, or ``release_clone_leases()`` + rmtree)
         releases the lease and the deferred deletes proceed via vacuum.
         ``deep=True`` (full file copy) makes a clone with no ties at all."""
-        import shutil
-
         new = ColumnarTable(
             self.spark,
             dest_root,
             self.schema,
             self.segment_duration_ms,
             self.write_config,
+            backend=self.backend,
         )
         from dataclasses import replace as _dc_replace
 
@@ -1002,9 +1014,9 @@ class ColumnarTable:
             if deep:
                 seg = os.path.basename(os.path.dirname(s.path))
                 dst_dir = os.path.join(new.data_dir, seg)
-                os.makedirs(dst_dir, exist_ok=True)
+                self.backend.makedirs(dst_dir)
                 dst = os.path.join(dst_dir, os.path.basename(s.path))
-                shutil.copytree(s.path, dst)
+                self.backend.copy_tree(s.path, dst)
                 entries.append(
                     _dc_replace(s, path=dst, in_compaction=False)
                 )
@@ -1022,24 +1034,29 @@ class ColumnarTable:
             # Register a lease at every root owning referenced bytes (this
             # table, plus any root this table itself shallow-cloned from) so
             # those tables defer physical deletes while the clone is live.
+            # The root of an SST path is the parent of its partition base
+            # (<root>/data for committed files, <root>/_staging_* for
+            # object-store in-place commits).
             import json as _json
 
+            def _root_of(path: str) -> str:
+                parts = path.split(os.sep)
+                for i in range(len(parts) - 1, -1, -1):
+                    if parts[i].startswith(f"{SEGMENT_COLUMN}="):
+                        return os.path.abspath(os.sep.join(parts[: i - 1]))
+                return os.path.abspath(
+                    os.path.dirname(os.path.dirname(os.path.dirname(path)))
+                )
+
             source_roots = sorted(
-                {
-                    os.path.abspath(
-                        os.path.dirname(os.path.dirname(os.path.dirname(e.path)))
-                    )
-                    for e in entries
-                }
-                | {os.path.abspath(self.root)}
+                {_root_of(e.path) for e in entries} | {os.path.abspath(self.root)}
             )
             for src in source_roots:
                 self._register_clone_lease(src, dest_root)
-            meta = os.path.join(new.root, "clone.json")
-            tmp = meta + ".tmp"
-            with open(tmp, "w") as f:
-                _json.dump({"source_roots": source_roots}, f)
-            os.replace(tmp, meta)
+            self.backend.put_text(
+                os.path.join(new.root, "clone.json"),
+                _json.dumps({"source_roots": source_roots}),
+            )
         return new
 
     def history(self) -> list[dict]:
@@ -1091,35 +1108,61 @@ class ColumnarTable:
         use the manifest's explicit path list) but that hold disk. Safe by
         the same argument: anything not in the manifest is invisible.
         Returns the removed paths."""
-        import shutil
-
         live = {os.path.abspath(s.path) for s in self.manifest.all_ssts()}
         removed: list[str] = []
-        # crashed DML/bulk staging dirs (between write and registration) —
-        # safe under the table's documented single-writer assumption
-        # (sst.rs:39-46): vacuum is a maintenance call, not concurrent DML
-        for name in os.listdir(self.root):
-            if name.startswith("_staging"):
-                path = os.path.join(self.root, name)
-                shutil.rmtree(path, ignore_errors=True)
-                removed.append(path)
-        # A live zero-copy clone may still reference SSTs this manifest has
+        # Under a live zero-copy clone, defer EVERYTHING except crashed
+        # staging residue: the clone may reference SSTs this manifest has
         # already dropped (compaction/recluster defer their physical deletes
         # for the same reason) — reclaiming them would corrupt the clone.
-        # Staging dirs are never clone-visible, so those were still safe.
-        if self.live_clone_roots():
-            return removed
-        if not os.path.isdir(self.data_dir):
-            return removed
-        for seg_name in os.listdir(self.data_dir):
-            seg_dir = os.path.join(self.data_dir, seg_name)
-            if not os.path.isdir(seg_dir):
+        protected = bool(self.live_clone_roots())
+
+        def _reclaim(path: str) -> None:
+            self.backend.delete_tree(path)
+            removed.append(path)
+
+        # crashed DML/bulk staging dirs (between write and registration) —
+        # safe under the table's documented single-writer assumption
+        # (sst.rs:39-46): vacuum is a maintenance call, not concurrent DML.
+        # An OBJECT-STORE table's staging dirs can hold LIVE, committed-in-
+        # place SSTs (the manifest-pointer-move commit), so only children
+        # the manifest doesn't reference are reclaimed.
+        for name in self.backend.list_dir(self.root):
+            if not name.startswith("_staging"):
                 continue
-            for sst_name in os.listdir(seg_dir):
+            sdir = os.path.join(self.root, name)
+            if not self.backend.commits_in_place:
+                # POSIX: commits moved out; anything left is crash residue
+                # (never clone-visible, safe even while protected)
+                _reclaim(sdir)
+                continue
+            if protected:
+                continue  # in-place commits may be clone-referenced
+            children = self.backend.list_dir(sdir)
+            live_children = {
+                c
+                for c in children
+                if any(
+                    p == os.path.abspath(os.path.join(sdir, c))
+                    or p.startswith(os.path.abspath(os.path.join(sdir, c)) + os.sep)
+                    for p in live
+                )
+            }
+            if not live_children:
+                _reclaim(sdir)
+                continue
+            for c in children:
+                if c not in live_children:
+                    _reclaim(os.path.join(sdir, c))
+        if protected:
+            return removed
+        for seg_name in self.backend.list_dir(self.data_dir):
+            seg_dir = os.path.join(self.data_dir, seg_name)
+            if not self.backend.is_dir(seg_dir):
+                continue
+            for sst_name in self.backend.list_dir(seg_dir):
                 path = os.path.join(seg_dir, sst_name)
                 if os.path.abspath(path) not in live:
-                    shutil.rmtree(path, ignore_errors=True)
-                    removed.append(path)
+                    _reclaim(path)
         return removed
 
     def create_or_replace_view(self, name: str, req: ScanRequest | None = None) -> None:
@@ -1143,21 +1186,41 @@ _CONJUNCT_RE = re.compile(
 )
 
 
-def _collect_col_stats(sst_dir: str, wanted: list[str]) -> dict | None:
+def _cleanup_staging(
+    backend: StorageBackend, staging: str, committed: list[str]
+) -> None:
+    """Remove staging residue after a bulk/DML write WITHOUT touching paths
+    the manifest now references. On POSIX the commits renamed everything
+    out, so the whole staging dir goes; on an object store the committed
+    SSTs live in place inside it, so only non-committed children are
+    removed."""
+    committed_abs = [os.path.abspath(p) for p in committed]
+    if not any(p.startswith(os.path.abspath(staging) + os.sep) for p in committed_abs):
+        backend.delete_tree(staging)
+        return
+    for name in backend.list_dir(staging):
+        child = os.path.abspath(os.path.join(staging, name))
+        if not any(p == child or p.startswith(child + os.sep) for p in committed_abs):
+            backend.delete_tree(child)
+            backend.delete(child)
+
+
+def _collect_col_stats(
+    sst_dir: str, wanted: list[str], backend: StorageBackend | None = None
+) -> dict | None:
     """Per-column (min, max) folded over every row group's footer statistics —
     driver-side metadata read, no Spark job (same pass as ``_parquet_stats``).
     Columns whose chunks lack min/max (unsupported types, stats disabled) are
     omitted; returns None if nothing usable was found."""
     import pyarrow.parquet as pq
 
+    backend = backend or PosixBackend()
     mins: dict[str, object] = {}
     maxs: dict[str, object] = {}
     dead: set[str] = set()
-    for dirpath, _dirnames, filenames in os.walk(sst_dir):
-        for name in filenames:
-            if not name.endswith(".parquet"):
-                continue
-            meta = pq.ParquetFile(os.path.join(dirpath, name)).metadata
+    for fpath in backend.walk_files(sst_dir, ".parquet"):
+        with backend.open_binary(fpath) as f:
+            meta = pq.ParquetFile(f).metadata
             for rg in range(meta.num_row_groups):
                 group = meta.row_group(rg)
                 for ci in range(group.num_columns):
@@ -1275,20 +1338,20 @@ def _sst_may_match(sst: SstFile, conjuncts: list[tuple[str, str, object]]) -> bo
     return True
 
 
-def _parquet_stats(sst_dir: str) -> tuple[int, int]:
+def _parquet_stats(
+    sst_dir: str, backend: StorageBackend | None = None
+) -> tuple[int, int]:
     """Row count + byte size from parquet footers — driver-side metadata read,
     no Spark job (the reference gets these from the writer, storage.rs:215-224)."""
     import pyarrow.parquet as pq
 
+    backend = backend or PosixBackend()
     num_rows = 0
     size = 0
-    for dirpath, _dirnames, filenames in os.walk(sst_dir):
-        for name in filenames:
-            if not name.endswith(".parquet"):
-                continue
-            full = os.path.join(dirpath, name)
-            num_rows += pq.ParquetFile(full).metadata.num_rows
-            size += os.path.getsize(full)
+    for full in backend.walk_files(sst_dir, ".parquet"):
+        with backend.open_binary(full) as f:
+            num_rows += pq.ParquetFile(f).metadata.num_rows
+        size += backend.size(full)
     return num_rows, size
 
 
