@@ -288,16 +288,30 @@ def ivf_ann_topk(
     k: int,
     num_cells: int,
     nprobe: int,
+    centroids: list[tuple[int, list[int]]] | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF-Flat approximate top-k: corpus rows live in their single nearest
     cell; each query probes its ``nprobe`` nearest cells; exact (quantized-
-    integer) cosine re-ranks candidates within the probed cells."""
+    integer) cosine re-ranks candidates within the probed cells.
+
+    ``centroids``: pass a TRAINED coarse quantizer (e.g. the
+    ``kmeans_lloyd`` output) instead of the default md5-seeded corpus
+    sample — same cost per query, tighter cells, better recall (the faiss
+    IVF training step). Must be ``(cid, quantized-centroid)`` pairs.
+
+    ``broadcast_queries``: the default (True) broadcasts the query side —
+    the SERVING shape, where the query batch is small and the corpus never
+    shuffles. A corpus-sized query set (offline all-pairs-ish jobs) must
+    pass False: both sides then hash-partition on the cell id (one shuffle
+    each, cells are the co-location key) instead of broadcasting an
+    over-sized query table to every executor."""
     c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     # coarse quantizer: one tiny driver-side action (num_cells rows), then a
     # literal in every assignment expression — the corpus-side plan is a
     # single narrow map, no quantizer join, no assignment shuffle
-    cent_rows = [
+    cent_rows = centroids if centroids is not None else [
         (r["cid"], r["centv"])
         for r in ivf_centroids(corpus, id_col, vec_col, num_cells).collect()
     ]
@@ -305,12 +319,13 @@ def ivf_ann_topk(
         "cell", F.element_at(ivf_probe_udf(cent_rows, 1)(F.col("cv")), 1)
     )
     q_cell = q.withColumn(
-        "qcell", F.explode(ivf_probe_udf(cent_rows, nprobe)(F.col("qv")))
+        "cell", F.explode(ivf_probe_udf(cent_rows, nprobe)(F.col("qv")))
     )
-    scored = c_cell.join(
-        F.broadcast(q_cell),
-        (F.col("cell") == F.col("qcell")) & (F.col("corpus_id") != F.col("query_id")),
-    ).select(
+    if broadcast_queries:
+        joined = c_cell.join(F.broadcast(q_cell), "cell")
+    else:
+        joined = c_cell.join(q_cell.hint("shuffle_hash"), "cell")
+    scored = joined.filter(F.col("corpus_id") != F.col("query_id")).select(
         "query_id",
         "corpus_id",
         cosine(F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")).alias(

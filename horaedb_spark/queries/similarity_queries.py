@@ -107,6 +107,56 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL2 = "list_sum([(a.qv[i] - c.cv[i]) * (a.qv[i] - c.cv[i]) FOR i IN generate_series(1, 64)])"
+_SQL2C = _SQL2  # integer L2 between q alias `a` and centroid alias `c`
+
+
+def kmeans_oracle_ctes(
+    k: int, iters: int, corpus_select: str, prefix: str = "", include_q: bool = True
+) -> str:
+    """DuckDB CTE chain replaying ``kmeans_lloyd`` exactly — md5-seeded init,
+    integer-L2 argmin assignment (ties to the smaller cid), floor(sum/count)
+    centroid update — ending in ``{prefix}afinal(vec_id, cid, d)`` (final
+    assignment with its squared distance) with the final centroids in
+    ``{prefix}c{iters}``. Shared by every clustering-derived oracle so the
+    trajectory is verified once and reused. ``prefix`` namespaces the CTEs
+    (so a query can embed the chain next to other CTEs); ``include_q=False``
+    reuses an already-defined ``q`` corpus CTE."""
+    p = prefix
+    ctes = f"q AS ({corpus_select}),\n    " if include_q else ""
+    ctes += f"""{p}seed AS (
+      SELECT vec_id FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}
+    ),
+    {p}c0 AS (
+      SELECT row_number() OVER (ORDER BY q.vec_id) AS cid, q.qv AS cv
+      FROM q JOIN {p}seed USING (vec_id)
+    )"""
+    prev = f"{p}c0"
+    for t in range(1, iters + 1):
+        ctes += f""", {p}a{t} AS (
+      SELECT vec_id, cid FROM (
+        SELECT a.vec_id, c.cid,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY {_SQL2C}, c.cid) AS r
+        FROM q a, {prev} c
+      ) WHERE r = 1
+    ), {p}c{t} AS (
+      SELECT cid, list(CAST(floor(s * 1.0 / n) AS BIGINT) ORDER BY i) AS cv
+      FROM (
+        SELECT x.cid, i.i AS i, sum(a.qv[i.i]) AS s, count(*) AS n
+        FROM {p}a{t} x JOIN q a USING (vec_id)
+        CROSS JOIN (SELECT unnest(generate_series(1, {_DIM})) AS i) i
+        GROUP BY x.cid, i.i
+      ) GROUP BY cid
+    )"""
+        prev = f"{p}c{t}"
+    ctes += f""", {p}afinal AS (
+      SELECT vec_id, cid, d FROM (
+        SELECT a.vec_id, c.cid, {_SQL2C} AS d,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY {_SQL2C}, c.cid) AS r
+        FROM q a, {prev} c
+      ) WHERE r = 1
+    )"""
+    return ctes
+
 
 
 @register(
@@ -160,6 +210,68 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         num_cells=16,
         nprobe=2,
+    )
+    return out.select(
+        "query_id", "corpus_id", "rank", F.round("cos_sim", 6).alias("cos_sim")
+    ).orderBy("query_id", "rank")
+
+
+@register(
+    "ann_ivf_topk_large_queryset",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {_QV} AS qv FROM embeddings),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) AS cid, qv AS cv
+      FROM q WHERE vec_id IN (
+        SELECT vec_id FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)
+    ), pairs AS (
+      SELECT a.vec_id, c.cid, {_SQL2} AS d FROM q a, cent c
+    ), ranked AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r
+      FROM pairs
+    ), cellof AS (
+      SELECT vec_id, cid AS cell FROM ranked WHERE r = 1
+    ), qprobe AS (
+      SELECT vec_id, cid AS cell FROM ranked WHERE r <= 2
+    )
+    SELECT query_id, corpus_id, rank, cos_sim FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+             round({_DOT} / ({_NORM_A} * {_NORM_B}), 6) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {_DOT} / ({_NORM_A} * {_NORM_B}) DESC, b.vec_id) AS rank
+      FROM q a
+      JOIN qprobe p ON p.vec_id = a.vec_id
+      JOIN cellof cf ON cf.cell = p.cell
+      JOIN q b ON b.vec_id = cf.vec_id AND b.vec_id != a.vec_id
+    ) WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+)
+def ann_ivf_topk_large_queryset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CORPUS-SIZED query set shape (every vector queries its top-3
+    neighbors — the offline k-NN-graph / near-dup-graph job): broadcasting
+    the query side would ship the whole corpus to every executor, so
+    ``broadcast_queries=False`` makes both sides hash-partition on the IVF
+    cell id — one bounded shuffle each, with the cell as the co-location
+    key. Same integer-exact arithmetic, hash-matched against the SQL
+    replay; the plan shape (shuffle join, no query broadcast) is pinned in
+    tests/test_plans.py."""
+    from horaedb_spark.functions.similarity import ivf_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qemb = emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+    out = ivf_ann_topk(
+        qemb,
+        qemb,  # EVERY corpus vector is a query
+        "qv",
+        "vec_id",
+        k=3,
+        num_cells=16,
+        nprobe=2,
+        broadcast_queries=False,
     )
     return out.select(
         "query_id", "corpus_id", "rank", F.round("cos_sim", 6).alias("cos_sim")
@@ -232,15 +344,43 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN q b ON b.vec_id = cf.vec_id AND b.vec_id != a.vec_id
       ) WHERE rank <= 10
     ),
+    {kmeans_oracle_ctes(16, 6, "", prefix="t", include_q=False)},
+    rankedt AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r
+      FROM (SELECT a.vec_id, c.cid, {_SQL2C} AS d FROM q a, tc6 c)
+    ), celloft AS (
+      SELECT vec_id, cid AS cell FROM rankedt WHERE r = 1
+    ), qprobet AS (
+      SELECT vec_id, cid AS cell FROM rankedt WHERE r <= 2 AND vec_id < 20
+    ),
+    ivft AS (
+      SELECT query_id, corpus_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {_DOT} / ({_NORM_A} * {_NORM_B}) DESC, b.vec_id) AS rank
+        FROM q a
+        JOIN qprobet p ON p.vec_id = a.vec_id
+        JOIN celloft cf ON cf.cell = p.cell
+        JOIN q b ON b.vec_id = cf.vec_id AND b.vec_id != a.vec_id
+      ) WHERE rank <= 10
+    ),
     qids AS (SELECT DISTINCT query_id FROM exact),
     lh AS (SELECT e.query_id, count(*) AS h FROM exact e
            JOIN lsh USING (query_id, corpus_id) GROUP BY 1),
     ih AS (SELECT e.query_id, count(*) AS h FROM exact e
-           JOIN ivf USING (query_id, corpus_id) GROUP BY 1)
+           JOIN ivf USING (query_id, corpus_id) GROUP BY 1),
+    ith AS (SELECT e.query_id, count(*) AS h FROM exact e
+            JOIN ivft USING (query_id, corpus_id) GROUP BY 1)
     SELECT 'ivf' AS method, count(*) AS n_queries,
            round(CAST(sum(coalesce(h, 0)) AS DOUBLE) / (10 * count(*)), 6)
              AS mean_recall
     FROM qids LEFT JOIN ih USING (query_id)
+    UNION ALL
+    SELECT 'ivf_trained', count(*),
+           round(CAST(sum(coalesce(h, 0)) AS DOUBLE) / (10 * count(*)), 6)
+    FROM qids LEFT JOIN ith USING (query_id)
     UNION ALL
     SELECT 'lsh', count(*),
            round(CAST(sum(coalesce(h, 0)) AS DOUBLE) / (10 * count(*)), 6)
@@ -256,7 +396,7 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit counts are exact ints, one final division. At scale each branch is
     the already-bucketed/partition-pruned plan; the recall join itself is
     query-set-sized (tiny)."""
-    from horaedb_spark.functions.similarity import ivf_ann_topk
+    from horaedb_spark.functions.similarity import ivf_ann_topk, kmeans_lloyd
 
     emb = load_table(spark, sf_dir, "embeddings")
     qemb = emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
@@ -270,6 +410,14 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "corpus_id")
     ivf = ivf_ann_topk(
         qemb, queries, "qv", "vec_id", k=10, num_cells=16, nprobe=2
+    ).select("query_id", "corpus_id")
+    # trained coarse quantizer: same cell count and probe budget, centroids
+    # from 2 Lloyd iterations instead of the md5-seeded sample — the faiss
+    # IVF training step, verified to lift recall at identical query cost
+    cents, _assign = kmeans_lloyd(qemb, "vec_id", "qv", k=16, iters=6)
+    ivf_t = ivf_ann_topk(
+        qemb, queries, "qv", "vec_id", k=10, num_cells=16, nprobe=2,
+        centroids=cents,
     ).select("query_id", "corpus_id")
     exact = exact.persist()
     qids = exact.select("query_id").distinct()
@@ -289,7 +437,12 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_recall"),
         )
 
-    return recall_row(ivf, "ivf").unionByName(recall_row(lsh, "lsh")).orderBy("method")
+    return (
+        recall_row(ivf, "ivf")
+        .unionByName(recall_row(ivf_t, "ivf_trained"))
+        .unionByName(recall_row(lsh, "lsh"))
+        .orderBy("method")
+    )
 
 
 @register(
@@ -434,49 +587,6 @@ def ann_rerank_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL2C = _SQL2  # integer L2 between q alias `a` and centroid alias `c`
-
-
-def kmeans_oracle_ctes(k: int, iters: int, corpus_select: str) -> str:
-    """DuckDB CTE chain replaying ``kmeans_lloyd`` exactly — md5-seeded init,
-    integer-L2 argmin assignment (ties to the smaller cid), floor(sum/count)
-    centroid update — ending in ``afinal(vec_id, cid, d)`` (final assignment
-    with its squared distance). Shared by every clustering-derived oracle so
-    the trajectory is verified once and reused."""
-    ctes = f"""q AS ({corpus_select}),
-    seed AS (
-      SELECT vec_id FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}
-    ),
-    c0 AS (
-      SELECT row_number() OVER (ORDER BY q.vec_id) AS cid, q.qv AS cv
-      FROM q JOIN seed USING (vec_id)
-    )"""
-    prev = "c0"
-    for t in range(1, iters + 1):
-        ctes += f""", a{t} AS (
-      SELECT vec_id, cid FROM (
-        SELECT a.vec_id, c.cid,
-               row_number() OVER (PARTITION BY a.vec_id ORDER BY {_SQL2C}, c.cid) AS r
-        FROM q a, {prev} c
-      ) WHERE r = 1
-    ), c{t} AS (
-      SELECT cid, list(CAST(floor(s * 1.0 / n) AS BIGINT) ORDER BY i) AS cv
-      FROM (
-        SELECT x.cid, i.i AS i, sum(a.qv[i.i]) AS s, count(*) AS n
-        FROM a{t} x JOIN q a USING (vec_id)
-        CROSS JOIN (SELECT unnest(generate_series(1, {_DIM})) AS i) i
-        GROUP BY x.cid, i.i
-      ) GROUP BY cid
-    )"""
-        prev = f"c{t}"
-    ctes += f""", afinal AS (
-      SELECT vec_id, cid, d FROM (
-        SELECT a.vec_id, c.cid, {_SQL2C} AS d,
-               row_number() OVER (PARTITION BY a.vec_id ORDER BY {_SQL2C}, c.cid) AS r
-        FROM q a, {prev} c
-      ) WHERE r = 1
-    )"""
-    return ctes
 
 
 @register(

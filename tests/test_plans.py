@@ -525,3 +525,28 @@ def test_exact_dedup_shuffles_fingerprints_not_text(spark, sf_dir):
     p = _final_plan(dedup_exact(spark, sf_dir))
     assert "hashpartitioning(fp" in p, p[:3000]
     assert "hashpartitioning(text" not in p, p[:3000]
+
+
+def test_ivf_query_join_strategy_matches_queryset_size(spark, sf_dir):
+    """Serving shape (small query batch): the query side broadcasts, the
+    corpus never shuffles. Corpus-sized query set: no broadcast — both
+    sides hash-partition on the IVF cell id (shuffle join)."""
+    from horaedb_spark.functions.similarity import ivf_ann_topk, quantize
+    from horaedb_spark.queries.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qemb = emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+    serving = ivf_ann_topk(
+        qemb, qemb.filter(F.col("vec_id") < 5), "qv", "vec_id",
+        k=3, num_cells=8, nprobe=2,
+    )
+    p = _final_plan(serving)
+    assert "BroadcastHashJoin" in p, p[:3000]
+    offline = ivf_ann_topk(
+        qemb, qemb, "qv", "vec_id", k=3, num_cells=8, nprobe=2,
+        broadcast_queries=False,
+    )
+    p2 = _final_plan(offline)
+    assert "ShuffledHashJoin" in p2 or "SortMergeJoin" in p2, p2[:3000]
+    assert "BroadcastHashJoin" not in p2, p2[:3000]
