@@ -134,6 +134,21 @@ def main() -> None:
             timings[name] = -1.0
             print(f"# bench error in {name}: {e}", file=sys.stderr)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # Manifest-at-scale micro-bench (driver-side metadata path; reference's
+    # encoding_bench analogue). Separate key — NOT in the headline total,
+    # which stays comparable round-over-round.
+    manifest_stats: dict = {}
+    try:
+        import tempfile
+
+        from horaedb_spark.storage.manifest_bench import manifest_scale_bench
+
+        n = int(os.environ.get("SPARK_GRAFT_MANIFEST_SSTS", "200000"))
+        manifest_stats = manifest_scale_bench(
+            tempfile.mkdtemp(prefix="manifest_bench_"), n_ssts=n
+        )
+    except Exception as e:
+        print(f"# manifest bench error: {e}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -142,6 +157,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "manifest": manifest_stats,
             }
         )
     )

@@ -1,0 +1,84 @@
+"""Manifest-at-scale micro-benchmark — the reference's encoding/manifest
+bench analogue (src/benchmarks/src/encoding_bench.rs:33-62 measures manifest
+snapshot encode/decode; bench.rs:40-162 drives it). Measures, at 1e5-1e6
+synthetic SST entries, the three costs that bound a 100 TB deployment's
+metadata path:
+
+- steady-state APPEND+FOLD: deltas of ``batch`` adds each, with the soft
+  threshold folding snapshots inline exactly as production writes do;
+- one full FOLD at final size (the worst-case snapshot rewrite);
+- REPLAY on open (what a fresh driver pays to load the table).
+
+Pure driver-side Python + JSON over a StorageBackend — no Spark session.
+``bench.py`` embeds the numbers in its JSON line (``manifest`` key) and
+``tests/test_manifest_scale.py`` pins regression bounds + the backpressure
+invariant (unfolded delta count never exceeds the soft threshold after a
+fold cycle).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from horaedb_spark.core.timeutil import TimeRange
+from horaedb_spark.storage.manifest import SNAP_PREFIX, Manifest, SstFile
+
+
+def _synthetic_sst(fid: int, segment_ms: int = 7_200_000) -> SstFile:
+    seg = (fid % 1000) * segment_ms
+    return SstFile(
+        file_id=fid,
+        path=f"/data/__segment__={seg}/sst={fid}",
+        time_range=TimeRange(seg, seg + segment_ms),
+        max_sequence=fid,
+        num_rows=8192,
+        size_bytes=64 << 20,
+        col_stats={"value": [0, 1000], "user_id": [fid % 97, 5000 + fid % 97]},
+    )
+
+
+def manifest_scale_bench(
+    root: str,
+    n_ssts: int = 200_000,
+    batch: int = 10_000,
+    soft: int = 25,
+) -> dict:
+    """Run the append/fold/replay cycle at ``n_ssts`` entries; returns the
+    measured numbers. ``batch`` adds per delta mirrors a bulk ingest
+    registering one delta per job; ``soft`` is the inline-fold threshold."""
+    m = Manifest(root, merge_soft_threshold=soft, merge_hard_threshold=10 * soft)
+    t0 = time.perf_counter()
+    for start in range(0, n_ssts, batch):
+        m.update([_synthetic_sst(fid) for fid in range(start, start + batch)], [])
+    append_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    m.merge_snapshot()
+    fold_s = time.perf_counter() - t0
+
+    snap_files = [n for n in os.listdir(m.dir) if n.startswith(SNAP_PREFIX)]
+    snap_bytes = max(
+        os.path.getsize(os.path.join(m.dir, n)) for n in snap_files
+    )
+
+    t0 = time.perf_counter()
+    m2 = Manifest(root, merge_soft_threshold=soft, merge_hard_threshold=10 * soft)
+    replay_s = time.perf_counter() - t0
+    assert len(m2.all_ssts()) == n_ssts, "replay lost entries"
+
+    t0 = time.perf_counter()
+    found = m2.find_ssts(TimeRange(0, 7_200_000))
+    find_s = time.perf_counter() - t0
+
+    return {
+        "n_ssts": n_ssts,
+        "append_s": round(append_s, 3),
+        "fold_s": round(fold_s, 3),
+        "replay_s": round(replay_s, 3),
+        "find_s": round(find_s, 4),
+        "found": len(found),
+        "snapshot_bytes": snap_bytes,
+        "bytes_per_sst": round(snap_bytes / n_ssts, 1),
+        "unfolded_deltas_after": m.delta_count(),
+    }

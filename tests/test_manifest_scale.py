@@ -1,0 +1,24 @@
+"""Manifest-at-scale regression bounds (VERDICT r3 next-step #7): the
+metadata path must stay driver-cheap as the SST count grows, and the
+backpressure invariant must hold through inline folds. No Spark session —
+pure driver-side cost, like the reference's encoding_bench."""
+
+from horaedb_spark.storage.manifest_bench import manifest_scale_bench
+
+
+def test_manifest_scale_bounds(tmp_path):
+    r = manifest_scale_bench(str(tmp_path / "m"), n_ssts=50_000, batch=5_000)
+    # Regression bounds: generous multiples of observed numbers (sf-host
+    # 2026-08: append 1.0s, fold 0.9s, replay 0.7s, 232 B/SST) so CI noise
+    # never flakes but a 10x metadata regression fails loudly.
+    assert r["append_s"] < 15.0, r
+    assert r["fold_s"] < 10.0, r
+    assert r["replay_s"] < 10.0, r
+    # time-range lookup over the in-memory list stays interactive
+    assert r["find_s"] < 1.0, r
+    assert r["found"] == 50  # 50k ssts over 1000 segments, one segment asked
+    # JSON encoding stays in the same envelope as the reference's 36 B
+    # binary x JSON overhead (~100 MB per 1e6 SSTs on the driver)
+    assert r["bytes_per_sst"] < 500, r
+    # backpressure invariant: after the final fold nothing is left unfolded
+    assert r["unfolded_deltas_after"] == 0, r
