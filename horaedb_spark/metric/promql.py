@@ -20,11 +20,15 @@ Supported surface (everything the operator layer implements):
 - ``histogram_quantile(q, expr)`` over vectors carrying an ``le`` label;
 - subqueries ``expr[range:step]`` feeding an outer ``*_over_time``;
 - scalar arithmetic (``expr * 60``, ``1 - expr``) and the scalar math
-  functions (abs/ceil/floor/sqrt/exp/ln/log2/log10, clamp_min/clamp_max).
+  functions (abs/ceil/floor/sqrt/exp/ln/log2/log10, clamp_min/clamp_max);
+- vector-vector binary operators with one-to-one matching: arithmetic
+  (``+ - * / %``), comparisons (filter semantics, ``bool`` modifier), the
+  set operators ``and/or/unless``, and the ``on (...)`` / ``ignoring
+  (...)`` matching modifiers — with PromQL's precedence ladder
+  (``* / %`` > ``+ -`` > comparisons > set ops).
 
-Not supported (documented): vector-vector binary operators (the operator
-exists as ``functions.promql.vector_binop``; wiring the matching rules —
-on/ignoring/group_left — is future work) and ``@`` modifiers.
+Not supported (documented): ``group_left``/``group_right`` many-to-one
+matching and ``@`` modifiers.
 
 Evaluation model: every vector expression compiles to a frame with columns
 ``(series_key string, ts_ms long, value double)`` where ``series_key`` is
@@ -84,6 +88,9 @@ class BinOp:
     op: str
     lhs: object
     rhs: object
+    on: tuple[str, ...] | None = None        # on (labels) matching
+    ignoring: tuple[str, ...] | None = None  # ignoring (labels) matching
+    bool_mode: bool = False                  # comparison `bool` modifier
 
 
 @dataclass(frozen=True)
@@ -99,7 +106,7 @@ _TOKEN_RE = re.compile(
      |(?P<NUMBER>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?|\.\d+)
      |(?P<IDENT>[A-Za-z_][A-Za-z0-9_:]*)
      |(?P<STRING>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
-     |(?P<OP>=~|!~|!=|=|\{|\}|\(|\)|\[|\]|,|:|\+|-|\*|/)
+     |(?P<OP>=~|!~|!=|==|>=|<=|>|<|=|\{|\}|\(|\)|\[|\]|,|:|\+|-|\*|/|%)
     )""",
     re.X,
 )
@@ -181,19 +188,63 @@ def parse_promql(text: str):
     return node
 
 
+_COMPARE_OPS = (">", ">=", "<", "<=", "==", "!=")
+_SET_OPS = ("and", "or", "unless")
+
+
+def _parse_match_mod(lx: _Lexer):
+    """Optional ``on (labels)`` / ``ignoring (labels)`` after an operator."""
+    k, v = lx.peek()
+    if k == "IDENT" and v in ("on", "ignoring"):
+        kind = lx.next()[1]
+        labels = _parse_grouping(lx)
+        nk, nv = lx.peek()
+        if nk == "IDENT" and nv in ("group_left", "group_right"):
+            raise PromQLError(
+                "group_left/group_right many-to-one matching is not supported"
+            )
+        return (labels, None) if kind == "on" else (None, labels)
+    return None, None
+
+
 def _parse_expr(lx: _Lexer):
+    # lowest precedence: set operators and/unless/or
+    node = _parse_compare(lx)
+    while lx.peek()[0] == "IDENT" and lx.peek()[1] in _SET_OPS:
+        op = lx.next()[1]
+        on, ig = _parse_match_mod(lx)
+        node = BinOp(op, node, _parse_compare(lx), on, ig)
+    return node
+
+
+def _parse_compare(lx: _Lexer):
+    node = _parse_sum(lx)
+    while lx.peek()[0] == "OP" and lx.peek()[1] in _COMPARE_OPS:
+        op = lx.next()[1]
+        bool_mode = False
+        if lx.peek() == ("IDENT", "bool"):
+            lx.next()
+            bool_mode = True
+        on, ig = _parse_match_mod(lx)
+        node = BinOp(op, node, _parse_sum(lx), on, ig, bool_mode)
+    return node
+
+
+def _parse_sum(lx: _Lexer):
     node = _parse_term(lx)
     while lx.peek() == ("OP", "+") or lx.peek() == ("OP", "-"):
         op = lx.next()[1]
-        node = BinOp(op, node, _parse_term(lx))
+        on, ig = _parse_match_mod(lx)
+        node = BinOp(op, node, _parse_term(lx), on, ig)
     return node
 
 
 def _parse_term(lx: _Lexer):
     node = _parse_postfix(lx)
-    while lx.peek() == ("OP", "*") or lx.peek() == ("OP", "/"):
+    while lx.peek()[0] == "OP" and lx.peek()[1] in ("*", "/", "%"):
         op = lx.next()[1]
-        node = BinOp(op, node, _parse_postfix(lx))
+        on, ig = _parse_match_mod(lx)
+        node = BinOp(op, node, _parse_postfix(lx), on, ig)
     return node
 
 
@@ -587,26 +638,114 @@ class PromQLCompiler:
             "series_key", "ts_ms", F.col("quantile_value").alias("value")
         )
 
+    def _match_key(self, node: BinOp) -> Column:
+        if node.on:
+            return _canonical_key(
+                F.map_filter(_labels(), lambda k, _v: k.isin([*node.on]))
+            )
+        if node.ignoring:
+            return _canonical_key(
+                F.map_filter(_labels(), lambda k, _v: ~k.isin([*node.ignoring]))
+            )
+        return F.col("series_key")
+
     def _binop(self, node: BinOp):
         lhs, rhs = self._eval(node.lhs), self._eval(node.rhs)
         scalar_l = not isinstance(lhs, DataFrame)
         scalar_r = not isinstance(rhs, DataFrame)
-        ops = {
+        arith = {
             "+": lambda a, b: a + b,
             "-": lambda a, b: a - b,
             "*": lambda a, b: a * b,
             "/": lambda a, b: a / b,
+            "%": lambda a, b: (a % b) if not isinstance(a, Column) and not isinstance(b, Column) else F.pmod(a, b),
+        }
+        comps = {
+            ">": lambda a, b: a > b,
+            ">=": lambda a, b: a >= b,
+            "<": lambda a, b: a < b,
+            "<=": lambda a, b: a <= b,
+            "==": lambda a, b: a == b,
+            "!=": lambda a, b: a != b,
         }
         if scalar_l and scalar_r:
-            return ops[node.op](lhs, rhs)
-        if scalar_l:
-            return rhs.withColumn("value", ops[node.op](F.lit(lhs), F.col("value")))
-        if scalar_r:
-            return lhs.withColumn("value", ops[node.op](F.col("value"), F.lit(rhs)))
-        raise PromQLError(
-            "vector-vector binary operators are not wired into the parser "
-            "yet (use functions.promql.vector_binop directly)"
+            if node.op in comps:
+                raise PromQLError("scalar-scalar comparison needs bool mode")
+            return arith[node.op](lhs, rhs)
+        if node.op in _SET_OPS:
+            if scalar_l or scalar_r:
+                raise PromQLError(f"{node.op} requires two vectors")
+            return self._set_op(node, lhs, rhs)
+        if scalar_l or scalar_r:
+            df = rhs if scalar_l else lhs
+            lit = F.lit(lhs if scalar_l else rhs)
+            a = lit if scalar_l else F.col("value")
+            b = F.col("value") if scalar_l else lit
+            if node.op in comps:
+                # PromQL scalar comparison FILTERS the vector (keeps the
+                # vector element's value); bool mode emits 1.0/0.0 per row
+                cond = comps[node.op](a, b)
+                if node.bool_mode:
+                    return df.withColumn(
+                        "value", F.when(cond, F.lit(1.0)).otherwise(F.lit(0.0))
+                    )
+                return df.filter(cond)
+            return df.withColumn("value", arith[node.op](a, b))
+        # vector-vector: one-to-one matching on (match key, ts)
+        mk = self._match_key(node)
+        lf = lhs.select(
+            mk.alias("__mk__"), "ts_ms", F.col("value").alias("__lv__"),
+            "series_key",
         )
+        rf = rhs.select(mk.alias("__mk__"), "ts_ms", F.col("value").alias("__rv__"))
+        out_key = (
+            F.col("series_key")
+            if node.on is None and node.ignoring is None
+            else F.col("__mk__")
+        )
+        joined = lf.join(rf, ["__mk__", "ts_ms"])
+        if node.op in comps:
+            cond = comps[node.op](F.col("__lv__"), F.col("__rv__"))
+            if node.bool_mode:
+                return joined.select(
+                    out_key.alias("series_key"),
+                    "ts_ms",
+                    F.when(cond, F.lit(1.0)).otherwise(F.lit(0.0)).alias("value"),
+                )
+            return joined.filter(cond).select(
+                out_key.alias("series_key"), "ts_ms", F.col("__lv__").alias("value")
+            )
+        return joined.select(
+            out_key.alias("series_key"),
+            "ts_ms",
+            arith[node.op](F.col("__lv__"), F.col("__rv__")).alias("value"),
+        )
+
+    def _set_op(self, node: BinOp, lhs: DataFrame, rhs: DataFrame):
+        """``and`` = left rows whose match key exists on the right;
+        ``unless`` = left rows whose match key does NOT; ``or`` = left rows
+        plus right rows whose match key is absent from the left. Output
+        rows keep their ORIGINAL labels (PromQL set-op semantics)."""
+        mk = self._match_key(node)
+        lf = lhs.select(mk.alias("__mk__"), "ts_ms", "series_key", "value")
+        rf = rhs.select(mk.alias("__mk__"), "ts_ms", "series_key", "value")
+        if node.op == "and":
+            out = lf.join(
+                rf.select("__mk__", "ts_ms").distinct(), ["__mk__", "ts_ms"],
+                "left_semi",
+            )
+        elif node.op == "unless":
+            out = lf.join(
+                rf.select("__mk__", "ts_ms").distinct(), ["__mk__", "ts_ms"],
+                "left_anti",
+            )
+        else:  # or
+            extra = rf.join(
+                lf.select("__mk__", "ts_ms").distinct(), ["__mk__", "ts_ms"],
+                "left_anti",
+            )
+            out = lf.unionByName(extra)
+        return out.select("series_key", "ts_ms", "value")
 
 
 def promql_eval(engine: MetricEngine, query: str, step_ms: int) -> DataFrame:

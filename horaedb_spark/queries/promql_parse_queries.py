@@ -91,6 +91,9 @@ _Q3 = "topk(3, sum by (user) (increase(purchase[1d])))"
 _Q4 = "avg by (cohort) (max_over_time(click[1d] offset 1d))"
 _Q5 = "min_over_time((sum by (cohort) (rate(click[1d])))[4d:1d])"
 _Q6 = "sum(rate(click[1d])) by (cohort) * 60"
+_Q7 = "sum by (cohort) (rate(error[1d])) / sum by (cohort) (rate(click[1d]))"
+_Q8 = "sum by (cohort) (rate(click[1d])) > 0.001"
+_Q9 = "sum by (user) (rate(click[1d])) unless sum by (user) (rate(purchase[1d]))"
 
 # DuckDB replicas. Shared rate-per-series CTE over the deduped samples;
 # floor(x*1e6+0.5)/1e6 is the cross-engine rounding convention.
@@ -243,12 +246,45 @@ _ORACLE = (
       SELECT 'q6' AS query_id, 'cohort=' || cohort AS series_key,
              ts_ms, floor(v * 60 * 1000000 + 0.5) / 1000000 AS value
       FROM s5
+    ),
+    e7 AS (
+      SELECT cohort, bucket_ms AS ts_ms,
+             CAST(sum(CAST(r AS DECIMAL(30,10))) AS DOUBLE) AS v
+      FROM rate_s WHERE name = 'error' GROUP BY 1, 2
+    ),
+    q7 AS (
+      SELECT 'q7' AS query_id, 'cohort=' || e7.cohort AS series_key,
+             e7.ts_ms,
+             floor((e7.v / s5.v) * 1000000 + 0.5) / 1000000 AS value
+      FROM e7 JOIN s5 ON s5.cohort = e7.cohort AND s5.ts_ms = e7.ts_ms
+    ),
+    q8 AS (
+      SELECT 'q8' AS query_id, 'cohort=' || cohort AS series_key,
+             ts_ms, floor(v * 1000000 + 0.5) / 1000000 AS value
+      FROM s5 WHERE v > 0.001
+    ),
+    u9c AS (
+      SELECT user_label, bucket_ms AS ts_ms,
+             CAST(sum(CAST(r AS DECIMAL(30,10))) AS DOUBLE) AS v
+      FROM rate_s WHERE name = 'click' GROUP BY 1, 2
+    ),
+    q9 AS (
+      SELECT 'q9' AS query_id, 'user=' || user_label AS series_key,
+             ts_ms, floor(v * 1000000 + 0.5) / 1000000 AS value
+      FROM u9c c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM rate_s p
+        WHERE p.name = 'purchase' AND p.user_label = c.user_label
+          AND p.bucket_ms = c.ts_ms
+      )
     )
     SELECT * FROM (
       SELECT * FROM q1 UNION ALL SELECT * FROM q2 UNION ALL
       SELECT * FROM q3 UNION ALL SELECT * FROM q4 UNION ALL
       SELECT query_id, series_key, eval_ms, value FROM q5 UNION ALL
-      SELECT * FROM q6
+      SELECT * FROM q6 UNION ALL
+      SELECT * FROM q7 UNION ALL SELECT * FROM q8 UNION ALL
+      SELECT * FROM q9
     ) ORDER BY query_id, series_key, ts_ms
     """
 )
@@ -256,7 +292,7 @@ _ORACLE = (
 
 @register("promql_parse_eval", oracle=_ORACLE)
 def promql_parse_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Six PromQL strings -> parser -> compiler -> engine, all rows
+    """Nine PromQL strings -> parser -> compiler -> engine, all rows
     hash-gated against DuckDB replicas (see module docstring). The string
     path exercises matchers, range functions (aligned + sliding), offset,
     by-aggregation, topk, a subquery, scalar arithmetic, and the RFC
@@ -271,6 +307,9 @@ def promql_parse_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("q4", eng, _Q4),
         ("q5", eng, _Q5),
         ("q6", eng, _Q6),
+        ("q7", eng, _Q7),
+        ("q8", eng, _Q8),
+        ("q9", eng, _Q9),
     ]:
         out = promql_eval(engine, q, DAY_MS)
         parts.append(

@@ -182,9 +182,49 @@ def test_topk_is_k_per_timestamp(spark, eng):
 
 
 def test_unsupported_surfaces_raise(spark, eng):
-    with pytest.raises(PromQLError, match="vector-vector"):
-        promql_eval(eng, "sum(rate(click[1d])) / sum(rate(purchase[1d]))", DAY)
+    with pytest.raises(PromQLError, match="group_left"):
+        parse_promql("a / on(x) group_left b")
     with pytest.raises(PromQLError, match="range"):
         promql_eval(eng, "rate(click[36h])", DAY)  # not a multiple of step
     with pytest.raises(PromQLError, match="instant"):
         promql_eval(eng, "click", DAY)
+
+
+def test_vector_binop_ratio_matches_manual(spark, eng):
+    ratio = promql_eval(
+        eng,
+        "sum by (cohort) (rate(error[1d])) / sum by (cohort) (rate(click[1d]))",
+        DAY,
+    )
+    num = promql_eval(eng, "sum by (cohort) (rate(error[1d]))", DAY)
+    den = promql_eval(eng, "sum by (cohort) (rate(click[1d]))", DAY)
+    n = {(r.series_key, r.ts_ms): r.value for r in num.collect()}
+    d = {(r.series_key, r.ts_ms): r.value for r in den.collect()}
+    got = {(r.series_key, r.ts_ms): r.value for r in ratio.collect()}
+    want = {k: n[k] / d[k] for k in n if k in d}
+    assert got.keys() == want.keys()
+    assert all(math.isclose(got[k], want[k], rel_tol=1e-12) for k in got)
+
+
+def test_comparison_filter_and_bool(spark, eng):
+    base = promql_eval(eng, "sum by (cohort) (rate(click[1d]))", DAY)
+    rows = {(r.series_key, r.ts_ms): r.value for r in base.collect()}
+    filt = promql_eval(eng, "sum by (cohort) (rate(click[1d])) > 0.001", DAY)
+    got = {(r.series_key, r.ts_ms): r.value for r in filt.collect()}
+    assert got == {k: v for k, v in rows.items() if v > 0.001}
+    b = promql_eval(eng, "sum by (cohort) (rate(click[1d])) > bool 0.001", DAY)
+    bgot = {(r.series_key, r.ts_ms): r.value for r in b.collect()}
+    assert bgot == {k: (1.0 if v > 0.001 else 0.0) for k, v in rows.items()}
+
+
+def test_set_ops_partition_left_vector(spark, eng):
+    l = "sum by (user) (rate(click[1d]))"
+    r = "sum by (user) (rate(purchase[1d]))"
+    left = promql_eval(eng, l, DAY)
+    a = promql_eval(eng, f"{l} and {r}", DAY)
+    u = promql_eval(eng, f"{l} unless {r}", DAY)
+    keys = lambda df: {(x.series_key, x.ts_ms) for x in df.collect()}
+    ka, ku, kl = keys(a), keys(u), keys(left)
+    assert ka | ku == kl and not (ka & ku)  # and/unless partition the left
+    o = promql_eval(eng, f"{l} or {r}", DAY)
+    assert keys(o) >= kl  # or keeps every left row
