@@ -57,9 +57,15 @@ class ControlServer:
         toggle: WriteToggle | None = None,
         host: str = "127.0.0.1",
         port: int = 0,
+        metric_engine=None,
     ) -> None:
         self.compactor = compactor
         self.toggle = toggle or WriteToggle()
+        # Optional MetricEngine: enables the Prometheus-compatible
+        # /api/v1/query_range endpoint (the RFC's PromQL-over-HTTP contract,
+        # docs/rfcs/20220702-prometheus-read-extension.md) backed by the
+        # string parser in metric/promql.py.
+        self.metric_engine = metric_engine
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -104,6 +110,77 @@ class ControlServer:
                         self._reply({"error": str(e)[:500]}, status=400)
                         return
                     self._reply({"n": len(rows), "rows": rows})
+                elif self.path.startswith("/api/v1/query_range"):
+                    # Prometheus HTTP API shape: ?query=<promql>&step=<dur>
+                    # [&start=<ms>&end=<ms>]; response is the standard
+                    # {"status","data":{"resultType":"matrix","result":[...]}}
+                    # envelope. Row-bounded like /scan — a dashboard query
+                    # surface, not a bulk-export path.
+                    from urllib.parse import parse_qs, urlparse
+
+                    if outer.metric_engine is None:
+                        self._reply(
+                            {"status": "error",
+                             "error": "no metric engine attached"},
+                            status=400,
+                        )
+                        return
+                    from horaedb_spark.metric.promql import (
+                        PromQLError,
+                        _duration_ms,
+                        promql_eval,
+                    )
+
+                    q = parse_qs(urlparse(self.path).query)
+                    try:
+                        query = q["query"][0]
+                        step_raw = q.get("step", ["1d"])[0]
+                        step_ms = (
+                            int(step_raw)
+                            if step_raw.isdigit()
+                            else _duration_ms(step_raw)
+                        )
+                        df = promql_eval(outer.metric_engine, query, step_ms)
+                        from pyspark.sql import functions as F
+
+                        if "start" in q:
+                            df = df.filter(
+                                F.col("ts_ms") >= int(q["start"][0])
+                            )
+                        if "end" in q:
+                            df = df.filter(F.col("ts_ms") < int(q["end"][0]))
+                        cap = min(int(q.get("limit", ["10000"])[0]), 100_000)
+                        rows = (
+                            df.orderBy("series_key", "ts_ms").limit(cap).collect()
+                        )
+                    except (PromQLError, KeyError, ValueError) as e:
+                        self._reply(
+                            {"status": "error", "error": str(e)[:500]},
+                            status=400,
+                        )
+                        return
+                    series: dict[str, list] = {}
+                    for r in rows:
+                        series.setdefault(r["series_key"], []).append(
+                            [r["ts_ms"] / 1000.0, str(r["value"])]
+                        )
+                    result = [
+                        {
+                            "metric": dict(
+                                kv.split("=", 1)
+                                for kv in key.split(",")
+                                if "=" in kv
+                            ),
+                            "values": vals,
+                        }
+                        for key, vals in sorted(series.items())
+                    ]
+                    self._reply(
+                        {
+                            "status": "success",
+                            "data": {"resultType": "matrix", "result": result},
+                        }
+                    )
                 elif self.path == "/manifest":
                     ssts = outer.compactor.table.manifest.all_ssts()
                     self._reply({

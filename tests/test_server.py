@@ -69,3 +69,48 @@ def test_scan_endpoint_bounded_read(spark, tmp_path):
             assert e.code == 400
     finally:
         srv.stop()
+
+
+def test_query_range_endpoint_promql_over_http(spark, tmp_path):
+    """The RFC's PromQL-over-HTTP contract: a query string in, the standard
+    Prometheus matrix envelope out — powered by the metric/promql parser."""
+    import urllib.parse
+
+    from horaedb_spark.queries.metric_queries import _engine
+    from tests.conftest import SF_DIR
+
+    eng = _engine(spark, SF_DIR)
+    t = ColumnarTable(spark, str(tmp_path / "qr"), kv_schema(), TWO_HOURS)
+    srv = ControlServer(Compactor(t, SchedulerConfig()), metric_engine=eng)
+    srv.start()
+    try:
+        q = urllib.parse.quote("sum by (cohort) (rate(click[1d]))")
+        out = _get(srv.port, f"/api/v1/query_range?query={q}&step=1d")
+        assert out["status"] == "success"
+        assert out["data"]["resultType"] == "matrix"
+        result = out["data"]["result"]
+        assert result and all("cohort" in s["metric"] for s in result)
+        n_points = sum(len(s["values"]) for s in result)
+        assert n_points > 0
+        # start/end window the matrix
+        all_ts = sorted(
+            ts for s in result for ts, _v in s["values"]
+        )
+        mid = int(all_ts[len(all_ts) // 2] * 1000)
+        bounded = _get(
+            srv.port,
+            f"/api/v1/query_range?query={q}&step=1d&start={mid}",
+        )
+        n_bounded = sum(len(s["values"]) for s in bounded["data"]["result"])
+        assert 0 < n_bounded < n_points
+        # parse errors surface as the Prometheus error envelope
+        bad = urllib.parse.quote("rate(click[1d)")
+        import urllib.error
+
+        try:
+            _get(srv.port, f"/api/v1/query_range?query={bad}&step=1d")
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.stop()
