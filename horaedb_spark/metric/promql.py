@@ -12,6 +12,9 @@ the same rows).
 
 Supported surface (everything the operator layer implements):
 - selectors with label matchers (``=``, ``!=``, ``=~``, ``!~``), ``offset``;
+- bare INSTANT selectors evaluated at the step grid with a staleness
+  lookback (default: one step; Prometheus fixes 5m — documented divergence
+  for coarse grids over sparse data);
 - range functions ``rate/increase/irate/idelta/delta`` and
   ``avg/min/max/sum/count/last/quantile_over_time`` — bucket-aligned when
   ``range == step``, sliding (bounded range/step fan-out) otherwise;
@@ -396,9 +399,16 @@ def _canonical_key(labels_map: Column) -> Column:
 class PromQLCompiler:
     """Compile parsed PromQL to DataFrames over a MetricEngine."""
 
-    def __init__(self, engine: MetricEngine, step_ms: int):
+    def __init__(
+        self, engine: MetricEngine, step_ms: int, lookback_ms: int | None = None
+    ):
         self.engine = engine
         self.step_ms = step_ms
+        # staleness lookback for bare instant selectors. Prometheus fixes
+        # this at 5m; a bucketed engine evaluating at arbitrary steps
+        # defaults it to one step (documented divergence — a 5m lookback on
+        # a 1d grid over sparse data would yield an empty vector).
+        self.lookback_ms = lookback_ms if lookback_ms is not None else step_ms
 
     # -- public -----------------------------------------------------------
 
@@ -426,9 +436,14 @@ class PromQLCompiler:
                 raise PromQLError(
                     "range selector outside a range function"
                 )
-            raise PromQLError(
-                "bare instant selectors are not supported; wrap in a range "
-                "function (e.g. last_over_time(x[step]))"
+            # bare instant selector: PromQL's evaluation model — at each
+            # aligned step, each series reports its latest sample within
+            # the staleness lookback (functions/promql.instant_vector)
+            out = P.instant_vector(
+                self._samples(node), ["series_key"], self.step_ms, self.lookback_ms
+            )
+            return out.select(
+                "series_key", F.col("step_ms").alias("ts_ms"), "value"
             )
         raise PromQLError(f"cannot evaluate {node!r}")
 

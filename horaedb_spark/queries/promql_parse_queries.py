@@ -94,6 +94,7 @@ _Q6 = "sum(rate(click[1d])) by (cohort) * 60"
 _Q7 = "sum by (cohort) (rate(error[1d])) / sum by (cohort) (rate(click[1d]))"
 _Q8 = "sum by (cohort) (rate(click[1d])) > 0.001"
 _Q9 = "sum by (user) (rate(click[1d])) unless sum by (user) (rate(purchase[1d]))"
+_Q10 = "sum by (cohort) (click)"
 
 # DuckDB replicas. Shared rate-per-series CTE over the deduped samples;
 # floor(x*1e6+0.5)/1e6 is the cross-engine rounding convention.
@@ -277,6 +278,34 @@ _ORACLE = (
         WHERE p.name = 'purchase' AND p.user_label = c.user_label
           AND p.bucket_ms = c.ts_ms
       )
+    ),
+    clk AS (
+      SELECT user_label, cohort, ts_ms, value FROM samples WHERE name = 'click'
+    ), b10 AS (
+      SELECT ((min(ts_ms) + {DAY_MS} - 1) // {DAY_MS}) * {DAY_MS} AS lo,
+             (max(ts_ms) // {DAY_MS}) * {DAY_MS} AS hi
+      FROM clk
+    ), st10 AS (
+      SELECT unnest(generate_series(lo, hi, {DAY_MS})) AS step_ms FROM b10
+    ), an10 AS (
+      SELECT d.user_label, d.cohort, st.step_ms
+      FROM (SELECT DISTINCT user_label, cohort FROM clk) d CROSS JOIN st10 st
+    ), iv10 AS (
+      SELECT user_label, cohort, step_ms, value FROM (
+        SELECT a.user_label, a.cohort, a.step_ms, s.value,
+               row_number() OVER (PARTITION BY a.user_label, a.cohort, a.step_ms
+                                  ORDER BY s.ts_ms DESC) AS rn
+        FROM an10 a JOIN clk s
+          ON s.user_label = a.user_label AND s.cohort = a.cohort
+         AND s.ts_ms <= a.step_ms AND s.ts_ms > a.step_ms - {DAY_MS}
+      ) WHERE rn = 1
+    ),
+    q10 AS (
+      SELECT 'q10' AS query_id, 'cohort=' || cohort AS series_key,
+             step_ms AS ts_ms,
+             floor(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE)
+                   * 1000000 + 0.5) / 1000000 AS value
+      FROM iv10 GROUP BY 2, 3
     )
     SELECT * FROM (
       SELECT * FROM q1 UNION ALL SELECT * FROM q2 UNION ALL
@@ -284,7 +313,7 @@ _ORACLE = (
       SELECT query_id, series_key, eval_ms, value FROM q5 UNION ALL
       SELECT * FROM q6 UNION ALL
       SELECT * FROM q7 UNION ALL SELECT * FROM q8 UNION ALL
-      SELECT * FROM q9
+      SELECT * FROM q9 UNION ALL SELECT * FROM q10
     ) ORDER BY query_id, series_key, ts_ms
     """
 )
@@ -292,7 +321,7 @@ _ORACLE = (
 
 @register("promql_parse_eval", oracle=_ORACLE)
 def promql_parse_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nine PromQL strings -> parser -> compiler -> engine, all rows
+    """Ten PromQL strings -> parser -> compiler -> engine, all rows
     hash-gated against DuckDB replicas (see module docstring). The string
     path exercises matchers, range functions (aligned + sliding), offset,
     by-aggregation, topk, a subquery, scalar arithmetic, and the RFC
@@ -310,6 +339,7 @@ def promql_parse_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("q7", eng, _Q7),
         ("q8", eng, _Q8),
         ("q9", eng, _Q9),
+        ("q10", eng, _Q10),
     ]:
         out = promql_eval(engine, q, DAY_MS)
         parts.append(

@@ -186,8 +186,26 @@ def test_unsupported_surfaces_raise(spark, eng):
         parse_promql("a / on(x) group_left b")
     with pytest.raises(PromQLError, match="range"):
         promql_eval(eng, "rate(click[36h])", DAY)  # not a multiple of step
-    with pytest.raises(PromQLError, match="instant"):
-        promql_eval(eng, "click", DAY)
+
+
+def test_instant_selector_matches_instant_vector(spark, eng):
+    parsed = promql_eval(eng, "sum by (cohort) (click)", DAY)
+    sel = eng.select_series("click").select("series_key", "ts_ms", "value")
+    iv = P.instant_vector(sel, ["series_key"], DAY, DAY)
+    hand = (
+        iv.withColumn(
+            "cohort",
+            F.element_at(F.str_to_map("series_key", F.lit(","), F.lit("=")), "cohort"),
+        )
+        .groupBy("cohort", "step_ms")
+        .agg(F.sum(F.col("value").cast("decimal(30,10)")).cast("double").alias("value"))
+        .select(
+            F.concat(F.lit("cohort="), F.col("cohort")).alias("series_key"),
+            F.col("step_ms").alias("ts_ms"),
+            "value",
+        )
+    )
+    assert _rows(parsed) == _rows(hand)
 
 
 def test_vector_binop_ratio_matches_manual(spark, eng):
