@@ -147,6 +147,9 @@ def main() -> None:
         manifest_stats = manifest_scale_bench(
             tempfile.mkdtemp(prefix="manifest_bench_"), n_ssts=n
         )
+        from horaedb_spark.storage.manifest_bench import remote_write_codec_bench
+
+        manifest_stats["remote_write_codec"] = remote_write_codec_bench()
     except Exception as e:
         print(f"# manifest bench error: {e}", file=sys.stderr)
     print(

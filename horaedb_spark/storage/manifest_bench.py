@@ -82,3 +82,51 @@ def manifest_scale_bench(
         "bytes_per_sst": round(snap_bytes / n_ssts, 1),
         "unfolded_deltas_after": m.delta_count(),
     }
+
+
+def remote_write_codec_bench(
+    n_series: int = 2_000, samples_per_series: int = 50
+) -> dict:
+    """Remote-write protobuf encode/decode throughput — the reference's
+    bench.rs remote-write parse benchmark analogue (src/benchmarks/benches/
+    bench.rs:40-162). Pure-Python per-payload cost; in production the decode
+    runs inside mapInPandas across executors (metric/ingest.decode_payloads),
+    so per-core throughput here × cores = cluster ingest ceiling."""
+    import time as _time
+
+    from horaedb_spark.metric.ingest import (
+        decode_write_request,
+        encode_write_request,
+    )
+
+    series = [
+        {
+            "name": "http_requests_total",
+            "labels": {
+                "job": f"job{i % 20}",
+                "instance": f"host{i % 97}:9100",
+                "le": str((i % 8) * 50),
+            },
+            "samples": [
+                (float(i * 1000 + j), 1_700_000_000_000 + j * 15_000)
+                for j in range(samples_per_series)
+            ],
+        }
+        for i in range(n_series)
+    ]
+    t0 = _time.perf_counter()
+    payload = encode_write_request(series)
+    encode_s = _time.perf_counter() - t0
+    t0 = _time.perf_counter()
+    decoded = decode_write_request(payload)
+    decode_s = _time.perf_counter() - t0
+    n_samples = n_series * samples_per_series
+    assert len(decoded) == n_samples  # decode flattens to one row per sample
+    return {
+        "n_series": n_series,
+        "n_samples": n_samples,
+        "payload_bytes": len(payload),
+        "encode_s": round(encode_s, 4),
+        "decode_s": round(decode_s, 4),
+        "decode_samples_per_s": int(n_samples / decode_s),
+    }

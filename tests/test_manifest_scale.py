@@ -22,3 +22,13 @@ def test_manifest_scale_bounds(tmp_path):
     assert r["bytes_per_sst"] < 500, r
     # backpressure invariant: after the final fold nothing is left unfolded
     assert r["unfolded_deltas_after"] == 0, r
+
+
+def test_remote_write_codec_throughput():
+    from horaedb_spark.storage.manifest_bench import remote_write_codec_bench
+
+    r = remote_write_codec_bench(n_series=500, samples_per_series=20)
+    assert r["n_samples"] == 10_000
+    # observed ~300k samples/s/core; bound at 10x slack for CI noise
+    assert r["decode_samples_per_s"] > 30_000, r
+    assert r["payload_bytes"] > 0 and r["encode_s"] > 0
