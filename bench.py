@@ -71,6 +71,10 @@ HEADLINE = [
     "storage_delete_scan",
     "events_m4_downsample",
     "text_bpe_apply",
+    # round-4 additions
+    "promql_parse_eval",
+    "ann_ivf_topk_large_queryset",
+    "text_bpe_batched",
 ]
 
 

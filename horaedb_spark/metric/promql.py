@@ -101,6 +101,11 @@ class Number:
     value: float
 
 
+@dataclass(frozen=True)
+class StringLit:
+    value: str
+
+
 # ------------------------------------------------------------------- lexer
 
 _TOKEN_RE = re.compile(
@@ -130,7 +135,8 @@ AGG_OPS = {
 }
 PARAM_AGGS = {"topk", "bottomk", "quantile"}
 RANGE_FNS = {
-    "rate", "increase", "irate", "idelta", "delta",
+    "rate", "increase", "irate", "idelta", "delta", "deriv",
+    "predict_linear", "holt_winters",
     "avg_over_time", "min_over_time", "max_over_time", "sum_over_time",
     "count_over_time", "last_over_time", "quantile_over_time",
 }
@@ -292,6 +298,9 @@ def _parse_atom(lx: _Lexer):
     if k == "NUMBER":
         lx.next()
         return Number(float(v))
+    if k == "STRING":
+        lx.next()
+        return StringLit(v[1:-1])
     if k == "DURATION":  # a bare number like `5m` outside brackets is odd
         raise PromQLError(f"unexpected duration {v!r}")
     if k == "IDENT":
@@ -492,6 +501,33 @@ class PromQLCompiler:
             df = self._eval(node.args[-1])
             nearest = node.args[0].value if len(node.args) > 1 else 1.0
             return df.withColumn("value", P.round_to(F.col("value"), nearest))
+        if fn in ("label_replace", "label_join"):
+            df = self._eval(node.args[0])
+            strs = [
+                a.value for a in node.args[1:] if isinstance(a, StringLit)
+            ]
+            if len(strs) != len(node.args) - 1:
+                raise PromQLError(f"{fn} needs string literal arguments")
+            lbl = df.withColumn("labels", _labels())
+            if fn == "label_replace":
+                if len(strs) != 4:
+                    raise PromQLError(
+                        "label_replace(v, dst, replacement, src, regex)"
+                    )
+                out = P.label_replace(lbl, strs[0], strs[1], strs[2], strs[3])
+            else:
+                if len(strs) < 3:
+                    raise PromQLError("label_join(v, dst, sep, src...)")
+                out = P.label_join(lbl, strs[0], strs[1], list(strs[2:]))
+            return out.select(
+                _canonical_key(F.col("labels")).alias("series_key"),
+                "ts_ms",
+                "value",
+            )
+        if fn in ("sort", "sort_desc"):
+            df = self._eval(node.args[0])
+            order = F.asc("value") if fn == "sort" else F.desc("value")
+            return df.orderBy("ts_ms", order, "series_key")
         raise PromQLError(f"unsupported function {fn!r}")
 
     def _range_fn(self, node: Call):
@@ -531,15 +567,52 @@ class PromQLCompiler:
             return out.select(
                 *keys, F.col("bucket_ms").alias("ts_ms"), F.col("increase").alias("value")
             )
-        if fn in ("irate", "idelta", "delta"):
+        if fn in ("irate", "idelta", "delta", "deriv"):
             if sliding:
                 raise PromQLError(f"{fn} supports range == step only")
-            out = {"irate": P.irate, "idelta": P.idelta, "delta": P.delta}[fn](
-                df, keys, step
-            )
-            val = {"irate": "irate_per_s", "idelta": "idelta", "delta": "delta"}[fn]
+            out = {
+                "irate": P.irate, "idelta": P.idelta, "delta": P.delta,
+                "deriv": P.deriv,
+            }[fn](df, keys, step)
+            val = {
+                "irate": "irate_per_s", "idelta": "idelta", "delta": "delta",
+                "deriv": "deriv",
+            }[fn]
             return out.select(
                 *keys, F.col("bucket_ms").alias("ts_ms"), F.col(val).alias("value")
+            )
+        if fn == "predict_linear":
+            # predict_linear(sel[range], ahead_s)
+            if sliding:
+                raise PromQLError("predict_linear supports range == step only")
+            if len(node.args) < 2 or not isinstance(node.args[1], Number):
+                raise PromQLError("predict_linear needs a literal ahead_s")
+            out = P.predict_linear(df, keys, step, int(node.args[1].value))
+            return out.select(
+                *keys,
+                F.col("bucket_ms").alias("ts_ms"),
+                F.col("predicted").alias("value"),
+            )
+        if fn == "holt_winters":
+            # holt_winters(sel[range], sf, tf) — fold per (series, bucket)
+            if sliding:
+                raise PromQLError("holt_winters supports range == step only")
+            if len(node.args) < 3 or not all(
+                isinstance(a, Number) for a in node.args[1:3]
+            ):
+                raise PromQLError("holt_winters needs literal sf, tf")
+            b = df.withColumn(
+                "bucket_ms",
+                F.col("ts_ms") - F.pmod("ts_ms", F.lit(step)),
+            )
+            out = P.holt_winters(
+                b, ["series_key", "bucket_ms"],
+                node.args[1].value, node.args[2].value,
+            )
+            return out.select(
+                "series_key",
+                F.col("bucket_ms").alias("ts_ms"),
+                F.col("smoothed").alias("value"),
             )
         if fn == "quantile_over_time":
             if sliding:

@@ -95,6 +95,9 @@ _Q7 = "sum by (cohort) (rate(error[1d])) / sum by (cohort) (rate(click[1d]))"
 _Q8 = "sum by (cohort) (rate(click[1d])) > 0.001"
 _Q9 = "sum by (user) (rate(click[1d])) unless sum by (user) (rate(purchase[1d]))"
 _Q10 = "sum by (cohort) (click)"
+_Q11 = 'predict_linear(click{cohort="3"}[1d], 3600)'
+_Q12 = ('label_replace(sum by (cohort) (rate(click[1d])), '
+        '"env", "prod-$1", "cohort", "([0-4])")')
 
 # DuckDB replicas. Shared rate-per-series CTE over the deduped samples;
 # floor(x*1e6+0.5)/1e6 is the cross-engine rounding convention.
@@ -306,6 +309,40 @@ _ORACLE = (
              floor(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE)
                    * 1000000 + 0.5) / 1000000 AS value
       FROM iv10 GROUP BY 2, 3
+    ),
+    quant11 AS (
+      SELECT user_label, ts_ms - ts_ms % {DAY_MS} AS bucket_ms,
+             (xm - ((xm % 1000) + 1000) % 1000) // 1000 AS x,
+             CAST(round(value * 1000) AS BIGINT) AS y
+      FROM (
+        SELECT *, ts_ms - (ts_ms - ts_ms % {DAY_MS} + {DAY_MS}) AS xm
+        FROM samples WHERE name = 'click' AND cohort = '3'
+      )
+    ), fit11 AS (
+      SELECT user_label, bucket_ms, count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM quant11 GROUP BY 1, 2
+    ),
+    q11 AS (
+      SELECT 'q11' AS query_id,
+             'cohort=3,user=' || user_label AS series_key,
+             bucket_ms AS ts_ms,
+             floor(((sy - CAST(n * sxy - sx * sy AS DOUBLE)
+                          / CAST(n * sxx - sx * sx AS DOUBLE) * sx) / n / 1000.0
+                    + CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE) / 1000.0 * 3600.0)
+                   * 1000000 + 0.5) / 1000000 AS value
+      FROM fit11 WHERE n >= 2 AND n * sxx - sx * sx <> 0
+    ),
+    q12 AS (
+      SELECT 'q12' AS query_id,
+             CASE WHEN regexp_matches(cohort, '^(?:([0-4]))$')
+                  THEN 'cohort=' || cohort || ',env=prod-' || cohort
+                  ELSE 'cohort=' || cohort END AS series_key,
+             ts_ms, floor(v * 1000000 + 0.5) / 1000000 AS value
+      FROM s5
     )
     SELECT * FROM (
       SELECT * FROM q1 UNION ALL SELECT * FROM q2 UNION ALL
@@ -313,7 +350,8 @@ _ORACLE = (
       SELECT query_id, series_key, eval_ms, value FROM q5 UNION ALL
       SELECT * FROM q6 UNION ALL
       SELECT * FROM q7 UNION ALL SELECT * FROM q8 UNION ALL
-      SELECT * FROM q9 UNION ALL SELECT * FROM q10
+      SELECT * FROM q9 UNION ALL SELECT * FROM q10 UNION ALL
+      SELECT * FROM q11 UNION ALL SELECT * FROM q12
     ) ORDER BY query_id, series_key, ts_ms
     """
 )
@@ -321,7 +359,7 @@ _ORACLE = (
 
 @register("promql_parse_eval", oracle=_ORACLE)
 def promql_parse_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ten PromQL strings -> parser -> compiler -> engine, all rows
+    """Twelve PromQL strings -> parser -> compiler -> engine, all rows
     hash-gated against DuckDB replicas (see module docstring). The string
     path exercises matchers, range functions (aligned + sliding), offset,
     by-aggregation, topk, a subquery, scalar arithmetic, and the RFC
@@ -340,6 +378,8 @@ def promql_parse_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("q8", eng, _Q8),
         ("q9", eng, _Q9),
         ("q10", eng, _Q10),
+        ("q11", eng, _Q11),
+        ("q12", eng, _Q12),
     ]:
         out = promql_eval(engine, q, DAY_MS)
         parts.append(
