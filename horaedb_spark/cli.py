@@ -92,6 +92,44 @@ def cmd_scan(args) -> int:
     return 0
 
 
+def cmd_promql(args) -> int:
+    """Evaluate a PromQL string against a samples parquet file.
+
+    The parquet must hold (name string, labels map<string,string> OR the
+    events-table shape, ts_ms long, value double[, seq long]); with
+    ``--events`` the testdata events table is adapted the way the query
+    suite does (labels = user/cohort from user_id)."""
+    from pyspark.sql import functions as F
+
+    from horaedb_spark.core.session import get_spark
+    from horaedb_spark.metric.engine import MetricEngine
+    from horaedb_spark.metric.promql import _duration_ms, promql_eval
+
+    spark = get_spark(app_name="horaedb_promql")
+    if args.events:
+        from horaedb_spark.queries.tables import events_ms
+
+        ev = events_ms(spark, args.source)
+        samples = ev.select(
+            F.col("event_type").alias("name"),
+            F.create_map(
+                F.lit("user"), F.col("user_id").cast("string"),
+                F.lit("cohort"), (F.col("user_id") % 10).cast("string"),
+            ).alias("labels"),
+            "ts_ms",
+            "value",
+            F.col("event_id").alias("seq"),
+        )
+    else:
+        samples = spark.read.parquet(args.source)
+    step = args.step
+    step_ms = int(step) if step.isdigit() else _duration_ms(step)
+    out = promql_eval(MetricEngine(samples), args.query, step_ms)
+    for row in out.orderBy("series_key", "ts_ms").limit(args.limit).collect():
+        print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="horaedb_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -114,6 +152,19 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--predicate", default=None)
     ps.add_argument("--limit", type=int, default=20)
     ps.set_defaults(fn=cmd_scan)
+
+    pq = sub.add_parser(
+        "promql", help="evaluate a PromQL string against a samples source"
+    )
+    pq.add_argument("source", help="samples parquet path, or an sf dir with --events")
+    pq.add_argument("query", help='e.g. \'sum by (cohort) (rate(click[1d]))\'')
+    pq.add_argument("--step", default="1d")
+    pq.add_argument("--limit", type=int, default=50)
+    pq.add_argument(
+        "--events", action="store_true",
+        help="treat source as a testdata dir; adapt the events table",
+    )
+    pq.set_defaults(fn=cmd_promql)
 
     args = p.parse_args(argv)
     return args.fn(args)
