@@ -77,6 +77,24 @@ def main() -> None:
     kept = exact_dedup(docs, "text", "doc_id")
     print("documents kept after exact dedup:", kept.count(), "of", docs.count())
 
+    # -- 6. PromQL as a STRING (round 4): parser -> compiler -> engine -----
+    from horaedb_spark.metric.engine import MetricEngine
+    from horaedb_spark.metric.promql import promql_eval
+
+    msamples = ev.select(
+        F.col("event_type").alias("name"),
+        F.create_map(
+            F.lit("user"), F.col("user_id").cast("string"),
+            F.lit("cohort"), (F.col("user_id") % 10).cast("string"),
+        ).alias("labels"),
+        "ts_ms", "value", F.lit(1).alias("seq"),
+    )
+    eng = MetricEngine(msamples)
+    out = promql_eval(
+        eng, 'topk(3, sum by (cohort) (rate(click[1d])))', 86_400_000
+    )
+    print("promql string eval rows:", out.count())
+
 
 if __name__ == "__main__":
     main()
