@@ -181,6 +181,100 @@ class ControlServer:
                             "data": {"resultType": "matrix", "result": result},
                         }
                     )
+                elif self.path.startswith("/api/v1/labels") or self.path.startswith(
+                    "/api/v1/label/"
+                ) or self.path.startswith("/api/v1/series"):
+                    # Prometheus metadata API: label names, label values,
+                    # and series listing by match[] selector — backed by the
+                    # engine's inverted index (RFC D4), all driver-bounded.
+                    from urllib.parse import parse_qs, unquote, urlparse
+
+                    if outer.metric_engine is None:
+                        self._reply(
+                            {"status": "error",
+                             "error": "no metric engine attached"},
+                            status=400,
+                        )
+                        return
+                    from pyspark.sql import functions as F
+
+                    eng = outer.metric_engine
+                    parsed = urlparse(self.path)
+                    q = parse_qs(parsed.query)
+                    try:
+                        if parsed.path == "/api/v1/labels":
+                            names = sorted(
+                                r["tag_key"]
+                                for r in eng.index.select("tag_key")
+                                .distinct()
+                                .collect()
+                            )
+                            self._reply(
+                                {"status": "success",
+                                 "data": ["__name__", *names]}
+                            )
+                        elif parsed.path.startswith("/api/v1/label/"):
+                            name = unquote(
+                                parsed.path[len("/api/v1/label/"):].removesuffix(
+                                    "/values"
+                                )
+                            )
+                            if name == "__name__":
+                                vals = sorted(
+                                    r["metric_name"]
+                                    for r in eng.metrics.select("metric_name")
+                                    .distinct()
+                                    .collect()
+                                )
+                            else:
+                                vals = sorted(
+                                    r["tag_value"]
+                                    for r in eng.index.filter(
+                                        F.col("tag_key") == name
+                                    )
+                                    .select("tag_value")
+                                    .distinct()
+                                    .collect()
+                                )
+                            self._reply({"status": "success", "data": vals})
+                        else:  # /api/v1/series?match[]=selector
+                            from horaedb_spark.metric.promql import (
+                                Selector,
+                                parse_promql,
+                            )
+
+                            sel = parse_promql(q["match[]"][0])
+                            if not isinstance(sel, Selector):
+                                raise ValueError("match[] must be a selector")
+                            tsids = eng.resolve_tsids(
+                                sel.name, list(sel.matchers)
+                            )
+                            cap = min(int(q.get("limit", ["1000"])[0]), 10_000)
+                            keys = (
+                                eng.series.join(tsids, "tsid", "left_semi")
+                                .select("series_key")
+                                .distinct()
+                                .orderBy("series_key")
+                                .limit(cap)
+                                .collect()
+                            )
+                            data = [
+                                {
+                                    "__name__": sel.name,
+                                    **dict(
+                                        kv.split("=", 1)
+                                        for kv in r["series_key"].split(",")
+                                        if "=" in kv
+                                    ),
+                                }
+                                for r in keys
+                            ]
+                            self._reply({"status": "success", "data": data})
+                    except Exception as e:
+                        self._reply(
+                            {"status": "error", "error": str(e)[:500]},
+                            status=400,
+                        )
                 elif self.path == "/manifest":
                     ssts = outer.compactor.table.manifest.all_ssts()
                     self._reply({

@@ -114,3 +114,32 @@ def test_query_range_endpoint_promql_over_http(spark, tmp_path):
             assert e.code == 400
     finally:
         srv.stop()
+
+
+def test_prometheus_metadata_endpoints(spark, tmp_path):
+    """Prometheus metadata API: /labels, /label/<n>/values, /series."""
+    import urllib.parse
+
+    from horaedb_spark.queries.metric_queries import _engine
+    from tests.conftest import SF_DIR
+
+    eng = _engine(spark, SF_DIR)
+    t = ColumnarTable(spark, str(tmp_path / "md"), kv_schema(), TWO_HOURS)
+    srv = ControlServer(Compactor(t, SchedulerConfig()), metric_engine=eng)
+    srv.start()
+    try:
+        labels = _get(srv.port, "/api/v1/labels")
+        assert labels["status"] == "success"
+        assert {"__name__", "cohort", "user"} <= set(labels["data"])
+        cohorts = _get(srv.port, "/api/v1/label/cohort/values")
+        assert set(cohorts["data"]) == {str(i) for i in range(10)}
+        names = _get(srv.port, "/api/v1/label/__name__/values")
+        assert "click" in names["data"]
+        m = urllib.parse.quote('click{cohort="3"}')
+        series = _get(srv.port, f"/api/v1/series?match[]={m}")
+        assert series["data"] and all(
+            s["__name__"] == "click" and s["cohort"] == "3"
+            for s in series["data"]
+        )
+    finally:
+        srv.stop()
