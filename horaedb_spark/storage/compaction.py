@@ -63,6 +63,55 @@ class CompactionTask:
         return not self.inputs and not self.expired
 
 
+def pick_all_candidates(
+    ssts: list[SstFile],
+    segment_duration_ms: int,
+    config: SchedulerConfig,
+    now_ms: int | None = None,
+) -> list[CompactionTask]:
+    """Every segment's pick in one pass — the cluster-scale complement of
+    ``pick_candidate`` (which returns only the newest eligible segment, as
+    the reference's single-node picker does): at 100 TB each segment
+    compacts independently, so the scheduler can submit one Spark job per
+    task concurrently (``Compactor.run_all``). Expired files ride on the
+    first task (or form an expiry-only task when nothing else picks)."""
+    now_ms = now_ms if now_ms is not None else int(time.time() * 1000)
+    expired: list[SstFile] = []
+    candidates: list[SstFile] = []
+    for sst in ssts:
+        if sst.in_compaction:
+            continue
+        if config.ttl_ms is not None and sst.is_expired(now_ms - config.ttl_ms):
+            expired.append(sst)
+        else:
+            candidates.append(sst)
+    by_segment: dict[int, list[SstFile]] = {}
+    for sst in candidates:
+        seg = truncate_by(sst.time_range.start, segment_duration_ms)
+        by_segment.setdefault(seg, []).append(sst)
+    max_total = config.new_sst_max_size * config.memory_estimate_factor
+    tasks: list[CompactionTask] = []
+    for seg in sorted(by_segment, reverse=True):
+        files = sorted(by_segment[seg], key=lambda s: s.size_bytes)
+        picked: list[SstFile] = []
+        total = 0
+        for sst in files:
+            if len(picked) >= config.input_sst_max_num:
+                break
+            if total + sst.size_bytes > max_total and picked:
+                break
+            picked.append(sst)
+            total += sst.size_bytes
+        if len(picked) >= config.input_sst_min_num:
+            tasks.append(CompactionTask(inputs=picked))
+    if expired:
+        if tasks:
+            tasks[0].expired = expired
+        else:
+            tasks.append(CompactionTask(expired=expired))
+    return tasks
+
+
 def pick_candidate(
     ssts: list[SstFile],
     segment_duration_ms: int,
@@ -229,6 +278,41 @@ class Compactor:
         self._wake_evt.set()
         self._thread.join(timeout=30)
         self._thread = None
+
+    def run_all(
+        self, parallelism: int = 4, now_ms: int | None = None
+    ) -> list[SstFile]:
+        """Compact EVERY eligible segment, ``parallelism`` tasks at a time —
+        the cluster-scale OPTIMIZE job: each task is an independent Spark
+        job (Spark schedules concurrent jobs from separate threads across
+        the executor pool), the CAS manifest serializes the metadata
+        commits, and the memory gate still bounds admitted work. Returns
+        the new SSTs."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        tasks = pick_all_candidates(
+            self.table.manifest.all_ssts(),
+            self.table.segment_duration_ms,
+            self.config,
+            now_ms,
+        )
+        if not tasks:
+            return []
+        written: list[SstFile] = []
+
+        def run(task: CompactionTask) -> SstFile | None:
+            if not self.try_acquire_memory(task):
+                return None  # over budget this cycle; next run_all re-picks
+            try:
+                return self.execute(task)
+            finally:
+                self.release_memory(task)
+
+        with ThreadPoolExecutor(max_workers=max(1, parallelism)) as pool:
+            for out in pool.map(run, tasks):
+                if out is not None:
+                    written.append(out)
+        return written
 
     def run_once(self, now_ms: int | None = None) -> SstFile | None:
         """One picker+executor cycle; returns the new SST if one was written.

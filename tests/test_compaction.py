@@ -195,3 +195,53 @@ def test_queue_drain_executes_pending(spark, tmp_path):
     assert len(written) == 1
     assert len(t.manifest.all_ssts()) == 1
     assert [tuple(r) for r in t.scan().collect()] == [(1, 1, 3)]
+
+
+def test_run_all_compacts_every_segment_in_parallel(spark, tmp_path):
+    """pick_all_candidates + thread-pooled execute: every eligible segment
+    compacts in one call, results identical to per-segment run_once."""
+    from tests.test_storage import TWO_HOURS, kv_schema
+
+    t = ColumnarTable(spark, str(tmp_path / "ra"), kv_schema(), TWO_HOURS)
+    mk = lambda rows: spark.createDataFrame(rows, "pk1 long, pk2 long, value long")
+    for seg in range(3):
+        base = seg * TWO_HOURS
+        for i in range(3):
+            t.write(
+                WriteRequest(
+                    mk([(seg * 10 + i, i, i)]), TimeRange(base, base + 100)
+                )
+            )
+    assert len(t.manifest.all_ssts()) == 9
+    before = sorted(tuple(r) for r in t.scan().collect())
+    outs = Compactor(t, SchedulerConfig(input_sst_min_num=2)).run_all(
+        parallelism=3
+    )
+    assert len(outs) == 3  # one merged SST per segment
+    assert len(t.manifest.all_ssts()) == 3
+    assert sorted(tuple(r) for r in t.scan().collect()) == before
+
+
+def test_pick_all_candidates_carries_expired(spark, tmp_path):
+    from tests.test_storage import TWO_HOURS, kv_schema
+    from horaedb_spark.storage.compaction import pick_all_candidates
+
+    t = ColumnarTable(spark, str(tmp_path / "pe"), kv_schema(), TWO_HOURS)
+    mk = lambda rows: spark.createDataFrame(rows, "pk1 long, pk2 long, value long")
+    t.write(WriteRequest(mk([(1, 1, 1)]), TimeRange(0, 100)))  # old -> expired
+    now = 10 * TWO_HOURS
+    for i in range(2):
+        t.write(
+            WriteRequest(
+                mk([(2 + i, 2, 2)]), TimeRange(now - 100, now)
+            )
+        )
+    cfg = SchedulerConfig(input_sst_min_num=2, ttl_ms=TWO_HOURS)
+    tasks = pick_all_candidates(
+        t.manifest.all_ssts(), TWO_HOURS, cfg, now_ms=now
+    )
+    assert len(tasks) == 1
+    assert len(tasks[0].inputs) == 2 and len(tasks[0].expired) == 1
+    out = Compactor(t, cfg).execute(tasks[0])
+    assert out is not None
+    assert sorted(r.pk1 for r in t.scan().collect()) == [2, 3]  # expired gone
