@@ -246,3 +246,32 @@ def test_set_ops_partition_left_vector(spark, eng):
     assert ka | ku == kl and not (ka & ku)  # and/unless partition the left
     o = promql_eval(eng, f"{l} or {r}", DAY)
     assert keys(o) >= kl  # or keeps every left row
+
+
+def test_compiled_plans_stay_jvm_side(spark, eng):
+    """String-compiled plans must stay in whole-stage codegen: no Python
+    evaluation anywhere (the compiler only composes built-in expressions)."""
+    from tests.test_plans import plan_of
+
+    for q in [
+        "sum by (cohort) (rate(click[1d]))",
+        "histogram_quantile(0.9, sum by (le) (rate(click_bucket[1d])))"
+        .replace("click_bucket", "click"),  # le-less but plan shape holds
+        "min_over_time((sum by (cohort) (rate(click[1d])))[4d:1d])",
+        "sum by (cohort) (rate(error[1d])) / sum by (cohort) (rate(click[1d]))",
+    ]:
+        p = plan_of(promql_eval(eng, q, DAY))
+        assert "Python" not in p, (q, p[:2000])
+        assert "BatchEvalPython" not in p, q
+
+
+def test_matcher_selection_broadcasts_tsids(spark, eng):
+    """The resolved TSID set must broadcast onto the data table — the scan
+    stays shuffle-free for candidate selection (engine.py D3 contract,
+    preserved through the string path)."""
+    from tests.test_plans import plan_of
+
+    p = plan_of(
+        promql_eval(eng, 'sum by (cohort) (rate(click{cohort=~"[0-3]"}[1d]))', DAY)
+    )
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p, p[:2500]
