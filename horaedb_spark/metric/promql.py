@@ -24,14 +24,17 @@ Supported surface (everything the operator layer implements):
 - subqueries ``expr[range:step]`` feeding an outer ``*_over_time``;
 - scalar arithmetic (``expr * 60``, ``1 - expr``) and the scalar math
   functions (abs/ceil/floor/sqrt/exp/ln/log2/log10, clamp_min/clamp_max);
-- vector-vector binary operators with one-to-one matching: arithmetic
-  (``+ - * / %``), comparisons (filter semantics, ``bool`` modifier), the
-  set operators ``and/or/unless``, and the ``on (...)`` / ``ignoring
-  (...)`` matching modifiers — with PromQL's precedence ladder
-  (``* / %`` > ``+ -`` > comparisons > set ops).
+- vector-vector binary operators: arithmetic (``+ - * / %``), comparisons
+  (filter semantics, ``bool`` modifier), the set operators
+  ``and/or/unless``, the ``on (...)`` / ``ignoring (...)`` matching
+  modifiers, and bare ``group_left``/``group_right`` many-to-one matching
+  (the result keeps the many side's full label set) — with PromQL's
+  precedence ladder (``* / %`` > ``+ -`` > comparisons > set ops).
 
-Not supported (documented): ``group_left``/``group_right`` many-to-one
-matching and ``@`` modifiers.
+Not supported (documented): ``group_left(label, ...)`` label copying from
+the one side, ``@`` modifiers, and cardinality VALIDATION of one-to-one
+matches (PromQL errors at runtime on many-to-one without a group
+modifier; here the join simply produces the pairs).
 
 Evaluation model: every vector expression compiles to a frame with columns
 ``(series_key string, ts_ms long, value double)`` where ``series_key`` is
@@ -94,6 +97,7 @@ class BinOp:
     on: tuple[str, ...] | None = None        # on (labels) matching
     ignoring: tuple[str, ...] | None = None  # ignoring (labels) matching
     bool_mode: bool = False                  # comparison `bool` modifier
+    group: str | None = None                 # "left" | "right" many-to-one
 
 
 @dataclass(frozen=True)
@@ -202,18 +206,29 @@ _SET_OPS = ("and", "or", "unless")
 
 
 def _parse_match_mod(lx: _Lexer):
-    """Optional ``on (labels)`` / ``ignoring (labels)`` after an operator."""
+    """Optional ``on (labels)`` / ``ignoring (labels)`` then optional
+    ``group_left`` / ``group_right`` after an operator. Returns
+    (on, ignoring, group)."""
     k, v = lx.peek()
+    on = ig = group = None
     if k == "IDENT" and v in ("on", "ignoring"):
         kind = lx.next()[1]
         labels = _parse_grouping(lx)
+        if kind == "on":
+            on = labels
+        else:
+            ig = labels
         nk, nv = lx.peek()
         if nk == "IDENT" and nv in ("group_left", "group_right"):
-            raise PromQLError(
-                "group_left/group_right many-to-one matching is not supported"
-            )
-        return (labels, None) if kind == "on" else (None, labels)
-    return None, None
+            group = lx.next()[1].removeprefix("group_")
+            if lx.peek() == ("OP", "("):
+                extra = _parse_grouping(lx)
+                if extra:
+                    raise PromQLError(
+                        "group_left/group_right label copying is not "
+                        "supported (use a bare group_left/group_right)"
+                    )
+    return on, ig, group
 
 
 def _parse_expr(lx: _Lexer):
@@ -221,7 +236,9 @@ def _parse_expr(lx: _Lexer):
     node = _parse_compare(lx)
     while lx.peek()[0] == "IDENT" and lx.peek()[1] in _SET_OPS:
         op = lx.next()[1]
-        on, ig = _parse_match_mod(lx)
+        on, ig, group = _parse_match_mod(lx)
+        if group:
+            raise PromQLError(f"{op} does not take group_{group}")
         node = BinOp(op, node, _parse_compare(lx), on, ig)
     return node
 
@@ -234,8 +251,8 @@ def _parse_compare(lx: _Lexer):
         if lx.peek() == ("IDENT", "bool"):
             lx.next()
             bool_mode = True
-        on, ig = _parse_match_mod(lx)
-        node = BinOp(op, node, _parse_sum(lx), on, ig, bool_mode)
+        on, ig, group = _parse_match_mod(lx)
+        node = BinOp(op, node, _parse_sum(lx), on, ig, bool_mode, group)
     return node
 
 
@@ -243,8 +260,8 @@ def _parse_sum(lx: _Lexer):
     node = _parse_term(lx)
     while lx.peek() == ("OP", "+") or lx.peek() == ("OP", "-"):
         op = lx.next()[1]
-        on, ig = _parse_match_mod(lx)
-        node = BinOp(op, node, _parse_term(lx), on, ig)
+        on, ig, group = _parse_match_mod(lx)
+        node = BinOp(op, node, _parse_term(lx), on, ig, False, group)
     return node
 
 
@@ -252,8 +269,8 @@ def _parse_term(lx: _Lexer):
     node = _parse_postfix(lx)
     while lx.peek()[0] == "OP" and lx.peek()[1] in ("*", "/", "%"):
         op = lx.next()[1]
-        on, ig = _parse_match_mod(lx)
-        node = BinOp(op, node, _parse_postfix(lx), on, ig)
+        on, ig, group = _parse_match_mod(lx)
+        node = BinOp(op, node, _parse_postfix(lx), on, ig, False, group)
     return node
 
 
@@ -785,12 +802,20 @@ class PromQLCompiler:
             mk.alias("__mk__"), "ts_ms", F.col("value").alias("__lv__"),
             "series_key",
         )
-        rf = rhs.select(mk.alias("__mk__"), "ts_ms", F.col("value").alias("__rv__"))
-        out_key = (
-            F.col("series_key")
-            if node.on is None and node.ignoring is None
-            else F.col("__mk__")
+        rf = rhs.select(
+            mk.alias("__mk__"), "ts_ms", F.col("value").alias("__rv__"),
+            F.col("series_key").alias("__rkey__"),
         )
+        # one-to-one keeps the (shared) full label set; on/ignoring narrows
+        # to the match key; group_left/right keeps the MANY side's labels
+        if node.group == "left":
+            out_key = F.col("series_key")  # lf carries the left labels
+        elif node.group == "right":
+            out_key = F.col("__rkey__")
+        elif node.on is None and node.ignoring is None:
+            out_key = F.col("series_key")
+        else:
+            out_key = F.col("__mk__")
         joined = lf.join(rf, ["__mk__", "ts_ms"])
         if node.op in comps:
             cond = comps[node.op](F.col("__lv__"), F.col("__rv__"))

@@ -98,6 +98,10 @@ _Q10 = "sum by (cohort) (click)"
 _Q11 = 'predict_linear(click{cohort="3"}[1d], 3600)'
 _Q12 = ('label_replace(sum by (cohort) (rate(click[1d])), '
         '"env", "prod-$1", "cohort", "([0-4])")')
+_Q13 = (
+    "sum by (cohort,user) (rate(error[1d])) "
+    "/ on(cohort) group_left sum by (cohort) (rate(error[1d]))"
+)
 
 # DuckDB replicas. Shared rate-per-series CTE over the deduped samples;
 # floor(x*1e6+0.5)/1e6 is the cross-engine rounding convention.
@@ -343,6 +347,22 @@ _ORACLE = (
                   ELSE 'cohort=' || cohort END AS series_key,
              ts_ms, floor(v * 1000000 + 0.5) / 1000000 AS value
       FROM s5
+    ),
+    eu13 AS (
+      SELECT cohort, user_label, bucket_ms AS ts_ms,
+             CAST(sum(CAST(r AS DECIMAL(30,10))) AS DOUBLE) AS v
+      FROM rate_s WHERE name = 'error' GROUP BY 1, 2, 3
+    ),
+    ec13 AS (
+      SELECT cohort, bucket_ms AS ts_ms,
+             CAST(sum(CAST(r AS DECIMAL(30,10))) AS DOUBLE) AS v
+      FROM rate_s WHERE name = 'error' GROUP BY 1, 2
+    ),
+    q13 AS (
+      SELECT 'q13' AS query_id,
+             'cohort=' || u.cohort || ',user=' || u.user_label AS series_key,
+             u.ts_ms, floor((u.v / c.v) * 1000000 + 0.5) / 1000000 AS value
+      FROM eu13 u JOIN ec13 c ON c.cohort = u.cohort AND c.ts_ms = u.ts_ms
     )
     SELECT * FROM (
       SELECT * FROM q1 UNION ALL SELECT * FROM q2 UNION ALL
@@ -351,7 +371,8 @@ _ORACLE = (
       SELECT * FROM q6 UNION ALL
       SELECT * FROM q7 UNION ALL SELECT * FROM q8 UNION ALL
       SELECT * FROM q9 UNION ALL SELECT * FROM q10 UNION ALL
-      SELECT * FROM q11 UNION ALL SELECT * FROM q12
+      SELECT * FROM q11 UNION ALL SELECT * FROM q12 UNION ALL
+      SELECT * FROM q13
     ) ORDER BY query_id, series_key, ts_ms
     """
 )
@@ -359,7 +380,7 @@ _ORACLE = (
 
 @register("promql_parse_eval", oracle=_ORACLE)
 def promql_parse_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Twelve PromQL strings -> parser -> compiler -> engine, all rows
+    """Thirteen PromQL strings -> parser -> compiler -> engine, all rows
     hash-gated against DuckDB replicas (see module docstring). The string
     path exercises matchers, range functions (aligned + sliding), offset,
     by-aggregation, topk, a subquery, scalar arithmetic, and the RFC
@@ -380,6 +401,7 @@ def promql_parse_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("q10", eng, _Q10),
         ("q11", eng, _Q11),
         ("q12", eng, _Q12),
+        ("q13", eng, _Q13),
     ]:
         out = promql_eval(engine, q, DAY_MS)
         parts.append(

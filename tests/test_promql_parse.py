@@ -182,10 +182,33 @@ def test_topk_is_k_per_timestamp(spark, eng):
 
 
 def test_unsupported_surfaces_raise(spark, eng):
-    with pytest.raises(PromQLError, match="group_left"):
-        parse_promql("a / on(x) group_left b")
+    with pytest.raises(PromQLError, match="label copying"):
+        parse_promql("a / on(x) group_left(foo) b")
     with pytest.raises(PromQLError, match="range"):
         promql_eval(eng, "rate(click[36h])", DAY)  # not a multiple of step
+
+
+def test_group_left_keeps_many_side_labels(spark, eng):
+    """error share per (cohort,user) series against the per-cohort total:
+    many-to-one with group_left keeps the many side's full label set."""
+    q = (
+        "sum by (cohort,user) (rate(error[1d])) "
+        "/ on(cohort) group_left sum by (cohort) (rate(error[1d]))"
+    )
+    out = promql_eval(eng, q, DAY)
+    rows = out.collect()
+    assert rows and all("user=" in r.series_key for r in rows)
+    num = promql_eval(eng, "sum by (cohort,user) (rate(error[1d]))", DAY)
+    den = promql_eval(eng, "sum by (cohort) (rate(error[1d]))", DAY)
+    n = {(r.series_key, r.ts_ms): r.value for r in num.collect()}
+    d = {(r.series_key, r.ts_ms): r.value for r in den.collect()}
+    got = {(r.series_key, r.ts_ms): r.value for r in rows}
+    import re as _re
+
+    for (key, ts), v in got.items():
+        cohort = _re.search(r"cohort=(\d+)", key).group(1)
+        expect = n[(key, ts)] / d[(f"cohort={cohort}", ts)]
+        assert math.isclose(v, expect, rel_tol=1e-12)
 
 
 def test_instant_selector_matches_instant_vector(spark, eng):
