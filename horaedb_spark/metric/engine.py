@@ -120,6 +120,17 @@ class MetricEngine:
             tsids = tsids.join(idx.filter(c).select("tsid"), "tsid", "left_anti")
         return tsids
 
+    def promql(
+        self, query: str, step_ms: int, lookback_ms: int | None = None
+    ) -> DataFrame:
+        """Evaluate a PromQL STRING at the given step resolution — the
+        RFC's text-query contract (20220702-prometheus-read-extension.md)
+        through the parser/compiler in ``metric/promql.py``. Returns
+        (series_key, ts_ms, value)."""
+        from horaedb_spark.metric.promql import PromQLCompiler
+
+        return PromQLCompiler(self, step_ms, lookback_ms).compile(query)
+
     def select_series(
         self,
         metric: str,

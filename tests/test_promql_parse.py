@@ -298,3 +298,9 @@ def test_matcher_selection_broadcasts_tsids(spark, eng):
         promql_eval(eng, 'sum by (cohort) (rate(click{cohort=~"[0-3]"}[1d]))', DAY)
     )
     assert "BroadcastHashJoin" in p and "LeftSemi" in p, p[:2500]
+
+
+def test_engine_promql_method(spark, eng):
+    a = eng.promql("sum by (cohort) (rate(click[1d]))", DAY)
+    b = promql_eval(eng, "sum by (cohort) (rate(click[1d]))", DAY)
+    assert _rows(a) == _rows(b)
