@@ -511,3 +511,93 @@ def streaming_promql_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("series_key", "ts_ms")
     return _STREAM_CACHE[key]
 
+@register(
+    "promql_recording_rules",
+    oracle=_DEDUP_CTE
+    + f"""
+    , rr AS (
+      SELECT name, user_label, cohort,
+             ts_ms - ts_ms % {DAY_MS} AS bucket_ms,
+             arg_max(value, ts_ms) AS v_last, arg_min(value, ts_ms) AS v_first,
+             max(ts_ms) AS t_last, min(ts_ms) AS t_first, count(*) AS n
+      FROM samples GROUP BY 1, 2, 3, 4
+    ), rs AS (
+      SELECT name, cohort, bucket_ms,
+             (v_last - v_first) / ((t_last - t_first) / 1000.0) AS r
+      FROM rr WHERE n >= 2 AND t_last > t_first
+    ), click_s AS (
+      SELECT cohort, bucket_ms,
+             CAST(sum(CAST(r AS DECIMAL(30,10))) AS DOUBLE) AS v
+      FROM rs WHERE name = 'click' GROUP BY 1, 2
+    ), err_s AS (
+      SELECT cohort, bucket_ms,
+             CAST(sum(CAST(r AS DECIMAL(30,10))) AS DOUBLE) AS v
+      FROM rs WHERE name = 'error' GROUP BY 1, 2
+    )
+    SELECT name, series_key, ts_ms,
+           floor(value * 1000000 + 0.5) / 1000000 AS value
+    FROM (
+      SELECT 'cohort:click:rate1d' AS name, 'cohort=' || cohort AS series_key,
+             bucket_ms AS ts_ms, v AS value
+      FROM click_s
+      UNION ALL
+      SELECT 'cohort:error_click:ratio1d', 'cohort=' || e.cohort,
+             e.bucket_ms, e.v / c.v
+      FROM err_s e JOIN click_s c
+        ON c.cohort = e.cohort AND c.bucket_ms = e.bucket_ms
+    ) ORDER BY name, series_key, ts_ms
+    """,
+)
+def promql_recording_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus recording rules over the engine: two rules — a per-cohort
+    click rate and the error/click ratio (a vector-vector string) — are
+    evaluated through the PromQL parser and PERSISTED as first-class series
+    in a (name, series_key, ts_ms)-keyed ColumnarTable via bulk_ingest.
+    Recording runs TWICE to prove idempotency (OVERWRITE merge: re-recorded
+    points overwrite, never duplicate); the scan of the recorded table must
+    equal the direct evaluation of both rules. Recorded names use the
+    Prometheus ``level:metric:operation`` convention and the table is
+    itself a valid sample store (rules compose via engine_over_records)."""
+    import tempfile
+
+    from horaedb_spark.metric.rules import (
+        RecordingRule,
+        RuleEvaluator,
+        rules_table_schema,
+    )
+    from horaedb_spark.storage.table import ColumnarTable
+
+    eng = _engine(spark, sf_dir)
+    table = ColumnarTable(
+        spark,
+        tempfile.mkdtemp(prefix="promql_rules_") + "/t",
+        rules_table_schema(),
+        15 * DAY_MS,
+    )
+    rules = [
+        RecordingRule(
+            "cohort:click:rate1d", "sum by (cohort) (rate(click[1d]))", DAY_MS
+        ),
+        RecordingRule(
+            "cohort:error_click:ratio1d",
+            "sum by (cohort) (rate(error[1d])) "
+            "/ sum by (cohort) (rate(click[1d]))",
+            DAY_MS,
+        ),
+    ]
+    ev = RuleEvaluator(eng, table)
+    ev.record(rules)
+    ev.record(rules)  # idempotent re-evaluation: overwrite, not duplicate
+    return (
+        table.scan()
+        .select(
+            "name",
+            "series_key",
+            "ts_ms",
+            (F.floor(F.col("value") * 1_000_000 + 0.5) / 1_000_000).alias(
+                "value"
+            ),
+        )
+        .orderBy("name", "series_key", "ts_ms")
+    )
+

@@ -304,3 +304,36 @@ def test_engine_promql_method(spark, eng):
     a = eng.promql("sum by (cohort) (rate(click[1d]))", DAY)
     b = promql_eval(eng, "sum by (cohort) (rate(click[1d]))", DAY)
     assert _rows(a) == _rows(b)
+
+
+def test_recording_rules_compose(spark, eng, tmp_path):
+    """A rule's output table is itself a sample store: a PromQL string over
+    engine_over_records() queries the recorded series like scraped ones."""
+    from horaedb_spark.metric.rules import (
+        RecordingRule,
+        RuleEvaluator,
+        rules_table_schema,
+    )
+    from horaedb_spark.storage.table import ColumnarTable
+
+    table = ColumnarTable(
+        spark, str(tmp_path / "rules"), rules_table_schema(), 15 * DAY
+    )
+    ev = RuleEvaluator(eng, table)
+    rule = RecordingRule(
+        "cohort:click:rate1d", "sum by (cohort) (rate(click[1d]))", DAY
+    )
+    n = ev.record([rule])
+    assert n > 0
+    n2 = ev.record([rule])  # idempotent: same points overwrite
+    assert n2 == n
+    direct = promql_eval(eng, "sum by (cohort) (rate(click[1d]))", DAY)
+    recorded_eng = ev.engine_over_records()
+    # query the RECORDED metric through the parser (max_over_time at the
+    # same step returns each recorded point unchanged)
+    served = promql_eval(
+        recorded_eng, "max_over_time(cohort:click:rate1d[1d])", DAY
+    )
+    d = {(r.series_key, r.ts_ms): round(r.value, 9) for r in direct.collect()}
+    g = {(r.series_key, r.ts_ms): round(r.value, 9) for r in served.collect()}
+    assert d == g
