@@ -212,3 +212,48 @@ def resize_media(
             )
 
     return cols.mapInPandas(run, RESIZED_SCHEMA)
+
+def perceptual_hash_bits(
+    media: DataFrame, id_col: str, text_col: str, cells: int = 16
+) -> DataFrame:
+    """Average-hash (aHash) over the deterministic fake decode: the payload
+    bytes fold into ``cells`` stride cells (the stand-in for an 8x8
+    grayscale thumbnail — a real deployment swaps the fake decode for a
+    codec + resize, the hash math is identical), each cell's mean compares
+    against the global mean of cell means -> one bit per cell.
+
+    Distributed shape: explode to (id, pos, code) rows, two key-partitioned
+    aggregates (per-cell mean, then per-id bit assembly) — all JVM-side
+    expressions, no UDF; the hash is exact-deterministic across engines
+    (integer sums, one double division, strict > comparison).
+    Returns (id_col, bits array<int> of length ``cells``)."""
+    codes = media.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length(text_col)),
+                lambda i: F.ascii(F.col(text_col).substr(i, F.lit(1))),
+            )
+        ).alias("pos", "code"),
+    )
+    per_cell = codes.groupBy(id_col, (F.col("pos") % cells).alias("cell")).agg(
+        F.sum("code").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_cell.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("cell", (F.col("s") / F.col("n")).alias("m"))
+                )
+            ).alias("cm"),
+            (F.sum("s") / F.sum("n")).alias("gm"),
+        )
+        .select(
+            id_col,
+            F.transform(
+                "cm", lambda x: F.when(x["m"] > F.col("gm"), 1).otherwise(0)
+            ).alias("bits"),
+        )
+    )
+

@@ -148,3 +148,123 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("digest", "n_copies", "survivor", "id_checksum")
         .orderBy("digest")
     )
+
+@register(
+    "multimodal_phash_near_dup",
+    # documents.text is ASCII (checked in multimodal_feature_extract), so
+    # ord(substring) enumerates the same bytes the engine hashes.
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' zz' FROM documents
+    ), cellcodes AS (
+      SELECT doc_id,
+             unnest([(p - 1) % 16 FOR p IN generate_series(1, length(text))])
+               AS cell,
+             unnest([ord(substring(text, CAST(p AS INT), 1))
+                     FOR p IN generate_series(1, length(text))]) AS code
+      FROM corpus
+    ), per_cell AS (
+      SELECT doc_id, cell, sum(code) AS s, count(*) AS n
+      FROM cellcodes GROUP BY 1, 2
+    ), hashes AS (
+      SELECT doc_id,
+             list(CASE WHEN m > gm THEN 1 ELSE 0 END ORDER BY cell) AS bits
+      FROM (
+        SELECT doc_id, cell, s * 1.0 / n AS m,
+               sum(s) OVER (PARTITION BY doc_id) * 1.0
+                 / sum(n) OVER (PARTITION BY doc_id) AS gm
+        FROM per_cell
+      ) GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, bits, b,
+             array_to_string(bits[b * 4 + 1 : b * 4 + 4], '') AS bkey
+      FROM hashes, (SELECT unnest(generate_series(0, 3)) AS b)
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+             a.bits AS ba, c.bits AS bb
+      FROM banded a JOIN banded c
+        ON a.b = c.b AND a.bkey = c.bkey AND a.doc_id < c.doc_id
+    ), ham AS (
+      SELECT id_a, id_b,
+             list_sum([abs(ba[i] - bb[i])
+                       FOR i IN generate_series(1, 16)]) AS distance
+      FROM pairs
+    )
+    SELECT CAST(distance AS BIGINT) AS distance,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(id_a + id_b) AS BIGINT) AS id_checksum
+    FROM ham WHERE distance <= 3
+    GROUP BY 1 ORDER BY distance
+    """,
+)
+def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection for media payloads: aHash
+    bits over the deterministic fake decode (byte stride cells standing in
+    for a resized grayscale thumbnail), 4-bit LSH bands bound the candidate
+    space, exact Hamming distance (<= 3) verifies — the image-dedup
+    pipeline stage with the codec swapped for the container-safe stub. A
+    perturbed copy of every document is planted; the banded join must
+    recover the low-distance pairs without any all-pairs comparison.
+    Output: pair count + id checksum per Hamming distance."""
+    from horaedb_spark.functions.multimodal import perceptual_hash_bits
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" zz")).alias("text"),
+    )
+    corpus = docs.unionByName(copies)
+    hashes = perceptual_hash_bits(corpus, "doc_id", "text", 16)
+    banded = hashes.select(
+        "doc_id",
+        "bits",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda b: F.struct(
+                    b.alias("b"),
+                    F.concat_ws(
+                        "", F.slice("bits", b * 4 + 1, 4)
+                    ).alias("bkey"),
+                ),
+            )
+        ).alias("bd"),
+    ).select("doc_id", "bits", F.col("bd.b").alias("b"), F.col("bd.bkey").alias("bkey"))
+    a, c = banded.alias("a"), banded.alias("c")
+    pairs = (
+        a.join(
+            c,
+            (F.col("a.b") == F.col("c.b"))
+            & (F.col("a.bkey") == F.col("c.bkey"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("c.doc_id").alias("id_b"),
+            F.col("a.bits").alias("ba"),
+            F.col("c.bits").alias("bb"),
+        )
+        .distinct()
+    )
+    ham = pairs.select(
+        "id_a",
+        "id_b",
+        F.aggregate(
+            F.zip_with("ba", "bb", lambda x, y: F.abs(x - y)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("distance"),
+    )
+    return (
+        ham.filter(F.col("distance") <= 3)
+        .groupBy("distance")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("id_a") + F.col("id_b")).cast("long").alias("id_checksum"),
+        )
+        .select(F.col("distance").cast("long"), "n_pairs", "id_checksum")
+        .orderBy("distance")
+    )
+
