@@ -96,3 +96,43 @@ class RuleEvaluator:
             F.lit(0).alias("seq"),
         )
         return MetricEngine(samples)
+
+@dataclass(frozen=True)
+class AlertingRule:
+    """``alert: <name>  expr: <promql>  for: <steps>`` — a series fires at
+    step t when the (typically comparison-filtered) expression returned it
+    at EVERY one of the last ``for_steps`` consecutive steps, Prometheus's
+    pending->firing semantics on the step grid."""
+
+    name: str
+    expr: str
+    step_ms: int
+    for_steps: int = 1
+
+
+def evaluate_alerts(source: MetricEngine, rule: AlertingRule) -> DataFrame:
+    """Firing rows (alertname, series_key, ts_ms, value). Consecutive-run
+    detection is the gaps-and-islands pattern: step_idx - row_number is
+    constant within a run of consecutive steps, one window per series —
+    no self-joins, engine-portable."""
+    from pyspark.sql.window import Window
+
+    out = source.promql(rule.expr, rule.step_ms)
+    w = Window.partitionBy("series_key").orderBy("ts_ms")
+    runs = out.withColumn(
+        "__grp__",
+        (F.col("ts_ms") / rule.step_ms).cast("long")
+        - F.row_number().over(w),
+    )
+    wr = Window.partitionBy("series_key", "__grp__").orderBy("ts_ms")
+    return (
+        runs.withColumn("__pos__", F.row_number().over(wr))
+        .filter(F.col("__pos__") >= rule.for_steps)
+        .select(
+            F.lit(rule.name).alias("alertname"),
+            "series_key",
+            "ts_ms",
+            "value",
+        )
+    )
+

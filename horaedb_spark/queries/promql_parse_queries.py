@@ -601,3 +601,69 @@ def promql_recording_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("name", "series_key", "ts_ms")
     )
 
+@register(
+    "promql_alerting_rules",
+    oracle=_DEDUP_CTE
+    + f"""
+    , ar AS (
+      SELECT name, user_label, cohort,
+             ts_ms - ts_ms % {DAY_MS} AS bucket_ms,
+             arg_max(value, ts_ms) AS v_last, arg_min(value, ts_ms) AS v_first,
+             max(ts_ms) AS t_last, min(ts_ms) AS t_first, count(*) AS n
+      FROM samples GROUP BY 1, 2, 3, 4
+    ), ars AS (
+      SELECT name, cohort, bucket_ms,
+             (v_last - v_first) / ((t_last - t_first) / 1000.0) AS r
+      FROM ar WHERE n >= 2 AND t_last > t_first
+    ), ratio AS (
+      SELECT e.cohort, e.bucket_ms, e.v / c.v AS value
+      FROM (SELECT cohort, bucket_ms,
+                   CAST(sum(CAST(r AS DECIMAL(30,10))) AS DOUBLE) AS v
+            FROM ars WHERE name = 'error' GROUP BY 1, 2) e
+      JOIN (SELECT cohort, bucket_ms,
+                   CAST(sum(CAST(r AS DECIMAL(30,10))) AS DOUBLE) AS v
+            FROM ars WHERE name = 'click' GROUP BY 1, 2) c
+        ON c.cohort = e.cohort AND c.bucket_ms = e.bucket_ms
+    ), hot AS (
+      SELECT cohort, bucket_ms, value,
+             bucket_ms // {DAY_MS}
+               - row_number() OVER (PARTITION BY cohort ORDER BY bucket_ms)
+               AS grp
+      FROM ratio WHERE value > 0.02
+    ), runs AS (
+      SELECT cohort, bucket_ms, value,
+             row_number() OVER (PARTITION BY cohort, grp ORDER BY bucket_ms)
+               AS pos
+      FROM hot
+    )
+    SELECT 'HighErrorRatio' AS alertname, 'cohort=' || cohort AS series_key,
+           bucket_ms AS ts_ms,
+           floor(value * 1000000 + 0.5) / 1000000 AS value
+    FROM runs WHERE pos >= 2
+    ORDER BY series_key, ts_ms
+    """,
+)
+def promql_alerting_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus alerting rules with `for:` duration: the error/click
+    ratio rule fires only after TWO consecutive steps above threshold
+    (pending -> firing on the step grid, gaps-and-islands run detection —
+    one window per series, no self-join). The expression is a full PromQL
+    string through the parser, threshold comparison included."""
+    from horaedb_spark.metric.rules import AlertingRule, evaluate_alerts
+
+    eng = _engine(spark, sf_dir)
+    rule = AlertingRule(
+        "HighErrorRatio",
+        "sum by (cohort) (rate(error[1d])) "
+        "/ sum by (cohort) (rate(click[1d])) > 0.02",
+        DAY_MS,
+        for_steps=2,
+    )
+    out = evaluate_alerts(eng, rule)
+    return out.select(
+        "alertname",
+        "series_key",
+        "ts_ms",
+        (F.floor(F.col("value") * 1_000_000 + 0.5) / 1_000_000).alias("value"),
+    ).orderBy("series_key", "ts_ms")
+
