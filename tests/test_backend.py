@@ -193,3 +193,36 @@ def test_concurrent_write_and_compact_tables(spark, tmp_path, backend_cls):
     ta.write(WriteRequest(_mk(spark, [(9, 9, 9)]), TimeRange(100, 200)))
     final = ColumnarTable(spark, root, kv_schema(), TWO_HOURS, backend=backend_cls())
     assert sorted(r.pk1 for r in final.scan().collect()) == [0, 1, 2, 3, 9]
+
+
+def test_two_processes_append_one_manifest(tmp_path):
+    """TRUE cross-process coordination (not just threads): a child Python
+    process appends SSTs to the same manifest root while the parent
+    appends — the conditional-put delta log must keep every entry from
+    both drivers."""
+    import subprocess
+    import sys
+
+    root = str(tmp_path / "xp")
+    Manifest(root)  # create the layout
+    child_code = f"""
+import sys; sys.path.insert(0, "/root/repo")
+from horaedb_spark.core.timeutil import TimeRange
+from horaedb_spark.storage.manifest import Manifest, SstFile
+m = Manifest({root!r}, merge_soft_threshold=5)
+for i in range(1000, 1030):
+    m.update([SstFile(i, f"/fake/{{i}}", TimeRange(0, 100), i, 1, 1)], [])
+print("child done")
+"""
+    proc = subprocess.Popen(
+        [sys.executable, "-c", child_code],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+    )
+    parent = Manifest(root, merge_soft_threshold=5)
+    for i in range(30):
+        parent.update([_sst(i)], [])
+    out, err = proc.communicate(timeout=120)
+    assert proc.returncode == 0, err.decode()[:2000]
+    final = Manifest(root)
+    got = {s.file_id for s in final.all_ssts()}
+    assert got == set(range(30)) | set(range(1000, 1030))
