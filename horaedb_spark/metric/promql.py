@@ -31,10 +31,13 @@ Supported surface (everything the operator layer implements):
   (the result keeps the many side's full label set) — with PromQL's
   precedence ladder (``* / %`` > ``+ -`` > comparisons > set ops).
 
+- the ``@ <unix_seconds>`` evaluation pin on selectors and subqueries
+  (keeps the aligned step containing the pinned instant).
+
 Not supported (documented): ``group_left(label, ...)`` label copying from
-the one side, ``@`` modifiers, and cardinality VALIDATION of one-to-one
-matches (PromQL errors at runtime on many-to-one without a group
-modifier; here the join simply produces the pairs).
+the one side, and cardinality VALIDATION of one-to-one matches (PromQL
+errors at runtime on many-to-one without a group modifier; here the join
+simply produces the pairs).
 
 Evaluation model: every vector expression compiles to a frame with columns
 ``(series_key string, ts_ms long, value double)`` where ``series_key`` is
@@ -65,6 +68,7 @@ class Selector:
     matchers: tuple[Matcher, ...] = ()
     range_ms: int | None = None
     offset_ms: int = 0
+    at_ms: int | None = None  # @ <unix_seconds> evaluation pin
 
 
 @dataclass(frozen=True)
@@ -72,6 +76,7 @@ class Subquery:
     expr: object
     range_ms: int
     step_ms: int
+    at_ms: int | None = None  # @ <unix_seconds> evaluation pin
 
 
 @dataclass(frozen=True)
@@ -118,7 +123,7 @@ _TOKEN_RE = re.compile(
      |(?P<NUMBER>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?|\.\d+)
      |(?P<IDENT>[A-Za-z_][A-Za-z0-9_:]*)
      |(?P<STRING>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
-     |(?P<OP>=~|!~|!=|==|>=|<=|>|<|=|\{|\}|\(|\)|\[|\]|,|:|\+|-|\*|/|%)
+     |(?P<OP>=~|!~|!=|==|>=|<=|>|<|=|\{|\}|\(|\)|\[|\]|,|:|\+|-|\*|/|%|@)
     )""",
     re.X,
 )
@@ -297,7 +302,18 @@ def _parse_postfix(lx: _Lexer):
             off = _duration_ms(lx.expect("DURATION"))
             if not isinstance(node, Selector):
                 raise PromQLError("offset only applies to a selector")
-            node = Selector(node.name, node.matchers, node.range_ms, off)
+            node = Selector(node.name, node.matchers, node.range_ms, off, node.at_ms)
+        elif (k, v) == ("OP", "@"):
+            lx.next()
+            at_ms = int(float(lx.expect("NUMBER")) * 1000)
+            if isinstance(node, Selector):
+                node = Selector(
+                    node.name, node.matchers, node.range_ms, node.offset_ms, at_ms
+                )
+            elif isinstance(node, Subquery):
+                node = Subquery(node.expr, node.range_ms, node.step_ms, at_ms)
+            else:
+                raise PromQLError("@ applies to selectors and subqueries")
         else:
             return node
 
@@ -468,8 +484,11 @@ class PromQLCompiler:
             out = P.instant_vector(
                 self._samples(node), ["series_key"], self.step_ms, self.lookback_ms
             )
-            return out.select(
-                "series_key", F.col("step_ms").alias("ts_ms"), "value"
+            return self._apply_at(
+                out.select(
+                    "series_key", F.col("step_ms").alias("ts_ms"), "value"
+                ),
+                node.at_ms,
             )
         raise PromQLError(f"cannot evaluate {node!r}")
 
@@ -482,24 +501,43 @@ class PromQLCompiler:
             df = df.withColumn("ts_ms", F.col("ts_ms") + F.lit(sel.offset_ms))
         return df.select("series_key", "ts_ms", "value")
 
-    def _range_input(self, node) -> tuple[DataFrame, int]:
+    def _range_input(self, node) -> tuple[DataFrame, int, int | None]:
         """A range-function argument: a range selector or a subquery.
-        Returns (sample-shaped frame, range_ms)."""
+        Returns (sample-shaped frame, range_ms, at_ms pin or None)."""
         if isinstance(node, Selector):
             if node.range_ms is None:
                 raise PromQLError("range function needs a [range] selector")
-            return self._samples(node), node.range_ms
+            return self._samples(node), node.range_ms, node.at_ms
         if isinstance(node, Subquery):
             inner = PromQLCompiler(self.engine, node.step_ms)._eval(node.expr)
             if not isinstance(inner, DataFrame):
                 raise PromQLError("subquery body must be a vector")
-            return inner.select("series_key", "ts_ms", "value"), node.range_ms
+            return (
+                inner.select("series_key", "ts_ms", "value"),
+                node.range_ms,
+                node.at_ms,
+            )
         raise PromQLError("range function needs a [range] selector/subquery")
+
+    def _apply_at(self, df: DataFrame, at_ms: int | None) -> DataFrame:
+        """``@`` evaluation pin: keep only the aligned step containing the
+        pinned timestamp (Prometheus evaluates the whole query at that
+        instant; on the step grid that is the one matching evaluation)."""
+        if at_ms is None:
+            return df
+        aligned = at_ms - at_ms % self.step_ms
+        return df.filter(F.col("ts_ms") == aligned)
 
     def _call(self, node: Call):
         fn = node.fn
         if fn in RANGE_FNS:
-            return self._range_fn(node)
+            at_ms = None
+            arg0 = node.args[0] if node.args else None
+            if fn == "quantile_over_time" and len(node.args) > 1:
+                arg0 = node.args[1]
+            if isinstance(arg0, (Selector, Subquery)):
+                at_ms = arg0.at_ms
+            return self._apply_at(self._range_fn(node), at_ms)
         if fn == "histogram_quantile":
             q = node.args[0]
             if not isinstance(q, Number):
@@ -555,7 +593,7 @@ class PromQLCompiler:
             if not args or not isinstance(args[0], Number):
                 raise PromQLError("quantile_over_time needs a literal q")
             q = args.pop(0).value
-        df, range_ms = self._range_input(args[0])
+        df, range_ms, at_ms = self._range_input(args[0])
         step = self.step_ms
         sliding = range_ms != step
         if sliding and (range_ms % step != 0 or range_ms < step):

@@ -337,3 +337,18 @@ def test_recording_rules_compose(spark, eng, tmp_path):
     d = {(r.series_key, r.ts_ms): round(r.value, 9) for r in direct.collect()}
     g = {(r.series_key, r.ts_ms): round(r.value, 9) for r in served.collect()}
     assert d == g
+
+
+def test_at_modifier_pins_one_step(spark, eng):
+    base = promql_eval(eng, "sum by (cohort) (rate(click[1d]))", DAY)
+    rows = base.collect()
+    assert rows
+    pin_ts = sorted({r.ts_ms for r in rows})[1]
+    pinned = promql_eval(
+        eng, f"sum by (cohort) (rate(click[1d] @ {pin_ts // 1000}))", DAY
+    )
+    got = {(r.series_key, r.ts_ms): r.value for r in pinned.collect()}
+    want = {
+        (r.series_key, r.ts_ms): r.value for r in rows if r.ts_ms == pin_ts
+    }
+    assert got == want
