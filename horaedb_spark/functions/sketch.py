@@ -78,3 +78,78 @@ def cm_estimate(candidates: DataFrame, sketch: DataFrame, item_col: str) -> Data
         .groupBy(item_col)
         .agg(F.min("c").alias("est"))
     )
+
+# ------------------------------------------------------------- HyperLogLog
+
+HLL_M = 64  # registers (2^6); standard error ~ 1.04/sqrt(64) = 13%
+
+
+def hll_register_rank(item: Column) -> tuple[Column, Column]:
+    """(register, rank) of an item for a deterministic 64-register HLL:
+    register = first md5 byte mod 64; rank = 1 + leading zeros of the next
+    48 hash bits. The rank uses INTEGER arithmetic only — ``bin(v)`` strips
+    leading zeros, so ``49 - length(bin(v))`` is the leading-zero count +1,
+    identical in Spark and DuckDB (no float log2 boundary ambiguity)."""
+    h = F.md5(item.cast("string"))
+    reg = F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % HLL_M
+    v = F.conv(F.substring(h, 3, 12), 16, 10).cast("long")  # 48 bits
+    rank = F.when(v == 0, F.lit(49)).otherwise(49 - F.length(F.bin(v)))
+    return reg, rank
+
+
+def hll_distinct(df: DataFrame, group_cols: list[str], item: Column) -> DataFrame:
+    """Mergeable approximate distinct count per group — the cardinality
+    sketch a 1000-executor deployment keeps per partition and ORs together:
+    one hash aggregate (max rank per (group, register); map-side partial max
+    IS the register merge) + one per-group fold. Deterministic md5 hashing
+    makes the estimate a pure function of the data set, so the SQL oracle
+    replays it bit-for-bit instead of settling for an error band. Returns
+    (group_cols, n_registers, rank_checksum, hll_estimate)."""
+    reg, rank = hll_register_rank(item)
+    regs = (
+        df.select(*group_cols, reg.alias("reg"), rank.alias("rank"))
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rank").alias("mx"))
+    )
+    # alpha_64 * m^2 / (sum 2^-M_j + zeros), with the standard small-range
+    # linear-counting correction. The harmonic denominator is computed as
+    # the EXACT integer sum of 2^(49-rank) (max rank 49, 64 terms < 2^55
+    # — fits a long with no rounding), so the estimate is one double
+    # division of exact integers: bit-identical on any engine and any
+    # aggregation order, unlike a float sum of 2^-rank terms.
+    alpha_m2 = F.lit(0.709 * HLL_M * HLL_M)
+    scale = F.lit(float(1 << 49))
+    raw = alpha_m2 * scale / F.col("scaled_denom").cast("double")
+    return (
+        regs.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_used"),
+            F.sum("mx").cast("long").alias("rank_checksum"),
+            # pow(2, k) is exact for k in 0..49; cast long loses nothing
+            F.sum(
+                F.pow(F.lit(2.0), (49 - F.col("mx")).cast("double")).cast("long")
+            )
+            .cast("long")
+            .alias("used_denom"),
+        )
+        .withColumn(
+            "scaled_denom",
+            F.col("used_denom")
+            + (HLL_M - F.col("n_used")).cast("long") * F.lit(1 << 49).cast("long"),
+        )
+        .select(
+            *group_cols,
+            F.lit(HLL_M).alias("n_registers"),
+            "rank_checksum",
+            F.round(
+                F.when(
+                    # small-range correction: zero registers present
+                    (F.col("n_used") < HLL_M) & (raw <= 2.5 * HLL_M),
+                    F.lit(float(HLL_M))
+                    * F.log(F.lit(float(HLL_M)) / (HLL_M - F.col("n_used"))),
+                ).otherwise(raw),
+                6,
+            ).alias("hll_estimate"),
+        )
+    )
+

@@ -488,3 +488,65 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("p"),
     ).orderBy("cur", "nxt")
+
+@register(
+    "sketch_hll_distinct",
+    oracle="""
+    WITH items AS (
+      SELECT event_type, user_id, md5(CAST(user_id AS VARCHAR)) AS h
+      FROM events
+    ), rr AS (
+      SELECT event_type,
+             CAST(('0x' || substring(h, 1, 2)) AS BIGINT) % 64 AS reg,
+             CASE WHEN v = 0 THEN 49 ELSE 49 - length(bin(v)) END AS rank
+      FROM (
+        SELECT event_type, h,
+               CAST(('0x' || substring(h, 3, 12)) AS BIGINT) AS v
+        FROM items
+      )
+    ), regs AS (
+      SELECT event_type, reg, max(rank) AS mx FROM rr GROUP BY 1, 2
+    ), folded AS (
+      SELECT event_type, count(*) AS n_used,
+             CAST(sum(mx) AS BIGINT) AS rank_checksum,
+             CAST(sum(CAST(2 ** (49 - mx) AS BIGINT)) AS BIGINT) AS used_denom
+      FROM regs GROUP BY 1
+    ), est AS (
+      SELECT event_type, n_used, rank_checksum,
+             used_denom + (64 - n_used) * CAST(2 ** 49 AS BIGINT)
+               AS scaled_denom
+      FROM folded
+    ), exact AS (
+      SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type, CAST(64 AS INT) AS n_registers, rank_checksum,
+           round(CASE WHEN n_used < 64
+                       AND (0.709 * 64 * 64) * CAST(2 ** 49 AS DOUBLE)
+                           / scaled_denom <= 2.5 * 64
+                      THEN 64.0 * ln(64.0 / (64 - n_used))
+                      ELSE (0.709 * 64 * 64) * CAST(2 ** 49 AS DOUBLE)
+                           / scaled_denom END, 6) AS hll_estimate,
+           CAST(x.exact_distinct AS BIGINT) AS exact_distinct
+    FROM est e JOIN exact x USING (event_type)
+    ORDER BY event_type
+    """,
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-user estimate per event type,
+    next to the exact count: 64 md5-derived registers, ranks from INTEGER
+    bin-length arithmetic and the harmonic denominator as an exact integer
+    sum of 2^(49-rank) — the whole sketch is a pure function of the data
+    set, so the oracle replays the ESTIMATE bit-for-bit (no tolerance
+    band). One hash aggregate per (group, register); map-side partial max
+    IS the register merge — the shape that unions sketches from 1000
+    executors for free."""
+    from horaedb_spark.functions.sketch import hll_distinct
+
+    ev = events_ms(spark, sf_dir)
+    est = hll_distinct(ev, ["event_type"], F.col("user_id"))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").orderBy("event_type")
+
