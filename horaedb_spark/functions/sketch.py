@@ -153,3 +153,56 @@ def hll_distinct(df: DataFrame, group_cols: list[str], item: Column) -> DataFram
         )
     )
 
+# ---------------------------------------------------------------- KMV sketch
+
+KMV_K = 64
+
+
+def kmv_hash(item: Column) -> Column:
+    """Deterministic 48-bit item hash normalized to (0, 1]: the KMV order
+    statistic base — exact integer parse of the md5 prefix, one double
+    division, identical on any engine."""
+    return (
+        F.conv(F.substring(F.md5(item.cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        .cast("double")
+        / F.lit(float(1 << 48))
+    )
+
+
+def kmv_sketch(df: DataFrame, group_cols: list[str], item: Column) -> DataFrame:
+    """K-minimum-values sketch per group: the KMV_K smallest distinct item
+    hashes. Distinct-count estimate = (k-1)/h_k (the classic order-statistic
+    estimator); unlike HLL the sketches also support SET OPERATIONS — the
+    union sketch is the k smallest of the merged hash sets, and Jaccard is
+    estimated by counting shared members inside the union's k-set. One
+    distinct + one windowed top-k per group, both map-side combinable.
+    Returns (group_cols, pos, h) rows — pos 1..k ascending."""
+    from pyspark.sql.window import Window
+
+    hashes = df.select(*group_cols, kmv_hash(item).alias("h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        hashes.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= KMV_K)
+        .select(*group_cols, "pos", "h")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, group_cols: list[str]) -> DataFrame:
+    """(k-1)/h_k distinct estimate per group (exact count when the group
+    holds fewer than k distinct items)."""
+    return (
+        sketch.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("hk"))
+        .select(
+            *group_cols,
+            F.round(
+                F.when(F.col("n") < KMV_K, F.col("n").cast("double")).otherwise(
+                    (F.lit(KMV_K - 1)) / F.col("hk")
+                ),
+                6,
+            ).alias("kmv_estimate"),
+        )
+    )
+

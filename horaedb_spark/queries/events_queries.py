@@ -550,3 +550,129 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return est.join(exact, "event_type").orderBy("event_type")
 
+@register(
+    "sketch_kmv_overlap",
+    oracle="""
+    WITH hashes AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12))
+                  AS BIGINT) / CAST(281474976710656 AS DOUBLE) AS h
+      FROM events
+    ), sk AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS pos
+      FROM hashes QUALIFY pos <= 64
+    ), tp AS (
+      SELECT a.event_type AS ta, b.event_type AS tb
+      FROM (SELECT DISTINCT event_type FROM events) a
+      JOIN (SELECT DISTINCT event_type FROM events) b
+        ON a.event_type < b.event_type
+    ), u AS (
+      SELECT ta, tb, h, max(ia) AS ia, max(ib) AS ib FROM (
+        SELECT tp.ta, tp.tb, sk.h, 1 AS ia, 0 AS ib
+        FROM tp JOIN sk ON sk.event_type = tp.ta
+        UNION ALL
+        SELECT tp.ta, tp.tb, sk.h, 0, 1
+        FROM tp JOIN sk ON sk.event_type = tp.tb
+      ) GROUP BY 1, 2, 3
+    ), uk AS (
+      SELECT ta, tb, h, ia, ib,
+             row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS pos
+      FROM u QUALIFY pos <= 64
+    ), est AS (
+      SELECT ta, tb, count(*) AS union_k,
+             sum(ia * ib) AS shared
+      FROM uk GROUP BY 1, 2
+    ), sets AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ), exact AS (
+      SELECT tp.ta, tp.tb,
+             count(DISTINCT CASE WHEN sa.user_id IS NOT NULL
+                                  AND sb.user_id IS NOT NULL
+                                 THEN coalesce(sa.user_id, sb.user_id) END)
+               AS inter,
+             count(DISTINCT coalesce(sa.user_id, sb.user_id)) AS uni
+      FROM tp
+      LEFT JOIN sets sa ON sa.event_type = tp.ta
+      FULL JOIN sets sb
+        ON sb.event_type = tp.tb AND sb.user_id = sa.user_id
+       AND sa.event_type = tp.ta
+      WHERE sa.event_type = tp.ta OR sb.event_type = tp.tb
+      GROUP BY 1, 2
+    )
+    SELECT e.ta AS type_a, e.tb AS type_b,
+           CAST(e.union_k AS BIGINT) AS union_k,
+           round(e.shared * 1.0 / e.union_k, 6) AS jaccard_est,
+           round(x.inter * 1.0 / x.uni, 6) AS jaccard_exact
+    FROM est e JOIN exact x ON x.ta = e.ta AND x.tb = e.tb
+    ORDER BY type_a, type_b
+    """,
+)
+def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-operation sketch: pairwise audience overlap (Jaccard)
+    between event types from 64-minimum-value sketches — the estimate HLL
+    cannot give (set INTERSECTIONS need member identity, which KMV keeps).
+    Union sketch = k smallest of the merged hash sets; Jaccard = shared
+    members inside the union k-set. Deterministic md5 order statistics, so
+    the ESTIMATES hash-match the SQL replay; the exact Jaccard rides along
+    for calibration. Sketches are a few KB per group — at 100 TB they are
+    the only thing that crosses executors."""
+    from horaedb_spark.functions.sketch import KMV_K, kmv_sketch
+    from pyspark.sql.window import Window
+
+    ev = events_ms(spark, sf_dir)
+    sk = kmv_sketch(ev, ["event_type"], F.col("user_id"))
+    types = ev.select("event_type").distinct()
+    tp = (
+        types.select(F.col("event_type").alias("ta"))
+        .crossJoin(types.select(F.col("event_type").alias("tb")))
+        .filter(F.col("ta") < F.col("tb"))
+    )
+    ua = tp.join(sk, sk["event_type"] == tp["ta"]).select(
+        "ta", "tb", "h", F.lit(1).alias("ia"), F.lit(0).alias("ib")
+    )
+    ub = tp.join(sk, sk["event_type"] == tp["tb"]).select(
+        "ta", "tb", "h", F.lit(0).alias("ia"), F.lit(1).alias("ib")
+    )
+    u = (
+        ua.unionByName(ub)
+        .groupBy("ta", "tb", "h")
+        .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib"))
+    )
+    w = Window.partitionBy("ta", "tb").orderBy("h")
+    uk = u.withColumn("pos", F.row_number().over(w)).filter(
+        F.col("pos") <= KMV_K
+    )
+    est = uk.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).alias("union_k"),
+        F.sum(F.col("ia") * F.col("ib")).alias("shared"),
+    )
+    sets = ev.select("event_type", "user_id").distinct()
+    sa = sets.select(F.col("event_type").alias("ta"), F.col("user_id").alias("u"))
+    sb = sets.select(F.col("event_type").alias("tb"), F.col("user_id").alias("u"))
+    inter = sa.join(sb, "u").groupBy("ta", "tb").agg(
+        F.countDistinct("u").alias("inter")
+    )
+    counts = sets.groupBy("event_type").agg(F.countDistinct("user_id").alias("n"))
+    exact = (
+        tp.join(inter, ["ta", "tb"], "left")
+        .join(counts.select(F.col("event_type").alias("ta"), F.col("n").alias("na")), "ta")
+        .join(counts.select(F.col("event_type").alias("tb"), F.col("n").alias("nb")), "tb")
+        .select(
+            "ta", "tb",
+            F.coalesce("inter", F.lit(0)).alias("inter"),
+            (F.col("na") + F.col("nb") - F.coalesce("inter", F.lit(0))).alias("uni"),
+        )
+    )
+    return (
+        est.join(exact, ["ta", "tb"])
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            F.col("union_k").cast("long"),
+            F.round(F.col("shared") / F.col("union_k"), 6).alias("jaccard_est"),
+            F.round(F.col("inter") / F.col("uni"), 6).alias("jaccard_exact"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
