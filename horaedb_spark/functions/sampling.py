@@ -206,3 +206,43 @@ def export_shards(
         out.withColumn("shard_rank", F.row_number().over(w).cast("long"))
         .drop("__skey__")
     )
+
+def weighted_systematic_sample(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    n_picks: int,
+) -> DataFrame:
+    """Weighted systematic resampling: ``n_picks`` evenly spaced thresholds
+    over the cumulative (integer) weight line; each row is drawn once per
+    threshold landing inside its weight interval — the classic resampling
+    step of mixture re-weighting, INTEGER-EXACT end to end (no float pow/
+    log order keys, so the selection hash-matches any engine's replay).
+
+    Thresholds: t_i = floor((2i+1) * W / (2n)) for i in 0..n-1 (midpoint
+    rule). A row with cumulative HALF-OPEN interval [c_prev, c) is drawn
+    ``picks(c) - picks(c_prev)`` times where ``picks(x) = #{i : t_i < x}
+    = clamp((2n*x + W - 1) div 2W, 0, n)`` — pure INTEGER division on
+    the distributed ordered prefix sum (functions/prefix.py: one range
+    partitioning, no SinglePartition stage), valid while n*W < 2^62.
+    Returns df + ``n_draws`` (rows with zero draws are dropped)."""
+    from horaedb_spark.functions.prefix import ordered_prefix_sum
+
+    cum = ordered_prefix_sum(df, [F.col(order_col)], weight_col, "c")
+    total = cum.agg(F.max("c").alias("w")).first()["w"]
+    n, W = int(n_picks), int(total)
+    assert n * W < (1 << 62), "n_picks * total_weight overflows the long math"
+
+    def picks(col_sql: str) -> Column:
+        raw = F.expr(
+            f"CAST((2 * {n} * ({col_sql}) + {W} - 1) div (2 * {W}) AS BIGINT)"
+        )
+        return F.least(
+            F.greatest(raw, F.lit(0).cast("long")), F.lit(n).cast("long")
+        )
+
+    return (
+        cum.withColumn("n_draws", picks("c") - picks(f"c - {weight_col}"))
+        .filter(F.col("n_draws") > 0)
+    )
+

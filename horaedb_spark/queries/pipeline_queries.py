@@ -481,3 +481,55 @@ def pipeline_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+@register(
+    "pipeline_weighted_resample",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source,
+             greatest(1, length(text) // 50) AS wt
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, source, wt,
+             sum(wt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS c
+      FROM w
+    ), tot AS (SELECT max(c) AS W FROM cum),
+    draws AS (
+      SELECT doc_id, source,
+             least(greatest((2 * 200 * c + W - 1) // (2 * W), 0), 200)
+             - least(greatest((2 * 200 * (c - wt) + W - 1) // (2 * W), 0), 200)
+               AS n_draws
+      FROM cum, tot
+    )
+    SELECT source,
+           CAST(sum(n_draws) AS BIGINT) AS n_drawn,
+           CAST(sum(doc_id * n_draws) AS BIGINT) AS id_checksum
+    FROM draws WHERE n_draws > 0
+    GROUP BY source ORDER BY source
+    """,
+)
+def pipeline_weighted_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted systematic resampling (the mixture re-weighting draw step):
+    200 evenly spaced thresholds over the cumulative token-weight line,
+    each document drawn once per threshold inside its interval —
+    integer-exact selection over the DISTRIBUTED ordered prefix sum (no
+    float order keys, no SinglePartition stage), so the exact draw
+    multiset hash-matches the SQL replay. Per-source draw counts and id
+    checksums pin membership, not just totals."""
+    from horaedb_spark.functions.sampling import weighted_systematic_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.greatest(F.lit(1), (F.length("text") / 50).cast("long")).alias("wt"),
+    )
+    out = weighted_systematic_sample(docs, "doc_id", "wt", n_picks=200)
+    return (
+        out.groupBy("source")
+        .agg(
+            F.sum("n_draws").cast("long").alias("n_drawn"),
+            F.sum(F.col("doc_id") * F.col("n_draws")).cast("long").alias("id_checksum"),
+        )
+        .orderBy("source")
+    )
+
