@@ -44,3 +44,33 @@ def test_prefix_sum_matches_sequential_fold(spark, rows, n):
         acc += v
         expect[i] = acc
     assert got == expect
+
+
+def test_weighted_systematic_sample_draw_invariants(spark):
+    """sum(n_draws) == n_picks exactly, and the Spark selection equals the
+    sequential model for several (weights, n) shapes."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from horaedb_spark.functions.sampling import weighted_systematic_sample
+
+    rng = random.Random(11)
+    for trial in range(3):
+        rows = [(i, rng.randint(1, 9)) for i in range(rng.randint(5, 60))]
+        n = rng.randint(1, 25)
+        df = spark.createDataFrame(rows, "doc_id long, wt long")
+        out = weighted_systematic_sample(df, "doc_id", "wt", n_picks=n)
+        got = {r.doc_id: r.n_draws for r in out.collect()}
+        assert sum(got.values()) == n
+        # sequential model
+        W = sum(w for _, w in rows)
+        ts = [((2 * i + 1) * W) // (2 * n) for i in range(n)]
+        c = 0
+        want = {}
+        for doc_id, w in rows:
+            prev, c = c, c + w
+            k = sum(1 for t in ts if prev <= t < c)
+            if k:
+                want[doc_id] = k
+        assert got == want, (rows, n)
