@@ -550,3 +550,30 @@ def test_ivf_query_join_strategy_matches_queryset_size(spark, sf_dir):
     p2 = _final_plan(offline)
     assert "ShuffledHashJoin" in p2 or "SortMergeJoin" in p2, p2[:3000]
     assert "BroadcastHashJoin" not in p2, p2[:3000]
+
+
+def test_round4_operators_stay_jvm_side(spark, sf_dir):
+    """The round-4 sketch/sampling/phash operators must compile to pure
+    JVM expressions (no Python eval) and never produce an unbounded
+    cartesian (the only crossJoin allowed is the 5x5 event-type pair
+    table / scalar broadcasts)."""
+    from horaedb_spark.queries.events_queries import (
+        sketch_hll_distinct,
+        sketch_kmv_overlap,
+    )
+    from horaedb_spark.queries.multimodal_queries import (
+        multimodal_phash_near_dup,
+    )
+    from horaedb_spark.queries.pipeline_queries import (
+        pipeline_weighted_resample,
+    )
+
+    for fn in (sketch_hll_distinct, sketch_kmv_overlap, multimodal_phash_near_dup):
+        p = _final_plan(fn(spark, sf_dir))
+        assert "BatchEvalPython" not in p, fn.__name__
+        assert "CartesianProduct" not in p, (fn.__name__, p[:2000])
+    # the resampler's prefix sum is Arrow-batched (mapInPandas) by design;
+    # pin only the no-single-partition and no-cartesian properties
+    p = _final_plan(pipeline_weighted_resample(spark, sf_dir))
+    assert "CartesianProduct" not in p, p[:2000]
+    assert "SinglePartition" not in p.split("RangePartitioning")[0], p[:1500]
