@@ -220,7 +220,12 @@ def perceptual_hash_bits(
     bytes fold into ``cells`` stride cells (the stand-in for an 8x8
     grayscale thumbnail — a real deployment swaps the fake decode for a
     codec + resize, the hash math is identical), each cell's mean compares
-    against the global mean of cell means -> one bit per cell.
+    against the BYTE-WEIGHTED global mean (sum of all codes / total byte
+    count) -> one bit per cell. The byte-weighted mean is intentional: it
+    keeps the threshold an exact integer ratio (bit-identical across
+    engines), and it equals the textbook mean-of-cell-means whenever the
+    cells are equal-sized — which a real thumbnail resize guarantees; only
+    this fake stride decode can produce a ragged last stripe.
 
     Distributed shape: explode to (id, pos, code) rows, two key-partitioned
     aggregates (per-cell mean, then per-id bit assembly) — all JVM-side

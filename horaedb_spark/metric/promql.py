@@ -49,6 +49,7 @@ like Prometheus's Vector type.
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass, field
 
@@ -553,8 +554,14 @@ class PromQLCompiler:
             hi = bound if fn == "clamp_max" else None
             return df.withColumn("value", P.clamp(F.col("value"), lo, hi))
         if fn == "round":
-            df = self._eval(node.args[-1])
-            nearest = node.args[0].value if len(node.args) > 1 else 1.0
+            # PromQL order is round(vector, to_nearest) — pick the vector
+            # arg by type so both round(v, 5) and round(5, v) compile.
+            vec_args = [a for a in node.args if not isinstance(a, Number)]
+            num_args = [a for a in node.args if isinstance(a, Number)]
+            if not vec_args:
+                raise PromQLError("round() needs a vector argument")
+            df = self._eval(vec_args[0])
+            nearest = num_args[0].value if num_args else 1.0
             return df.withColumn("value", P.round_to(F.col("value"), nearest))
         if fn in ("label_replace", "label_join"):
             df = self._eval(node.args[0])
@@ -717,7 +724,9 @@ class PromQLCompiler:
             kept = F.lit("")  # plain sum(...): one output series
         keyed = df.withColumn("__gkey__", kept)
         if node.op in ("topk", "bottomk"):
-            k = int(node.param or 1)
+            # k=0 is a valid Prometheus query returning the empty vector —
+            # `or 1` would silently coerce it to 1.
+            k = int(node.param) if node.param is not None else 1
             order = (
                 [F.desc("value")] if node.op == "topk" else [F.asc("value")]
             ) + [F.asc("series_key")]
@@ -801,7 +810,14 @@ class PromQLCompiler:
             "-": lambda a, b: a - b,
             "*": lambda a, b: a * b,
             "/": lambda a, b: a / b,
-            "%": lambda a, b: (a % b) if not isinstance(a, Column) and not isinstance(b, Column) else F.pmod(a, b),
+            # Prometheus % is Go's math.Mod (truncated: sign of the
+            # dividend). Spark's Column % already truncates; Python's %
+            # floors, so route pure scalars through math.fmod.
+            "%": lambda a, b: (
+                math.fmod(a, b)
+                if not isinstance(a, Column) and not isinstance(b, Column)
+                else (F.lit(a) if not isinstance(a, Column) else a) % b
+            ),
         }
         comps = {
             ">": lambda a, b: a > b,

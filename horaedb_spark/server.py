@@ -112,7 +112,10 @@ class ControlServer:
                     self._reply({"n": len(rows), "rows": rows})
                 elif self.path.startswith("/api/v1/query_range"):
                     # Prometheus HTTP API shape: ?query=<promql>&step=<dur>
-                    # [&start=<ms>&end=<ms>]; response is the standard
+                    # [&start=<s>&end=<s>] — start/end are unix SECONDS
+                    # (float accepted), matching the Prometheus API, so a
+                    # response timestamp round-trips as a request bound
+                    # unchanged; response is the standard
                     # {"status","data":{"resultType":"matrix","result":[...]}}
                     # envelope. Row-bounded like /scan — a dashboard query
                     # surface, not a bulk-export path.
@@ -145,10 +148,14 @@ class ControlServer:
 
                         if "start" in q:
                             df = df.filter(
-                                F.col("ts_ms") >= int(q["start"][0])
+                                F.col("ts_ms")
+                                >= int(float(q["start"][0]) * 1000)
                             )
                         if "end" in q:
-                            df = df.filter(F.col("ts_ms") < int(q["end"][0]))
+                            df = df.filter(
+                                F.col("ts_ms")
+                                < int(float(q["end"][0]) * 1000)
+                            )
                         cap = min(int(q.get("limit", ["10000"])[0]), 100_000)
                         rows = (
                             df.orderBy("series_key", "ts_ms").limit(cap).collect()

@@ -352,3 +352,56 @@ def test_at_modifier_pins_one_step(spark, eng):
         (r.series_key, r.ts_ms): r.value for r in rows if r.ts_ms == pin_ts
     }
     assert got == want
+
+
+def test_round_promql_arg_order(spark, eng):
+    """Prometheus order round(v, to_nearest): the vector is arg 0 and the
+    scalar arg 1 (ADVICE r4: args[-1] crashed on the standard order)."""
+    base = promql_eval(eng, "sum by (cohort) (rate(click[1d]))", DAY)
+    b = {(r.series_key, r.ts_ms): r.value for r in base.collect()}
+    for q in (
+        "round(sum by (cohort) (rate(click[1d])), 5)",
+        "round(5, sum by (cohort) (rate(click[1d])))",  # legacy order
+    ):
+        got = {
+            (r.series_key, r.ts_ms): r.value
+            for r in promql_eval(eng, q, DAY).collect()
+        }
+        assert got.keys() == b.keys()
+        assert all(
+            math.isclose(got[k], 5 * round(b[k] / 5), rel_tol=1e-12)
+            for k in b
+        )
+    plain = promql_eval(eng, "round(sum by (cohort) (rate(click[1d])))", DAY)
+    got = {(r.series_key, r.ts_ms): r.value for r in plain.collect()}
+    assert all(math.isclose(got[k], round(b[k]), rel_tol=1e-12) for k in b)
+    with pytest.raises(PromQLError, match="vector"):
+        promql_eval(eng, "round(5)", DAY)
+
+
+def test_mod_is_truncated_like_go(spark, eng):
+    """PromQL %% is Go math.Mod: the result takes the dividend's sign
+    (ADVICE r4: pmod flipped the sign for negative dividends)."""
+    base = promql_eval(eng, "sum by (cohort) (rate(click[1d]))", DAY)
+    b = {(r.series_key, r.ts_ms): r.value for r in base.collect()}
+    neg = promql_eval(
+        eng, "(0 - sum by (cohort) (rate(click[1d]))) % 3", DAY
+    )
+    got = {(r.series_key, r.ts_ms): r.value for r in neg.collect()}
+    assert got.keys() == b.keys()
+    assert any(b[k] % 3 > 1e-9 for k in b)  # the test is non-vacuous
+    for k in b:
+        assert math.isclose(
+            got[k], math.fmod(-b[k], 3.0), rel_tol=1e-12, abs_tol=1e-12
+        )
+    # scalar-scalar constant folding matches Go too: (-7) % 3 == -1
+    # (Python's floored % would give +2)
+    c = PromQLCompiler(eng, DAY)
+    assert c._eval(parse_promql("(0 - 7) % 3")) == pytest.approx(-1.0)
+
+
+def test_topk_zero_returns_empty_vector(spark, eng):
+    out = promql_eval(
+        eng, "topk(0, sum by (user) (increase(click[1d])))", DAY
+    )
+    assert out.count() == 0

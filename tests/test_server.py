@@ -92,11 +92,12 @@ def test_query_range_endpoint_promql_over_http(spark, tmp_path):
         assert result and all("cohort" in s["metric"] for s in result)
         n_points = sum(len(s["values"]) for s in result)
         assert n_points > 0
-        # start/end window the matrix
+        # start/end window the matrix — response timestamps (unix seconds)
+        # round-trip directly as request bounds, like Prometheus
         all_ts = sorted(
             ts for s in result for ts, _v in s["values"]
         )
-        mid = int(all_ts[len(all_ts) // 2] * 1000)
+        mid = all_ts[len(all_ts) // 2]
         bounded = _get(
             srv.port,
             f"/api/v1/query_range?query={q}&step=1d&start={mid}",
