@@ -86,3 +86,91 @@ def ordered_prefix_sum(
             yield pdf
 
     return with_pid.mapInPandas(scan, out_schema)
+
+
+def _exact_rank_with_total(
+    df: DataFrame,
+    order_cols: list[Column],
+    out_col: str,
+    num_partitions: int,
+) -> tuple[DataFrame, int]:
+    """Exact global 1-based rank over a UNIQUE total order — without the
+    single-partition sort that ``row_number() OVER (ORDER BY ...)`` costs.
+
+    Same two-phase shape as :func:`ordered_prefix_sum`: range-shuffle on
+    the order key, per-partition ``row_number`` (a window PARTITIONED by
+    the physical partition id — never global), plus a per-partition row
+    count collected to the driver (``num_partitions`` longs — metadata,
+    not data) folded into exclusive offsets. One range shuffle total.
+
+    The range-partitioned frame is persisted so the counts job and the
+    rank job see the same sampled boundaries (repartitionByRange resamples
+    per job otherwise). Returns (ranked frame, total row count)."""
+    from pyspark.sql.window import Window
+
+    pre = df.repartitionByRange(num_partitions, *order_cols).persist()
+    counts = {
+        r["pid"]: r["c"]
+        for r in pre.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in range(num_partitions):
+        offsets[pid] = acc
+        acc += int(counts.get(pid, 0))
+    # element_at on a map looks up by KEY — the RANGE partition id. That id
+    # must be pinned as a column BEFORE the rank window: the window's own
+    # hash exchange on _PID re-buckets rows, so a fresh spark_partition_id()
+    # call after it would read the post-shuffle id.
+    off_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col(_PID),
+    )
+    w = Window.partitionBy(_PID).orderBy(*order_cols)
+    ranked = (
+        pre.withColumn(_PID, F.spark_partition_id())
+        .withColumn(out_col, F.row_number().over(w).cast("long") + off_expr)
+        .drop(_PID)
+    )
+    return ranked, acc
+
+
+def exact_rank(
+    df: DataFrame,
+    order_cols: list[Column],
+    out_col: str = "rank",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """See :func:`_exact_rank_with_total` — public form without the count."""
+    return _exact_rank_with_total(df, order_cols, out_col, num_partitions)[0]
+
+
+def exact_ntile(
+    df: DataFrame,
+    order_cols: list[Column],
+    n: int,
+    out_col: str,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Exact ``ntile(n) OVER (ORDER BY ...)`` semantics — bucket q gets
+    ``N // n`` rows plus one extra for the first ``N % n`` buckets — built
+    on :func:`exact_rank`, so the plan has ONE range shuffle and no
+    single-partition stage (the global-ntile window is the classic serial
+    bottleneck at high cardinality; r4 verdict #3). The bucket boundaries
+    are rank literals folded into a CASE chain — no second pass.
+
+    ``order_cols`` must be a unique total order (tie-break on a key
+    column) so bucket membership is deterministic and oracle-portable."""
+    ranked, n_rows = _exact_rank_with_total(
+        df, order_cols, "__rank__", num_partitions
+    )
+    base, rem = n_rows // n, n_rows % n
+    bounds, acc = [], 0
+    for q in range(1, n + 1):
+        acc += base + (1 if q <= rem else 0)
+        bounds.append((q, acc))
+    expr = F.lit(n)
+    for q, b in reversed(bounds[:-1]):
+        expr = F.when(F.col("__rank__") <= b, q).otherwise(expr)
+    return ranked.withColumn(out_col, expr.cast("int")).drop("__rank__")

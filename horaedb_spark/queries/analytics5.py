@@ -105,24 +105,31 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer, reported as segment sizes with an id-checksum pinning exact
     membership.
 
-    The per-customer aggregate is one hash shuffle over the fact table; the
-    ntile windows then run over the *aggregated* customer list (|customers|
-    rows, tiny next to orders). Ties are broken by custkey so quartile
-    membership is deterministic. At extreme customer cardinality the global
-    ntile sort becomes the bottleneck — swap for approx quantile boundaries
-    there; exact quartiles keep this oracle-checkable."""
+    The per-customer aggregate is one hash shuffle over the fact table;
+    each quartile score then comes from ``exact_ntile`` (functions/prefix
+    .py): a RANGE shuffle + per-physical-partition rank window + a
+    metadata-sized offset fold — exact ntile(4) semantics with NO
+    single-partition sort anywhere in the plan (the three global ntile
+    windows were the r4 verdict's #3 serial bottleneck). Ties break on
+    custkey so quartile membership is deterministic and oracle-portable."""
+    from horaedb_spark.functions.prefix import exact_ntile
+
     orders = load_table(spark, sf_dir, "orders")
     cust = orders.groupBy("o_custkey").agg(
         F.max(F.unix_millis("o_orderdate")).alias("last_ms"),
         F.count(F.lit(1)).alias("freq"),
         dsum("o_totalprice").alias("monetary"),
     )
-    scored = cust.select(
-        "o_custkey",
-        F.ntile(4).over(Window.orderBy(F.desc("last_ms"), "o_custkey")).alias("r_score"),
-        F.ntile(4).over(Window.orderBy(F.desc("freq"), "o_custkey")).alias("f_score"),
-        F.ntile(4).over(Window.orderBy(F.desc("monetary"), "o_custkey")).alias("m_score"),
-    )
+    scored = cust
+    for dim, out in (
+        ("last_ms", "r_score"),
+        ("freq", "f_score"),
+        ("monetary", "m_score"),
+    ):
+        scored = exact_ntile(
+            scored, [F.desc(dim), F.asc("o_custkey")], 4, out
+        )
+    scored = scored.select("o_custkey", "r_score", "f_score", "m_score")
     return (
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(

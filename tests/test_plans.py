@@ -577,3 +577,56 @@ def test_round4_operators_stay_jvm_side(spark, sf_dir):
     p = _final_plan(pipeline_weighted_resample(spark, sf_dir))
     assert "CartesianProduct" not in p, p[:2000]
     assert "SinglePartition" not in p.split("RangePartitioning")[0], p[:1500]
+
+
+def test_bm25_topk_is_take_ordered_not_global_window(spark, sf_dir):
+    """The BM25 top-k cut must compile to TakeOrderedAndProject (per-
+    partition partial top-k + k-row driver merge) — the full scored set
+    never funnels into a single-partition rank window (r4 verdict #1).
+    The only Window node allowed is the rank stamp ABOVE the k-row limit."""
+    from horaedb_spark.queries.search_queries import text_bm25_topk
+
+    p = _final_plan(text_bm25_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, p[:3000]
+    # the rank window (if materialized) must sit above the limit: in the
+    # plan tree dump parents print before children, so the Window line
+    # must come before TakeOrderedAndProject
+    if "Window" in p:
+        assert p.index("Window") < p.index("TakeOrderedAndProject"), p[:3000]
+
+
+def test_exact_ntile_no_single_partition_and_matches_ntile(spark):
+    """exact_ntile must never collapse to one partition (the global
+    ntile-window failure mode, r4 verdict #3) and must reproduce Spark's
+    own ntile() bucket-for-bucket on a unique total order."""
+    from pyspark.sql.window import Window as W
+
+    from horaedb_spark.functions.prefix import exact_ntile
+
+    df = spark.createDataFrame(
+        [(i, (37 * i) % 101) for i in range(207)], "id long, v long"
+    )
+    for n in (4, 5):
+        out = exact_ntile(
+            df, [F.desc("v"), F.asc("id")], n, "q", num_partitions=6
+        )
+        plan = plan_of(out)
+        assert "SinglePartition" not in plan, plan[:3000]
+        assert "rangepartitioning" in plan.lower(), plan[:3000]
+        got = {r["id"]: r["q"] for r in out.collect()}
+        want = {
+            r["id"]: r["q"]
+            for r in df.withColumn(
+                "q", F.ntile(n).over(W.orderBy(F.desc("v"), F.asc("id")))
+            ).collect()
+        }
+        assert got == want
+
+
+def test_rfm_segments_no_single_partition_window(spark, sf_dir):
+    """The three RFM quartile scores must not run as global ntile windows:
+    no SinglePartition exchange anywhere in the plan (r4 verdict #3)."""
+    from horaedb_spark.queries.analytics5 import customer_rfm_segments
+
+    p = _final_plan(customer_rfm_segments(spark, sf_dir))
+    assert "SinglePartition" not in p, p[:3000]
