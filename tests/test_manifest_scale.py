@@ -32,3 +32,21 @@ def test_remote_write_codec_throughput():
     # observed ~300k samples/s/core; bound at 10x slack for CI noise
     assert r["decode_samples_per_s"] > 30_000, r
     assert r["payload_bytes"] > 0 and r["encode_s"] > 0
+
+
+def test_manifest_scaling_is_linear(tmp_path):
+    """The 1e6-SST claim (SCALING.md: ~235 MB snapshot, sub-second find) is
+    a LINEAR extrapolation — pin the model: per-SST snapshot bytes are flat
+    across a 5x size step, and fold/replay grow at most ~linearly (bounded
+    super-linearity slack for JSON/GC noise). The full 1e6 point itself is
+    measured per-round by scripts/micro_bench.py into BENCH_r{N}.json
+    (r4 local: fold 14.6 s, replay 15.5 s, find 156 ms, 235 B/SST)."""
+    small = manifest_scale_bench(str(tmp_path / "s"), n_ssts=20_000, batch=5_000)
+    big = manifest_scale_bench(str(tmp_path / "b"), n_ssts=100_000, batch=5_000)
+    assert abs(big["bytes_per_sst"] - small["bytes_per_sst"]) < 0.1 * small["bytes_per_sst"]
+    for k in ("fold_s", "replay_s"):
+        # 5x data may cost at most ~2x the linear prediction (noise floor
+        # guard: skip when the small run is too fast to measure stably)
+        if small[k] > 0.05:
+            assert big[k] < 10 * small[k], (k, small[k], big[k])
+    assert big["find_s"] < 1.0, big
