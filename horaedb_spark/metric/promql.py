@@ -27,17 +27,17 @@ Supported surface (everything the operator layer implements):
 - vector-vector binary operators: arithmetic (``+ - * / %``), comparisons
   (filter semantics, ``bool`` modifier), the set operators
   ``and/or/unless``, the ``on (...)`` / ``ignoring (...)`` matching
-  modifiers, and bare ``group_left``/``group_right`` many-to-one matching
-  (the result keeps the many side's full label set) — with PromQL's
+  modifiers, and ``group_left``/``group_right`` many-to-one matching —
+  bare (result keeps the many side's full label set) or with
+  ``group_left(l1, ...)`` label COPYING from the one side — with PromQL's
   precedence ladder (``* / %`` > ``+ -`` > comparisons > set ops).
+  Cardinality is VALIDATED like Prometheus: a duplicate match group on
+  the one side of group_left/group_right, or on either side of an
+  on/ignoring one-to-one match, raises at evaluation time (an
+  ``assert_true`` guard riding the join's own hash partitioning).
 
 - the ``@ <unix_seconds>`` evaluation pin on selectors and subqueries
   (keeps the aligned step containing the pinned instant).
-
-Not supported (documented): ``group_left(label, ...)`` label copying from
-the one side, and cardinality VALIDATION of one-to-one matches (PromQL
-errors at runtime on many-to-one without a group modifier; here the join
-simply produces the pairs).
 
 Evaluation model: every vector expression compiles to a frame with columns
 ``(series_key string, ts_ms long, value double)`` where ``series_key`` is
@@ -104,6 +104,7 @@ class BinOp:
     ignoring: tuple[str, ...] | None = None  # ignoring (labels) matching
     bool_mode: bool = False                  # comparison `bool` modifier
     group: str | None = None                 # "left" | "right" many-to-one
+    group_labels: tuple[str, ...] = ()       # labels copied from the ONE side
 
 
 @dataclass(frozen=True)
@@ -211,12 +212,34 @@ _COMPARE_OPS = (">", ">=", "<", "<=", "==", "!=")
 _SET_OPS = ("and", "or", "unless")
 
 
+_MANY_TO_ONE_ERR = (
+    "promql: multiple matches for labels: grouping labels must ensure "
+    "unique matches on the one side of group_left/group_right"
+)
+_ONE_TO_ONE_ERR = (
+    "promql: found duplicate series for the match group; many-to-one "
+    "matching must be explicit (group_left/group_right)"
+)
+
+
+def _promql_mod(a, b):
+    """Prometheus ``%``: Go math.Mod — truncated (dividend-signed), and
+    ``x % 0 = NaN``. Spark's non-ANSI remainder returns NULL on a zero
+    divisor (dropping the sample), so the column form wraps the divisor."""
+    if not isinstance(a, Column) and not isinstance(b, Column):
+        return math.fmod(a, b) if b != 0 else float("nan")
+    ac = a if isinstance(a, Column) else F.lit(float(a))
+    bc = b if isinstance(b, Column) else F.lit(float(b))
+    return F.when(bc == 0, F.lit(float("nan"))).otherwise(ac % bc)
+
+
 def _parse_match_mod(lx: _Lexer):
     """Optional ``on (labels)`` / ``ignoring (labels)`` then optional
-    ``group_left`` / ``group_right`` after an operator. Returns
-    (on, ignoring, group)."""
+    ``group_left(labels?)`` / ``group_right(labels?)`` after an operator.
+    Returns (on, ignoring, group, group_labels)."""
     k, v = lx.peek()
     on = ig = group = None
+    group_labels: tuple[str, ...] = ()
     if k == "IDENT" and v in ("on", "ignoring"):
         kind = lx.next()[1]
         labels = _parse_grouping(lx)
@@ -228,13 +251,8 @@ def _parse_match_mod(lx: _Lexer):
         if nk == "IDENT" and nv in ("group_left", "group_right"):
             group = lx.next()[1].removeprefix("group_")
             if lx.peek() == ("OP", "("):
-                extra = _parse_grouping(lx)
-                if extra:
-                    raise PromQLError(
-                        "group_left/group_right label copying is not "
-                        "supported (use a bare group_left/group_right)"
-                    )
-    return on, ig, group
+                group_labels = _parse_grouping(lx)
+    return on, ig, group, group_labels
 
 
 def _parse_expr(lx: _Lexer):
@@ -242,7 +260,7 @@ def _parse_expr(lx: _Lexer):
     node = _parse_compare(lx)
     while lx.peek()[0] == "IDENT" and lx.peek()[1] in _SET_OPS:
         op = lx.next()[1]
-        on, ig, group = _parse_match_mod(lx)
+        on, ig, group, _gl = _parse_match_mod(lx)
         if group:
             raise PromQLError(f"{op} does not take group_{group}")
         node = BinOp(op, node, _parse_compare(lx), on, ig)
@@ -257,8 +275,8 @@ def _parse_compare(lx: _Lexer):
         if lx.peek() == ("IDENT", "bool"):
             lx.next()
             bool_mode = True
-        on, ig, group = _parse_match_mod(lx)
-        node = BinOp(op, node, _parse_sum(lx), on, ig, bool_mode, group)
+        on, ig, group, gl = _parse_match_mod(lx)
+        node = BinOp(op, node, _parse_sum(lx), on, ig, bool_mode, group, gl)
     return node
 
 
@@ -266,8 +284,8 @@ def _parse_sum(lx: _Lexer):
     node = _parse_term(lx)
     while lx.peek() == ("OP", "+") or lx.peek() == ("OP", "-"):
         op = lx.next()[1]
-        on, ig, group = _parse_match_mod(lx)
-        node = BinOp(op, node, _parse_term(lx), on, ig, False, group)
+        on, ig, group, gl = _parse_match_mod(lx)
+        node = BinOp(op, node, _parse_term(lx), on, ig, False, group, gl)
     return node
 
 
@@ -275,8 +293,8 @@ def _parse_term(lx: _Lexer):
     node = _parse_postfix(lx)
     while lx.peek()[0] == "OP" and lx.peek()[1] in ("*", "/", "%"):
         op = lx.next()[1]
-        on, ig, group = _parse_match_mod(lx)
-        node = BinOp(op, node, _parse_postfix(lx), on, ig, False, group)
+        on, ig, group, gl = _parse_match_mod(lx)
+        node = BinOp(op, node, _parse_postfix(lx), on, ig, False, group, gl)
     return node
 
 
@@ -425,8 +443,9 @@ def _parse_selector(lx: _Lexer):
 _DEC_SUM = lambda c: F.sum(c.cast("decimal(30,10)")).cast("double")  # noqa: E731
 
 
-def _labels(col: str = "series_key") -> Column:
-    return F.str_to_map(F.col(col), F.lit(","), F.lit("="))
+def _labels(col: str | Column = "series_key") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.str_to_map(c, F.lit(","), F.lit("="))
 
 
 def _canonical_key(labels_map: Column) -> Column:
@@ -554,15 +573,20 @@ class PromQLCompiler:
             hi = bound if fn == "clamp_max" else None
             return df.withColumn("value", P.clamp(F.col("value"), lo, hi))
         if fn == "round":
-            # PromQL order is round(vector, to_nearest) — pick the vector
-            # arg by type so both round(v, 5) and round(5, v) compile.
-            vec_args = [a for a in node.args if not isinstance(a, Number)]
-            num_args = [a for a in node.args if isinstance(a, Number)]
-            if not vec_args:
-                raise PromQLError("round() needs a vector argument")
-            df = self._eval(vec_args[0])
-            nearest = num_args[0].value if num_args else 1.0
-            return df.withColumn("value", P.round_to(F.col("value"), nearest))
+            # PromQL is round(vector, to_nearest) with a SCALAR second
+            # arg. Evaluate both args: scalar expressions (e.g. 2*2)
+            # fold to floats via _eval; exactly one arg may be a vector.
+            if not 1 <= len(node.args) <= 2:
+                raise PromQLError("round(v, to_nearest?) takes 1 or 2 args")
+            evaled = [self._eval(a) for a in node.args]
+            vecs = [e for e in evaled if isinstance(e, DataFrame)]
+            scalars = [e for e in evaled if not isinstance(e, DataFrame)]
+            if len(vecs) != 1:
+                raise PromQLError("round() needs exactly one vector argument")
+            nearest = float(scalars[0]) if scalars else 1.0
+            return vecs[0].withColumn(
+                "value", P.round_to(F.col("value"), nearest)
+            )
         if fn in ("label_replace", "label_join"):
             df = self._eval(node.args[0])
             strs = [
@@ -811,13 +835,11 @@ class PromQLCompiler:
             "*": lambda a, b: a * b,
             "/": lambda a, b: a / b,
             # Prometheus % is Go's math.Mod (truncated: sign of the
-            # dividend). Spark's Column % already truncates; Python's %
-            # floors, so route pure scalars through math.fmod.
-            "%": lambda a, b: (
-                math.fmod(a, b)
-                if not isinstance(a, Column) and not isinstance(b, Column)
-                else (F.lit(a) if not isinstance(a, Column) else a) % b
-            ),
+            # dividend; x % 0 = NaN). Spark's Column % truncates but its
+            # non-ANSI remainder yields NULL on a zero divisor, and
+            # Python's % floors (and raises on 0) — so route pure scalars
+            # through math.fmod and guard the column form's zero divisor.
+            "%": _promql_mod,
         }
         comps = {
             ">": lambda a, b: a > b,
@@ -861,15 +883,54 @@ class PromQLCompiler:
             F.col("series_key").alias("__rkey__"),
         )
         # one-to-one keeps the (shared) full label set; on/ignoring narrows
-        # to the match key; group_left/right keeps the MANY side's labels
+        # to the match key; group_left/right keeps the MANY side's labels,
+        # plus any group_left(l1, ...) labels COPIED from the one side
+        # (copied labels overwrite — or, when absent on the one side,
+        # remove — the many side's; Prometheus label-copy semantics,
+        # docs/rfcs/20220702-prometheus-read-extension.md:84-99).
+        gl = [str(x) for x in node.group_labels]
         if node.group == "left":
-            out_key = F.col("series_key")  # lf carries the left labels
+            many_key, one_key = F.col("series_key"), F.col("__rkey__")
         elif node.group == "right":
-            out_key = F.col("__rkey__")
+            many_key, one_key = F.col("__rkey__"), F.col("series_key")
+        if node.group and gl:
+            kept = F.map_filter(_labels(many_key), lambda k, _v: ~k.isin(gl))
+            copied = F.map_filter(_labels(one_key), lambda k, _v: k.isin(gl))
+            out_key = _canonical_key(F.map_concat(kept, copied))
+        elif node.group:
+            out_key = many_key
         elif node.on is None and node.ignoring is None:
             out_key = F.col("series_key")
         else:
             out_key = F.col("__mk__")
+        # Cardinality validation (Prometheus errors at query time; here the
+        # check rides the plan as assert_true over a per-(match key, ts)
+        # window count — same hash partitioning the join needs, so AQE
+        # reuses the exchange). group_*: the ONE side must be unique per
+        # match group. on/ignoring one-to-one: both sides must be. The
+        # bare full-label one-to-one join is exempt: the engine's dedup
+        # contract guarantees one value per (series_key, ts_ms).
+        # Scope note: Catalyst may defer the guard projection past the
+        # join, so duplicates in match groups that never pair with the
+        # other side can go unflagged — every silently-produced
+        # many-to-one PAIR is still caught (the correctness trap), which
+        # is the property the tests pin.
+        w = Window.partitionBy("__mk__", "ts_ms")
+        cnt = F.count(F.lit(1)).over(w)
+
+        def _checked(frame: DataFrame, value_col: str, msg: str) -> DataFrame:
+            guard = F.assert_true(cnt <= 1, F.lit(msg))
+            return frame.withColumn(
+                value_col, F.when(guard.isNull(), F.col(value_col))
+            )
+
+        if node.group == "left":
+            rf = _checked(rf, "__rv__", _MANY_TO_ONE_ERR)
+        elif node.group == "right":
+            lf = _checked(lf, "__lv__", _MANY_TO_ONE_ERR)
+        elif node.on is not None or node.ignoring is not None:
+            lf = _checked(lf, "__lv__", _ONE_TO_ONE_ERR)
+            rf = _checked(rf, "__rv__", _ONE_TO_ONE_ERR)
         joined = lf.join(rf, ["__mk__", "ts_ms"])
         if node.op in comps:
             cond = comps[node.op](F.col("__lv__"), F.col("__rv__"))

@@ -1,6 +1,6 @@
 """PromQL STRING front-end under the oracle gate (SURVEY.md §2 D-surface).
 
-``promql_parse_eval`` compiles six RFC-shaped PromQL strings through the
+``promql_parse_eval`` compiles fifteen RFC-shaped PromQL strings through the
 parser (``metric/promql.py``) — matchers, rate, increase, offset, by/without
 aggregation, topk, subquery, scalar arithmetic, and the RFC's flagship
 ``histogram_quantile(0.9, sum by (le) (rate(bucket[10m])))``
@@ -101,6 +101,21 @@ _Q12 = ('label_replace(sum by (cohort) (rate(click[1d])), '
 _Q13 = (
     "sum by (cohort,user) (rate(error[1d])) "
     "/ on(cohort) group_left sum by (cohort) (rate(error[1d]))"
+)
+# group_left LABEL COPY from the one side (r5 verdict #2): q14 copies a
+# fresh label; q15 copies onto an existing many-side label (overwrite).
+_Q14 = (
+    "sum by (cohort,user) (rate(error[1d])) "
+    "* on(cohort) group_left(env) "
+    'label_replace(sum by (cohort) (rate(click[1d])), '
+    '"env", "prod-$1", "cohort", "(.*)")'
+)
+_Q15 = (
+    'label_replace(sum by (cohort,user) (rate(error[1d])), '
+    '"env", "app", "cohort", "(.*)") '
+    "+ on(cohort) group_left(env) "
+    'label_replace(sum by (cohort) (rate(click[1d])), '
+    '"env", "prod-$1", "cohort", "(.*)")'
 )
 
 # DuckDB replicas. Shared rate-per-series CTE over the deduped samples;
@@ -363,6 +378,24 @@ _ORACLE = (
              'cohort=' || u.cohort || ',user=' || u.user_label AS series_key,
              u.ts_ms, floor((u.v / c.v) * 1000000 + 0.5) / 1000000 AS value
       FROM eu13 u JOIN ec13 c ON c.cohort = u.cohort AND c.ts_ms = u.ts_ms
+    ),
+    q14 AS (
+      -- group_left(env): many side (error by cohort,user) keeps its
+      -- labels, env copied from the one side (click by cohort,
+      -- label_replace'd to env=prod-<cohort>); canonical key sorts labels
+      SELECT 'q14' AS query_id,
+             'cohort=' || u.cohort || ',env=prod-' || u.cohort
+               || ',user=' || u.user_label AS series_key,
+             u.ts_ms, floor((u.v * c.v) * 1000000 + 0.5) / 1000000 AS value
+      FROM eu13 u JOIN s5 c ON c.cohort = u.cohort AND c.ts_ms = u.ts_ms
+    ),
+    q15 AS (
+      -- copied env OVERWRITES the many side's env=app
+      SELECT 'q15' AS query_id,
+             'cohort=' || u.cohort || ',env=prod-' || u.cohort
+               || ',user=' || u.user_label AS series_key,
+             u.ts_ms, floor((u.v + c.v) * 1000000 + 0.5) / 1000000 AS value
+      FROM eu13 u JOIN s5 c ON c.cohort = u.cohort AND c.ts_ms = u.ts_ms
     )
     SELECT * FROM (
       SELECT * FROM q1 UNION ALL SELECT * FROM q2 UNION ALL
@@ -372,7 +405,8 @@ _ORACLE = (
       SELECT * FROM q7 UNION ALL SELECT * FROM q8 UNION ALL
       SELECT * FROM q9 UNION ALL SELECT * FROM q10 UNION ALL
       SELECT * FROM q11 UNION ALL SELECT * FROM q12 UNION ALL
-      SELECT * FROM q13
+      SELECT * FROM q13 UNION ALL SELECT * FROM q14 UNION ALL
+      SELECT * FROM q15
     ) ORDER BY query_id, series_key, ts_ms
     """
 )
@@ -380,11 +414,12 @@ _ORACLE = (
 
 @register("promql_parse_eval", oracle=_ORACLE)
 def promql_parse_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Thirteen PromQL strings -> parser -> compiler -> engine, all rows
+    """Fifteen PromQL strings -> parser -> compiler -> engine, all rows
     hash-gated against DuckDB replicas (see module docstring). The string
     path exercises matchers, range functions (aligned + sliding), offset,
-    by-aggregation, topk, a subquery, scalar arithmetic, and the RFC
-    flagship histogram_quantile-over-rate shape."""
+    by-aggregation, topk, a subquery, scalar arithmetic, the RFC flagship
+    histogram_quantile-over-rate shape, and group_left label copying
+    (fresh label q14, overwriting copy q15)."""
     eng = _engine(spark, sf_dir)
     beng = _bucket_engine(spark, sf_dir)
     parts = []
@@ -402,6 +437,8 @@ def promql_parse_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("q11", eng, _Q11),
         ("q12", eng, _Q12),
         ("q13", eng, _Q13),
+        ("q14", eng, _Q14),
+        ("q15", eng, _Q15),
     ]:
         out = promql_eval(engine, q, DAY_MS)
         parts.append(

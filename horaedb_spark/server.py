@@ -152,9 +152,12 @@ class ControlServer:
                                 >= int(float(q["start"][0]) * 1000)
                             )
                         if "end" in q:
+                            # Prometheus treats `end` as INCLUSIVE: a
+                            # response timestamp fed back as `end` must
+                            # still return that sample (round-trip safe).
                             df = df.filter(
                                 F.col("ts_ms")
-                                < int(float(q["end"][0]) * 1000)
+                                <= int(float(q["end"][0]) * 1000)
                             )
                         cap = min(int(q.get("limit", ["10000"])[0]), 100_000)
                         rows = (

@@ -182,10 +182,92 @@ def test_topk_is_k_per_timestamp(spark, eng):
 
 
 def test_unsupported_surfaces_raise(spark, eng):
-    with pytest.raises(PromQLError, match="label copying"):
-        parse_promql("a / on(x) group_left(foo) b")
     with pytest.raises(PromQLError, match="range"):
         promql_eval(eng, "rate(click[36h])", DAY)  # not a multiple of step
+    with pytest.raises(PromQLError, match="exactly one vector"):
+        promql_eval(eng, "round(click, error)", DAY)  # 2nd arg must be scalar
+
+
+def test_group_left_label_copy_parses():
+    ast = parse_promql("a / on(x) group_left(foo, bar) b")
+    assert ast.group == "left" and ast.group_labels == ("foo", "bar")
+
+
+def test_round_scalar_expression_arg(spark, eng):
+    """round(v, 2*2) must fold the scalar expression to to_nearest=4."""
+    base = promql_eval(eng, "sum by (cohort) (rate(click[1d])) * 1000", DAY)
+    r4 = promql_eval(
+        eng, "round(sum by (cohort) (rate(click[1d])) * 1000, 2*2)", DAY
+    )
+    got = {(r.series_key, r.ts_ms): r.value for r in r4.collect()}
+    for r in base.collect():
+        want = round(r.value / 4.0) * 4.0  # banker's vs half-up can differ
+        v = got[(r.series_key, r.ts_ms)]
+        assert abs(v - r.value) <= 2.0 and math.isclose(v % 4.0, 0.0, abs_tol=1e-9)
+
+
+def test_vector_mod_zero_is_nan(spark, eng):
+    """Prometheus x % 0 = NaN — the sample must survive with NaN, not be
+    NULLed out by Spark's non-ANSI remainder (ADVICE r5)."""
+    base = promql_eval(eng, "sum by (cohort) (rate(click[1d]))", DAY)
+    modz = promql_eval(eng, "sum by (cohort) (rate(click[1d])) % 0", DAY)
+    rows = modz.collect()
+    assert len(rows) == base.count()
+    assert all(r.value is not None and math.isnan(r.value) for r in rows)
+
+
+def test_group_left_label_copy_values(spark, eng):
+    """group_left(env) copies env from the one side; an existing many-side
+    env is overwritten (Prometheus label-copy semantics)."""
+    q = (
+        'label_replace(sum by (cohort,user) (rate(error[1d])), '
+        '"env", "app", "cohort", "(.*)") '
+        "+ on(cohort) group_left(env) "
+        'label_replace(sum by (cohort) (rate(click[1d])), '
+        '"env", "prod-$1", "cohort", "(.*)")'
+    )
+    rows = promql_eval(eng, q, DAY).collect()
+    assert rows
+    import re as _re
+
+    for r in rows:
+        m = _re.search(r"cohort=(\d+)", r.series_key)
+        assert f"env=prod-{m.group(1)}" in r.series_key, r.series_key
+        assert "env=app" not in r.series_key
+        assert "user=" in r.series_key
+
+
+def test_cardinality_validation_errors(spark, eng):
+    """A duplicate match group on the one side of group_left, or either
+    side of an on() one-to-one match, must raise (Prometheus errors;
+    silent pair-production is a correctness trap — r5 verdict task #2)."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    # one-to-one on(cohort) with a many-per-cohort left side
+    bad1 = promql_eval(
+        eng,
+        "sum by (cohort,user) (rate(error[1d])) "
+        "/ on(cohort) sum by (cohort) (rate(error[1d]))",
+        DAY,
+    )
+    with pytest.raises(
+        (SparkRuntimeException, Py4JJavaError), match="duplicate series"
+    ):
+        bad1.collect()
+    # group_left with a NON-unique one side: the many side (per-cohort
+    # click rate) is guaranteed to pair with the duplicated one-side
+    # match group, because both derive from the same click stream
+    bad2 = promql_eval(
+        eng,
+        "sum by (cohort) (rate(click[1d])) "
+        "/ on(cohort) group_left sum by (cohort,user) (rate(click[1d]))",
+        DAY,
+    )
+    with pytest.raises(
+        (SparkRuntimeException, Py4JJavaError), match="multiple matches"
+    ):
+        bad2.collect()
 
 
 def test_group_left_keeps_many_side_labels(spark, eng):
