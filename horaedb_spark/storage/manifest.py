@@ -33,7 +33,11 @@ import time
 from dataclasses import dataclass, replace
 
 from horaedb_spark.core.timeutil import TimeRange
-from horaedb_spark.storage.backend import PosixBackend, StorageBackend
+from horaedb_spark.storage.backend import (
+    ObjectStoreBackend,
+    PosixBackend,
+    StorageBackend,
+)
 
 SNAPSHOT_NAME = "snapshot.json"  # legacy unversioned snapshot (pre-round-4)
 SNAP_PREFIX = "snapshot-"
@@ -159,6 +163,7 @@ class Manifest:
         merge_soft_threshold: int = 50,
         merge_hard_threshold: int = 90,
         backend: StorageBackend | None = None,
+        background_fold: bool = True,
     ):
         self.root = root
         self.backend = backend or PosixBackend()
@@ -166,7 +171,15 @@ class Manifest:
         self.delta_dir = os.path.join(self.dir, "delta")
         self.soft = merge_soft_threshold
         self.hard = merge_hard_threshold
+        self.background_fold = background_fold
         self._lock = threading.RLock()
+        # Folds serialize on their own lock and never take the write lock:
+        # the write path must stay O(delta) while a fold rewrites the
+        # O(total SSTs) snapshot (reference: dedicated merge runtime,
+        # manifest/mod.rs:184-334, storage.rs:92-104).
+        self._merge_lock = threading.Lock()
+        self._fold_proc = None
+        self._fold_thread: threading.Thread | None = None
         self._ssts: dict[int, SstFile] = {}
         self._next_delta_id = 0
         self._folded_through = -1
@@ -272,16 +285,32 @@ class Manifest:
     def add_file(self, sst: SstFile) -> None:
         self.update([sst], [])
 
+    def _sync_folded_from_names(self) -> None:
+        """O(1) adoption of a fold published by the background folder (or
+        another writer): the fold point is the latest snapshot's FILENAME
+        minus one — the write path never re-parses snapshot CONTENT. The
+        in-memory SST list needs no touch-up: this writer applied every one
+        of its own deltas; a fold only moves deltas into a snapshot."""
+        snaps = self._snapshot_files()
+        if snaps:
+            folded = int(snaps[-1][len(SNAP_PREFIX):-len(".json")]) - 1
+            self._folded_through = max(self._folded_through, folded)
+            self._next_delta_id = max(self._next_delta_id, folded + 1)
+
     def update(self, to_adds: list[SstFile], to_deletes: list[int]) -> None:
         with self._lock:
+            self._sync_folded_from_names()
             names = self._delta_files()
             # Backpressure counts UNFOLDED deltas (replay cost); folded
             # deltas kept by the GC retention window are dead weight, not
-            # pending work.
+            # pending work. Hard threshold REJECTS, as the reference does
+            # (mod.rs:258-262) — a writer outpacing the background folder
+            # is supposed to feel it.
             n_deltas = len(
                 [n for n in names if int(n[len(DELTA_PREFIX):]) > self._folded_through]
             )
             if n_deltas >= self.hard:
+                self._schedule_fold()
                 raise ManifestBackpressure(
                     f"manifest delta count {n_deltas} >= hard threshold {self.hard}"
                 )
@@ -293,12 +322,6 @@ class Manifest:
                 self._next_delta_id = max(
                     self._next_delta_id,
                     max(int(n[len(DELTA_PREFIX):]) for n in names) + 1,
-                )
-            snaps = self._snapshot_files()
-            if snaps:
-                self._next_delta_id = max(
-                    self._next_delta_id,
-                    int(snaps[-1][len(SNAP_PREFIX):-len(".json")]),
                 )
             delta = {
                 "to_adds": [s.to_json() for s in to_adds],
@@ -319,9 +342,76 @@ class Manifest:
             self._next_delta_id += 1
             self._apply_delta(delta)
             if n_deltas + 1 >= self.soft:
-                # The reference schedules a background merge at the soft
-                # threshold; single-process driver code just merges inline.
-                self.merge_snapshot()
+                # The reference schedules a BACKGROUND merge at the soft
+                # threshold (its dedicated manifest_compact_runtime,
+                # storage.rs:92-104) — the write path never pays the
+                # O(total SSTs) snapshot rewrite.
+                self._schedule_fold()
+
+    def _schedule_fold(self) -> None:
+        """Kick a background snapshot fold (at most one in flight).
+
+        Posix-family backends fold in a SUBPROCESS: at 1e6 SSTs the
+        snapshot is ~235 MB of JSON whose encode/parse is GIL-bound, so an
+        in-process thread would still stall the writer; a child process is
+        true parallelism (the CAS-published snapshot makes an external
+        folder just another safe writer). Other backends fall back to a
+        daemon thread (merge_snapshot never takes the write lock). With
+        ``background_fold=False`` the fold runs inline (child processes,
+        deterministic tests)."""
+        if not self.background_fold:
+            self.merge_snapshot()
+            return
+        if self._fold_proc is not None and self._fold_proc.poll() is None:
+            return
+        if self._fold_thread is not None and self._fold_thread.is_alive():
+            return
+        bcls = type(self.backend)
+        if bcls in (PosixBackend, ObjectStoreBackend):
+            import subprocess
+            import sys
+
+            repo = os.path.dirname(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            )
+            code = (
+                f"import sys; sys.path.insert(0, {repo!r})\n"
+                "from horaedb_spark.storage.backend import ("
+                "PosixBackend, ObjectStoreBackend)\n"
+                "from horaedb_spark.storage.manifest import Manifest\n"
+                f"Manifest({self.root!r}, merge_soft_threshold={self.soft}, "
+                f"merge_hard_threshold={self.hard}, "
+                f"backend={bcls.__name__}(), "
+                "background_fold=False).merge_snapshot()\n"
+            )
+            self._fold_proc = subprocess.Popen(
+                [sys.executable, "-c", code],
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+        else:
+            def _safe_fold() -> None:
+                try:
+                    self.merge_snapshot()
+                except Exception:
+                    pass  # next soft-threshold trigger retries; hard rejects
+
+            self._fold_thread = threading.Thread(
+                target=_safe_fold, daemon=True, name="manifest-fold"
+            )
+            self._fold_thread.start()
+
+    def wait_for_background_fold(self, timeout: float | None = None) -> None:
+        """Block until any in-flight background fold finishes, then adopt
+        its fold point. For benches/tests and orderly shutdown — the write
+        path never calls this."""
+        p, t = self._fold_proc, self._fold_thread
+        if p is not None:
+            p.wait(timeout)
+        if t is not None:
+            t.join(timeout)
+        with self._lock:
+            self._sync_folded_from_names()
 
     # -- snapshot merge (mod.rs:184-334) --------------------------------------
 
@@ -333,12 +423,19 @@ class Manifest:
     DELTA_RETAIN = 10
 
     def merge_snapshot(self) -> None:
-        with self._lock:
+        # Takes ONLY the merge lock: the O(total SSTs) load/encode must not
+        # block the write path, which holds self._lock for O(delta) work.
+        # Lock order is always write-lock -> merge-lock (update never folds
+        # inline; a caller folding while a writer appends is the designed
+        # concurrency). The in-memory SST list is NOT replaced here — this
+        # writer's view already contains every delta it applied, and a fold
+        # only moves log entries into a snapshot; cross-writer absorption
+        # happens on CAS conflict (_refresh), as on the append path.
+        with self._merge_lock:
             # Fold from the FULL log, never from this writer's memory: a
             # concurrent writer's deltas may not have been applied locally,
             # and a snapshot built from a stale view would drop them when
             # the deltas are garbage-collected.
-            flags = {fid for fid, s in self._ssts.items() if s.in_compaction}
             ssts, _snap_folded, next_id, folded_through = self._load_log()
             if folded_through <= self._folded_through and self._snapshot_files():
                 return  # nothing new to fold
@@ -350,16 +447,11 @@ class Manifest:
             published = self.backend.put_if_absent(
                 os.path.join(self.dir, name), json.dumps(snap)
             )
+            # Adopt the new fold point either way (monotonic int updates —
+            # benign against concurrent writers, who also only raise them).
+            self._folded_through = max(self._folded_through, folded_through)
+            self._next_delta_id = max(self._next_delta_id, next_id)
             if published:
-                # adopt the folded view locally (preserving runtime flags)
-                self._ssts = ssts
-                self._folded_through = folded_through
-                self._next_delta_id = max(self._next_delta_id, next_id)
-                for fid in flags:
-                    if fid in self._ssts:
-                        self._ssts[fid] = replace(
-                            self._ssts[fid], in_compaction=True
-                        )
                 # GC: folded deltas outside the retention window, superseded
                 # snapshots (keep last 2), and the legacy unversioned file
                 for n in self._delta_files():
@@ -368,10 +460,8 @@ class Manifest:
                 for n in self._snapshot_files()[:-2]:
                     self.backend.delete(os.path.join(self.dir, n))
                 self.backend.delete(os.path.join(self.dir, SNAPSHOT_NAME))
-            else:
-                # a concurrent merge folded the same point first — identical
-                # fold set, nothing lost; absorb and move on
-                self._refresh()
+            # else: a concurrent merge folded the same point first —
+            # identical fold set, nothing lost; fold point adopted above
 
     # -- queries (mod.rs:165-172) ---------------------------------------------
 

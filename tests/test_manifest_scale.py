@@ -44,9 +44,12 @@ def test_manifest_scaling_is_linear(tmp_path):
     small = manifest_scale_bench(str(tmp_path / "s"), n_ssts=20_000, batch=5_000)
     big = manifest_scale_bench(str(tmp_path / "b"), n_ssts=100_000, batch=5_000)
     assert abs(big["bytes_per_sst"] - small["bytes_per_sst"]) < 0.1 * small["bytes_per_sst"]
-    for k in ("fold_s", "replay_s"):
+    for k in ("append_s", "fold_s", "replay_s"):
         # 5x data may cost at most ~2x the linear prediction (noise floor
-        # guard: skip when the small run is too fast to measure stably)
+        # guard: skip when the small run is too fast to measure stably).
+        # append_s is bounded too (r5 verdict #3): folds run in a
+        # background subprocess, so the append loop is linear in rows
+        # appended — no periodic O(total SSTs) stall on the write path.
         if small[k] > 0.05:
             assert big[k] < 10 * small[k], (k, small[k], big[k])
     assert big["find_s"] < 1.0, big
