@@ -75,6 +75,12 @@ HEADLINE = [
     "promql_parse_eval",
     "ann_ivf_topk_large_queryset",
     "text_bpe_batched",
+    # round-6 additions: the two round-5 plan fixes (a regression here
+    # means the TakeOrderedAndProject / exact_ntile plans rotted) and the
+    # RFC packed data table round trip
+    "text_bm25_topk",
+    "customer_rfm_segments",
+    "metric_packed_scan",
 ]
 
 
@@ -96,6 +102,7 @@ FIXTURE_QUERIES = (
     "storage_secondary_index_scan",
     "storage_point_lookup",
     "storage_delete_scan",
+    "metric_packed_scan",  # ingest + pack-on-compaction is the fixture
 )
 
 
@@ -148,6 +155,29 @@ def main() -> None:
             timings[name] = -1.0
             print(f"# bench error in {name}: {e}", file=sys.stderr)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # RFC packed-layout row-count reduction (RFC 20240827:218-231): a
+    # 30-day single series at 15 s resolution packs ~120x fewer data rows.
+    # Not in the headline total — it's a layout stat, not a query.
+    packing: dict = {}
+    try:
+        from horaedb_spark.metric.model import pack_data_table
+
+        hf = spark.range(172_800).select(
+            F.lit(1).alias("metric_id"),
+            F.lit(7).alias("tsid"),
+            (F.col("id") * 15_000).alias("ts_ms"),
+            F.rand(42).alias("value"),
+        )
+        t0 = time.perf_counter()
+        n_packs = pack_data_table(hf).count()
+        packing = {
+            "samples": 172_800,
+            "packed_rows": n_packs,
+            "reduction_x": round(172_800 / n_packs, 1),
+            "pack_s": round(time.perf_counter() - t0, 3),
+        }
+    except Exception as e:
+        print(f"# packing bench error: {e}", file=sys.stderr)
     spark.stop()
     # Manifest-at-scale + codec micro-benches (driver-side metadata paths;
     # reference's encoding_bench analogue) run in a SEPARATE process after
@@ -180,6 +210,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "packing": packing,
                 "manifest": manifest_stats,
             }
         )

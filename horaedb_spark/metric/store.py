@@ -43,8 +43,17 @@ def _schema(fields: list[tuple[str, T.DataType]], n_pks: int) -> StorageSchema:
 class MetricStore:
     """Durable metric tables over ColumnarTable (RFC:106-137 layout)."""
 
-    def __init__(self, spark: SparkSession, root: str, segment_duration_ms: int):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        segment_duration_ms: int,
+        pack_ms: int = model.PACK_MS,
+    ):
         self.spark = spark
+        self.root = root
+        self.pack_ms = pack_ms
+        self._packed: ColumnarTable | None = None
         L, S, D = T.LongType(), T.StringType(), T.DoubleType()
         self.metrics = ColumnarTable(
             spark,
@@ -119,6 +128,85 @@ class MetricStore:
                 self.data.write(WriteRequest(sl, TimeRange(seg, seg + dur)))
         finally:
             ided.unpersist()
+
+    # --------------------------------------------------- packed data (RFC:218)
+
+    @property
+    def packed_data(self) -> ColumnarTable:
+        """Opt-in packed data table (RFC 20240827:218-231): PK
+        (metric_id, tsid, pack_start_ms), one row per series per pack
+        window carrying an array<struct<ts_ms,value>> plus explicit
+        ts_min/ts_max stats (parquet can't see inside the packed column —
+        the RFC's own-maintained min/max). Lazily created."""
+        if self._packed is None:
+            L, D = T.LongType(), T.DoubleType()
+            point = T.StructType(
+                [T.StructField("ts_ms", L), T.StructField("value", D)]
+            )
+            self._packed = ColumnarTable(
+                self.spark,
+                f"{self.root}/data_packed",
+                _schema(
+                    [
+                        ("metric_id", L),
+                        ("tsid", L),
+                        ("pack_start_ms", L),
+                        ("points", T.ArrayType(point)),
+                        ("ts_min", L),
+                        ("ts_max", L),
+                        ("n_points", L),
+                    ],
+                    3,
+                ),
+                self.data.segment_duration_ms,
+            )
+        return self._packed
+
+    def compact_to_packed(self) -> None:
+        """Pack-on-compaction: fold the row-per-sample data table (with its
+        merge-on-read dedup applied) into the packed layout, one segment at
+        a time. Idempotent: a re-pack of the same window lands on the same
+        PK and overwrite-merges (the RFC's seq-based dedup on compact,
+        RFC:233-234)."""
+        data = self.data.scan(ScanRequest(ordered=False))
+        packed = model.pack_data_table(data, self.pack_ms)
+        dur = self.packed_data.segment_duration_ms
+        seg_col = (
+            F.col("pack_start_ms") - F.pmod("pack_start_ms", F.lit(dur))
+        ).alias("s")
+        segs = [r[0] for r in packed.select(seg_col).distinct().collect()]
+        for seg in sorted(segs):
+            sl = packed.filter(
+                (F.col("pack_start_ms") >= seg)
+                & (F.col("pack_start_ms") < seg + dur)
+            )
+            self.packed_data.write(WriteRequest(sl, TimeRange(seg, seg + dur)))
+
+    def packed_scan(self, time_range: TimeRange | None = None) -> DataFrame:
+        """Unpack-on-scan over the packed table: prune pack rows with the
+        explicit ts_min/ts_max stats (a pack OVERLAPS the range iff
+        ts_max >= start and ts_min < end), explode, then exact-filter —
+        segment pruning at the manifest happens on pack_start_ms as usual."""
+        tr = time_range or TimeRange.all()
+        lo = tr.start - (self.pack_ms - 1)  # packs straddling the start
+        rows = self.packed_data.scan(
+            ScanRequest(TimeRange(lo, tr.end), ordered=False)
+        ).filter(
+            (F.col("ts_max") >= tr.start) & (F.col("ts_min") < tr.end)
+        )
+        out = model.unpack_data_table(rows)
+        if time_range is not None:
+            out = out.filter(
+                (F.col("ts_ms") >= tr.start) & (F.col("ts_ms") < tr.end)
+            )
+        return out
+
+    def packed_engine(self, time_range: TimeRange | None = None) -> MetricEngine:
+        """A MetricEngine whose data path reads the PACKED table — query
+        layer identical, storage layout batched (RFC:218-231)."""
+        eng = self.engine(time_range)
+        eng.data = self.packed_scan(time_range)
+        return eng
 
     # ------------------------------------------------------------------- read
 

@@ -63,6 +63,7 @@ _QUERY_MODULES = (
     "analytics4",
     "streaming_queries",
     "metric_queries",
+    "metric_store_queries",
     "storage_queries",
     "sources_queries",
     "setops_queries",

@@ -78,3 +78,65 @@ def test_store_recovery(spark, tmp_path):
     eng = store2.engine()
     assert eng.data.count() == 1
     assert eng.label_values("cpu", "h").count() == 1
+
+
+def test_packed_data_table_round_trip(spark, tmp_path):
+    """RFC 20240827:218-231 packed layout: pack-on-compaction, explicit
+    ts_min/ts_max stats, unpack-on-scan identical to row-per-sample."""
+    store = MetricStore(spark, str(tmp_path / "mp"), HOUR, pack_ms=30 * 60_000)
+    # 1 series, 12 samples over 2 pack windows + a second series
+    rows = [("cpu", {"host": "a"}, i * 300_000, float(i), 1) for i in range(12)]
+    rows += [("cpu", {"host": "b"}, 600_000, 42.0, 1)]
+    store.ingest(_samples(spark, rows))
+    store.compact_to_packed()
+    packed = store.packed_data.scan().collect()
+    # host=a packs into 2 windows (0, 1800000); host=b into 1 -> 3 rows < 13
+    assert len(packed) == 3
+    by_key = {(r.tsid, r.pack_start_ms): r for r in packed}
+    a2 = [r for r in packed if r.n_points == 6]
+    assert len(a2) == 2  # host=a windows carry 6 points each
+    for r in packed:
+        pts = [p.ts_ms for p in r.points]
+        assert pts == sorted(pts)
+        assert r.ts_min == pts[0] and r.ts_max == pts[-1]
+    # unpack == row-per-sample scan, exactly
+    from horaedb_spark.storage.table import ScanRequest
+
+    flat = store.data.scan(ScanRequest(ordered=False))
+    unp = store.packed_scan()
+    assert sorted(map(tuple, unp.collect())) == sorted(map(tuple, flat.collect()))
+
+
+def test_packed_scan_time_range_prunes_by_stats(spark, tmp_path):
+    store = MetricStore(spark, str(tmp_path / "mpr"), HOUR, pack_ms=30 * 60_000)
+    rows = [("cpu", {"h": "a"}, i * 300_000, float(i), 1) for i in range(12)]
+    store.ingest(_samples(spark, rows))
+    store.compact_to_packed()
+    # range [1500000, 2100000) straddles both windows
+    out = store.packed_scan(TimeRange(1_500_000, 2_100_000)).collect()
+    assert sorted(r.ts_ms for r in out) == [1_500_000, 1_800_000]
+
+
+def test_packed_recompaction_is_idempotent(spark, tmp_path):
+    store = MetricStore(spark, str(tmp_path / "mpi"), HOUR, pack_ms=30 * 60_000)
+    store.ingest(_samples(spark, [("cpu", {"h": "a"}, 1000, 1.0, 1)]))
+    store.compact_to_packed()
+    # late point lands in the same window; re-pack overwrites the pack row
+    store.ingest(_samples(spark, [("cpu", {"h": "a"}, 2000, 2.0, 2)]))
+    store.compact_to_packed()
+    packed = store.packed_data.scan().collect()
+    assert len(packed) == 1 and packed[0].n_points == 2
+    assert [(r.ts_ms, r.value) for r in store.packed_scan().orderBy("ts_ms").collect()] == [
+        (1000, 1.0),
+        (2000, 2.0),
+    ]
+
+
+def test_packed_engine_matches_flat_engine(spark, tmp_path):
+    store = MetricStore(spark, str(tmp_path / "mpe"), HOUR, pack_ms=30 * 60_000)
+    rows = [("cpu", {"host": "a"}, i * 300_000, float(i % 5), i) for i in range(10)]
+    store.ingest(_samples(spark, rows))
+    store.compact_to_packed()
+    flat = store.engine().select_series("cpu", [Matcher("host", "=", "a")])
+    pk = store.packed_engine().select_series("cpu", [Matcher("host", "=", "a")])
+    assert sorted(map(tuple, flat.collect())) == sorted(map(tuple, pk.collect()))
