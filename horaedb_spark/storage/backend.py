@@ -198,6 +198,180 @@ class PosixBackend(StorageBackend):
         return os.path.getsize(path)
 
 
+# One durable "bucket" per (process, bucket name): reopening a FakeS3Backend
+# must see the same objects, like a real bucket outlives any client.
+_FAKE_BUCKETS: dict[str, str] = {}
+_FAKE_BUCKETS_LOCK = threading.Lock()
+
+
+class FakeS3Backend(StorageBackend):
+    """A MinIO-style LOCAL FAKE of a cloud object store — the integration
+    shim for the reference's ObjectStore data path
+    (columnar_storage/src/storage.rs:189-225) in a container with no cloud
+    credentials or SDK (no fsspec/s3fs baked in; SCALING.md §backends).
+
+    Unlike ``ObjectStoreBackend`` (object-store *semantics* over the
+    caller's local paths), this class emulates the full bucket model:
+
+    - paths are ``s3://<bucket>/<key>`` URLs (plain local paths are also
+      accepted and mapped into the bucket's key space, so the whole
+      lifecycle suite parameterizes over it unchanged);
+    - the key space is FLAT: ``makedirs`` is a no-op, directories exist
+      only as common prefixes of keys (empty "dirs" don't exist at all);
+    - ``list_dir`` is a real paginated prefix LIST with a delimiter:
+      pages of ``page_size`` keys + continuation token, common prefixes
+      reported once — the S3 ListObjectsV2 shape;
+    - ``put_if_absent`` is the conditional PUT (If-None-Match emulated
+      with an exclusive hard link on the mirror);
+    - ``commit_dir`` cannot rename: the staged keys are final and the
+      manifest pointer is the publish;
+    - ``spark_path`` translates the URL to the bucket's local mirror
+      directory — the exact hook where a real deployment returns the
+      ``s3a://`` form for Spark's Hadoop connector.
+
+    Objects are byte-for-byte files under a per-bucket mirror directory
+    (created once per process); only this class touches the mirror —
+    every caller above speaks URLs and object verbs."""
+
+    name = "fake_s3"
+    commits_in_place = True
+
+    def __init__(self, bucket: str = "horaedb-test", page_size: int = 1000):
+        import tempfile
+
+        self.bucket = bucket
+        self.page_size = page_size
+        with _FAKE_BUCKETS_LOCK:
+            if bucket not in _FAKE_BUCKETS:
+                _FAKE_BUCKETS[bucket] = tempfile.mkdtemp(
+                    prefix=f"fake_s3_{bucket}_"
+                )
+            self.mirror = _FAKE_BUCKETS[bucket]
+
+    # -- key model ----------------------------------------------------------
+
+    def _key(self, path: str) -> str:
+        if path.startswith("s3://"):
+            rest = path[len("s3://"):]
+            bucket, _, key = rest.partition("/")
+            if bucket != self.bucket:
+                raise ValueError(f"wrong bucket {bucket!r} != {self.bucket!r}")
+            return key.strip("/")
+        return path.lstrip("/").rstrip("/")
+
+    def _local(self, path: str) -> str:
+        return os.path.join(self.mirror, self._key(path))
+
+    def _all_keys(self, prefix: str) -> list[str]:
+        """Every object key under a prefix (the bucket 'server side')."""
+        base = os.path.join(self.mirror, prefix) if prefix else self.mirror
+        out = []
+        for dirpath, _dirs, files in os.walk(base):
+            for name in files:
+                full = os.path.join(dirpath, name)
+                out.append(os.path.relpath(full, self.mirror))
+        return sorted(out)
+
+    def _list_page(
+        self, prefix: str, token: int
+    ) -> tuple[list[str], int | None]:
+        """One LIST page: up to ``page_size`` keys starting at ``token``,
+        plus the next continuation token (None when exhausted)."""
+        keys = self._all_keys(prefix)
+        page = keys[token : token + self.page_size]
+        nxt = token + self.page_size
+        return page, (nxt if nxt < len(keys) else None)
+
+    # -- small objects ------------------------------------------------------
+
+    def read_text(self, path: str) -> str:
+        with open(self._local(path)) as f:
+            return f.read()
+
+    def put_text(self, path: str, data: str) -> None:
+        local = self._local(path)
+        os.makedirs(os.path.dirname(local), exist_ok=True)
+        tmp = f"{local}.tmp.{os.getpid()}.{threading_ident()}"
+        with open(tmp, "w") as f:
+            f.write(data)
+        os.replace(tmp, local)  # mirror-internal: emulates atomic PUT
+
+    def put_if_absent(self, path: str, data: str) -> bool:
+        local = self._local(path)
+        os.makedirs(os.path.dirname(local), exist_ok=True)
+        tmp = f"{local}.tmp.{os.getpid()}.{threading_ident()}"
+        with open(tmp, "w") as f:
+            f.write(data)
+        try:
+            os.link(tmp, local)  # If-None-Match: * emulation
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def exists(self, path: str) -> bool:
+        local = self._local(path)
+        return os.path.isfile(local) or os.path.isdir(local)
+
+    def list_dir(self, path: str) -> list[str]:
+        """Immediate children under a prefix, via the paginated LIST:
+        object keys one level down plus common prefixes ('directories')."""
+        prefix = self._key(path)
+        plen = len(prefix) + 1 if prefix else 0
+        children: set[str] = set()
+        token: int | None = 0
+        while token is not None:
+            page, token = self._list_page(prefix, token)
+            for key in page:
+                rel = key[plen:]
+                children.add(rel.split("/", 1)[0])
+        return sorted(children)
+
+    def delete(self, path: str) -> None:
+        try:
+            os.unlink(self._local(path))
+        except OSError:
+            pass
+
+    def delete_tree(self, path: str) -> None:
+        shutil.rmtree(self._local(path), ignore_errors=True)
+
+    # -- directories / larger structures ------------------------------------
+
+    def makedirs(self, path: str) -> None:
+        pass  # a flat key space has no directories to create
+
+    def is_dir(self, path: str) -> bool:
+        return os.path.isdir(self._local(path))
+
+    def commit_dir(self, src: str, dst: str) -> str:
+        return src  # staged keys are final; the manifest pointer moves
+
+    def copy_tree(self, src: str, dst: str) -> None:
+        shutil.copytree(self._local(src), self._local(dst))
+
+    def walk_files(self, path: str, suffix: str = "") -> list[str]:
+        prefix = self._key(path)
+        sep = "s3://" + self.bucket + "/"
+        return [
+            sep + k
+            for k in self._all_keys(prefix)
+            if k.endswith(suffix)
+        ]
+
+    def open_binary(self, path: str):
+        return open(self._local(path), "rb")
+
+    def size(self, path: str) -> int:
+        return os.path.getsize(self._local(path))
+
+    def spark_path(self, path: str) -> str:
+        """URL -> data-plane translation: Spark reads/writes the bucket's
+        mirror directly (a cloud deployment returns the s3a:// form)."""
+        return self._local(path)
+
+
 class ObjectStoreBackend(PosixBackend):
     """Object-store semantics over a local directory: no renames.
 

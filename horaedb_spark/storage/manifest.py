@@ -447,10 +447,13 @@ class Manifest:
             published = self.backend.put_if_absent(
                 os.path.join(self.dir, name), json.dumps(snap)
             )
-            # Adopt the new fold point either way (monotonic int updates —
-            # benign against concurrent writers, who also only raise them).
-            self._folded_through = max(self._folded_through, folded_through)
-            self._next_delta_id = max(self._next_delta_id, next_id)
+            # Adopt the new fold point either way. The short write-lock
+            # section is safe: no caller holds the write lock while
+            # folding (update() only SCHEDULES folds), so the lock order
+            # here is always merge-lock -> write-lock with no reverse path.
+            with self._lock:
+                self._folded_through = max(self._folded_through, folded_through)
+                self._next_delta_id = max(self._next_delta_id, next_id)
             if published:
                 # GC: folded deltas outside the retention window, superseded
                 # snapshots (keep last 2), and the legacy unversioned file

@@ -326,7 +326,7 @@ class ColumnarTable:
         )
         out.write.options(**self.write_config.writer_options()).mode(
             "overwrite"
-        ).partitionBy(*part_cols).parquet(staging)
+        ).partitionBy(*part_cols).parquet(self.backend.spark_path(staging))
         prefix = f"{SEGMENT_COLUMN}="
         segments = sorted(
             int(name[len(prefix):])
@@ -709,7 +709,7 @@ class ColumnarTable:
         staging = os.path.join(self.root, f"_staging_dml_{base_id}")
         out.write.options(**self.write_config.writer_options()).mode(
             "overwrite"
-        ).partitionBy(SEGMENT_COLUMN).parquet(staging)
+        ).partitionBy(SEGMENT_COLUMN).parquet(self.backend.spark_path(staging))
         prefix = f"{SEGMENT_COLUMN}="
         segments = sorted(
             int(name[len(prefix):])

@@ -14,13 +14,19 @@ import threading
 import pytest
 
 from horaedb_spark.core.timeutil import TimeRange
-from horaedb_spark.storage.backend import ObjectStoreBackend, PosixBackend
+from horaedb_spark.storage.backend import (
+    FakeS3Backend,
+    ObjectStoreBackend,
+    PosixBackend,
+)
 from horaedb_spark.storage.compaction import Compactor, SchedulerConfig
 from horaedb_spark.storage.manifest import Manifest, SstFile
 from horaedb_spark.storage.table import ColumnarTable, ScanRequest, WriteRequest
 from tests.test_storage import TWO_HOURS, kv_schema
 
-BACKENDS = [PosixBackend, ObjectStoreBackend]
+# Third parameterization (r5 verdict #5): the MinIO-style local bucket fake
+# with s3:// URL translation and paginated prefix LIST.
+BACKENDS = [PosixBackend, ObjectStoreBackend, FakeS3Backend]
 
 
 def _mk(spark, rows):
@@ -86,9 +92,12 @@ def test_vacuum_keeps_live_inplace_commits(spark, tmp_path, backend_cls):
         [(1, 1, 10, 0), (2, 2, 20, TWO_HOURS)], "pk1 long, pk2 long, value long, ts long"
     )
     t.bulk_ingest(df, "ts")
-    # fake crash residue: an orphan staging dir with junk
+    # fake crash residue: an orphan staging dir with junk — created through
+    # the backend's own verbs (an object store has no empty directories, so
+    # the residue must be an actual object)
     junk = os.path.join(t.root, "_staging_999")
-    os.makedirs(os.path.join(junk, "__segment__=0"), exist_ok=True)
+    be.makedirs(os.path.join(junk, "__segment__=0"))
+    be.put_text(os.path.join(junk, "__segment__=0", "junk.bin"), "x")
     before = sorted(tuple(r) for r in t.scan().collect())
     removed = t.vacuum()
     assert any("_staging_999" in p for p in removed)
@@ -106,11 +115,63 @@ def test_reopen_recovers_manifest(spark, tmp_path, backend_cls):
 
 
 def test_put_if_absent_is_exclusive(tmp_path):
-    for be in (PosixBackend(), ObjectStoreBackend()):
+    for be in (PosixBackend(), ObjectStoreBackend(), FakeS3Backend()):
         p = str(tmp_path / f"{be.name}.obj")
         assert be.put_if_absent(p, "a")
         assert not be.put_if_absent(p, "b")
         assert be.read_text(p) == "a"
+
+
+# --------------------------------------------------- fake-S3 URL integration
+
+
+def test_fake_s3_url_rooted_table_lifecycle(spark):
+    """The full table lifecycle over an s3://bucket/key-rooted table: every
+    control-plane path in the manifest is a URL, Spark reads/writes go
+    through spark_path URL translation, and reopening the bucket sees the
+    data (the bucket outlives the client)."""
+    import uuid
+
+    root = f"s3://horaedb-test/tables/t-{uuid.uuid4().hex[:8]}"
+    be = FakeS3Backend()
+    t = ColumnarTable(spark, root, kv_schema(), TWO_HOURS, backend=be)
+    t.write(WriteRequest(_mk(spark, [(1, 1, 10), (2, 2, 20)]), TimeRange(0, 100)))
+    t.write(WriteRequest(_mk(spark, [(1, 1, 11)]), TimeRange(100, 200)))
+    assert [tuple(r) for r in t.scan().collect()] == [(1, 1, 11), (2, 2, 20)]
+    # manifest records URLs, never local mirror paths
+    for s in t.manifest.all_ssts():
+        assert s.path.startswith("s3://horaedb-test/"), s.path
+    # reopen with a FRESH client: same bucket, same objects
+    t2 = ColumnarTable(
+        spark, root, kv_schema(), TWO_HOURS, backend=FakeS3Backend()
+    )
+    assert [tuple(r) for r in t2.scan().collect()] == [(1, 1, 11), (2, 2, 20)]
+
+
+def test_fake_s3_list_pagination():
+    """Prefix LIST must page: 25 objects through page_size=4 LIST calls
+    yields every key exactly once, and list_dir reports common prefixes
+    ('directories') alongside keys."""
+    import uuid
+
+    be = FakeS3Backend(page_size=4)
+    root = f"s3://horaedb-test/pag-{uuid.uuid4().hex[:8]}"
+    for i in range(25):
+        be.put_text(f"{root}/obj-{i:03d}", str(i))
+    be.put_text(f"{root}/sub/child", "x")
+    names = be.list_dir(root)
+    assert names == sorted([f"obj-{i:03d}" for i in range(25)] + ["sub"])
+    # raw page walk: token chain terminates and covers all keys
+    prefix = be._key(root)
+    seen, token = [], 0
+    pages = 0
+    while token is not None:
+        page, token = be._list_page(prefix, token)
+        assert len(page) <= 4
+        seen.extend(page)
+        pages += 1
+    assert pages >= 7 and len(seen) == 26
+    assert be.read_text(f"{root}/obj-007") == "7"
 
 
 # ------------------------------------------------- CAS multi-writer manifest
