@@ -334,6 +334,26 @@ class Manifest:
                     self.delta_dir, f"{DELTA_PREFIX}{self._next_delta_id:012d}"
                 )
                 if self.backend.put_if_absent(path, payload):
+                    # Publish-time validation (supersedes the "writer
+                    # epochs" caveat): if a concurrent fold advanced the
+                    # fold point past our id between the pre-CAS sync and
+                    # the put, our name is a GC'd ALREADY-FOLDED id —
+                    # every reader skips ids <= folded_through, so the
+                    # delta would be silently invisible. Retract and retry
+                    # above the fold point. Sound because delta ids are
+                    # taken in order (id N+1 can only exist after N), so a
+                    # fold that advanced past N must have seen every live
+                    # delta <= N — never ours, which did not exist yet.
+                    snaps = self._snapshot_files()
+                    folded = (
+                        int(snaps[-1][len(SNAP_PREFIX):-len(".json")]) - 1
+                        if snaps
+                        else -1
+                    )
+                    if self._next_delta_id <= folded:
+                        self.backend.delete(path)
+                        self._sync_folded_from_names()
+                        continue
                     break
                 # a concurrent writer took this delta id: absorb its view
                 # (their delta included) and retry with the next id — the
@@ -416,10 +436,11 @@ class Manifest:
     # -- snapshot merge (mod.rs:184-334) --------------------------------------
 
     # Folded deltas are kept for this many ids past the fold point before
-    # deletion: a writer would have to be further behind than this, right
-    # after having LISTed the log, to land a delta at a reused name. Real
-    # deployments add writer epochs on top; this mirrors Delta/Iceberg log
-    # retention.
+    # deletion (Delta/Iceberg-style log retention). Since round 6 this is
+    # GC hygiene only, not a correctness window: the publish-time
+    # validation in update() retracts any delta landed at a reused
+    # already-folded name, so a stale writer can be arbitrarily far behind
+    # without losing an update.
     DELTA_RETAIN = 10
 
     def merge_snapshot(self) -> None:

@@ -90,3 +90,45 @@ def test_interleaved_writers_match_set_model(tmp_path_factory, backend_cls, ops)
 
     final = Manifest(root, backend=backend_cls())
     assert {s.file_id for s in final.all_ssts()} == live_model
+
+
+def test_stale_writer_delta_name_reuse_is_retracted(tmp_path, monkeypatch):
+    """The pathological interleaving the retention window used to merely
+    make unlikely: a stale writer lands its delta at a name that a
+    concurrent fold already folded AND garbage-collected. Publish-time
+    validation must retract the invisible delta and retry above the fold
+    point — no silent lost update (SCALING.md round-6 closure)."""
+    from horaedb_spark.storage.backend import PosixBackend
+    from horaedb_spark.storage.manifest import Manifest
+
+    root = str(tmp_path / "reuse")
+    monkeypatch.setattr(Manifest, "DELTA_RETAIN", 0)
+
+    victim_state = {"fired": False}
+
+    class RacingBackend(PosixBackend):
+        """Fires a competing burst of appends + fold right between the
+        victim's pre-CAS sync and its conditional PUT."""
+
+        def put_if_absent(self, path, data):
+            if "delta-" in path and not victim_state["fired"]:
+                victim_state["fired"] = True
+                other = Manifest(
+                    root, merge_soft_threshold=10_000,
+                    merge_hard_threshold=10_000, background_fold=False,
+                )
+                for i in range(15):
+                    other.update([_sst(100 + i)], [])
+                other.merge_snapshot()  # folds + GCs every delta name
+            return super().put_if_absent(path, data)
+
+    victim = Manifest(
+        root, merge_soft_threshold=10_000, merge_hard_threshold=10_000,
+        backend=RacingBackend(), background_fold=False,
+    )
+    victim.update([_sst(1)], [])
+    assert victim_state["fired"]
+    final = Manifest(root, background_fold=False)
+    got = {s.file_id for s in final.all_ssts()}
+    assert 1 in got, got  # the victim's SST survived the name-reuse race
+    assert got == {1} | {100 + i for i in range(15)}
