@@ -13,7 +13,9 @@ pack is built by ONE hash aggregate, and the unpack is a codegen'd explode.
 pack-on-compaction, unpack-on-scan through the series/metrics catalogs — and
 hash-matches every (name, series_key, ts_ms, value) row against the deduped
 sample stream DuckDB derives directly from events: packing must be
-observationally invisible to the query layer.
+observationally invisible to the query layer. ``metric_packed_promql`` runs
+a full PromQL string through the packed engine for the same guarantee at
+the query-language surface.
 """
 
 from __future__ import annotations
@@ -28,6 +30,36 @@ from horaedb_spark.queries.registry import register
 from horaedb_spark.queries.tables import events_ms
 
 _PACKED_CACHE: dict[str, DataFrame] = {}
+_STORES: dict[str, object] = {}
+
+
+def _packed_store(spark: SparkSession, sf_dir: str):
+    """One ingested + packed MetricStore per sf_dir (the fixture both
+    packed queries share)."""
+    if sf_dir in _STORES:
+        return _STORES[sf_dir]
+    from horaedb_spark.metric.store import MetricStore
+
+    ev = events_ms(spark, sf_dir)
+    samples = ev.select(
+        F.col("event_type").alias("name"),
+        F.create_map(
+            F.lit("user"),
+            F.col("user_id").cast("string"),
+            F.lit("cohort"),
+            (F.col("user_id") % 10).cast("string"),
+        ).alias("labels"),
+        "ts_ms",
+        "value",
+        F.col("event_id").alias("seq"),
+    )
+    store = MetricStore(
+        spark, tempfile.mkdtemp(prefix="metric_packed_") + "/ms", 15 * DAY_MS
+    )
+    store.ingest(samples)
+    store.compact_to_packed()
+    _STORES[sf_dir] = store
+    return store
 
 
 @register(
@@ -53,27 +85,9 @@ def metric_packed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench.py's ``packing`` stat)."""
     if sf_dir in _PACKED_CACHE:
         return _PACKED_CACHE[sf_dir]
-    from horaedb_spark.metric.store import MetricStore
     from horaedb_spark.storage.table import ScanRequest
 
-    ev = events_ms(spark, sf_dir)
-    samples = ev.select(
-        F.col("event_type").alias("name"),
-        F.create_map(
-            F.lit("user"),
-            F.col("user_id").cast("string"),
-            F.lit("cohort"),
-            (F.col("user_id") % 10).cast("string"),
-        ).alias("labels"),
-        "ts_ms",
-        "value",
-        F.col("event_id").alias("seq"),
-    )
-    store = MetricStore(
-        spark, tempfile.mkdtemp(prefix="metric_packed_") + "/ms", 15 * DAY_MS
-    )
-    store.ingest(samples)
-    store.compact_to_packed()
+    store = _packed_store(spark, sf_dir)
     n_samples = store.data.scan(ScanRequest(ordered=False)).count()
     n_packs = store.packed_data.scan(ScanRequest(ordered=False)).count()
     assert 0 < n_packs <= n_samples, (n_packs, n_samples)
@@ -97,3 +111,41 @@ def metric_packed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _PACKED_CACHE[sf_dir] = out
     return out
+
+
+@register(
+    "metric_packed_promql",
+    oracle=_DEDUP_CTE
+    + f"""
+    , r AS (
+      SELECT cohort, ts_ms - ts_ms % {DAY_MS} AS bucket_ms,
+             arg_max(value, ts_ms) AS v_last, arg_min(value, ts_ms) AS v_first,
+             max(ts_ms) AS t_last, min(ts_ms) AS t_first, count(*) AS n
+      FROM samples WHERE name = 'click'
+      GROUP BY cohort, user_label, 2
+    )
+    SELECT 'cohort=' || cohort AS series_key, bucket_ms AS ts_ms,
+           floor(CAST(sum(CAST((v_last - v_first)
+                               / ((t_last - t_first) / 1000.0)
+                               AS DECIMAL(30,10))) AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS value
+    FROM r WHERE n >= 2 AND t_last > t_first
+    GROUP BY 1, 2 ORDER BY series_key, ts_ms
+    """,
+)
+def metric_packed_promql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL over the PACKED layout: the same
+    ``sum by (cohort) (rate(click[1d]))`` string every dashboard speaks,
+    parsed and compiled against a MetricEngine whose data path is
+    unpack-on-scan over the packed table — the RFC's batched storage must
+    be observationally invisible to the full query surface, not just raw
+    scans. Hash-gated against the row-per-sample DuckDB replica."""
+    from horaedb_spark.metric.promql import promql_eval
+
+    eng = _packed_store(spark, sf_dir).packed_engine()
+    out = promql_eval(eng, "sum by (cohort) (rate(click[1d]))", DAY_MS)
+    return out.select(
+        "series_key",
+        "ts_ms",
+        (F.floor(F.col("value") * 1_000_000 + 0.5) / 1_000_000).alias("value"),
+    ).orderBy("series_key", "ts_ms")
