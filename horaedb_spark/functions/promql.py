@@ -660,7 +660,11 @@ def histogram_quantile(
 
 
 def instant_vector(
-    df: DataFrame, series_cols: list[str], step_ms: int, lookback_ms: int
+    df: DataFrame,
+    series_cols: list[str],
+    step_ms: int,
+    lookback_ms: int,
+    with_sample_ts: bool = False,
 ) -> DataFrame:
     """PromQL instant-vector step evaluation (D8): at every aligned step t in
     the data's range, each series reports its latest sample with
@@ -715,13 +719,14 @@ def instant_vector(
             ).over(w),
         )
     )
+    extra = ["sample_ts"] if with_sample_ts else []
     return (
         u.filter(
             (F.col("__anchor__") == 1)
             & F.col("sample_ts").isNotNull()
             & (F.col("sample_ts") > F.col("step_ms") - lookback_ms)
         )
-        .select(*series_cols, "step_ms", F.col("ivalue").alias("value"))
+        .select(*series_cols, "step_ms", F.col("ivalue").alias("value"), *extra)
     )
 
 

@@ -150,8 +150,17 @@ RANGE_FNS = {
     "predict_linear", "holt_winters",
     "avg_over_time", "min_over_time", "max_over_time", "sum_over_time",
     "count_over_time", "last_over_time", "quantile_over_time",
+    "changes", "resets", "stddev_over_time", "stdvar_over_time",
+    "present_over_time", "mad_over_time",
 }
-MATH_FNS = {"abs", "ceil", "floor", "sqrt", "exp", "ln", "log2", "log10"}
+MATH_FNS = {"abs", "ceil", "floor", "sqrt", "exp", "ln", "log2", "log10", "sgn"}
+# PromQL date functions: the sample VALUE is interpreted as epoch seconds
+# (prometheus/promql/functions.go funcHour et al.); zero args default to
+# vector(time()).
+DATE_FNS = {
+    "minute", "hour", "day_of_week", "day_of_month", "days_in_month",
+    "month", "year",
+}
 
 
 class PromQLError(ValueError):
@@ -458,11 +467,29 @@ def _canonical_key(labels_map: Column) -> Column:
     )
 
 
+class ScalarGrid:
+    """A step-varying PromQL SCALAR — ``time()``, ``scalar(v)`` — as a
+    (ts_ms, value) frame on the evaluation grid. Scalars don't carry labels,
+    so binary ops against a vector join on ts_ms only and keep the vector's
+    labels (Prometheus vector-scalar semantics); the grid is O(steps) rows
+    and is broadcast into any join with data-sized frames."""
+
+    __slots__ = ("df",)
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+
 class PromQLCompiler:
     """Compile parsed PromQL to DataFrames over a MetricEngine."""
 
     def __init__(
-        self, engine: MetricEngine, step_ms: int, lookback_ms: int | None = None
+        self,
+        engine: MetricEngine,
+        step_ms: int,
+        lookback_ms: int | None = None,
+        start_ms: int | None = None,
+        end_ms: int | None = None,
     ):
         self.engine = engine
         self.step_ms = step_ms
@@ -471,6 +498,45 @@ class PromQLCompiler:
         # defaults it to one step (documented divergence — a 5m lookback on
         # a 1d grid over sparse data would yield an empty vector).
         self.lookback_ms = lookback_ms if lookback_ms is not None else step_ms
+        # explicit evaluation range for time()/vector()/absent*() — the
+        # HTTP query_range start/end. When absent, derived once from the
+        # engine's data range (a two-value aggregate, cached).
+        self.start_ms = start_ms
+        self.end_ms = end_ms
+        self._bounds_cache: tuple[int, int] | None = None
+
+    def _bounds(self) -> tuple[int, int]:
+        """(first, last) aligned evaluation steps, inclusive."""
+        if self._bounds_cache is None:
+            if self.start_ms is not None and self.end_ms is not None:
+                mn, mx = self.start_ms, self.end_ms
+            else:
+                row = self.engine.data.agg(
+                    F.min("ts_ms"), F.max("ts_ms")
+                ).first()
+                if row[0] is None:
+                    raise PromQLError(
+                        "empty store: no evaluation range for "
+                        "time()/vector()/absent() — pass start/end"
+                    )
+                mn, mx = int(row[0]), int(row[1])
+            s = self.step_ms
+            self._bounds_cache = (-(-mn // s) * s, mx // s * s)
+        return self._bounds_cache
+
+    def _grid(self) -> DataFrame:
+        """The step spine (ts_ms) — O(steps) rows regardless of data size."""
+        lo, hi = self._bounds()
+        spark = self.engine.data.sparkSession
+        return spark.range(lo, hi + 1, self.step_ms).select(
+            F.col("id").alias("ts_ms")
+        )
+
+    def _time_grid(self) -> ScalarGrid:
+        """``time()``: the evaluation timestamp in SECONDS at each step."""
+        return ScalarGrid(
+            self._grid().select("ts_ms", (F.col("ts_ms") / 1000.0).alias("value"))
+        )
 
     # -- public -----------------------------------------------------------
 
@@ -478,6 +544,10 @@ class PromQLCompiler:
         """Evaluate a PromQL string on the engine's data at this compiler's
         step resolution. Returns (series_key, ts_ms, value)."""
         out = self._eval(parse_promql(query))
+        if isinstance(out, ScalarGrid):
+            raise PromQLError(
+                "query evaluates to a scalar, not a vector — wrap in vector()"
+            )
         if not isinstance(out, DataFrame):
             raise PromQLError("query evaluates to a scalar, not a vector")
         return out.select("series_key", "ts_ms", F.col("value").cast("double"))
@@ -614,7 +684,155 @@ class PromQLCompiler:
             df = self._eval(node.args[0])
             order = F.asc("value") if fn == "sort" else F.desc("value")
             return df.orderBy("ts_ms", order, "series_key")
+        if fn == "clamp":
+            # clamp(v, min, max): scalar bounds (Number or scalar expr);
+            # min > max yields the empty vector (Prometheus funcClamp).
+            if len(node.args) != 3:
+                raise PromQLError("clamp(v, min, max) takes 3 args")
+            evaled = [self._eval(a) for a in node.args]
+            if not isinstance(evaled[0], DataFrame) or any(
+                isinstance(e, (DataFrame, ScalarGrid)) for e in evaled[1:]
+            ):
+                raise PromQLError("clamp needs (vector, scalar, scalar)")
+            mn, mx = float(evaled[1]), float(evaled[2])
+            if mn > mx:
+                return evaled[0].filter(F.lit(False))
+            return evaled[0].withColumn(
+                "value", P.clamp(F.col("value"), mn, mx)
+            )
+        if fn == "time":
+            if node.args:
+                raise PromQLError("time() takes no arguments")
+            return self._time_grid()
+        if fn == "vector":
+            s = self._eval(node.args[0])
+            if isinstance(s, ScalarGrid):
+                return s.df.select(
+                    F.lit("").alias("series_key"), "ts_ms", "value"
+                )
+            if isinstance(s, DataFrame):
+                raise PromQLError("vector() needs a scalar argument")
+            return self._grid().select(
+                F.lit("").alias("series_key"),
+                "ts_ms",
+                F.lit(float(s)).alias("value"),
+            )
+        if fn == "scalar":
+            v = self._eval(node.args[0])
+            if isinstance(v, ScalarGrid):
+                return v
+            if not isinstance(v, DataFrame):
+                raise PromQLError("scalar() needs a vector argument")
+            # exactly one series at a step -> its value, else NaN
+            agg = v.groupBy("ts_ms").agg(
+                F.count(F.lit(1)).alias("__n__"), F.max("value").alias("__v__")
+            )
+            return ScalarGrid(
+                self._grid()
+                .join(F.broadcast(agg), "ts_ms", "left")
+                .select(
+                    "ts_ms",
+                    F.when(F.col("__n__") == 1, F.col("__v__"))
+                    .otherwise(F.lit(float("nan")))
+                    .alias("value"),
+                )
+            )
+        if fn == "timestamp":
+            arg = node.args[0]
+            if isinstance(arg, Selector) and arg.range_ms is None:
+                # raw selector: the underlying SAMPLE's timestamp, not the
+                # evaluation step's (Prometheus funcTimestamp)
+                out = P.instant_vector(
+                    self._samples(arg),
+                    ["series_key"],
+                    self.step_ms,
+                    self.lookback_ms,
+                    with_sample_ts=True,
+                )
+                return self._apply_at(
+                    out.select(
+                        "series_key",
+                        F.col("step_ms").alias("ts_ms"),
+                        (F.col("sample_ts") / 1000.0).alias("value"),
+                    ),
+                    arg.at_ms,
+                )
+            df = self._eval(arg)
+            if not isinstance(df, DataFrame):
+                raise PromQLError("timestamp() needs a vector argument")
+            # computed vectors carry the evaluation timestamp
+            return df.withColumn("value", F.col("ts_ms") / 1000.0)
+        if fn in DATE_FNS:
+            if not node.args:
+                df = self._eval(Call("vector", (Call("time", ()),)))
+            else:
+                df = self._eval(node.args[0])
+            if not isinstance(df, DataFrame):
+                raise PromQLError(f"{fn}() needs a vector argument")
+            # value is epoch SECONDS; Go truncates toward zero to int64
+            comp = P.time_components(
+                F.col("value").cast("long") * F.lit(1000)
+            )[fn]
+            return df.withColumn("value", comp.cast("double"))
+        if fn == "absent":
+            arg = node.args[0]
+            key = (
+                self._matcher_key(arg) if isinstance(arg, Selector) else ""
+            )
+            v = self._eval(arg)
+            if not isinstance(v, DataFrame):
+                raise PromQLError("absent() needs a vector argument")
+            present = v.select("ts_ms").distinct()
+            return (
+                self._grid()
+                .join(present, "ts_ms", "left_anti")
+                .select(
+                    F.lit(key).alias("series_key"),
+                    "ts_ms",
+                    F.lit(1.0).alias("value"),
+                )
+            )
+        if fn == "absent_over_time":
+            arg = node.args[0]
+            if not isinstance(arg, Selector) or arg.range_ms is None:
+                raise PromQLError(
+                    "absent_over_time needs a [range] selector"
+                )
+            if arg.range_ms % self.step_ms != 0:
+                raise PromQLError(
+                    "absent_over_time range must be a multiple of the step"
+                )
+            key = self._matcher_key(arg)
+            lo, hi = self._bounds()
+            out = P.absent_over_time(
+                self._samples(arg),
+                lo,
+                hi + self.step_ms,  # kernel spine end is exclusive
+                self.step_ms,
+                arg.range_ms,
+            )
+            return self._apply_at(
+                out.select(
+                    F.lit(key).alias("series_key"),
+                    F.col("eval_ms").alias("ts_ms"),
+                    F.col("absent").cast("double").alias("value"),
+                ),
+                arg.at_ms,
+            )
         raise PromQLError(f"unsupported function {fn!r}")
+
+    @staticmethod
+    def _matcher_key(sel: Selector) -> str:
+        """absent()/absent_over_time() output labels: the selector's
+        UNIQUE equality matchers (Prometheus createLabelsForAbsentFunction —
+        the metric name is not included)."""
+        eq: dict[str, str | None] = {}
+        for m in sel.matchers:
+            if m.op == "=":
+                eq[m.key] = None if m.key in eq else m.value
+        return ",".join(
+            f"{k}={v}" for k, v in sorted(eq.items()) if v is not None
+        )
 
     def _range_fn(self, node: Call):
         fn = node.fn
@@ -666,6 +884,40 @@ class PromQLCompiler:
             }[fn]
             return out.select(
                 *keys, F.col("bucket_ms").alias("ts_ms"), F.col(val).alias("value")
+            )
+        if fn in ("changes", "resets"):
+            if sliding:
+                raise PromQLError(f"{fn} supports range == step only")
+            out = P.transition_counts(df, keys, step)
+            return out.select(
+                *keys,
+                F.col("bucket_ms").alias("ts_ms"),
+                F.col(fn).cast("double").alias("value"),
+            )
+        if fn in ("stddev_over_time", "stdvar_over_time"):
+            if sliding:
+                raise PromQLError(f"{fn} supports range == step only")
+            out = P.stddev_over_time(df, keys, step)
+            return out.select(
+                *keys, F.col("bucket_ms").alias("ts_ms"), F.col(fn).alias("value")
+            )
+        if fn == "present_over_time":
+            if sliding:
+                raise PromQLError("present_over_time supports range == step only")
+            out = P.edge_over_time(df, keys, step)
+            return out.select(
+                *keys,
+                F.col("bucket_ms").alias("ts_ms"),
+                F.col("present_over_time").cast("double").alias("value"),
+            )
+        if fn == "mad_over_time":
+            if sliding:
+                raise PromQLError("mad_over_time supports range == step only")
+            out = P.mad_over_time(df, keys, step)
+            return out.select(
+                *keys,
+                F.col("bucket_ms").alias("ts_ms"),
+                F.col("mad_over_time").alias("value"),
             )
         if fn == "predict_linear":
             # predict_linear(sel[range], ahead_s)
@@ -825,6 +1077,58 @@ class PromQLCompiler:
             )
         return F.col("series_key")
 
+    def _grid_binop(self, node: BinOp, lhs, rhs, arith, comps):
+        """Binary ops with a step-varying scalar (ScalarGrid) operand.
+        Scalars never label-match: against a vector the join is on ts_ms
+        only (grid broadcast — O(steps) rows) and the vector keeps its
+        labels; scalar-scalar comparison requires bool mode, as in
+        Prometheus."""
+        if node.op in _SET_OPS:
+            raise PromQLError(f"{node.op} requires two instant vectors")
+        sgl, sgr = isinstance(lhs, ScalarGrid), isinstance(rhs, ScalarGrid)
+        vec = lhs if isinstance(lhs, DataFrame) else (
+            rhs if isinstance(rhs, DataFrame) else None
+        )
+        if vec is None:
+            # scalar-scalar (SG vs SG, or SG vs literal)
+            if node.op in comps and not node.bool_mode:
+                raise PromQLError("scalar-scalar comparison needs bool mode")
+            if sgl and sgr:
+                j = lhs.df.join(
+                    rhs.df.withColumnRenamed("value", "__rv__"), "ts_ms"
+                )
+                a, b = F.col("value"), F.col("__rv__")
+            else:
+                sg = lhs if sgl else rhs
+                lit = F.lit(float(rhs if sgl else lhs))
+                j = sg.df
+                a, b = (F.col("value"), lit) if sgl else (lit, F.col("value"))
+            if node.op in comps:
+                out_v = F.when(
+                    comps[node.op](a, b), F.lit(1.0)
+                ).otherwise(F.lit(0.0))
+            else:
+                out_v = arith[node.op](a, b)
+            return ScalarGrid(j.select("ts_ms", out_v.alias("value")))
+        # vector vs scalar grid
+        sg = lhs if sgl else rhs
+        j = vec.join(
+            F.broadcast(sg.df.withColumnRenamed("value", "__sv__")), "ts_ms"
+        )
+        a = F.col("__sv__") if sgl else F.col("value")
+        b = F.col("value") if sgl else F.col("__sv__")
+        if node.op in comps:
+            cond = comps[node.op](a, b)
+            if node.bool_mode:
+                out = j.withColumn(
+                    "value", F.when(cond, F.lit(1.0)).otherwise(F.lit(0.0))
+                )
+            else:
+                out = j.filter(cond)
+        else:
+            out = j.withColumn("value", arith[node.op](a, b))
+        return out.select("series_key", "ts_ms", "value")
+
     def _binop(self, node: BinOp):
         lhs, rhs = self._eval(node.lhs), self._eval(node.rhs)
         scalar_l = not isinstance(lhs, DataFrame)
@@ -849,6 +1153,8 @@ class PromQLCompiler:
             "==": lambda a, b: a == b,
             "!=": lambda a, b: a != b,
         }
+        if isinstance(lhs, ScalarGrid) or isinstance(rhs, ScalarGrid):
+            return self._grid_binop(node, lhs, rhs, arith, comps)
         if scalar_l and scalar_r:
             if node.op in comps:
                 raise PromQLError("scalar-scalar comparison needs bool mode")

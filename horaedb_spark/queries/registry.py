@@ -53,6 +53,7 @@ def register(name: str, oracle: str | None = None):
 
 _QUERY_MODULES = (
     "promql_parse_queries",
+    "promql_fn_queries",
     "search_queries",
     "pipeline_queries",
     "dedup_queries",

@@ -487,3 +487,121 @@ def test_topk_zero_returns_empty_vector(spark, eng):
         eng, "topk(0, sum by (user) (increase(click[1d])))", DAY
     )
     assert out.count() == 0
+
+
+# ------------------------------------------- round-6 function surface
+
+
+def test_changes_resets_match_kernel(spark, eng):
+    sel = eng.select_series("click").select("series_key", "ts_ms", "value")
+    hand = P.transition_counts(sel, ["series_key"], DAY)
+    for fn in ("changes", "resets"):
+        parsed = promql_eval(eng, f"{fn}(click[1d])", DAY)
+        want = _rows(
+            hand.select(
+                "series_key",
+                F.col("bucket_ms").alias("ts_ms"),
+                F.col(fn).cast("double").alias("value"),
+            )
+        )
+        assert _rows(parsed) == want and len(want) > 0
+
+
+def test_time_is_scalar_not_vector(spark, eng):
+    with pytest.raises(PromQLError, match="vector"):
+        promql_eval(eng, "time()", DAY)
+    out = promql_eval(eng, "vector(time())", DAY).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.series_key == "" and r.value == r.ts_ms / 1000.0
+
+
+def test_scalar_of_multiseries_is_nan(spark, eng):
+    # >1 series at a step -> NaN (Prometheus scalar() rule)
+    out = promql_eval(
+        eng, "vector(0) + scalar(sum by (cohort) (click))", DAY
+    ).collect()
+    assert len(out) > 0 and all(math.isnan(r.value) for r in out)
+    # exactly one series -> its value passes through
+    one = promql_eval(eng, "vector(0) + scalar(vector(7))", DAY).collect()
+    assert len(one) > 0 and all(r.value == 7.0 for r in one)
+
+
+def test_vector_scalar_binop_keeps_labels(spark, eng):
+    base = {
+        (r.series_key, r.ts_ms): r.value
+        for r in promql_eval(eng, "sum by (cohort) (click)", DAY).collect()
+    }
+    shifted = promql_eval(eng, "sum by (cohort) (click) - time()", DAY)
+    got = {(r.series_key, r.ts_ms): r.value for r in shifted.collect()}
+    assert len(got) > 0 and set(got) <= set(base)
+    for (key, ts), v in got.items():
+        assert v == pytest.approx(base[(key, ts)] - ts / 1000.0)
+        assert key.startswith("cohort=")
+
+
+def test_absent_carries_eq_matcher_labels(spark, eng):
+    out = promql_eval(eng, 'absent(click{cohort="99"})', DAY).collect()
+    assert len(out) > 0
+    assert all(r.series_key == "cohort=99" and r.value == 1.0 for r in out)
+    # a present selection yields no absent rows at covered steps
+    some = promql_eval(eng, "absent(click)", DAY).count()
+    full = len(out)
+    assert some < full
+    # regex/neq matchers contribute no output labels
+    rx = promql_eval(eng, 'absent(click{cohort=~"99"})', DAY).collect()
+    assert all(r.series_key == "" for r in rx)
+
+
+def test_absent_over_time_full_when_never_present(spark, eng):
+    out = promql_eval(
+        eng, 'absent_over_time(click{cohort="99"}[2d])', DAY
+    ).collect()
+    assert len(out) > 0
+    assert all(r.series_key == "cohort=99" and r.value == 1.0 for r in out)
+
+
+def test_clamp_three_arg_and_empty_on_inverted_bounds(spark, eng):
+    lo, hi = 0.5, 2.0
+    out = promql_eval(
+        eng, f"clamp(sum by (cohort) (click), {lo}, {hi})", DAY
+    ).collect()
+    assert len(out) > 0 and all(lo <= r.value <= hi for r in out)
+    empty = promql_eval(eng, "clamp(sum by (cohort) (click), 3, 1)", DAY)
+    assert empty.count() == 0
+
+
+def test_timestamp_selector_reports_sample_ts(spark, eng):
+    out = promql_eval(eng, 'timestamp(click{cohort="3"})', DAY).collect()
+    assert len(out) > 0
+    for r in out:
+        # the SAMPLE's timestamp: within (step - lookback, step]
+        assert r.ts_ms - DAY < r.value * 1000.0 <= r.ts_ms
+    # computed vectors carry the evaluation timestamp instead
+    agg = promql_eval(eng, "timestamp(sum by (cohort) (click))", DAY).collect()
+    assert len(agg) > 0 and all(r.value == r.ts_ms / 1000.0 for r in agg)
+
+
+def test_date_fn_zero_args_defaults_to_time(spark, eng):
+    a = _rows(promql_eval(eng, "day_of_week()", DAY))
+    b = _rows(promql_eval(eng, "day_of_week(vector(time()))", DAY))
+    assert a == b and len(a) > 0
+    # epoch day 0 was a Thursday (dow 4)
+    for _key, ts, dow in a:
+        assert dow == ((ts // DAY) + 4) % 7
+
+
+def test_present_stddev_mad_over_time_strings(spark, eng):
+    sel = eng.select_series("click").select("series_key", "ts_ms", "value")
+    sd = P.stddev_over_time(sel, ["series_key"], DAY)
+    parsed = promql_eval(eng, "stdvar_over_time(click[1d])", DAY)
+    want = _rows(
+        sd.select(
+            "series_key",
+            F.col("bucket_ms").alias("ts_ms"),
+            F.col("stdvar_over_time").alias("value"),
+        )
+    )
+    assert _rows(parsed) == want and len(want) > 0
+    pres = promql_eval(eng, "present_over_time(click[1d])", DAY).collect()
+    assert len(pres) > 0 and all(r.value == 1.0 for r in pres)
