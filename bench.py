@@ -81,6 +81,8 @@ HEADLINE = [
     "text_bm25_topk",
     "customer_rfm_segments",
     "metric_packed_scan",
+    # round-6 function widening: 15 PromQL strings through the parser
+    "promql_fn_eval",
 ]
 
 

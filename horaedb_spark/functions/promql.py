@@ -934,6 +934,23 @@ def math_fn(value: Column | str, name: str) -> Column:
         "log2": F.log2,
         "log10": F.log10,
         "sgn": lambda x: F.signum(x),
+        # the Prometheus 2.31 trigonometry batch (funcSin et al.) — all
+        # row-local JVM expressions; libm 1-ulp tolerance applies, so
+        # oracle-facing callers round with the portable floor form
+        "sin": F.sin,
+        "cos": F.cos,
+        "tan": F.tan,
+        "asin": F.asin,
+        "acos": F.acos,
+        "atan": F.atan,
+        "sinh": F.sinh,
+        "cosh": F.cosh,
+        "tanh": F.tanh,
+        "asinh": F.asinh,
+        "acosh": F.acosh,
+        "atanh": F.atanh,
+        "deg": F.degrees,
+        "rad": F.radians,
     }
     if name not in fns:
         raise ValueError(f"unsupported math fn: {name}")

@@ -121,7 +121,12 @@ class MetricEngine:
         return tsids
 
     def promql(
-        self, query: str, step_ms: int, lookback_ms: int | None = None
+        self,
+        query: str,
+        step_ms: int,
+        lookback_ms: int | None = None,
+        start_ms: int | None = None,
+        end_ms: int | None = None,
     ) -> DataFrame:
         """Evaluate a PromQL STRING at the given step resolution — the
         RFC's text-query contract (20220702-prometheus-read-extension.md)
@@ -129,7 +134,9 @@ class MetricEngine:
         (series_key, ts_ms, value)."""
         from horaedb_spark.metric.promql import PromQLCompiler
 
-        return PromQLCompiler(self, step_ms, lookback_ms).compile(query)
+        return PromQLCompiler(
+            self, step_ms, lookback_ms, start_ms=start_ms, end_ms=end_ms
+        ).compile(query)
 
     def select_series(
         self,

@@ -142,9 +142,10 @@ _UNIT_MS = {
 
 AGG_OPS = {
     "sum", "avg", "min", "max", "count", "group", "stddev", "stdvar",
-    "topk", "bottomk", "quantile",
+    "topk", "bottomk", "quantile", "limitk", "limit_ratio", "count_values",
 }
-PARAM_AGGS = {"topk", "bottomk", "quantile"}
+PARAM_AGGS = {"topk", "bottomk", "quantile", "limitk", "limit_ratio"}
+STRING_PARAM_AGGS = {"count_values"}
 RANGE_FNS = {
     "rate", "increase", "irate", "idelta", "delta", "deriv",
     "predict_linear", "holt_winters",
@@ -153,7 +154,11 @@ RANGE_FNS = {
     "changes", "resets", "stddev_over_time", "stdvar_over_time",
     "present_over_time", "mad_over_time",
 }
-MATH_FNS = {"abs", "ceil", "floor", "sqrt", "exp", "ln", "log2", "log10", "sgn"}
+MATH_FNS = {
+    "abs", "ceil", "floor", "sqrt", "exp", "ln", "log2", "log10", "sgn",
+    "sin", "cos", "tan", "asin", "acos", "atan", "sinh", "cosh", "tanh",
+    "asinh", "acosh", "atanh", "deg", "rad",
+}
 # PromQL date functions: the sample VALUE is interpreted as epoch seconds
 # (prometheus/promql/functions.go funcHour et al.); zero args default to
 # vector(time()).
@@ -398,8 +403,15 @@ def _parse_agg(lx: _Lexer):
     lx.expect("OP", "(")
     param = None
     if op in PARAM_AGGS:
+        neg = lx.peek() == ("OP", "-")
+        if neg:
+            lx.next()
         t = lx.expect("NUMBER")
-        param = float(t)
+        param = -float(t) if neg else float(t)
+        lx.expect("OP", ",")
+    elif op in STRING_PARAM_AGGS:
+        t = lx.expect("STRING")
+        param = t[1:-1]  # the destination label name
         lx.expect("OP", ",")
     expr = _parse_expr(lx)
     lx.expect("OP", ")")
@@ -508,9 +520,8 @@ class PromQLCompiler:
     def _bounds(self) -> tuple[int, int]:
         """(first, last) aligned evaluation steps, inclusive."""
         if self._bounds_cache is None:
-            if self.start_ms is not None and self.end_ms is not None:
-                mn, mx = self.start_ms, self.end_ms
-            else:
+            mn, mx = self.start_ms, self.end_ms
+            if mn is None or mx is None:
                 row = self.engine.data.agg(
                     F.min("ts_ms"), F.max("ts_ms")
                 ).first()
@@ -519,7 +530,8 @@ class PromQLCompiler:
                         "empty store: no evaluation range for "
                         "time()/vector()/absent() — pass start/end"
                     )
-                mn, mx = int(row[0]), int(row[1])
+                mn = mn if mn is not None else int(row[0])
+                mx = mx if mx is not None else int(row[1])
             s = self.step_ms
             self._bounds_cache = (-(-mn // s) * s, mx // s * s)
         return self._bounds_cache
@@ -704,6 +716,10 @@ class PromQLCompiler:
             if node.args:
                 raise PromQLError("time() takes no arguments")
             return self._time_grid()
+        if fn == "pi":
+            if node.args:
+                raise PromQLError("pi() takes no arguments")
+            return math.pi
         if fn == "vector":
             s = self._eval(node.args[0])
             if isinstance(s, ScalarGrid):
@@ -1012,6 +1028,60 @@ class PromQLCompiler:
                 .filter(F.col("__rn__") <= k)
                 .select("series_key", "ts_ms", "value")
             )
+        if node.op == "limitk":
+            # PromQL 3.x limitk(k, ...): k arbitrary-but-deterministic
+            # series per group/step — md5 of the series identity, the
+            # limitk_series kernel's convention; rank<=k compiles to a
+            # map-side WindowGroupLimit like topk
+            k = int(node.param) if node.param is not None else 1
+            if k <= 0:
+                return keyed.filter(F.lit(False)).select(
+                    "series_key", "ts_ms", "value"
+                )
+            w = Window.partitionBy("__gkey__", "ts_ms").orderBy(
+                F.md5("series_key").asc(), F.asc("series_key")
+            )
+            return (
+                keyed.withColumn("__rn__", F.row_number().over(w))
+                .filter(F.col("__rn__") <= k)
+                .select("series_key", "ts_ms", "value")
+            )
+        if node.op == "limit_ratio":
+            # deterministic ~r sample by md5-prefix threshold (the
+            # limit_ratio_series kernel's row-local trick — no ranking
+            # shuffle); negative r selects the exact complement, so
+            # limit_ratio(r) ∪ limit_ratio(-(1-r)) is the whole vector
+            r = float(node.param if node.param is not None else 1.0)
+            digest = F.substring(F.md5("series_key"), 1, 8)
+            if r >= 1 or r <= -1:
+                cond = F.lit(True)
+            elif r == 0:
+                cond = F.lit(False)
+            elif r > 0:
+                cond = digest < F.lit(format(int(r * 16**8), "08x"))
+            else:
+                cond = digest >= F.lit(format(int((1 + r) * 16**8), "08x"))
+            return keyed.filter(cond).select("series_key", "ts_ms", "value")
+        if node.op == "count_values":
+            # count_values("label", v): per group/step, the number of
+            # elements carrying each distinct value; the value string
+            # becomes a label (overwriting a same-named group label).
+            # Integral doubles format without the decimal point —
+            # engine-portable, unlike shortest-float formatting.
+            lbl = str(node.param)
+            fmt = F.when(
+                F.col("value") == F.floor("value"),
+                F.col("value").cast("long").cast("string"),
+            ).otherwise(F.col("value").cast("string"))
+            base = F.map_filter(
+                _labels("__gkey__"), lambda k, _v: (k != "") & (k != lbl)
+            )
+            newkey = _canonical_key(
+                F.map_concat(base, F.create_map(F.lit(lbl), fmt))
+            )
+            return keyed.groupBy(
+                newkey.alias("series_key"), "ts_ms"
+            ).agg(F.count(F.lit(1)).cast("double").alias("value"))
         v = F.col("value")
         if node.op == "sum":
             agg = _DEC_SUM(v)

@@ -1,10 +1,10 @@
 """PromQL function-surface widening under the oracle gate (round 6).
 
-``promql_fn_eval`` runs fifteen PromQL strings through the parser/compiler
+``promql_fn_eval`` runs twenty-two PromQL strings through the parser/compiler
 (``metric/promql.py``) covering the functions wired this round — changes/
 resets, stddev/stdvar/present/mad_over_time, sgn, 3-arg clamp, vector(),
 time(), scalar(), timestamp(), date functions, absent(), absent_over_time()
-— and hash-matches every row against DuckDB replicas. The Prometheus
+— plus limitk/limit_ratio/count_values aggregations, the trigonometry batch (sin/atan/deg) and pi() — and hash-matches every row against DuckDB replicas. The Prometheus
 semantics mirrored here are the reference's RFC query surface
 (docs/rfcs/20220702-prometheus-read-extension.md:84-99); the kernels are the
 ones already oracle-gated operator-by-operator in
@@ -44,6 +44,17 @@ _QS = [
     ("f13", 'absent_over_time(click{cohort="99"}[2d])'),
     ("f14", "sum by (cohort) (rate(click[1d])) - time()"),
     ("f15", "sum by (cohort) (rate(click[1d])) / scalar(sum(rate(click[1d])))"),
+    ("f16", "limitk(2, sum by (cohort) (rate(click[1d])))"),
+    ("f17", "limit_ratio(0.5, sum by (cohort) (rate(click[1d])))"),
+    ("f18", "limit_ratio(-0.5, sum by (cohort) (rate(click[1d])))"),
+    (
+        "f19",
+        'count_values("rounds", '
+        "round(sum by (cohort) (rate(click[1d])) * 86400))",
+    ),
+    ("f20", "sin(sum by (cohort) (rate(click[1d])))"),
+    ("f21", "deg(atan(sum by (cohort) (rate(click[1d]))))"),
+    ("f22", "vector(pi())"),
 ]
 
 # DuckDB replicas. rate_s is the shared per-series rate CTE (same decimal
@@ -234,6 +245,61 @@ _ORACLE = (
       FROM clk_s c
       JOIN tot_s t ON t.bucket_ms = c.bucket_ms
       JOIN grid g ON g.ts_ms = c.bucket_ms
+    ),
+    rk16 AS (
+      -- limitk's deterministic pick: md5 of the series identity, the
+      -- same hex DuckDB and Spark produce
+      SELECT cohort, bucket_ms, v,
+             row_number() OVER (
+               PARTITION BY bucket_ms
+               ORDER BY md5('cohort=' || cohort), 'cohort=' || cohort
+             ) AS rn
+      FROM clk_s
+    ),
+    f16 AS (
+      SELECT 'f16' AS query_id, 'cohort=' || cohort AS series_key,
+             bucket_ms AS ts_ms,
+             floor(v * 1000000 + 0.5) / 1000000 AS value
+      FROM rk16 WHERE rn <= 2
+    ),
+    f17 AS (
+      SELECT 'f17' AS query_id, 'cohort=' || cohort AS series_key,
+             bucket_ms AS ts_ms,
+             floor(v * 1000000 + 0.5) / 1000000 AS value
+      FROM clk_s
+      WHERE substring(md5('cohort=' || cohort), 1, 8) < '80000000'
+    ),
+    f18 AS (
+      SELECT 'f18' AS query_id, 'cohort=' || cohort AS series_key,
+             bucket_ms AS ts_ms,
+             floor(v * 1000000 + 0.5) / 1000000 AS value
+      FROM clk_s
+      WHERE substring(md5('cohort=' || cohort), 1, 8) >= '80000000'
+    ),
+    f19 AS (
+      SELECT 'f19' AS query_id,
+             'rounds=' || CAST(CAST(floor(v * 86400.0 + 0.5) AS BIGINT)
+                               AS VARCHAR) AS series_key,
+             bucket_ms AS ts_ms,
+             CAST(count(*) AS DOUBLE) AS value
+      FROM clk_s GROUP BY 2, 3
+    ),
+    f20 AS (
+      SELECT 'f20' AS query_id, 'cohort=' || cohort AS series_key,
+             bucket_ms AS ts_ms,
+             floor(sin(v) * 1000000 + 0.5) / 1000000 AS value
+      FROM clk_s
+    ),
+    f21 AS (
+      SELECT 'f21' AS query_id, 'cohort=' || cohort AS series_key,
+             bucket_ms AS ts_ms,
+             floor(degrees(atan(v)) * 1000000 + 0.5) / 1000000 AS value
+      FROM clk_s
+    ),
+    f22 AS (
+      SELECT 'f22' AS query_id, '' AS series_key, ts_ms,
+             floor(pi() * 1000000 + 0.5) / 1000000 AS value
+      FROM grid
     )
     SELECT * FROM (
       SELECT * FROM f1 UNION ALL SELECT * FROM f2 UNION ALL
@@ -243,7 +309,10 @@ _ORACLE = (
       SELECT * FROM f9 UNION ALL SELECT * FROM f10 UNION ALL
       SELECT * FROM f11 UNION ALL SELECT * FROM f12 UNION ALL
       SELECT * FROM f13 UNION ALL SELECT * FROM f14 UNION ALL
-      SELECT * FROM f15
+      SELECT * FROM f15 UNION ALL SELECT * FROM f16 UNION ALL
+      SELECT * FROM f17 UNION ALL SELECT * FROM f18 UNION ALL
+      SELECT * FROM f19 UNION ALL SELECT * FROM f20 UNION ALL
+      SELECT * FROM f21 UNION ALL SELECT * FROM f22
     ) ORDER BY query_id, series_key, ts_ms
     """
 )
@@ -251,7 +320,7 @@ _ORACLE = (
 
 @register("promql_fn_eval", oracle=_ORACLE)
 def promql_fn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fifteen PromQL strings through the parser covering the round-6
+    """Twenty-two PromQL strings through the parser covering the round-6
     function surface: changes/resets, stddev/stdvar/present/mad_over_time,
     sgn, 3-arg clamp, vector()/time()/scalar() step-grid scalars (joined on
     ts_ms only — Prometheus vector-scalar semantics), timestamp() with raw

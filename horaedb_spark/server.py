@@ -129,9 +129,9 @@ class ControlServer:
                         )
                         return
                     from horaedb_spark.metric.promql import (
+                        PromQLCompiler,
                         PromQLError,
                         _duration_ms,
-                        promql_eval,
                     )
 
                     q = parse_qs(urlparse(self.path).query)
@@ -143,7 +143,25 @@ class ControlServer:
                             if step_raw.isdigit()
                             else _duration_ms(step_raw)
                         )
-                        df = promql_eval(outer.metric_engine, query, step_ms)
+                        # start/end define the evaluation range for
+                        # time()/vector()/absent*() — the Prometheus API
+                        # contract; absent they fall back to the data range
+                        start_ms = (
+                            int(float(q["start"][0]) * 1000)
+                            if "start" in q
+                            else None
+                        )
+                        end_ms = (
+                            int(float(q["end"][0]) * 1000)
+                            if "end" in q
+                            else None
+                        )
+                        df = PromQLCompiler(
+                            outer.metric_engine,
+                            step_ms,
+                            start_ms=start_ms,
+                            end_ms=end_ms,
+                        ).compile(query)
                         from pyspark.sql import functions as F
 
                         if "start" in q:

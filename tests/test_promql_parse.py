@@ -605,3 +605,74 @@ def test_present_stddev_mad_over_time_strings(spark, eng):
     assert _rows(parsed) == want and len(want) > 0
     pres = promql_eval(eng, "present_over_time(click[1d])", DAY).collect()
     assert len(pres) > 0 and all(r.value == 1.0 for r in pres)
+
+
+def test_limitk_and_limit_ratio_partition_the_vector(spark, eng):
+    base = promql_eval(eng, "sum by (cohort) (rate(click[1d]))", DAY)
+    nbase = base.count()
+    lk = promql_eval(
+        eng, "limitk(2, sum by (cohort) (rate(click[1d])))", DAY
+    )
+    per_ts = lk.groupBy("ts_ms").count().collect()
+    assert per_ts and all(r["count"] <= 2 for r in per_ts)
+    # kept rows carry their original values
+    kept = {(r.series_key, r.ts_ms): r.value for r in lk.collect()}
+    vals = {(r.series_key, r.ts_ms): r.value for r in base.collect()}
+    assert all(vals[k] == v for k, v in kept.items())
+    # limit_ratio(r) and limit_ratio(-(1-r)) are exact complements
+    a = promql_eval(
+        eng, "limit_ratio(0.5, sum by (cohort) (rate(click[1d])))", DAY
+    )
+    b = promql_eval(
+        eng, "limit_ratio(-0.5, sum by (cohort) (rate(click[1d])))", DAY
+    )
+    na, nb = a.count(), b.count()
+    assert na + nb == nbase and na > 0 and nb > 0
+    assert a.intersect(b).count() == 0
+    # limitk(0) is the empty vector, like topk(0)
+    assert (
+        promql_eval(
+            eng, "limitk(0, sum by (cohort) (rate(click[1d])))", DAY
+        ).count()
+        == 0
+    )
+
+
+def test_count_values_counts_per_value_label(spark, eng):
+    out = promql_eval(
+        eng,
+        'count_values("rounds", '
+        "round(sum by (cohort) (rate(click[1d])) * 86400))",
+        DAY,
+    ).collect()
+    assert out
+    # counts per ts sum to the number of cohort series at that ts
+    base = promql_eval(
+        eng, "sum by (cohort) (rate(click[1d]))", DAY
+    )
+    per_ts = {r.ts_ms: r["count"] for r in base.groupBy("ts_ms").count().collect()}
+    got: dict[int, float] = {}
+    for r in out:
+        assert r.series_key.startswith("rounds=")
+        # integral values format without a decimal point
+        assert "." not in r.series_key
+        got[r.ts_ms] = got.get(r.ts_ms, 0) + r.value
+    assert got == {k: float(v) for k, v in per_ts.items()}
+
+
+def test_pi_and_trig_strings(spark, eng):
+    out = promql_eval(eng, "vector(pi())", DAY).collect()
+    assert out and all(r.value == math.pi for r in out)
+    s = promql_eval(
+        eng, "sin(sum by (cohort) (rate(click[1d])))", DAY
+    ).collect()
+    base = {
+        (r.series_key, r.ts_ms): r.value
+        for r in promql_eval(
+            eng, "sum by (cohort) (rate(click[1d]))", DAY
+        ).collect()
+    }
+    assert s and all(
+        math.isclose(r.value, math.sin(base[(r.series_key, r.ts_ms)]))
+        for r in s
+    )

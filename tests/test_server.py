@@ -144,3 +144,45 @@ def test_prometheus_metadata_endpoints(spark, tmp_path):
         )
     finally:
         srv.stop()
+
+
+def test_query_range_start_end_drive_scalar_grid(spark, tmp_path):
+    """start/end define the evaluation range for time()/vector()/absent()
+    (the Prometheus API contract): the scalar grid must span exactly the
+    requested window, not the data range."""
+    import urllib.parse
+
+    from horaedb_spark.queries.metric_queries import _engine
+    from tests.conftest import SF_DIR
+
+    DAY = 86_400_000
+    eng = _engine(spark, SF_DIR)
+    t = ColumnarTable(spark, str(tmp_path / "se"), kv_schema(), TWO_HOURS)
+    srv = ControlServer(Compactor(t, SchedulerConfig()), metric_engine=eng)
+    srv.start()
+    try:
+        q = urllib.parse.quote('absent(click{cohort="99"})')
+        # three aligned steps: start at day 10, end at day 12 (inclusive)
+        start_s, end_s = 10 * 86_400, 12 * 86_400
+        out = _get(
+            srv.port,
+            f"/api/v1/query_range?query={q}&step=1d"
+            f"&start={start_s}&end={end_s}",
+        )
+        assert out["status"] == "success"
+        result = out["data"]["result"]
+        assert len(result) == 1 and result[0]["metric"] == {"cohort": "99"}
+        ts = [v[0] for v in result[0]["values"]]
+        assert ts == [float(start_s), float(start_s + 86_400), float(end_s)]
+        # vector(time()) reports the evaluation timestamps themselves
+        tq = urllib.parse.quote("vector(time())")
+        tout = _get(
+            srv.port,
+            f"/api/v1/query_range?query={tq}&step=1d"
+            f"&start={start_s}&end={end_s}",
+        )
+        vals = tout["data"]["result"][0]["values"]
+        assert [v[0] for v in vals] == ts
+        assert all(float(v[1]) == v[0] for v in vals)
+    finally:
+        srv.stop()
