@@ -522,16 +522,23 @@ class PromQLCompiler:
         if self._bounds_cache is None:
             mn, mx = self.start_ms, self.end_ms
             if mn is None or mx is None:
-                row = self.engine.data.agg(
-                    F.min("ts_ms"), F.max("ts_ms")
-                ).first()
-                if row[0] is None:
-                    raise PromQLError(
-                        "empty store: no evaluation range for "
-                        "time()/vector()/absent() — pass start/end"
-                    )
-                mn = mn if mn is not None else int(row[0])
-                mx = mx if mx is not None else int(row[1])
+                # the raw data range is a property of the ENGINE, not this
+                # compiler — cache it there so evaluating many strings
+                # (promql_parse_eval-style loops) scans for it once
+                raw = getattr(self.engine, "_data_ts_bounds", None)
+                if raw is None:
+                    row = self.engine.data.agg(
+                        F.min("ts_ms"), F.max("ts_ms")
+                    ).first()
+                    if row[0] is None:
+                        raise PromQLError(
+                            "empty store: no evaluation range for "
+                            "time()/vector()/absent() — pass start/end"
+                        )
+                    raw = (int(row[0]), int(row[1]))
+                    self.engine._data_ts_bounds = raw
+                mn = mn if mn is not None else raw[0]
+                mx = mx if mx is not None else raw[1]
             s = self.step_ms
             self._bounds_cache = (-(-mn // s) * s, mx // s * s)
         return self._bounds_cache
