@@ -110,6 +110,84 @@ class ControlServer:
                         self._reply({"error": str(e)[:500]}, status=400)
                         return
                     self._reply({"n": len(rows), "rows": rows})
+                elif self.path.startswith("/api/v1/query?") or self.path == "/api/v1/query":
+                    # Prometheus INSTANT query: ?query=<promql>[&time=<s>]
+                    # [&step=<dur>] — evaluates at the single aligned step
+                    # containing `time` (default: the latest step with
+                    # data). resultType "vector", one [ts, "v"] per series
+                    # — the other half of the Prometheus read API
+                    # (docs/rfcs/20220702-prometheus-read-extension.md).
+                    # The step-grid engine needs a resolution, so `step`
+                    # is accepted like query_range (default 1d).
+                    from urllib.parse import parse_qs, urlparse
+
+                    if outer.metric_engine is None:
+                        self._reply(
+                            {"status": "error",
+                             "error": "no metric engine attached"},
+                            status=400,
+                        )
+                        return
+                    from horaedb_spark.metric.promql import (
+                        PromQLCompiler,
+                        PromQLError,
+                        _duration_ms,
+                    )
+
+                    q = parse_qs(urlparse(self.path).query)
+                    try:
+                        query = q["query"][0]
+                        step_raw = q.get("step", ["1d"])[0]
+                        step_ms = (
+                            int(step_raw)
+                            if step_raw.isdigit()
+                            else _duration_ms(step_raw)
+                        )
+                        if "time" in q:
+                            t_ms = int(float(q["time"][0]) * 1000)
+                            at_ms = t_ms - t_ms % step_ms
+                        else:  # default: the latest aligned step with data
+                            at_ms = PromQLCompiler(
+                                outer.metric_engine, step_ms
+                            )._bounds()[1]
+                        df = PromQLCompiler(
+                            outer.metric_engine,
+                            step_ms,
+                            start_ms=at_ms,
+                            end_ms=at_ms,
+                        ).compile(query)
+                        from pyspark.sql import functions as F
+
+                        cap = min(int(q.get("limit", ["10000"])[0]), 100_000)
+                        rows = (
+                            df.filter(F.col("ts_ms") == at_ms)
+                            .orderBy("series_key")
+                            .limit(cap)
+                            .collect()
+                        )
+                    except (PromQLError, KeyError, ValueError) as e:
+                        self._reply(
+                            {"status": "error", "error": str(e)[:500]},
+                            status=400,
+                        )
+                        return
+                    result = [
+                        {
+                            "metric": dict(
+                                kv.split("=", 1)
+                                for kv in r["series_key"].split(",")
+                                if "=" in kv
+                            ),
+                            "value": [r["ts_ms"] / 1000.0, str(r["value"])],
+                        }
+                        for r in rows
+                    ]
+                    self._reply(
+                        {
+                            "status": "success",
+                            "data": {"resultType": "vector", "result": result},
+                        }
+                    )
                 elif self.path.startswith("/api/v1/query_range"):
                     # Prometheus HTTP API shape: ?query=<promql>&step=<dur>
                     # [&start=<s>&end=<s>] — start/end are unix SECONDS

@@ -186,3 +186,64 @@ def test_query_range_start_end_drive_scalar_grid(spark, tmp_path):
         assert all(float(v[1]) == v[0] for v in vals)
     finally:
         srv.stop()
+
+
+def test_instant_query_endpoint(spark, tmp_path):
+    """/api/v1/query — the Prometheus instant-query half of the read API:
+    resultType 'vector', one [ts, value] pair per series, evaluated at the
+    aligned step containing `time` (default: latest step with data)."""
+    import urllib.parse
+
+    from horaedb_spark.queries.metric_queries import _engine
+    from tests.conftest import SF_DIR
+
+    DAY = 86_400_000
+    eng = _engine(spark, SF_DIR)
+    t = ColumnarTable(spark, str(tmp_path / "iq"), kv_schema(), TWO_HOURS)
+    srv = ControlServer(Compactor(t, SchedulerConfig()), metric_engine=eng)
+    srv.start()
+    try:
+        q = urllib.parse.quote("sum by (cohort) (rate(click[1d]))")
+        # the default instant is the latest aligned step, which may hold no
+        # rate data (a legitimate empty vector, as in Prometheus) — find a
+        # step WITH data from the matrix endpoint and pin it
+        matrix = _get(srv.port, f"/api/v1/query_range?query={q}&step=1d")
+        all_ts = sorted(
+            ts
+            for s in matrix["data"]["result"]
+            for ts, _v in s["values"]
+        )
+        t_s = int(all_ts[len(all_ts) // 2])
+        out = _get(srv.port, f"/api/v1/query?query={q}&step=1d&time={t_s}")
+        assert out["status"] == "success"
+        assert out["data"]["resultType"] == "vector"
+        result = out["data"]["result"]
+        assert result and all("cohort" in s["metric"] for s in result)
+        assert {s["value"][0] for s in result} == {float(t_s)}
+        # the matrix endpoint at the same instant must agree pointwise
+        expect = {
+            tuple(sorted(s["metric"].items())): v
+            for s in matrix["data"]["result"]
+            for ts, v in s["values"]
+            if ts == float(t_s)
+        }
+        got = {
+            tuple(sorted(s["metric"].items())): s["value"][1]
+            for s in result
+        }
+        assert got == expect
+        # the default (no `time`) evaluates at the single latest step
+        dflt = _get(srv.port, f"/api/v1/query?query={q}&step=1d")
+        assert dflt["status"] == "success"
+        assert len({s["value"][0] for s in dflt["data"]["result"]}) <= 1
+        # instant scalar grids evaluate at exactly that instant
+        vq = urllib.parse.quote("vector(time())")
+        vout = _get(
+            srv.port, f"/api/v1/query?query={vq}&step=1d&time={t_s}"
+        )
+        vres = vout["data"]["result"]
+        assert len(vres) == 1 and vres[0]["value"] == [
+            float(t_s), str(float(t_s))
+        ]
+    finally:
+        srv.stop()
