@@ -58,6 +58,7 @@ class ControlServer:
         host: str = "127.0.0.1",
         port: int = 0,
         metric_engine=None,
+        write_table=None,
     ) -> None:
         self.compactor = compactor
         self.toggle = toggle or WriteToggle()
@@ -66,6 +67,11 @@ class ControlServer:
         # docs/rfcs/20220702-prometheus-read-extension.md) backed by the
         # string parser in metric/promql.py.
         self.metric_engine = metric_engine
+        # Optional ColumnarTable (rules_table_schema shape) as the
+        # /api/v1/write remote-write sink; when no static engine is
+        # attached, the query endpoints serve the WRITTEN samples — the
+        # full Prometheus loop (write -> query) over one process.
+        self.write_table = write_table
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -121,7 +127,8 @@ class ControlServer:
                     # is accepted like query_range (default 1d).
                     from urllib.parse import parse_qs, urlparse
 
-                    if outer.metric_engine is None:
+                    eng = outer._query_engine()
+                    if eng is None:
                         self._reply(
                             {"status": "error",
                              "error": "no metric engine attached"},
@@ -148,10 +155,10 @@ class ControlServer:
                             at_ms = t_ms - t_ms % step_ms
                         else:  # default: the latest aligned step with data
                             at_ms = PromQLCompiler(
-                                outer.metric_engine, step_ms
+                                eng, step_ms
                             )._bounds()[1]
                         df = PromQLCompiler(
-                            outer.metric_engine,
+                            eng,
                             step_ms,
                             start_ms=at_ms,
                             end_ms=at_ms,
@@ -199,7 +206,8 @@ class ControlServer:
                     # surface, not a bulk-export path.
                     from urllib.parse import parse_qs, urlparse
 
-                    if outer.metric_engine is None:
+                    eng = outer._query_engine()
+                    if eng is None:
                         self._reply(
                             {"status": "error",
                              "error": "no metric engine attached"},
@@ -235,7 +243,7 @@ class ControlServer:
                             else None
                         )
                         df = PromQLCompiler(
-                            outer.metric_engine,
+                            eng,
                             step_ms,
                             start_ms=start_ms,
                             end_ms=end_ms,
@@ -295,7 +303,8 @@ class ControlServer:
                     # engine's inverted index (RFC D4), all driver-bounded.
                     from urllib.parse import parse_qs, unquote, urlparse
 
-                    if outer.metric_engine is None:
+                    eng = outer._query_engine()
+                    if eng is None:
                         self._reply(
                             {"status": "error",
                              "error": "no metric engine attached"},
@@ -304,7 +313,6 @@ class ControlServer:
                         return
                     from pyspark.sql import functions as F
 
-                    eng = outer.metric_engine
                     parsed = urlparse(self.path)
                     q = parse_qs(parsed.query)
                     try:
@@ -391,12 +399,105 @@ class ControlServer:
                 else:
                     self._reply({"error": "not found"}, status=404)
 
+            def do_POST(self) -> None:  # noqa: N802 (http.server API)
+                if self.path != "/api/v1/write":
+                    self._reply({"error": "not found"}, status=404)
+                    return
+                # Prometheus remote-write receive: a WriteRequest protobuf
+                # in the body (metric/ingest.py wire codec), landed into
+                # the attached ColumnarTable keyed (name, series_key,
+                # ts_ms) — re-sent samples overwrite, never duplicate
+                # (the reference's remote-write ingest contract,
+                # metric_engine/src/types.rs:27-36). This endpoint is the
+                # driver-mediated single-request path; BULK payload decode
+                # is the distributed decode_payloads mapInPandas route.
+                # Divergence: bodies are RAW protobuf — Prometheus's
+                # snappy framing needs a codec this container doesn't
+                # ship (415 tells the client).
+                if outer.write_table is None:
+                    self._reply(
+                        {"error": "no write table attached"}, status=400
+                    )
+                    return
+                if self.headers.get("Content-Encoding", "") == "snappy":
+                    self._reply(
+                        {"error": "snappy framing not supported; "
+                                  "send raw protobuf"},
+                        status=415,
+                    )
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    if not 0 < n <= 8 * 1024 * 1024:
+                        self._reply(
+                            {"error": "body size out of bounds"}, status=413
+                        )
+                        return
+                    body = self.rfile.read(n)
+                    from horaedb_spark.metric.ingest import (
+                        decode_write_request,
+                    )
+
+                    samples = decode_write_request(body)
+                    if not samples:
+                        self._reply({"written": 0})
+                        return
+                    rows = [
+                        (
+                            s["name"],
+                            ",".join(
+                                f"{k}={v}"
+                                for k, v in sorted(s["labels"].items())
+                            ),
+                            int(s["ts_ms"]),
+                            float(s["value"]),
+                        )
+                        for s in samples
+                    ]
+                    spark = outer.write_table.spark
+                    df = spark.createDataFrame(
+                        rows,
+                        "name string, series_key string, "
+                        "ts_ms long, value double",
+                    )
+                    ssts = outer.write_table.bulk_ingest(df, "ts_ms")
+                    self._reply(
+                        {
+                            "written": len(rows),
+                            "ssts": [s.file_id for s in ssts],
+                        }
+                    )
+                except Exception as e:  # malformed payload -> client error
+                    self._reply({"error": str(e)[:500]}, status=400)
+
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self._thread: threading.Thread | None = None
 
     @property
     def port(self) -> int:
         return self._httpd.server_address[1]
+
+    def _query_engine(self):
+        """The engine the read API serves: the attached static engine, or
+        (remote-write mode) a fresh engine over the write sink's current
+        contents. The derived frames are lazy — construction is cheap and
+        every query sees the latest committed SSTs."""
+        if self.metric_engine is not None:
+            return self.metric_engine
+        if self.write_table is None:
+            return None
+        from pyspark.sql import functions as F
+
+        from horaedb_spark.metric.engine import MetricEngine
+
+        samples = self.write_table.scan().select(
+            "name",
+            F.str_to_map("series_key", F.lit(","), F.lit("=")).alias("labels"),
+            "ts_ms",
+            "value",
+            F.lit(0).alias("seq"),
+        )
+        return MetricEngine(samples)
 
     def start(self) -> None:
         self._thread = threading.Thread(

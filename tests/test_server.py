@@ -247,3 +247,79 @@ def test_instant_query_endpoint(spark, tmp_path):
         ]
     finally:
         srv.stop()
+
+
+def _post(port: int, path: str, body: bytes, headers=None) -> dict:
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=body, method="POST"
+    )
+    for k, v in (headers or {}).items():
+        req.add_header(k, v)
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return json.loads(r.read())
+
+
+def test_remote_write_endpoint_full_loop(spark, tmp_path):
+    """POST /api/v1/write: a WriteRequest protobuf lands in the sink table
+    and the read API serves it back — the full Prometheus loop over one
+    process. Re-sent samples overwrite (OVERWRITE PK merge), never
+    duplicate."""
+    import urllib.error
+    import urllib.parse
+
+    from horaedb_spark.metric.ingest import encode_write_request
+    from horaedb_spark.metric.rules import rules_table_schema
+
+    DAY = 86_400_000
+    sink = ColumnarTable(
+        spark, str(tmp_path / "rw"), rules_table_schema(), 365 * DAY
+    )
+    srv = ControlServer(
+        Compactor(sink, SchedulerConfig()), write_table=sink
+    )
+    srv.start()
+    try:
+        series = [
+            {
+                "name": "cpu_seconds",
+                "labels": {"host": h, "mode": "user"},
+                "samples": [(float(i * 10 + ord(h[-1]) % 5), i * DAY)
+                            for i in range(1, 4)],
+            }
+            for h in ("a1", "b2")
+        ]
+        payload = encode_write_request(series)
+        out = _post(srv.port, "/api/v1/write", payload)
+        assert out["written"] == 6 and out["ssts"]
+        # the read API serves the written samples
+        q = urllib.parse.quote("sum by (host) (cpu_seconds)")
+        rng = _get(srv.port, f"/api/v1/query_range?query={q}&step=1d")
+        result = rng["data"]["result"]
+        assert {s["metric"]["host"] for s in result} == {"a1", "b2"}
+        n_points = sum(len(s["values"]) for s in result)
+        assert n_points == 6
+        # idempotent re-send: same (series, ts) overwrites, counts hold
+        out2 = _post(srv.port, "/api/v1/write", payload)
+        assert out2["written"] == 6
+        rng2 = _get(srv.port, f"/api/v1/query_range?query={q}&step=1d")
+        assert sum(len(s["values"]) for s in rng2["data"]["result"]) == 6
+        # labels endpoint sees the written label keys
+        labels = _get(srv.port, "/api/v1/labels")
+        assert set(labels["data"]) >= {"__name__", "host", "mode"}
+        # snappy framing is refused with a clear 415
+        try:
+            _post(
+                srv.port, "/api/v1/write", payload,
+                {"Content-Encoding": "snappy"},
+            )
+            raise AssertionError("expected HTTP 415")
+        except urllib.error.HTTPError as e:
+            assert e.code == 415
+        # malformed protobuf is a 400, not a server crash
+        try:
+            _post(srv.port, "/api/v1/write", b"\x0a\x03\xff\xff")
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.stop()
