@@ -322,7 +322,13 @@ def _parse_postfix(lx: _Lexer):
             rng = _duration_ms(lx.expect("DURATION"))
             if lx.peek() == ("OP", ":"):
                 lx.next()
-                step = _duration_ms(lx.expect("DURATION"))
+                # [range:] with no step defaults to the evaluation step
+                # (Prometheus's default-resolution subquery), resolved at
+                # compile time — 0 is the sentinel
+                if lx.peek()[0] == "DURATION":
+                    step = _duration_ms(lx.next()[1])
+                else:
+                    step = 0
                 lx.expect("OP", "]")
                 node = Subquery(node, rng, step)
             else:
@@ -618,7 +624,10 @@ class PromQLCompiler:
                 raise PromQLError("range function needs a [range] selector")
             return self._samples(node), node.range_ms, node.at_ms
         if isinstance(node, Subquery):
-            inner = PromQLCompiler(self.engine, node.step_ms)._eval(node.expr)
+            # step 0 = the parser's no-step sentinel ([range:]) — default
+            # to this compiler's evaluation step, as Prometheus does
+            sub_step = node.step_ms or self.step_ms
+            inner = PromQLCompiler(self.engine, sub_step)._eval(node.expr)
             if not isinstance(inner, DataFrame):
                 raise PromQLError("subquery body must be a vector")
             return (
@@ -703,6 +712,22 @@ class PromQLCompiler:
             df = self._eval(node.args[0])
             order = F.asc("value") if fn == "sort" else F.desc("value")
             return df.orderBy("ts_ms", order, "series_key")
+        if fn in ("sort_by_label", "sort_by_label_desc"):
+            # Prometheus 2.49 (experimental): sort the instant vector by
+            # the given label values. Presentation-only, like sort().
+            df = self._eval(node.args[0])
+            if not isinstance(df, DataFrame):
+                raise PromQLError(f"{fn}() needs a vector argument")
+            lbls = [
+                a.value for a in node.args[1:] if isinstance(a, StringLit)
+            ]
+            if len(lbls) != len(node.args) - 1:
+                raise PromQLError(f"{fn} needs string label arguments")
+            direction = F.asc if fn == "sort_by_label" else F.desc
+            keys = [
+                direction(F.element_at(_labels(), F.lit(l))) for l in lbls
+            ]
+            return df.orderBy("ts_ms", *keys, "series_key")
         if fn == "clamp":
             # clamp(v, min, max): scalar bounds (Number or scalar expr);
             # min > max yields the empty vector (Prometheus funcClamp).

@@ -676,3 +676,31 @@ def test_pi_and_trig_strings(spark, eng):
         math.isclose(r.value, math.sin(base[(r.series_key, r.ts_ms)]))
         for r in s
     )
+
+
+def test_subquery_default_step(spark, eng):
+    a = _rows(
+        promql_eval(
+            eng, "min_over_time((sum by (cohort) (rate(click[1d])))[4d:])", DAY
+        )
+    )
+    b = _rows(
+        promql_eval(
+            eng, "min_over_time((sum by (cohort) (rate(click[1d])))[4d:1d])", DAY
+        )
+    )
+    assert a == b and len(a) > 0
+
+
+def test_sort_by_label(spark, eng):
+    out = promql_eval(
+        eng, 'sort_by_label_desc(sum by (cohort) (click), "cohort")', DAY
+    ).collect()
+    assert out
+    # same rows as the unsorted vector; per-ts cohort order is descending
+    per_ts: dict[int, list[str]] = {}
+    for r in out:
+        per_ts.setdefault(r.ts_ms, []).append(r.series_key)
+    # orderBy is global (ts, then label): within each ts the label descends
+    for keys in per_ts.values():
+        assert keys == sorted(keys, reverse=True)
