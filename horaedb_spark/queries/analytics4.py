@@ -236,9 +236,13 @@ def top_supplier_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_revenue"
         )
     )
-    top = revenue.withColumn(
-        "__max__", F.max("total_revenue").over(Window.partitionBy())
-    ).filter(F.col("total_revenue") == F.col("__max__"))
+    # scalar-max subquery as an aggregate + broadcast (the empty-partition
+    # window would funnel every per-supplier row through one task; the
+    # supplier aggregate GROWS with scale, unlike true metadata grains)
+    mx = revenue.agg(F.max("total_revenue").alias("__max__"))
+    top = revenue.crossJoin(F.broadcast(mx)).filter(
+        F.col("total_revenue") == F.col("__max__")
+    )
     s = _t(spark, sf_dir, "supplier")
     return (
         s.join(F.broadcast(top), s.s_suppkey == top.supplier_no)

@@ -648,3 +648,15 @@ def test_pareto_deciles_no_single_partition_window(spark, sf_dir):
     # sized rank must not be: everything before the first RangePartitioning
     # marker (parents print first) must be free of data-sized ntile windows
     assert "ntile" not in p.lower(), p[:3000]
+
+
+def test_top_supplier_q15_scalar_max_not_global_window(spark, sf_dir):
+    """Q15's scalar-max subquery must be an aggregate + broadcast, never an
+    empty-partition window funneling the per-supplier aggregate through one
+    task (the supplier aggregate GROWS with scale — round-6 plan audit)."""
+    from horaedb_spark.queries.analytics4 import top_supplier_q15
+
+    p = _final_plan(top_supplier_q15(spark, sf_dir))
+    assert "Window" not in p, p[:3000]
+    # the scalar max reaches the filter via a broadcast of a keys=[] agg
+    assert "HashAggregate(keys=[]" in p
