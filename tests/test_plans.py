@@ -660,3 +660,31 @@ def test_top_supplier_q15_scalar_max_not_global_window(spark, sf_dir):
     assert "Window" not in p, p[:3000]
     # the scalar max reaches the filter via a broadcast of a keys=[] agg
     assert "HashAggregate(keys=[]" in p
+
+
+def test_scalar_grid_join_is_broadcast(spark, sf_dir):
+    """time()/scalar() grids are O(steps) rows — their join against the
+    vector must broadcast, never shuffle the data side on ts."""
+    from horaedb_spark.metric.promql import promql_eval
+    from horaedb_spark.queries.metric_queries import _engine
+
+    eng = _engine(spark, sf_dir)
+    p = _final_plan(
+        promql_eval(eng, "sum by (cohort) (click) - time()", 86_400_000)
+    )
+    assert "BroadcastHashJoin" in p, p[:3000]
+
+
+def test_limitk_compiles_to_window_group_limit(spark, sf_dir):
+    """limitk's rank<=k filter must run as a map-side WindowGroupLimit
+    (partial top-k before the exchange), like topk."""
+    from horaedb_spark.metric.promql import promql_eval
+    from horaedb_spark.queries.metric_queries import _engine
+
+    eng = _engine(spark, sf_dir)
+    p = _final_plan(
+        promql_eval(
+            eng, "limitk(2, sum by (cohort) (rate(click[1d])))", 86_400_000
+        )
+    )
+    assert "WindowGroupLimit" in p, p[:3000]
