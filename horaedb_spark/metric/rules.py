@@ -110,11 +110,12 @@ class AlertingRule:
     for_steps: int = 1
 
 
-def evaluate_alerts(source: MetricEngine, rule: AlertingRule) -> DataFrame:
-    """Firing rows (alertname, series_key, ts_ms, value). Consecutive-run
-    detection is the gaps-and-islands pattern: step_idx - row_number is
-    constant within a run of consecutive steps, one window per series —
-    no self-joins, engine-portable."""
+def _alert_runs(source: MetricEngine, rule: AlertingRule) -> DataFrame:
+    """Rows of the alert expression annotated with their position inside a
+    run of CONSECUTIVE steps. Consecutive-run detection is the
+    gaps-and-islands pattern: step_idx - row_number is constant within a
+    run, one window per series — no self-joins, engine-portable. Windows
+    partition by series_key, so no single-partition stage."""
     from pyspark.sql.window import Window
 
     out = source.promql(rule.expr, rule.step_ms)
@@ -125,8 +126,15 @@ def evaluate_alerts(source: MetricEngine, rule: AlertingRule) -> DataFrame:
         - F.row_number().over(w),
     )
     wr = Window.partitionBy("series_key", "__grp__").orderBy("ts_ms")
+    return runs.withColumn("__pos__", F.row_number().over(wr))
+
+
+def evaluate_alerts(source: MetricEngine, rule: AlertingRule) -> DataFrame:
+    """Firing rows (alertname, series_key, ts_ms, value): steps where the
+    expression has returned the series for >= ``for_steps`` consecutive
+    steps — Prometheus's pending->firing promotion on the step grid."""
     return (
-        runs.withColumn("__pos__", F.row_number().over(wr))
+        _alert_runs(source, rule)
         .filter(F.col("__pos__") >= rule.for_steps)
         .select(
             F.lit(rule.name).alias("alertname"),
@@ -134,5 +142,26 @@ def evaluate_alerts(source: MetricEngine, rule: AlertingRule) -> DataFrame:
             "ts_ms",
             "value",
         )
+    )
+
+
+def evaluate_alert_states(source: MetricEngine, rule: AlertingRule) -> DataFrame:
+    """Per-step alert STATE rows (alertname, series_key, ts_ms, value,
+    state, active_since_ms): ``pending`` while the consecutive run is
+    shorter than ``for_steps``, ``firing`` once it reaches it —
+    Prometheus's ActiveAt is the run start (the step the alert entered
+    pending), which /api/v1/alerts reports as ``activeAt``."""
+    runs = _alert_runs(source, rule)
+    return runs.select(
+        F.lit(rule.name).alias("alertname"),
+        "series_key",
+        "ts_ms",
+        "value",
+        F.when(F.col("__pos__") >= rule.for_steps, F.lit("firing"))
+        .otherwise(F.lit("pending"))
+        .alias("state"),
+        (
+            F.col("ts_ms") - (F.col("__pos__") - F.lit(1)) * F.lit(rule.step_ms)
+        ).alias("active_since_ms"),
     )
 

@@ -59,9 +59,15 @@ class ControlServer:
         port: int = 0,
         metric_engine=None,
         write_table=None,
+        rules=None,
     ) -> None:
         self.compactor = compactor
         self.toggle = toggle or WriteToggle()
+        # Optional list of RecordingRule / AlertingRule (metric/rules.py):
+        # enables /api/v1/rules (definitions) and /api/v1/alerts (active
+        # alerts at the latest evaluated step) — the endpoints Grafana's
+        # alert list reads (Prometheus HTTP API: rules, alerts).
+        self.rules = list(rules or [])
         # Optional MetricEngine: enables the Prometheus-compatible
         # /api/v1/query_range endpoint (the RFC's PromQL-over-HTTP contract,
         # docs/rfcs/20220702-prometheus-read-extension.md) backed by the
@@ -389,6 +395,128 @@ class ControlServer:
                             {"status": "error", "error": str(e)[:500]},
                             status=400,
                         )
+                elif self.path == "/api/v1/rules":
+                    # Prometheus rules API: the configured recording +
+                    # alerting rule DEFINITIONS in the standard envelope
+                    # (one group; the reference deployment model is a
+                    # single rule file). No evaluation happens here.
+                    from horaedb_spark.metric.rules import AlertingRule
+
+                    rules_out = []
+                    for r in outer.rules:
+                        if isinstance(r, AlertingRule):
+                            rules_out.append(
+                                {
+                                    "type": "alerting",
+                                    "name": r.name,
+                                    "query": r.expr,
+                                    "duration": r.for_steps
+                                    * r.step_ms
+                                    / 1000.0,
+                                    "state": "unknown",
+                                    "health": "ok",
+                                    "labels": {},
+                                }
+                            )
+                        else:
+                            rules_out.append(
+                                {
+                                    "type": "recording",
+                                    "name": r.name,
+                                    "query": r.expr,
+                                    "health": "ok",
+                                    "labels": {},
+                                }
+                            )
+                    self._reply(
+                        {
+                            "status": "success",
+                            "data": {
+                                "groups": [
+                                    {
+                                        "name": "default",
+                                        "file": "attached",
+                                        "interval": 0,
+                                        "rules": rules_out,
+                                    }
+                                ]
+                            },
+                        }
+                    )
+                elif self.path == "/api/v1/alerts":
+                    # Prometheus alerts API: ACTIVE alerts — every alerting
+                    # rule evaluated over the engine's step grid, reporting
+                    # series whose state at the LATEST evaluated step is
+                    # pending or firing (a series that fired earlier but
+                    # recovered is not active). activeAt is the run start —
+                    # the step the alert entered pending. Driver-bounded
+                    # like the other read endpoints (alert cardinality is
+                    # operational, not data-sized).
+                    eng = outer._query_engine()
+                    if eng is None:
+                        self._reply(
+                            {"status": "error",
+                             "error": "no metric engine attached"},
+                            status=400,
+                        )
+                        return
+                    from pyspark.sql import functions as F
+
+                    from horaedb_spark.metric.promql import PromQLError
+                    from horaedb_spark.metric.rules import (
+                        AlertingRule,
+                        evaluate_alert_states,
+                    )
+
+                    alerts = []
+                    try:
+                        for r in outer.rules:
+                            if not isinstance(r, AlertingRule):
+                                continue
+                            states = evaluate_alert_states(eng, r)
+                            # "now" is the expression's own latest grid
+                            # point (range functions label buckets at the
+                            # bucket start, so the compiler's raw data
+                            # bound overshoots it). One extra metadata-
+                            # sized job per rule — an ops endpoint, not a
+                            # data path.
+                            now_ms = states.agg(F.max("ts_ms")).first()[0]
+                            if now_ms is None:
+                                continue
+                            rows = (
+                                states.filter(F.col("ts_ms") == now_ms)
+                                .orderBy("series_key")
+                                .limit(10_000)
+                                .collect()
+                            )
+                            for row in rows:
+                                alerts.append(
+                                    {
+                                        "labels": {
+                                            "alertname": row["alertname"],
+                                            **dict(
+                                                kv.split("=", 1)
+                                                for kv in row[
+                                                    "series_key"
+                                                ].split(",")
+                                                if "=" in kv
+                                            ),
+                                        },
+                                        "state": row["state"],
+                                        "activeAt": row["active_since_ms"]
+                                        / 1000.0,
+                                        "value": str(row["value"]),
+                                    }
+                                )
+                    except (PromQLError, ValueError) as e:
+                        self._reply(
+                            {"status": "error", "error": str(e)[:500]},
+                            status=400,
+                        )
+                        return
+                    self._reply(
+                        {"status": "success", "data": {"alerts": alerts}}
+                    )
                 elif self.path == "/manifest":
                     ssts = outer.compactor.table.manifest.all_ssts()
                     self._reply({

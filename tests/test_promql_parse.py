@@ -704,3 +704,41 @@ def test_sort_by_label(spark, eng):
     # orderBy is global (ts, then label): within each ts the label descends
     for keys in per_ts.values():
         assert keys == sorted(keys, reverse=True)
+
+
+def test_alert_states_pending_vs_firing(spark):
+    """evaluate_alert_states: a series whose consecutive run has reached
+    for_steps is `firing`, a shorter run is `pending`, and active_since_ms
+    is the run START (Prometheus ActiveAt) — pinned on a hand-built store
+    where host=a has a 2-step run and host=b appears only at the last step."""
+    from horaedb_spark.metric.engine import MetricEngine
+    from horaedb_spark.metric.rules import AlertingRule, evaluate_alert_states
+
+    step = 1000
+    rows = [
+        ("m", {"host": "a"}, 1000, 1.0, 1),
+        ("m", {"host": "a"}, 2000, 2.0, 2),
+        ("m", {"host": "b"}, 2000, 3.0, 3),
+    ]
+    samples = spark.createDataFrame(
+        rows, "name string, labels map<string,string>, ts_ms long, "
+              "value double, seq long"
+    )
+    rule = AlertingRule("Up", "m > 0", step, for_steps=2)
+    got = {
+        (r.series_key, r.ts_ms): (r.state, r.active_since_ms)
+        for r in evaluate_alert_states(MetricEngine(samples), rule).collect()
+    }
+    assert got == {
+        ("host=a", 1000): ("pending", 1000),
+        ("host=a", 2000): ("firing", 1000),   # run started at 1000
+        ("host=b", 2000): ("pending", 2000),
+    }
+    # evaluate_alerts returns exactly the firing subset
+    from horaedb_spark.metric.rules import evaluate_alerts
+
+    firing = {
+        (r.series_key, r.ts_ms)
+        for r in evaluate_alerts(MetricEngine(samples), rule).collect()
+    }
+    assert firing == {("host=a", 2000)}

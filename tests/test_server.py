@@ -323,3 +323,71 @@ def test_remote_write_endpoint_full_loop(spark, tmp_path):
             assert e.code == 400
     finally:
         srv.stop()
+
+def test_rules_and_alerts_endpoints(spark, tmp_path):
+    """Prometheus rules API: /api/v1/rules lists the attached definitions,
+    /api/v1/alerts reports series active at the expression's LATEST step
+    with pending/firing state and activeAt = run start — pinned on a
+    hand-built store (host=a: 2-step run -> firing; host=b: appears only at
+    the last step -> pending)."""
+    from horaedb_spark.metric.engine import MetricEngine
+    from horaedb_spark.metric.rules import AlertingRule, RecordingRule
+
+    samples = spark.createDataFrame(
+        [
+            ("m", {"host": "a"}, 1000, 1.0, 1),
+            ("m", {"host": "a"}, 2000, 2.0, 2),
+            ("m", {"host": "b"}, 2000, 3.0, 3),
+        ],
+        "name string, labels map<string,string>, ts_ms long, "
+        "value double, seq long",
+    )
+    rules = [
+        RecordingRule("m:sum", "sum by (host) (m)", 1000),
+        AlertingRule("Up", "m > 0", 1000, for_steps=2),
+    ]
+    t = ColumnarTable(spark, str(tmp_path / "ra"), kv_schema(), TWO_HOURS)
+    srv = ControlServer(
+        Compactor(t, SchedulerConfig()),
+        metric_engine=MetricEngine(samples),
+        rules=rules,
+    )
+    srv.start()
+
+    def _get_slow(port: int, path: str) -> dict:
+        # alert evaluation runs real Spark jobs; first-hit codegen can
+        # exceed the 10s default client timeout
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}{path}", timeout=120
+        ) as r:
+            return json.loads(r.read())
+
+    try:
+        out = _get_slow(srv.port, "/api/v1/rules")
+        assert out["status"] == "success"
+        got = out["data"]["groups"][0]["rules"]
+        assert [(r["type"], r["name"]) for r in got] == [
+            ("recording", "m:sum"),
+            ("alerting", "Up"),
+        ]
+        assert got[1]["duration"] == 2.0  # for_steps * step, seconds
+        assert got[1]["query"] == "m > 0"
+
+        alerts = _get_slow(srv.port, "/api/v1/alerts")
+        assert alerts["status"] == "success"
+        active = {
+            a["labels"]["host"]: a for a in alerts["data"]["alerts"]
+        }
+        assert set(active) == {"a", "b"}
+        assert all(
+            a["labels"]["alertname"] == "Up" for a in active.values()
+        )
+        # host=a has run length 2 at now=2000 -> firing since 1000
+        assert active["a"]["state"] == "firing"
+        assert active["a"]["activeAt"] == 1.0
+        assert float(active["a"]["value"]) == 2.0
+        # host=b appeared at the last step only -> pending since 2000
+        assert active["b"]["state"] == "pending"
+        assert active["b"]["activeAt"] == 2.0
+    finally:
+        srv.stop()
