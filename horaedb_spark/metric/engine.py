@@ -51,6 +51,26 @@ class Matcher:
             re.compile(self.value)  # fail fast on bad regex
 
 
+def matches_labels(labels: dict[str, str], matchers: list[Matcher]) -> bool:
+    """Driver-side matcher evaluation over ONE label set — used by the
+    operational endpoints (exemplar lookup) whose store is a bounded
+    in-memory buffer, never a data path. Prometheus semantics: an absent
+    label matches as the empty string; regexes are fully anchored."""
+    for m in matchers:
+        v = labels.get(m.key, "")
+        if m.op == "=":
+            ok = v == m.value
+        elif m.op == "!=":
+            ok = v != m.value
+        else:
+            ok = re.fullmatch(f"(?:{m.value})", v) is not None
+            if m.op == "!~":
+                ok = not ok
+        if not ok:
+            return False
+    return True
+
+
 class MetricEngine:
     """Query layer over a samples frame (name, labels, ts_ms, value, seq)."""
 

@@ -68,6 +68,16 @@ class ControlServer:
         # alerts at the latest evaluated step) — the endpoints Grafana's
         # alert list reads (Prometheus HTTP API: rules, alerts).
         self.rules = list(rules or [])
+        # Metric metadata (family -> type/help/unit) and exemplars received
+        # on /api/v1/write, serving /api/v1/metadata and
+        # /api/v1/query_exemplars. Prometheus itself holds exemplars in a
+        # bounded in-memory circular buffer (storage/exemplar), so a deque
+        # with maxlen is the faithful model — operational state, never a
+        # data path.
+        import collections
+
+        self.metadata: dict[str, dict] = {}
+        self.exemplars: collections.deque = collections.deque(maxlen=100_000)
         # Optional MetricEngine: enables the Prometheus-compatible
         # /api/v1/query_range endpoint (the RFC's PromQL-over-HTTP contract,
         # docs/rfcs/20220702-prometheus-read-extension.md) backed by the
@@ -517,6 +527,103 @@ class ControlServer:
                     self._reply(
                         {"status": "success", "data": {"alerts": alerts}}
                     )
+                elif self.path.startswith("/api/v1/metadata"):
+                    # Prometheus metadata API: metric family -> type/help/
+                    # unit, fed by the MetricMetadata records received on
+                    # /api/v1/write (remote_write.proto; the reference's
+                    # pb_reader parses them on the ingest path). Types are
+                    # lowercased like Prometheus's API.
+                    from urllib.parse import parse_qs, urlparse
+
+                    q = parse_qs(urlparse(self.path).query)
+                    want = q.get("metric", [None])[0]
+                    cap = min(int(q.get("limit", ["1000"])[0]), 10_000)
+                    data: dict[str, list] = {}
+                    for fam, md in sorted(outer.metadata.items()):
+                        if want is not None and fam != want:
+                            continue
+                        if len(data) >= cap:
+                            break
+                        data[fam] = [
+                            {
+                                "type": md["type"].lower(),
+                                "help": md["help"],
+                                "unit": md["unit"],
+                            }
+                        ]
+                    self._reply({"status": "success", "data": data})
+                elif self.path.startswith("/api/v1/query_exemplars"):
+                    # Prometheus exemplars API: ?query=<selector>[&start=
+                    # <s>&end=<s>] over the bounded in-memory exemplar
+                    # buffer — series selected by name + label matchers
+                    # (driver-side evaluation; the buffer is operational-
+                    # sized by construction), grouped by series identity.
+                    from urllib.parse import parse_qs, urlparse
+
+                    from horaedb_spark.metric.engine import matches_labels
+                    from horaedb_spark.metric.promql import (
+                        PromQLError,
+                        Selector,
+                        parse_promql,
+                    )
+
+                    q = parse_qs(urlparse(self.path).query)
+                    try:
+                        sel = parse_promql(q["query"][0])
+                        if not isinstance(sel, Selector):
+                            raise ValueError(
+                                "query must be a series selector"
+                            )
+                        start_ms = (
+                            int(float(q["start"][0]) * 1000)
+                            if "start" in q
+                            else None
+                        )
+                        end_ms = (
+                            int(float(q["end"][0]) * 1000)
+                            if "end" in q
+                            else None
+                        )
+                    except (PromQLError, KeyError, ValueError) as e:
+                        self._reply(
+                            {"status": "error", "error": str(e)[:500]},
+                            status=400,
+                        )
+                        return
+                    matchers = list(sel.matchers)
+                    by_series: dict[tuple, dict] = {}
+                    for ex in outer.exemplars:
+                        if ex["name"] != sel.name:
+                            continue
+                        if not matches_labels(ex["series_labels"], matchers):
+                            continue
+                        if start_ms is not None and ex["ts_ms"] < start_ms:
+                            continue
+                        # end is INCLUSIVE, matching /api/v1/query_range
+                        if end_ms is not None and ex["ts_ms"] > end_ms:
+                            continue
+                        ident = tuple(sorted(ex["series_labels"].items()))
+                        ent = by_series.setdefault(
+                            ident,
+                            {
+                                "seriesLabels": {
+                                    "__name__": sel.name,
+                                    **ex["series_labels"],
+                                },
+                                "exemplars": [],
+                            },
+                        )
+                        ent["exemplars"].append(
+                            {
+                                "labels": ex["labels"],
+                                "value": str(ex["value"]),
+                                "timestamp": ex["ts_ms"] / 1000.0,
+                            }
+                        )
+                    out = [by_series[k] for k in sorted(by_series)]
+                    for ent in out:
+                        ent["exemplars"].sort(key=lambda e: e["timestamp"])
+                    self._reply({"status": "success", "data": out})
                 elif self.path == "/manifest":
                     ssts = outer.compactor.table.manifest.all_ssts()
                     self._reply({
@@ -563,12 +670,28 @@ class ControlServer:
                         return
                     body = self.rfile.read(n)
                     from horaedb_spark.metric.ingest import (
+                        decode_exemplars,
+                        decode_metadata,
                         decode_write_request,
                     )
 
+                    # metadata and exemplars ride the same WriteRequest
+                    # (Prometheus sends metadata-only requests too — they
+                    # must land even when no samples are present)
+                    n_md = 0
+                    for md in decode_metadata(body):
+                        if md.get("family_name"):
+                            outer.metadata[md["family_name"]] = md
+                            n_md += 1
+                    exs = decode_exemplars(body)
+                    outer.exemplars.extend(exs)
+
                     samples = decode_write_request(body)
                     if not samples:
-                        self._reply({"written": 0})
+                        self._reply(
+                            {"written": 0, "metadata": n_md,
+                             "exemplars": len(exs)}
+                        )
                         return
                     rows = [
                         (
@@ -593,6 +716,8 @@ class ControlServer:
                         {
                             "written": len(rows),
                             "ssts": [s.file_id for s in ssts],
+                            "metadata": n_md,
+                            "exemplars": len(exs),
                         }
                     )
                 except Exception as e:  # malformed payload -> client error

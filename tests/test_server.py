@@ -391,3 +391,103 @@ def test_rules_and_alerts_endpoints(spark, tmp_path):
         assert active["b"]["activeAt"] == 2.0
     finally:
         srv.stop()
+
+
+def test_metadata_and_exemplars_endpoints(spark, tmp_path):
+    """POST /api/v1/write retains MetricMetadata and exemplars;
+    /api/v1/metadata serves family -> type/help/unit (lowercased like
+    Prometheus) and /api/v1/query_exemplars selects by series matchers
+    with inclusive start/end bounds."""
+    import urllib.parse
+
+    from horaedb_spark.metric.ingest import encode_write_request
+    from horaedb_spark.metric.rules import rules_table_schema
+
+    DAY = 86_400_000
+    sink = ColumnarTable(
+        spark, str(tmp_path / "ex"), rules_table_schema(), 365 * DAY
+    )
+    srv = ControlServer(Compactor(sink, SchedulerConfig()), write_table=sink)
+    srv.start()
+    try:
+        series = [
+            {
+                "name": "http_requests",
+                "labels": {"host": h},
+                "samples": [(float(i), i * DAY) for i in range(1, 4)],
+                "exemplars": [
+                    {
+                        "labels": {"trace_id": f"t-{h}-{i}"},
+                        "value": float(i) + 0.5,
+                        "ts_ms": i * DAY,
+                    }
+                    for i in range(1, 4)
+                ],
+            }
+            for h in ("a", "b")
+        ]
+        metadata = [
+            {
+                "type": "COUNTER",
+                "family_name": "http_requests",
+                "help": "Requests served.",
+                "unit": "",
+            }
+        ]
+        out = _post(
+            srv.port, "/api/v1/write", encode_write_request(series, metadata)
+        )
+        assert out["written"] == 6
+        assert out["metadata"] == 1 and out["exemplars"] == 6
+
+        md = _get(srv.port, "/api/v1/metadata")
+        assert md["status"] == "success"
+        assert md["data"] == {
+            "http_requests": [
+                {"type": "counter", "help": "Requests served.", "unit": ""}
+            ]
+        }
+        assert (
+            _get(srv.port, "/api/v1/metadata?metric=no_such")["data"] == {}
+        )
+
+        # selector + matcher + inclusive time bounds
+        q = urllib.parse.quote('http_requests{host="a"}')
+        ex = _get(
+            srv.port,
+            f"/api/v1/query_exemplars?query={q}"
+            f"&start={1 * DAY // 1000}&end={2 * DAY // 1000}",
+        )
+        assert ex["status"] == "success"
+        assert len(ex["data"]) == 1
+        ent = ex["data"][0]
+        assert ent["seriesLabels"] == {
+            "__name__": "http_requests",
+            "host": "a",
+        }
+        # end inclusive: exemplars at day 1 and day 2, not day 3
+        assert [e["labels"]["trace_id"] for e in ent["exemplars"]] == [
+            "t-a-1",
+            "t-a-2",
+        ]
+        assert ent["exemplars"][0]["value"] == "1.5"
+
+        # regex matcher spans both series
+        q2 = urllib.parse.quote('http_requests{host=~"a|b"}')
+        ex2 = _get(srv.port, f"/api/v1/query_exemplars?query={q2}")
+        assert {
+            e["seriesLabels"]["host"] for e in ex2["data"]
+        } == {"a", "b"}
+        assert sum(len(e["exemplars"]) for e in ex2["data"]) == 6
+
+        # a non-selector query is a client error
+        import urllib.error
+
+        bad = urllib.parse.quote("rate(http_requests[1d])")
+        try:
+            _get(srv.port, f"/api/v1/query_exemplars?query={bad}")
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.stop()
