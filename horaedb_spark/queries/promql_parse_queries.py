@@ -548,6 +548,77 @@ def streaming_promql_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("series_key", "ts_ms")
     return _STREAM_CACHE[key]
 
+
+@register(
+    "promql_alert_states",
+    oracle=_DEDUP_CTE
+    + f"""
+    , ar AS (
+      SELECT name, user_label, cohort,
+             ts_ms - ts_ms % {DAY_MS} AS bucket_ms,
+             arg_max(value, ts_ms) AS v_last, arg_min(value, ts_ms) AS v_first,
+             max(ts_ms) AS t_last, min(ts_ms) AS t_first, count(*) AS n
+      FROM samples GROUP BY 1, 2, 3, 4
+    ), ars AS (
+      SELECT name, cohort, bucket_ms,
+             (v_last - v_first) / ((t_last - t_first) / 1000.0) AS r
+      FROM ar WHERE n >= 2 AND t_last > t_first
+    ), ratio AS (
+      SELECT e.cohort, e.bucket_ms, e.v / c.v AS value
+      FROM (SELECT cohort, bucket_ms,
+                   CAST(sum(CAST(r AS DECIMAL(30,10))) AS DOUBLE) AS v
+            FROM ars WHERE name = 'error' GROUP BY 1, 2) e
+      JOIN (SELECT cohort, bucket_ms,
+                   CAST(sum(CAST(r AS DECIMAL(30,10))) AS DOUBLE) AS v
+            FROM ars WHERE name = 'click' GROUP BY 1, 2) c
+        ON c.cohort = e.cohort AND c.bucket_ms = e.bucket_ms
+    ), hot AS (
+      SELECT cohort, bucket_ms, value,
+             bucket_ms // {DAY_MS}
+               - row_number() OVER (PARTITION BY cohort ORDER BY bucket_ms)
+               AS grp
+      FROM ratio WHERE value > 0.02
+    ), runs AS (
+      SELECT cohort, bucket_ms, value,
+             row_number() OVER (PARTITION BY cohort, grp ORDER BY bucket_ms)
+               AS pos
+      FROM hot
+    )
+    SELECT 'HighErrorRatio' AS alertname, 'cohort=' || cohort AS series_key,
+           bucket_ms AS ts_ms,
+           floor(value * 1000000 + 0.5) / 1000000 AS value,
+           CASE WHEN pos >= 2 THEN 'firing' ELSE 'pending' END AS state,
+           bucket_ms - (pos - 1) * {DAY_MS} AS active_since_ms
+    FROM runs
+    ORDER BY series_key, ts_ms
+    """,
+)
+def promql_alert_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-step alert STATES for the same error-ratio rule: every step the
+    expression returns a series is `pending` until the consecutive run
+    reaches `for:` steps, then `firing`; active_since_ms is the run start
+    (Prometheus ActiveAt — what /api/v1/alerts serves). Superset of
+    promql_alerting_rules, which keeps only the firing subset."""
+    from horaedb_spark.metric.rules import AlertingRule, evaluate_alert_states
+
+    eng = _engine(spark, sf_dir)
+    rule = AlertingRule(
+        "HighErrorRatio",
+        "sum by (cohort) (rate(error[1d])) "
+        "/ sum by (cohort) (rate(click[1d])) > 0.02",
+        DAY_MS,
+        for_steps=2,
+    )
+    out = evaluate_alert_states(eng, rule)
+    return out.select(
+        "alertname",
+        "series_key",
+        "ts_ms",
+        (F.floor(F.col("value") * 1_000_000 + 0.5) / 1_000_000).alias("value"),
+        "state",
+        "active_since_ms",
+    ).orderBy("series_key", "ts_ms")
+
 @register(
     "promql_recording_rules",
     oracle=_DEDUP_CTE

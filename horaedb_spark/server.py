@@ -624,6 +624,19 @@ class ControlServer:
                     for ent in out:
                         ent["exemplars"].sort(key=lambda e: e["timestamp"])
                     self._reply({"status": "success", "data": out})
+                elif self.path == "/api/v1/status/buildinfo":
+                    # Grafana probes this when validating a Prometheus
+                    # datasource; serve the minimal envelope it checks.
+                    self._reply(
+                        {
+                            "status": "success",
+                            "data": {
+                                "application": "horaedb-spark",
+                                "version": "0.1.0",
+                                "features": {},
+                            },
+                        }
+                    )
                 elif self.path == "/manifest":
                     ssts = outer.compactor.table.manifest.all_ssts()
                     self._reply({

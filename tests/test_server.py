@@ -28,6 +28,11 @@ def test_control_server_endpoints(spark, tmp_path):
     try:
         assert _get(srv.port, "/")["hello"] == "horaedb-spark"
 
+        # Grafana's datasource health probe
+        info = _get(srv.port, "/api/v1/status/buildinfo")
+        assert info["status"] == "success"
+        assert info["data"]["application"] == "horaedb-spark"
+
         # toggle flips the writer flag both ways (main.rs:63-73)
         assert toggle.writing
         assert _get(srv.port, "/toggle") == {"writing": False}
