@@ -534,3 +534,61 @@ def dq_referential_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(edge("customer->nation", c, "c_nationkey", n, "n_nationkey"))
     )
     return out.orderBy("fk")
+
+
+@register(
+    "returned_item_losses_q10",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           {sql_dsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+           round(CAST(c.c_acctbal AS DOUBLE), 2) AS acctbal,
+           n.n_name
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def returned_item_losses_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): revenue lost to returns per
+    customer in one quarter, top 20 — the last of the 22 TPC-H shapes
+    (SURVEY §2's relational surface; the others live across analytics*.py).
+    Plan shape: the date window pushes to the orders scan and the
+    returnflag filter to lineitem; nation broadcasts; the per-customer
+    aggregate hash-shuffles once; the global top-20 is orderBy+limit —
+    TakeOrderedAndProject, never a single-partition rank window."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round(F.col("c_acctbal").cast("double"), 2).alias("acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )

@@ -688,3 +688,14 @@ def test_limitk_compiles_to_window_group_limit(spark, sf_dir):
         )
     )
     assert "WindowGroupLimit" in p, p[:3000]
+
+
+def test_q10_top20_is_take_ordered_with_broadcast_nation(spark, sf_dir):
+    """TPC-H Q10's global top-20 must compile to TakeOrderedAndProject and
+    the nation dim must broadcast — no single-partition sort, no
+    sort-merge join against a 25-row dimension."""
+    from horaedb_spark.queries.analytics4 import returned_item_losses_q10
+
+    p = _final_plan(returned_item_losses_q10(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, p[:3000]
+    assert "BroadcastHashJoin" in p, p[:3000]
