@@ -166,6 +166,18 @@ class ControlServer:
                             if step_raw.isdigit()
                             else _duration_ms(step_raw)
                         )
+                        # Prometheus's per-request lookback_delta: staleness
+                        # window for bare instant selectors (the engine
+                        # defaults to one step; pass 5m for strict
+                        # Prometheus behavior — DIVERGENCES #24a)
+                        lb_raw = q.get("lookback_delta", [None])[0]
+                        lookback_ms = (
+                            None
+                            if lb_raw is None
+                            else int(float(lb_raw) * 1000)
+                            if lb_raw.replace(".", "", 1).isdigit()
+                            else _duration_ms(lb_raw)
+                        )
                         if "time" in q:
                             t_ms = int(float(q["time"][0]) * 1000)
                             at_ms = t_ms - t_ms % step_ms
@@ -176,6 +188,7 @@ class ControlServer:
                         df = PromQLCompiler(
                             eng,
                             step_ms,
+                            lookback_ms,
                             start_ms=at_ms,
                             end_ms=at_ms,
                         ).compile(query)
@@ -258,9 +271,18 @@ class ControlServer:
                             if "end" in q
                             else None
                         )
+                        lb_raw = q.get("lookback_delta", [None])[0]
+                        lookback_ms = (
+                            None
+                            if lb_raw is None
+                            else int(float(lb_raw) * 1000)
+                            if lb_raw.replace(".", "", 1).isdigit()
+                            else _duration_ms(lb_raw)
+                        )
                         df = PromQLCompiler(
                             eng,
                             step_ms,
+                            lookback_ms,
                             start_ms=start_ms,
                             end_ms=end_ms,
                         ).compile(query)

@@ -496,3 +496,56 @@ def test_metadata_and_exemplars_endpoints(spark, tmp_path):
             assert e.code == 400
     finally:
         srv.stop()
+
+
+def test_lookback_delta_param(spark, tmp_path):
+    """Per-request lookback_delta (Prometheus HTTP API): the staleness
+    window for bare instant selectors. Default (one step) sees a sample
+    10s old at a 10s step; lookback_delta=2s does not."""
+    import urllib.parse
+
+    from horaedb_spark.metric.engine import MetricEngine
+
+    samples = spark.createDataFrame(
+        [("m", {"host": "a"}, 1000, 1.0, 1),
+         ("m", {"host": "a"}, 20000, 2.0, 2)],
+        "name string, labels map<string,string>, ts_ms long, "
+        "value double, seq long",
+    )
+    t = ColumnarTable(spark, str(tmp_path / "lb"), kv_schema(), TWO_HOURS)
+    srv = ControlServer(
+        Compactor(t, SchedulerConfig()), metric_engine=MetricEngine(samples)
+    )
+    srv.start()
+
+    def _get_slow(path: str) -> dict:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}{path}", timeout=120
+        ) as r:
+            return json.loads(r.read())
+
+    try:
+        q = urllib.parse.quote("m")
+        # default lookback = one step: the ts=1000 sample is inside
+        # (0, 10000] at the time=10s grid point
+        base = _get_slow(f"/api/v1/query?query={q}&step=10s&time=10")
+        assert len(base["data"]["result"]) == 1
+        assert base["data"]["result"][0]["value"][1] == "1.0"
+        # strict 2s staleness: (8000, 10000] is empty
+        tight = _get_slow(
+            f"/api/v1/query?query={q}&step=10s&time=10&lookback_delta=2s"
+        )
+        assert tight["data"]["result"] == []
+        # numeric seconds are accepted too, like start/end
+        tight2 = _get_slow(
+            f"/api/v1/query?query={q}&step=10s&time=10&lookback_delta=2"
+        )
+        assert tight2["data"]["result"] == []
+        # query_range takes the same param
+        rng = _get_slow(
+            f"/api/v1/query_range?query={q}&step=10s&lookback_delta=2s"
+        )
+        pts = [v for s in rng["data"]["result"] for v in s["values"]]
+        assert pts == [[20.0, "2.0"]]  # only the exactly-landing sample
+    finally:
+        srv.stop()
