@@ -329,3 +329,35 @@ def decode_payloads(payloads: DataFrame, payload_col: str = "payload", seq_col: 
             )
 
     return payloads.mapInPandas(decode_iter, SAMPLES_SCHEMA)
+
+
+EXEMPLARS_SCHEMA = T.StructType(
+    [
+        T.StructField("name", T.StringType()),
+        T.StructField("series_labels", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("labels", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ts_ms", T.LongType()),
+    ]
+)
+
+
+def decode_exemplar_payloads(payloads: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Distributed exemplar decode: a binary remote-write payload column ->
+    the flat exemplar frame (series identity + exemplar labels/value/ts).
+    Same mapInPandas shape as :func:`decode_payloads` — the Python wire
+    decode rides inside the executors (the reference parses exemplars on
+    the same pb_reader path as samples, pb_reader.rs:227-262)."""
+    import pandas as pd
+
+    def decode_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for payload in pdf[payload_col]:
+                rows.extend(decode_exemplars(bytes(payload)))
+            yield pd.DataFrame(
+                rows,
+                columns=["name", "series_labels", "labels", "value", "ts_ms"],
+            )
+
+    return payloads.mapInPandas(decode_iter, EXEMPLARS_SCHEMA)

@@ -2091,3 +2091,86 @@ def ingest_line_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("measurement", "cohort")
     )
+
+
+# ------------------------------------------------------------------- B1 exemplars
+@register(
+    "remote_write_exemplars",
+    oracle="""
+    SELECT event_type AS metric_name,
+           CAST(user_id % 10 AS VARCHAR) AS cohort,
+           count(*) AS n_exemplars,
+           count(DISTINCT 'tr-' || CAST(event_id AS VARCHAR)) AS n_traces,
+           round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 6)
+             AS sum_value
+    FROM events WHERE event_id % 5 = 0
+    GROUP BY 1, 2 ORDER BY metric_name, cohort
+    """,
+)
+def remote_write_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 exemplar path end-to-end, distributed on both sides: every fifth
+    event carries an exemplar (trace back-reference) in its remote-write
+    payload — encoded inside the executors via applyInPandas, decoded
+    distributed via decode_exemplar_payloads (mapInPandas; the reference
+    parses exemplars on the same pb_reader path as samples,
+    pb_reader.rs:227-262) — then aggregated per metric and cohort. The
+    exemplar stream is sparse by construction, exactly how Prometheus
+    attaches trace ids to a sampled subset of observations."""
+    import pandas as pd
+
+    from horaedb_spark.metric.ingest import (
+        decode_exemplar_payloads,
+        encode_write_request,
+    )
+
+    ev = events_ms(spark, sf_dir)
+
+    def _encode_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("event_id")
+        series = [
+            {
+                "name": et,
+                "labels": {"user": str(uid), "cohort": str(uid % 10)},
+                "samples": [(val, int(ts))],
+                "exemplars": (
+                    [
+                        {
+                            "labels": {"trace_id": f"tr-{eid}"},
+                            "value": val,
+                            "ts_ms": int(ts),
+                        }
+                    ]
+                    if eid % 5 == 0
+                    else []
+                ),
+            }
+            for uid, et, ts, val, eid in zip(
+                pdf["user_id"], pdf["event_type"], pdf["ts_ms"],
+                pdf["value"], pdf["event_id"],
+            )
+        ]
+        return pd.DataFrame({"payload": [encode_write_request(series)]})
+
+    payloads = (
+        ev.select("user_id", "event_type", "ts_ms", "value", "event_id")
+        .withColumn("part", F.col("user_id") % 8)
+        .groupBy("part")
+        .applyInPandas(_encode_part, "payload binary")
+    )
+    exemplars = decode_exemplar_payloads(payloads)
+    return (
+        exemplars.groupBy(
+            F.col("name").alias("metric_name"),
+            F.element_at("series_labels", "cohort").alias("cohort"),
+        )
+        .agg(
+            F.count("*").alias("n_exemplars"),
+            F.countDistinct(F.element_at("labels", "trace_id")).alias(
+                "n_traces"
+            ),
+            F.round(
+                F.sum(F.col("value").cast("decimal(30,10)")).cast("double"), 6
+            ).alias("sum_value"),
+        )
+        .orderBy("metric_name", "cohort")
+    )
