@@ -83,6 +83,9 @@ HEADLINE = [
     "metric_packed_scan",
     # round-6 function widening: 15 PromQL strings through the parser
     "promql_fn_eval",
+    # round-6: the last TPC-H shape (Q10) — scan-heavy, broadcast dims,
+    # TakeOrderedAndProject top-20
+    "returned_item_losses_q10",
 ]
 
 
