@@ -130,6 +130,59 @@ def cmd_promql(args) -> int:
     return 0
 
 
+def _load_samples(spark, source: str, events: bool):
+    from pyspark.sql import functions as F
+
+    if events:
+        from horaedb_spark.queries.tables import events_ms
+
+        ev = events_ms(spark, source)
+        return ev.select(
+            F.col("event_type").alias("name"),
+            F.create_map(
+                F.lit("user"), F.col("user_id").cast("string"),
+                F.lit("cohort"), (F.col("user_id") % 10).cast("string"),
+            ).alias("labels"),
+            "ts_ms",
+            "value",
+            F.col("event_id").alias("seq"),
+        )
+    return spark.read.parquet(source)
+
+
+def cmd_alerts(args) -> int:
+    """Evaluate an alerting rule and print per-series states at the
+    expression's latest step — the CLI twin of GET /api/v1/alerts
+    (pending while the consecutive run is shorter than --for steps,
+    firing once it reaches it; active_since_ms is the run start)."""
+    from pyspark.sql import functions as F
+
+    from horaedb_spark.core.session import get_spark
+    from horaedb_spark.metric.engine import MetricEngine
+    from horaedb_spark.metric.promql import _duration_ms
+    from horaedb_spark.metric.rules import AlertingRule, evaluate_alert_states
+
+    spark = get_spark(app_name="horaedb_alerts")
+    samples = _load_samples(spark, args.source, args.events)
+    step = args.step
+    step_ms = int(step) if step.isdigit() else _duration_ms(step)
+    rule = AlertingRule(args.name, args.query, step_ms, for_steps=args.for_steps)
+    states = evaluate_alert_states(MetricEngine(samples), rule)
+    now = states.agg(F.max("ts_ms")).first()[0]
+    if now is None:
+        print(json.dumps({"alerts": []}))
+        return 0
+    rows = (
+        states.filter(F.col("ts_ms") == now)
+        .orderBy("series_key")
+        .limit(args.limit)
+        .collect()
+    )
+    for r in rows:
+        print(json.dumps(r.asDict(), default=str))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="horaedb_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -165,6 +218,21 @@ def main(argv: list[str] | None = None) -> int:
         help="treat source as a testdata dir; adapt the events table",
     )
     pq.set_defaults(fn=cmd_promql)
+
+    pa = sub.add_parser(
+        "alerts", help="evaluate an alerting rule; print per-series states"
+    )
+    pa.add_argument("source", help="samples parquet path, or an sf dir with --events")
+    pa.add_argument("query", help="alert expression, e.g. 'sum by (cohort) (rate(error[1d])) > 0.02'")
+    pa.add_argument("--name", default="Alert")
+    pa.add_argument("--step", default="1d")
+    pa.add_argument("--for-steps", type=int, default=1, dest="for_steps")
+    pa.add_argument("--limit", type=int, default=50)
+    pa.add_argument(
+        "--events", action="store_true",
+        help="treat source as a testdata dir; adapt the events table",
+    )
+    pa.set_defaults(fn=cmd_alerts)
 
     args = p.parse_args(argv)
     return args.fn(args)
