@@ -125,7 +125,7 @@ _TOKEN_RE = re.compile(
      |(?P<NUMBER>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?|\.\d+)
      |(?P<IDENT>[A-Za-z_][A-Za-z0-9_:]*)
      |(?P<STRING>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
-     |(?P<OP>=~|!~|!=|==|>=|<=|>|<|=|\{|\}|\(|\)|\[|\]|,|:|\+|-|\*|/|%|@)
+     |(?P<OP>=~|!~|!=|==|>=|<=|>|<|=|\{|\}|\(|\)|\[|\]|,|:|\+|-|\*|/|%|\^|@)
     )""",
     re.X,
 )
@@ -247,6 +247,54 @@ def _promql_mod(a, b):
     return F.when(bc == 0, F.lit(float("nan"))).otherwise(ac % bc)
 
 
+def _promql_div(a, b):
+    """Prometheus ``/``: IEEE float division — x/0 is +/-Inf by the sign
+    of the dividend, 0/0 is NaN. Python raises ZeroDivisionError and
+    Spark 4's default ANSI mode throws DIVIDE_BY_ZERO at runtime (killing
+    the whole query on ONE zero sample), so both forms guard the zero
+    divisor explicitly; CASE WHEN branches evaluate lazily per row, so
+    the guarded division never executes on zero."""
+    if not isinstance(a, Column) and not isinstance(b, Column):
+        if b == 0:
+            if a > 0:
+                return float("inf")
+            if a < 0:
+                return float("-inf")
+            return float("nan")
+        return a / b
+    ac = a if isinstance(a, Column) else F.lit(float(a))
+    bc = b if isinstance(b, Column) else F.lit(float(b))
+    return (
+        F.when(
+            bc == 0,
+            F.when(ac > 0, F.lit(float("inf")))
+            .when(ac < 0, F.lit(float("-inf")))
+            .otherwise(F.lit(float("nan"))),
+        )
+        .otherwise(ac / bc)
+    )
+
+
+def _promql_pow(a, b):
+    """Prometheus ``^``: Go math.Pow semantics. Spark's ``F.pow`` is
+    java.lang.Math.pow — IEEE 754, identical to Go (0^-1 = +Inf,
+    (-1)^0.5 = NaN) — so the column form needs no guard; pure-scalar
+    folding maps Python's exceptions back to the IEEE results."""
+    if isinstance(a, Column) or isinstance(b, Column):
+        ac = a if isinstance(a, Column) else F.lit(float(a))
+        bc = b if isinstance(b, Column) else F.lit(float(b))
+        return F.pow(ac, bc)
+    try:
+        return math.pow(a, b)
+    except OverflowError:  # finite operands, infinite result
+        neg = a < 0 and b == int(b) and int(b) % 2 == 1
+        return float("-inf") if neg else float("inf")
+    except ValueError:
+        if a == 0 and b < 0:
+            return float("inf")
+        return float("nan")  # negative base, non-integer exponent
+
+
 def _parse_match_mod(lx: _Lexer):
     """Optional ``on (labels)`` / ``ignoring (labels)`` then optional
     ``group_left(labels?)`` / ``group_right(labels?)`` after an operator.
@@ -304,11 +352,34 @@ def _parse_sum(lx: _Lexer):
 
 
 def _parse_term(lx: _Lexer):
-    node = _parse_postfix(lx)
+    node = _parse_unary(lx)
     while lx.peek()[0] == "OP" and lx.peek()[1] in ("*", "/", "%"):
         op = lx.next()[1]
         on, ig, group, gl = _parse_match_mod(lx)
-        node = BinOp(op, node, _parse_postfix(lx), on, ig, False, group, gl)
+        node = BinOp(op, node, _parse_unary(lx), on, ig, False, group, gl)
+    return node
+
+
+def _parse_unary(lx: _Lexer):
+    # Prometheus precedence: unary +/- binds tighter than * / % but
+    # LOOSER than ^ (so -2^2 == -(2^2) == -4); desugared as 0 - x
+    if lx.peek() == ("OP", "-"):
+        lx.next()
+        return BinOp("-", Number(0.0), _parse_unary(lx))
+    if lx.peek() == ("OP", "+"):
+        lx.next()
+        return _parse_unary(lx)
+    return _parse_power(lx)
+
+
+def _parse_power(lx: _Lexer):
+    # ^ is RIGHT-associative (2^3^2 == 2^(3^2)); the rhs re-enters the
+    # unary level so 2^-3 parses
+    node = _parse_postfix(lx)
+    if lx.peek() == ("OP", "^"):
+        lx.next()
+        on, ig, group, gl = _parse_match_mod(lx)
+        node = BinOp("^", node, _parse_unary(lx), on, ig, False, group, gl)
     return node
 
 
@@ -1239,13 +1310,14 @@ class PromQLCompiler:
             "+": lambda a, b: a + b,
             "-": lambda a, b: a - b,
             "*": lambda a, b: a * b,
-            "/": lambda a, b: a / b,
+            "/": _promql_div,
             # Prometheus % is Go's math.Mod (truncated: sign of the
             # dividend; x % 0 = NaN). Spark's Column % truncates but its
             # non-ANSI remainder yields NULL on a zero divisor, and
             # Python's % floors (and raises on 0) — so route pure scalars
             # through math.fmod and guard the column form's zero divisor.
             "%": _promql_mod,
+            "^": _promql_pow,
         }
         comps = {
             ">": lambda a, b: a > b,

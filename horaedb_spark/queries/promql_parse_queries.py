@@ -775,3 +775,72 @@ def promql_alerting_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("value") * 1_000_000 + 0.5) / 1_000_000).alias("value"),
     ).orderBy("series_key", "ts_ms")
 
+
+
+@register(
+    "promql_power_div_guard",
+    oracle=_DEDUP_CTE
+    + f"""
+    , clkp AS (
+      SELECT user_label, cohort, ts_ms, value
+      FROM samples WHERE name = 'click'
+    ), bp AS (
+      SELECT ((min(ts_ms) + {DAY_MS} - 1) // {DAY_MS}) * {DAY_MS} AS lo,
+             (max(ts_ms) // {DAY_MS}) * {DAY_MS} AS hi
+      FROM clkp
+    ), stp AS (
+      SELECT unnest(generate_series(lo, hi, {DAY_MS})) AS step_ms FROM bp
+    ), anp AS (
+      SELECT d.user_label, d.cohort, st.step_ms
+      FROM (SELECT DISTINCT user_label, cohort FROM clkp) d
+      CROSS JOIN stp st
+    ), ivp AS (
+      -- instant vector on the step grid: last sample per series within
+      -- (step - 1d, step]
+      SELECT user_label, cohort, step_ms, value FROM (
+        SELECT a.user_label, a.cohort, a.step_ms, s.value,
+               row_number() OVER (PARTITION BY a.user_label, a.cohort,
+                                  a.step_ms ORDER BY s.ts_ms DESC) AS rn
+        FROM anp a JOIN clkp s
+          ON s.user_label = a.user_label AND s.cohort = a.cohort
+         AND s.ts_ms <= a.step_ms AND s.ts_ms > a.step_ms - {DAY_MS}
+      ) WHERE rn = 1
+    ), agg AS (
+      SELECT cohort, step_ms,
+             CAST(sum(CAST(power(value, 2) AS DECIMAL(30,10))) AS DOUBLE)
+               AS p,
+             CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS s
+      FROM ivp GROUP BY 1, 2
+    )
+    SELECT 'cohort=' || cohort AS series_key, step_ms AS ts_ms,
+           floor((p / s) * 1000000 + 0.5) / 1000000 AS value
+    FROM agg WHERE s <> 0
+    ORDER BY series_key, ts_ms
+    """,
+)
+def promql_power_div_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``^`` operator through the full string path (round 6: lexer
+    token, unary/power precedence ladder, Go math.Pow semantics) composed
+    with the ANSI-safe division guard: ``sum by (cohort) (click ^ 2) /
+    sum by (cohort) (click)`` — per-cohort second-moment ratio. The oracle
+    drops zero divisors (DuckDB division has no IEEE Inf path to compare);
+    the engine's +Inf rows are exercised by unit tests instead
+    (tests/test_promql_scalar_property.py)."""
+    eng = _engine(spark, sf_dir)
+    out = promql_eval(
+        eng,
+        "sum by (cohort) (click ^ 2) / sum by (cohort) (click)",
+        DAY_MS,
+    )
+    return (
+        out.filter(~F.col("value").isin(float("inf"), float("-inf")))
+        .filter(~F.isnan("value"))
+        .select(
+            "series_key",
+            "ts_ms",
+            (F.floor(F.col("value") * 1_000_000 + 0.5) / 1_000_000).alias(
+                "value"
+            ),
+        )
+        .orderBy("series_key", "ts_ms")
+    )
