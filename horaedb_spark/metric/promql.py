@@ -352,8 +352,11 @@ def _parse_sum(lx: _Lexer):
 
 
 def _parse_term(lx: _Lexer):
+    # atan2 is Prometheus's keyword arithmetic operator at MUL precedence
     node = _parse_unary(lx)
-    while lx.peek()[0] == "OP" and lx.peek()[1] in ("*", "/", "%"):
+    while (
+        lx.peek()[0] == "OP" and lx.peek()[1] in ("*", "/", "%")
+    ) or lx.peek() == ("IDENT", "atan2"):
         op = lx.next()[1]
         on, ig, group, gl = _parse_match_mod(lx)
         node = BinOp(op, node, _parse_unary(lx), on, ig, False, group, gl)
@@ -415,7 +418,16 @@ def _parse_postfix(lx: _Lexer):
             node = Selector(node.name, node.matchers, node.range_ms, off, node.at_ms)
         elif (k, v) == ("OP", "@"):
             lx.next()
-            at_ms = int(float(lx.expect("NUMBER")) * 1000)
+            nk, nv = lx.peek()
+            if nk == "IDENT" and nv in ("start", "end"):
+                # @ start() / @ end(): pinned to the evaluation range
+                # bounds, resolved at compile time in _apply_at
+                lx.next()
+                lx.expect("OP", "(")
+                lx.expect("OP", ")")
+                at_ms = nv
+            else:
+                at_ms = int(float(lx.expect("NUMBER")) * 1000)
             if isinstance(node, Selector):
                 node = Selector(
                     node.name, node.matchers, node.range_ms, node.offset_ms, at_ms
@@ -714,6 +726,10 @@ class PromQLCompiler:
         instant; on the step grid that is the one matching evaluation)."""
         if at_ms is None:
             return df
+        if at_ms == "start":
+            at_ms = self._bounds()[0]
+        elif at_ms == "end":
+            at_ms = self._bounds()[1]
         aligned = at_ms - at_ms % self.step_ms
         return df.filter(F.col("ts_ms") == aligned)
 
@@ -1318,6 +1334,14 @@ class PromQLCompiler:
             # through math.fmod and guard the column form's zero divisor.
             "%": _promql_mod,
             "^": _promql_pow,
+            "atan2": lambda a, b: (
+                F.atan2(
+                    a if isinstance(a, Column) else F.lit(float(a)),
+                    b if isinstance(b, Column) else F.lit(float(b)),
+                )
+                if isinstance(a, Column) or isinstance(b, Column)
+                else math.atan2(a, b)
+            ),
         }
         comps = {
             ">": lambda a, b: a > b,
@@ -1331,6 +1355,8 @@ class PromQLCompiler:
             return self._grid_binop(node, lhs, rhs, arith, comps)
         if scalar_l and scalar_r:
             if node.op in comps:
+                if node.bool_mode:
+                    return 1.0 if comps[node.op](lhs, rhs) else 0.0
                 raise PromQLError("scalar-scalar comparison needs bool mode")
             return arith[node.op](lhs, rhs)
         if node.op in _SET_OPS:

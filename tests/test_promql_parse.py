@@ -742,3 +742,37 @@ def test_alert_states_pending_vs_firing(spark):
         for r in evaluate_alerts(MetricEngine(samples), rule).collect()
     }
     assert firing == {("host=a", 2000)}
+
+
+def test_atan2_bool_scalar_and_at_bounds(spark):
+    """Round-6 operator-ladder completions: atan2 at MUL precedence,
+    scalar-scalar comparison with bool (1.0/0.0), and @ start()/@ end()
+    pins resolved from the evaluation bounds."""
+    import math
+
+    from horaedb_spark.metric.engine import MetricEngine
+    from horaedb_spark.metric.promql import PromQLCompiler
+
+    c = PromQLCompiler(None, 1000)
+    assert c._eval(parse_promql("1 > bool 2")) == 0.0
+    assert c._eval(parse_promql("3 == bool 3")) == 1.0
+    with pytest.raises(PromQLError, match="bool mode"):
+        c._eval(parse_promql("1 > 2"))
+    assert c._eval(parse_promql("1 atan2 1")) == math.atan2(1, 1)
+    # atan2 binds like * (tighter than +)
+    assert c._eval(parse_promql("2 + 3 atan2 4")) == 2 + math.atan2(3, 4)
+
+    samples = spark.createDataFrame(
+        [("a", {"h": "x"}, 1000, 1.0, 1), ("a", {"h": "x"}, 2000, 5.0, 2),
+         ("b", {"h": "x"}, 1000, 2.0, 3), ("b", {"h": "x"}, 2000, 3.0, 4)],
+        "name string, labels map<string,string>, ts_ms long, "
+        "value double, seq long",
+    )
+    eng = MetricEngine(samples)
+    assert [(r.ts_ms, r.value) for r in
+            promql_eval(eng, "a @ start()", 1000).collect()] == [(1000, 1.0)]
+    assert [(r.ts_ms, r.value) for r in
+            promql_eval(eng, "a @ end()", 1000).collect()] == [(2000, 5.0)]
+    got = {r.ts_ms: r.value
+           for r in promql_eval(eng, "a atan2 b", 1000).collect()}
+    assert got == {1000: math.atan2(1, 2), 2000: math.atan2(5, 3)}
