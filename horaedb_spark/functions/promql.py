@@ -982,6 +982,7 @@ def time_components(ts_ms: Column | str) -> dict[str, Column]:
         "hour": (F.pmod(c, day_ms) / hour_ms).cast("long"),
         "day_of_week": F.pmod(F.floor(c / day_ms) + 4, F.lit(7)).cast("long"),
         "day_of_month": F.dayofmonth(ts).cast("long"),
+        "day_of_year": F.dayofyear(ts).cast("long"),
         "days_in_month": F.dayofmonth(F.last_day(ts)).cast("long"),
         "month": F.month(ts).cast("long"),
         "year": F.year(ts).cast("long"),

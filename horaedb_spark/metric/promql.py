@@ -163,8 +163,8 @@ MATH_FNS = {
 # (prometheus/promql/functions.go funcHour et al.); zero args default to
 # vector(time()).
 DATE_FNS = {
-    "minute", "hour", "day_of_week", "day_of_month", "days_in_month",
-    "month", "year",
+    "minute", "hour", "day_of_week", "day_of_month", "day_of_year",
+    "days_in_month", "month", "year",
 }
 
 

@@ -176,10 +176,12 @@ def test_promql_time_components_known_instant(spark):
     r = df.select(
         tc["minute"].alias("mi"), tc["hour"].alias("h"),
         tc["day_of_week"].alias("dw"), tc["day_of_month"].alias("dm"),
+        tc["day_of_year"].alias("dy"),
         tc["days_in_month"].alias("dim"), tc["month"].alias("mo"),
         tc["year"].alias("y"),
     ).collect()[0]
     assert (r.mi, r.h, r.dw, r.dm, r.dim, r.mo, r.y) == (45, 13, 5, 15, 31, 3, 2024)
+    assert r.dy == 75  # 2024 is a leap year: Mar 15 = 31 + 29 + 15
 
 
 def test_packed_bins_matches_naive_cumsum(spark):
