@@ -148,7 +148,7 @@ PARAM_AGGS = {"topk", "bottomk", "quantile", "limitk", "limit_ratio"}
 STRING_PARAM_AGGS = {"count_values"}
 RANGE_FNS = {
     "rate", "increase", "irate", "idelta", "delta", "deriv",
-    "predict_linear", "holt_winters",
+    "predict_linear", "holt_winters", "double_exponential_smoothing",
     "avg_over_time", "min_over_time", "max_over_time", "sum_over_time",
     "count_over_time", "last_over_time", "quantile_over_time",
     "changes", "resets", "stddev_over_time", "stdvar_over_time",
@@ -1066,7 +1066,10 @@ class PromQLCompiler:
                 F.col("bucket_ms").alias("ts_ms"),
                 F.col("predicted").alias("value"),
             )
-        if fn == "holt_winters":
+        if fn in ("holt_winters", "double_exponential_smoothing"):
+            # Prometheus 3 renamed holt_winters to
+            # double_exponential_smoothing (it never was Holt-Winters —
+            # no seasonality); both names dispatch to the same kernel
             # holt_winters(sel[range], sf, tf) — fold per (series, bucket)
             if sliding:
                 raise PromQLError("holt_winters supports range == step only")

@@ -776,3 +776,15 @@ def test_atan2_bool_scalar_and_at_bounds(spark):
     got = {r.ts_ms: r.value
            for r in promql_eval(eng, "a atan2 b", 1000).collect()}
     assert got == {1000: math.atan2(1, 2), 2000: math.atan2(5, 3)}
+
+
+def test_double_exponential_smoothing_alias(spark, eng):
+    """Prometheus 3 renamed holt_winters to double_exponential_smoothing;
+    both names must dispatch to the same kernel."""
+    a = _rows(promql_eval(eng, "holt_winters(click[1d], 0.5, 0.3)", DAY))
+    b = _rows(
+        promql_eval(
+            eng, "double_exponential_smoothing(click[1d], 0.5, 0.3)", DAY
+        )
+    )
+    assert a == b and len(a) > 0
