@@ -646,6 +646,82 @@ class ControlServer:
                     for ent in out:
                         ent["exemplars"].sort(key=lambda e: e["timestamp"])
                     self._reply({"status": "success", "data": out})
+                elif self.path.startswith("/federate"):
+                    # Prometheus federation: current samples for the
+                    # match[] selectors in the text exposition format —
+                    # `name{labels} value timestamp_ms` — so another
+                    # Prometheus can scrape this engine. Serves each
+                    # series' LATEST sample (with its own timestamp, as
+                    # /federate does). Driver-bounded text endpoint.
+                    from urllib.parse import parse_qs, urlparse
+
+                    eng = outer._query_engine()
+                    if eng is None:
+                        self._reply(
+                            {"status": "error",
+                             "error": "no metric engine attached"},
+                            status=400,
+                        )
+                        return
+                    from pyspark.sql import functions as F
+
+                    from horaedb_spark.metric.promql import (
+                        PromQLError,
+                        Selector,
+                        parse_promql,
+                    )
+
+                    q = parse_qs(urlparse(self.path).query)
+                    try:
+                        sels = [parse_promql(m) for m in q.get("match[]", [])]
+                        if not sels or not all(
+                            isinstance(s, Selector) for s in sels
+                        ):
+                            raise ValueError(
+                                "match[] must be one or more selectors"
+                            )
+                        cap = min(int(q.get("limit", ["10000"])[0]), 100_000)
+                        lines = []
+                        for sel in sels:
+                            df = eng.select_series(
+                                sel.name, list(sel.matchers) or None
+                            )
+                            latest = (
+                                df.groupBy("series_key")
+                                .agg(
+                                    F.max_by("value", "ts_ms").alias("value"),
+                                    F.max("ts_ms").alias("ts_ms"),
+                                )
+                                .orderBy("series_key")
+                                .limit(cap)
+                                .collect()
+                            )
+                            for r in latest:
+                                labels = ",".join(
+                                    f'{kv.split("=", 1)[0]}='
+                                    f'"{kv.split("=", 1)[1]}"'
+                                    for kv in r["series_key"].split(",")
+                                    if "=" in kv
+                                )
+                                lines.append(
+                                    f"{sel.name}{{{labels}}} "
+                                    f"{r['value']} {r['ts_ms']}"
+                                )
+                    except (PromQLError, ValueError) as e:
+                        self._reply(
+                            {"status": "error", "error": str(e)[:500]},
+                            status=400,
+                        )
+                        return
+                    body = ("\n".join(lines) + "\n").encode()
+                    self.send_response(200)
+                    self.send_header(
+                        "Content-Type",
+                        "text/plain; version=0.0.4; charset=utf-8",
+                    )
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
                 elif self.path == "/api/v1/status/buildinfo":
                     # Grafana probes this when validating a Prometheus
                     # datasource; serve the minimal envelope it checks.

@@ -549,3 +549,56 @@ def test_lookback_delta_param(spark, tmp_path):
         assert pts == [[20.0, "2.0"]]  # only the exactly-landing sample
     finally:
         srv.stop()
+
+
+def test_federate_endpoint_text_exposition(spark, tmp_path):
+    """GET /federate?match[]=selector: each matching series' LATEST sample
+    in the Prometheus text exposition format (name{labels} value ts_ms) —
+    the scrape surface another Prometheus federates from."""
+    import urllib.parse
+
+    from horaedb_spark.metric.engine import MetricEngine
+
+    samples = spark.createDataFrame(
+        [("m", {"host": "a"}, 1000, 1.0, 1),
+         ("m", {"host": "a"}, 2000, 2.5, 2),
+         ("m", {"host": "b"}, 1500, 7.0, 3),
+         ("other", {"host": "a"}, 9000, 9.0, 4)],
+        "name string, labels map<string,string>, ts_ms long, "
+        "value double, seq long",
+    )
+    t = ColumnarTable(spark, str(tmp_path / "fed"), kv_schema(), TWO_HOURS)
+    srv = ControlServer(
+        Compactor(t, SchedulerConfig()), metric_engine=MetricEngine(samples)
+    )
+    srv.start()
+    try:
+        sel = urllib.parse.quote('m{host=~"a|b"}')
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/federate?match[]={sel}", timeout=120
+        ) as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+            body = r.read().decode()
+        assert body.splitlines() == [
+            'm{host="a"} 2.5 2000',   # latest sample per series, own ts
+            'm{host="b"} 7.0 1500',
+        ]
+        # matcher narrows; unknown selector form is a client error
+        sel2 = urllib.parse.quote('m{host="b"}')
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/federate?match[]={sel2}", timeout=120
+        ) as r:
+            assert r.read().decode().splitlines() == ['m{host="b"} 7.0 1500']
+        import urllib.error
+
+        bad = urllib.parse.quote("rate(m[1m])")
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/federate?match[]={bad}",
+                timeout=120,
+            )
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.stop()
