@@ -95,6 +95,55 @@ def main() -> None:
     )
     print("promql string eval rows:", out.count())
 
+    # -- 7. the monitoring loop over HTTP (round 6): remote-write in, ------
+    #       PromQL / rules / alerts / federation out
+    import json
+    import urllib.parse
+    import urllib.request
+
+    from horaedb_spark.metric.ingest import encode_write_request
+    from horaedb_spark.metric.rules import AlertingRule, rules_table_schema
+    from horaedb_spark.server import ControlServer
+    from horaedb_spark.storage.compaction import Compactor, SchedulerConfig
+
+    sink = ColumnarTable(
+        spark, tempfile.mkdtemp(prefix="qs_http_") + "/t",
+        rules_table_schema(), 365 * 86_400_000,
+    )
+    srv = ControlServer(
+        Compactor(sink, SchedulerConfig()),
+        write_table=sink,
+        rules=[AlertingRule("HotHost", "cpu > 0.8", 1000, for_steps=2)],
+    )
+    srv.start()
+    base = f"http://127.0.0.1:{srv.port}"
+    payload = encode_write_request(
+        [
+            {
+                "name": "cpu",
+                "labels": {"host": h},
+                "samples": [(v, t) for t, v in zip((1000, 2000), vals)],
+            }
+            for h, vals in (("a", (0.9, 0.95)), ("b", (0.2, 0.85)))
+        ],
+        [{"type": "GAUGE", "family_name": "cpu", "help": "CPU.", "unit": ""}],
+    )
+    req = urllib.request.Request(base + "/api/v1/write", data=payload, method="POST")
+    with urllib.request.urlopen(req, timeout=120) as r:
+        print("remote-write:", json.loads(r.read()))
+
+    def get(path: str):
+        with urllib.request.urlopen(base + path, timeout=120) as r:
+            return r.read().decode()
+
+    q = urllib.parse.quote("max by (host) (cpu)")
+    print("instant query:", json.loads(get(f"/api/v1/query?query={q}&step=1s"))["data"]["result"])
+    # host=a exceeded 0.8 for two consecutive steps -> firing; b -> pending
+    print("alerts:", json.loads(get("/api/v1/alerts"))["data"]["alerts"])
+    sel = urllib.parse.quote("cpu")
+    print("federate:\n" + get(f"/federate?match[]={sel}"), end="")
+    srv.stop()
+
 
 if __name__ == "__main__":
     main()
