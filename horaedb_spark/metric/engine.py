@@ -106,38 +106,52 @@ class MetricEngine:
 
     # -- D3 ------------------------------------------------------------------
     def resolve_tsids(self, metric: str, matchers: list[Matcher]) -> DataFrame:
-        """Matchers -> TSID set via the inverted index."""
+        """Matchers -> TSID set via the inverted index.
+
+        Prometheus semantics per matcher: a series matches ``m`` iff the
+        matcher's value condition holds for ``labels.get(key, "")`` — an
+        ABSENT label participates as the empty string. The inverted index
+        only holds labels a series HAS, so each matcher resolves to one of
+        two join shapes against the index, keyed on whether its condition
+        accepts the empty string:
+
+        - condition rejects "" (e.g. ``env="prod"``, ``env=~"p.+"``,
+          ``env!=""``): the series must HAVE the key with a matching
+          value — LEFT SEMI join on the matching index rows (the classic
+          posting-list path);
+        - condition accepts "" (e.g. ``env=""``, ``env=~"prod|"``,
+          ``env!="prod"``, ``env=~".*"``): every series matches UNLESS it
+          has the key with a non-matching value — LEFT ANTI join on the
+          violating index rows.
+
+        One series-cardinality-sized semi/anti join per matcher (matcher
+        counts are tiny); Catalyst reuses the single index scan."""
         mid = F.xxhash64(F.lit(metric))
         idx = self.index.filter(F.col("metric_id") == mid)
-        positives = [m for m in matchers if m.op in ("=", "=~")]
-        negatives = [m for m in matchers if m.op in ("!=", "!~")]
-
-        if positives:
-            conds = None
-            for m in positives:
-                c = (F.col("tag_key") == m.key) & (
-                    (F.col("tag_value") == m.value)
-                    if m.op == "="
-                    else F.col("tag_value").rlike(_anchored(m.value))
+        tsids = idx.select("tsid").distinct()
+        for m in matchers:
+            if m.op == "=":
+                cond = F.col("tag_value") == m.value
+                empty_ok = m.value == ""
+            elif m.op == "!=":
+                cond = F.col("tag_value") != m.value
+                empty_ok = m.value != ""
+            else:
+                rx = _anchored(m.value)
+                hit = F.col("tag_value").rlike(rx)
+                cond = hit if m.op == "=~" else ~hit
+                empty_ok = (re.fullmatch(f"(?:{m.value})", "") is not None) == (
+                    m.op == "=~"
                 )
-                conds = c if conds is None else conds | c
-            tsids = (
-                idx.filter(conds)
-                .groupBy("tsid")
-                .agg(F.countDistinct("tag_key").alias("__k__"))
-                .filter(F.col("__k__") == len({m.key for m in positives}))
-                .select("tsid")
-            )
-        else:
-            tsids = idx.select("tsid").distinct()
-
-        for m in negatives:
-            c = (F.col("tag_key") == m.key) & (
-                (F.col("tag_value") == m.value)
-                if m.op == "!="
-                else F.col("tag_value").rlike(_anchored(m.value))
-            )
-            tsids = tsids.join(idx.filter(c).select("tsid"), "tsid", "left_anti")
+            keyed = idx.filter(F.col("tag_key") == m.key)
+            if empty_ok:
+                tsids = tsids.join(
+                    keyed.filter(~cond).select("tsid"), "tsid", "left_anti"
+                )
+            else:
+                tsids = tsids.join(
+                    keyed.filter(cond).select("tsid"), "tsid", "left_semi"
+                )
         return tsids
 
     def promql(

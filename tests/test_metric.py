@@ -187,3 +187,42 @@ def test_exemplar_roundtrip_and_sample_isolation():
             "ts_ms": -5,
         },
     ]
+
+
+def test_matchers_against_absent_labels(spark):
+    """Prometheus matcher semantics: a matcher applies to
+    labels.get(key, "") — an ABSENT label participates as the empty
+    string. Series with heterogeneous label sets pin all four ops in
+    both empty-accepting and empty-rejecting forms (round 6; previously
+    the index-only path silently dropped absent-label matches)."""
+    from horaedb_spark.metric.engine import MetricEngine, Matcher
+
+    samples = spark.createDataFrame(
+        [("m", {"host": "a", "env": "prod"}, 1000, 1.0, 1),
+         ("m", {"host": "b"}, 1000, 2.0, 2)],
+        "name string, labels map<string,string>, ts_ms long, "
+        "value double, seq long",
+    )
+    eng = MetricEngine(samples)
+
+    def got(*ms):
+        return sorted(
+            r.series_key
+            for r in eng.select_series("m", list(ms))
+            .select("series_key")
+            .distinct()
+            .collect()
+        )
+
+    both = ["env=prod,host=a", "host=b"]
+    assert got(Matcher("env", "=~", "prod|")) == both
+    assert got(Matcher("env", "=~", ".*")) == both
+    assert got(Matcher("env", "=", "")) == ["host=b"]
+    assert got(Matcher("env", "!=", "prod")) == ["host=b"]
+    assert got(Matcher("env", "!~", "p.*")) == ["host=b"]
+    assert got(Matcher("env", "=", "prod")) == ["env=prod,host=a"]
+    assert got(Matcher("env", "!=", "")) == ["env=prod,host=a"]
+    assert got(Matcher("env", "!~", "prod|")) == []
+    assert got(
+        Matcher("host", "=~", "a|b"), Matcher("env", "=", "prod")
+    ) == ["env=prod,host=a"]
