@@ -412,7 +412,14 @@ def _parse_postfix(lx: _Lexer):
                 node = Selector(node.name, node.matchers, rng, node.offset_ms)
         elif k == "IDENT" and v == "offset":
             lx.next()
+            neg = lx.peek() == ("OP", "-")
+            if neg:
+                lx.next()
             off = _duration_ms(lx.expect("DURATION"))
+            if neg:
+                # negative offset: evaluation at T reads data at T + off
+                # (Prometheus promql-negative-offset, default-on in 2.x+)
+                off = -off
             if not isinstance(node, Selector):
                 raise PromQLError("offset only applies to a selector")
             node = Selector(node.name, node.matchers, node.range_ms, off, node.at_ms)
@@ -1259,7 +1266,10 @@ class PromQLCompiler:
         )
 
     def _match_key(self, node: BinOp) -> Column:
-        if node.on:
+        # `on` is None when no modifier was given but () for `on()` —
+        # Prometheus's match-everything key (one pair per timestamp);
+        # truthiness would silently turn on() into exact-key matching
+        if node.on is not None:
             return _canonical_key(
                 F.map_filter(_labels(), lambda k, _v: k.isin([*node.on]))
             )

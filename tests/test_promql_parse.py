@@ -788,3 +788,36 @@ def test_double_exponential_smoothing_alias(spark, eng):
         )
     )
     assert a == b and len(a) > 0
+
+
+def test_on_empty_list_and_negative_offset(spark):
+    """on() is Prometheus's match-everything key (one pair per timestamp),
+    distinct from NO modifier (exact-key matching) — a truthiness check
+    silently conflated the empty tuple with None. Negative offsets read
+    data FORWARD of the evaluation time."""
+    from horaedb_spark.metric.engine import MetricEngine
+
+    samples = spark.createDataFrame(
+        [("a", {"h": "x"}, 1000, 1.0, 1), ("a", {"h": "x"}, 2000, 5.0, 2),
+         ("a", {"h": "y"}, 1000, 2.0, 5),
+         ("b", {"g": "z"}, 1000, 10.0, 3), ("b", {"g": "z"}, 2000, 20.0, 4)],
+        "name string, labels map<string,string>, ts_ms long, "
+        "value double, seq long",
+    )
+    eng = MetricEngine(samples)
+    got = sorted(
+        (r.series_key, r.ts_ms, r.value)
+        for r in promql_eval(eng, "a + on() group_left b", 1000).collect()
+    )
+    # every many-side row pairs with the single b value at its timestamp
+    assert got == [("h=x", 1000, 11.0), ("h=x", 2000, 25.0),
+                   ("h=y", 1000, 12.0)]
+    # one-to-one all-match with two a-series at t=1000 must ERROR
+    with pytest.raises(Exception, match="duplicate series"):
+        promql_eval(eng, "a + on() b", 1000).collect()
+
+    neg = sorted(
+        (r.ts_ms, r.value)
+        for r in promql_eval(eng, 'a{h="x"} offset -1s', 1000).collect()
+    )
+    assert neg == [(0, 1.0), (1000, 5.0)]
