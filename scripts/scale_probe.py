@@ -1,0 +1,163 @@
+"""Data-scaling probe: measure representative operators at 1x and Nx the
+sf0.1 data volume and report wall-time ratios.
+
+The point is evidence for the 100 TB design argument in SCALING.md: an
+operator whose plan is scale-sound (partial aggregation, broadcast dims,
+banded pair spaces, no single-partition stages) should scale ~linearly in
+rows on fixed cores; anything super-linear at 10x is a red flag long
+before a cluster run. The Nx frames are the sf0.1 parquet self-unioned
+with shifted entity ids (disjoint users/documents, same distributions) —
+a measurement input only, never a correctness oracle input.
+
+Run:  python scripts/scale_probe.py [--mult 10] [--sf /root/testdata/sf0.1]
+Prints one JSON line: {"probe": ..., "mult": N, "ops": {name: {t1, tN, ratio}}}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from horaedb_spark.core.session import get_spark  # noqa: E402
+from horaedb_spark.queries.tables import events_ms, load_table  # noqa: E402
+
+
+def _scaled_events(spark, sf_dir: str, mult: int, path: str) -> str:
+    ev = events_ms(spark, sf_dir).select(
+        "event_id", "ts_ms", "user_id", "event_type", "value"
+    )
+    n_users = ev.agg(F.max("user_id")).first()[0] + 1
+    n_events = ev.agg(F.max("event_id")).first()[0] + 1
+    copies = [
+        ev.select(
+            (F.col("event_id") + F.lit(i * n_events)).alias("event_id"),
+            "ts_ms",
+            (F.col("user_id") + F.lit(i * n_users)).alias("user_id"),
+            "event_type",
+            "value",
+        )
+        for i in range(mult)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.write.mode("overwrite").parquet(path)
+    return path
+
+
+def _scaled_docs(spark, sf_dir: str, mult: int, path: str) -> str:
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    copies = [
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * n))
+        for i in range(mult)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.write.mode("overwrite").parquet(path)
+    return path
+
+
+def _time(fn) -> float:
+    t0 = time.perf_counter()
+    df = fn()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+    spark = get_spark(app_name="scale_probe")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    base = tempfile.mkdtemp(prefix="scale_probe_")
+    ev1 = events_ms(spark, args.sf).select(
+        "event_id", "ts_ms", "user_id", "event_type", "value"
+    )
+    evN = spark.read.parquet(
+        _scaled_events(spark, args.sf, args.mult, f"{base}/events")
+    )
+    docs1 = load_table(spark, args.sf, "documents")
+    docsN = spark.read.parquet(
+        _scaled_docs(spark, args.sf, args.mult, f"{base}/documents")
+    )
+
+    def rate_agg(ev: DataFrame):
+        # the metric hot path: per-series day-bucket rate + cohort sum
+        from horaedb_spark.functions import promql
+
+        s = ev.select(
+            F.col("event_type").alias("name"),
+            (F.col("user_id") % 10).cast("string").alias("cohort"),
+            F.col("user_id").cast("string").alias("sid"),
+            "ts_ms",
+            "value",
+        ).filter(F.col("name") == "click")
+        r = promql.rate(s, ["sid", "cohort"], 86_400_000)
+        return r.groupBy("cohort", "bucket_ms").agg(
+            F.sum(F.col("rate_per_s").cast("decimal(30,10)")).alias("v")
+        )
+
+    def exact_dedup_docs(docs: DataFrame):
+        from horaedb_spark.functions.dedup import exact_dedup
+
+        return exact_dedup(docs, "text", "doc_id")
+
+    def minhash_docs(docs: DataFrame):
+        from horaedb_spark.functions.dedup import minhash_lsh_pairs
+
+        return minhash_lsh_pairs(docs, "text", "doc_id")
+
+    def sessionize(ev: DataFrame):
+        # gaps-and-islands sessionization, windows partitioned per user
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts_ms")
+        gap = F.col("ts_ms") - F.lag("ts_ms").over(w)
+        s = ev.withColumn(
+            "new_s", (gap.isNull() | (gap > 1_800_000)).cast("int")
+        )
+        s = s.withColumn(
+            "sess",
+            F.sum("new_s").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        return s.groupBy("user_id", "sess").agg(
+            F.count(F.lit(1)).alias("n"), F.max("ts_ms").alias("t")
+        )
+
+    ops = {
+        "metric_rate_agg": (rate_agg, ev1, evN),
+        "sessionization": (sessionize, ev1, evN),
+        "dedup_exact": (exact_dedup_docs, docs1, docsN),
+        "dedup_minhash_pairs": (minhash_docs, docs1, docsN),
+    }
+    out = {}
+    for name, (fn, d1, dN) in ops.items():
+        t1 = _time(lambda: fn(d1))
+        tN = _time(lambda: fn(dN))
+        out[name] = {
+            "rows_1x": d1.count(),
+            f"rows_{args.mult}x": dN.count(),
+            "t1_s": round(t1, 3),
+            f"t{args.mult}_s": round(tN, 3),
+            "ratio": round(tN / t1, 2),
+        }
+        print(f"# {name}: {out[name]}", file=sys.stderr)
+    print(json.dumps({"probe": "data_scaling", "mult": args.mult, "ops": out}))
+
+
+if __name__ == "__main__":
+    main()
