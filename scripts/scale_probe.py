@@ -138,11 +138,46 @@ def main() -> None:
             F.count(F.lit(1)).alias("n"), F.max("ts_ms").alias("t")
         )
 
+    # ANN: fixed 100-query batch against the 1x and Nx corpus — the
+    # serving question is "what does 50x MORE CORPUS cost per query?".
+    # Brute force must pay ~N; IVF pays ~N/num_cells * nprobe.
+    emb1 = load_table(spark, args.sf, "embeddings")
+    n_vec = emb1.agg(F.max("vec_id")).first()[0] + 1
+    emb_copies = [
+        emb1.withColumn("vec_id", F.col("vec_id") + F.lit(i * n_vec))
+        for i in range(args.mult)
+    ]
+    embN = emb_copies[0]
+    for c in emb_copies[1:]:
+        embN = embN.unionByName(c)
+    embN.write.mode("overwrite").parquet(f"{base}/embeddings")
+    embN = spark.read.parquet(f"{base}/embeddings")
+    qset = emb1.orderBy("vec_id").limit(100)
+
+    def ann_brute(corpus: DataFrame):
+        from horaedb_spark.functions.similarity import brute_force_topk
+
+        return brute_force_topk(corpus, qset, "embedding", "vec_id", 10)
+
+    def ann_ivf(corpus: DataFrame):
+        import math
+
+        from horaedb_spark.functions.similarity import ivf_ann_topk
+
+        n = corpus.count()
+        cells = max(16, int(math.isqrt(n)))
+        return ivf_ann_topk(
+            corpus, qset, "embedding", "vec_id", 10,
+            num_cells=cells, nprobe=4,
+        )
+
     ops = {
         "metric_rate_agg": (rate_agg, ev1, evN),
         "sessionization": (sessionize, ev1, evN),
         "dedup_exact": (exact_dedup_docs, docs1, docsN),
         "dedup_minhash_pairs": (minhash_docs, docs1, docsN),
+        "ann_brute_100q": (ann_brute, emb1, embN),
+        "ann_ivf_100q": (ann_ivf, emb1, embN),
     }
     out = {}
     for name, (fn, d1, dN) in ops.items():
