@@ -751,10 +751,11 @@ class PromQLCompiler:
                 at_ms = arg0.at_ms
             return self._apply_at(self._range_fn(node), at_ms)
         if fn == "histogram_quantile":
-            q = node.args[0]
-            if not isinstance(q, Number):
-                raise PromQLError("histogram_quantile needs a literal q")
-            return self._histogram_quantile(q.value, self._eval(node.args[1]))
+            qarg = node.args[0]
+            qv = qarg.value if isinstance(qarg, Number) else self._eval(qarg)
+            if isinstance(qv, DataFrame) or not isinstance(qv, (int, float)):
+                raise PromQLError("histogram_quantile needs a scalar q")
+            return self._histogram_quantile(float(qv), self._eval(node.args[1]))
         if fn in MATH_FNS:
             df = self._eval(node.args[0])
             return df.withColumn("value", P.math_fn(F.col("value"), fn))
@@ -1247,6 +1248,23 @@ class PromQLCompiler:
     def _histogram_quantile(self, q: float, df: DataFrame):
         if not isinstance(df, DataFrame):
             raise PromQLError("histogram_quantile needs a vector")
+        if math.isnan(q) or q < 0 or q > 1:
+            # Prometheus: q out of [0,1] yields -Inf / +Inf (NaN -> NaN)
+            # per histogram group rather than an empty or error result
+            oob = (
+                float("nan") if math.isnan(q)
+                else float("-inf") if q < 0
+                else float("inf")
+            )
+            lbls0 = _labels()
+            rest0 = F.map_filter(lbls0, lambda k, _v: k != F.lit("le"))
+            return (
+                df.select(
+                    _canonical_key(rest0).alias("series_key"), "ts_ms"
+                )
+                .distinct()
+                .withColumn("value", F.lit(oob))
+            )
         lbls = _labels()
         le_str = F.element_at(lbls, "le")
         le = (

@@ -821,3 +821,22 @@ def test_on_empty_list_and_negative_offset(spark):
         for r in promql_eval(eng, 'a{h="x"} offset -1s', 1000).collect()
     )
     assert neg == [(0, 1.0), (1000, 5.0)]
+
+
+def test_histogram_quantile_out_of_range_q(spark):
+    """Prometheus: q outside [0,1] yields -Inf/+Inf per histogram group
+    (previously: empty result for q>1, parse error for the unary-minus
+    q<0 form)."""
+    from horaedb_spark.metric.engine import MetricEngine
+
+    samples = spark.createDataFrame(
+        [("b", {"c": "1", "le": "10"}, 1000, 5.0, 1),
+         ("b", {"c": "1", "le": "+Inf"}, 1000, 10.0, 2)],
+        "name string, labels map<string,string>, ts_ms long, "
+        "value double, seq long",
+    )
+    eng = MetricEngine(samples)
+    hi = promql_eval(eng, "histogram_quantile(1.5, b)", 1000).collect()
+    assert [(r.series_key, r.value) for r in hi] == [("c=1", float("inf"))]
+    lo = promql_eval(eng, "histogram_quantile(-0.5, b)", 1000).collect()
+    assert [(r.series_key, r.value) for r in lo] == [("c=1", float("-inf"))]
