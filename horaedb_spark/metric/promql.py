@@ -793,10 +793,19 @@ class PromQLCompiler:
                     raise PromQLError(
                         "label_replace(v, dst, replacement, src, regex)"
                     )
+                if not re.fullmatch(r"[a-zA-Z_][a-zA-Z0-9_]*", strs[0]):
+                    # Prometheus errors on an invalid destination label
+                    raise PromQLError(
+                        f"invalid destination label name {strs[0]!r}"
+                    )
                 out = P.label_replace(lbl, strs[0], strs[1], strs[2], strs[3])
             else:
                 if len(strs) < 3:
                     raise PromQLError("label_join(v, dst, sep, src...)")
+                if not re.fullmatch(r"[a-zA-Z_][a-zA-Z0-9_]*", strs[0]):
+                    raise PromQLError(
+                        f"invalid destination label name {strs[0]!r}"
+                    )
                 out = P.label_join(lbl, strs[0], strs[1], list(strs[2:]))
             return out.select(
                 _canonical_key(F.col("labels")).alias("series_key"),
@@ -1226,7 +1235,17 @@ class PromQLCompiler:
         elif node.op == "group":
             agg = F.lit(1.0)
         elif node.op == "quantile":
-            agg = F.percentile(v, F.lit(node.param))
+            # Prometheus: q outside [0,1] yields -Inf/+Inf (NaN for NaN)
+            # with a warning; Spark's percentile() rejects it outright
+            q = node.param
+            if math.isnan(q):
+                agg = F.lit(float("nan"))
+            elif q < 0:
+                agg = F.lit(float("-inf"))
+            elif q > 1:
+                agg = F.lit(float("inf"))
+            else:
+                agg = F.percentile(v, F.lit(q))
         elif node.op in ("stddev", "stdvar"):
             # aggregate_by's quantized order-independent scheme
             qz = F.floor(v * 1000 + F.lit(0.5)).cast("long")

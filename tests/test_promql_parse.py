@@ -840,3 +840,29 @@ def test_histogram_quantile_out_of_range_q(spark):
     assert [(r.series_key, r.value) for r in hi] == [("c=1", float("inf"))]
     lo = promql_eval(eng, "histogram_quantile(-0.5, b)", 1000).collect()
     assert [(r.series_key, r.value) for r in lo] == [("c=1", float("-inf"))]
+
+
+def test_quantile_bounds_and_label_name_validation(spark):
+    """quantile(q, v) with q outside [0,1] yields -Inf/+Inf (Spark's
+    percentile rejects it outright); label_replace/label_join error on an
+    invalid destination label name, as Prometheus does."""
+    from horaedb_spark.metric.engine import MetricEngine
+
+    samples = spark.createDataFrame(
+        [("a", {"h": "x"}, 1000, 1.0, 1), ("a", {"h": "y"}, 1000, 2.0, 2)],
+        "name string, labels map<string,string>, ts_ms long, "
+        "value double, seq long",
+    )
+    eng = MetricEngine(samples)
+    assert [r.value for r in
+            promql_eval(eng, "quantile(1.5, a)", 1000).collect()] == [
+        float("inf")
+    ]
+    assert [r.value for r in
+            promql_eval(eng, "quantile(-1, a)", 1000).collect()] == [
+        float("-inf")
+    ]
+    for bad in ('label_replace(a, "0bad", "x", "h", "(.*)")',
+                'label_join(a, "b-ad", "-", "h")'):
+        with pytest.raises(PromQLError, match="destination label"):
+            promql_eval(eng, bad, 1000)
