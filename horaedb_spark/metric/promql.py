@@ -1156,7 +1156,12 @@ class PromQLCompiler:
         keyed = df.withColumn("__gkey__", kept)
         if node.op in ("topk", "bottomk"):
             # k=0 is a valid Prometheus query returning the empty vector —
-            # `or 1` would silently coerce it to 1.
+            # `or 1` would silently coerce it to 1. Non-integer k is an
+            # error, as in Prometheus ("k must be an integer").
+            if node.param is not None and node.param != int(node.param):
+                raise PromQLError(
+                    f"{node.op}: k must be an integer, got {node.param}"
+                )
             k = int(node.param) if node.param is not None else 1
             order = (
                 [F.desc("value")] if node.op == "topk" else [F.asc("value")]
@@ -1172,6 +1177,10 @@ class PromQLCompiler:
             # series per group/step — md5 of the series identity, the
             # limitk_series kernel's convention; rank<=k compiles to a
             # map-side WindowGroupLimit like topk
+            if node.param is not None and node.param != int(node.param):
+                raise PromQLError(
+                    f"limitk: k must be an integer, got {node.param}"
+                )
             k = int(node.param) if node.param is not None else 1
             if k <= 0:
                 return keyed.filter(F.lit(False)).select(

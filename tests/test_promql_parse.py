@@ -866,3 +866,14 @@ def test_quantile_bounds_and_label_name_validation(spark):
                 'label_join(a, "b-ad", "-", "h")'):
         with pytest.raises(PromQLError, match="destination label"):
             promql_eval(eng, bad, 1000)
+
+
+def test_topk_limitk_integer_k(spark, eng):
+    """Non-integer k errors like Prometheus; integer k still works."""
+    for q in ("topk(1.5, sum by (cohort) (click))",
+              "limitk(2.5, sum by (cohort) (click))"):
+        with pytest.raises(PromQLError, match="must be an integer"):
+            promql_eval(eng, q, DAY)
+    assert promql_eval(
+        eng, "topk(2, sum by (cohort) (click))", DAY
+    ).count() > 0
