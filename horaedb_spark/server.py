@@ -722,6 +722,85 @@ class ControlServer:
                     self.send_header("Content-Length", str(len(body)))
                     self.end_headers()
                     self.wfile.write(body)
+                elif self.path == "/api/v1/status/tsdb":
+                    # Prometheus TSDB stats: series/label-pair counts and
+                    # the top-10 cardinality offenders — THE debugging
+                    # surface for series explosions. All metadata-grain
+                    # aggregates over the engine's catalog tables (rows ~
+                    # #series, never #samples).
+                    eng = outer._query_engine()
+                    if eng is None:
+                        self._reply(
+                            {"status": "error",
+                             "error": "no metric engine attached"},
+                            status=400,
+                        )
+                        return
+                    from pyspark.sql import functions as F
+
+                    n_series = eng.series.select("tsid").distinct().count()
+                    label_pairs = (
+                        eng.index.select("tag_key", "tag_value")
+                        .distinct()
+                        .count()
+                    )
+                    by_metric = (
+                        eng.series.join(
+                            F.broadcast(
+                                eng.metrics.select(
+                                    "metric_id", "metric_name"
+                                )
+                            ),
+                            "metric_id",
+                        )
+                        .groupBy("metric_name")
+                        .agg(F.countDistinct("tsid").alias("n"))
+                        .orderBy(F.desc("n"), "metric_name")
+                        .limit(10)
+                        .collect()
+                    )
+                    by_label = (
+                        eng.index.groupBy("tag_key")
+                        .agg(F.countDistinct("tag_value").alias("n"))
+                        .orderBy(F.desc("n"), "tag_key")
+                        .limit(10)
+                        .collect()
+                    )
+                    pairs_by_label = (
+                        eng.index.groupBy("tag_key")
+                        .agg(
+                            F.countDistinct("tag_key", "tag_value").alias(
+                                "n"
+                            )
+                        )
+                        .orderBy(F.desc("n"), "tag_key")
+                        .limit(10)
+                        .collect()
+                    )
+                    self._reply(
+                        {
+                            "status": "success",
+                            "data": {
+                                "headStats": {
+                                    "numSeries": n_series,
+                                    "numLabelPairs": label_pairs,
+                                },
+                                "seriesCountByMetricName": [
+                                    {"name": r["metric_name"],
+                                     "value": r["n"]}
+                                    for r in by_metric
+                                ],
+                                "labelValueCountByLabelName": [
+                                    {"name": r["tag_key"], "value": r["n"]}
+                                    for r in by_label
+                                ],
+                                "seriesCountByLabelValuePair": [
+                                    {"name": r["tag_key"], "value": r["n"]}
+                                    for r in pairs_by_label
+                                ],
+                            },
+                        }
+                    )
                 elif self.path == "/api/v1/status/buildinfo":
                     # Grafana probes this when validating a Prometheus
                     # datasource; serve the minimal envelope it checks.

@@ -602,3 +602,45 @@ def test_federate_endpoint_text_exposition(spark, tmp_path):
             assert e.code == 400
     finally:
         srv.stop()
+
+
+def test_tsdb_status_cardinality_stats(spark, tmp_path):
+    """GET /api/v1/status/tsdb: series/label-pair counts and the top
+    cardinality offenders, all metadata-grain aggregates."""
+    from horaedb_spark.metric.engine import MetricEngine
+
+    samples = spark.createDataFrame(
+        [("m", {"host": "a"}, 1000, 1.0, 1),
+         ("m", {"host": "b"}, 1000, 2.0, 2),
+         ("m", {"host": "c"}, 1000, 3.0, 3),
+         ("other", {"host": "a"}, 1000, 4.0, 4)],
+        "name string, labels map<string,string>, ts_ms long, "
+        "value double, seq long",
+    )
+    t = ColumnarTable(spark, str(tmp_path / "ts"), kv_schema(), TWO_HOURS)
+    srv = ControlServer(
+        Compactor(t, SchedulerConfig()), metric_engine=MetricEngine(samples)
+    )
+    srv.start()
+
+    def _get_slow(path: str) -> dict:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}{path}", timeout=120
+        ) as r:
+            return json.loads(r.read())
+
+    try:
+        out = _get_slow("/api/v1/status/tsdb")
+        assert out["status"] == "success"
+        d = out["data"]
+        assert d["headStats"]["numSeries"] == 4
+        assert d["headStats"]["numLabelPairs"] == 3  # host in {a,b,c}
+        assert d["seriesCountByMetricName"] == [
+            {"name": "m", "value": 3},
+            {"name": "other", "value": 1},
+        ]
+        assert d["labelValueCountByLabelName"] == [
+            {"name": "host", "value": 3}
+        ]
+    finally:
+        srv.stop()
