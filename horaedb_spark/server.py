@@ -825,6 +825,32 @@ class ControlServer:
                     self._reply({"error": "not found"}, status=404)
 
             def do_POST(self) -> None:  # noqa: N802 (http.server API)
+                base = self.path.split("?", 1)[0]
+                if base in (
+                    "/api/v1/query",
+                    "/api/v1/query_range",
+                    "/api/v1/series",
+                    "/api/v1/labels",
+                    "/api/v1/query_exemplars",
+                ):
+                    # Prometheus clients (Grafana included) POST these with
+                    # a form-encoded body when the query string is long;
+                    # parameters merge with any URL query string. Delegate
+                    # to the GET handler with the merged path.
+                    try:
+                        n = int(self.headers.get("Content-Length", "0"))
+                        body = self.rfile.read(n).decode() if n else ""
+                    except (ValueError, UnicodeDecodeError):
+                        self._reply(
+                            {"status": "error", "error": "bad form body"},
+                            status=400,
+                        )
+                        return
+                    qs = self.path.split("?", 1)[1] if "?" in self.path else ""
+                    merged = "&".join(p for p in (qs, body) if p)
+                    self.path = base + (f"?{merged}" if merged else "")
+                    self.do_GET()
+                    return
                 if self.path != "/api/v1/write":
                     self._reply({"error": "not found"}, status=404)
                     return

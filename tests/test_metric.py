@@ -226,3 +226,32 @@ def test_matchers_against_absent_labels(spark):
     assert got(
         Matcher("host", "=~", "a|b"), Matcher("env", "=", "prod")
     ) == ["env=prod,host=a"]
+
+
+def test_wire_decoder_fuzz_no_hang_or_crash():
+    """The remote-write decoders face untrusted bytes over HTTP: on ANY
+    input they must terminate promptly with a result or a clean exception
+    (the server maps exceptions to 400) — never hang or corrupt. Pure
+    driver-side, no Spark."""
+    import struct
+
+    import hypothesis.strategies as st
+    from hypothesis import given, settings
+
+    from horaedb_spark.metric.ingest import (
+        decode_exemplars,
+        decode_metadata,
+        decode_write_request,
+    )
+
+    @settings(max_examples=300, deadline=2000)
+    @given(st.binary(max_size=200))
+    def fuzz(buf):
+        for fn in (decode_write_request, decode_metadata, decode_exemplars):
+            try:
+                out = fn(buf)
+                assert isinstance(out, list)
+            except (ValueError, IndexError, UnicodeDecodeError, struct.error):
+                pass  # clean rejection -> HTTP 400 (server catches all)
+
+    fuzz()

@@ -644,3 +644,50 @@ def test_tsdb_status_cardinality_stats(spark, tmp_path):
         ]
     finally:
         srv.stop()
+
+
+def test_post_form_query_endpoints(spark, tmp_path):
+    """Prometheus clients POST the query endpoints with form-encoded
+    bodies when the query string is long (Grafana does); parameters merge
+    with any URL query string and delegate to the GET handling."""
+    import urllib.parse
+
+    from horaedb_spark.metric.engine import MetricEngine
+
+    samples = spark.createDataFrame(
+        [("m", {"host": "a"}, 1000, 1.0, 1),
+         ("m", {"host": "a"}, 2000, 2.0, 2)],
+        "name string, labels map<string,string>, ts_ms long, "
+        "value double, seq long",
+    )
+    t = ColumnarTable(spark, str(tmp_path / "pf"), kv_schema(), TWO_HOURS)
+    srv = ControlServer(
+        Compactor(t, SchedulerConfig()), metric_engine=MetricEngine(samples)
+    )
+    srv.start()
+    try:
+        body = urllib.parse.urlencode(
+            {"query": "sum by (host) (m)", "step": "1s"}
+        ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/api/v1/query_range",
+            data=body,
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        assert out["status"] == "success"
+        pts = [v for s in out["data"]["result"] for v in s["values"]]
+        assert pts == [[1.0, "1.0"], [2.0, "2.0"]]
+        # URL query string and body merge (step from URL, query in body)
+        req2 = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/api/v1/query?step=1s",
+            data=urllib.parse.urlencode({"query": "m", "time": "2"}).encode(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req2, timeout=120) as r:
+            out2 = json.loads(r.read())
+        assert out2["data"]["result"][0]["value"] == [2.0, "2.0"]
+    finally:
+        srv.stop()
