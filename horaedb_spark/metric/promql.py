@@ -1217,6 +1217,8 @@ class PromQLCompiler:
             # Integral doubles format without the decimal point —
             # engine-portable, unlike shortest-float formatting.
             lbl = str(node.param)
+            if not re.fullmatch(r"[a-zA-Z_][a-zA-Z0-9_]*", lbl):
+                raise PromQLError(f"invalid destination label name {lbl!r}")
             fmt = F.when(
                 F.col("value") == F.floor("value"),
                 F.col("value").cast("long").cast("string"),

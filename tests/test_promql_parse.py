@@ -863,7 +863,8 @@ def test_quantile_bounds_and_label_name_validation(spark):
         float("-inf")
     ]
     for bad in ('label_replace(a, "0bad", "x", "h", "(.*)")',
-                'label_join(a, "b-ad", "-", "h")'):
+                'label_join(a, "b-ad", "-", "h")',
+                'count_values("0bad", a)'):
         with pytest.raises(PromQLError, match="destination label"):
             promql_eval(eng, bad, 1000)
 
