@@ -844,3 +844,68 @@ def promql_power_div_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("series_key", "ts_ms")
     )
+
+
+@register(
+    "promql_atan2_at_end",
+    oracle=_DEDUP_CTE
+    + f"""
+    , pool AS (
+      SELECT name, user_label, cohort, ts_ms, value
+      FROM samples WHERE name IN ('click', 'error')
+    ), bnd AS (
+      -- the compiler's grid bounds derive from the ENGINE's full data
+      -- range (all metrics), ceil/floor to the step
+      SELECT ((min(ts_ms) + {DAY_MS} - 1) // {DAY_MS}) * {DAY_MS} AS lo,
+             (max(ts_ms) // {DAY_MS}) * {DAY_MS} AS hi
+      FROM samples
+    ), stg AS (
+      SELECT unnest(generate_series(lo, hi, {DAY_MS})) AS step_ms FROM bnd
+    ), ang AS (
+      SELECT d.name, d.user_label, d.cohort, st.step_ms
+      FROM (SELECT DISTINCT name, user_label, cohort FROM pool) d
+      CROSS JOIN stg st
+    ), iv AS (
+      SELECT name, user_label, cohort, step_ms, value FROM (
+        SELECT a.name, a.user_label, a.cohort, a.step_ms, s.value,
+               row_number() OVER (PARTITION BY a.name, a.user_label,
+                                  a.cohort, a.step_ms
+                                  ORDER BY s.ts_ms DESC) AS rn
+        FROM ang a JOIN pool s
+          ON s.name = a.name AND s.user_label = a.user_label
+         AND s.cohort = a.cohort
+         AND s.ts_ms <= a.step_ms AND s.ts_ms > a.step_ms - {DAY_MS}
+      ) WHERE rn = 1
+    ), agg AS (
+      SELECT name, cohort, step_ms,
+             CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS v
+      FROM iv GROUP BY 1, 2, 3
+    ), lastg AS (SELECT max(step_ms) AS at_ms FROM stg)
+    SELECT 'cohort=' || c.cohort AS series_key, c.step_ms AS ts_ms,
+           floor(atan2(c.v, e.v) * 1000000 + 0.5) / 1000000 AS value
+    FROM agg c JOIN agg e
+      ON e.cohort = c.cohort AND e.step_ms = c.step_ms
+     AND c.name = 'click' AND e.name = 'error'
+    JOIN lastg ON c.step_ms = lastg.at_ms
+    ORDER BY series_key, ts_ms
+    """,
+)
+def promql_atan2_at_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-6 operator-ladder additions under the hash gate:
+    ``atan2`` as a vector-vector keyword operator (MUL precedence, label
+    matching like any arithmetic binop) composed with the ``@ end()``
+    evaluation pin (resolved from the compiler's grid bounds) —
+    ``sum by (cohort) (click @ end()) atan2 sum by (cohort) (error @
+    end())``. One row per cohort at the final grid step."""
+    eng = _engine(spark, sf_dir)
+    out = promql_eval(
+        eng,
+        "sum by (cohort) (click @ end()) "
+        "atan2 sum by (cohort) (error @ end())",
+        DAY_MS,
+    )
+    return out.select(
+        "series_key",
+        "ts_ms",
+        (F.floor(F.col("value") * 1_000_000 + 0.5) / 1_000_000).alias("value"),
+    ).orderBy("series_key", "ts_ms")
