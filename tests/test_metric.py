@@ -244,7 +244,7 @@ def test_wire_decoder_fuzz_no_hang_or_crash():
         decode_write_request,
     )
 
-    @settings(max_examples=300, deadline=2000)
+    @settings(max_examples=300, deadline=None)
     @given(st.binary(max_size=200))
     def fuzz(buf):
         for fn in (decode_write_request, decode_metadata, decode_exemplars):
