@@ -81,6 +81,60 @@ class MetricEngine:
         self.index = model.build_index_table(samples)
         self.tags = model.build_tags_table(samples)
         self.data = model.build_data_table(samples)
+        self._cached = False
+        self._flat: DataFrame | None = None
+
+    def cache(self) -> "MetricEngine":
+        """Persist the derived tables for engines that serve MANY queries
+        over one base (dashboards, rule evaluators, multi-string suites).
+
+        Two things are materialized:
+
+        - ``data``/``series``/``index``/``metrics`` — without this, every
+          compiled PromQL plan re-derives the D10 dedup window + label
+          explode from the raw scan; a 20-string evaluation repeats that
+          subtree 20x inside one union plan. This is the Spark analogue of
+          the reference serving reads from merged/compacted SSTs rather
+          than re-merging per query (compaction materializes the dedup
+          once; src/columnar_storage/src/compaction/executor.rs:155-222).
+        - ``_flat`` — data pre-joined with series_key and REPARTITIONED BY
+          series_key. Every PromQL kernel's first aggregation/window keys
+          on (series_key, bucket); HashPartitioning(series_key) satisfies
+          that clustering, so per-series computation runs exchange-free on
+          the cached partitioning — the one data-sized shuffle in every
+          compiled string is paid once at cache build instead of per
+          query. At cluster scale this is the difference between one
+          shuffle of the working set and one per dashboard panel.
+
+        MEMORY_AND_DISK: partitions that don't fit spill, never recompute
+        from the scan. Idempotent; lazy (first action materializes)."""
+        if not self._cached:
+            from pyspark import StorageLevel
+
+            for df in (self.data, self.series, self.index, self.metrics):
+                df.persist(StorageLevel.MEMORY_AND_DISK)
+            self._flat = (
+                self.data.join(
+                    F.broadcast(self.series.select("tsid", "series_key")),
+                    "tsid",
+                    "left",
+                )
+                .repartition("series_key")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            self._cached = True
+        return self
+
+    def uncache(self) -> "MetricEngine":
+        """Release the persisted tables (e.g. per-micro-batch engines)."""
+        if self._cached:
+            for df in (self.data, self.series, self.index, self.metrics):
+                df.unpersist()
+            if self._flat is not None:
+                self._flat.unpersist()
+                self._flat = None
+            self._cached = False
+        return self
 
     # -- D4 ------------------------------------------------------------------
     def label_values(self, metric: str, tag_key: str) -> DataFrame:
@@ -180,9 +234,17 @@ class MetricEngine:
         with_labels: bool = True,
     ) -> DataFrame:
         """Samples of all series matching the matchers within the range —
-        the index→TSID→data join pipeline (RFC:120-126)."""
+        the index→TSID→data join pipeline (RFC:120-126).
+
+        On a cached engine the labeled path reads ``_flat`` (pre-joined,
+        series_key-partitioned): filters and the broadcast matcher
+        semi-join preserve the partitioning, so downstream per-series
+        aggregations need no exchange (see ``cache``)."""
         mid = F.xxhash64(F.lit(metric))
-        out = self.data.filter(F.col("metric_id") == mid)
+        if with_labels and self._flat is not None:
+            out = self._flat.filter(F.col("metric_id") == mid)
+        else:
+            out = self.data.filter(F.col("metric_id") == mid)
         if time_range is not None:
             out = out.filter(
                 (F.col("ts_ms") >= time_range.start) & (F.col("ts_ms") < time_range.end)
@@ -190,6 +252,6 @@ class MetricEngine:
         if matchers:
             tsids = self.resolve_tsids(metric, matchers)
             out = out.join(F.broadcast(tsids), "tsid", "left_semi")
-        if with_labels:
+        if with_labels and self._flat is None:
             out = out.join(F.broadcast(self.series.select("tsid", "series_key")), "tsid", "left")
         return out

@@ -255,3 +255,75 @@ def test_wire_decoder_fuzz_no_hang_or_crash():
                 pass  # clean rejection -> HTTP 400 (server catches all)
 
     fuzz()
+
+
+def test_cached_engine_equals_uncached_and_skips_exchange(spark):
+    """MetricEngine.cache(): the series_key-partitioned flat table must
+    (a) return exactly the uncached results through select_series and a
+    compiled PromQL string, and (b) feed per-series aggregations WITHOUT
+    a fresh exchange — HashPartitioning(series_key) from the cache
+    satisfies the (series_key, bucket) clustering, so the one data-sized
+    shuffle of every evaluation is paid once at cache build."""
+    from horaedb_spark.metric.promql import promql_eval
+
+    rows = [
+        ("m", {"host": h, "env": e}, ts, float(v), s)
+        for s, (h, e, ts, v) in enumerate(
+            (h, e, t * 3_600_000, (t + 1) * (i + 1))
+            for i, (h, e) in enumerate(
+                [("a", "prod"), ("b", "prod"), ("c", "dev")]
+            )
+            for t in range(30)
+        )
+    ]
+    samples = spark.createDataFrame(
+        rows,
+        "name string, labels map<string,string>, ts_ms long, "
+        "value double, seq long",
+    )
+    plain = MetricEngine(samples)
+    cached = MetricEngine(samples).cache()
+    try:
+        q = "sum by (env) (rate(m[1d]))"
+        want = sorted(
+            map(tuple, promql_eval(plain, q, 86_400_000).collect())
+        )
+        got = sorted(
+            map(tuple, promql_eval(cached, q, 86_400_000).collect())
+        )
+        assert got == want and len(got) > 0
+        sel = sorted(
+            map(
+                tuple,
+                cached.select_series(
+                    "m", [Matcher("env", "=", "prod")]
+                ).select("series_key", "ts_ms", "value").collect(),
+            )
+        )
+        sel_plain = sorted(
+            map(
+                tuple,
+                plain.select_series(
+                    "m", [Matcher("env", "=", "prod")]
+                ).select("series_key", "ts_ms", "value").collect(),
+            )
+        )
+        assert sel == sel_plain and len(sel) == 60
+        # plan pin: the per-series rate aggregate reads the cached
+        # partitioning — no Exchange between InMemoryTableScan and the
+        # first HashAggregate (the final by-env agg still shuffles, but
+        # only rate-sized rows)
+        from horaedb_spark.functions.promql import rate
+
+        per_series = rate(
+            cached.select_series("m").select("series_key", "ts_ms", "value"),
+            ["series_key"],
+            86_400_000,
+        )
+        plan = (
+            per_series._jdf.queryExecution().executedPlan().toString()
+        )
+        head = plan.split("InMemoryTableScan")[0]
+        assert "Exchange" not in head, head
+    finally:
+        cached.uncache()
