@@ -575,6 +575,56 @@ def _canonical_key(labels_map: Column) -> Column:
     )
 
 
+def _sql_str(s: str) -> str:
+    """A Spark-SQL single-quoted string literal (label names are parser-
+    restricted to word characters; escaping is belt-and-braces)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _key_cond(keys: tuple[str, ...] | list[str], keep: bool) -> str:
+    """SQL lambda body selecting label keys: membership in ``keys`` (or its
+    complement). Empty key list -> constant, so on() compiles to the
+    match-everything key and without() to the full key."""
+    if not keys:
+        return "false" if keep else "true"
+    lst = ", ".join(_sql_str(k) for k in keys)
+    return f"k {'IN' if keep else 'NOT IN'} ({lst})"
+
+
+def _subset_key(
+    keys: tuple[str, ...] | list[str], keep: bool, col: str = "series_key"
+) -> Column:
+    """Canonical key of a label subset of ``col`` (keep=True: only ``keys``;
+    keep=False: all but ``keys``), built as ONE sql expression. Semantics
+    identical to ``_canonical_key(map_filter(_labels(col), ...))``; this
+    form exists because the Column-API build costs ~65x more driver-JVM
+    round trips and these keys are built inside every aggregation/binop
+    compile of a PromQL string (measured 26 ms vs 0.4 ms per build)."""
+    return F.expr(
+        f"array_join(transform(array_sort(map_entries(map_filter("
+        f"str_to_map({col}, ',', '='), (k, v) -> {_key_cond(keys, keep)}))), "
+        f"e -> concat(e.key, '=', e.value)), ',')"
+    )
+
+
+def _group_copy_key(
+    many_col: str, one_col: str, labels: list[str] | tuple[str, ...]
+) -> Column:
+    """group_left(l1,...)/group_right(l1,...) output key: the MANY side's
+    labels with ``labels`` dropped, overlaid with those labels taken from
+    the ONE side (copied labels overwrite, absent ones remove). The two
+    map_filters are disjoint by construction so map_concat never sees a
+    duplicate key. One sql expression for the same reason as _subset_key."""
+    drop = _key_cond(labels, False)
+    take = _key_cond(labels, True)
+    return F.expr(
+        f"array_join(transform(array_sort(map_entries(map_concat("
+        f"map_filter(str_to_map({many_col}, ',', '='), (k, v) -> {drop}), "
+        f"map_filter(str_to_map({one_col}, ',', '='), (k, v) -> {take})))), "
+        f"e -> concat(e.key, '=', e.value)), ',')"
+    )
+
+
 class ScalarGrid:
     """A step-varying PromQL SCALAR — ``time()``, ``scalar(v)`` — as a
     (ts_ms, value) frame on the evaluation grid. Scalars don't carry labels,
@@ -670,6 +720,37 @@ class PromQLCompiler:
     # -- evaluation -------------------------------------------------------
 
     def _eval(self, node):
+        """Evaluate with an ENGINE-scoped memo: the AST nodes are frozen
+        dataclasses (hashable, deep equality), so an identical subtree
+        evaluated under identical compile parameters is the same frame —
+        ``rate(click[1d])`` appearing in a dozen dashboard strings is built
+        and analyzed once. Memoizing the DataFrame also marks the shared
+        logical subtree analyzed, so Catalyst skips re-resolving it inside
+        every later parent plan; at execution ReuseExchange already dedups
+        the physical work, so this is purely a compile-latency win."""
+        try:
+            key = (
+                node,
+                self.step_ms,
+                self.lookback_ms,
+                self.start_ms,
+                self.end_ms,
+            )
+            hash(key)
+        except TypeError:
+            return self._eval_raw(node)
+        if self.engine is None:  # scalar-only evaluation (tests, constants)
+            return self._eval_raw(node)
+        memo = self.engine.__dict__.setdefault("_eval_memo", {})
+        hit = memo.get(key)
+        if hit is not None:
+            return hit
+        out = self._eval_raw(node)
+        if isinstance(out, (DataFrame, ScalarGrid)):
+            memo[key] = out
+        return out
+
+    def _eval_raw(self, node):
         if isinstance(node, Number):
             return node.value
         if isinstance(node, BinOp):
@@ -1140,17 +1221,12 @@ class PromQLCompiler:
         df = self._eval(node.expr)
         if not isinstance(df, DataFrame):
             raise PromQLError("aggregation needs a vector")
-        lbls = _labels()
         if node.without and node.grouping:
-            kept = _canonical_key(
-                F.map_filter(lbls, lambda k, _v: ~k.isin([*node.grouping]))
-            )
+            kept = _subset_key([*node.grouping], keep=False)
         elif node.without:
             kept = F.col("series_key")  # without () keeps every label
         elif node.grouping:
-            kept = _canonical_key(
-                F.map_filter(lbls, lambda k, _v: k.isin([*node.grouping]))
-            )
+            kept = _subset_key([*node.grouping], keep=True)
         else:
             kept = F.lit("")  # plain sum(...): one output series
         keyed = df.withColumn("__gkey__", kept)
@@ -1223,8 +1299,9 @@ class PromQLCompiler:
                 F.col("value") == F.floor("value"),
                 F.col("value").cast("long").cast("string"),
             ).otherwise(F.col("value").cast("string"))
-            base = F.map_filter(
-                _labels("__gkey__"), lambda k, _v: (k != "") & (k != lbl)
+            base = F.expr(
+                f"map_filter(str_to_map(__gkey__, ',', '='), "
+                f"(k, v) -> k != '' AND k != {_sql_str(lbl)})"
             )
             newkey = _canonical_key(
                 F.map_concat(base, F.create_map(F.lit(lbl), fmt))
@@ -1286,11 +1363,10 @@ class PromQLCompiler:
                 else float("-inf") if q < 0
                 else float("inf")
             )
-            lbls0 = _labels()
-            rest0 = F.map_filter(lbls0, lambda k, _v: k != F.lit("le"))
             return (
                 df.select(
-                    _canonical_key(rest0).alias("series_key"), "ts_ms"
+                    _subset_key(["le"], keep=False).alias("series_key"),
+                    "ts_ms",
                 )
                 .distinct()
                 .withColumn("value", F.lit(oob))
@@ -1301,9 +1377,8 @@ class PromQLCompiler:
             F.when(le_str.isin("+Inf", "Inf", "inf"), F.lit(float("inf")))
             .otherwise(le_str.cast("double"))
         )
-        rest = F.map_filter(lbls, lambda k, _v: k != F.lit("le"))
         buckets = df.select(
-            _canonical_key(rest).alias("series_key"),
+            _subset_key(["le"], keep=False).alias("series_key"),
             "ts_ms",
             le.alias("le"),
             F.col("value").alias("bucket_count"),
@@ -1318,13 +1393,9 @@ class PromQLCompiler:
         # Prometheus's match-everything key (one pair per timestamp);
         # truthiness would silently turn on() into exact-key matching
         if node.on is not None:
-            return _canonical_key(
-                F.map_filter(_labels(), lambda k, _v: k.isin([*node.on]))
-            )
+            return _subset_key([*node.on], keep=True)
         if node.ignoring:
-            return _canonical_key(
-                F.map_filter(_labels(), lambda k, _v: ~k.isin([*node.ignoring]))
-            )
+            return _subset_key([*node.ignoring], keep=False)
         return F.col("series_key")
 
     def _grid_binop(self, node: BinOp, lhs, rhs, arith, comps):
@@ -1457,15 +1528,13 @@ class PromQLCompiler:
         # docs/rfcs/20220702-prometheus-read-extension.md:84-99).
         gl = [str(x) for x in node.group_labels]
         if node.group == "left":
-            many_key, one_key = F.col("series_key"), F.col("__rkey__")
+            many_name, one_name = "series_key", "__rkey__"
         elif node.group == "right":
-            many_key, one_key = F.col("__rkey__"), F.col("series_key")
+            many_name, one_name = "__rkey__", "series_key"
         if node.group and gl:
-            kept = F.map_filter(_labels(many_key), lambda k, _v: ~k.isin(gl))
-            copied = F.map_filter(_labels(one_key), lambda k, _v: k.isin(gl))
-            out_key = _canonical_key(F.map_concat(kept, copied))
+            out_key = _group_copy_key(many_name, one_name, gl)
         elif node.group:
-            out_key = many_key
+            out_key = F.col(many_name)
         elif node.on is None and node.ignoring is None:
             out_key = F.col("series_key")
         else:

@@ -215,6 +215,8 @@ class MetricStore:
         query layer is identical whether frames are in-memory or durable."""
         eng = MetricEngine.__new__(MetricEngine)
         eng.samples = None
+        eng._cached = False
+        eng._flat = None
         eng.metrics = self.metrics.scan(ScanRequest(ordered=False))
         eng.series = self.series.scan(ScanRequest(ordered=False))
         eng.index = self.index.scan(ScanRequest(ordered=False))
