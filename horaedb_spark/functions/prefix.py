@@ -195,3 +195,137 @@ def exact_ntile(
     for q, b in reversed(bounds[:-1]):
         expr = F.when(F.col("__rank__") <= b, q).otherwise(expr)
     return ranked.withColumn(out_col, expr.cast("int")).drop("__rank__")
+
+
+def ntile_boundaries(
+    df: DataFrame,
+    dim_col: str,
+    key_col: str,
+    n: int,
+    num_partitions: int = 32,
+) -> list[tuple]:
+    """The (dim, key) rows sitting at the exact ntile(n) bucket boundaries
+    of ``ORDER BY dim DESC, key ASC`` — n-1 driver-side literals.
+
+    Discovery shuffles only the SLIM (dim, key) pair frame (range shuffle +
+    per-partition counts, the exact_rank machinery); the boundary rows are
+    then read out of the cached partitions by local position — output is
+    n-1 rows however large ``df`` is. ``(dim, key)`` must be a unique total
+    order with non-null dims. Returns fewer than n-1 entries when the
+    frame has fewer rows than buckets (Spark ntile then gives one row per
+    bucket, which the shorter boundary chain reproduces)."""
+    order_cols = [F.desc(dim_col), F.asc(key_col)]
+    pre = (
+        df.select(dim_col, key_col)
+        .repartitionByRange(num_partitions, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .persist()
+    )
+    try:
+        counts = {
+            r["pid"]: r["c"]
+            for r in pre.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        offsets: list[int] = []
+        acc = 0
+        for pid in range(num_partitions):
+            offsets.append(acc)
+            acc += int(counts.get(pid, 0))
+        n_rows = acc
+        if n_rows == 0:
+            return []
+        base, rem = n_rows // n, n_rows % n
+        ranks: list[int] = []
+        r = 0
+        for q in range(1, n):  # boundary rank of buckets 1..n-1
+            r += base + (1 if q <= rem else 0)
+            # the last bucket needs no upper boundary; zero-size buckets
+            # (fewer rows than buckets) would repeat a rank — skip them
+            if 0 < r < n_rows and (not ranks or r > ranks[-1]):
+                ranks.append(r)
+        # rank -> (pid, local position)
+        wanted: dict[int, list[tuple[int, int]]] = {}
+        for i, rk in enumerate(ranks):
+            pid = max(p for p in range(num_partitions) if offsets[p] < rk)
+            wanted.setdefault(pid, []).append((rk - offsets[pid], i))
+        out_schema = T.StructType(
+            [
+                T.StructField("__b_idx__", T.LongType()),
+                *[f for f in pre.schema.fields],
+            ]
+        )
+
+        def pick(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            pos = 0
+            todo = None
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                if todo is None:
+                    todo = dict(
+                        wanted.get(int(pdf["__pid__"].iloc[0]), [])
+                    )
+                if not todo:
+                    return
+                take = [
+                    (lp - pos - 1, bi)
+                    for lp, bi in todo.items()
+                    if pos < lp <= pos + len(pdf)
+                ]
+                for row_i, b_idx in take:
+                    row = pdf.drop(columns=["__pid__"]).iloc[[row_i]].copy()
+                    row.insert(0, "__b_idx__", b_idx)
+                    yield row
+                pos += len(pdf)
+
+        picked = (
+            pre.withColumn("__pid__", F.spark_partition_id())
+            .mapInPandas(pick, out_schema)
+            .collect()
+        )
+        rows = sorted(picked, key=lambda r: r["__b_idx__"])
+        return [(r[dim_col], r[key_col]) for r in rows]
+    finally:
+        pre.unpersist()
+
+
+def exact_ntile_lit(
+    df: DataFrame,
+    dim_col: str,
+    key_col: str,
+    n: int,
+    out_col: str,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Exact ``ntile(n) OVER (ORDER BY dim DESC, key ASC)`` assigned by
+    comparing against the n-1 collected boundary literals — the MAIN frame
+    is never shuffled, ranked, or sent through Python: the score lands as
+    a JVM CASE chain, so multiple ntile columns over the same frame (the
+    RFM pattern) stay narrow on it. Discovery cost rides on the slim
+    (dim, key) projection only (see :func:`ntile_boundaries`); exactness
+    holds because ranks are unique under the (dim DESC, key ASC) total
+    order, so "row <= boundary-row" selects exactly the boundary rank's
+    worth of rows."""
+    bounds = ntile_boundaries(df, dim_col, key_col, n, num_partitions)
+    return df.withColumn(out_col, ntile_case(dim_col, key_col, bounds))
+
+
+def ntile_case(
+    dim_col: str, key_col: str, bounds: list[tuple]
+) -> Column:
+    """The bucket CASE chain over pre-collected :func:`ntile_boundaries`
+    literals. Split out so callers scoring several dimensions of one frame
+    (the RFM shape) can run the discoveries CONCURRENTLY — they are
+    independent jobs over slim projections, so the scheduler overlaps
+    them — and then apply all scores in one narrow projection."""
+    if not bounds:
+        # no interior boundary: every row (0 or 1 of them) is bucket 1
+        return F.lit(1).cast("int")
+    d, k = F.col(dim_col), F.col(key_col)
+    expr = None
+    for q, (bd, bk) in enumerate(bounds, start=1):
+        cond = (d > F.lit(bd)) | ((d == F.lit(bd)) & (k <= F.lit(bk)))
+        expr = F.when(cond, q) if expr is None else expr.when(cond, q)
+    return expr.otherwise(len(bounds) + 1).cast("int")

@@ -106,30 +106,44 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership.
 
     The per-customer aggregate is one hash shuffle over the fact table;
-    each quartile score then comes from ``exact_ntile`` (functions/prefix
-    .py): a RANGE shuffle + per-physical-partition rank window + a
-    metadata-sized offset fold — exact ntile(4) semantics with NO
-    single-partition sort anywhere in the plan (the three global ntile
-    windows were the r4 verdict's #3 serial bottleneck). Ties break on
-    custkey so quartile membership is deterministic and oracle-portable."""
-    from horaedb_spark.functions.prefix import exact_ntile
+    each quartile score then comes from ``exact_ntile_lit``
+    (functions/prefix.py): boundary rows are discovered on the SLIM
+    (dim, custkey) projection (range shuffle + per-partition counts, n-1
+    literal rows collected), and the score lands on the customer frame as
+    a JVM CASE chain — the customer frame itself is never re-shuffled,
+    ranked, or sent through Python, so three scores cost three slim
+    discovery passes and zero extra exchanges on the data. Exact ntile(4)
+    semantics with NO single-partition sort anywhere (the three global
+    ntile windows were the r4 verdict's #3 serial bottleneck). Ties break
+    on custkey so quartile membership is deterministic and
+    oracle-portable."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from horaedb_spark.functions.prefix import ntile_boundaries, ntile_case
 
     orders = load_table(spark, sf_dir, "orders")
     cust = orders.groupBy("o_custkey").agg(
         F.max(F.unix_millis("o_orderdate")).alias("last_ms"),
         F.count(F.lit(1)).alias("freq"),
         dsum("o_totalprice").alias("monetary"),
-    )
-    scored = cust
-    for dim, out in (
+    ).persist()  # three boundary discoveries + the final pass read it
+    dims = (
         ("last_ms", "r_score"),
         ("freq", "f_score"),
         ("monetary", "m_score"),
-    ):
-        scored = exact_ntile(
-            scored, [F.desc(dim), F.asc("o_custkey")], 4, out
-        )
-    scored = scored.select("o_custkey", "r_score", "f_score", "m_score")
+    )
+    with ThreadPoolExecutor(len(dims)) as pool:
+        bounds = {
+            out: pool.submit(ntile_boundaries, cust, dim, "o_custkey", 4)
+            for dim, out in dims
+        }
+    scored = cust.select(
+        "o_custkey",
+        *[
+            ntile_case(dim, "o_custkey", bounds[out].result()).alias(out)
+            for dim, out in dims
+        ],
+    )
     return (
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(
@@ -806,20 +820,24 @@ def orders_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue-concentration (Pareto) curve: customers ranked into revenue
     deciles with each decile's revenue and the cumulative share — "do the
     top 10% carry 40% of revenue?". One hash aggregate over the fact table;
-    the decile assignment comes from ``exact_ntile`` (functions/prefix.py):
-    a RANGE shuffle + Arrow per-partition rank stamp + metadata-sized
-    offset fold — exact ntile(10) semantics with NO single-partition sort
-    (the global ntile window was the last data-sized serial stage in the
-    package; r5 verdict #1). The cumulative-share window downstream runs
-    over 10 decile rows — metadata-grain. Decimal-routed sums make every
-    share deterministic; ties in the decile sort break by custkey."""
-    from horaedb_spark.functions.prefix import exact_ntile
+    the decile assignment comes from ``exact_ntile_lit``
+    (functions/prefix.py): the 9 boundary rows are discovered on the slim
+    (revenue, custkey) projection and the decile lands as a JVM CASE
+    chain — the customer frame is never re-shuffled or ranked, and NO
+    single-partition sort exists (the global ntile window was the last
+    data-sized serial stage in the package; r5 verdict #1). The
+    cumulative-share window downstream runs over 10 decile rows —
+    metadata-grain. Decimal-routed sums make every share deterministic;
+    ties in the decile sort break by custkey."""
+    from horaedb_spark.functions.prefix import exact_ntile_lit
 
     orders = load_table(spark, sf_dir, "orders")
-    cust = orders.groupBy("o_custkey").agg(dsum("o_totalprice").alias("revenue"))
-    ranked = exact_ntile(
-        cust, [F.desc("revenue"), F.asc("o_custkey")], 10, "decile"
-    ).select("revenue", "decile")
+    cust = orders.groupBy("o_custkey").agg(
+        dsum("o_totalprice").alias("revenue")
+    ).persist()  # boundary discovery + the decile pass + the total read it
+    ranked = exact_ntile_lit(cust, "revenue", "o_custkey", 10, "decile").select(
+        "revenue", "decile"
+    )
     per = ranked.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),
         dsum("revenue").alias("decile_revenue"),

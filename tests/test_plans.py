@@ -624,30 +624,31 @@ def test_exact_ntile_no_single_partition_and_matches_ntile(spark):
 
 
 def test_rfm_segments_no_single_partition_window(spark, sf_dir):
-    """The three RFM quartile scores must not run as global ntile windows:
-    no SinglePartition exchange anywhere in the plan (r4 verdict #3)."""
+    """The three RFM quartile scores must not run as global ntile windows
+    (r4 verdict #3). Round 7 strengthens the pin: the scores are CASE
+    chains over collected boundary literals (exact_ntile_lit), so the
+    FINAL plan has no SinglePartition, no window at all, and no Python —
+    the customer frame is scored without being re-shuffled."""
     from horaedb_spark.queries.analytics5 import customer_rfm_segments
 
     p = _final_plan(customer_rfm_segments(spark, sf_dir))
     assert "SinglePartition" not in p, p[:3000]
+    assert "ntile" not in p.lower(), p[:3000]
+    assert "Python" not in p, p[:3000]
 
 
 def test_pareto_deciles_no_single_partition_window(spark, sf_dir):
-    """orders_pareto_deciles' decile assignment must come from exact_ntile
-    (range shuffle + Arrow rank stamp), never a global ntile(10) window
-    over all customers (r5 verdict #1). The only permissible
-    single-partition stage is the 10-row decile cumulative-share window —
-    which sits BELOW a 10-row aggregate, so we assert the full-plan
-    SinglePartition count is at most that one metadata-grain exchange and
-    that a RangePartitioning stage exists for the rank."""
+    """orders_pareto_deciles' decile must never be a global ntile(10)
+    window over all customers (r5 verdict #1). Round 7: the decile is a
+    CASE chain over the 9 collected boundary literals (exact_ntile_lit) —
+    no data-sized window, rank, or Python pass in the final plan. The only
+    permissible single-partition stage is the cum-share window over the
+    10 decile rows, which sits ABOVE the 10-row aggregate."""
     from horaedb_spark.queries.analytics5 import orders_pareto_deciles
 
     p = _final_plan(orders_pareto_deciles(spark, sf_dir))
-    assert "rangepartitioning" in p.lower(), p[:3000]
-    # the cum-share window over 10 decile rows is allowed; the customer-
-    # sized rank must not be: everything before the first RangePartitioning
-    # marker (parents print first) must be free of data-sized ntile windows
     assert "ntile" not in p.lower(), p[:3000]
+    assert "Python" not in p, p[:3000]
 
 
 def test_top_supplier_q15_scalar_max_not_global_window(spark, sf_dir):
@@ -699,3 +700,38 @@ def test_q10_top20_is_take_ordered_with_broadcast_nation(spark, sf_dir):
     p = _final_plan(returned_item_losses_q10(spark, sf_dir))
     assert "TakeOrderedAndProject" in p, p[:3000]
     assert "BroadcastHashJoin" in p, p[:3000]
+
+
+def test_exact_ntile_lit_matches_ntile_and_stays_narrow(spark):
+    """exact_ntile_lit must reproduce Spark's ntile() bucket-for-bucket —
+    including ties broken by the key, fewer rows than buckets, and a
+    single row — while leaving the SCORED frame's plan narrow: no window,
+    no range shuffle, no Python (discovery runs on a slim projection in
+    separate jobs; the score is a CASE chain of boundary literals)."""
+    from pyspark.sql.window import Window as W
+
+    from horaedb_spark.functions.prefix import exact_ntile_lit
+
+    cases = [
+        ([(i, float((37 * i) % 101)) for i in range(207)], 4),
+        ([(i, float(i % 3)) for i in range(100)], 7),  # heavy ties
+        ([(i, float(i)) for i in range(3)], 10),  # fewer rows than buckets
+        ([(0, 5.0)], 4),  # single row
+    ]
+    for rows, n in cases:
+        df = spark.createDataFrame(rows, "id long, v double")
+        out = exact_ntile_lit(df, "v", "id", n, "q", num_partitions=6)
+        got = {r["id"]: r["q"] for r in out.collect()}
+        want = {
+            r["id"]: r["q"]
+            for r in df.withColumn(
+                "q", F.ntile(n).over(W.orderBy(F.desc("v"), F.asc("id")))
+            ).collect()
+        }
+        assert got == want, (n, len(rows))
+    big = spark.createDataFrame(
+        [(i, float((37 * i) % 101)) for i in range(207)], "id long, v double"
+    )
+    p = plan_of(exact_ntile_lit(big, "v", "id", 4, "q", num_partitions=6))
+    assert "rangepartitioning" not in p.lower(), p[:3000]
+    assert "Window" not in p and "Python" not in p, p[:3000]
