@@ -306,8 +306,28 @@ def ivf_ann_topk(
     pass False: both sides then hash-partition on the cell id (one shuffle
     each, cells are the co-location key) instead of broadcasting an
     over-sized query table to every executor."""
-    c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv"))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    # norms are per-VECTOR, not per-pair: fold them once per side before
+    # the join (the candidate set is ~N*nprobe*N/cells pairs — folding both
+    # norms per pair would triple the per-pair element work). The fold
+    # expression is identical to dedup.cosine's, so the per-pair division
+    # reproduces its doubles bit-for-bit (oracle hash parity).
+    def _norm(v: Column) -> Column:
+        return F.sqrt(
+            F.aggregate(
+                v.cast("array<double>"), F.lit(0.0), lambda s, x: s + x * x
+            )
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
+    )
     # coarse quantizer: one tiny driver-side action (num_cells rows), then a
     # literal in every assignment expression — the corpus-side plan is a
     # single narrow map, no quantizer join, no assignment shuffle
@@ -325,12 +345,18 @@ def ivf_ann_topk(
         joined = c_cell.join(F.broadcast(q_cell), "cell")
     else:
         joined = c_cell.join(q_cell.hint("shuffle_hash"), "cell")
+    # per-pair work is ONE dot fold; the norms ride in as the precomputed
+    # columns (same fold expression, so the quotient is bit-identical to
+    # dedup.cosine's)
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
     scored = joined.filter(F.col("corpus_id") != F.col("query_id")).select(
         "query_id",
         "corpus_id",
-        cosine(F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")).alias(
-            "cos_sim"
-        ),
+        (dot / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("corpus_id"))
     return (
