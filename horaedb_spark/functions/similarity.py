@@ -29,8 +29,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from horaedb_spark.functions.dedup import cosine
-
 _MD5_LOW_HALF = tuple("01234567")
 
 
@@ -38,6 +36,26 @@ def quantize(vec: Column, scale: int = 1000) -> Column:
     """array<float> -> array<long> by round(x * scale): exact integer space
     for order-independent arithmetic."""
     return F.transform(vec.cast("array<double>"), lambda x: F.round(x * scale).cast("long"))
+
+
+def vector_norm(v: Column) -> Column:
+    """sqrt(sum x^2) with ``dedup.cosine``'s exact fold expression. Norms
+    are per-VECTOR: every pair-scoring path precomputes this column per
+    side before its candidate join, so the per-pair work is one dot fold —
+    folding both norms per pair would triple the element ops over
+    candidate sets sized N*candidates."""
+    return F.sqrt(
+        F.aggregate(v.cast("array<double>"), F.lit(0.0), lambda s, x: s + x * x)
+    )
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    """Fold-left dot product, identical expression to ``dedup.cosine``'s —
+    so dot/(norm_a*norm_b) over precomputed norms is bit-identical to
+    ``cosine(a, b)``."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
 
 
 def _plane_weight(plane: int, dim: int) -> int:
@@ -79,13 +97,21 @@ def brute_force_topk(
     """Exact top-k cosine neighbors per query (excluding self). The query set
     broadcasts; the corpus never shuffles until the final per-query top-k."""
     c = corpus.select(
-        F.col(id_col).alias("corpus_id"), F.col(vec_col).cast("array<double>").alias("cv")
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        vector_norm(F.col(vec_col)).alias("cn"),
     )
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        vector_norm(F.col(vec_col)).alias("qn"),
     )
     scored = c.join(F.broadcast(q), F.col("corpus_id") != F.col("query_id")).select(
-        "query_id", "corpus_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim")
+        "query_id",
+        "corpus_id",
+        (dot_product(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+            "cos_sim"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("corpus_id"))
     return (
@@ -108,24 +134,30 @@ def lsh_ann_topk(
 
     Cosine is computed on the quantized integer vectors (exact dot/norms,
     double only at the final division) so results are bit-reproducible."""
-    def prep(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+    def prep(
+        df: DataFrame, id_alias: str, vec_alias: str, norm_alias: str
+    ) -> DataFrame:
         qz = quantize(F.col(vec_col))
         return df.select(
             F.col(id_col).alias(id_alias),
-            qz.alias(vec_alias),
+            qz.cast("array<double>").alias(vec_alias),
+            vector_norm(qz).alias(norm_alias),
             lsh_bucket(qz, num_planes, dim).alias("bucket"),
         )
 
-    c = prep(corpus, "corpus_id", "cv")
-    q = prep(queries, "query_id", "qv").withColumnRenamed("bucket", "qbucket")
+    c = prep(corpus, "corpus_id", "cv", "cn")
+    q = prep(queries, "query_id", "qv", "qn").withColumnRenamed(
+        "bucket", "qbucket"
+    )
     scored = (
         c.join(F.broadcast(q), (F.col("bucket") == F.col("qbucket")) & (F.col("corpus_id") != F.col("query_id")))
         .select(
             "query_id",
             "corpus_id",
-            cosine(F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")).alias(
-                "cos_sim"
-            ),
+            (
+                dot_product(F.col("qv"), F.col("cv"))
+                / (F.col("qn") * F.col("cn"))
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("corpus_id"))
@@ -155,7 +187,12 @@ def embedding_lsh_near_dup_pairs(
     with overwhelming probability. The bucket join is a single hash-shuffle
     on (table, bucket); a viral duplicate cluster (hot bucket) is AQE-split.
     Input vectors must already be quantized integers (``quantize``)."""
-    v = df.select(F.col(id_col), F.col(vec_col).alias("qv"))
+    v = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("qv"),  # integer vector: lsh_bucket folds BIGINT
+        F.col(vec_col).cast("array<double>").alias("qd"),
+        vector_norm(F.col(vec_col)).alias("qn"),
+    )
     tables = F.array(
         *[
             F.struct(
@@ -167,11 +204,13 @@ def embedding_lsh_near_dup_pairs(
             for t in range(num_tables)
         ]
     )
-    flat = v.select(id_col, "qv", F.explode(tables).alias("b")).select(
-        id_col, "qv", F.col("b.tbl").alias("tbl"), F.col("b.bkt").alias("bkt")
+    flat = v.select(id_col, "qd", "qn", F.explode(tables).alias("b")).select(
+        id_col, "qd", "qn", F.col("b.tbl").alias("tbl"), F.col("b.bkt").alias("bkt")
     )
     a, b = flat.alias("a"), flat.alias("b")
-    cos = cosine(F.col("a.qv").cast("array<double>"), F.col("b.qv").cast("array<double>"))
+    cos = dot_product(F.col("a.qd"), F.col("b.qd")) / (
+        F.col("a.qn") * F.col("b.qn")
+    )
     return (
         a.join(
             b,
