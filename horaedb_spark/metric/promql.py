@@ -837,6 +837,18 @@ class PromQLCompiler:
             if isinstance(qv, DataFrame) or not isinstance(qv, (int, float)):
                 raise PromQLError("histogram_quantile needs a scalar q")
             return self._histogram_quantile(float(qv), self._eval(node.args[1]))
+        if fn == "histogram_fraction":
+            if len(node.args) != 3:
+                raise PromQLError("histogram_fraction(lo, hi, vector)")
+            ends = []
+            for a in node.args[:2]:
+                v = a.value if isinstance(a, Number) else self._eval(a)
+                if isinstance(v, DataFrame) or not isinstance(v, (int, float)):
+                    raise PromQLError("histogram_fraction needs scalar lo, hi")
+                ends.append(float(v))
+            return self._histogram_fraction(
+                ends[0], ends[1], self._eval(node.args[2])
+            )
         if fn in MATH_FNS:
             df = self._eval(node.args[0])
             return df.withColumn("value", P.math_fn(F.col("value"), fn))
@@ -1386,6 +1398,30 @@ class PromQLCompiler:
         out = P.histogram_quantile(buckets, ["series_key", "ts_ms"], q)
         return out.select(
             "series_key", "ts_ms", F.col("quantile_value").alias("value")
+        )
+
+    def _histogram_fraction(self, lo: float, hi: float, df: DataFrame):
+        """``histogram_fraction(lo, hi, v)`` over classic ``le``-labeled
+        buckets — same bucket extraction as _histogram_quantile, folded by
+        functions/promql.histogram_fraction (promql/quantile.go
+        histogramFraction semantics)."""
+        if not isinstance(df, DataFrame):
+            raise PromQLError("histogram_fraction needs a vector")
+        lbls = _labels()
+        le_str = F.element_at(lbls, "le")
+        le = (
+            F.when(le_str.isin("+Inf", "Inf", "inf"), F.lit(float("inf")))
+            .otherwise(le_str.cast("double"))
+        )
+        buckets = df.select(
+            _subset_key(["le"], keep=False).alias("series_key"),
+            "ts_ms",
+            le.alias("le"),
+            F.col("value").alias("bucket_count"),
+        )
+        out = P.histogram_fraction(buckets, ["series_key", "ts_ms"], lo, hi)
+        return out.select(
+            "series_key", "ts_ms", F.col("fraction").alias("value")
         )
 
     def _match_key(self, node: BinOp) -> Column:

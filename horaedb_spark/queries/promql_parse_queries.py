@@ -117,6 +117,10 @@ _Q15 = (
     'label_replace(sum by (cohort) (rate(click[1d])), '
     '"env", "prod-$1", "cohort", "(.*)")'
 )
+# histogram_fraction through the string front-end (round 7): hi=150 lands
+# in the (100, +Inf] bucket (clamps to the max finite le), lo=25
+# interpolates inside (10, 50] — both promql/quantile.go paths.
+_Q16 = "histogram_fraction(25, 150, sum by (le) (rate(click_bucket[1d])))"
 
 # DuckDB replicas. Shared rate-per-series CTE over the deduped samples;
 # floor(x*1e6+0.5)/1e6 is the cross-engine rounding convention.
@@ -396,6 +400,30 @@ _ORACLE = (
                || ',user=' || u.user_label AS series_key,
              u.ts_ms, floor((u.v + c.v) * 1000000 + 0.5) / 1000000 AS value
       FROM eu13 u JOIN s5 c ON c.cohort = u.cohort AND c.ts_ms = u.ts_ms
+    ),
+    q16 AS (
+      -- histogram_fraction(25, 150, ...): interpolated cumulative rank at
+      -- each endpoint inside its bucket (+Inf bucket clamps to the count
+      -- at the max finite le), fraction = (r_hi - r_lo) / total — the
+      -- exact arithmetic of functions/promql.histogram_fraction over the
+      -- same ben CTE the q2 quantile uses
+      SELECT 'q16' AS query_id, '' AS series_key, bucket_ms AS ts_ms,
+             floor(((coalesce(max(CASE WHEN 150.0 > prev_le AND 150.0 <= le
+                       THEN CASE WHEN le = CAST('inf' AS DOUBLE)
+                                 THEN CAST(prev_count AS DOUBLE)
+                                 ELSE prev_count + (bucket_count - prev_count)
+                                      * (150.0 - prev_le) / (le - prev_le)
+                            END END),
+                     CAST(max(total) AS DOUBLE))
+                   - coalesce(max(CASE WHEN 25.0 > prev_le AND 25.0 <= le
+                       THEN CASE WHEN le = CAST('inf' AS DOUBLE)
+                                 THEN CAST(prev_count AS DOUBLE)
+                                 ELSE prev_count + (bucket_count - prev_count)
+                                      * (25.0 - prev_le) / (le - prev_le)
+                            END END),
+                     0.0))
+                    / max(total)) * 1000000 + 0.5) / 1000000 AS value
+      FROM ben GROUP BY bucket_ms
     )
     SELECT * FROM (
       SELECT * FROM q1 UNION ALL SELECT * FROM q2 UNION ALL
@@ -406,7 +434,7 @@ _ORACLE = (
       SELECT * FROM q9 UNION ALL SELECT * FROM q10 UNION ALL
       SELECT * FROM q11 UNION ALL SELECT * FROM q12 UNION ALL
       SELECT * FROM q13 UNION ALL SELECT * FROM q14 UNION ALL
-      SELECT * FROM q15
+      SELECT * FROM q15 UNION ALL SELECT * FROM q16
     ) ORDER BY query_id, series_key, ts_ms
     """
 )
@@ -414,12 +442,13 @@ _ORACLE = (
 
 @register("promql_parse_eval", oracle=_ORACLE)
 def promql_parse_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fifteen PromQL strings -> parser -> compiler -> engine, all rows
+    """Sixteen PromQL strings -> parser -> compiler -> engine, all rows
     hash-gated against DuckDB replicas (see module docstring). The string
     path exercises matchers, range functions (aligned + sliding), offset,
     by-aggregation, topk, a subquery, scalar arithmetic, the RFC flagship
-    histogram_quantile-over-rate shape, and group_left label copying
-    (fresh label q14, overwriting copy q15)."""
+    histogram_quantile-over-rate shape, group_left label copying (fresh
+    label q14, overwriting copy q15), and histogram_fraction with both
+    interpolated and +Inf-clamped endpoints (q16)."""
     eng = _engine(spark, sf_dir)
     beng = _bucket_engine(spark, sf_dir)
     parts = []
@@ -439,6 +468,7 @@ def promql_parse_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("q13", eng, _Q13),
         ("q14", eng, _Q14),
         ("q15", eng, _Q15),
+        ("q16", beng, _Q16),
     ]:
         out = promql_eval(engine, q, DAY_MS)
         parts.append(
