@@ -86,6 +86,9 @@ HEADLINE = [
     # round-6: the last TPC-H shape (Q10) — scan-heavy, broadcast dims,
     # TakeOrderedAndProject top-20
     "returned_item_losses_q10",
+    # round-7: the faiss-shaped Arrow GEMM re-rank (same job + oracle as
+    # ann_ivf_topk_large_queryset — the pair quantifies the strategy gap)
+    "ann_ivf_topk_arrow",
 ]
 
 

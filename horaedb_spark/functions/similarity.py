@@ -582,3 +582,92 @@ def pq_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "rank", "dist")
     )
+
+
+def ivf_ann_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    num_cells: int,
+    nprobe: int,
+    centroids: list[tuple[int, list[int]]] | None = None,
+) -> DataFrame:
+    """IVF top-k with an Arrow GEMM re-rank — the faiss execution shape.
+
+    Same candidate semantics as ``ivf_ann_topk(broadcast_queries=False)``:
+    corpus rows live in their nearest cell, queries probe ``nprobe`` cells.
+    The re-rank differs: instead of a per-pair fold expression after a cell
+    join, the two sides COGROUP on the cell id and each cell re-ranks as
+    ONE int64 matrix multiply ``Q @ C.T`` + per-query partial top-k inside
+    an ``applyInPandas`` kernel; only ≤ k rows per (query, probed cell)
+    leave the kernel, so the final global top-k window sees k*nprobe rows
+    per query instead of the whole candidate set. At cluster scale this is
+    the shape that wins: per-cell work is a BLAS kernel over vectors
+    shipped once per cell (not once per pair), and the shuffle after the
+    kernel is output-sized, not candidate-sized.
+
+    Bit-identical to the expression path by construction: the quantized
+    integer dot and squared norms are exact in int64, and the float steps
+    (sqrt of the exact sums, norm product, division) are the same IEEE
+    doubles in the same order as ``dedup.cosine``'s fold — verified by the
+    shared DuckDB oracle hash."""
+    import numpy as np
+    import pandas as pd
+
+    c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    cent_rows = centroids if centroids is not None else [
+        (r["cid"], r["centv"])
+        for r in ivf_centroids(corpus, id_col, vec_col, num_cells).collect()
+    ]
+    c_cell = c.withColumn(
+        "cell", F.element_at(ivf_probe_udf(cent_rows, 1)(F.col("cv")), 1)
+    )
+    q_cell = q.withColumn(
+        "cell", F.explode(ivf_probe_udf(cent_rows, nprobe)(F.col("qv")))
+    )
+
+    def rerank(qs: pd.DataFrame, cs: pd.DataFrame):
+        if len(qs) == 0 or len(cs) == 0:
+            return pd.DataFrame(
+                {"query_id": [], "corpus_id": [], "cos_sim": []}
+            ).astype({"query_id": "int64", "corpus_id": "int64",
+                      "cos_sim": "float64"})
+        Q = np.stack(qs["qv"].to_numpy()).astype(np.int64, copy=False)
+        C = np.stack(cs["cv"].to_numpy()).astype(np.int64, copy=False)
+        qid = qs["query_id"].to_numpy()
+        cid = cs["corpus_id"].to_numpy()
+        dot = Q @ C.T  # exact int64
+        qn = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+        cn = np.sqrt((C * C).sum(axis=1).astype(np.float64))
+        cos = dot.astype(np.float64) / (qn[:, None] * cn[None, :])
+        cos[qid[:, None] == cid[None, :]] = -np.inf  # mask self-pairs
+        kk = min(k, cos.shape[1])
+        # per-query top-k under (cos DESC, corpus_id ASC) — lexsort's last
+        # key is primary; -cos negation is exact for doubles
+        order = np.lexsort((np.broadcast_to(cid, cos.shape), -cos), axis=1)
+        take = order[:, :kk]
+        out_q = np.repeat(qid, kk)
+        out_c = cid[take.ravel()]
+        out_s = np.take_along_axis(cos, take, axis=1).ravel()
+        keep = out_s > -np.inf
+        return pd.DataFrame(
+            {"query_id": out_q[keep], "corpus_id": out_c[keep],
+             "cos_sim": out_s[keep]}
+        )
+
+    cand = (
+        q_cell.groupBy("cell")
+        .cogroup(c_cell.groupBy("cell"))
+        .applyInPandas(
+            rerank, "query_id long, corpus_id long, cos_sim double"
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("corpus_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "rank", "cos_sim")
+    )

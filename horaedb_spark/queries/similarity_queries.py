@@ -216,9 +216,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-@register(
-    "ann_ivf_topk_large_queryset",
-    oracle=f"""
+# shared by the expression-path and Arrow-GEMM-path kNN-graph queries —
+# both must hash-match the SAME replay (bit-identical cosines)
+_IVF_KNN_GRAPH_ORACLE = f"""
     WITH q AS (SELECT vec_id, {_QV} AS qv FROM embeddings),
     cent AS (
       SELECT row_number() OVER (ORDER BY vec_id) AS cid, qv AS cv
@@ -248,8 +248,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN q b ON b.vec_id = cf.vec_id AND b.vec_id != a.vec_id
     ) WHERE rank <= 3
     ORDER BY query_id, rank
-    """,
-)
+    """
+
+
+@register("ann_ivf_topk_large_queryset", oracle=_IVF_KNN_GRAPH_ORACLE)
 def ann_ivf_topk_large_queryset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CORPUS-SIZED query set shape (every vector queries its top-3
     neighbors — the offline k-NN-graph / near-dup-graph job): broadcasting
@@ -272,6 +274,29 @@ def ann_ivf_topk_large_queryset(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_cells=16,
         nprobe=2,
         broadcast_queries=False,
+    )
+    return out.select(
+        "query_id", "corpus_id", "rank", F.round("cos_sim", 6).alias("cos_sim")
+    ).orderBy("query_id", "rank")
+
+
+@register("ann_ivf_topk_arrow", oracle=_IVF_KNN_GRAPH_ORACLE)
+def ann_ivf_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME corpus-sized kNN-graph job executed in the faiss shape:
+    queries and corpus COGROUP on the IVF cell id and each cell re-ranks
+    as one int64 ``Q @ C.T`` Arrow kernel with a per-query partial top-k —
+    only k rows per (query, probed cell) leave the kernel, so the final
+    top-k window is output-sized. Hash-matched against the IDENTICAL
+    oracle as ann_ivf_topk_large_queryset: the integer dot/norms are exact
+    and the float steps replicate dedup.cosine's IEEE order, so the two
+    execution strategies must agree bit-for-bit (the strongest equivalence
+    statement the gate can make about a custom kernel)."""
+    from horaedb_spark.functions.similarity import ivf_ann_topk_arrow
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qemb = emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+    out = ivf_ann_topk_arrow(
+        qemb, qemb, "qv", "vec_id", k=3, num_cells=16, nprobe=2
     )
     return out.select(
         "query_id", "corpus_id", "rank", F.round("cos_sim", 6).alias("cos_sim")

@@ -735,3 +735,16 @@ def test_exact_ntile_lit_matches_ntile_and_stays_narrow(spark):
     p = plan_of(exact_ntile_lit(big, "v", "id", 4, "q", num_partitions=6))
     assert "rangepartitioning" not in p.lower(), p[:3000]
     assert "Window" not in p and "Python" not in p, p[:3000]
+
+
+def test_ivf_arrow_rerank_is_cogroup_kernel(spark, sf_dir):
+    """The Arrow GEMM path must plan as a cell-cogrouped applyInPandas —
+    and its per-pair fold expressions must be GONE: no zip_with/aggregate
+    cosine in the plan, and the post-kernel window runs over kernel output
+    (k rows per query-cell), never the raw candidate set."""
+    from horaedb_spark.queries.similarity_queries import ann_ivf_topk_arrow
+
+    p = _final_plan(ann_ivf_topk_arrow(spark, sf_dir))
+    assert "FlatMapCoGroupsInPandas" in p, p[:3000]
+    assert "zip_with" not in p, p[:3000]
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
