@@ -46,23 +46,30 @@ from horaedb_spark.queries.tables import events_ms, load_table
 def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent co-ordered part pairs (market-basket support counts).
 
-    Scale shape: the self-join is co-partitioned on l_orderkey (one shuffle,
-    no broadcast of the fact table), and the pair blow-up is bounded by
-    basket size squared (max 13 distinct parts/order in the testdata, and
-    baskets stay O(10) at any corpus scale), never corpus-squared. The
-    support aggregation map-side combines before its shuffle."""
-    items = (
+    Scale shape: baskets collapse to one sorted distinct-part array per
+    order (ONE shuffle — the self-join form paid the same shuffle twice,
+    once for distinct and once per join side), and the pair blow-up is a
+    row-local nested transform bounded by basket size squared (max 13
+    distinct parts/order in the testdata, and baskets stay O(10) at any
+    corpus scale), never corpus-squared. The support aggregation map-side
+    combines before its shuffle."""
+    baskets = (
         load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
     )
-    a, b = items.alias("a"), items.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+    # all (a < b) pairs inside a basket: indexed nested transform + flatten
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("parts"), i + 2, F.size("parts")),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
+    pairs = baskets.select(F.explode(pair_arr).alias("p")).select(
+        "p.part_a", "p.part_b"
     )
     return (
         pairs.groupBy("part_a", "part_b")

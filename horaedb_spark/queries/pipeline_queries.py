@@ -306,10 +306,15 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter (drop 'und') -> quality-score threshold (>= 0.5) -> exact dedup on
     the normalized fingerprint (min-id survivor) -> per-source corpus report.
     Every stage is the already-verified operator; the composition is what a
-    training-data run actually executes. All row-local except one hash
-    aggregate (dedup) and one final aggregate — at 100 TB this is scan +
-    two shuffles, no joins against anything corpus-sized. The id_checksum
-    pins exact survivor membership."""
+    training-data run actually executes. All row-local except one shuffle
+    (dedup: WindowGroupLimit min-id survivor per fingerprint — partial
+    top-1 map-side) and one final aggregate — at 100 TB this is scan + two
+    shuffles, no joins against anything corpus-sized, and the expensive
+    text featurization runs in ONE scan (the previous survivors
+    groupBy+self-join featurized the corpus twice). The id_checksum pins
+    exact survivor membership."""
+    from pyspark.sql.window import Window
+
     from horaedb_spark.functions import text as TX
 
     docs = load_table(spark, sf_dir, "documents")
@@ -323,9 +328,10 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.normalized_fingerprint("text").alias("fp"),
     )
     kept = scored.filter((F.col("lang_pred") != "und") & (F.col("score") >= 0.5))
-    survivors = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    w = Window.partitionBy("fp").orderBy("doc_id")
     return (
-        kept.join(survivors, "doc_id")
+        kept.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
