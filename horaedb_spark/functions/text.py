@@ -405,13 +405,17 @@ def bigram_lm_scores(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .distinct()
         .count()
     )
-    scored = bg.join(F.broadcast(model), "bg").join(
+    # score per DISTINCT (doc, bigram) weighted by its occurrence count:
+    # the model probes and log2 run once per distinct bigram per doc
+    # (alphabet²-bounded) instead of once per character of the corpus
+    bg_doc = bg.groupBy(id_col, "bg").agg(F.count("*").alias("dc"))
+    scored = bg_doc.join(F.broadcast(model), "bg").join(
         F.broadcast(starts), F.substring("bg", 1, 1) == F.col("c1")
     )
     nll = -F.log2((F.col("c") + F.lit(1.0)) / (F.col("tot") + F.lit(float(v))))
     return scored.groupBy(id_col).agg(
-        F.count("*").cast("long").alias("n_bigrams"),
-        F.round(F.sum(nll) / F.count("*"), 4).alias("avg_nll"),
+        F.sum("dc").cast("long").alias("n_bigrams"),
+        F.round(F.sum(F.col("dc") * nll) / F.sum("dc"), 4).alias("avg_nll"),
     )
 
 

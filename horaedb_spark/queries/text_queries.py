@@ -356,11 +356,17 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), uni AS (
       SELECT DISTINCT unnest([substr(t, i, 1) FOR i IN generate_series(1, length(t))]) AS ch
       FROM t
-    ), v AS (SELECT count(*) AS v FROM uni)
+    ), v AS (SELECT count(*) AS v FROM uni),
+    bgd AS (
+      -- per-(doc, bigram) counts: the model probe and log2 run once per
+      -- DISTINCT bigram per doc, mirroring the kernel
+      SELECT doc_id, bg, count(*) AS dc FROM bg GROUP BY doc_id, bg
+    )
     SELECT b.doc_id,
-           CAST(count(*) AS BIGINT) AS n_bigrams,
-           round(-sum(log2((m.c + 1.0) / (s.tot + v.v))) / count(*), 4) + 0 AS avg_nll
-    FROM bg b
+           CAST(sum(b.dc) AS BIGINT) AS n_bigrams,
+           round(-sum(b.dc * log2((m.c + 1.0) / (s.tot + v.v))) / sum(b.dc), 4)
+             + 0 AS avg_nll
+    FROM bgd b
     JOIN model m USING (bg)
     JOIN starts s ON s.c1 = substr(b.bg, 1, 1)
     CROSS JOIN v
