@@ -144,6 +144,17 @@ def warmup(spark, sf_dir: str, qmap) -> None:
             fn(spark, sf_dir)  # builds + caches the fixture; the plan is lazy
         except Exception as e:
             print(f"# warmup fixture error in {name}: {e}", file=sys.stderr)
+    # start the Arrow Python worker pool (daemon + one worker per core is
+    # a one-time environment cost, not operator cost — the first
+    # mapInPandas/applyInPandas query otherwise pays it)
+    try:
+        import pandas as _pd
+
+        spark.range(1_000).mapInPandas(
+            lambda it: it, "id long"
+        ).write.format("noop").mode("overwrite").save()
+    except Exception as e:
+        print(f"# warmup arrow error: {e}", file=sys.stderr)
     # JIT-compile the PromQL kernel code shapes (rate/agg/window/binop)
     # against a 100-row synthetic engine. Spark's codegen cache is keyed
     # by generated source, which is identical across data sizes for the
