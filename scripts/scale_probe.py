@@ -171,6 +171,22 @@ def main() -> None:
             num_cells=cells, nprobe=4,
         )
 
+    def ann_ivf_arrow(corpus: DataFrame):
+        import math
+
+        from horaedb_spark.functions.similarity import (
+            ivf_ann_topk_arrow,
+            quantize,
+        )
+
+        qc = corpus.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+        qs = qset.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+        n = corpus.count()
+        cells = max(16, int(math.isqrt(n)))
+        return ivf_ann_topk_arrow(
+            qc, qs, "qv", "vec_id", 10, num_cells=cells, nprobe=4
+        )
+
     ops = {
         "metric_rate_agg": (rate_agg, ev1, evN),
         "sessionization": (sessionize, ev1, evN),
@@ -178,6 +194,7 @@ def main() -> None:
         "dedup_minhash_pairs": (minhash_docs, docs1, docsN),
         "ann_brute_100q": (ann_brute, emb1, embN),
         "ann_ivf_100q": (ann_ivf, emb1, embN),
+        "ann_ivf_arrow_100q": (ann_ivf_arrow, emb1, embN),
     }
     out = {}
     for name, (fn, d1, dN) in ops.items():
