@@ -187,6 +187,15 @@ def warmup(spark, sf_dir: str, qmap) -> None:
             "sum by (cohort) (rate(error[1d])) "
             "/ on(cohort) group_left sum by (cohort) (rate(click[1d]))",
             "max_over_time(click[1d]) - time()",
+            "limitk(2, sum by (cohort) (click))",
+            'count_values("v", round(sum by (cohort) (click)))',
+            "min_over_time((sum by (cohort) (rate(click[1d])))[2d:1d])",
+            'label_replace(sum by (cohort) (click), '
+            '"env", "p-$1", "cohort", "(.*)")',
+            "day_of_week(vector(time()))",
+            'absent(click{cohort="zz"}) or vector(pi())',
+            "sum by (user) (click) unless sum by (user) (error)",
+            "deriv(click[1d]) > bool 0",
         ):
             promql_eval(tiny_eng, q, 86_400_000).write.format("noop").mode(
                 "overwrite"
