@@ -878,3 +878,36 @@ def test_topk_limitk_integer_k(spark, eng):
     assert promql_eval(
         eng, "topk(2, sum by (cohort) (click))", DAY
     ).count() > 0
+
+
+def test_eval_memo_keys_on_compile_params(spark):
+    """The engine-scoped _eval memo must key on the COMPILE parameters,
+    not just the AST: the same string at different steps / explicit
+    ranges returns different grids, and a memo hit across them would
+    silently serve the wrong resolution. Also pins that a repeated
+    evaluation (memo hit) returns identical rows."""
+    from horaedb_spark.metric.engine import MetricEngine
+
+    samples = spark.createDataFrame(
+        [("m", {"h": "a"}, t * 3_600_000, float(t), t) for t in range(48)],
+        "name string, labels map<string,string>, ts_ms long, "
+        "value double, seq long",
+    )
+    eng = MetricEngine(samples)
+    day, half = 86_400_000, 43_200_000
+    q = "sum by (h) (m)"
+    rows_day = promql_eval(eng, q, day).collect()
+    rows_half = promql_eval(eng, q, half).collect()
+    assert len(rows_half) > len(rows_day)  # finer grid -> more steps
+    # memo hit: identical result, and the memo actually holds entries
+    assert promql_eval(eng, q, day).collect() == rows_day
+    assert len(getattr(eng, "_eval_memo", {})) >= 2
+    # explicit start/end bounds are part of the key too
+    from horaedb_spark.metric.promql import PromQLCompiler
+
+    # one-step explicit window vs the 2-step data-derived grid
+    bounded = PromQLCompiler(eng, day, start_ms=0, end_ms=0).compile(
+        "vector(1)"
+    )
+    unbounded = PromQLCompiler(eng, day).compile("vector(1)")
+    assert bounded.count() == 1 and unbounded.count() == 2
