@@ -221,6 +221,25 @@ def main() -> None:
             timings[name] = -1.0
             print(f"# bench error in {name}: {e}", file=sys.stderr)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # Machine calibration: two fixed-work probes (one JVM, one pure
+    # Python) so cross-round comparisons can be normalized for host/VM
+    # drift — rounds 5-7 observed identical plans timing 1.2-1.6x apart
+    # session-to-session on this box. Not part of the headline total.
+    calib: dict = {}
+    try:
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr("sum(id * 3 + 1)").collect()
+        jvm_s = time.perf_counter() - t0
+        import hashlib
+
+        t0 = time.perf_counter()
+        x = b"x" * 64
+        for _ in range(300_000):
+            x = hashlib.md5(x).digest() * 4
+        py_s = time.perf_counter() - t0
+        calib = {"jvm_range_sum_s": round(jvm_s, 3), "py_md5_s": round(py_s, 3)}
+    except Exception as e:
+        print(f"# calibration error: {e}", file=sys.stderr)
     # RFC packed-layout row-count reduction (RFC 20240827:218-231): a
     # 30-day single series at 15 s resolution packs ~120x fewer data rows.
     # Not in the headline total — it's a layout stat, not a query.
@@ -276,6 +295,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "calibration": calib,
                 "packing": packing,
                 "manifest": manifest_stats,
             }
