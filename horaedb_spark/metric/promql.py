@@ -241,9 +241,17 @@ def _promql_mod(a, b):
     ``x % 0 = NaN``. Spark's non-ANSI remainder returns NULL on a zero
     divisor (dropping the sample), so the column form wraps the divisor."""
     if not isinstance(a, Column) and not isinstance(b, Column):
-        return math.fmod(a, b) if b != 0 else float("nan")
+        # Go math.Mod: NaN when the dividend is +/-Inf or either side is
+        # NaN, or the divisor is 0. Python's math.fmod RAISES on an
+        # infinite dividend (found by the scalar property fuzz via
+        # (1/0) % 1 — an internal crash on the HTTP query path).
+        if b == 0 or math.isinf(a) or math.isnan(a) or math.isnan(b):
+            return float("nan")
+        return math.fmod(a, b)
     ac = a if isinstance(a, Column) else F.lit(float(a))
     bc = b if isinstance(b, Column) else F.lit(float(b))
+    # the column form is already Go-correct for non-zero divisors: Java's
+    # % yields NaN for infinite dividends and x for an infinite divisor
     return F.when(bc == 0, F.lit(float("nan"))).otherwise(ac % bc)
 
 

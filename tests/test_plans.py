@@ -404,16 +404,18 @@ def test_interval_join_is_hash_equi_not_nested_loop(spark):
     )
 
 
-def test_market_basket_self_join_is_equi_not_nested_loop(spark, sf_dir):
-    """The basket self-join must be an equi-join co-partitioned on
-    l_orderkey (the `part_a < part_b` half stays a residual filter), never
-    a cartesian/nested-loop pair blow-up."""
+def test_market_basket_pairs_is_joinless_single_shuffle(spark, sf_dir):
+    """Round 7: baskets collapse to one sorted distinct-part array per
+    order (the only basket-sized shuffle) and the a<b pairs expand as a
+    ROW-LOCAL nested transform — no join operator of any kind in the
+    plan, no cartesian, and the pair blow-up stays bounded by basket
+    size squared."""
     from horaedb_spark.queries.analytics5 import market_basket_pairs
 
     plan = plan_of(market_basket_pairs(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan[:3000]
-    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Join" not in plan, plan[:3000]
+    assert "Generate" in plan or "Explode" in plan, plan[:3000]
 
 
 def test_asof_tolerance_is_window_not_range_join(spark, sf_dir):

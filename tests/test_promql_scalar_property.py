@@ -34,7 +34,11 @@ def _ref_eval(node) -> float:
             return float("inf") if a > 0 else float("-inf") if a < 0 else float("nan")
         return a / b
     if op == "%":
-        return math.fmod(a, b) if b != 0 else float("nan")
+        # Go math.Mod: NaN for a zero divisor, an infinite dividend, or
+        # NaN on either side (math.fmod raises on an infinite dividend)
+        if b == 0 or math.isinf(a) or math.isnan(a) or math.isnan(b):
+            return float("nan")
+        return math.fmod(a, b)
     if op == "^":
         try:
             return math.pow(a, b)
