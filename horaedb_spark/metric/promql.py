@@ -829,8 +829,18 @@ class PromQLCompiler:
         aligned = at_ms - at_ms % self.step_ms
         return df.filter(F.col("ts_ms") == aligned)
 
+    # functions evaluable with ZERO arguments (Prometheus defaults the
+    # missing vector to vector(time()) for the date functions)
+    _ZERO_ARG_FNS = frozenset({"time", "pi", *DATE_FNS})
+
     def _call(self, node: Call):
         fn = node.fn
+        # arity floor: every other function dereferences args[0] somewhere
+        # downstream — an empty call must be a clean parse-level error, not
+        # an IndexError (found by the compile fuzz: clamp_min(),
+        # last_over_time())
+        if not node.args and fn not in self._ZERO_ARG_FNS:
+            raise PromQLError(f"{fn}() needs at least one argument")
         if fn in RANGE_FNS:
             at_ms = None
             arg0 = node.args[0] if node.args else None
