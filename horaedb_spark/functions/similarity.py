@@ -671,3 +671,60 @@ def ivf_ann_topk_arrow(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "rank", "cos_sim")
     )
+
+
+def brute_force_topk_arrow(
+    corpus: DataFrame,
+    queries: list[tuple[int, list[int]]],
+    vec_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact top-k in the SERVING shape with an Arrow GEMM kernel: the
+    (small, driver-held) query batch rides into a ``mapInPandas`` over the
+    corpus as numpy literals; each corpus batch computes one int64
+    ``C @ Q.T`` and emits only its per-query partial top-k, so the final
+    global window sees ≤ k rows per (query, corpus batch) — the corpus
+    never joins, shuffles, or leaves the JVM except as Arrow batches.
+    Same bit-parity argument as ``ivf_ann_topk_arrow``: integer dot/norm
+    sums are exact, float steps replicate ``dedup.cosine``'s IEEE order,
+    so this hash-matches the expression path's oracle."""
+    import numpy as np
+    import pandas as pd
+
+    qid = np.array([int(i) for i, _ in queries], dtype=np.int64)
+    Q = np.array([v for _, v in queries], dtype=np.int64)
+    qn = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.stack(pdf["__v__"].to_numpy()).astype(np.int64, copy=False)
+            cid = pdf["__id__"].to_numpy()
+            cn = np.sqrt((C * C).sum(axis=1).astype(np.float64))
+            # orient query-major to reuse the ivf kernel's ordering trick
+            cos = (Q @ C.T).astype(np.float64) / (qn[:, None] * cn[None, :])
+            cos[qid[:, None] == cid[None, :]] = -np.inf  # mask self
+            kk = min(k, cos.shape[1])
+            order = np.lexsort((np.broadcast_to(cid, cos.shape), -cos), axis=1)
+            take = order[:, :kk]
+            out_s = np.take_along_axis(cos, take, axis=1).ravel()
+            keep = out_s > -np.inf
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qid, kk)[keep],
+                    "corpus_id": cid[take.ravel()][keep],
+                    "cos_sim": out_s[keep],
+                }
+            )
+
+    cand = corpus.select(
+        F.col(id_col).alias("__id__"), F.col(vec_col).alias("__v__")
+    ).mapInPandas(score, "query_id long, corpus_id long, cos_sim double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("corpus_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "rank", "cos_sim")
+    )

@@ -55,6 +55,44 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+_BRUTE_ORACLE_ARROW = f"""
+    WITH q AS (SELECT vec_id, {_QV} AS qv FROM embeddings)
+    SELECT query_id, corpus_id, rank, cos_sim FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+             round({_DOT} / ({_NORM_A} * {_NORM_B}), 6) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {_DOT} / ({_NORM_A} * {_NORM_B}) DESC, b.vec_id) AS rank
+      FROM q a JOIN q b ON b.vec_id != a.vec_id
+      WHERE a.vec_id < 5
+    ) WHERE rank <= 10
+    ORDER BY query_id, rank
+    """
+
+
+@register("ann_bruteforce_topk_arrow", oracle=_BRUTE_ORACLE_ARROW)
+def ann_bruteforce_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME exact top-10 serving job as ann_bruteforce_topk executed
+    as an Arrow GEMM kernel: the driver-held query batch rides into a
+    mapInPandas over the corpus as numpy literals, each corpus batch does
+    one int64 C @ Q.T and emits its per-query partial top-k — no join in
+    the plan at all. Hash-matched against the IDENTICAL SQL as the
+    expression path (bit-for-bit strategy equivalence, like the IVF
+    pair)."""
+    from horaedb_spark.functions.similarity import brute_force_topk_arrow
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qemb = emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+    qrows = [
+        (r["vec_id"], list(r["qv"]))
+        for r in qemb.filter(F.col("vec_id") < 5).collect()
+    ]
+    out = brute_force_topk_arrow(qemb, qrows, "qv", "vec_id", 10)
+    return out.select(
+        "query_id", "corpus_id", "rank", F.round("cos_sim", 6).alias("cos_sim")
+    ).orderBy("query_id", "rank")
+
+
 @register(
     "ann_lsh_topk",
     oracle=f"""

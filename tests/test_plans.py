@@ -750,3 +750,17 @@ def test_ivf_arrow_rerank_is_cogroup_kernel(spark, sf_dir):
     assert "FlatMapCoGroupsInPandas" in p, p[:3000]
     assert "zip_with" not in p, p[:3000]
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_brute_arrow_is_joinless_map_kernel(spark, sf_dir):
+    """The Arrow brute-force serving path must plan as a mapInPandas over
+    the corpus scan with NO join operator (queries ride as numpy
+    literals), and no zip_with fold."""
+    from horaedb_spark.queries.similarity_queries import (
+        ann_bruteforce_topk_arrow,
+    )
+
+    p = _final_plan(ann_bruteforce_topk_arrow(spark, sf_dir))
+    assert "MapInPandas" in p, p[:3000]
+    assert "Join" not in p, p[:3000]
+    assert "zip_with" not in p, p[:3000]
