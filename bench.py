@@ -89,6 +89,9 @@ HEADLINE = [
     # round-7: the faiss-shaped Arrow GEMM re-rank (same job + oracle as
     # ann_ivf_topk_large_queryset — the pair quantifies the strategy gap)
     "ann_ivf_topk_arrow",
+    # round-7: the Arrow serving-shape brute force (same job + oracle as
+    # ann_bruteforce_topk)
+    "ann_bruteforce_topk_arrow",
 ]
 
 
