@@ -764,3 +764,37 @@ def test_brute_arrow_is_joinless_map_kernel(spark, sf_dir):
     assert "MapInPandas" in p, p[:3000]
     assert "Join" not in p, p[:3000]
     assert "zip_with" not in p, p[:3000]
+
+
+def test_arrow_and_expression_ann_agree_on_adversarial_vectors(spark):
+    """Strategy equivalence beyond the testdata: on a corpus built to
+    maximize cosine TIES (repeated and scaled copies of a few base
+    vectors — scaling preserves cosine exactly in integer space), the
+    Arrow GEMM paths must return row-for-row the SAME top-k as the
+    expression paths, including tie-breaks on corpus_id. Zero-norm
+    vectors are excluded by precondition (cosine undefined)."""
+    from horaedb_spark.functions.similarity import (
+        brute_force_topk,
+        brute_force_topk_arrow,
+        ivf_ann_topk,
+        ivf_ann_topk_arrow,
+    )
+
+    base = [
+        [3, 1, 4, 1], [3, 1, 4, 1], [6, 2, 8, 2],  # exact + scaled copies
+        [1, 0, 0, 0], [0, 1, 0, 0], [2, 0, 0, 0],
+        [5, 9, 2, 6], [-3, -1, -4, -1], [1, 1, 1, 1], [2, 2, 2, 2],
+    ]
+    rows = [(i, base[i % len(base)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, qv array<long>")
+    expr = brute_force_topk(emb, emb.filter(F.col("vec_id") < 6), "qv", "vec_id", 5)
+    qrows = [(r["vec_id"], list(r["qv"])) for r in
+             emb.filter(F.col("vec_id") < 6).collect()]
+    arrow = brute_force_topk_arrow(emb, qrows, "qv", "vec_id", 5)
+    assert sorted(map(tuple, expr.collect())) == sorted(
+        map(tuple, arrow.collect())
+    )
+    e2 = ivf_ann_topk(emb, emb, "qv", "vec_id", 3, num_cells=4, nprobe=2,
+                      broadcast_queries=False)
+    a2 = ivf_ann_topk_arrow(emb, emb, "qv", "vec_id", 3, num_cells=4, nprobe=2)
+    assert sorted(map(tuple, e2.collect())) == sorted(map(tuple, a2.collect()))
