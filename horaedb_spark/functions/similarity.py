@@ -612,7 +612,10 @@ def ivf_ann_topk_arrow(
     integer dot and squared norms are exact in int64, and the float steps
     (sqrt of the exact sums, norm product, division) are the same IEEE
     doubles in the same order as ``dedup.cosine``'s fold — verified by the
-    shared DuckDB oracle hash."""
+    shared DuckDB oracle hash and a tie-maximizing equivalence test.
+    Precondition (both strategies): no zero-norm vectors — cosine is
+    undefined there, and the two paths order the resulting NaNs
+    differently (Spark sorts NaN greatest; numpy sorts it last)."""
     import numpy as np
     import pandas as pd
 
