@@ -755,6 +755,8 @@ class PromQLCompiler:
             return hit
         out = self._eval_raw(node)
         if isinstance(out, (DataFrame, ScalarGrid)):
+            if len(memo) >= 512:  # bound driver memory on long-lived
+                memo.pop(next(iter(memo)))  # engines (FIFO eviction)
             memo[key] = out
         return out
 
