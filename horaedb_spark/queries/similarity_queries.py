@@ -295,10 +295,14 @@ def ann_ivf_topk_large_queryset(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbors — the offline k-NN-graph / near-dup-graph job): broadcasting
     the query side would ship the whole corpus to every executor, so
     ``broadcast_queries=False`` makes both sides hash-partition on the IVF
-    cell id — one bounded shuffle each, with the cell as the co-location
-    key. Same integer-exact arithmetic, hash-matched against the SQL
-    replay; the plan shape (shuffle join, no query broadcast) is pinned in
-    tests/test_plans.py."""
+    cell id — with the cell as the co-location key. Under the default
+    ``rerank="auto"`` this shape dispatches to the Arrow GEMM kernel
+    (cell-cogrouped ``Q @ C.T`` + per-cell partial top-k — the faiss
+    execution shape, measured ~4.8x faster at sf0.1 and flattest-scaling
+    at the 50x-corpus probe), which is bit-identical to the expression
+    path by construction. Same integer-exact arithmetic, hash-matched
+    against the SQL replay; the plan shape (cogroup kernel, no query
+    broadcast, no per-pair fold) is pinned in tests/test_plans.py."""
     from horaedb_spark.functions.similarity import ivf_ann_topk
 
     emb = load_table(spark, sf_dir, "embeddings")

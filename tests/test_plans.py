@@ -531,8 +531,10 @@ def test_exact_dedup_shuffles_fingerprints_not_text(spark, sf_dir):
 
 def test_ivf_query_join_strategy_matches_queryset_size(spark, sf_dir):
     """Serving shape (small query batch): the query side broadcasts, the
-    corpus never shuffles. Corpus-sized query set: no broadcast — both
-    sides hash-partition on the IVF cell id (shuffle join)."""
+    corpus never shuffles. Corpus-sized query set under rerank="auto":
+    dispatches to the cell-cogrouped Arrow GEMM kernel — no broadcast, no
+    per-pair join at all. The forced expression path keeps its shuffle-join
+    shape (both sides hash-partition on the IVF cell id)."""
     from horaedb_spark.functions.similarity import ivf_ann_topk, quantize
     from horaedb_spark.queries.tables import load_table
     from pyspark.sql import functions as F
@@ -545,13 +547,22 @@ def test_ivf_query_join_strategy_matches_queryset_size(spark, sf_dir):
     )
     p = _final_plan(serving)
     assert "BroadcastHashJoin" in p, p[:3000]
+    # default offline shape: auto-dispatch to the Arrow cogroup kernel
     offline = ivf_ann_topk(
         qemb, qemb, "qv", "vec_id", k=3, num_cells=8, nprobe=2,
         broadcast_queries=False,
     )
     p2 = _final_plan(offline)
-    assert "ShuffledHashJoin" in p2 or "SortMergeJoin" in p2, p2[:3000]
+    assert "FlatMapCoGroupsInPandas" in p2, p2[:3000]
     assert "BroadcastHashJoin" not in p2, p2[:3000]
+    # forced expression path: the cell-keyed shuffle join, still no broadcast
+    offline_expr = ivf_ann_topk(
+        qemb, qemb, "qv", "vec_id", k=3, num_cells=8, nprobe=2,
+        broadcast_queries=False, rerank="expression",
+    )
+    p3 = _final_plan(offline_expr)
+    assert "ShuffledHashJoin" in p3 or "SortMergeJoin" in p3, p3[:3000]
+    assert "BroadcastHashJoin" not in p3, p3[:3000]
 
 
 def test_round4_operators_stay_jvm_side(spark, sf_dir):
@@ -795,6 +806,30 @@ def test_arrow_and_expression_ann_agree_on_adversarial_vectors(spark):
         map(tuple, arrow.collect())
     )
     e2 = ivf_ann_topk(emb, emb, "qv", "vec_id", 3, num_cells=4, nprobe=2,
-                      broadcast_queries=False)
+                      broadcast_queries=False, rerank="expression")
     a2 = ivf_ann_topk_arrow(emb, emb, "qv", "vec_id", 3, num_cells=4, nprobe=2)
     assert sorted(map(tuple, e2.collect())) == sorted(map(tuple, a2.collect()))
+    # auto-dispatch must return the same rows as the forced strategies
+    auto = ivf_ann_topk(emb, emb, "qv", "vec_id", 3, num_cells=4, nprobe=2,
+                        broadcast_queries=False)
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, a2.collect()))
+
+
+def test_arrow_kernels_reject_zero_norm_vectors(spark):
+    """The zero-norm precondition is ENFORCED, not just documented: cosine
+    is undefined for a zero vector and the expression path would order the
+    NaNs differently (Spark sorts NaN greatest, numpy last) — so the Arrow
+    kernels raise instead of silently diverging."""
+    from horaedb_spark.functions.similarity import (
+        brute_force_topk_arrow,
+        ivf_ann_topk_arrow,
+    )
+
+    rows = [(i, [i + 1, 2, 3, 4]) for i in range(8)] + [(99, [0, 0, 0, 0])]
+    emb = spark.createDataFrame(rows, "vec_id long, qv array<long>")
+    with pytest.raises(Exception, match="zero-norm"):
+        ivf_ann_topk_arrow(
+            emb, emb, "qv", "vec_id", k=2, num_cells=2, nprobe=1
+        ).collect()
+    with pytest.raises(ValueError, match="zero-norm"):
+        brute_force_topk_arrow(emb, [(99, [0, 0, 0, 0])], "qv", "vec_id", k=2)
