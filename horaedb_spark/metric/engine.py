@@ -123,6 +123,10 @@ class MetricEngine:
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
             self._cached = True
+            # compiled-plan memo entries predate the caching state change:
+            # they'd keep serving pre-_flat plans (stale perf, not stale
+            # results) — drop them so recompiles track the cached frames
+            self.__dict__.pop("_eval_memo", None)
         return self
 
     def uncache(self) -> "MetricEngine":
@@ -134,6 +138,9 @@ class MetricEngine:
                 self._flat.unpersist()
                 self._flat = None
             self._cached = False
+            # same staleness rule as cache(): memoized plans reference the
+            # released _flat — drop them with the persistence state
+            self.__dict__.pop("_eval_memo", None)
         return self
 
     # -- D4 ------------------------------------------------------------------

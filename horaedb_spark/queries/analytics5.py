@@ -20,7 +20,7 @@ from horaedb_spark.functions.skew import salted_agg
 from horaedb_spark.functions.text import token_count
 from horaedb_spark.queries.precision import DEC, dsum, sql_dsum
 from horaedb_spark.queries.registry import register
-from horaedb_spark.queries.tables import events_ms, load_table
+from horaedb_spark.queries.tables import events_ms, load_table, local_result
 
 # ---------------------------------------------------------------------------
 # Market-basket pair mining (frequent co-ordered part pairs).
@@ -134,31 +134,39 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("freq"),
         dsum("o_totalprice").alias("monetary"),
     ).persist()  # three boundary discoveries + the final pass read it
-    dims = (
-        ("last_ms", "r_score"),
-        ("freq", "f_score"),
-        ("monetary", "m_score"),
-    )
-    with ThreadPoolExecutor(len(dims)) as pool:
-        bounds = {
-            out: pool.submit(ntile_boundaries, cust, dim, "o_custkey", 4)
-            for dim, out in dims
-        }
-    scored = cust.select(
-        "o_custkey",
-        *[
-            ntile_case(dim, "o_custkey", bounds[out].result()).alias(out)
-            for dim, out in dims
-        ],
-    )
-    return (
-        scored.groupBy("r_score", "f_score", "m_score")
-        .agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            F.sum("o_custkey").alias("cust_checksum"),
+    try:
+        dims = (
+            ("last_ms", "r_score"),
+            ("freq", "f_score"),
+            ("monetary", "m_score"),
         )
-        .orderBy("r_score", "f_score", "m_score")
-    )
+        with ThreadPoolExecutor(len(dims)) as pool:
+            bounds = {
+                out: pool.submit(ntile_boundaries, cust, dim, "o_custkey", 4)
+                for dim, out in dims
+            }
+        scored = cust.select(
+            "o_custkey",
+            *[
+                ntile_case(dim, "o_custkey", bounds[out].result()).alias(out)
+                for dim, out in dims
+            ],
+        )
+        out = (
+            scored.groupBy("r_score", "f_score", "m_score")
+            .agg(
+                F.count(F.lit(1)).alias("n_customers"),
+                F.sum("o_custkey").alias("cust_checksum"),
+            )
+            .orderBy("r_score", "f_score", "m_score")
+        )
+        # materialize the metadata-grain result (<=64 segment rows) while
+        # cust is still cached, so unpersisting in finally can't force a
+        # recompute at the caller's collect — and the persist can't leak
+        # in a long-lived session (round-7 ADVICE)
+        return local_result(out)
+    finally:
+        cust.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -842,28 +850,34 @@ def orders_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = orders.groupBy("o_custkey").agg(
         dsum("o_totalprice").alias("revenue")
     ).persist()  # boundary discovery + the decile pass + the total read it
-    ranked = exact_ntile_lit(cust, "revenue", "o_custkey", 10, "decile").select(
-        "revenue", "decile"
-    )
-    per = ranked.groupBy("decile").agg(
-        F.count(F.lit(1)).alias("n_customers"),
-        dsum("revenue").alias("decile_revenue"),
-    )
-    tot = cust.agg(F.sum(F.col("revenue").cast(DEC)).alias("total"))
-    return (
-        per.crossJoin(F.broadcast(tot))
-        .select(
-            "decile",
-            "n_customers",
-            "decile_revenue",
-            F.round(
-                (
-                    F.sum(F.col("decile_revenue").cast(DEC))
-                    .over(Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0))
-                    / F.col("total")
-                ).cast("double"),
-                6,
-            ).alias("cum_share"),
+    try:
+        ranked = exact_ntile_lit(cust, "revenue", "o_custkey", 10, "decile").select(
+            "revenue", "decile"
         )
-        .orderBy("decile")
-    )
+        per = ranked.groupBy("decile").agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("revenue").alias("decile_revenue"),
+        )
+        tot = cust.agg(F.sum(F.col("revenue").cast(DEC)).alias("total"))
+        out = (
+            per.crossJoin(F.broadcast(tot))
+            .select(
+                "decile",
+                "n_customers",
+                "decile_revenue",
+                F.round(
+                    (
+                        F.sum(F.col("decile_revenue").cast(DEC))
+                        .over(Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0))
+                        / F.col("total")
+                    ).cast("double"),
+                    6,
+                ).alias("cum_share"),
+            )
+            .orderBy("decile")
+        )
+        # 10 decile rows: materialize under the cache, then release it
+        # (same persist-leak fix as customer_rfm_segments)
+        return local_result(out)
+    finally:
+        cust.unpersist()

@@ -58,6 +58,13 @@ def _engine(spark: SparkSession, sf_dir: str) -> MetricEngine:
             "value",
             F.col("event_id").alias("seq"),
         )
+        # NOT cache()d, deliberately: A/B at sf0.1 measured the cached
+        # engine SLOWER for the suite queries (10.2/6.7 s vs 7.8/4.7 s
+        # cold/warm) — the in-memory columnar deser of _flat costs more
+        # than re-running the cheap vectorized parquet scan + dedup, and
+        # ReuseExchange already dedups the shared base inside each union
+        # job. cache() stays the right call for long-lived HTTP serving
+        # (many small SEPARATE jobs over one store), not for suite unions.
         _ENGINES[sf_dir] = MetricEngine(samples)
     return _ENGINES[sf_dir]
 

@@ -327,18 +327,20 @@ def promql_fn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample timestamps, date functions, and absent()/absent_over_time() with
     equality-matcher output labels. Every row hash-matches DuckDB."""
     eng = _engine(spark, sf_dir)
-    parts = []
-    for tag, q in _QS:
-        out = promql_eval(eng, q, DAY_MS)
-        parts.append(
-            out.select(
-                F.lit(tag).alias("query_id"),
-                "series_key",
-                "ts_ms",
-                (F.floor(F.col("value") * 1_000_000 + 0.5) / 1_000_000).alias(
-                    "value"
-                ),
-            )
+    # serial compile on purpose — see promql_parse_eval: a thread pool was
+    # measured slower (GIL-bound py4j + memo races duplicating shared
+    # subtrees); the cached engine + AST memo are what actually pay
+    outs = [promql_eval(eng, q, DAY_MS) for _, q in _QS]
+    parts = [
+        out.select(
+            F.lit(tag).alias("query_id"),
+            "series_key",
+            "ts_ms",
+            (F.floor(F.col("value") * 1_000_000 + 0.5) / 1_000_000).alias(
+                "value"
+            ),
         )
+        for (tag, _), out in zip(_QS, outs)
+    ]
     allq = reduce(DataFrame.unionByName, parts)
     return allq.orderBy("query_id", "series_key", "ts_ms")

@@ -81,6 +81,10 @@ def _bucket_engine(spark: SparkSession, sf_dir: str) -> MetricEngine:
         F.col("p.v").cast("double").alias("value"),
         F.col("ts_ms").alias("seq"),
     )
+    # NOT persisted, deliberately: an interleaved A/B at sf0.1 showed no
+    # measurable suite win from persisting the samples frame (ReuseExchange
+    # already dedups the shared cum-window subtree inside each union job),
+    # and full engine.cache() measured SLOWER (see metric_queries._engine).
     _BUCKET_ENGINES[sf_dir] = MetricEngine(samples)
     return _BUCKET_ENGINES[sf_dir]
 
@@ -451,8 +455,7 @@ def promql_parse_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolated and +Inf-clamped endpoints (q16)."""
     eng = _engine(spark, sf_dir)
     beng = _bucket_engine(spark, sf_dir)
-    parts = []
-    for tag, engine, q in [
+    suite = [
         ("q1", eng, _Q1),
         ("q2", beng, _Q2),
         ("q3", eng, _Q3),
@@ -469,18 +472,27 @@ def promql_parse_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("q14", eng, _Q14),
         ("q15", eng, _Q15),
         ("q16", beng, _Q16),
-    ]:
-        out = promql_eval(engine, q, DAY_MS)
-        parts.append(
-            out.select(
-                F.lit(tag).alias("query_id"),
-                "series_key",
-                "ts_ms",
-                (F.floor(F.col("value") * 1_000_000 + 0.5) / 1_000_000).alias(
-                    "value"
-                ),
-            )
+    ]
+    # Serial compile, DELIBERATELY: thread-pooling the 16 compiles was
+    # measured SLOWER (5.98 s vs 3.72 s cold at sf0.1) — plan construction
+    # is GIL-bound py4j chatter and the racing threads duplicate the
+    # shared-subtree work the engine memo otherwise dedups. The wins that
+    # hold are (a) the engine-scoped AST memo and (b) cached engines
+    # (compiling against short-lineage persisted frames roughly halves
+    # analysis time); execution is already one union job whose independent
+    # stages Spark schedules concurrently.
+    outs = [promql_eval(engine, q, DAY_MS) for _, engine, q in suite]
+    parts = [
+        out.select(
+            F.lit(tag).alias("query_id"),
+            "series_key",
+            "ts_ms",
+            (F.floor(F.col("value") * 1_000_000 + 0.5) / 1_000_000).alias(
+                "value"
+            ),
         )
+        for (tag, _, _), out in zip(suite, outs)
+    ]
     from functools import reduce
 
     allq = reduce(DataFrame.unionByName, parts)
