@@ -36,18 +36,40 @@ from pyspark.sql import types as T
 # ---------------------------------------------------------------- wire codec
 
 
+_U64 = (1 << 64) - 1
+
+
 def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    """Canonical proto varint: at most 10 bytes, value truncated to the low
+    64 bits (the C++/prost behavior — extra bits in the 10th byte are
+    discarded), hard error on truncation. The 64-bit mask and the 10-byte
+    cap matter for equivalence with any independent decoder: an unmasked
+    Python int would interpret over-long varints differently than every
+    fixed-width implementation (pinned by tests/test_ingest_equivalence.py)."""
     result = 0
     shift = 0
+    end = len(buf)
     while True:
+        if pos >= end:
+            raise ValueError("truncated varint")
         b = buf[pos]
         pos += 1
         result |= (b & 0x7F) << shift
         if not b & 0x80:
-            return result, pos
+            return result & _U64, pos
         shift += 7
-        if shift > 70:
+        if shift >= 70:
             raise ValueError("varint too long")
+
+
+def _read_ld(buf: bytes, pos: int) -> tuple[bytes, int]:
+    """Length-delimited payload with a bounds check: a declared length
+    running past the buffer is a MALFORMED request and must error, not
+    silently truncate the field content (prost errors here too)."""
+    n, pos = _read_varint(buf, pos)
+    if pos + n > len(buf):
+        raise ValueError("truncated length-delimited field")
+    return buf[pos : pos + n], pos + n
 
 
 def _skip_field(buf: bytes, pos: int, wire_type: int) -> int:
@@ -55,11 +77,14 @@ def _skip_field(buf: bytes, pos: int, wire_type: int) -> int:
         _, pos = _read_varint(buf, pos)
     elif wire_type == 1:
         pos += 8
+        if pos > len(buf):
+            raise ValueError("truncated fixed64 field")
     elif wire_type == 2:
-        n, pos = _read_varint(buf, pos)
-        pos += n
+        _, pos = _read_ld(buf, pos)
     elif wire_type == 5:
         pos += 4
+        if pos > len(buf):
+            raise ValueError("truncated fixed32 field")
     else:
         raise ValueError(f"unsupported wire type {wire_type}")
     return pos
@@ -71,13 +96,11 @@ def _decode_label(buf: bytes) -> tuple[str, str]:
         key, pos = _read_varint(buf, pos)
         field, wt = key >> 3, key & 7
         if field == 1 and wt == 2:
-            n, pos = _read_varint(buf, pos)
-            name = buf[pos : pos + n].decode("utf-8")
-            pos += n
+            raw, pos = _read_ld(buf, pos)
+            name = raw.decode("utf-8")
         elif field == 2 and wt == 2:
-            n, pos = _read_varint(buf, pos)
-            value = buf[pos : pos + n].decode("utf-8")
-            pos += n
+            raw, pos = _read_ld(buf, pos)
+            value = raw.decode("utf-8")
         else:
             pos = _skip_field(buf, pos, wt)
     return name, value
@@ -89,6 +112,8 @@ def _decode_sample(buf: bytes) -> tuple[float, int]:
         key, pos = _read_varint(buf, pos)
         field, wt = key >> 3, key & 7
         if field == 1 and wt == 1:
+            if pos + 8 > len(buf):
+                raise ValueError("truncated double field")
             value = struct.unpack_from("<d", buf, pos)[0]
             pos += 8
         elif field == 2 and wt == 0:
@@ -105,14 +130,12 @@ def _decode_timeseries(buf: bytes) -> tuple[dict[str, str], list[tuple[float, in
         key, pos = _read_varint(buf, pos)
         field, wt = key >> 3, key & 7
         if field == 1 and wt == 2:
-            n, pos = _read_varint(buf, pos)
-            k, v = _decode_label(buf[pos : pos + n])
+            raw, pos = _read_ld(buf, pos)
+            k, v = _decode_label(raw)
             labels[k] = v
-            pos += n
         elif field == 2 and wt == 2:
-            n, pos = _read_varint(buf, pos)
-            samples.append(_decode_sample(buf[pos : pos + n]))
-            pos += n
+            raw, pos = _read_ld(buf, pos)
+            samples.append(_decode_sample(raw))
         else:
             pos = _skip_field(buf, pos, wt)
     return labels, samples
@@ -135,9 +158,8 @@ def _decode_metadata(buf: bytes) -> dict:
             t, pos = _read_varint(buf, pos)
             out["type"] = METRIC_TYPES[t] if t < len(METRIC_TYPES) else "UNKNOWN"
         elif field in fields and wt == 2:
-            n, pos = _read_varint(buf, pos)
-            out[fields[field]] = buf[pos : pos + n].decode("utf-8")
-            pos += n
+            raw, pos = _read_ld(buf, pos)
+            out[fields[field]] = raw.decode("utf-8")
         else:
             pos = _skip_field(buf, pos, wt)
     return out
@@ -152,9 +174,8 @@ def decode_metadata(buf: bytes) -> list[dict]:
         key, pos = _read_varint(buf, pos)
         field, wt = key >> 3, key & 7
         if field == 3 and wt == 2:
-            n, pos = _read_varint(buf, pos)
-            out.append(_decode_metadata(buf[pos : pos + n]))
-            pos += n
+            raw, pos = _read_ld(buf, pos)
+            out.append(_decode_metadata(raw))
         else:
             pos = _skip_field(buf, pos, wt)
     return out
@@ -169,9 +190,8 @@ def decode_write_request(buf: bytes) -> list[dict]:
         key, pos = _read_varint(buf, pos)
         field, wt = key >> 3, key & 7
         if field == 1 and wt == 2:
-            n, pos = _read_varint(buf, pos)
-            labels, samples = _decode_timeseries(buf[pos : pos + n])
-            pos += n
+            raw, pos = _read_ld(buf, pos)
+            labels, samples = _decode_timeseries(raw)
             name = labels.pop("__name__", "")
             for value, ts in samples:
                 out.append({"name": name, "labels": labels, "ts_ms": ts, "value": value})
@@ -188,11 +208,12 @@ def _decode_exemplar(buf: bytes) -> dict:
         key, pos = _read_varint(buf, pos)
         field, wt = key >> 3, key & 7
         if field == 1 and wt == 2:
-            n, pos = _read_varint(buf, pos)
-            k, v = _decode_label(buf[pos : pos + n])
+            raw, pos = _read_ld(buf, pos)
+            k, v = _decode_label(raw)
             labels[k] = v
-            pos += n
         elif field == 2 and wt == 1:
+            if pos + 8 > len(buf):
+                raise ValueError("truncated double field")
             value = struct.unpack("<d", buf[pos : pos + 8])[0]
             pos += 8
         elif field == 3 and wt == 0:
@@ -212,22 +233,18 @@ def decode_exemplars(buf: bytes) -> list[dict]:
         key, pos = _read_varint(buf, pos)
         field, wt = key >> 3, key & 7
         if field == 1 and wt == 2:
-            n, pos = _read_varint(buf, pos)
-            ts_buf = buf[pos : pos + n]
-            pos += n
+            ts_buf, pos = _read_ld(buf, pos)
             tpos, labels, exemplars = 0, {}, []
             while tpos < len(ts_buf):
                 tkey, tpos = _read_varint(ts_buf, tpos)
                 tfield, twt = tkey >> 3, tkey & 7
                 if tfield == 1 and twt == 2:
-                    ln, tpos = _read_varint(ts_buf, tpos)
-                    k, v = _decode_label(ts_buf[tpos : tpos + ln])
+                    raw, tpos = _read_ld(ts_buf, tpos)
+                    k, v = _decode_label(raw)
                     labels[k] = v
-                    tpos += ln
                 elif tfield == 3 and twt == 2:
-                    ln, tpos = _read_varint(ts_buf, tpos)
-                    exemplars.append(_decode_exemplar(ts_buf[tpos : tpos + ln]))
-                    tpos += ln
+                    raw, tpos = _read_ld(ts_buf, tpos)
+                    exemplars.append(_decode_exemplar(raw))
                 else:
                     tpos = _skip_field(ts_buf, tpos, twt)
             name = labels.pop("__name__", "")
