@@ -82,17 +82,28 @@ def minhash_band_signatures(
             for k in range(num_hashes)
         ]
     )
+    def _sig(b: int) -> Column:
+        return F.concat(*[F.col(f"h{b * rows + r}") for r in range(rows)])
+
+    # `refine` = the NEXT band's signature, carried pre-explode (zero extra
+    # joins): minhash_lsh_pairs sub-keys over-sized band buckets by it so a
+    # viral near-dup cluster degrades to requiring two band matches
+    # (high-recall) instead of producing m^2 candidate pairs
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.concat(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias("sig"),
+                _sig(b).alias("sig"),
+                _sig((b + 1) % bands).alias("refine"),
             )
             for b in range(bands)
         ]
     )
     return mh.select(id_col, F.explode(band_structs).alias("b")).select(
-        id_col, F.col("b.band").alias("band"), F.col("b.sig").alias("sig")
+        id_col,
+        F.col("b.band").alias("band"),
+        F.col("b.sig").alias("sig"),
+        F.col("b.refine").alias("refine"),
     )
 
 
@@ -102,11 +113,26 @@ def minhash_lsh_pairs(
     id_col: str,
     num_hashes: int = 16,
     bands: int = 4,
+    max_bucket_rows: int = 100_000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing at least one LSH band.
 
     shingle -> 16-way md5 minhash -> `bands` band keys -> self-join on
-    (band, sig). Returns distinct (id_a < id_b) pairs."""
+    (band, sig). Returns distinct (id_a < id_b) pairs.
+
+    Scale guard (same pattern as ``ngram_jaccard_pairs``): the pair space
+    is quadratic WITHIN a band bucket, so a viral near-dup cluster of m
+    docs (site boilerplate at 100 TB) would emit m^2 candidates before any
+    verification. Buckets larger than ``max_bucket_rows`` are therefore
+    sub-keyed by the doc's NEXT band signature (carried in the signature
+    table — no extra join): inside an over-sized bucket a pair must match
+    TWO consecutive bands instead of one, which splits the bucket by
+    signature diversity while keeping recall high exactly where it matters
+    (J≈1 docs match all bands with high probability). Byte-identical docs
+    share every signature and still collide — run exact dedup upstream,
+    which removes them outright. Buckets under the cap keep exact
+    one-band-match semantics, so results are unchanged on non-pathological
+    corpora."""
     flat = minhash_band_signatures(df, text_col, id_col, num_hashes, bands)
     # The self-join would otherwise recompute the whole shingle+hash pipeline
     # for both sides; the signature table is tiny relative to the corpus
@@ -116,12 +142,27 @@ def minhash_lsh_pairs(
     # garbage-collected, so repeated invocations (bench.py, the query
     # registry) don't accumulate session-lifetime cached blocks.
     flat = flat.localCheckpoint(eager=True)
-    a, b = flat.alias("a"), flat.alias("b")
+    # over-sized buckets are FEW by construction (<= corpus/cap keys):
+    # aggregate with map-side combine, broadcast the key set back
+    big = (
+        flat.groupBy("band", "sig")
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .filter(F.col("__n__") > max_bucket_rows)
+        .select("band", "sig", F.lit(True).alias("__big__"))
+    )
+    keyed = flat.join(F.broadcast(big), ["band", "sig"], "left").select(
+        id_col,
+        "band",
+        "sig",
+        F.when(F.col("__big__"), F.col("refine")).otherwise(F.lit("")).alias("__sub__"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.__sub__") == F.col("b.__sub__"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(

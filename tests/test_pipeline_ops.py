@@ -72,3 +72,47 @@ def test_stratified_sample_rates_and_determinism(spark):
     assert 170 < counts["de"] < 330  # ~25% of 1000
     again = stratified_sample(df, "doc_id", "lang", {"en": 128, "de": 64})
     assert kept.exceptAll(again).count() == 0
+
+
+def test_minhash_band_bucket_cap_bounds_viral_cluster(spark):
+    """A planted 10k-doc near-dup cluster (site boilerplate with small
+    per-doc mutations) must NOT produce ~m^2/2 = 50M candidate pairs: over
+    the cap, buckets sub-key by the next band's signature, degrading to
+    two-band-match (high recall for J~1, sub-quadratic pair count)."""
+    from horaedb_spark.functions.dedup import minhash_lsh_pairs
+
+    words = [f"w{i}" for i in range(40)]
+    rows = []
+    for d in range(10_000):
+        toks = list(words)
+        # mutate 3 of 40 positions deterministically -> pairwise J stays
+        # high but minhash signatures vary across the cluster
+        for j in range(3):
+            toks[(d * 7 + j * 11) % 40] = f"m{d}_{j}"
+        rows.append((d, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=16, bands=4, max_bucket_rows=500
+    )
+    n = pairs.count()
+    # uncapped, every band bucket holding the cluster emits ~50M pairs;
+    # capped, the count must stay around (bucket_count * subbucket^2)-ish.
+    assert 0 < n < 5_000_000, n
+
+
+def test_minhash_cap_is_inert_below_threshold(spark):
+    """Buckets under the cap keep exact one-band-match semantics: the
+    capped and effectively-uncapped runs agree row-for-row on a small
+    mixed corpus."""
+    from horaedb_spark.functions.dedup import minhash_lsh_pairs
+
+    rows = [(i, f"alpha beta gamma delta epsilon {i % 7} zeta eta theta")
+            for i in range(60)]
+    rows += [(100 + i, f"totally different text number {i} with unrelated words")
+             for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = minhash_lsh_pairs(docs, "text", "doc_id", max_bucket_rows=1_000)
+    uncapped = minhash_lsh_pairs(docs, "text", "doc_id", max_bucket_rows=10**9)
+    assert sorted(map(tuple, capped.collect())) == sorted(
+        map(tuple, uncapped.collect())
+    )
