@@ -24,6 +24,34 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from horaedb_spark.storage.compaction import Compactor
 
+_FIVE_MIN_MS = 300_000
+
+
+def _lookback_ms(lb_raw: str | None, step_ms: int) -> int | None:
+    """Staleness lookback for the HTTP query endpoints.
+
+    Explicit ``lookback_delta`` wins (seconds-float or duration string).
+    Absent it, align with Prometheus's fixed 5m default whenever the grid
+    is FINER than 5m — the regime where a Prometheus user's first
+    query_range would otherwise silently differ on sparse data
+    (DIVERGENCES #24a). Coarse grids (step >= 5m) keep the engine's
+    one-step default (returning None): a 5m lookback on a 1d grid over
+    sparse data yields empty vectors, the documented reason the engine
+    diverges there."""
+    if lb_raw is not None:
+        return (
+            int(float(lb_raw) * 1000)
+            if lb_raw.replace(".", "", 1).isdigit()
+            else _srv_duration_ms(lb_raw)
+        )
+    return _FIVE_MIN_MS if step_ms < _FIVE_MIN_MS else None
+
+
+def _srv_duration_ms(raw: str) -> int:
+    from horaedb_spark.metric.promql import _duration_ms
+
+    return _duration_ms(raw)
+
 
 class WriteToggle:
     """Pause/resume flag for a synthetic/streaming write loop — the
@@ -166,17 +194,11 @@ class ControlServer:
                             if step_raw.isdigit()
                             else _duration_ms(step_raw)
                         )
-                        # Prometheus's per-request lookback_delta: staleness
-                        # window for bare instant selectors (the engine
-                        # defaults to one step; pass 5m for strict
-                        # Prometheus behavior — DIVERGENCES #24a)
-                        lb_raw = q.get("lookback_delta", [None])[0]
-                        lookback_ms = (
-                            None
-                            if lb_raw is None
-                            else int(float(lb_raw) * 1000)
-                            if lb_raw.replace(".", "", 1).isdigit()
-                            else _duration_ms(lb_raw)
+                        # Prometheus's per-request lookback_delta; absent,
+                        # sub-5m grids default to Prometheus's 5m staleness
+                        # window (DIVERGENCES #24a)
+                        lookback_ms = _lookback_ms(
+                            q.get("lookback_delta", [None])[0], step_ms
                         )
                         if "time" in q:
                             t_ms = int(float(q["time"][0]) * 1000)
@@ -271,13 +293,10 @@ class ControlServer:
                             if "end" in q
                             else None
                         )
-                        lb_raw = q.get("lookback_delta", [None])[0]
-                        lookback_ms = (
-                            None
-                            if lb_raw is None
-                            else int(float(lb_raw) * 1000)
-                            if lb_raw.replace(".", "", 1).isdigit()
-                            else _duration_ms(lb_raw)
+                        # absent lookback_delta: sub-5m grids default to
+                        # Prometheus's 5m staleness window (DIVERGENCES #24a)
+                        lookback_ms = _lookback_ms(
+                            q.get("lookback_delta", [None])[0], step_ms
                         )
                         df = PromQLCompiler(
                             eng,

@@ -508,7 +508,8 @@ def test_lookback_delta_param(spark, tmp_path):
 
     samples = spark.createDataFrame(
         [("m", {"host": "a"}, 1000, 1.0, 1),
-         ("m", {"host": "a"}, 20000, 2.0, 2)],
+         ("m", {"host": "a"}, 20000, 2.0, 2),
+         ("m", {"host": "a"}, 200000, 3.0, 3)],  # 3min gap after 20s
         "name string, labels map<string,string>, ts_ms long, "
         "value double, seq long",
     )
@@ -526,11 +527,27 @@ def test_lookback_delta_param(spark, tmp_path):
 
     try:
         q = urllib.parse.quote("m")
-        # default lookback = one step: the ts=1000 sample is inside
-        # (0, 10000] at the time=10s grid point
+        # sub-5m grid default = Prometheus's 5m staleness: the ts=1000
+        # sample is well inside the window at the time=10s grid point
         base = _get_slow(f"/api/v1/query?query={q}&step=10s&time=10")
         assert len(base["data"]["result"]) == 1
         assert base["data"]["result"][0]["value"][1] == "1.0"
+        # THE 5m-default pin (DIVERGENCES #24a): at time=60s the freshest
+        # sample (ts=20000, value 2.0) is 40s stale — outside a one-step
+        # (10s) window, inside Prometheus's 5m. A Prometheus user must
+        # see it.
+        stale = _get_slow(f"/api/v1/query?query={q}&step=10s&time=60")
+        assert len(stale["data"]["result"]) == 1
+        assert stale["data"]["result"][0]["value"][1] == "2.0"
+        # coarse grids (step >= 5m) keep the engine's one-step default —
+        # pinned at the helper since the tiny fixture spans < one step
+        from horaedb_spark.server import _lookback_ms
+
+        assert _lookback_ms(None, 10_000) == 300_000
+        assert _lookback_ms(None, 300_000) is None
+        assert _lookback_ms(None, 86_400_000) is None
+        assert _lookback_ms("2s", 86_400_000) == 2000
+        assert _lookback_ms("2", 10_000) == 2000
         # strict 2s staleness: (8000, 10000] is empty
         tight = _get_slow(
             f"/api/v1/query?query={q}&step=10s&time=10&lookback_delta=2s"
@@ -546,7 +563,18 @@ def test_lookback_delta_param(spark, tmp_path):
             f"/api/v1/query_range?query={q}&step=10s&lookback_delta=2s"
         )
         pts = [v for s in rng["data"]["result"] for v in s["values"]]
-        assert pts == [[20.0, "2.0"]]  # only the exactly-landing sample
+        # only the exactly-landing samples survive a 2s window
+        assert pts == [[20.0, "2.0"], [200.0, "3.0"]]
+        # query_range default on the sparse fixture: grid points in the
+        # 3-minute data gap carry the last sample forward under the 5m
+        # default — the "first query_range against sparse data"
+        # Prometheus shape that used to silently return gaps
+        rng2 = _get_slow(f"/api/v1/query_range?query={q}&step=10s")
+        pts2 = [v for s in rng2["data"]["result"] for v in s["values"]]
+        assert [10.0, "1.0"] in pts2 and [20.0, "2.0"] in pts2
+        assert [60.0, "2.0"] in pts2  # 40s stale, inside the 5m default
+        assert [190.0, "2.0"] in pts2  # 170s stale, still inside
+        assert [200.0, "3.0"] in pts2
     finally:
         srv.stop()
 
