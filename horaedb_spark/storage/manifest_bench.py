@@ -90,6 +90,22 @@ def manifest_scale_bench(
     }
 
 
+def py_md5_probe(iters: int = 300_000) -> float:
+    """Fixed-work pure-Python calibration probe (identical to bench.py's
+    py_md5_s) run IN-PROCESS with the metadata benches, so replay/decode
+    drift across rounds can be normalized against the same interpreter +
+    host state that produced them — rounds 5-8 observed identical code
+    timing 1.2-1.6x apart session-to-session on this box."""
+    import hashlib
+    import time as _time
+
+    t0 = _time.perf_counter()
+    x = b"x" * 64
+    for _ in range(iters):
+        x = hashlib.md5(x).digest() * 4
+    return _time.perf_counter() - t0
+
+
 def remote_write_codec_bench(
     n_series: int = 2_000, samples_per_series: int = 50
 ) -> dict:

@@ -14,6 +14,13 @@ def test_manifest_scale_bounds(tmp_path):
     assert r["append_s"] < 15.0, r
     assert r["fold_s"] < 10.0, r
     assert r["replay_s"] < 10.0, r
+    # drift-robust replay bound (r7 verdict #5): normalized against an
+    # in-process fixed-work probe, so a slow host can't hide a real
+    # regression behind the generous absolute bound (observed ratio ~3-4x
+    # at 50k SSTs; md5 probe ~0.2s)
+    from horaedb_spark.storage.manifest_bench import py_md5_probe
+
+    assert r["replay_s"] < 25 * py_md5_probe(), r
     # time-range lookup over the in-memory list stays interactive
     assert r["find_s"] < 1.0, r
     assert r["found"] == 50  # 50k ssts over 1000 segments, one segment asked
