@@ -307,7 +307,15 @@ def exact_ntile_lit(
     (dim, key) projection only (see :func:`ntile_boundaries`); exactness
     holds because ranks are unique under the (dim DESC, key ASC) total
     order, so "row <= boundary-row" selects exactly the boundary rank's
-    worth of rows."""
+    worth of rows.
+
+    PRECONDITIONS (like the non-null dim requirement): ``df`` must be
+    DETERMINISTIC across jobs — discovery and scoring are two independent
+    passes over it, so a frame containing unseeded ``rand()``/``sample``
+    (or reading mutating input) can yield boundary literals that disagree
+    with the rows later scored, silently breaking exact-ntile semantics.
+    Persist (or localCheckpoint) such frames first — the RFM/pareto
+    callers do exactly that."""
     bounds = ntile_boundaries(df, dim_col, key_col, n, num_partitions)
     return df.withColumn(out_col, ntile_case(dim_col, key_col, bounds))
 

@@ -191,7 +191,13 @@ class _Lexer:
                 break
             pos = m.end()
             kind = m.lastgroup
-            self.tokens.append((kind, m.group(kind)))
+            val = m.group(kind)
+            # Prometheus lexes NaN/Inf (case-insensitive) as NUMBER
+            # literals, never metric names (promql/parser lexer); a metric
+            # actually named NaN needs {__name__="NaN"}
+            if kind == "IDENT" and val.lower() in ("nan", "inf"):
+                kind = "NUMBER"
+            self.tokens.append((kind, val))
         self.i = 0
 
     def peek(self, k: int = 0) -> tuple[str, str]:
@@ -442,7 +448,12 @@ def _parse_postfix(lx: _Lexer):
                 lx.expect("OP", ")")
                 at_ms = nv
             else:
-                at_ms = int(float(lx.expect("NUMBER")) * 1000)
+                tv = float(lx.expect("NUMBER"))
+                if not math.isfinite(tv):
+                    # NaN/Inf lex as NUMBER (Prometheus rule), but `@ NaN`
+                    # is a graceful parse error there, not a crash
+                    raise PromQLError("timestamp out of bounds for @ modifier")
+                at_ms = int(tv * 1000)
             if isinstance(node, Selector):
                 node = Selector(
                     node.name, node.matchers, node.range_ms, node.offset_ms, at_ms
@@ -1426,9 +1437,22 @@ class PromQLCompiler:
         """``histogram_fraction(lo, hi, v)`` over classic ``le``-labeled
         buckets — same bucket extraction as _histogram_quantile, folded by
         functions/promql.histogram_fraction (promql/quantile.go
-        histogramFraction semantics)."""
+        histogramFraction semantics). Degenerate bounds follow upstream's
+        HistogramFraction guards instead of propagating arithmetic: a NaN
+        endpoint yields NaN per series/step, and lo >= hi (an empty
+        interval) yields 0 — never the negative fraction the raw rank
+        subtraction would produce. Upstream only defines the function for
+        native histograms, so the classic-le form itself is an extension
+        (DIVERGENCES #24g)."""
         if not isinstance(df, DataFrame):
             raise PromQLError("histogram_fraction needs a vector")
+        if lo != lo or hi != hi or lo >= hi:
+            const = float("nan") if (lo != lo or hi != hi) else 0.0
+            return df.select(
+                _subset_key(["le"], keep=False).alias("series_key"), "ts_ms"
+            ).distinct().select(
+                "series_key", "ts_ms", F.lit(const).alias("value")
+            )
         lbls = _labels()
         le_str = F.element_at(lbls, "le")
         le = (

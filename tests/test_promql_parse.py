@@ -911,3 +911,32 @@ def test_eval_memo_keys_on_compile_params(spark):
     )
     unbounded = PromQLCompiler(eng, day).compile("vector(1)")
     assert bounded.count() == 1 and unbounded.count() == 2
+
+
+def test_histogram_fraction_degenerate_bounds(spark):
+    """Upstream HistogramFraction guards (DIVERGENCES #24g): NaN endpoint
+    -> NaN per series/step; lo >= hi (empty interval) -> 0, never the
+    negative fraction raw rank subtraction would give."""
+    import math
+
+    from horaedb_spark.queries.promql_parse_queries import _bucket_engine
+    from horaedb_spark.metric.promql import promql_eval
+
+    beng = _bucket_engine(spark, SF_DIR)
+    base = "sum by (le) (rate(click_bucket[1d]))"
+    inverted = promql_eval(
+        beng, f"histogram_fraction(150, 25, {base})", 86_400_000
+    ).collect()
+    assert inverted and all(r["value"] == 0.0 for r in inverted)
+    nan_lo = promql_eval(
+        beng, f"histogram_fraction(NaN, 150, {base})", 86_400_000
+    ).collect()
+    assert nan_lo and all(math.isnan(r["value"]) for r in nan_lo)
+    # degenerate results still carry the aggregated (le-stripped) series
+    # identity and the same step grid as a valid call
+    valid = promql_eval(
+        beng, f"histogram_fraction(25, 150, {base})", 86_400_000
+    ).collect()
+    assert {(r["series_key"], r["ts_ms"]) for r in inverted} == {
+        (r["series_key"], r["ts_ms"]) for r in valid
+    }
