@@ -136,6 +136,111 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id_a", "id_b")
 
 
+# signature-replication CTE shared by the capped query: identical to
+# dedup_minhash_lsh's pipeline but parameterized over a `corpus` CTE the
+# caller prepends
+_SIG_CTES = r"""
+    , shingled AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_distinct([array_to_string(w[i:i+2], ' ')
+                                      FOR i IN generate_series(1, len(w)-2)])
+                  ELSE [array_to_string(w, ' ')] END AS sh
+      FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM corpus)
+    ), flat AS (
+      SELECT doc_id, unnest(sh) AS s FROM shingled
+    ), mh AS (
+      SELECT doc_id, k, min(md5(k || ':' || s)) AS h
+      FROM flat CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) ks
+      GROUP BY doc_id, k
+    ), bands AS (
+      SELECT doc_id, k // 4 AS band, string_agg(h, '' ORDER BY k) AS sig
+      FROM mh GROUP BY doc_id, k // 4
+    )
+"""
+
+
+@register(
+    "dedup_minhash_capped",
+    oracle=r"""
+    WITH base AS (
+      SELECT string_split_regex(text, '\s+') AS w FROM documents
+      WHERE doc_id < 200 ORDER BY n_chars DESC, doc_id LIMIT 1
+    ), idx AS (SELECT unnest(generate_series(0, 35)) AS i),
+    copies AS (
+      SELECT 9000000 + i AS doc_id,
+             array_to_string([
+               CASE WHEN (j - 1) = (i * 7) % len(w) THEN 'm' || i || '_0'
+                    WHEN (j - 1) = (i * 7 + 11) % len(w) THEN 'm' || i || '_1'
+                    WHEN (j - 1) = (i * 7 + 22) % len(w) THEN 'm' || i || '_2'
+                    ELSE w[j] END
+               FOR j IN generate_series(1, len(w))], ' ') AS text
+      FROM idx CROSS JOIN base
+    ), corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 200
+      UNION ALL SELECT doc_id, text FROM copies
+    )
+    """
+    + _SIG_CTES
+    + r"""
+    , counts AS (
+      SELECT band, sig, count(*) AS n FROM bands GROUP BY 1, 2
+    ), keyed AS (
+      SELECT b.doc_id, b.band, b.sig,
+             CASE WHEN c.n > 8 THEN nb.sig ELSE '' END AS sub
+      FROM bands b
+      JOIN counts c ON c.band = b.band AND c.sig = b.sig
+      JOIN bands nb ON nb.doc_id = b.doc_id AND nb.band = (b.band + 1) % 4
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM keyed a JOIN keyed b
+      ON a.band = b.band AND a.sig = b.sig AND a.sub = b.sub
+      AND a.doc_id < b.doc_id
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The band-bucket CAP semantics under the hash gate: a planted viral
+    near-dup cluster (36 mutated copies of the longest small-id document —
+    3 of ~98 words replaced per copy, the boilerplate shape) overflows the
+    max_bucket_rows=8 cap, so over-sized buckets sub-key by the NEXT
+    band's signature and a pair inside them must match two consecutive
+    bands. The oracle replicates the refinement exactly (counts + next-
+    band join over the same md5 signature pipeline as dedup_minhash_lsh),
+    so the degraded-recall semantics themselves — not just the uncapped
+    fixture behavior — are hash-pinned at every SF."""
+    docs = load_table(spark, sf_dir, "documents")
+    pool = docs.filter(F.col("doc_id") < 200).select("doc_id", "text")
+    base = (
+        docs.filter(F.col("doc_id") < 200)
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(1)
+        .select(F.split("text", r"\s+").alias("w"))
+    )
+    idx = spark.range(36).select(F.col("id").alias("i"))
+
+    def _mut(x, j):
+        i = F.col("i")
+        L = F.size("w")
+        tag = lambda s: F.concat(F.lit("m"), i.cast("string"), F.lit(s))
+        return (
+            F.when(j == (i * 7) % L, tag("_0"))
+            .when(j == (i * 7 + 11) % L, tag("_1"))
+            .when(j == (i * 7 + 22) % L, tag("_2"))
+            .otherwise(x)
+        )
+
+    copies = idx.crossJoin(F.broadcast(base)).select(
+        (F.lit(9_000_000) + F.col("i")).alias("doc_id"),
+        F.array_join(F.transform("w", _mut), " ").alias("text"),
+    )
+    corpus = pool.unionByName(copies)
+    pairs = DD.minhash_lsh_pairs(
+        corpus, "text", "doc_id", num_hashes=16, bands=4, max_bucket_rows=8
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
 @register(
     "dedup_simhash",
     oracle=r"""
