@@ -406,6 +406,42 @@ def cross_set_contamination(
     )
 
 
+def contamination_overlap(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    set_col: str,
+    probe_value: str,
+    k: int = 5,
+) -> DataFrame:
+    """Per-non-probe-doc contamination FRACTION (the GPT-3/PaLM-style
+    overlap report, one step past :func:`cross_set_contamination`'s binary
+    hit list): ``n_shared`` distinct k-gram digests found in the probe set
+    over ``n_shingles`` distinct digests in the doc — INCLUDING
+    zero-overlap docs, so downstream rates average over the whole corpus.
+    Same scale shape as cross_set_contamination: one digest-keyed shuffle,
+    no text shipped; integer counts only (callers derive rates with their
+    own deterministic rounding)."""
+    sh = df.select(
+        F.col(id_col),
+        (F.col(set_col) == probe_value).alias("__probe__"),
+        F.explode(shingles(F.col(text_col), k)).alias("__s__"),
+    ).select(id_col, "__probe__", F.md5("__s__").alias("__h__"))
+    probe_digests = sh.filter(F.col("__probe__")).select("__h__").distinct()
+    corpus = sh.filter(~F.col("__probe__")).select(id_col, "__h__").distinct()
+    tot = corpus.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    shared = (
+        corpus.join(probe_digests, "__h__", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return tot.join(shared, id_col, "left").select(
+        id_col,
+        "n_shingles",
+        F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+    )
+
+
 def duplicated_span_stats(
     docs: DataFrame,
     id_col: str,

@@ -108,6 +108,97 @@ def pipeline_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_contamination_rate",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, source,
+             substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+               AS is_probe,
+             string_split_regex(text, '\s+') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, source, is_probe,
+             CASE WHEN len(w) >= 5
+                  THEN list_distinct([array_to_string(w[i:i+4], ' ')
+                                      FOR i IN generate_series(1, len(w)-4)])
+                  ELSE [array_to_string(w, ' ')] END AS sh
+      FROM w
+    ), flat AS (
+      SELECT DISTINCT doc_id, source, is_probe, md5(unnest(sh)) AS h FROM sh
+    ), probe AS (SELECT DISTINCT h FROM flat WHERE is_probe),
+    per_doc AS (
+      SELECT f.doc_id, f.source, count(*) AS n_shingles,
+             count(*) FILTER (WHERE p.h IS NOT NULL) AS n_shared
+      FROM flat f LEFT JOIN probe p ON p.h = f.h
+      WHERE NOT f.is_probe GROUP BY 1, 2
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(count(*) FILTER (WHERE n_shared * 10 >= n_shingles)
+                AS BIGINT) AS n_flagged,
+           CAST(sum(n_shared) AS BIGINT) AS shared_shingles,
+           CAST(sum(n_shingles) AS BIGINT) AS total_shingles,
+           floor(CAST(sum(n_shared) AS DOUBLE) / sum(n_shingles)
+                 * 1000000 + 0.5) / 1000000 AS corpus_rate,
+           max(floor(CAST(n_shared AS DOUBLE) / n_shingles
+                     * 1000000 + 0.5) / 1000000) AS max_doc_rate
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def pipeline_contamination_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination RATE report per source (the GPT-3/PaLM appendix
+    shape, one step past the binary decontamination hit list): per train
+    doc, the fraction of its distinct word-5-gram digests found anywhere
+    in the test split — zero-overlap docs included so the rates average
+    over the whole corpus. Flagging (rate >= 10%) compares via integer
+    cross-multiplication (n_shared*10 >= n_shingles) and the summed rates
+    divide once at the end, so every value is engine-exact. Same scale
+    shape as pipeline_decontamination: one digest-keyed shuffle."""
+    from horaedb_spark.functions.dedup import contamination_overlap
+
+    docs = train_test_split(load_table(spark, sf_dir, "documents"), "doc_id")
+    per_doc = contamination_overlap(
+        docs, "doc_id", "text", "split", probe_value="test", k=5
+    ).join(docs.select("doc_id", "source"), "doc_id")
+    rate = F.col("n_shared").cast("double") / F.col("n_shingles")
+    rounded = F.floor(rate * 1_000_000 + F.lit(0.5)) / 1_000_000
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(
+                F.when(F.col("n_shared") * 10 >= F.col("n_shingles"), 1)
+            ).alias("n_flagged"),
+            F.sum("n_shared").alias("shared_shingles"),
+            F.sum("n_shingles").alias("total_shingles"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_flagged",
+            "shared_shingles",
+            "total_shingles",
+            (
+                F.floor(
+                    F.col("shared_shingles").cast("double")
+                    / F.col("total_shingles")
+                    * 1_000_000
+                    + F.lit(0.5)
+                )
+                / 1_000_000
+            ).alias("corpus_rate"),
+        )
+        .join(
+            per_doc.groupBy("source").agg(
+                F.max(rounded).alias("max_doc_rate")
+            ),
+            "source",
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "pipeline_domain_cap",
     oracle=r"""
     WITH ranked AS (
