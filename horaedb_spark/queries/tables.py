@@ -95,17 +95,6 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
-def local_result(df: DataFrame) -> DataFrame:
-    """Materialize a METADATA-GRAIN result (tens of rows: decile tables,
-    segment counts, report cards) into a local relation with the identical
-    schema. Lets a query function release its persisted inputs in a
-    ``finally`` without the caller's later collect recomputing them — the
-    persist-leak fix for long-lived sessions. Never use on data-sized
-    frames: the rows transit the driver."""
-    rows = df.collect()
-    return df.sparkSession.createDataFrame(rows, df.schema)
-
-
 def events_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with an epoch-millisecond long column ``ts_ms`` (the engine's
     native time representation) alongside the timestamp."""
