@@ -92,6 +92,10 @@ HEADLINE = [
     # round-7: the Arrow serving-shape brute force (same job + oracle as
     # ann_bruteforce_topk)
     "ann_bruteforce_topk_arrow",
+    # round-8: the band-bucket-capped MinHash path (planted viral cluster,
+    # next-band refinement live) and the contamination-rate report
+    "dedup_minhash_capped",
+    "pipeline_contamination_rate",
 ]
 
 

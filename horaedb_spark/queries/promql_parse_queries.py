@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from horaedb_spark.metric.engine import MetricEngine
-from horaedb_spark.metric.promql import promql_eval
+from horaedb_spark.metric.promql import promql_eval, promql_eval_many
 from horaedb_spark.queries.metric_queries import _DEDUP_CTE, _engine
 from horaedb_spark.queries.registry import register
 from horaedb_spark.queries.tables import events_ms
@@ -473,26 +473,32 @@ def promql_parse_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("q15", eng, _Q15),
         ("q16", beng, _Q16),
     ]
-    # Serial compile, DELIBERATELY: thread-pooling the 16 compiles was
-    # measured SLOWER (5.98 s vs 3.72 s cold at sf0.1) — plan construction
-    # is GIL-bound py4j chatter and the racing threads duplicate the
-    # shared-subtree work the engine memo otherwise dedups. The wins that
-    # hold are (a) the engine-scoped AST memo and (b) cached engines
-    # (compiling against short-lineage persisted frames roughly halves
-    # analysis time); execution is already one union job whose independent
-    # stages Spark schedules concurrently.
-    outs = [promql_eval(engine, q, DAY_MS) for _, engine, q in suite]
-    parts = [
-        out.select(
-            F.lit(tag).alias("query_id"),
+    # Each string EXECUTES as its own small concurrent job
+    # (promql_eval_many materialize=True): one 16-branch union action
+    # makes AQE re-optimize a ~60-exchange plan at every materialized
+    # stage (5.3-5.5 s wall at sf0.1 against ~0.3 s of parallel executor
+    # work), while 16 pooled localCheckpoint jobs overlap their stage
+    # waves — 3.3 s total. The tag+rounding projection rides into the
+    # checkpoint so only final rows materialize; the union below scans
+    # executor-resident blocks.
+    tags = [t for t, _, _ in suite]
+
+    def post(out: DataFrame, i: int) -> DataFrame:
+        return out.select(
+            F.lit(tags[i]).alias("query_id"),
             "series_key",
             "ts_ms",
             (F.floor(F.col("value") * 1_000_000 + 0.5) / 1_000_000).alias(
                 "value"
             ),
         )
-        for (tag, _, _), out in zip(suite, outs)
-    ]
+
+    parts = promql_eval_many(
+        [(engine, q) for _, engine, q in suite],
+        DAY_MS,
+        materialize=True,
+        post=post,
+    )
     from functools import reduce
 
     allq = reduce(DataFrame.unionByName, parts)
