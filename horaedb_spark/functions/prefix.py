@@ -315,7 +315,8 @@ def exact_ntile_lit(
     (or reading mutating input) can yield boundary literals that disagree
     with the rows later scored, silently breaking exact-ntile semantics.
     Persist (or localCheckpoint) such frames first — the RFM/pareto
-    callers do exactly that."""
+    callers eagerly localCheckpoint theirs, which pins determinism
+    structurally (both passes read one materialization)."""
     bounds = ntile_boundaries(df, dim_col, key_col, n, num_partitions)
     return df.withColumn(out_col, ntile_case(dim_col, key_col, bounds))
 

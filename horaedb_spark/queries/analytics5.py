@@ -129,46 +129,44 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from horaedb_spark.functions.prefix import ntile_boundaries, ntile_case
 
     orders = load_table(spark, sf_dir, "orders")
+    # eager localCheckpoint, not persist (round-7 ADVICE leak fix, round-8
+    # A/B): the three discoveries and the final pass all read the
+    # materialized blocks, the lineage truncation cuts re-analysis, and —
+    # unlike persist — the blocks are released by the ContextCleaner when
+    # the frame is garbage-collected, so repeated invocations in a
+    # long-lived session can't accumulate cached state. Also pins
+    # discovery/scoring determinism structurally (one materialization).
+    # Measured 2.6-3.0 s vs 3.3-3.4 s for persist+finally-unpersist.
     cust = orders.groupBy("o_custkey").agg(
         F.max(F.unix_millis("o_orderdate")).alias("last_ms"),
         F.count(F.lit(1)).alias("freq"),
         dsum("o_totalprice").alias("monetary"),
-    ).persist()  # three boundary discoveries + the final pass read it
-    try:
-        dims = (
-            ("last_ms", "r_score"),
-            ("freq", "f_score"),
-            ("monetary", "m_score"),
+    ).localCheckpoint(eager=True)
+    dims = (
+        ("last_ms", "r_score"),
+        ("freq", "f_score"),
+        ("monetary", "m_score"),
+    )
+    with ThreadPoolExecutor(len(dims)) as pool:
+        bounds = {
+            out: pool.submit(ntile_boundaries, cust, dim, "o_custkey", 4)
+            for dim, out in dims
+        }
+    scored = cust.select(
+        "o_custkey",
+        *[
+            ntile_case(dim, "o_custkey", bounds[out].result()).alias(out)
+            for dim, out in dims
+        ],
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("o_custkey").alias("cust_checksum"),
         )
-        with ThreadPoolExecutor(len(dims)) as pool:
-            bounds = {
-                out: pool.submit(ntile_boundaries, cust, dim, "o_custkey", 4)
-                for dim, out in dims
-            }
-        scored = cust.select(
-            "o_custkey",
-            *[
-                ntile_case(dim, "o_custkey", bounds[out].result()).alias(out)
-                for dim, out in dims
-            ],
-        )
-        return (
-            scored.groupBy("r_score", "f_score", "m_score")
-            .agg(
-                F.count(F.lit(1)).alias("n_customers"),
-                F.sum("o_custkey").alias("cust_checksum"),
-            )
-            .orderBy("r_score", "f_score", "m_score")
-        )
-    finally:
-        # leak fix (round-7 ADVICE): the cache only needs to live through
-        # the three boundary discoveries above; the caller's action then
-        # recomputes the slim customer aggregate once (~0.3 s at sf0.1),
-        # which A/B-measured CHEAPER than materializing a local relation
-        # under the cache — and the discovery/scoring split stays
-        # deterministic because the aggregate is deterministic over
-        # deterministic input (exact_ntile_lit's documented precondition)
-        cust.unpersist()
+        .orderBy("r_score", "f_score", "m_score")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -849,38 +847,33 @@ def orders_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from horaedb_spark.functions.prefix import exact_ntile_lit
 
     orders = load_table(spark, sf_dir, "orders")
+    # eager localCheckpoint, not persist — same leak-free materialization
+    # rationale (and A/B win) as customer_rfm_segments
     cust = orders.groupBy("o_custkey").agg(
         dsum("o_totalprice").alias("revenue")
-    ).persist()  # boundary discovery + the decile pass + the total read it
-    try:
-        ranked = exact_ntile_lit(cust, "revenue", "o_custkey", 10, "decile").select(
-            "revenue", "decile"
+    ).localCheckpoint(eager=True)
+    ranked = exact_ntile_lit(cust, "revenue", "o_custkey", 10, "decile").select(
+        "revenue", "decile"
+    )
+    per = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("revenue").alias("decile_revenue"),
+    )
+    tot = cust.agg(F.sum(F.col("revenue").cast(DEC)).alias("total"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            "decile_revenue",
+            F.round(
+                (
+                    F.sum(F.col("decile_revenue").cast(DEC))
+                    .over(Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0))
+                    / F.col("total")
+                ).cast("double"),
+                6,
+            ).alias("cum_share"),
         )
-        per = ranked.groupBy("decile").agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            dsum("revenue").alias("decile_revenue"),
-        )
-        tot = cust.agg(F.sum(F.col("revenue").cast(DEC)).alias("total"))
-        return (
-            per.crossJoin(F.broadcast(tot))
-            .select(
-                "decile",
-                "n_customers",
-                "decile_revenue",
-                F.round(
-                    (
-                        F.sum(F.col("decile_revenue").cast(DEC))
-                        .over(Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0))
-                        / F.col("total")
-                    ).cast("double"),
-                    6,
-                ).alias("cum_share"),
-            )
-            .orderBy("decile")
-        )
-    finally:
-        # same persist-leak fix as customer_rfm_segments: cache only
-        # covers the boundary discovery; the caller's action recomputes
-        # the slim revenue aggregate once (deterministic, so decile
-        # membership still matches the discovered boundaries)
-        cust.unpersist()
+        .orderBy("decile")
+    )
