@@ -150,19 +150,31 @@ def minhash_lsh_pairs(
         .filter(F.col("__n__") > max_bucket_rows)
         .select("band", "sig", F.lit(True).alias("__big__"))
     )
-    keyed = flat.join(F.broadcast(big), ["band", "sig"], "left").select(
-        id_col,
-        "band",
-        "sig",
-        F.when(F.col("__big__"), F.col("refine")).otherwise(F.lit("")).alias("__sub__"),
-    )
+    # adaptive short-circuit (AQE-style, one bounded job over the
+    # checkpointed blocks): the healthy-corpus case has ZERO over-sized
+    # buckets, and skipping the refinement join there saves its whole
+    # plan-analysis + broadcast cost (~1.3 s first-call at sf0.1) while
+    # the result is identical (__sub__ would be '' everywhere)
+    if big.limit(1).count() == 0:
+        keyed = flat
+        sub_match = F.lit(True)
+    else:
+        keyed = flat.join(F.broadcast(big), ["band", "sig"], "left").select(
+            id_col,
+            "band",
+            "sig",
+            F.when(F.col("__big__"), F.col("refine"))
+            .otherwise(F.lit(""))
+            .alias("__sub__"),
+        )
+        sub_match = F.col("a.__sub__") == F.col("b.__sub__")
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.__sub__") == F.col("b.__sub__"))
+            & sub_match
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
