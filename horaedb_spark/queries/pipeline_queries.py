@@ -171,6 +171,9 @@ def pipeline_contamination_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_flagged"),
             F.sum("n_shared").alias("shared_shingles"),
             F.sum("n_shingles").alias("total_shingles"),
+            # per-row rounded rate maxes inside the SAME aggregate — a
+            # second per_doc pass would re-run the digest pipeline
+            F.max(rounded).alias("max_doc_rate"),
         )
         .select(
             "source",
@@ -187,12 +190,7 @@ def pipeline_contamination_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 / 1_000_000
             ).alias("corpus_rate"),
-        )
-        .join(
-            per_doc.groupBy("source").agg(
-                F.max(rounded).alias("max_doc_rate")
-            ),
-            "source",
+            "max_doc_rate",
         )
         .orderBy("source")
     )
