@@ -113,7 +113,7 @@ def minhash_lsh_pairs(
     id_col: str,
     num_hashes: int = 16,
     bands: int = 4,
-    max_bucket_rows: int = 100_000,
+    max_bucket_rows: int | None = 100_000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing at least one LSH band.
 
@@ -132,7 +132,27 @@ def minhash_lsh_pairs(
     share every signature and still collide — run exact dedup upstream,
     which removes them outright. Buckets under the cap keep exact
     one-band-match semantics, so results are unchanged on non-pathological
-    corpora."""
+    corpora.
+
+    The sub-key is the NEXT band's signature, so the cap requires
+    ``bands >= 2`` — with one band "next" is the bucket key itself and the
+    cap would silently do nothing; that combination raises. Pass
+    ``max_bucket_rows=None`` (or ``float("inf")``) for explicitly-uncapped
+    semantics.
+
+    NOT a pure lazy plan builder: the signature table is eagerly
+    localCheckpointed (materialized) at CALL time, and a capped call also
+    runs one bounded probe job (``big.limit(1).count()``) to decide whether
+    any bucket exceeds the cap — the big/small branch is frozen here, not
+    at first action on the result. Uncapped calls skip the probe."""
+    uncapped = max_bucket_rows is None or max_bucket_rows == float("inf")
+    if bands < 2 and not uncapped:
+        raise ValueError(
+            "max_bucket_rows needs bands >= 2 (the over-sized-bucket sub-key "
+            "is the NEXT band's signature; with bands=1 it equals the bucket "
+            "key and the cap is inert) — raise bands or pass "
+            "max_bucket_rows=None"
+        )
     flat = minhash_band_signatures(df, text_col, id_col, num_hashes, bands)
     # The self-join would otherwise recompute the whole shingle+hash pipeline
     # for both sides; the signature table is tiny relative to the corpus
@@ -149,13 +169,14 @@ def minhash_lsh_pairs(
         .agg(F.count(F.lit(1)).alias("__n__"))
         .filter(F.col("__n__") > max_bucket_rows)
         .select("band", "sig", F.lit(True).alias("__big__"))
-    )
+    ) if not uncapped else None
     # adaptive short-circuit (AQE-style, one bounded job over the
     # checkpointed blocks): the healthy-corpus case has ZERO over-sized
     # buckets, and skipping the refinement join there saves its whole
     # plan-analysis + broadcast cost (~1.3 s first-call at sf0.1) while
-    # the result is identical (__sub__ would be '' everywhere)
-    if big.limit(1).count() == 0:
+    # the result is identical (__sub__ would be '' everywhere). An
+    # explicitly-uncapped call skips the probe job entirely.
+    if uncapped or big.limit(1).count() == 0:
         keyed = flat
         sub_match = F.lit(True)
     else:

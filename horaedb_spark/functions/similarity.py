@@ -49,6 +49,30 @@ def vector_norm(v: Column) -> Column:
     )
 
 
+def checked_norm(v: Column, id_expr: Column) -> Column:
+    """``vector_norm`` with the zero-norm precondition ENFORCED in the
+    expression itself: cosine is undefined at norm 0, and the two ANN
+    execution strategies would otherwise silently DISAGREE on such rows
+    (Spark's window sort ranks NaN greatest; the Arrow kernels' numpy
+    lexsort ranks it last). The Arrow kernels already raise ValueError on
+    zero-norm inputs; this makes the expression twins reject the SAME
+    inputs — ``raise_error`` fires per offending row inside codegen and
+    names the id, and the healthy-row cost is one comparison on the
+    already-folded norm. Filter zero-norm rows upstream if they are
+    expected in the corpus."""
+    n = vector_norm(v)
+    return F.when(
+        n == F.lit(0.0),
+        F.raise_error(
+            F.concat(
+                F.lit("cosine undefined for zero-norm vector (id "),
+                id_expr.cast("string"),
+                F.lit("); filter it upstream"),
+            )
+        ).cast("double"),
+    ).otherwise(n)
+
+
 def dot_product(a: Column, b: Column) -> Column:
     """Fold-left dot product, identical expression to ``dedup.cosine``'s —
     so dot/(norm_a*norm_b) over precomputed norms is bit-identical to
@@ -99,12 +123,12 @@ def brute_force_topk(
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-        vector_norm(F.col(vec_col)).alias("cn"),
+        checked_norm(F.col(vec_col), F.col(id_col)).alias("cn"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-        vector_norm(F.col(vec_col)).alias("qn"),
+        checked_norm(F.col(vec_col), F.col(id_col)).alias("qn"),
     )
     scored = c.join(F.broadcast(q), F.col("corpus_id") != F.col("query_id")).select(
         "query_id",
@@ -141,7 +165,7 @@ def lsh_ann_topk(
         return df.select(
             F.col(id_col).alias(id_alias),
             qz.cast("array<double>").alias(vec_alias),
-            vector_norm(qz).alias(norm_alias),
+            checked_norm(qz, F.col(id_col)).alias(norm_alias),
             lsh_bucket(qz, num_planes, dim).alias("bucket"),
         )
 
@@ -367,23 +391,18 @@ def ivf_ann_topk(
     # the join (the candidate set is ~N*nprobe*N/cells pairs — folding both
     # norms per pair would triple the per-pair element work). The fold
     # expression is identical to dedup.cosine's, so the per-pair division
-    # reproduces its doubles bit-for-bit (oracle hash parity).
-    def _norm(v: Column) -> Column:
-        return F.sqrt(
-            F.aggregate(
-                v.cast("array<double>"), F.lit(0.0), lambda s, x: s + x * x
-            )
-        )
-
+    # reproduces its doubles bit-for-bit (oracle hash parity);
+    # checked_norm additionally rejects zero-norm rows exactly like the
+    # Arrow strategy's kernels, so the two paths can never diverge there.
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-        _norm(F.col(vec_col)).alias("cn"),
+        checked_norm(F.col(vec_col), F.col(id_col)).alias("cn"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-        _norm(F.col(vec_col)).alias("qn"),
+        checked_norm(F.col(vec_col), F.col(id_col)).alias("qn"),
     )
     # coarse quantizer: one tiny driver-side action (num_cells rows), then a
     # literal in every assignment expression — the corpus-side plan is a

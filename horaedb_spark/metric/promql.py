@@ -767,9 +767,19 @@ class PromQLCompiler:
         out = self._eval_raw(node)
         if isinstance(out, (DataFrame, ScalarGrid)):
             if len(memo) >= 512:  # bound driver memory on long-lived
-                # engines (FIFO eviction); default=None tolerates a
-                # concurrent evictor (suite strings compile on a pool)
-                memo.pop(next(iter(memo)), None)
+                # engines (FIFO eviction). Suite strings compile on a
+                # thread pool sharing one engine memo: default=None guards
+                # a key another thread already evicted, and the try/except
+                # guards next(iter(...)) itself — a concurrent insert can
+                # raise RuntimeError ("dictionary changed size during
+                # iteration") and a concurrent eviction emptying the dict
+                # can raise StopIteration. Eviction is best-effort (the
+                # bound is approximate under races), so skipping one
+                # eviction is safe; a lock would serialize compiles.
+                try:
+                    memo.pop(next(iter(memo)), None)
+                except (RuntimeError, StopIteration):
+                    pass
             memo[key] = out
         return out
 

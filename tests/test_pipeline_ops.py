@@ -101,18 +101,45 @@ def test_minhash_band_bucket_cap_bounds_viral_cluster(spark):
 
 
 def test_minhash_cap_is_inert_below_threshold(spark):
-    """Buckets under the cap keep exact one-band-match semantics: the
-    capped and effectively-uncapped runs agree row-for-row on a small
-    mixed corpus."""
-    from horaedb_spark.functions.dedup import minhash_lsh_pairs
+    """Buckets under the cap keep exact one-band-match semantics even when
+    the refinement branch EXECUTES. The cap (5) is chosen so the near-dup
+    groups' band buckets exceed it (asserted below) — both runs taking the
+    zero-big-buckets short-circuit would make the test vacuous. The
+    per-bucket contract is then checked directly from the signature table:
+    (a) capping only ever REMOVES candidate pairs, and (b) every pair
+    co-bucketed by at least one UNDER-cap bucket appears in the capped
+    result — i.e. refinement touches only over-cap buckets."""
+    from collections import Counter, defaultdict
+
+    from horaedb_spark.functions.dedup import (
+        minhash_band_signatures,
+        minhash_lsh_pairs,
+    )
 
     rows = [(i, f"alpha beta gamma delta epsilon {i % 7} zeta eta theta")
             for i in range(60)]
     rows += [(100 + i, f"totally different text number {i} with unrelated words")
              for i in range(20)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    capped = minhash_lsh_pairs(docs, "text", "doc_id", max_bucket_rows=1_000)
-    uncapped = minhash_lsh_pairs(docs, "text", "doc_id", max_bucket_rows=10**9)
-    assert sorted(map(tuple, capped.collect())) == sorted(
-        map(tuple, uncapped.collect())
-    )
+    cap = 5
+    sigs = minhash_band_signatures(docs, "text", "doc_id", 16, 4).collect()
+    sizes = Counter((r["band"], r["sig"]) for r in sigs)
+    assert max(sizes.values()) > cap  # falsifier: refinement branch must run
+    buckets = defaultdict(list)
+    for r in sigs:
+        buckets[(r["band"], r["sig"])].append(r["doc_id"])
+    small_pairs = {
+        (a, b)
+        for key, ids in buckets.items()
+        if sizes[key] <= cap
+        for a in ids
+        for b in ids
+        if a < b
+    }
+    assert small_pairs  # the under-cap side must be non-empty too
+    capped = set(map(tuple, minhash_lsh_pairs(
+        docs, "text", "doc_id", max_bucket_rows=cap).collect()))
+    uncapped = set(map(tuple, minhash_lsh_pairs(
+        docs, "text", "doc_id", max_bucket_rows=10**9).collect()))
+    assert capped <= uncapped          # (a) cap never invents pairs
+    assert small_pairs <= capped       # (b) under-cap buckets unchanged

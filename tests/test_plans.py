@@ -833,3 +833,38 @@ def test_arrow_kernels_reject_zero_norm_vectors(spark):
         ).collect()
     with pytest.raises(ValueError, match="zero-norm"):
         brute_force_topk_arrow(emb, [(99, [0, 0, 0, 0])], "qv", "vec_id", k=2)
+
+
+def test_expression_paths_reject_zero_norm_vectors(spark):
+    """Both strategies agree on the adversarial input by BOTH rejecting it:
+    the expression twins enforce the same zero-norm precondition as the
+    Arrow kernels (checked_norm raises per offending row, naming the id)
+    instead of silently ranking NaN cosines — so the strategy pair can
+    never disagree on a zero vector, per plan or per row."""
+    from horaedb_spark.functions.similarity import (
+        brute_force_topk,
+        ivf_ann_topk,
+        lsh_ann_topk,
+    )
+
+    rows = [(i, [i + 1, 2, 3, 4]) for i in range(8)] + [(99, [0, 0, 0, 0])]
+    emb = spark.createDataFrame(rows, "vec_id long, qv array<long>")
+    clean_q = emb.filter(F.col("vec_id") < 3)
+    with pytest.raises(Exception, match="zero-norm"):
+        brute_force_topk(emb, clean_q, "qv", "vec_id", k=2).collect()
+    with pytest.raises(Exception, match="zero-norm"):
+        ivf_ann_topk(
+            emb, clean_q, "qv", "vec_id", k=2, num_cells=2, nprobe=1,
+            rerank="expression",
+        ).collect()
+    with pytest.raises(Exception, match="zero-norm"):
+        lsh_ann_topk(
+            emb, clean_q, "qv", "vec_id", k=2, num_planes=4, dim=4
+        ).collect()
+    # healthy corpora are untouched: same call shapes, zero vector removed
+    ok = emb.filter(F.col("vec_id") != 99)
+    assert brute_force_topk(ok, clean_q, "qv", "vec_id", k=2).count() > 0
+    assert ivf_ann_topk(
+        ok, clean_q, "qv", "vec_id", k=2, num_cells=2, nprobe=1,
+        rerank="expression",
+    ).count() > 0
