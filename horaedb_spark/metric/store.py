@@ -92,42 +92,35 @@ class MetricStore:
 
     def ingest(self, samples: DataFrame) -> None:
         """One ingest batch: derive ids, append catalogs (idempotent under
-        overwrite merge), write data per segment. ``samples`` columns:
-        name, labels, ts_ms, value, seq."""
+        overwrite merge), write data — ONE Spark job regardless of how many
+        segments the batch spans. ``samples`` columns: name, labels, ts_ms,
+        value, seq.
+
+        The data write goes through ``ColumnarTable.bulk_ingest``
+        (partitionBy(__segment__): every executor writes its slice of every
+        segment, one SST per segment registered afterwards from the staging
+        listing). The previous shape — enumerate segments, then one
+        filter+write job per segment — was correct but driver-serialized: a
+        multi-year backfill through MetricStore ran hundreds of sequential
+        jobs over the same input. Streaming micro-batches (1-2 segments)
+        lose nothing: bulk_ingest is also one pass there."""
         # D10 within-batch: duplicate (metric_id, tsid, ts_ms) rows must
         # resolve by max ingest seq BEFORE the write stamps one __seq__ per
         # file — matching model.build_data_table (remote-write retries folded
         # into one batch would otherwise resolve by parquet row position).
-        ided = dedup_samples(
-            model.with_ids(samples), ["metric_id", "tsid"], "seq"
-        ).persist()
-        try:
-            self.metrics.write(
-                WriteRequest(model.build_metrics_table(samples), TimeRange(0, 1))
-            )
-            self.series.write(
-                WriteRequest(model.build_series_table(samples), TimeRange(0, 1))
-            )
-            self.index.write(
-                WriteRequest(model.build_index_table(samples), TimeRange(0, 1))
-            )
-            dur = self.data.segment_duration_ms
-            # floor form (not `div`, which truncates toward zero): pre-epoch
-            # timestamps must map to the segment that contains them, matching
-            # Timestamp::truncate_by (reference types.rs:82-85) / time_bucket.
-            segs = [
-                r[0]
-                for r in ided.select(
-                    (F.col("ts_ms") - F.pmod("ts_ms", F.lit(dur))).alias("s")
-                ).distinct().collect()
-            ]
-            for seg in sorted(segs):
-                sl = ided.filter(
-                    (F.col("ts_ms") >= seg) & (F.col("ts_ms") < seg + dur)
-                ).select("metric_id", "tsid", "ts_ms", "value")
-                self.data.write(WriteRequest(sl, TimeRange(seg, seg + dur)))
-        finally:
-            ided.unpersist()
+        ided = dedup_samples(model.with_ids(samples), ["metric_id", "tsid"], "seq")
+        self.metrics.write(
+            WriteRequest(model.build_metrics_table(samples), TimeRange(0, 1))
+        )
+        self.series.write(
+            WriteRequest(model.build_series_table(samples), TimeRange(0, 1))
+        )
+        self.index.write(
+            WriteRequest(model.build_index_table(samples), TimeRange(0, 1))
+        )
+        self.data.bulk_ingest(
+            ided.select("metric_id", "tsid", "ts_ms", "value"), "ts_ms"
+        )
 
     # --------------------------------------------------- packed data (RFC:218)
 
@@ -164,23 +157,15 @@ class MetricStore:
 
     def compact_to_packed(self) -> None:
         """Pack-on-compaction: fold the row-per-sample data table (with its
-        merge-on-read dedup applied) into the packed layout, one segment at
-        a time. Idempotent: a re-pack of the same window lands on the same
-        PK and overwrite-merges (the RFC's seq-based dedup on compact,
-        RFC:233-234)."""
+        merge-on-read dedup applied) into the packed layout — ONE Spark job
+        over all segments (``bulk_ingest`` on ``pack_start_ms``; the
+        per-segment driver loop this replaces re-ran the pack aggregation
+        once per segment). Idempotent: a re-pack of the same window lands
+        on the same PK and overwrite-merges (the RFC's seq-based dedup on
+        compact, RFC:233-234)."""
         data = self.data.scan(ScanRequest(ordered=False))
         packed = model.pack_data_table(data, self.pack_ms)
-        dur = self.packed_data.segment_duration_ms
-        seg_col = (
-            F.col("pack_start_ms") - F.pmod("pack_start_ms", F.lit(dur))
-        ).alias("s")
-        segs = [r[0] for r in packed.select(seg_col).distinct().collect()]
-        for seg in sorted(segs):
-            sl = packed.filter(
-                (F.col("pack_start_ms") >= seg)
-                & (F.col("pack_start_ms") < seg + dur)
-            )
-            self.packed_data.write(WriteRequest(sl, TimeRange(seg, seg + dur)))
+        self.packed_data.bulk_ingest(packed, "pack_start_ms")
 
     def packed_scan(self, time_range: TimeRange | None = None) -> DataFrame:
         """Unpack-on-scan over the packed table: prune pack rows with the

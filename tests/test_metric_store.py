@@ -140,3 +140,40 @@ def test_packed_engine_matches_flat_engine(spark, tmp_path):
     flat = store.engine().select_series("cpu", [Matcher("host", "=", "a")])
     pk = store.packed_engine().select_series("cpu", [Matcher("host", "=", "a")])
     assert sorted(map(tuple, flat.collect())) == sorted(map(tuple, pk.collect()))
+
+
+def test_backfill_is_single_pass_regardless_of_segment_count(spark, tmp_path):
+    """A multi-segment backfill through MetricStore.ingest must run a
+    CONSTANT number of Spark jobs (the data write is ONE
+    bulk_ingest/partitionBy job), not one job per touched segment — the
+    pre-r9 shape serialized a multi-year backfill into hundreds of
+    sequential per-segment writes. Checked by job-group job counts: a
+    12-segment batch may not cost more jobs than a 2-segment batch. SST
+    layout is unchanged: one SST per segment."""
+    sc = spark.sparkContext
+
+    def jobs_for(group, fn):
+        sc.setJobGroup(group, group)
+        try:
+            fn()
+        finally:
+            sc.setJobGroup(f"{group}-done", "clear")
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    def batch(n_segs):
+        return _samples(
+            spark,
+            [("cpu", {"h": f"h{i % 3}"}, i * HOUR + 500, float(i), 1)
+             for i in range(n_segs)],
+        )
+
+    s_small = MetricStore(spark, str(tmp_path / "small"), HOUR)
+    s_large = MetricStore(spark, str(tmp_path / "large"), HOUR)
+    n_small = jobs_for("bf-small", lambda: s_small.ingest(batch(2)))
+    n_large = jobs_for("bf-large", lambda: s_large.ingest(batch(12)))
+    assert len(s_small.data.manifest.all_ssts()) == 2
+    assert len(s_large.data.manifest.all_ssts()) == 12
+    assert n_large <= n_small, (n_small, n_large)
+    # the engine still reads every segment back correctly
+    eng = s_large.engine()
+    assert eng.data.count() == 12
