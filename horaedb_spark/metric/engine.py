@@ -239,9 +239,19 @@ class MetricEngine:
         matchers: list[Matcher] | None = None,
         time_range: TimeRange | None = None,
         with_labels: bool = True,
+        field: str | None = None,
     ) -> DataFrame:
         """Samples of all series matching the matchers within the range —
         the index→TSID→data join pipeline (RFC:120-126).
+
+        ``field`` selects ONE field of a multi-field metric (RFC:106-113
+        metrics-table shape; data-table FieldId at RFC:222-229); None means
+        the default ``value`` field. Because field ids are stable hashes,
+        the selection is a literal equality on the data table's ``field_id``
+        column — no catalog join, and it prunes at the parquet scan like any
+        other PK-prefix predicate. On a single-field engine (no field
+        dimension in the data) the filter is skipped entirely, and asking
+        for a non-default field there is an error rather than silence.
 
         On a cached engine the labeled path reads ``_flat`` (pre-joined,
         series_key-partitioned): filters and the broadcast matcher
@@ -252,6 +262,15 @@ class MetricEngine:
             out = self._flat.filter(F.col("metric_id") == mid)
         else:
             out = self.data.filter(F.col("metric_id") == mid)
+        if "field_id" in out.columns:
+            want = field if field is not None else model.DEFAULT_FIELD
+            out = out.filter(F.col("field_id") == F.xxhash64(F.lit(want)))
+        elif field is not None and field != model.DEFAULT_FIELD:
+            raise ValueError(
+                f"engine data has no field dimension; cannot select "
+                f"field={field!r} (ingest multi-field samples with a "
+                f"'field' column to enable it)"
+            )
         if time_range is not None:
             out = out.filter(
                 (F.col("ts_ms") >= time_range.start) & (F.col("ts_ms") < time_range.end)

@@ -31,6 +31,7 @@ import struct
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # ---------------------------------------------------------------- wire codec
@@ -400,3 +401,74 @@ def decode_exemplar_payloads(payloads: DataFrame, payload_col: str = "payload") 
             )
 
     return payloads.mapInPandas(decode_iter, EXEMPLARS_SCHEMA)
+
+
+def group_metric_families(
+    samples: DataFrame,
+    families: dict[str, str] | None = None,
+    suffixes: tuple[str, ...] = ("sum", "count", "bucket", "total"),
+) -> DataFrame:
+    """Fold a Prometheus metric family into ONE multi-field metric — the
+    RFC metrics-table shape where a metric carries several
+    (FieldName, FieldId, FieldType) rows (docs/rfcs/20240827-metric-engine.md:
+    106-113; data-table FieldId at RFC:222-229): ``http_req_sum`` /
+    ``http_req_count`` become metric ``http_req`` with fields ``sum`` /
+    ``count``, so a second field of a metric no longer needs a second
+    metric name.
+
+    ``families`` maps a sample name to its family, sourced from the
+    remote-write METADATA records' ``family_name``
+    (:func:`decode_metadata`); the field is the name's remainder past the
+    family. Without metadata, the standard Prometheus compound suffixes
+    split heuristically. Unmatched names pass through with the default
+    ``value`` field, so mixing grouped and plain metrics in one batch is
+    fine.
+
+    Scale shape: a pure projection — the mapping compiles to a literal
+    CASE chain (metadata-sized), no join and no shuffle on the ingest hot
+    path. Feed the result to ``MetricEngine`` / ``MetricStore.ingest``;
+    ``model.build_metrics_table`` derives the per-field catalog rows and
+    ``model.build_data_table`` stamps the stable hash field_id."""
+    from horaedb_spark.metric import model
+
+    if families:
+        branches = [
+            F.when(
+                F.col("name") == nm,
+                F.struct(
+                    F.lit(fam).alias("family"),
+                    F.lit(
+                        (nm[len(fam):].lstrip("_") or model.DEFAULT_FIELD)
+                        if nm.startswith(fam)
+                        else model.DEFAULT_FIELD
+                    ).alias("field"),
+                ),
+            )
+            for nm, fam in families.items()
+        ]
+    else:
+        branches = [
+            F.when(
+                F.col("name").endswith(f"_{s}"),
+                F.struct(
+                    F.expr(
+                        f"substring(name, 1, length(name) - {len(s) + 1})"
+                    ).alias("family"),
+                    F.lit(s).alias("field"),
+                ),
+            )
+            for s in suffixes
+        ]
+    split = F.coalesce(
+        *branches,
+        F.struct(
+            F.col("name").alias("family"),
+            F.lit(model.DEFAULT_FIELD).alias("field"),
+        ),
+    )
+    return (
+        samples.withColumn("__split__", split)
+        .withColumn("name", F.col("__split__.family"))
+        .withColumn("field", F.col("__split__.field"))
+        .drop("__split__")
+    )

@@ -42,6 +42,52 @@ def tsid(name: Column, labels: Column) -> Column:
     return F.xxhash64(name, sorted_series_key(labels))
 
 
+def field_id(field_name: Column) -> Column:
+    """Stable field id — same derivation philosophy as metric_id/tsid: the
+    hash IS the id, so neither ingest nor query needs a catalog round-trip
+    to resolve a field. The RFC's metrics table carries a catalog-assigned
+    dense FieldId(uint32) (RFC 20240827:106-113, data table FieldId(i32) at
+    RFC:130); a dense id assigned per ingest batch would DRIFT across
+    batches (batch 1 {count,sum} -> ids 0,1; batch 2 {sum} -> id 0), and
+    keeping it stable needs exactly the catalog service the hash design
+    avoids — see DIVERGENCES.md (same stability-over-encoding divergence as
+    seahash -> xxhash64)."""
+    return F.xxhash64(field_name)
+
+
+DEFAULT_FIELD = "value"
+
+
+def normalized_fields(samples: DataFrame) -> DataFrame:
+    """Samples with an explicit ``field`` column: multi-field samples carry
+    their own (family metric name, field) split — e.g. from
+    ``ingest.group_metric_families`` — while plain remote-write samples
+    (single value per metric) normalize to the default ``value`` field,
+    matching the RFC example row (RFC:150-153)."""
+    if "field" in samples.columns:
+        return samples
+    return samples.withColumn("field", F.lit(DEFAULT_FIELD))
+
+
+_FIELD_TYPE_NAMES = {
+    "double": "f64",
+    "float": "f32",
+    "bigint": "i64",
+    "int": "i32",
+    "smallint": "i16",
+    "tinyint": "i8",
+    "boolean": "bool",
+    "string": "string",
+}
+
+
+def _field_type(samples: DataFrame) -> str:
+    """FieldType derived from the value column's Spark type (the RFC's
+    uint8 type enum, spelled as a name)."""
+    dt = samples.schema["value"].dataType.simpleString()
+    return _FIELD_TYPE_NAMES.get(dt, dt)
+
+
 def with_ids(samples: DataFrame) -> DataFrame:
     """D1+D2 id population: stamp metric_id and tsid on every sample.
 
@@ -54,17 +100,22 @@ def with_ids(samples: DataFrame) -> DataFrame:
 
 
 def build_metrics_table(samples: DataFrame) -> DataFrame:
-    """metrics catalog (RFC:106-113). One field ("value", f64) per metric in
-    this snapshot — matching the reference's single-value-column samples."""
+    """metrics catalog (RFC:106-113): one row per (metric, field). Plain
+    single-value samples degenerate to one ``value``/f64 row per metric
+    (the RFC example, RFC:150-153); multi-field samples (``field`` column,
+    e.g. a remote-write family grouped by ``ingest.group_metric_families``)
+    emit one catalog row per field with the stable hash field_id."""
+    ftype = _field_type(samples)
     return (
-        samples.select("name")
+        normalized_fields(samples)
+        .select("name", "field")
         .distinct()
         .select(
             F.col("name").alias("metric_name"),
             metric_id(F.col("name")).alias("metric_id"),
-            F.lit("value").alias("field_name"),
-            F.lit(0).alias("field_id"),
-            F.lit("f64").alias("field_type"),
+            F.col("field").alias("field_name"),
+            field_id(F.col("field")).alias("field_id"),
+            F.lit(ftype).alias("field_type"),
         )
     )
 
@@ -97,9 +148,20 @@ def build_tags_table(samples: DataFrame) -> DataFrame:
 
 
 def build_data_table(samples: DataFrame) -> DataFrame:
-    """Samples keyed (metric_id, tsid, ts_ms) — the RFC's data-table PK prefix
-    (RFC:229); duplicate (PK, timestamp) resolves to max seq (RFC:232 / D10)."""
+    """Samples keyed (metric_id, tsid[, field_id], ts_ms) — the RFC's
+    data-table PK prefix (MetricID, TSID, FieldID; RFC:222-229); duplicate
+    (PK, timestamp) resolves to max seq (RFC:232 / D10).
+
+    Single-value samples (no ``field`` column) keep the 4-column shape with
+    no field dimension — every compiled plan over them is unchanged.
+    Field-carrying samples add a ``field_id`` column (stamped by the stable
+    hash — a pure projection, no catalog join on the ingest path) and dedup
+    per field: two fields of one series at one timestamp are two rows."""
     ided = with_ids(samples)
+    if "field" in samples.columns:
+        ided = ided.withColumn("field_id", field_id(F.col("field")))
+        deduped = dedup_samples(ided, ["metric_id", "tsid", "field_id"], "seq")
+        return deduped.select("metric_id", "tsid", "field_id", "ts_ms", "value")
     deduped = dedup_samples(ided, ["metric_id", "tsid"], "seq")
     return deduped.select("metric_id", "tsid", "ts_ms", "value")
 
@@ -122,7 +184,10 @@ def pack_data_table(data: DataFrame, pack_ms: int = PACK_MS) -> DataFrame:
     single-partition stage; for high-frequency series this cuts data-table
     row count ~(points per 30 min)x."""
     win = (F.col("ts_ms") - F.pmod("ts_ms", F.lit(pack_ms))).alias("pack_start_ms")
-    return data.groupBy("metric_id", "tsid", win).agg(
+    keys = ["metric_id", "tsid"] + (
+        ["field_id"] if "field_id" in data.columns else []
+    )
+    return data.groupBy(*keys, win).agg(
         F.sort_array(F.collect_list(F.struct("ts_ms", "value"))).alias("points"),
         F.min("ts_ms").alias("ts_min"),
         F.max("ts_ms").alias("ts_max"),
@@ -132,13 +197,13 @@ def pack_data_table(data: DataFrame, pack_ms: int = PACK_MS) -> DataFrame:
 
 def unpack_data_table(packed: DataFrame) -> DataFrame:
     """Unpack-on-scan: explode the packed points back to the row-per-sample
-    shape (metric_id, tsid, ts_ms, value). The generator runs inside
-    whole-stage codegen — no Python in the path."""
-    return packed.select(
-        "metric_id", "tsid", F.explode("points").alias("__p__")
-    ).select(
-        "metric_id",
-        "tsid",
+    shape (metric_id, tsid[, field_id], ts_ms, value). The generator runs
+    inside whole-stage codegen — no Python in the path."""
+    keys = ["metric_id", "tsid"] + (
+        ["field_id"] if "field_id" in packed.columns else []
+    )
+    return packed.select(*keys, F.explode("points").alias("__p__")).select(
+        *keys,
         F.col("__p__.ts_ms").alias("ts_ms"),
         F.col("__p__.value").alias("value"),
     )

@@ -814,8 +814,23 @@ class PromQLCompiler:
     def _samples(self, sel: Selector) -> DataFrame:
         """Selector -> raw sample frame (series_key, ts_ms, value); offset
         shifts timestamps FORWARD so evaluation at T reads data at
-        T - offset (functions/promql.offset_by rule)."""
-        df = self.engine.select_series(sel.name, list(sel.matchers) or None)
+        T - offset (functions/promql.offset_by rule).
+
+        The reserved ``__field__`` matcher selects one field of a
+        multi-field metric (RFC 20240827:106-113) — the PromQL-side spelling
+        of the metrics-table field selector, by analogy with ``__name__``.
+        It routes to ``select_series(field=...)`` instead of the inverted
+        index (fields are a data-table dimension, not a label)."""
+        matchers = [m for m in sel.matchers if m.key != "__field__"]
+        fsel = [m for m in sel.matchers if m.key == "__field__"]
+        field = None
+        if fsel:
+            if len(fsel) > 1 or fsel[0].op != "=":
+                raise PromQLError(
+                    "__field__ takes exactly one equality matcher"
+                )
+            field = fsel[0].value
+        df = self.engine.select_series(sel.name, matchers or None, field=field)
         if sel.offset_ms:
             df = df.withColumn("ts_ms", F.col("ts_ms") + F.lit(sel.offset_ms))
         return df.select("series_key", "ts_ms", "value")

@@ -55,13 +55,16 @@ class MetricStore:
         self.pack_ms = pack_ms
         self._packed: ColumnarTable | None = None
         L, S, D = T.LongType(), T.StringType(), T.DoubleType()
+        # PK (metric_name, field_name): the RFC metrics table carries one
+        # row PER FIELD of a metric (RFC:106-113) — re-ingesting a family
+        # upserts each field row idempotently under overwrite merge.
         self.metrics = ColumnarTable(
             spark,
             f"{root}/metrics",
             _schema(
-                [("metric_name", S), ("metric_id", L), ("field_name", S),
+                [("metric_name", S), ("field_name", S), ("metric_id", L),
                  ("field_id", L), ("field_type", S)],
-                1,
+                2,
             ),
             CATALOG_SEGMENT,
         )
@@ -79,11 +82,19 @@ class MetricStore:
             ),
             CATALOG_SEGMENT,
         )
+        # PK (metric_id, tsid, field_id, ts_ms) — the RFC data table's
+        # first-three-columns PK (MetricID, TSID, FieldID; RFC:222-229)
+        # plus the row timestamp our row-per-sample layout keeps explicit.
+        # Single-value ingest writes field_id = xxhash64('value') uniformly;
+        # the PK-sorted layout then keeps each field's samples contiguous
+        # within an SST, so a field selection prunes on parquet min/max.
         self.data = ColumnarTable(
             spark,
             f"{root}/data",
             _schema(
-                [("metric_id", L), ("tsid", L), ("ts_ms", L), ("value", D)], 3
+                [("metric_id", L), ("tsid", L), ("field_id", L),
+                 ("ts_ms", L), ("value", D)],
+                4,
             ),
             segment_duration_ms,
         )
@@ -104,11 +115,21 @@ class MetricStore:
         multi-year backfill through MetricStore ran hundreds of sequential
         jobs over the same input. Streaming micro-batches (1-2 segments)
         lose nothing: bulk_ingest is also one pass there."""
-        # D10 within-batch: duplicate (metric_id, tsid, ts_ms) rows must
-        # resolve by max ingest seq BEFORE the write stamps one __seq__ per
-        # file — matching model.build_data_table (remote-write retries folded
-        # into one batch would otherwise resolve by parquet row position).
-        ided = dedup_samples(model.with_ids(samples), ["metric_id", "tsid"], "seq")
+        # D10 within-batch: duplicate (metric_id, tsid, field_id, ts_ms)
+        # rows must resolve by max ingest seq BEFORE the write stamps one
+        # __seq__ per file — matching model.build_data_table (remote-write
+        # retries folded into one batch would otherwise resolve by parquet
+        # row position). Samples without a `field` column normalize to the
+        # default 'value' field (RFC example row, RFC:150-153); the field
+        # id is the stable hash — a projection, never a catalog join.
+        fielded = model.normalized_fields(samples)
+        ided = dedup_samples(
+            model.with_ids(fielded).withColumn(
+                "field_id", model.field_id(F.col("field"))
+            ),
+            ["metric_id", "tsid", "field_id"],
+            "seq",
+        )
         self.metrics.write(
             WriteRequest(model.build_metrics_table(samples), TimeRange(0, 1))
         )
@@ -119,7 +140,8 @@ class MetricStore:
             WriteRequest(model.build_index_table(samples), TimeRange(0, 1))
         )
         self.data.bulk_ingest(
-            ided.select("metric_id", "tsid", "ts_ms", "value"), "ts_ms"
+            ided.select("metric_id", "tsid", "field_id", "ts_ms", "value"),
+            "ts_ms",
         )
 
     # --------------------------------------------------- packed data (RFC:218)
@@ -143,13 +165,14 @@ class MetricStore:
                     [
                         ("metric_id", L),
                         ("tsid", L),
+                        ("field_id", L),
                         ("pack_start_ms", L),
                         ("points", T.ArrayType(point)),
                         ("ts_min", L),
                         ("ts_max", L),
                         ("n_points", L),
                     ],
-                    3,
+                    4,
                 ),
                 self.data.segment_duration_ms,
             )

@@ -2181,3 +2181,117 @@ def remote_write_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("metric_name", "cohort")
     )
+
+
+# ------------------------------------------------------- multi-field metrics
+_MF_ENGINES: dict[str, MetricEngine] = {}
+
+# Field-split dedup CTE: the samples stream carries a FIELD dimension
+# (RFC 20240827:106-113 metrics table; data-table FieldId at RFC:222-229) —
+# D10 dedup keys on (metric, field, series, ts), so the same series can hold
+# one row PER FIELD at one timestamp.
+_MF_DEDUP_CTE = """
+    WITH samples AS (
+      SELECT event_type AS name,
+             CASE WHEN event_id % 2 = 0 THEN 'sum' ELSE 'count' END AS field,
+             CAST(user_id AS VARCHAR) AS user_label,
+             CAST(user_id % 10 AS VARCHAR) AS cohort,
+             ts_ms, value
+      FROM (
+        SELECT *, epoch_ms(ts) AS ts_ms,
+               row_number() OVER (
+                 PARTITION BY event_type,
+                              CASE WHEN event_id % 2 = 0 THEN 'sum' ELSE 'count' END,
+                              user_id, epoch_ms(ts)
+                 ORDER BY event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+"""
+
+
+def _mf_engine(spark: SparkSession, sf_dir: str) -> MetricEngine:
+    """Engine over a MULTI-FIELD samples stream: event names are suffixed
+    into a Prometheus-style family (``click_sum`` / ``click_count``) and
+    folded back into ONE metric with two fields by
+    ``ingest.group_metric_families`` — the RFC metrics-table shape where a
+    second field of a metric does not need a second metric name."""
+    if sf_dir not in _MF_ENGINES:
+        from horaedb_spark.metric.ingest import group_metric_families
+
+        ev = events_ms(spark, sf_dir)
+        suffix = F.when(F.col("event_id") % 2 == 0, F.lit("sum")).otherwise(
+            F.lit("count")
+        )
+        raw = ev.select(
+            F.concat(F.col("event_type"), F.lit("_"), suffix).alias("name"),
+            F.create_map(
+                F.lit("user"),
+                F.col("user_id").cast("string"),
+                F.lit("cohort"),
+                (F.col("user_id") % 10).cast("string"),
+            ).alias("labels"),
+            "ts_ms",
+            "value",
+            F.col("event_id").alias("seq"),
+        )
+        _MF_ENGINES[sf_dir] = MetricEngine(group_metric_families(raw))
+    return _MF_ENGINES[sf_dir]
+
+
+@register(
+    "metric_multi_field_select",
+    oracle=_MF_DEDUP_CTE
+    + """
+    SELECT field, cohort, count(*) AS n_samples,
+           round(sum(value), 2) + 0 AS sum_value
+    FROM samples WHERE name = 'click'
+    GROUP BY field, cohort
+    ORDER BY field, cohort
+    """,
+)
+def metric_multi_field_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two fields of ONE metric, independently selected and aggregated —
+    the RFC multi-field metrics catalog end-to-end
+    (docs/rfcs/20240827-metric-engine.md:106-113): family grouping at
+    ingest (``click_sum``/``click_count`` -> metric ``click``, fields
+    ``sum``/``count``), stable-hash FieldId on the data table
+    (RFC:222-229), and a per-field literal field_id selection in
+    ``select_series`` (no catalog join). The same series (user/cohort
+    labels) holds both fields; dedup (D10) is per (field, series, ts)."""
+    eng = _mf_engine(spark, sf_dir)
+    parts = []
+    for fld in ("sum", "count"):
+        sel = _series_with_labels(
+            eng.select_series("click", field=fld)
+        )
+        parts.append(
+            sel.groupBy("cohort").agg(
+                F.count(F.lit(1)).alias("n_samples"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            ).select(F.lit(fld).alias("field"), "cohort", "n_samples", "sum_value")
+        )
+    return parts[0].unionByName(parts[1]).orderBy("field", "cohort")
+
+
+@register(
+    "metric_field_catalog",
+    oracle="""
+    SELECT DISTINCT event_type AS metric_name,
+           CASE WHEN event_id % 2 = 0 THEN 'sum' ELSE 'count' END AS field_name,
+           'f64' AS field_type
+    FROM events
+    ORDER BY metric_name, field_name
+    """,
+)
+def metric_field_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The metrics catalog itself (RFC:106-113): one row per
+    (metric, field) with the field type derived from the value column —
+    the catalog no longer hard-codes a single 'value' field row. Ids are
+    engine-internal hashes (like metric_id/tsid everywhere else) so the
+    oracle compares the portable columns."""
+    return (
+        _mf_engine(spark, sf_dir)
+        .metrics.select("metric_name", "field_name", "field_type")
+        .orderBy("metric_name", "field_name")
+    )

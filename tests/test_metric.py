@@ -327,3 +327,134 @@ def test_cached_engine_equals_uncached_and_skips_exchange(spark):
         assert "Exchange" not in head, head
     finally:
         cached.uncache()
+
+
+# ---------------------------------------------------------------- multi-field
+
+
+def _mf_samples(spark):
+    """One metric family: http_req with fields sum/count (RFC:106-113),
+    plus a plain single-name metric mixed into the same batch."""
+    rows = [
+        ("http_req_sum", {"host": "a"}, 1000, 10.0, 1),
+        ("http_req_sum", {"host": "a"}, 2000, 30.0, 2),
+        ("http_req_count", {"host": "a"}, 1000, 2.0, 3),
+        ("http_req_count", {"host": "a"}, 2000, 5.0, 4),
+        ("http_req_sum", {"host": "b"}, 1000, 7.0, 5),
+        ("plain_gauge", {"host": "a"}, 1000, 1.5, 6),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "name string, labels map<string,string>, ts_ms long, value double, seq long",
+    )
+    from horaedb_spark.metric.ingest import group_metric_families
+
+    return group_metric_families(df)
+
+
+def test_group_metric_families_suffix_and_metadata(spark):
+    from horaedb_spark.metric.ingest import group_metric_families
+
+    df = spark.createDataFrame(
+        [("api_latency_sum", 1.0), ("api_latency_count", 2.0), ("up", 1.0)],
+        "name string, value double",
+    )
+    # suffix heuristic
+    out = {(r["name"], r["field"]) for r in group_metric_families(df).collect()}
+    assert out == {
+        ("api_latency", "sum"), ("api_latency", "count"), ("up", "value")
+    }
+    # explicit metadata family map (decode_metadata's family_name) wins
+    fams = {"api_latency_sum": "api_latency", "api_latency_count": "api_latency"}
+    out2 = {
+        (r["name"], r["field"])
+        for r in group_metric_families(df, families=fams).collect()
+    }
+    assert out2 == out
+
+
+def test_multi_field_catalog_and_data_table(spark):
+    """metrics catalog: one row PER (metric, field) with stable hash ids —
+    no hard-coded single-field literal; data table carries field_id and
+    dedups per field (two fields of one series at one ts are two rows)."""
+    from horaedb_spark.metric import model
+
+    s = _mf_samples(spark)
+    cat = {
+        (r["metric_name"], r["field_name"], r["field_type"])
+        for r in model.build_metrics_table(s).collect()
+    }
+    assert cat == {
+        ("http_req", "sum", "f64"),
+        ("http_req", "count", "f64"),
+        ("plain_gauge", "value", "f64"),
+    }
+    data = model.build_data_table(s)
+    assert "field_id" in data.columns
+    # same series (http_req{host=a}) at ts=1000 has one row per field
+    n = data.filter(F.col("ts_ms") == 1000).count()
+    assert n == 4  # sum@a, count@a, sum@b, plain_gauge@a
+    # field ids are the stable hash of the field name
+    fid = {r["field_name"]: r["field_id"]
+           for r in model.build_metrics_table(s).collect()}
+    got = spark.sql("SELECT xxhash64('sum') AS h").first()["h"]
+    assert fid["sum"] == got
+
+
+def test_engine_field_selection_and_promql_field_matcher(spark):
+    eng = MetricEngine(_mf_samples(spark))
+    sums = eng.select_series("http_req", field="sum", with_labels=False)
+    counts = eng.select_series("http_req", field="count", with_labels=False)
+    assert sorted((r.ts_ms, r.value) for r in sums.collect()) == [
+        (1000, 7.0), (1000, 10.0), (2000, 30.0)
+    ]
+    assert sorted((r.ts_ms, r.value) for r in counts.collect()) == [
+        (1000, 2.0), (2000, 5.0)
+    ]
+    # default field on a multi-field engine = 'value' rows only
+    assert eng.select_series("http_req", with_labels=False).count() == 0
+    assert eng.select_series("plain_gauge", with_labels=False).count() == 1
+    # PromQL __field__ matcher routes to the same selection
+    got = eng.promql(
+        'sum by (host) (sum_over_time(http_req{__field__="sum"}[1h]))',
+        step_ms=3_600_000,
+    )
+    vals = {(r["series_key"], r["value"]) for r in got.collect()}
+    assert ("host=a", 40.0) in vals and ("host=b", 7.0) in vals
+    # a single-field engine rejects a non-default field selection
+    plain = MetricEngine(spark.createDataFrame(
+        [("m", {"h": "a"}, 1000, 1.0, 1)],
+        "name string, labels map<string,string>, ts_ms long, value double, seq long",
+    ))
+    with pytest.raises(ValueError, match="field dimension"):
+        plain.select_series("m", field="sum")
+
+
+def test_store_multi_field_round_trip(spark, tmp_path):
+    """Durable path: data-table PK includes field_id (RFC:222-229), the
+    catalog upserts one row per field, and the packed layout packs per
+    (series, field)."""
+    from horaedb_spark.metric.store import MetricStore
+
+    store = MetricStore(spark, str(tmp_path / "mf"), 3_600_000)
+    store.ingest(_mf_samples(spark))
+    eng = store.engine()
+    assert eng.metrics.count() == 3  # 2 family fields + 1 plain
+    sums = eng.select_series("http_req", field="sum", with_labels=False)
+    assert sorted((r.ts_ms, r.value) for r in sums.collect()) == [
+        (1000, 7.0), (1000, 10.0), (2000, 30.0)
+    ]
+    # re-ingest idempotent per field
+    store.ingest(_mf_samples(spark))
+    assert store.engine().metrics.count() == 3
+    # packed path keeps fields apart
+    store.compact_to_packed()
+    peng = store.packed_engine()
+    psums = peng.select_series("http_req", field="sum", with_labels=False)
+    assert sorted((r.ts_ms, r.value) for r in psums.collect()) == [
+        (1000, 7.0), (1000, 10.0), (2000, 30.0)
+    ]
+    pc = peng.select_series("http_req", field="count", with_labels=False)
+    assert sorted((r.ts_ms, r.value) for r in pc.collect()) == [
+        (1000, 2.0), (2000, 5.0)
+    ]
