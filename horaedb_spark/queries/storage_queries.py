@@ -1187,3 +1187,54 @@ def storage_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame
     return (
         _EVOLVED_TABLES[key].scan().orderBy("user_id", "event_type", "ts_ms")
     )
+
+
+@register(
+    "storage_bucketed_scan",
+    oracle=f"""
+    SELECT user_id, count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 6)
+             AS sum_value,
+           max(ts_ms) AS last_ts
+    FROM (
+      SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, value,
+             row_number() OVER (
+               PARTITION BY user_id, event_type, epoch_ms(ts) // {_SEG_15D}
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def storage_bucketed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opt-in bucketed table property (storage/bucketed.py): the same
+    merge-on-read state as ``storage_scan_overwrite``, but SERVED from the
+    maintained bucketed catalog mirror — hash-bucketed on user_id, so this
+    per-user aggregation (and any join on user_id) runs WITHOUT exchanging
+    the fact side; the layout must never change answers (the oracle is the
+    plain deduped aggregate). Incremental maintenance and the no-exchange
+    plan property are pinned in tests/test_bucketing.py."""
+    key = (sf_dir, "bucketed")
+    if key not in _CACHE:
+        from horaedb_spark.storage.bucketed import BucketSpec
+
+        base = _build_events_table(spark, sf_dir, _SEG_15D, 4)
+        # same SSTs, bucketed serving layer on top
+        table = ColumnarTable(
+            spark, base.root, _events_schema(), _SEG_15D,
+            bucket_spec=BucketSpec(8, ("user_id",)),
+        )
+        table.refresh_bucketed()
+        _CACHE[key] = table
+    out = _CACHE[key].bucketed_scan()
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(30,10)")).cast("double"), 6
+            ).alias("sum_value"),
+            F.max("ts_ms").alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )

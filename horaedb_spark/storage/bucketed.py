@@ -1,0 +1,219 @@
+"""Opt-in bucketed read-optimized layout for a ColumnarTable.
+
+SURVEY.md §4's deferred optimization, promoted from demo
+(tests/test_bucketing.py) to a maintained table property: a ColumnarTable
+constructed with a ``BucketSpec`` keeps a catalog-registered MIRROR of its
+merged (read-optimized) state, laid out ``partitionBy(__segment__)`` +
+``bucketBy(num_buckets, columns)`` + ``sortBy(columns)``. Serving reads come
+from ``spark.table(...)``, where Catalyst knows the hash partitioning — so
+repeated self-joins / joins between co-bucketed tables / aggregations on the
+bucket columns run WITHOUT an exchange on the fact side. At 100 TB that
+replaces the per-query shuffle of the biggest table with a maintained layout.
+
+Why a mirror and not the primary layout: Spark only exploits bucketing
+through the catalog (a raw ``spark.read.parquet`` of the same files loses the
+output partitioning), while the primary SST layout must stay
+manifest-addressed for merge-on-read, time travel and compaction. This is
+exactly the read-optimized-view split Hudi/Iceberg make; the mirror is the
+serving copy, the SSTs stay the source of truth.
+
+Freshness + incremental maintenance: the mirror records, per segment, a
+digest of the live SST ids that produced it. ``refresh()`` rewrites ONLY the
+partitions whose SST set changed (dynamic partition overwrite into the
+bucketed table — one job over the changed segments, each slice re-reading its
+merged state) and drops partitions whose segment disappeared (TTL). A
+compaction that rewrites one segment therefore refreshes one partition, not
+the table; the initial build is the only full-table write. ``Compactor``
+calls ``refresh()`` after each executed task when the table opted in, which
+is what "maintains the bucketed layout through compaction" means here.
+
+Tradeoffs (DIVERGENCES.md #27): the bucket count is FIXED at creation —
+re-bucketing is a full rebuild (``rebuild()``), so pick the count for the
+target scale (buckets ≈ cluster cores at the final size; skew within a
+bucket is not AQE-splittable because bucketed scans bypass the exchange).
+The mirror doubles storage for the mirrored table, and catalog metadata is
+session-scoped under Spark's default in-memory catalog (files persist in the
+warehouse; a new session rebuilds metadata from them — production would sit
+on a persistent metastore).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+from horaedb_spark.core.timeutil import TimeRange, truncate_by
+
+
+@dataclass(frozen=True)
+class BucketSpec:
+    """num_buckets hash buckets on ``columns`` (the join/dedup key — usually
+    the PK prefix ahead of the timestamp)."""
+
+    num_buckets: int
+    columns: tuple[str, ...]
+
+    def __post_init__(self):
+        if self.num_buckets < 1:
+            raise ValueError("num_buckets must be >= 1")
+        if not self.columns:
+            raise ValueError("bucket columns must be non-empty")
+
+
+class BucketedMirror:
+    """The maintained bucketed materialization of one ColumnarTable."""
+
+    def __init__(self, table, spec: BucketSpec):
+        from horaedb_spark.storage.table import ScanRequest  # cycle-free
+
+        self._ScanRequest = ScanRequest
+        self.table = table
+        self.spec = spec
+        missing = [c for c in spec.columns if c not in table.schema.user_columns]
+        if missing:
+            raise ValueError(f"bucket columns {missing} not in table schema")
+        self._meta_path = os.path.join(table.root, "bucketed.json")
+        self.name = (
+            "bkt_"
+            + hashlib.md5(os.path.abspath(table.root).encode()).hexdigest()[:16]
+        )
+
+    # ------------------------------------------------------------ state
+
+    def _live_digests(self) -> dict[str, str]:
+        """segment -> md5 over its sorted live SST ids: the freshness token.
+        Driver-side manifest fold, no Spark job."""
+        by_seg: dict[int, list[int]] = {}
+        dur = self.table.segment_duration_ms
+        for s in self.table.manifest.all_ssts():
+            by_seg.setdefault(truncate_by(s.time_range.start, dur), []).append(
+                s.file_id
+            )
+        return {
+            str(seg): hashlib.md5(
+                ",".join(map(str, sorted(ids))).encode()
+            ).hexdigest()
+            for seg, ids in by_seg.items()
+        }
+
+    def _stored(self) -> dict:
+        if self.table.backend.exists(self._meta_path):
+            return json.loads(self.table.backend.read_text(self._meta_path))
+        return {"segments": {}}
+
+    def _exists(self) -> bool:
+        return self.table.spark.catalog.tableExists(self.name)
+
+    def is_fresh(self) -> bool:
+        return self._exists() and self._stored()["segments"] == self._live_digests()
+
+    # ---------------------------------------------------------- refresh
+
+    def _segment_frame(self, seg: int) -> DataFrame:
+        """One segment's MERGED user rows, stamped with its partition value.
+        SSTs never span segments (write/bulk_ingest invariant), so the
+        manifest lookup is exact — no row-level time filter needed."""
+        from pyspark.sql import functions as F
+
+        from horaedb_spark.storage.table import SEGMENT_COLUMN
+
+        dur = self.table.segment_duration_ms
+        ssts = self.table.manifest.find_ssts(TimeRange(seg, seg + dur))
+        df = self.table.scan_ssts(ssts, self._ScanRequest(ordered=False))
+        return df.withColumn(SEGMENT_COLUMN, F.lit(int(seg)))
+
+    def refresh(self) -> dict:
+        """Bring the mirror up to date. Returns
+        ``{"rebuilt": bool, "overwritten": [segments], "dropped": [segments]}``.
+        Incremental: only partitions whose SST digest changed are rewritten
+        (ONE insertInto job over their union, dynamic partition overwrite);
+        vanished segments' partitions are dropped driver-side."""
+        from functools import reduce
+
+        from horaedb_spark.storage.table import SEGMENT_COLUMN
+
+        spark = self.table.spark
+        live = self._live_digests()
+        stored = self._stored()["segments"]
+        stats = {"rebuilt": False, "overwritten": [], "dropped": []}
+        if not self._exists():
+            # stale warehouse residue from a previous session's catalog
+            wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+            shutil.rmtree(os.path.join(wh, self.name), ignore_errors=True)
+            frames = [self._segment_frame(int(s)) for s in sorted(live, key=int)]
+            if not frames:
+                self.table.backend.put_text(
+                    self._meta_path, json.dumps({"segments": {}})
+                )
+                return stats
+            full = reduce(lambda a, b: a.unionByName(b), frames)
+            (
+                full.write.partitionBy(SEGMENT_COLUMN)
+                .bucketBy(self.spec.num_buckets, *self.spec.columns)
+                .sortBy(*self.spec.columns)
+                .mode("overwrite")
+                .saveAsTable(self.name)
+            )
+            stats["rebuilt"] = True
+        else:
+            changed = sorted(
+                (s for s in live if stored.get(s) != live[s]), key=int
+            )
+            removed = sorted((s for s in stored if s not in live), key=int)
+            if changed:
+                frames = [self._segment_frame(int(s)) for s in changed]
+                from functools import reduce as _r
+
+                up = _r(lambda a, b: a.unionByName(b), frames)
+                # insertInto is POSITION-based: align to the catalog order
+                up = up.select(*spark.table(self.name).columns)
+                prev = spark.conf.get(
+                    "spark.sql.sources.partitionOverwriteMode", "static"
+                )
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", "dynamic"
+                )
+                try:
+                    up.write.mode("overwrite").insertInto(self.name)
+                finally:
+                    spark.conf.set(
+                        "spark.sql.sources.partitionOverwriteMode", prev
+                    )
+                stats["overwritten"] = [int(s) for s in changed]
+            for s in removed:
+                spark.sql(
+                    f"ALTER TABLE {self.name} DROP IF EXISTS "
+                    f"PARTITION ({SEGMENT_COLUMN}={s})"
+                )
+                stats["dropped"].append(int(s))
+        self.table.backend.put_text(
+            self._meta_path, json.dumps({"segments": live})
+        )
+        return stats
+
+    def rebuild(self) -> dict:
+        """Full rebuild (e.g. to change the bucket count: construct a new
+        BucketSpec table option first)."""
+        spark = self.table.spark
+        if self._exists():
+            spark.sql(f"DROP TABLE {self.name}")
+        return self.refresh()
+
+    # ------------------------------------------------------------ serve
+
+    def serve(self, auto_refresh: bool = True) -> DataFrame:
+        """The bucketed frame (user columns + ``__segment__`` for partition
+        pruning). With ``auto_refresh=False`` a stale mirror raises instead
+        of silently serving old data."""
+        if not self.is_fresh():
+            if not auto_refresh:
+                raise RuntimeError(
+                    f"bucketed mirror {self.name} is stale; call refresh()"
+                )
+            self.refresh()
+        return self.table.spark.table(self.name)

@@ -416,6 +416,11 @@ class Compactor:
             for sst in [*task.inputs, *task.expired]:
                 if not sst.external and not protected:
                     self.table.backend.delete_tree(sst.path)
+            # Bucketed tables keep their read-optimized mirror current
+            # through compaction: only the partitions whose SST set this
+            # task changed are rewritten (storage/bucketed.py).
+            if self.table.bucket_spec is not None:
+                self.table.refresh_bucketed()
             return new_sst
         except Exception:
             manifest.unmark_compacting(input_ids)

@@ -128,12 +128,18 @@ class ColumnarTable:
         segment_duration_ms: int,
         write_config: WriteConfig | None = None,
         backend: StorageBackend | None = None,
+        bucket_spec=None,
     ):
         self.spark = spark
         self.root = root
         self.schema = schema
         self.segment_duration_ms = segment_duration_ms
         self.write_config = write_config or WriteConfig()
+        # Opt-in bucketed read-optimized mirror (storage/bucketed.py):
+        # maintained per-segment through compaction, served via the catalog
+        # so joins/aggregations on the bucket columns skip their exchange.
+        self.bucket_spec = bucket_spec
+        self._bucketed = None
         # Every metadata/file op below routes through the backend
         # (storage/backend.py): PosixBackend keeps the rename-based layout;
         # ObjectStoreBackend publishes staged SSTs by manifest-pointer move
@@ -174,6 +180,27 @@ class ColumnarTable:
         evolved shape survives reopen."""
         self.schema = self.schema.evolved(list(new_fields))
         self._persist_schema()
+
+    @property
+    def bucketed(self):
+        """The BucketedMirror when the table opted in via ``bucket_spec``."""
+        if self.bucket_spec is None:
+            raise ValueError("table has no bucket_spec")
+        if self._bucketed is None:
+            from horaedb_spark.storage.bucketed import BucketedMirror
+
+            self._bucketed = BucketedMirror(self, self.bucket_spec)
+        return self._bucketed
+
+    def refresh_bucketed(self) -> dict:
+        """Incrementally refresh the bucketed mirror (only segments whose
+        SST set changed are rewritten). No-op table property otherwise."""
+        return self.bucketed.refresh()
+
+    def bucketed_scan(self, auto_refresh: bool = True):
+        """Merged rows served from the bucketed catalog mirror — joins and
+        aggregations keyed on the bucket columns run exchange-free."""
+        return self.bucketed.serve(auto_refresh=auto_refresh)
 
     def alloc_file_id(self) -> int:
         with self._id_lock:

@@ -85,3 +85,105 @@ def test_bucketed_join_matches_unbucketed(spark, warehouse, sf_dir):
         .collect()
     }
     assert got == expect
+
+
+# ------------------------------------------------- maintained bucketed mirror
+
+
+def _mk_table(spark, tmp_path, name="bt"):
+    from pyspark.sql import types as T
+
+    from horaedb_spark.core.schema import StorageSchema, UpdateMode
+    from horaedb_spark.storage.bucketed import BucketSpec
+    from horaedb_spark.storage.table import ColumnarTable
+
+    schema = StorageSchema(
+        T.StructType(
+            [
+                T.StructField("k", T.LongType()),
+                T.StructField("ts_ms", T.LongType()),
+                T.StructField("v", T.DoubleType()),
+            ]
+        ),
+        num_primary_keys=1,
+        update_mode=UpdateMode.OVERWRITE,
+    )
+    return ColumnarTable(
+        spark,
+        str(tmp_path / name),
+        schema,
+        1000,
+        bucket_spec=BucketSpec(4, ("k",)),
+    )
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(rows, "k long, ts_ms long, v double")
+
+
+def test_bucketed_mirror_serves_merged_state_and_skips_exchange(spark, tmp_path):
+    from horaedb_spark.core.timeutil import TimeRange
+    from horaedb_spark.storage.table import WriteRequest
+
+    t = _mk_table(spark, tmp_path)
+    t.write(WriteRequest(_rows(spark, [(1, 100, 1.0), (2, 200, 2.0)]), TimeRange(0, 1000)))
+    t.write(WriteRequest(_rows(spark, [(1, 100, 9.0)]), TimeRange(0, 1000)))  # overwrite
+    t.write(WriteRequest(_rows(spark, [(3, 1500, 3.0)]), TimeRange(1000, 2000)))
+    served = t.bucketed_scan()
+    got = sorted((r.k, r.ts_ms, r.v) for r in served.collect())
+    want = sorted((r.k, r.ts_ms, r.v) for r in t.scan().collect())
+    assert got == want == [(1, 100, 9.0), (2, 200, 2.0), (3, 1500, 3.0)]
+    # repeated joins/aggs on the bucket column skip the exchange
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a, b = t.bucketed_scan().alias("a"), t.bucketed_scan().alias("b")
+        j = a.join(b, "k").groupBy("a.ts_ms").count()
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" in plan, plan[:1500]
+        assert "Exchange" not in plan.split("SortMergeJoin", 1)[1], plan[:1500]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_mirror_incremental_refresh_and_staleness(spark, tmp_path):
+    from horaedb_spark.core.timeutil import TimeRange
+    from horaedb_spark.storage.table import WriteRequest
+
+    t = _mk_table(spark, tmp_path, "bt2")
+    t.write(WriteRequest(_rows(spark, [(1, 100, 1.0)]), TimeRange(0, 1000)))
+    t.write(WriteRequest(_rows(spark, [(2, 1100, 2.0)]), TimeRange(1000, 2000)))
+    stats = t.refresh_bucketed()
+    assert stats["rebuilt"] is True
+    assert t.bucketed.is_fresh()
+    # touch ONE segment -> exactly that partition rewritten, no rebuild
+    t.write(WriteRequest(_rows(spark, [(9, 1200, 9.0)]), TimeRange(1000, 2000)))
+    assert not t.bucketed.is_fresh()
+    with pytest.raises(RuntimeError, match="stale"):
+        t.bucketed_scan(auto_refresh=False)
+    stats = t.refresh_bucketed()
+    assert stats == {"rebuilt": False, "overwritten": [1000], "dropped": []}
+    got = sorted((r.k, r.v) for r in t.bucketed_scan(auto_refresh=False).collect())
+    assert got == [(1, 1.0), (2, 2.0), (9, 9.0)]
+
+
+def test_compaction_maintains_bucketed_mirror(spark, tmp_path):
+    from horaedb_spark.core.timeutil import TimeRange
+    from horaedb_spark.storage.compaction import Compactor, SchedulerConfig
+    from horaedb_spark.storage.table import WriteRequest
+
+    t = _mk_table(spark, tmp_path, "bt3")
+    t.write(WriteRequest(_rows(spark, [(1, 100, 1.0)]), TimeRange(0, 1000)))
+    t.write(WriteRequest(_rows(spark, [(1, 100, 5.0)]), TimeRange(0, 1000)))
+    t.refresh_bucketed()
+    comp = Compactor(t, SchedulerConfig())
+    from horaedb_spark.storage.compaction import CompactionTask
+
+    task = CompactionTask(inputs=list(t.manifest.all_ssts()))
+    assert comp.execute(task) is not None
+    # the mirror followed the compaction WITHOUT a manual refresh
+    assert t.bucketed.is_fresh()
+    got = [(r.k, r.v) for r in t.bucketed_scan(auto_refresh=False).collect()]
+    assert got == [(1, 5.0)]
