@@ -270,6 +270,41 @@ def main() -> None:
         }
     except Exception as e:
         print(f"# packing bench error: {e}", file=sys.stderr)
+    # Viral-cluster MinHash probe (bounded): a planted near-dup cluster 8x
+    # and 16x the band-bucket cap over the sf documents. Quadratic bucket
+    # behavior would grow candidate pairs 4x between the runs; the capped
+    # path (next-band sub-keying) must stay far under that with flat-ish
+    # wall-time. Full 10x-corpus version: scripts/scale_probe.py. Not in
+    # the headline total.
+    viral: dict = {}
+    try:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from scripts.scale_probe import planted_cluster
+
+        from horaedb_spark.functions.dedup import minhash_lsh_pairs
+        from horaedb_spark.queries.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        cap, runs = 500, []
+        for m in (8 * 500, 16 * 500):
+            corpus = docs.unionByName(planted_cluster(spark, m))
+            t0 = time.perf_counter()
+            n_pairs = minhash_lsh_pairs(
+                corpus, "text", "doc_id", max_bucket_rows=cap
+            ).count()
+            runs.append(
+                {"cluster": m, "pairs": n_pairs,
+                 "wall_s": round(time.perf_counter() - t0, 3)}
+            )
+        viral = {
+            "cap": cap,
+            "runs": runs,
+            "pair_growth_x": round(runs[1]["pairs"] / max(runs[0]["pairs"], 1), 2),
+            "quadratic_would_be_x": 4.0,
+            "wall_ratio": round(runs[1]["wall_s"] / max(runs[0]["wall_s"], 1e-9), 2),
+        }
+    except Exception as e:
+        print(f"# viral minhash probe error: {e}", file=sys.stderr)
     spark.stop()
     # Manifest-at-scale + codec micro-benches (driver-side metadata paths;
     # reference's encoding_bench analogue) run in a SEPARATE process after
@@ -304,6 +339,7 @@ def main() -> None:
                 "sf": sf,
                 "calibration": calib,
                 "packing": packing,
+                "viral_minhash": viral,
                 "manifest": manifest_stats,
             }
         )

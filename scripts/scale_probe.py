@@ -208,7 +208,65 @@ def main() -> None:
             "ratio": round(tN / t1, 2),
         }
         print(f"# {name}: {out[name]}", file=sys.stderr)
+
+    # Viral-cluster MinHash probe: a near-dup cluster (site boilerplate)
+    # that GROWS with the corpus — the 100 TB failure mode where one hot
+    # bucket would emit m^2/2 candidate pairs. The band-bucket cap sub-keys
+    # over-sized buckets by the next band's signature, so pair count must
+    # grow far sub-quadratically in m (quadratic would be mult^2 x) and
+    # wall-time ~linearly with the data.
+    out["viral_minhash"] = viral_minhash_probe(spark, docs1, docsN, args.mult)
+    print(f"# viral_minhash: {out['viral_minhash']}", file=sys.stderr)
     print(json.dumps({"probe": "data_scaling", "mult": args.mult, "ops": out}))
+
+
+def planted_cluster(spark, m: int, offset: int = 10_000_000) -> DataFrame:
+    """m near-duplicate docs: a 40-token boilerplate with 3 deterministic
+    per-doc token mutations — pairwise Jaccard stays high (J ~ 0.85+) while
+    minhash signatures vary across the cluster (the shape that floods one
+    LSH bucket)."""
+    words = [f"w{i}" for i in range(40)]
+    rows = []
+    for d in range(m):
+        toks = list(words)
+        for j in range(3):
+            toks[(d * 7 + j * 11) % 40] = f"m{d}_{j}"
+        rows.append((offset + d, " ".join(toks)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def viral_minhash_probe(
+    spark, docs1: DataFrame, docsN: DataFrame, mult: int, cap: int = 500
+) -> dict:
+    """Plant a cluster >= 10x the bucket cap at 1x, grown by ``mult`` at
+    the Nx corpus; record capped pair count + wall-time at both scales."""
+    from horaedb_spark.functions.dedup import minhash_lsh_pairs
+
+    def run(docs: DataFrame, m: int) -> tuple[int, float]:
+        corpus = docs.select("doc_id", "text").unionByName(
+            planted_cluster(spark, m)
+        )
+        t0 = time.perf_counter()
+        pairs = minhash_lsh_pairs(
+            corpus, "text", "doc_id", max_bucket_rows=cap
+        ).count()
+        return pairs, time.perf_counter() - t0
+
+    m1 = 10 * cap
+    p1, t1 = run(docs1, m1)
+    pN, tN = run(docsN, m1 * mult)
+    return {
+        "cap": cap,
+        "cluster_1x": m1,
+        f"cluster_{mult}x": m1 * mult,
+        "pairs_1x": p1,
+        f"pairs_{mult}x": pN,
+        "pair_growth_x": round(pN / max(p1, 1), 2),
+        "quadratic_would_be_x": mult * mult,
+        "t1_s": round(t1, 3),
+        f"t{mult}_s": round(tN, 3),
+        "wall_ratio": round(tN / t1, 2),
+    }
 
 
 if __name__ == "__main__":
