@@ -2295,3 +2295,125 @@ def metric_field_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .metrics.select("metric_name", "field_name", "field_type")
         .orderBy("metric_name", "field_name")
     )
+
+
+@register(
+    "remote_write_multi_field",
+    oracle=_MF_DEDUP_CTE
+    + """
+    SELECT field, cohort, count(*) AS n_samples,
+           round(sum(value), 2) + 0 AS sum_value
+    FROM samples WHERE name = 'view'
+    GROUP BY field, cohort
+    ORDER BY field, cohort
+    """,
+)
+def remote_write_multi_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 ingest -> RFC multi-field catalog, end to end over the WIRE:
+    events re-encoded as remote-write payloads under family-suffixed names
+    (``view_sum``/``view_count``) WITH MetricMetadata records carrying
+    ``family_name`` (remote_write.proto MetricMetadata;
+    docs/rfcs/20240827-metric-engine.md:106-113), decoded distributed,
+    families resolved FROM THE DECODED METADATA (``decode_metadata``, one
+    metadata-sized collect), folded into one metric with two fields
+    (``group_metric_families``), and each field independently aggregated.
+    The wire path, the metadata path and the catalog shape are all under
+    the hash gate."""
+    from horaedb_spark.metric.ingest import (
+        decode_metadata,
+        decode_payloads,
+        encode_write_request,
+        group_metric_families,
+    )
+
+    key = f"rwmf:{sf_dir}"
+    if key not in _ENGINES:
+        import pandas as pd
+
+        ev = events_ms(spark, sf_dir)
+
+        def _encode_part(pdf):
+            pdf = pdf.sort_values("event_id")
+            series = []
+            fams = set()
+            for uid, et, ts, val, eid in zip(
+                pdf["user_id"], pdf["event_type"], pdf["ts_ms"],
+                pdf["value"], pdf["event_id"],
+            ):
+                suffix = "sum" if eid % 2 == 0 else "count"
+                fams.add((f"{et}_{suffix}", et))
+                series.append(
+                    {
+                        "name": f"{et}_{suffix}",
+                        "labels": {
+                            "user": str(uid),
+                            "cohort": str(uid % 10),
+                            "eid": str(eid),
+                        },
+                        "samples": [(val, int(ts))],
+                    }
+                )
+            # metadata is keyed by FAMILY (Prometheus semantics: one
+            # MetricMetadata per family; members are derived by suffix)
+            metadata = [
+                {"type": "COUNTER", "family_name": fam, "help": "", "unit": ""}
+                for fam in sorted({fam for _name, fam in fams})
+            ]
+            return pd.DataFrame(
+                {"payload": [encode_write_request(series, metadata)],
+                 "seq": [int(pdf["part"].iloc[0])]}
+            )
+
+        payloads = (
+            ev.select("user_id", "event_type", "ts_ms", "value", "event_id")
+            .withColumn("part", F.col("user_id") % 8)
+            .groupBy("part")
+            .applyInPandas(_encode_part, "payload binary, seq long")
+        )
+        decoded = decode_payloads(payloads)
+        # resolve name -> family: decode the METADATA records distributed
+        # (payloads never collect — only the metadata-sized family set and
+        # the distinct name set reach the driver), then match each sample
+        # name against the advertised families by the suffix convention
+        import pandas as pd  # noqa: F811
+
+        def _meta_iter(batches):
+            for mb in batches:
+                rows = [
+                    (m["family_name"],)
+                    for p in mb["payload"]
+                    for m in decode_metadata(bytes(p))
+                ]
+                yield pd.DataFrame(rows, columns=["family"])
+
+        fams = [
+            r["family"]
+            for r in payloads.select("payload")
+            .mapInPandas(_meta_iter, "family string")
+            .distinct()
+            .collect()
+        ]
+        names = [r["name"] for r in decoded.select("name").distinct().collect()]
+        families = {
+            n: f for n in names for f in fams if n.startswith(f + "_")
+        }
+        samples = decoded.select(
+            "name",
+            F.map_filter("labels", lambda k, _v: k != "eid").alias("labels"),
+            "ts_ms",
+            "value",
+            F.element_at("labels", "eid").cast("long").alias("seq"),
+        )
+        _ENGINES[key] = MetricEngine(group_metric_families(samples, families))
+    eng = _ENGINES[key]
+    parts = []
+    for fld in ("sum", "count"):
+        sel = _series_with_labels(eng.select_series("view", field=fld))
+        parts.append(
+            sel.groupBy("cohort").agg(
+                F.count(F.lit(1)).alias("n_samples"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            ).select(F.lit(fld).alias("field"), "cohort", "n_samples",
+                     "sum_value")
+        )
+    return parts[0].unionByName(parts[1]).orderBy("field", "cohort")
