@@ -143,6 +143,15 @@ class MetricEngine:
             self.__dict__.pop("_eval_memo", None)
         return self
 
+    def fields(self, metric: str) -> DataFrame:
+        """The metric's catalog field rows (field_name, field_id,
+        field_type) — the metrics-table lookup (RFC:106-113). Single-field
+        engines return the one default row."""
+        mid = F.xxhash64(F.lit(metric))
+        return self.metrics.filter(F.col("metric_id") == mid).select(
+            "field_name", "field_id", "field_type"
+        )
+
     # -- D4 ------------------------------------------------------------------
     def label_values(self, metric: str, tag_key: str) -> DataFrame:
         """Distinct values of one label for one metric (RFC:127-131)."""

@@ -403,6 +403,12 @@ def test_multi_field_catalog_and_data_table(spark):
 
 def test_engine_field_selection_and_promql_field_matcher(spark):
     eng = MetricEngine(_mf_samples(spark))
+    assert {r["field_name"] for r in eng.fields("http_req").collect()} == {
+        "sum", "count"
+    }
+    assert [r["field_name"] for r in eng.fields("plain_gauge").collect()] == [
+        "value"
+    ]
     sums = eng.select_series("http_req", field="sum", with_labels=False)
     counts = eng.select_series("http_req", field="count", with_labels=False)
     assert sorted((r.ts_ms, r.value) for r in sums.collect()) == [
