@@ -389,3 +389,224 @@ class ObjectStoreBackend(PosixBackend):
 
     def commit_dir(self, src: str, dst: str) -> str:
         return src  # no rename on an object store: the pointer moves instead
+
+
+class S3Backend(StorageBackend):
+    """The REAL cloud object-store backend: every verb below is the literal
+    boto3 S3 call for it — ``get_object`` / ``put_object`` (conditional via
+    ``IfNoneMatch='*'``) / ``head_object`` / paginated ``list_objects_v2``
+    with a delimiter / batched ``delete_objects`` / ``copy_object`` — the
+    SDK counterpart of the reference's opendal ObjectStore layering
+    (columnar_storage/src/storage.rs:189-225).
+
+    The client is INJECTABLE (any object speaking the boto3 S3 client
+    surface), so the URL handling, pagination walking, conditional-PUT
+    error mapping and batch-delete chunking — the logic that actually goes
+    wrong against a bucket — is fully unit-tested in this repo against an
+    API-faithful stub (tests/test_backend.py) even though the sandbox has
+    no SDK or network; with no client passed, boto3 imports lazily and a
+    missing SDK raises a named ImportError. Semantics notes:
+
+    - S3 is strongly read-after-write consistent (since 2020), so the
+      manifest CAS (``put_if_absent`` -> conditional PUT, documented by
+      AWS to be atomic per key) carries the same multi-writer guarantees
+      the FakeS3 suite proves;
+    - the key space is flat: ``makedirs`` is a no-op, ``commit_dir``
+      cannot rename (staged keys are final; the manifest pointer is the
+      publish — same contract as ObjectStoreBackend/FakeS3Backend);
+    - ``spark_path`` returns the ``s3a://`` form for Spark's Hadoop
+      connector (scheme configurable for S3-compatible stores).
+    """
+
+    name = "s3"
+    commits_in_place = True
+
+    def __init__(
+        self,
+        bucket: str,
+        client=None,
+        page_size: int = 1000,
+        spark_scheme: str = "s3a",
+    ):
+        if client is None:
+            try:
+                import boto3  # not baked into this container
+            except ImportError as e:  # pragma: no cover - env without SDK
+                raise ImportError(
+                    "S3Backend needs boto3 (pip install boto3) or an "
+                    "injected client object speaking the boto3 S3 surface"
+                ) from e
+            client = boto3.client("s3")  # pragma: no cover
+        self.bucket = bucket
+        self.client = client
+        self.page_size = page_size
+        self.spark_scheme = spark_scheme
+
+    # -- key model (same URL handling as FakeS3Backend) ----------------------
+
+    def _key(self, path: str) -> str:
+        if path.startswith("s3://"):
+            rest = path[len("s3://"):]
+            bucket, _, key = rest.partition("/")
+            if bucket != self.bucket:
+                raise ValueError(f"wrong bucket {bucket!r} != {self.bucket!r}")
+            return key.strip("/")
+        return path.lstrip("/").rstrip("/")
+
+    def _url(self, key: str) -> str:
+        return f"s3://{self.bucket}/{key}"
+
+    @staticmethod
+    def _error_code(exc: Exception) -> str:
+        """botocore.ClientError carries ``e.response['Error']['Code']`` —
+        read it duck-typed so injected stubs need no botocore import."""
+        resp = getattr(exc, "response", None) or {}
+        return str(resp.get("Error", {}).get("Code", ""))
+
+    def _list(self, prefix: str, delimiter: str = ""):
+        """Walk list_objects_v2 pages; yields (keys, common_prefixes) per
+        page. Continuation handled here so NO caller can forget it — the
+        classic truncated-LIST bug class."""
+        token = None
+        while True:
+            kwargs = {
+                "Bucket": self.bucket,
+                "Prefix": prefix,
+                "MaxKeys": self.page_size,
+            }
+            if delimiter:
+                kwargs["Delimiter"] = delimiter
+            if token:
+                kwargs["ContinuationToken"] = token
+            page = self.client.list_objects_v2(**kwargs)
+            yield (
+                [o["Key"] for o in page.get("Contents", [])],
+                [p["Prefix"] for p in page.get("CommonPrefixes", [])],
+            )
+            if not page.get("IsTruncated"):
+                return
+            token = page.get("NextContinuationToken")
+
+    # -- small text objects (manifest/meta) ----------------------------------
+
+    def read_text(self, path: str) -> str:
+        obj = self.client.get_object(Bucket=self.bucket, Key=self._key(path))
+        return obj["Body"].read().decode("utf-8")
+
+    def put_text(self, path: str, data: str) -> None:
+        self.client.put_object(
+            Bucket=self.bucket, Key=self._key(path), Body=data.encode("utf-8")
+        )
+
+    def put_if_absent(self, path: str, data: str) -> bool:
+        """Conditional PUT: ``IfNoneMatch='*'`` fails with 412 when the key
+        exists — S3's native CAS primitive (AWS docs: conditional writes),
+        exactly the exclusivity the manifest snapshot protocol needs."""
+        try:
+            self.client.put_object(
+                Bucket=self.bucket,
+                Key=self._key(path),
+                Body=data.encode("utf-8"),
+                IfNoneMatch="*",
+            )
+            return True
+        except Exception as e:
+            if self._error_code(e) in ("PreconditionFailed", "412"):
+                return False
+            raise
+
+    # -- existence / listing --------------------------------------------------
+
+    def exists(self, path: str) -> bool:
+        key = self._key(path)
+        try:
+            self.client.head_object(Bucket=self.bucket, Key=key)
+            return True
+        except Exception as e:
+            if self._error_code(e) not in ("404", "NoSuchKey", "NotFound"):
+                raise
+        # a "directory" exists iff any key lives under the prefix
+        for keys, prefixes in self._list(key + "/" if key else ""):
+            if keys or prefixes:
+                return True
+        return False
+
+    def list_dir(self, path: str) -> list[str]:
+        key = self._key(path)
+        prefix = key + "/" if key else ""
+        children: set[str] = set()
+        for keys, prefixes in self._list(prefix, delimiter="/"):
+            children.update(k[len(prefix):] for k in keys)
+            children.update(p[len(prefix):].rstrip("/") for p in prefixes)
+        children.discard("")
+        return sorted(children)
+
+    def is_dir(self, path: str) -> bool:
+        key = self._key(path)
+        for keys, prefixes in self._list(key + "/" if key else ""):
+            if keys or prefixes:
+                return True
+        return False
+
+    # -- deletes ---------------------------------------------------------------
+
+    def delete(self, path: str) -> None:
+        self.client.delete_object(Bucket=self.bucket, Key=self._key(path))
+
+    def delete_tree(self, path: str) -> None:
+        key = self._key(path)
+        # LIST fully BEFORE deleting: interleaving deletes with a paginated
+        # LIST skips keys (the continuation cursor moves through a shrinking
+        # result) — caught by the stub-client test. Key counts here are
+        # SST-file scale, driver-side metadata.
+        all_keys = [
+            k
+            for keys, _prefixes in self._list(key + "/" if key else "")
+            for k in keys
+        ]
+        for i in range(0, len(all_keys), 1000):  # delete_objects hard cap
+            self.client.delete_objects(
+                Bucket=self.bucket,
+                Delete={"Objects": [{"Key": k} for k in all_keys[i : i + 1000]]},
+            )
+        # the path itself may be a bare object (FakeS3 delete_tree parity)
+        self.client.delete_object(Bucket=self.bucket, Key=key)
+
+    # -- directories / larger structures --------------------------------------
+
+    def makedirs(self, path: str) -> None:
+        pass  # flat key space
+
+    def commit_dir(self, src: str, dst: str) -> str:
+        return src  # no rename: the manifest pointer is the publish
+
+    def copy_tree(self, src: str, dst: str) -> None:
+        skey, dkey = self._key(src), self._key(dst)
+        for keys, _prefixes in self._list(skey + "/" if skey else ""):
+            for k in keys:
+                self.client.copy_object(
+                    Bucket=self.bucket,
+                    Key=dkey + k[len(skey):],
+                    CopySource={"Bucket": self.bucket, "Key": k},
+                )
+
+    def walk_files(self, path: str, suffix: str = "") -> list[str]:
+        key = self._key(path)
+        out = []
+        for keys, _prefixes in self._list(key + "/" if key else ""):
+            out.extend(self._url(k) for k in keys if k.endswith(suffix))
+        return out
+
+    def open_binary(self, path: str):
+        import io
+
+        obj = self.client.get_object(Bucket=self.bucket, Key=self._key(path))
+        # pyarrow needs a seekable stream; footers are metadata-sized
+        return io.BytesIO(obj["Body"].read())
+
+    def size(self, path: str) -> int:
+        head = self.client.head_object(Bucket=self.bucket, Key=self._key(path))
+        return int(head["ContentLength"])
+
+    def spark_path(self, path: str) -> str:
+        return f"{self.spark_scheme}://{self.bucket}/{self._key(path)}"

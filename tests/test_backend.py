@@ -287,3 +287,174 @@ print("child done")
     final = Manifest(root)
     got = {s.file_id for s in final.all_ssts()}
     assert got == set(range(30)) | set(range(1000, 1030))
+
+
+# ------------------------------------------------------ S3Backend (real SDK)
+
+
+class _S3Error(Exception):
+    """botocore.ClientError shape: carries response['Error']['Code']."""
+
+    def __init__(self, code):
+        super().__init__(code)
+        self.response = {"Error": {"Code": code}}
+
+
+class _StubS3Client:
+    """API-faithful in-memory stand-in for the boto3 S3 client surface
+    S3Backend uses: real pagination (MaxKeys + ContinuationToken +
+    IsTruncated), Delimiter/CommonPrefixes grouping, IfNoneMatch='*'
+    conditional PUT (412), 404-shaped head/get errors, delete_objects'
+    1000-key cap. Verifies the backend logic that actually breaks against
+    a bucket, without SDK or network."""
+
+    def __init__(self):
+        self.store: dict[str, bytes] = {}
+        self.delete_batches: list[int] = []
+
+    def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
+        if IfNoneMatch == "*" and Key in self.store:
+            raise _S3Error("PreconditionFailed")
+        self.store[Key] = bytes(Body)
+        return {}
+
+    def get_object(self, Bucket, Key):
+        import io
+
+        if Key not in self.store:
+            raise _S3Error("NoSuchKey")
+        return {"Body": io.BytesIO(self.store[Key])}
+
+    def head_object(self, Bucket, Key):
+        if Key not in self.store:
+            raise _S3Error("404")
+        return {"ContentLength": len(self.store[Key])}
+
+    def delete_object(self, Bucket, Key):
+        self.store.pop(Key, None)
+        return {}
+
+    def delete_objects(self, Bucket, Delete):
+        objs = Delete["Objects"]
+        assert len(objs) <= 1000, "delete_objects caps at 1000 keys"
+        self.delete_batches.append(len(objs))
+        for o in objs:
+            self.store.pop(o["Key"], None)
+        return {}
+
+    def copy_object(self, Bucket, Key, CopySource):
+        self.store[Key] = self.store[CopySource["Key"]]
+        return {}
+
+    def list_objects_v2(
+        self, Bucket, Prefix="", MaxKeys=1000, Delimiter=None,
+        ContinuationToken=None,
+    ):
+        matching = sorted(k for k in self.store if k.startswith(Prefix))
+        if Delimiter:
+            contents, prefixes, seen = [], [], set()
+            for k in matching:
+                rest = k[len(Prefix):]
+                if Delimiter in rest:
+                    p = Prefix + rest.split(Delimiter, 1)[0] + Delimiter
+                    if p not in seen:
+                        seen.add(p)
+                        prefixes.append(p)
+                else:
+                    contents.append(k)
+            entries = [("c", k) for k in contents] + [
+                ("p", p) for p in prefixes
+            ]
+            entries.sort(key=lambda e: e[1])
+        else:
+            entries = [("c", k) for k in matching]
+        start = int(ContinuationToken) if ContinuationToken else 0
+        page = entries[start : start + MaxKeys]
+        out = {
+            "Contents": [{"Key": k} for t, k in page if t == "c"],
+            "CommonPrefixes": [{"Prefix": p} for t, p in page if t == "p"],
+            "IsTruncated": start + MaxKeys < len(entries),
+        }
+        if out["IsTruncated"]:
+            out["NextContinuationToken"] = str(start + MaxKeys)
+        return out
+
+
+def _s3(page_size=1000):
+    from horaedb_spark.storage.backend import S3Backend
+
+    client = _StubS3Client()
+    return S3Backend("bkt", client=client, page_size=page_size), client
+
+
+def test_s3_backend_text_roundtrip_and_conditional_put():
+    b, _ = _s3()
+    b.put_text("s3://bkt/t/manifest/log", "v1")
+    assert b.read_text("s3://bkt/t/manifest/log") == "v1"
+    assert b.exists("s3://bkt/t/manifest/log")
+    assert b.exists("s3://bkt/t/manifest")  # prefix 'directory'
+    assert not b.exists("s3://bkt/t/nope")
+    assert b.put_if_absent("s3://bkt/t/lock", "a") is True
+    assert b.put_if_absent("s3://bkt/t/lock", "b") is False
+    assert b.read_text("s3://bkt/t/lock") == "a"  # loser did not clobber
+    assert b.size("s3://bkt/t/lock") == 1
+
+
+def test_s3_backend_paginated_list_and_walk(tmp_path):
+    # page_size 7 over 40 keys in 3 'directories': every page boundary is
+    # exercised for list_dir (delimiter), walk_files and delete_tree
+    b, client = _s3(page_size=7)
+    for d in ("sst=1", "sst=2", "sst=3"):
+        for i in range(13):
+            b.put_text(f"s3://bkt/t/data/{d}/part-{i:02d}.parquet", "x" * i)
+    b.put_text("s3://bkt/t/data/top.json", "{}")
+    assert b.list_dir("s3://bkt/t/data") == ["sst=1", "sst=2", "sst=3",
+                                             "top.json"]
+    walked = b.walk_files("s3://bkt/t/data", ".parquet")
+    assert len(walked) == 39 and all(w.startswith("s3://bkt/") for w in walked)
+    assert b.is_dir("s3://bkt/t/data/sst=2")
+    b.delete_tree("s3://bkt/t/data/sst=2")
+    assert not b.is_dir("s3://bkt/t/data/sst=2")
+    assert len(b.walk_files("s3://bkt/t/data", ".parquet")) == 26
+    assert all(n <= 1000 for n in client.delete_batches)
+
+
+def test_s3_backend_delete_tree_batches_at_1000():
+    b, client = _s3()
+    for i in range(2300):
+        b.put_text(f"s3://bkt/big/k{i:05d}", "x")
+    b.delete_tree("s3://bkt/big")
+    assert client.delete_batches == [1000, 1000, 300]
+    assert not b.exists("s3://bkt/big")
+
+
+def test_s3_backend_copy_tree_and_spark_path():
+    b, _ = _s3(page_size=3)
+    for i in range(8):
+        b.put_text(f"s3://bkt/src/f{i}", str(i))
+    b.copy_tree("s3://bkt/src", "s3://bkt/dst")
+    assert b.read_text("s3://bkt/dst/f7") == "7"
+    assert b.spark_path("s3://bkt/dst/f7") == "s3a://bkt/dst/f7"
+    assert b.commit_dir("s3://bkt/stage/x", "s3://bkt/final/x") == \
+        "s3://bkt/stage/x"
+
+
+def test_s3_backend_manifest_multi_writer_cas():
+    """The durable contract that matters on a bucket: two Manifest writers
+    over ONE S3Backend (conditional-PUT CAS) lose nothing — same protocol
+    the posix/fake-s3 suites prove, now over the literal SDK call shapes."""
+    from horaedb_spark.core.timeutil import TimeRange
+    from horaedb_spark.storage.backend import S3Backend
+    from horaedb_spark.storage.manifest import Manifest, SstFile
+
+    client = _StubS3Client()
+    root = "s3://bkt/tbl"
+    m1 = Manifest(root, backend=S3Backend("bkt", client=client))
+    m2 = Manifest(root, backend=S3Backend("bkt", client=client))
+    for i in range(20):
+        m = m1 if i % 2 == 0 else m2
+        m.add_file(SstFile(file_id=i, path=f"{root}/data/sst={i}",
+                           time_range=TimeRange(0, 1000), max_sequence=i,
+                           num_rows=1, size_bytes=1))
+    fresh = Manifest(root, backend=S3Backend("bkt", client=client))
+    assert sorted(s.file_id for s in fresh.all_ssts()) == list(range(20))
