@@ -96,6 +96,12 @@ HEADLINE = [
     # next-band refinement live) and the contamination-rate report
     "dedup_minhash_capped",
     "pipeline_contamination_rate",
+    # round-9: the RFC multi-field catalog end to end (family grouping ->
+    # stable-hash field_id -> per-field selection) and the maintained
+    # bucketed mirror (no-exchange serving layout; layout never changes
+    # answers)
+    "metric_multi_field_select",
+    "storage_bucketed_scan",
 ]
 
 
@@ -118,6 +124,7 @@ FIXTURE_QUERIES = (
     "storage_point_lookup",
     "storage_delete_scan",
     "metric_packed_scan",  # ingest + pack-on-compaction is the fixture
+    "storage_bucketed_scan",  # ingest + bucketed-mirror build is the fixture
 )
 
 

@@ -172,18 +172,18 @@ class BucketedMirror:
                 up = _r(lambda a, b: a.unionByName(b), frames)
                 # insertInto is POSITION-based: align to the catalog order
                 up = up.select(*spark.table(self.name).columns)
-                prev = spark.conf.get(
-                    "spark.sql.sources.partitionOverwriteMode", "static"
-                )
-                spark.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", "dynamic"
-                )
-                try:
-                    up.write.mode("overwrite").insertInto(self.name)
-                finally:
-                    spark.conf.set(
-                        "spark.sql.sources.partitionOverwriteMode", prev
+                # DROP the changed partitions first, then APPEND the fresh
+                # merged rows — NOT dynamic partition overwrite, which only
+                # touches partitions PRESENT in the incoming data: a segment
+                # whose merged state became EMPTY (every row tombstoned by a
+                # DELETE) would keep serving its stale rows (caught by
+                # test_bucketed_mirror_tracks_dml_and_random_ops).
+                for s in changed:
+                    spark.sql(
+                        f"ALTER TABLE {self.name} DROP IF EXISTS "
+                        f"PARTITION ({SEGMENT_COLUMN}={s})"
                     )
+                up.write.mode("append").insertInto(self.name)
                 stats["overwritten"] = [int(s) for s in changed]
             for s in removed:
                 spark.sql(

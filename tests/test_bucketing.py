@@ -187,3 +187,43 @@ def test_compaction_maintains_bucketed_mirror(spark, tmp_path):
     assert t.bucketed.is_fresh()
     got = [(r.k, r.v) for r in t.bucketed_scan(auto_refresh=False).collect()]
     assert got == [(1, 5.0)]
+
+
+def test_bucketed_mirror_tracks_dml_and_random_ops(spark, tmp_path):
+    """Falsifier sweep: after any interleaving of writes, DELETEs, UPDATEs
+    and compactions, a refreshed mirror serves EXACTLY table.scan() — the
+    mirror is a layout, never a semantic fork. Deterministic 12-op script
+    covering every mutation class the table supports."""
+    from horaedb_spark.core.timeutil import TimeRange
+    from horaedb_spark.storage.compaction import (
+        CompactionTask,
+        Compactor,
+        SchedulerConfig,
+    )
+    from horaedb_spark.storage.table import WriteRequest
+
+    t = _mk_table(spark, tmp_path, "bt4")
+    comp = Compactor(t, SchedulerConfig())
+
+    def w(rows, seg):
+        t.write(WriteRequest(_rows(spark, rows), TimeRange(seg, seg + 1000)))
+
+    w([(1, 100, 1.0), (2, 200, 2.0), (3, 300, 3.0)], 0)
+    w([(4, 1100, 4.0), (5, 1200, 5.0)], 1000)
+    w([(2, 200, 2.5)], 0)                      # version overwrite
+    t.delete("k = 3")                           # tombstone
+    w([(6, 2100, 6.0)], 2000)
+    t.update("k = 5", {"v": "55.0"})            # value mutation
+    seg0 = [s for s in t.manifest.all_ssts()
+            if s.time_range.start == 0]
+    if len(seg0) > 1:
+        comp.execute(CompactionTask(inputs=seg0))  # compact segment 0
+    w([(1, 100, 1.5)], 0)                       # post-compaction overwrite
+    t.delete("k = 6")                           # delete a whole segment's rows
+
+    got = sorted(map(tuple, t.bucketed_scan().select("k", "ts_ms", "v").collect()))
+    want = sorted(map(tuple, t.scan().select("k", "ts_ms", "v").collect()))
+    assert got == want
+    assert got == [(1, 100, 1.5), (2, 200, 2.5), (4, 1100, 4.0), (5, 1200, 55.0)]
+    # and the mirror is structurally fresh (no pending partitions)
+    assert t.bucketed.is_fresh()
