@@ -50,8 +50,8 @@ def field_id(field_name: Column) -> Column:
     RFC:130); a dense id assigned per ingest batch would DRIFT across
     batches (batch 1 {count,sum} -> ids 0,1; batch 2 {sum} -> id 0), and
     keeping it stable needs exactly the catalog service the hash design
-    avoids — see DIVERGENCES.md (same stability-over-encoding divergence as
-    seahash -> xxhash64)."""
+    avoids — DIVERGENCES.md #26 (same stability-over-encoding divergence
+    as seahash -> xxhash64)."""
     return F.xxhash64(field_name)
 
 

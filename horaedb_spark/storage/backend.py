@@ -519,12 +519,13 @@ class S3Backend(StorageBackend):
 
     def exists(self, path: str) -> bool:
         key = self._key(path)
-        try:
-            self.client.head_object(Bucket=self.bucket, Key=key)
-            return True
-        except Exception as e:
-            if self._error_code(e) not in ("404", "NoSuchKey", "NotFound"):
-                raise
+        if key:  # head_object rejects an empty key (bucket root is a prefix)
+            try:
+                self.client.head_object(Bucket=self.bucket, Key=key)
+                return True
+            except Exception as e:
+                if self._error_code(e) not in ("404", "NoSuchKey", "NotFound"):
+                    raise
         # a "directory" exists iff any key lives under the prefix
         for keys, prefixes in self._list(key + "/" if key else ""):
             if keys or prefixes:

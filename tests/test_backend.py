@@ -458,3 +458,11 @@ def test_s3_backend_manifest_multi_writer_cas():
                            num_rows=1, size_bytes=1))
     fresh = Manifest(root, backend=S3Backend("bkt", client=client))
     assert sorted(s.file_id for s in fresh.all_ssts()) == list(range(20))
+
+
+def test_s3_backend_root_and_empty_prefix_semantics():
+    b, _ = _s3()
+    assert not b.exists("s3://bkt")          # empty bucket: root is absent
+    b.put_text("s3://bkt/a/f", "x")
+    assert b.exists("s3://bkt")              # root exists via any key
+    assert b.list_dir("s3://bkt") == ["a"]
