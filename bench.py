@@ -286,22 +286,16 @@ def main() -> None:
     viral: dict = {}
     try:
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-        from scripts.scale_probe import planted_cluster
+        from scripts.scale_probe import viral_minhash_run
 
-        from horaedb_spark.functions.dedup import minhash_lsh_pairs
         from horaedb_spark.queries.tables import load_table
 
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
         cap, runs = 500, []
         for m in (8 * 500, 16 * 500):
-            corpus = docs.unionByName(planted_cluster(spark, m))
-            t0 = time.perf_counter()
-            n_pairs = minhash_lsh_pairs(
-                corpus, "text", "doc_id", max_bucket_rows=cap
-            ).count()
+            n_pairs, wall = viral_minhash_run(spark, docs, m, cap)
             runs.append(
-                {"cluster": m, "pairs": n_pairs,
-                 "wall_s": round(time.perf_counter() - t0, 3)}
+                {"cluster": m, "pairs": n_pairs, "wall_s": round(wall, 3)}
             )
         viral = {
             "cap": cap,

@@ -49,20 +49,27 @@ def vector_norm(v: Column) -> Column:
     )
 
 
-def checked_norm(v: Column, id_expr: Column) -> Column:
-    """``vector_norm`` with the zero-norm precondition ENFORCED in the
-    expression itself: cosine is undefined at norm 0, and the two ANN
+def with_checked_norm(df: DataFrame, vec: Column, id_expr: Column, out: str) -> DataFrame:
+    """Adds column ``out`` = ``vector_norm(vec)`` with the zero-norm
+    precondition ENFORCED: cosine is undefined at norm 0, and the two ANN
     execution strategies would otherwise silently DISAGREE on such rows
     (Spark's window sort ranks NaN greatest; the Arrow kernels' numpy
     lexsort ranks it last). The Arrow kernels already raise ValueError on
     zero-norm inputs; this makes the expression twins reject the SAME
     inputs — ``raise_error`` fires per offending row inside codegen and
-    names the id, and the healthy-row cost is one comparison on the
-    already-folded norm. Filter zero-norm rows upstream if they are
-    expected in the corpus."""
-    n = vector_norm(v)
-    return F.when(
-        n == F.lit(0.0),
+    names the id. Filter zero-norm rows upstream if they are expected.
+
+    Deliberately TWO projections (norm first, check second) so the fold
+    runs ONCE per row: spelling ``when(norm == 0, raise).otherwise(norm)``
+    in one expression materializes the ``F.aggregate`` fold twice —
+    Spark's subexpression elimination skips higher-order functions
+    (SPARK-35410), and CollapseProject declines to inline a duplicated
+    non-cheap alias across the projection boundary (verified on the
+    optimized plan: 2 aggregates one-shot vs 1 split)."""
+    tmp = f"__{out}_raw__"
+    staged = df.withColumn(tmp, vector_norm(vec))
+    check = F.when(
+        F.col(tmp) == F.lit(0.0),
         F.raise_error(
             F.concat(
                 F.lit("cosine undefined for zero-norm vector (id "),
@@ -70,7 +77,8 @@ def checked_norm(v: Column, id_expr: Column) -> Column:
                 F.lit("); filter it upstream"),
             )
         ).cast("double"),
-    ).otherwise(n)
+    ).otherwise(F.col(tmp))
+    return staged.withColumn(out, check).drop(tmp)
 
 
 def dot_product(a: Column, b: Column) -> Column:
@@ -120,15 +128,19 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (excluding self). The query set
     broadcasts; the corpus never shuffles until the final per-query top-k."""
-    c = corpus.select(
-        F.col(id_col).alias("corpus_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
-        checked_norm(F.col(vec_col), F.col(id_col)).alias("cn"),
+    c = with_checked_norm(
+        corpus.select(
+            F.col(id_col).alias("corpus_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        ),
+        F.col("cv"), F.col("corpus_id"), "cn",
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
-        checked_norm(F.col(vec_col), F.col(id_col)).alias("qn"),
+    q = with_checked_norm(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        ),
+        F.col("qv"), F.col("query_id"), "qn",
     )
     scored = c.join(F.broadcast(q), F.col("corpus_id") != F.col("query_id")).select(
         "query_id",
@@ -162,11 +174,13 @@ def lsh_ann_topk(
         df: DataFrame, id_alias: str, vec_alias: str, norm_alias: str
     ) -> DataFrame:
         qz = quantize(F.col(vec_col))
-        return df.select(
+        out = df.select(
             F.col(id_col).alias(id_alias),
             qz.cast("array<double>").alias(vec_alias),
-            checked_norm(qz, F.col(id_col)).alias(norm_alias),
             lsh_bucket(qz, num_planes, dim).alias("bucket"),
+        )
+        return with_checked_norm(
+            out, F.col(vec_alias), F.col(id_alias), norm_alias
         )
 
     c = prep(corpus, "corpus_id", "cv", "cn")
@@ -392,17 +406,21 @@ def ivf_ann_topk(
     # norms per pair would triple the per-pair element work). The fold
     # expression is identical to dedup.cosine's, so the per-pair division
     # reproduces its doubles bit-for-bit (oracle hash parity);
-    # checked_norm additionally rejects zero-norm rows exactly like the
-    # Arrow strategy's kernels, so the two paths can never diverge there.
-    c = corpus.select(
-        F.col(id_col).alias("corpus_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
-        checked_norm(F.col(vec_col), F.col(id_col)).alias("cn"),
+    # with_checked_norm additionally rejects zero-norm rows exactly like
+    # the Arrow strategy's kernels, so the two paths can never diverge.
+    c = with_checked_norm(
+        corpus.select(
+            F.col(id_col).alias("corpus_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        ),
+        F.col("cv"), F.col("corpus_id"), "cn",
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
-        checked_norm(F.col(vec_col), F.col(id_col)).alias("qn"),
+    q = with_checked_norm(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        ),
+        F.col("qv"), F.col("query_id"), "qn",
     )
     # coarse quantizer: one tiny driver-side action (num_cells rows), then a
     # literal in every assignment expression — the corpus-side plan is a

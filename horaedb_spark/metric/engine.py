@@ -171,7 +171,12 @@ class MetricEngine:
             out = out.filter(
                 (F.col("ts_ms") >= time_range.start) & (F.col("ts_ms") < time_range.end)
             )
-        cat = self.metrics.select("metric_id", F.col("metric_name").alias("name"))
+        # the catalog is one row per (metric, FIELD) since the multi-field
+        # RFC shape landed — distinct the name projection or a two-field
+        # metric would duplicate every one of its data rows in this join
+        cat = self.metrics.select(
+            "metric_id", F.col("metric_name").alias("name")
+        ).distinct()
         return out.join(F.broadcast(cat), "metric_id")
 
     # -- D3 ------------------------------------------------------------------

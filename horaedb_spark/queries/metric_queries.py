@@ -179,7 +179,7 @@ def metric_index_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         summary.join(
-            F.broadcast(eng.metrics.select("metric_id", "metric_name")), "metric_id"
+            F.broadcast(eng.metrics.select("metric_id", "metric_name").distinct()), "metric_id"
         )
         .select("metric_name", "tag_key", "n_values", "n_series")
         .orderBy("metric_name", "tag_key")
@@ -439,7 +439,7 @@ def remote_write_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         eng.data.join(F.broadcast(eng.series.select("tsid", "series_key")), "tsid")
     )
     named = data_with_labels.join(
-        F.broadcast(eng.metrics.select("metric_id", "metric_name")), "metric_id"
+        F.broadcast(eng.metrics.select("metric_id", "metric_name").distinct()), "metric_id"
     )
     return (
         named.groupBy("metric_name")
@@ -873,7 +873,7 @@ def metric_label_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         eng.index.select("metric_id", "tag_key")
         .distinct()
-        .join(F.broadcast(eng.metrics.select("metric_id", "metric_name")), "metric_id")
+        .join(F.broadcast(eng.metrics.select("metric_id", "metric_name").distinct()), "metric_id")
         .select("metric_name", "tag_key")
         .orderBy("metric_name", "tag_key")
     )
@@ -900,7 +900,7 @@ def metric_series_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         eng.series.filter(F.col("metric_id") == mid)
         .join(F.broadcast(tsids), "tsid", "left_semi")
-        .join(F.broadcast(eng.metrics.select("metric_id", "metric_name")), "metric_id")
+        .join(F.broadcast(eng.metrics.select("metric_id", "metric_name").distinct()), "metric_id")
         .select("metric_name", "series_key")
         .distinct()
         .orderBy("series_key")

@@ -501,19 +501,33 @@ class S3Backend(StorageBackend):
     def put_if_absent(self, path: str, data: str) -> bool:
         """Conditional PUT: ``IfNoneMatch='*'`` fails with 412 when the key
         exists — S3's native CAS primitive (AWS docs: conditional writes),
-        exactly the exclusivity the manifest snapshot protocol needs."""
-        try:
-            self.client.put_object(
-                Bucket=self.bucket,
-                Key=self._key(path),
-                Body=data.encode("utf-8"),
-                IfNoneMatch="*",
-            )
-            return True
-        except Exception as e:
-            if self._error_code(e) in ("PreconditionFailed", "412"):
-                return False
-            raise
+        exactly the exclusivity the manifest snapshot protocol needs.
+
+        Concurrent conditional PUTs racing on ONE key can also surface 409
+        ``ConditionalRequestConflict`` ("a conflicting conditional
+        operation is currently in progress... Retry") — the outcome is
+        UNKNOWN, not lost, so the correct CAS behavior is to re-attempt
+        until the request resolves to success or a definitive 412."""
+        import time as _time
+
+        for attempt in range(8):
+            try:
+                self.client.put_object(
+                    Bucket=self.bucket,
+                    Key=self._key(path),
+                    Body=data.encode("utf-8"),
+                    IfNoneMatch="*",
+                )
+                return True
+            except Exception as e:
+                code = self._error_code(e)
+                if code in ("PreconditionFailed", "412"):
+                    return False
+                if code == "ConditionalRequestConflict" and attempt < 7:
+                    _time.sleep(0.05 * (attempt + 1))
+                    continue
+                raise
+        raise RuntimeError("unreachable")  # pragma: no cover
 
     # -- existence / listing --------------------------------------------------
 
@@ -583,13 +597,20 @@ class S3Backend(StorageBackend):
 
     def copy_tree(self, src: str, dst: str) -> None:
         skey, dkey = self._key(src), self._key(dst)
-        for keys, _prefixes in self._list(skey + "/" if skey else ""):
-            for k in keys:
-                self.client.copy_object(
-                    Bucket=self.bucket,
-                    Key=dkey + k[len(skey):],
-                    CopySource={"Bucket": self.bucket, "Key": k},
-                )
+        # same rule as delete_tree: LIST fully BEFORE mutating — with dst
+        # under the src prefix, copies written mid-LIST would sort into
+        # later pages and be re-listed and re-copied (unbounded growth)
+        all_keys = [
+            k
+            for keys, _prefixes in self._list(skey + "/" if skey else "")
+            for k in keys
+        ]
+        for k in all_keys:
+            self.client.copy_object(
+                Bucket=self.bucket,
+                Key=dkey + k[len(skey):],
+                CopySource={"Bucket": self.bucket, "Key": k},
+            )
 
     def walk_files(self, path: str, suffix: str = "") -> list[str]:
         key = self._key(path)

@@ -18,10 +18,13 @@ exactly the read-optimized-view split Hudi/Iceberg make; the mirror is the
 serving copy, the SSTs stay the source of truth.
 
 Freshness + incremental maintenance: the mirror records, per segment, a
-digest of the live SST ids that produced it. ``refresh()`` rewrites ONLY the
-partitions whose SST set changed (dynamic partition overwrite into the
-bucketed table — one job over the changed segments, each slice re-reading its
-merged state) and drops partitions whose segment disappeared (TTL). A
+digest of the live SST ids that produced it (plus the BucketSpec — a spec
+change forces a full rebuild). ``refresh()`` rewrites ONLY the partitions
+whose SST set changed — DROP PARTITION then one append-mode ``insertInto``
+job over their union (NOT dynamic partition overwrite, which skips
+partitions absent from the incoming data and would leave a fully-deleted
+segment serving stale rows) — and drops partitions whose segment
+disappeared (TTL). A
 compaction that rewrites one segment therefore refreshes one partition, not
 the table; the initial build is the only full-table write. ``Compactor``
 calls ``refresh()`` after each executed task when the table opted in, which
@@ -101,16 +104,32 @@ class BucketedMirror:
             for seg, ids in by_seg.items()
         }
 
+    def _spec_json(self) -> dict:
+        return {
+            "num_buckets": self.spec.num_buckets,
+            "columns": list(self.spec.columns),
+        }
+
     def _stored(self) -> dict:
         if self.table.backend.exists(self._meta_path):
             return json.loads(self.table.backend.read_text(self._meta_path))
-        return {"segments": {}}
+        return {"segments": {}, "spec": None}
 
     def _exists(self) -> bool:
         return self.table.spark.catalog.tableExists(self.name)
 
     def is_fresh(self) -> bool:
-        return self._exists() and self._stored()["segments"] == self._live_digests()
+        """Fresh = catalog table exists, built under THIS BucketSpec, and
+        every segment digest matches. The spec is part of the token: a
+        table reopened with a different bucket count/columns must NOT
+        serve (or incrementally extend) the old layout as if current —
+        refresh() detects the mismatch and does a full rebuild."""
+        stored = self._stored()
+        return (
+            self._exists()
+            and stored.get("spec") == self._spec_json()
+            and stored["segments"] == self._live_digests()
+        )
 
     # ---------------------------------------------------------- refresh
 
@@ -131,16 +150,24 @@ class BucketedMirror:
         """Bring the mirror up to date. Returns
         ``{"rebuilt": bool, "overwritten": [segments], "dropped": [segments]}``.
         Incremental: only partitions whose SST digest changed are rewritten
-        (ONE insertInto job over their union, dynamic partition overwrite);
-        vanished segments' partitions are dropped driver-side."""
+        (their dropped-then-appended union is ONE insertInto job — see the
+        inline note on why NOT dynamic partition overwrite); vanished
+        segments' partitions are dropped driver-side. A BucketSpec change
+        (different count or columns than the mirror was built with) forces
+        a full rebuild — incremental appends under a different spec would
+        mix layouts."""
         from functools import reduce
 
         from horaedb_spark.storage.table import SEGMENT_COLUMN
 
         spark = self.table.spark
         live = self._live_digests()
-        stored = self._stored()["segments"]
+        meta = self._stored()
+        stored = meta["segments"]
         stats = {"rebuilt": False, "overwritten": [], "dropped": []}
+        spec_changed = self._exists() and meta.get("spec") != self._spec_json()
+        if spec_changed:
+            spark.sql(f"DROP TABLE {self.name}")
         if not self._exists():
             # stale warehouse residue from a previous session's catalog
             wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
@@ -148,7 +175,8 @@ class BucketedMirror:
             frames = [self._segment_frame(int(s)) for s in sorted(live, key=int)]
             if not frames:
                 self.table.backend.put_text(
-                    self._meta_path, json.dumps({"segments": {}})
+                    self._meta_path,
+                    json.dumps({"segments": {}, "spec": self._spec_json()}),
                 )
                 return stats
             full = reduce(lambda a, b: a.unionByName(b), frames)
@@ -167,9 +195,7 @@ class BucketedMirror:
             removed = sorted((s for s in stored if s not in live), key=int)
             if changed:
                 frames = [self._segment_frame(int(s)) for s in changed]
-                from functools import reduce as _r
-
-                up = _r(lambda a, b: a.unionByName(b), frames)
+                up = reduce(lambda a, b: a.unionByName(b), frames)
                 # insertInto is POSITION-based: align to the catalog order
                 up = up.select(*spark.table(self.name).columns)
                 # DROP the changed partitions first, then APPEND the fresh
@@ -192,7 +218,8 @@ class BucketedMirror:
                 )
                 stats["dropped"].append(int(s))
         self.table.backend.put_text(
-            self._meta_path, json.dumps({"segments": live})
+            self._meta_path,
+            json.dumps({"segments": live, "spec": self._spec_json()}),
         )
         return stats
 

@@ -416,15 +416,29 @@ class Compactor:
             for sst in [*task.inputs, *task.expired]:
                 if not sst.external and not protected:
                     self.table.backend.delete_tree(sst.path)
-            # Bucketed tables keep their read-optimized mirror current
-            # through compaction: only the partitions whose SST set this
-            # task changed are rewritten (storage/bucketed.py).
-            if self.table.bucket_spec is not None:
-                self.table.refresh_bucketed()
-            return new_sst
         except Exception:
             manifest.unmark_compacting(input_ids)
             raise
+        # Bucketed tables keep their read-optimized mirror current through
+        # compaction: only the partitions whose SST set this task changed
+        # are rewritten (storage/bucketed.py). OUTSIDE the commit try-block
+        # and best-effort: at this point the manifest swap is committed and
+        # the input files deleted, so a mirror failure must not make the
+        # task report as failed (the except above would unmark ids that no
+        # longer exist, and a retry would scan deleted paths). A skipped
+        # refresh self-heals — serve() detects staleness via is_fresh and
+        # refreshes on the next read.
+        if self.table.bucket_spec is not None:
+            try:
+                self.table.refresh_bucketed()
+            except Exception as e:
+                import sys
+
+                print(
+                    f"# bucketed mirror refresh deferred after compaction: {e}",
+                    file=sys.stderr,
+                )
+        return new_sst
 
     def _write_compacted(
         self,

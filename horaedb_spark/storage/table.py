@@ -194,7 +194,9 @@ class ColumnarTable:
 
     def refresh_bucketed(self) -> dict:
         """Incrementally refresh the bucketed mirror (only segments whose
-        SST set changed are rewritten). No-op table property otherwise."""
+        SST set changed are rewritten). Raises ValueError on a table
+        without a ``bucket_spec`` — guard callers that maintain arbitrary
+        tables (as Compactor does)."""
         return self.bucketed.refresh()
 
     def bucketed_scan(self, auto_refresh: bool = True):

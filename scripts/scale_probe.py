@@ -235,26 +235,29 @@ def planted_cluster(spark, m: int, offset: int = 10_000_000) -> DataFrame:
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+def viral_minhash_run(spark, docs: DataFrame, m: int, cap: int) -> tuple[int, float]:
+    """One capped-MinHash measurement over ``docs`` + a planted m-doc viral
+    cluster: returns (candidate pairs, wall seconds). Shared by the full
+    scale probe below and bench.py's bounded per-round variant so the two
+    cannot drift."""
+    from horaedb_spark.functions.dedup import minhash_lsh_pairs
+
+    corpus = docs.select("doc_id", "text").unionByName(planted_cluster(spark, m))
+    t0 = time.perf_counter()
+    pairs = minhash_lsh_pairs(
+        corpus, "text", "doc_id", max_bucket_rows=cap
+    ).count()
+    return pairs, time.perf_counter() - t0
+
+
 def viral_minhash_probe(
     spark, docs1: DataFrame, docsN: DataFrame, mult: int, cap: int = 500
 ) -> dict:
     """Plant a cluster >= 10x the bucket cap at 1x, grown by ``mult`` at
     the Nx corpus; record capped pair count + wall-time at both scales."""
-    from horaedb_spark.functions.dedup import minhash_lsh_pairs
-
-    def run(docs: DataFrame, m: int) -> tuple[int, float]:
-        corpus = docs.select("doc_id", "text").unionByName(
-            planted_cluster(spark, m)
-        )
-        t0 = time.perf_counter()
-        pairs = minhash_lsh_pairs(
-            corpus, "text", "doc_id", max_bucket_rows=cap
-        ).count()
-        return pairs, time.perf_counter() - t0
-
     m1 = 10 * cap
-    p1, t1 = run(docs1, m1)
-    pN, tN = run(docsN, m1 * mult)
+    p1, t1 = viral_minhash_run(spark, docs1, m1, cap)
+    pN, tN = viral_minhash_run(spark, docsN, m1 * mult, cap)
     return {
         "cap": cap,
         "cluster_1x": m1,

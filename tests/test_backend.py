@@ -466,3 +466,32 @@ def test_s3_backend_root_and_empty_prefix_semantics():
     b.put_text("s3://bkt/a/f", "x")
     assert b.exists("s3://bkt")              # root exists via any key
     assert b.list_dir("s3://bkt") == ["a"]
+
+
+def test_s3_backend_conditional_put_retries_409_conflict():
+    """Real S3 can answer a racing conditional PUT with 409
+    ConditionalRequestConflict ('a conflicting conditional operation is in
+    progress... Retry') — the outcome is UNKNOWN, so the CAS must retry to
+    a definitive success or 412, never crash the writer."""
+    from horaedb_spark.storage.backend import S3Backend
+
+    class _Flaky(_StubS3Client):
+        def __init__(self, conflicts):
+            super().__init__()
+            self.conflicts = conflicts
+
+        def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
+            if IfNoneMatch == "*" and self.conflicts > 0:
+                self.conflicts -= 1
+                raise _S3Error("ConditionalRequestConflict")
+            return super().put_object(Bucket, Key, Body, IfNoneMatch)
+
+    c = _Flaky(conflicts=3)
+    b = S3Backend("bkt", client=c)
+    assert b.put_if_absent("s3://bkt/k", "won") is True   # retried through
+    assert b.read_text("s3://bkt/k") == "won"
+    c2 = _Flaky(conflicts=2)
+    c2.store["k2"] = b"other"
+    b2 = S3Backend("bkt", client=c2)
+    assert b2.put_if_absent("s3://bkt/k2", "lost") is False  # definitive 412
+    assert c2.store["k2"] == b"other"

@@ -227,3 +227,46 @@ def test_bucketed_mirror_tracks_dml_and_random_ops(spark, tmp_path):
     assert got == [(1, 100, 1.5), (2, 200, 2.5), (4, 1100, 4.0), (5, 1200, 55.0)]
     # and the mirror is structurally fresh (no pending partitions)
     assert t.bucketed.is_fresh()
+
+
+def test_bucket_spec_change_forces_rebuild(spark, tmp_path):
+    """The BucketSpec is part of the freshness token: reopening the table
+    with a different bucket count must NOT serve (or extend) the old
+    layout — refresh() rebuilds under the new spec."""
+    from pyspark.sql import types as T
+
+    from horaedb_spark.core.schema import StorageSchema, UpdateMode
+    from horaedb_spark.core.timeutil import TimeRange
+    from horaedb_spark.storage.bucketed import BucketSpec
+    from horaedb_spark.storage.table import ColumnarTable, WriteRequest
+
+    schema = StorageSchema(
+        T.StructType(
+            [
+                T.StructField("k", T.LongType()),
+                T.StructField("ts_ms", T.LongType()),
+                T.StructField("v", T.DoubleType()),
+            ]
+        ),
+        num_primary_keys=1,
+        update_mode=UpdateMode.OVERWRITE,
+    )
+    root = str(tmp_path / "spec")
+    t4 = ColumnarTable(spark, root, schema, 1000,
+                       bucket_spec=BucketSpec(4, ("k",)))
+    t4.write(WriteRequest(_rows(spark, [(1, 100, 1.0), (2, 200, 2.0)]),
+                          TimeRange(0, 1000)))
+    t4.refresh_bucketed()
+    assert t4.bucketed.is_fresh()
+    # same root, different spec: stale until rebuilt, then 8 buckets
+    t8 = ColumnarTable(spark, root, schema, 1000,
+                       bucket_spec=BucketSpec(8, ("k",)))
+    assert not t8.bucketed.is_fresh()
+    stats = t8.refresh_bucketed()
+    assert stats["rebuilt"] is True
+    assert t8.bucketed.is_fresh()
+    got = sorted((r.k, r.v) for r in t8.bucketed_scan(auto_refresh=False).collect())
+    assert got == [(1, 1.0), (2, 2.0)]
+    # and the catalog table really carries the new bucket count
+    ddl = spark.sql(f"SHOW CREATE TABLE {t8.bucketed.name}").first()[0]
+    assert "8 BUCKETS" in ddl.upper(), ddl

@@ -464,3 +464,15 @@ def test_store_multi_field_round_trip(spark, tmp_path):
     assert sorted((r.ts_ms, r.value) for r in pc.collect()) == [
         (1000, 2.0), (2000, 5.0)
     ]
+
+
+def test_multi_field_catalog_joins_do_not_duplicate_rows(spark):
+    """The catalog is one row per (metric, FIELD): any data-side join that
+    only wants the metric NAME must distinct its projection or a two-field
+    metric duplicates every data row (select_all_series regression)."""
+    eng = MetricEngine(_mf_samples(spark))
+    rows = eng.select_all_series().collect()
+    # data rows: sum@a x2, count@a x2, sum@b, plain_gauge = 6 exactly
+    assert len(rows) == 6
+    names = {r["name"] for r in rows}
+    assert names == {"http_req", "plain_gauge"}

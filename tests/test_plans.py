@@ -838,7 +838,7 @@ def test_arrow_kernels_reject_zero_norm_vectors(spark):
 def test_expression_paths_reject_zero_norm_vectors(spark):
     """Both strategies agree on the adversarial input by BOTH rejecting it:
     the expression twins enforce the same zero-norm precondition as the
-    Arrow kernels (checked_norm raises per offending row, naming the id)
+    Arrow kernels (with_checked_norm raises per offending row, naming the id)
     instead of silently ranking NaN cosines — so the strategy pair can
     never disagree on a zero vector, per plan or per row."""
     from horaedb_spark.functions.similarity import (
@@ -857,14 +857,37 @@ def test_expression_paths_reject_zero_norm_vectors(spark):
             emb, clean_q, "qv", "vec_id", k=2, num_cells=2, nprobe=1,
             rerank="expression",
         ).collect()
-    with pytest.raises(Exception, match="zero-norm"):
-        lsh_ann_topk(
-            emb, clean_q, "qv", "vec_id", k=2, num_planes=4, dim=4
-        ).collect()
-    # healthy corpora are untouched: same call shapes, zero vector removed
+    # The contract is enforcement AT SCORING TIME, symmetric with the Arrow
+    # kernels (whose cogroup early-returns on cells with no queries before
+    # the norm check): a zero-norm row whose LSH bucket never joins a query
+    # is dropped by candidate generation without ever reaching a cosine —
+    # it must not corrupt results, and the output must equal the zero-free
+    # corpus. (Here the zero vector's all-ones bucket matches no query.)
     ok = emb.filter(F.col("vec_id") != 99)
+    with_zero = lsh_ann_topk(emb, clean_q, "qv", "vec_id", k=2,
+                             num_planes=4, dim=4).collect()
+    without = lsh_ann_topk(ok, clean_q, "qv", "vec_id", k=2,
+                           num_planes=4, dim=4).collect()
+    assert sorted(map(tuple, with_zero)) == sorted(map(tuple, without))
+    # healthy corpora are untouched: same call shapes, zero vector removed
     assert brute_force_topk(ok, clean_q, "qv", "vec_id", k=2).count() > 0
     assert ivf_ann_topk(
         ok, clean_q, "qv", "vec_id", k=2, num_cells=2, nprobe=1,
         rerank="expression",
     ).count() > 0
+
+
+def test_checked_norm_folds_once_in_optimized_plan(spark):
+    """The zero-norm check must not double the per-row norm fold: Spark's
+    subexpression elimination skips higher-order functions (SPARK-35410),
+    so the when/otherwise spelling would materialize F.aggregate twice.
+    with_checked_norm splits it across a projection boundary — exactly ONE
+    aggregate fold per side in the optimized brute-force plan."""
+    from horaedb_spark.functions.similarity import with_checked_norm
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0])], "vec_id long, qv array<double>"
+    )
+    out = with_checked_norm(emb, F.col("qv"), F.col("vec_id"), "n")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("aggregate(") == 1, plan
