@@ -830,7 +830,14 @@ class PromQLCompiler:
                     "__field__ takes exactly one equality matcher"
                 )
             field = fsel[0].value
-        df = self.engine.select_series(sel.name, matchers or None, field=field)
+        try:
+            df = self.engine.select_series(
+                sel.name, matchers or None, field=field
+            )
+        except ValueError as e:
+            # the string front-end's error boundary is PromQLError — e.g. a
+            # __field__ selection against a single-field engine
+            raise PromQLError(str(e)) from e
         if sel.offset_ms:
             df = df.withColumn("ts_ms", F.col("ts_ms") + F.lit(sel.offset_ms))
         return df.select("series_key", "ts_ms", "value")

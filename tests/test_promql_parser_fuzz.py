@@ -89,6 +89,11 @@ def test_compile_fuzz_raises_only_promql_errors(spark):
         "on(cohort)", "ignoring(user)", "group_left", "group_right",
         "bool", ">", "==", "offset 1d", "offset -1d", "@ start()",
         "@ 3600", "0.5", "10", "-3", '"s"', ",", "[1d]", '{user=~"1|2"}',
+        # multi-field selectors against a SINGLE-field engine: equality
+        # form must surface PromQLError (the engine's ValueError is
+        # wrapped at the string front-end), non-equality forms reject in
+        # the compiler
+        '{__field__="sum"}', '{__field__!="sum"}', '{__field__=~"s.*"}',
     ]
     rng = random.Random(20260815)
     for _ in range(300):
