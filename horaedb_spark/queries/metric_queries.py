@@ -2417,3 +2417,35 @@ def remote_write_multi_field(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "sum_value")
         )
     return parts[0].unionByName(parts[1]).orderBy("field", "cohort")
+
+
+@register(
+    "promql_field_matcher",
+    oracle=_MF_DEDUP_CTE
+    + f"""
+    SELECT 'cohort=' || cohort AS series_key,
+           bucket_ms AS ts_ms,
+           floor(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS value
+    FROM (SELECT cohort, ts_ms - ts_ms % {DAY_MS} AS bucket_ms, value
+          FROM samples WHERE name = 'click' AND field = 'sum')
+    GROUP BY 1, 2
+    ORDER BY series_key, ts_ms
+    """,
+)
+def promql_field_matcher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reserved ``__field__`` matcher through the WHOLE string path —
+    parser -> compiler -> field-routed select_series (RFC multi-field
+    catalog, 20240827:106-113): one field of a grouped family selected and
+    day-bucket summed by cohort. The oracle replicates the field-split
+    dedup and the floor-rounding convention."""
+    eng = _mf_engine(spark, sf_dir)
+    out = eng.promql(
+        'sum by (cohort) (sum_over_time(click{__field__="sum"}[1d]))',
+        step_ms=DAY_MS,
+    )
+    return out.select(
+        "series_key",
+        "ts_ms",
+        (F.floor(F.col("value") * 1_000_000 + 0.5) / 1_000_000).alias("value"),
+    ).orderBy("series_key", "ts_ms")
