@@ -144,6 +144,41 @@ def main() -> None:
     print("federate:\n" + get(f"/federate?match[]={sel}"), end="")
     srv.stop()
 
+    # -- 8. multi-field metrics (round 9, RFC:106-113) ----------------------
+    #       a Prometheus family folds into ONE metric with several fields;
+    #       select one field via the API or the __field__ PromQL matcher
+    from horaedb_spark.metric.ingest import group_metric_families
+
+    fam = spark.createDataFrame(
+        [
+            ("http_req_sum", {"host": "a"}, 1000, 12.5, 1),
+            ("http_req_count", {"host": "a"}, 1000, 3.0, 2),
+            ("http_req_sum", {"host": "a"}, 2000, 20.0, 3),
+            ("http_req_count", {"host": "a"}, 2000, 5.0, 4),
+        ],
+        "name string, labels map<string,string>, ts_ms long, value double, seq long",
+    )
+    feng = MetricEngine(group_metric_families(fam))
+    print("fields:", [r["field_name"] for r in feng.fields("http_req").collect()])
+    got = promql_eval(
+        feng, 'sum_over_time(http_req{__field__="count"}[1h])', 3_600_000
+    )
+    print("__field__ matcher rows:", got.count())
+
+    # -- 9. bucketed read-optimized mirror (round 9) -------------------------
+    #       opt-in table property: joins/aggs on the bucket columns skip
+    #       their exchange; the mirror follows compaction incrementally
+    from horaedb_spark.storage import BucketSpec
+
+    bt = ColumnarTable(
+        spark, tempfile.mkdtemp(prefix="qs_bkt_"), schema, 15 * 86_400_000,
+        bucket_spec=BucketSpec(8, ("user_id",)),
+    )
+    bt.bulk_ingest(ev.limit(10_000), "ts_ms")
+    served = bt.bucketed_scan()  # auto-refreshes the catalog mirror
+    per_user = served.groupBy("user_id").count()  # no exchange on the fact side
+    print("bucketed mirror users:", per_user.count())
+
 
 if __name__ == "__main__":
     main()
