@@ -352,6 +352,46 @@ class ControlServer:
                             "data": {"resultType": "matrix", "result": result},
                         }
                     )
+                elif self.path.startswith("/api/v1/fields"):
+                    # Multi-field catalog listing (RFC 20240827:106-113):
+                    # the (field_name, field_type) rows of one metric — the
+                    # HTTP counterpart of MetricEngine.fields(), selectable
+                    # in queries via the __field__ matcher. Catalog-bounded
+                    # (rows per metric = its field count); ids stay
+                    # engine-internal.
+                    from urllib.parse import parse_qs, urlparse
+
+                    eng = outer._query_engine()
+                    if eng is None:
+                        self._reply(
+                            {"status": "error",
+                             "error": "no metric engine attached"},
+                            status=400,
+                        )
+                        return
+                    q = parse_qs(urlparse(self.path).query)
+                    metric = q.get("metric", [""])[0]
+                    if not metric:
+                        self._reply(
+                            {"status": "error",
+                             "error": "missing metric parameter"},
+                            status=400,
+                        )
+                        return
+                    rows = sorted(
+                        {
+                            (r["field_name"], r["field_type"])
+                            for r in eng.fields(metric).collect()
+                        }
+                    )
+                    self._reply(
+                        {
+                            "status": "success",
+                            "data": [
+                                {"name": n, "type": t} for n, t in rows
+                            ],
+                        }
+                    )
                 elif self.path.startswith("/api/v1/labels") or self.path.startswith(
                     "/api/v1/label/"
                 ) or self.path.startswith("/api/v1/series"):

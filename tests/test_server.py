@@ -719,3 +719,51 @@ def test_post_form_query_endpoints(spark, tmp_path):
         assert out2["data"]["result"][0]["value"] == [2.0, "2.0"]
     finally:
         srv.stop()
+
+
+def test_fields_endpoint_lists_multi_field_catalog(spark, tmp_path):
+    """/api/v1/fields?metric= serves the multi-field catalog rows
+    (RFC:106-113) and the __field__ matcher works through query_range —
+    the HTTP face of the multi-field feature."""
+    import urllib.parse
+
+    from horaedb_spark.metric.engine import MetricEngine
+    from horaedb_spark.metric.ingest import group_metric_families
+
+    samples = spark.createDataFrame(
+        [
+            ("http_req_sum", {"host": "a"}, 1_000, 10.0, 1),
+            ("http_req_count", {"host": "a"}, 1_000, 2.0, 2),
+            ("http_req_sum", {"host": "a"}, 3_601_000, 30.0, 3),
+            ("http_req_count", {"host": "a"}, 3_601_000, 5.0, 4),
+        ],
+        "name string, labels map<string,string>, ts_ms long, value double, seq long",
+    )
+    eng = MetricEngine(group_metric_families(samples))
+    t = ColumnarTable(spark, str(tmp_path / "ff"), kv_schema(), TWO_HOURS)
+    srv = ControlServer(Compactor(t, SchedulerConfig()), metric_engine=eng)
+    srv.start()
+    try:
+        out = _get(srv.port, "/api/v1/fields?metric=http_req")
+        assert out["status"] == "success"
+        assert out["data"] == [
+            {"name": "count", "type": "f64"},
+            {"name": "sum", "type": "f64"},
+        ]
+        import urllib.error
+
+        try:
+            _get(srv.port, "/api/v1/fields")
+            raise AssertionError("missing metric param must 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        q = urllib.parse.quote(
+            'sum by (host) (sum_over_time(http_req{__field__="sum"}[1h]))'
+        )
+        qr = _get(srv.port, f"/api/v1/query_range?query={q}&step=1h")
+        vals = sorted(
+            float(v) for s in qr["data"]["result"] for _t, v in s["values"]
+        )
+        assert vals == [10.0, 30.0]
+    finally:
+        srv.stop()
