@@ -476,3 +476,29 @@ def test_multi_field_catalog_joins_do_not_duplicate_rows(spark):
     assert len(rows) == 6
     names = {r["name"] for r in rows}
     assert names == {"http_req", "plain_gauge"}
+
+
+def test_cached_multi_field_engine_matches_uncached(spark):
+    """cache() materializes data/_flat with the field dimension intact:
+    field selections and the __field__ PromQL path return identical rows
+    on the cached engine."""
+    eng = MetricEngine(_mf_samples(spark))
+    want = sorted(
+        (r.ts_ms, r.value)
+        for r in eng.select_series("http_req", field="sum",
+                                   with_labels=False).collect()
+    )
+    ceng = MetricEngine(_mf_samples(spark)).cache()
+    try:
+        got = sorted(
+            (r.ts_ms, r.value)
+            for r in ceng.select_series("http_req", field="sum",
+                                        with_labels=False).collect()
+        )
+        assert got == want
+        q = 'sum by (host) (sum_over_time(http_req{__field__="count"}[1h]))'
+        a = sorted(map(tuple, eng.promql(q, step_ms=3_600_000).collect()))
+        b = sorted(map(tuple, ceng.promql(q, step_ms=3_600_000).collect()))
+        assert a == b and a
+    finally:
+        ceng.uncache()
