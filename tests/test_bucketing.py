@@ -270,3 +270,46 @@ def test_bucket_spec_change_forces_rebuild(spark, tmp_path):
     # and the catalog table really carries the new bucket count
     ddl = spark.sql(f"SHOW CREATE TABLE {t8.bucketed.name}").first()[0]
     assert "8 BUCKETS" in ddl.upper(), ddl
+
+
+def test_bucketed_mirror_on_fake_s3_rooted_table(spark):
+    """The mirror composes with an object-store-rooted table: SST reads go
+    through the backend, the freshness meta lands next to the manifest in
+    the bucket, and only the CATALOG mirror lives in the local warehouse
+    (the serving copy's location is a deployment choice)."""
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from horaedb_spark.core.schema import StorageSchema, UpdateMode
+    from horaedb_spark.core.timeutil import TimeRange
+    from horaedb_spark.storage.backend import FakeS3Backend
+    from horaedb_spark.storage.bucketed import BucketSpec
+    from horaedb_spark.storage.table import ColumnarTable, WriteRequest
+
+    schema = StorageSchema(
+        T.StructType(
+            [
+                T.StructField("k", T.LongType()),
+                T.StructField("ts_ms", T.LongType()),
+                T.StructField("v", T.DoubleType()),
+            ]
+        ),
+        num_primary_keys=1,
+        update_mode=UpdateMode.OVERWRITE,
+    )
+    root = f"s3://horaedb-test/bkt_{uuid.uuid4().hex[:8]}"
+    t = ColumnarTable(
+        spark, root, schema, 1000,
+        backend=FakeS3Backend(), bucket_spec=BucketSpec(4, ("k",)),
+    )
+    t.write(WriteRequest(
+        spark.createDataFrame([(1, 100, 1.0), (2, 200, 2.0)],
+                              "k long, ts_ms long, v double"),
+        TimeRange(0, 1000),
+    ))
+    got = sorted((r.k, r.v) for r in t.bucketed_scan().collect())
+    assert got == [(1, 1.0), (2, 2.0)]
+    # the freshness meta is an OBJECT in the bucket, not a local file
+    assert t.backend.exists(f"{root}/bucketed.json")
+    assert t.bucketed.is_fresh()
