@@ -248,3 +248,76 @@ def test_stateful_increase_idle_eviction(spark, tmp_path):
     assert not any(r[:2] == (2, "b") and r[2] > 1 for r in uniq), sorted(uniq)
     # a progressed monotonically to (3, 2000) while it stayed live
     assert (1, "a", 3, 2000, False) in uniq, sorted(uniq)
+
+
+def test_streaming_multi_field_ingest(spark, tmp_path):
+    """Streaming micro-batches of family-suffixed samples land in the
+    multi-field MetricStore (RFC:106-113): per micro-batch foreachBatch
+    runs group_metric_families + store.ingest (itself ONE bulk_ingest job
+    per batch); after the stream drains, the engine serves both fields of
+    the family independently and the catalog holds one row per field.
+    Replayed batches stay idempotent (same seq -> overwrite merge)."""
+    import os
+
+    import pandas as pd
+
+    from horaedb_spark.metric.ingest import group_metric_families
+    from horaedb_spark.metric.store import MetricStore
+
+    src = tmp_path / "mf_src"
+    src.mkdir()
+    batches = [
+        [("req_sum", "a", 1_000, 10.0, 1), ("req_count", "a", 1_000, 2.0, 2)],
+        [("req_sum", "a", 2_000, 30.0, 3), ("req_count", "b", 2_000, 4.0, 4)],
+    ]
+    for i, rows in enumerate(batches):
+        p = str(src / f"b{i}.parquet")
+        pd.DataFrame(
+            rows, columns=["name", "host", "ts_ms", "value", "seq"]
+        ).to_parquet(p)
+        os.utime(p, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    store = MetricStore(spark, str(tmp_path / "mfstore"), 3_600_000)
+    stream = (
+        spark.readStream.schema(
+            "name string, host string, ts_ms long, value double, seq long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+
+    def sink(batch_df, epoch_id):
+        from pyspark.sql import functions as F
+
+        samples = batch_df.select(
+            "name",
+            F.create_map(F.lit("host"), F.col("host")).alias("labels"),
+            "ts_ms",
+            "value",
+            "seq",
+        )
+        store.ingest(group_metric_families(samples))
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "mf_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    eng = store.engine()
+    cat = {(r["metric_name"], r["field_name"]) for r in eng.metrics.collect()}
+    assert cat == {("req", "sum"), ("req", "count")}
+    sums = sorted(
+        (r.ts_ms, r.value)
+        for r in eng.select_series("req", field="sum",
+                                   with_labels=False).collect()
+    )
+    assert sums == [(1_000, 10.0), (2_000, 30.0)]
+    counts = sorted(
+        (r.ts_ms, r.value)
+        for r in eng.select_series("req", field="count",
+                                   with_labels=False).collect()
+    )
+    assert counts == [(1_000, 2.0), (2_000, 4.0)]
