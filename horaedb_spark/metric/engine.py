@@ -165,7 +165,10 @@ class MetricEngine:
     def select_all_series(self, time_range: TimeRange | None = None) -> DataFrame:
         """Samples of every metric with the metric name restored from the
         catalog (broadcast join on metric_id) — the cross-metric scan used by
-        metadata queries and histogram builds."""
+        metadata queries and histogram builds. On a multi-field engine the
+        output carries every field's rows (with their ``field_id``) — filter
+        on field_id downstream if a single field is wanted; per-field
+        selection belongs to ``select_series(field=...)``."""
         out = self.data
         if time_range is not None:
             out = out.filter(
