@@ -206,3 +206,29 @@ def test_field_selection_pushes_down_on_durable_scan(spark, tmp_path):
     m = re.search(r"PushedFilters: \[[^\n]*field_id", plan)
     assert m, plan[-2500:]
     assert re.search(r"DataFilters: \[[^\n]*field_id", plan), plan[-2500:]
+
+
+def test_ingest_pre_epoch_timestamps_via_bulk_path(spark, tmp_path):
+    """The r9 bulk_ingest routing must keep the floor-form segment math:
+    a pre-epoch sample (ts < 0) lands in the NEGATIVE segment containing
+    it (truncate_by semantics) and scans back; the r8-era per-segment loop
+    handled this and the single-pass path must too."""
+    store = MetricStore(spark, str(tmp_path / "pre"), HOUR)
+    store.ingest(
+        _samples(
+            spark,
+            [
+                ("cpu", {"h": "a"}, -5, 1.5, 1),       # segment -HOUR
+                ("cpu", {"h": "a"}, 1000, 2.5, 2),     # segment 0
+            ],
+        )
+    )
+    segs = sorted(
+        s.time_range.start for s in store.data.manifest.all_ssts()
+    )
+    assert segs == [-HOUR, 0]
+    rows = sorted(
+        (r.ts_ms, r.value)
+        for r in store.engine().select_series("cpu", with_labels=False).collect()
+    )
+    assert rows == [(-5, 1.5), (1000, 2.5)]
