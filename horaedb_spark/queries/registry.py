@@ -78,87 +78,27 @@ _QUERY_MODULES = (
 # The driver's correctness run walks queries in map order and covers only
 # ~44-50 per round (time-capped). Queries that still lack ANY green driver
 # row across all rounds surface FIRST (a query that never had hard signal is
-# the most valuable row to produce); queries that were green in round 1 but
-# errored in round 2 (the TIMESTAMP_NTZ testdata shift, fixed since) come
-# next — they at least carry historical evidence; everything already
-# driver-green follows in registration order. Keep this list in sync with
-# the latest CORRECTNESS_r{N}.json: drop names once green, promote any
-# regression.
+# the most valuable row to produce) — round 10 rotated out the 50 names the
+# r08/r09 samples already confirmed and promoted the 96 never-drawn ones,
+# led by the round-9 additions (multi-field catalog, bucketed scan) and the
+# shared-fixture promql tail. The 12 queries that were drawn early but
+# errored on since-fixed issues (TIMESTAMP_NTZ shift, oracle typing) come
+# next; everything already driver-green follows in registration order. Keep
+# this list in sync with the latest CORRECTNESS_r{N}.json: drop names once
+# green, promote any regression.
 _RUN_FIRST = (
-    "storage_delete_scan",
-    "storage_schema_evolution_scan",
-    "events_markov_transitions",
-    "embedding_centroid_confusion",
-    "ingest_line_protocol",
-    "streaming_ingest_autocompact",
-    "events_gap_detection",
-    "window_function_suite",
-    "events_type_affinity",
-    "events_seasonal_anomalies",
-    "orders_cohort_ltv",
-    "promql_group_without",
-    "streaming_cdc_apply",
-    "storage_merge_into_scan",
-    "storage_rollup_cascade",
-    "dedup_span_stats",
-    "storage_update_scan",
-    "funnel_time_bounded",
-    "events_churn_flow",
-    "dedup_threshold_sweep",
-    "streaming_left_outer_join",
-    "events_weekly_seasonality",
-    "orders_backlog_series",
-    "storage_point_lookup",
-    "text_bpe_apply",
-    "events_psi_drift",
-    "events_m4_downsample",
-    "events_rolling_distinct_users",
-    "text_oov_rate",
-    "promql_histogram_fraction",
-    "promql_absent_over_time",
-    "promql_mad_over_time",
-    # --- round-3 batch-5 additions (never ANY driver row)
-    "market_basket_pairs",
-    "customer_rfm_segments",
-    "grouping_sets_report",
-    "skew_salted_rollup",
-    "embedding_dim_stats",
-    "pipeline_dataset_card",
-    "asof_join_tolerance",
-    "storage_secondary_index_scan",
-    "pipeline_mixture_weights",
-    "events_mad_outliers",
-    "events_lag_autocorr",
-    "text_langid_confusion",
-    "order_ship_latency",
-    "dedup_cluster_histogram",
-    "embedding_quantize_int8",
-    "events_change_point",
-    "orders_pareto_deciles",
-    "text_tfidf_keywords",
-    "embedding_label_outliers",
-    # --- round-3 additions (never ANY driver row)
-    "pipeline_token_budget",
-    "promql_slo_burn_rate",
-    "multimodal_dedup",
-    "storage_snapshot_diff",
-    "sketch_heavy_hitters",
-    "ann_pq_topk",
-    "campaign_interval_join",
-    "streaming_heavy_hitters",
-    "analyze_table_profile",
-    "user_journey_paths",
-    "dq_referential_check",
-    "pipeline_export_shards",
-    "text_bigram_lm",
-    "embedding_kmeans",
-    "dedup_semantic_clusters",
-    "text_bpe_pairs",
-    "text_char_entropy",
-    # --- never ANY driver row: metric/PromQL tail (cheap, shared fixture)
+    "metric_multi_field_select",
+    "metric_field_catalog",
+    "remote_write_multi_field",
+    "promql_field_matcher",
+    "storage_bucketed_scan",
+    "metric_packed_scan",
+    "metric_packed_promql",
+    "promql_parse_eval",
+    "remote_write_ingest",
+    "remote_write_exemplars",
     "promql_irate",
     "promql_delta_idelta",
-    "remote_write_ingest",
     "promql_over_time",
     "promql_topk",
     "promql_bottomk",
@@ -189,46 +129,73 @@ _RUN_FIRST = (
     "promql_sliding_increase",
     "promql_sliding_over_time",
     "promql_sliding_histogram_quantile",
-    # --- never ANY driver row: streaming
+    "streaming_promql_eval",
+    "promql_alert_states",
+    "promql_recording_rules",
+    "promql_alerting_rules",
+    "promql_power_div_guard",
+    "promql_atan2_at_end",
+    "promql_fn_eval",
+    "promql_slo_burn_rate",
     "streaming_late_data",
     "streaming_session_window",
     "streaming_stream_join",
     "streaming_dedup",
     "streaming_enrich_join",
-    "streaming_ingest_scan",
-    "streaming_stateful_increase",
-    "streaming_window_agg",
     "streaming_continuous_rollup",
     "streaming_ann_retrieval",
-    # --- never ANY driver row: storage + round-3 additions
-    "storage_stats_pruned_scan",
-    "storage_continuous_rollup",
+    "streaming_heavy_hitters",
     "storage_incremental_rollup",
     "storage_retention_downsample",
     "storage_zorder_scan",
-    "funnel_conversion",
-    "retention_cohorts",
+    "storage_snapshot_diff",
+    "analyze_table_profile",
     "ann_recall_check",
     "ann_rerank_pipeline",
+    "ann_pq_topk",
+    "ann_bruteforce_topk_arrow",
+    "ann_ivf_topk_large_queryset",
+    "ann_ivf_topk_arrow",
     "pipeline_corpus_clean",
     "pipeline_length_histogram",
+    "pipeline_token_budget",
+    "pipeline_export_shards",
+    "pipeline_contamination_rate",
+    "pipeline_weighted_resample",
     "dedup_prefix_cluster",
     "dedup_minhash_estimate_check",
     "dedup_quality_survivors",
     "dedup_incremental_batch",
-    # --- no_oracle upgraded to real/tolerance oracles (r1 row was weak)
+    "dedup_semantic_clusters",
+    "dedup_minhash_capped",
+    "multimodal_dedup",
+    "multimodal_phash_near_dup",
+    "sketch_heavy_hitters",
+    "sketch_hll_distinct",
+    "sketch_kmv_overlap",
+    "text_bigram_lm",
+    "text_bpe_pairs",
+    "text_char_entropy",
+    "text_bpe_batched",
+    "embedding_kmeans",
+    "embedding_label_outliers",
+    "campaign_interval_join",
+    "user_journey_paths",
+    "dq_referential_check",
+    "returned_item_losses_q10",
+    # --- drawn in r1/r2 but errored on since-fixed issues: re-confirm
+    "streaming_ingest_scan",
+    "streaming_stateful_increase",
+    "streaming_window_agg",
+    "storage_stats_pruned_scan",
+    "storage_continuous_rollup",
+    "funnel_conversion",
+    "retention_cohorts",
     "approx_sketches",
     "multimodal_feature_extract",
-    # --- hash-failed in r1/r2 on oracle typing (values matched; fixed since)
     "pipeline_sequence_packing",
     "text_token_stats",
     "shipmode_priority_q12",
-    # --- r1-green but r2-errored (NTZ shift, fixed): re-confirm last
-    "storage_scan_overwrite",
-    "storage_scan_predicate_projection",
-    "storage_time_range_scan",
-    "storage_compaction_scan",
-    "storage_bulk_ingest_scan",
 )
 
 
