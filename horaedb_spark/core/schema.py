@@ -47,11 +47,22 @@ class StorageSchema:
     fields: T.StructType
     num_primary_keys: int
     update_mode: UpdateMode = UpdateMode.OVERWRITE
+    # Existence defaults (the Delta/Iceberg "add column with default"
+    # semantics): a column listed here was added AFTER data was written, and
+    # SSTs that predate it surface the default instead of NULL on read. This
+    # is what makes a 100 TB schema migration metadata-only — no SST is
+    # rewritten; the scan coalesces. Compaction materializes the default
+    # into its outputs (it writes the scan's merged rows), so the coalesce
+    # becomes an identity on compacted files over time.
+    column_defaults: dict = field(default_factory=dict)
     value_fields: tuple[str, ...] = field(init=False)
     primary_keys: tuple[str, ...] = field(init=False)
 
     def __post_init__(self) -> None:
         names = [f.name for f in self.fields.fields]
+        for col in self.column_defaults:
+            if col not in names:
+                raise ValueError(f"column_defaults references unknown column {col!r}")
         if not 0 < self.num_primary_keys <= len(names):
             raise ValueError(
                 f"num_primary_keys={self.num_primary_keys} out of range for {len(names)} fields"
@@ -94,14 +105,18 @@ class StorageSchema:
             T.StructType([*self.fields.fields, *new_fields]),
             num_primary_keys=self.num_primary_keys,
             update_mode=self.update_mode,
+            column_defaults=dict(self.column_defaults),
         )
 
     def to_json(self) -> dict:
-        return {
+        out = {
             "fields": self.fields.jsonValue(),
             "num_primary_keys": self.num_primary_keys,
             "update_mode": self.update_mode.value,
         }
+        if self.column_defaults:
+            out["column_defaults"] = dict(self.column_defaults)
+        return out
 
     @classmethod
     def from_json(cls, d: dict) -> "StorageSchema":
@@ -109,6 +124,7 @@ class StorageSchema:
             T.StructType.fromJson(d["fields"]),
             num_primary_keys=d["num_primary_keys"],
             update_mode=UpdateMode(d["update_mode"]),
+            column_defaults=d.get("column_defaults", {}),
         )
 
     def physical_schema(self) -> T.StructType:

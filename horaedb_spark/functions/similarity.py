@@ -49,7 +49,14 @@ def vector_norm(v: Column) -> Column:
     )
 
 
-def with_checked_norm(df: DataFrame, vec: Column, id_expr: Column, out: str) -> DataFrame:
+def with_checked_norm(
+    df: DataFrame,
+    vec: Column,
+    id_expr: Column,
+    out: str,
+    *,
+    quantized: bool = False,
+) -> DataFrame:
     """Adds column ``out`` = ``vector_norm(vec)`` with the zero-norm
     precondition ENFORCED: cosine is undefined at norm 0, and the two ANN
     execution strategies would otherwise silently DISAGREE on such rows
@@ -65,16 +72,34 @@ def with_checked_norm(df: DataFrame, vec: Column, id_expr: Column, out: str) -> 
     Spark's subexpression elimination skips higher-order functions
     (SPARK-35410), and CollapseProject declines to inline a duplicated
     non-cheap alias across the projection boundary (verified on the
-    optimized plan: 2 aggregates one-shot vs 1 split)."""
+    optimized plan: 2 aggregates one-shot vs 1 split).
+
+    ``quantized=True``: when ``vec`` is a QUANTIZED vector, a zero norm has
+    TWO possible causes — a true zero-norm input, or a legitimate
+    tiny-magnitude vector (all |x| < 0.5/scale) that quantized to
+    all-zeros. Blaming the input as "zero-norm" would mislead in the second
+    case, and distinguishing per row would require carrying the raw vector
+    column past the candidate join (breaking the scoring-time-enforcement
+    contract: a zero row whose bucket never joins must not abort the job —
+    tests/test_plans.py pins that). The message names both causes instead."""
     tmp = f"__{out}_raw__"
     staged = df.withColumn(tmp, vector_norm(vec))
+    if quantized:
+        reason = (
+            "); the input is zero-norm, or its components are too small "
+            "for the quantization scale and rounded to all-zeros — filter "
+            "zero vectors upstream, rescale the embeddings, or use an "
+            "exact-cosine path"
+        )
+    else:
+        reason = "); filter it upstream"
     check = F.when(
         F.col(tmp) == F.lit(0.0),
         F.raise_error(
             F.concat(
                 F.lit("cosine undefined for zero-norm vector (id "),
                 id_expr.cast("string"),
-                F.lit("); filter it upstream"),
+                F.lit(reason),
             )
         ).cast("double"),
     ).otherwise(F.col(tmp))
@@ -180,7 +205,7 @@ def lsh_ann_topk(
             lsh_bucket(qz, num_planes, dim).alias("bucket"),
         )
         return with_checked_norm(
-            out, F.col(vec_alias), F.col(id_alias), norm_alias
+            out, F.col(vec_alias), F.col(id_alias), norm_alias, quantized=True
         )
 
     c = prep(corpus, "corpus_id", "cv", "cn")

@@ -98,6 +98,99 @@ class MetricStore:
             ),
             segment_duration_ms,
         )
+        # ColumnarTable treats the persisted schema.json as authoritative, so
+        # a store created before the multi-field layout reopens with the old
+        # 4-column data schema — and write()'s schema-enforcement select
+        # would then silently DROP the field_id ingest stamps, collapsing
+        # distinct fields at the same (metric_id, tsid, ts_ms) via seq dedup.
+        # Refuse loudly instead; migrate_legacy() upgrades in place without
+        # rewriting a single SST.
+        if "field_id" not in self.data.schema.user_columns:
+            raise ValueError(
+                f"MetricStore at {root!r} predates the multi-field layout "
+                "(its persisted data schema has no field_id column); run "
+                "MetricStore.migrate_legacy(spark, root, segment_duration_ms) "
+                "once — a metadata-only migration, no SST is rewritten"
+            )
+
+    # -------------------------------------------------------------- migration
+
+    @classmethod
+    def migrate_legacy(
+        cls,
+        spark: SparkSession,
+        root: str,
+        segment_duration_ms: int,
+        pack_ms: int = model.PACK_MS,
+    ) -> "MetricStore":
+        """Upgrade a pre-multi-field store in place and open it.
+
+        Metadata-only at any scale — neither the data table's SSTs nor the
+        catalogs are rewritten:
+
+        - ``data``: the persisted schema gains the ``field_id`` PK column
+          with an existence default of ``xxhash64('value')`` (the stable id
+          of the single implicit field every legacy sample belongs to,
+          RFC:150-153) — pre-migration SSTs surface it via the scan-side
+          coalesce (``StorageSchema.column_defaults``); compaction
+          materializes it into rewritten files over time.
+        - ``metrics``: the legacy catalog already carried
+          field_name/field_id columns ('value' rows) but keyed rows on
+          metric_name alone; the persisted key widens to
+          (metric_name, field_name) — a pure schema.json replacement, sound
+          because legacy rows are unique under the wider key too.
+
+        Idempotent: re-running on an already-migrated store is a no-op."""
+        L, S, D = T.LongType(), T.StringType(), T.DoubleType()
+        data = ColumnarTable(
+            spark,
+            f"{root}/data",
+            _schema(
+                [("metric_id", L), ("tsid", L), ("field_id", L),
+                 ("ts_ms", L), ("value", D)],
+                4,
+            ),
+            segment_duration_ms,
+        )
+        if "field_id" not in data.schema.user_columns:
+            default_fid = spark.range(1).select(
+                model.field_id(F.lit(model.DEFAULT_FIELD)).alias("f")
+            ).first()["f"]
+            data.migrate_schema(
+                StorageSchema(
+                    T.StructType(
+                        [
+                            T.StructField("metric_id", L),
+                            T.StructField("tsid", L),
+                            T.StructField("field_id", L),
+                            T.StructField("ts_ms", L),
+                            T.StructField("value", D),
+                        ]
+                    ),
+                    num_primary_keys=4,
+                    update_mode=UpdateMode.OVERWRITE,
+                    column_defaults={"field_id": default_fid},
+                )
+            )
+        metrics = ColumnarTable(
+            spark,
+            f"{root}/metrics",
+            _schema(
+                [("metric_name", S), ("field_name", S), ("metric_id", L),
+                 ("field_id", L), ("field_type", S)],
+                2,
+            ),
+            CATALOG_SEGMENT,
+        )
+        if metrics.schema.primary_keys != ("metric_name", "field_name"):
+            metrics.migrate_schema(
+                _schema(
+                    [("metric_name", S), ("field_name", S), ("metric_id", L),
+                     ("field_id", L), ("field_type", S)],
+                    2,
+                )
+            )
+        return cls(spark, root, segment_duration_ms, pack_ms)
 
     # ------------------------------------------------------------------ write
 

@@ -2394,8 +2394,14 @@ def remote_write_multi_field(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         ]
         names = [r["name"] for r in decoded.select("name").distinct().collect()]
+        # longest matching family wins: with prefix-overlapping families
+        # ('http' and 'http_req'), 'http_req_sum' must resolve to
+        # ('http_req', field 'sum') deterministically, not whichever
+        # family collect() happened to list last
         families = {
-            n: f for n in names for f in fams if n.startswith(f + "_")
+            n: max(matches, key=len)
+            for n in names
+            if (matches := [f for f in fams if n.startswith(f + "_")])
         }
         samples = decoded.select(
             "name",

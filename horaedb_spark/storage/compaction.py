@@ -28,6 +28,7 @@ submitted as its own parallel job.
 
 from __future__ import annotations
 
+import logging
 import time
 from dataclasses import dataclass, field
 
@@ -431,12 +432,16 @@ class Compactor:
         if self.table.bucket_spec is not None:
             try:
                 self.table.refresh_bucketed()
-            except Exception as e:
-                import sys
-
-                print(
-                    f"# bucketed mirror refresh deferred after compaction: {e}",
-                    file=sys.stderr,
+            except Exception:
+                # warning, not stderr print: a driver running many
+                # compaction tasks must be able to surface REPEATED refresh
+                # failures (each leaves serve()'s auto_refresh re-attempting
+                # a full refresh on every read) through log routing
+                logging.getLogger(__name__).warning(
+                    "bucketed mirror refresh deferred after compaction of "
+                    "%s; serve() will retry on next read",
+                    self.table.root,
+                    exc_info=True,
                 )
         return new_sst
 

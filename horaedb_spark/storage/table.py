@@ -181,6 +181,53 @@ class ColumnarTable:
         self.schema = self.schema.evolved(list(new_fields))
         self._persist_schema()
 
+    def migrate_schema(self, new_schema: StorageSchema) -> None:
+        """Metadata-only schema migration: replace the persisted schema with
+        ``new_schema`` without rewriting any SST — the 100 TB migration.
+        Unlike ``evolve_schema`` this may reorder columns, widen the primary
+        key, and add PK columns, under these safety rules:
+
+        - the update mode is unchanged;
+        - every existing column survives with an identical data type
+          (reads use an explicit by-name schema, so order is metadata);
+        - every ADDED column either carries an existence default
+          (``new_schema.column_defaults``) or is a nullable value column —
+          a defaultless added PK would give pre-migration rows a NULL merge
+          key, which is undefined.
+
+        PK reorder/widen is sound here because the merge is a shuffle +
+        window over the key columns, never a file-order k-way walk: old
+        SSTs sorted under the previous key order still merge correctly
+        (storage/merge.py:104). Write-path PK sort applies the new order to
+        new files only. Stats pruning is by column name, order-free."""
+        if new_schema.update_mode != self.schema.update_mode:
+            raise ValueError("migrate_schema cannot change the update mode")
+        old = {f.name: f.dataType for f in self.schema.fields.fields}
+        new = {f.name: f.dataType for f in new_schema.fields.fields}
+        for name, typ in old.items():
+            if name not in new:
+                raise ValueError(f"migration drops existing column {name!r}")
+            if new[name] != typ:
+                raise ValueError(
+                    f"migration changes type of {name!r}: {typ} -> {new[name]}"
+                )
+        for f in new_schema.fields.fields:
+            if f.name in old:
+                continue
+            is_pk = f.name in new_schema.primary_keys
+            has_default = f.name in new_schema.column_defaults
+            if is_pk and not has_default:
+                raise ValueError(
+                    f"added PK column {f.name!r} needs an existence default "
+                    "(pre-migration rows would get a NULL merge key)"
+                )
+            if not is_pk and not has_default and not f.nullable:
+                raise ValueError(
+                    f"added column {f.name!r} must be nullable or carry a default"
+                )
+        self.schema = new_schema
+        self._persist_schema()
+
     @property
     def bucketed(self):
         """The BucketedMirror when the table opted in via ``bucket_spec``."""
@@ -865,7 +912,15 @@ class ColumnarTable:
                 .withColumn(POS_COLUMN, F.col("_metadata.row_index"))
                 .select(*cols, POS_COLUMN)
             )
-        return reduce(DataFrame.unionByName, parts)
+        df = reduce(DataFrame.unionByName, parts)
+        # Existence defaults (schema.column_defaults): columns added by a
+        # metadata-only migration read as NULL from pre-migration SSTs —
+        # coalesce to the recorded default so merge keys and predicates see
+        # the value the migration declared. Identity on post-migration rows.
+        for col, dflt in self.schema.column_defaults.items():
+            typ = self.schema.fields[col].dataType
+            df = df.withColumn(col, F.coalesce(F.col(col), F.lit(dflt).cast(typ)))
+        return df
 
     def scan_ssts(self, ssts: list[SstFile], req: ScanRequest) -> DataFrame:
         """Scan an explicit SST list (compaction reuses this with the picked

@@ -121,6 +121,30 @@ def _rows(spark, rows):
     return spark.createDataFrame(rows, "k long, ts_ms long, v double")
 
 
+def _assert_bucketed_self_join_no_exchange(spark, t):
+    """Self-join on the bucket column: row-correct AND exchange-free below
+    the SortMergeJoin — the property that would silently break if any
+    maintenance path (initial build, incremental insertInto, compaction)
+    wrote files that don't honor the catalog bucket spec."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = t.bucketed_scan(auto_refresh=False).alias("a")
+        b = t.bucketed_scan(auto_refresh=False).alias("b")
+        j = a.join(b, "k").groupBy("a.ts_ms").count()
+        # bucket-assuming join answers must equal the plain-scan equivalent
+        sa = t.scan().alias("a")
+        sb = t.scan().alias("b")
+        ref = sa.join(sb, "k").groupBy("a.ts_ms").count()
+        assert sorted(map(tuple, j.collect())) == sorted(map(tuple, ref.collect()))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" in plan, plan[:1500]
+        assert "Exchange" not in plan.split("SortMergeJoin", 1)[1], plan[:1500]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_bucketed_mirror_serves_merged_state_and_skips_exchange(spark, tmp_path):
     from horaedb_spark.core.timeutil import TimeRange
     from horaedb_spark.storage.table import WriteRequest
@@ -134,18 +158,7 @@ def test_bucketed_mirror_serves_merged_state_and_skips_exchange(spark, tmp_path)
     want = sorted((r.k, r.ts_ms, r.v) for r in t.scan().collect())
     assert got == want == [(1, 100, 9.0), (2, 200, 2.0), (3, 1500, 3.0)]
     # repeated joins/aggs on the bucket column skip the exchange
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        a, b = t.bucketed_scan().alias("a"), t.bucketed_scan().alias("b")
-        j = a.join(b, "k").groupBy("a.ts_ms").count()
-        j.collect()
-        plan = j._jdf.queryExecution().executedPlan().toString()
-        plan = plan.split("== Initial Plan ==")[0]
-        assert "SortMergeJoin" in plan, plan[:1500]
-        assert "Exchange" not in plan.split("SortMergeJoin", 1)[1], plan[:1500]
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    _assert_bucketed_self_join_no_exchange(spark, t)
 
 
 def test_bucketed_mirror_incremental_refresh_and_staleness(spark, tmp_path):
@@ -167,6 +180,11 @@ def test_bucketed_mirror_incremental_refresh_and_staleness(spark, tmp_path):
     assert stats == {"rebuilt": False, "overwritten": [1000], "dropped": []}
     got = sorted((r.k, r.v) for r in t.bucketed_scan(auto_refresh=False).collect())
     assert got == [(1, 1.0), (2, 2.0), (9, 9.0)]
+    # the incremental insertInto path must PRESERVE the bucketed layout:
+    # plain-scan content equality alone would pass even if the overwritten
+    # partition's files ignored the bucket spec — the exchange-free join
+    # would then silently return wrong rows
+    _assert_bucketed_self_join_no_exchange(spark, t)
 
 
 def test_compaction_maintains_bucketed_mirror(spark, tmp_path):

@@ -232,3 +232,200 @@ def test_ingest_pre_epoch_timestamps_via_bulk_path(spark, tmp_path):
         for r in store.engine().select_series("cpu", with_labels=False).collect()
     )
     assert rows == [(-5, 1.5), (1000, 2.5)]
+
+
+def _legacy_store(spark, root):
+    """Materialize a pre-multi-field store layout (the round-8 shape:
+    4-column data PK=(metric_id,tsid,ts_ms), metrics keyed on metric_name
+    alone) by writing through legacy-shaped ColumnarTables directly."""
+    from pyspark.sql import types as T
+
+    from horaedb_spark.core.schema import StorageSchema, UpdateMode
+    from horaedb_spark.metric import model
+    from horaedb_spark.storage.table import ColumnarTable, WriteRequest
+
+    L, S, D = T.LongType(), T.StringType(), T.DoubleType()
+
+    def _schema(fields, n):
+        return StorageSchema(
+            T.StructType([T.StructField(a, b) for a, b in fields]),
+            num_primary_keys=n,
+            update_mode=UpdateMode.OVERWRITE,
+        )
+
+    samples = _samples(
+        spark,
+        [("cpu", {"host": "a"}, 1000, 1.0, 1), ("cpu", {"host": "b"}, 2000, 2.0, 1)],
+    )
+    data = ColumnarTable(
+        spark,
+        f"{root}/data",
+        _schema([("metric_id", L), ("tsid", L), ("ts_ms", L), ("value", D)], 3),
+        HOUR,
+    )
+    data.bulk_ingest(
+        model.with_ids(samples).select("metric_id", "tsid", "ts_ms", "value"), "ts_ms"
+    )
+    metrics = ColumnarTable(
+        spark,
+        f"{root}/metrics",
+        _schema(
+            [("metric_name", S), ("metric_id", L), ("field_name", S),
+             ("field_id", L), ("field_type", S)],
+            1,
+        ),
+        1 << 60,
+    )
+    metrics.write(
+        WriteRequest(model.build_metrics_table(samples), TimeRange(0, 1))
+    )
+    from horaedb_spark.metric.store import MetricStore as MS
+
+    series = ColumnarTable(
+        spark, f"{root}/series",
+        _schema([("metric_id", L), ("tsid", L), ("series_key", S)], 2), 1 << 60,
+    )
+    from horaedb_spark.metric import model as m
+
+    series.write(WriteRequest(m.build_series_table(samples), TimeRange(0, 1)))
+    index = ColumnarTable(
+        spark, f"{root}/index",
+        _schema([("metric_id", L), ("tag_key", S), ("tag_value", S), ("tsid", L)], 4),
+        1 << 60,
+    )
+    index.write(WriteRequest(m.build_index_table(samples), TimeRange(0, 1)))
+    return samples
+
+
+def test_legacy_store_open_refuses_loudly(spark, tmp_path):
+    import pytest
+
+    root = str(tmp_path / "legacy1")
+    _legacy_store(spark, root)
+    with pytest.raises(ValueError, match="predates the multi-field layout"):
+        MetricStore(spark, root, HOUR)
+
+
+def test_migrate_legacy_is_metadata_only_and_preserves_rows(spark, tmp_path):
+    from horaedb_spark.metric import model
+    from horaedb_spark.metric.engine import Matcher
+
+    root = str(tmp_path / "legacy2")
+    _legacy_store(spark, root)
+    import glob as _glob
+    import os as _os
+
+    files_before = {
+        p: _os.path.getmtime(p)
+        for p in _glob.glob(f"{root}/data/data/**/*.parquet", recursive=True)
+    }
+    store = MetricStore.migrate_legacy(spark, root, HOUR)
+    # no SST rewritten: identical file set, identical mtimes
+    files_after = {
+        p: _os.path.getmtime(p)
+        for p in _glob.glob(f"{root}/data/data/**/*.parquet", recursive=True)
+    }
+    assert files_after == files_before
+    # legacy rows surface the default field_id via the existence default
+    rows = store.data.scan().orderBy("ts_ms").collect()
+    default_fid = spark.range(1).select(
+        model.field_id(F.lit(model.DEFAULT_FIELD)).alias("f")
+    ).first()["f"]
+    assert [(r.ts_ms, r.value, r.field_id) for r in rows] == [
+        (1000, 1.0, default_fid),
+        (2000, 2.0, default_fid),
+    ]
+    # multi-field ingest AFTER migration keeps fields distinct at the same
+    # (metric_id, tsid, ts_ms) — the silent-collapse the migration prevents
+    store.ingest(
+        spark.createDataFrame(
+            [("req", "sum", {"host": "a"}, 1000, 10.0, 2),
+             ("req", "count", {"host": "a"}, 1000, 4.0, 2)],
+            "name string, field string, labels map<string,string>, "
+            "ts_ms long, value double, seq long",
+        )
+    )
+    eng = store.engine()
+    out = eng.select_series("req", [Matcher("host", "=", "a")], field="sum")
+    assert [(r.ts_ms, r.value) for r in out.collect()] == [(1000, 10.0)]
+    out = eng.select_series("req", [Matcher("host", "=", "a")], field="count")
+    assert [(r.ts_ms, r.value) for r in out.collect()] == [(1000, 4.0)]
+    # legacy single-field series still selectable
+    out = eng.select_series("cpu", [Matcher("host", "=", "a")])
+    assert [(r.ts_ms, r.value) for r in out.collect()] == [(1000, 1.0)]
+    # idempotent
+    MetricStore.migrate_legacy(spark, root, HOUR)
+
+
+def test_migrate_schema_validation_rules(spark, tmp_path):
+    import pytest
+    from pyspark.sql import types as T
+
+    from horaedb_spark.core.schema import StorageSchema, UpdateMode
+    from horaedb_spark.storage.table import ColumnarTable
+
+    L, D = T.LongType(), T.DoubleType()
+    tbl = ColumnarTable(
+        spark,
+        str(tmp_path / "mig"),
+        StorageSchema(
+            T.StructType([T.StructField("k", L), T.StructField("v", D)]),
+            num_primary_keys=1,
+        ),
+        HOUR,
+    )
+    # added PK without a default -> refused
+    with pytest.raises(ValueError, match="existence default"):
+        tbl.migrate_schema(
+            StorageSchema(
+                T.StructType(
+                    [T.StructField("k", L), T.StructField("k2", L), T.StructField("v", D)]
+                ),
+                num_primary_keys=2,
+            )
+        )
+    # dropping a column -> refused
+    with pytest.raises(ValueError, match="drops existing column"):
+        tbl.migrate_schema(
+            StorageSchema(T.StructType([T.StructField("k", L)]), num_primary_keys=1)
+        )
+    # type change -> refused
+    with pytest.raises(ValueError, match="changes type"):
+        tbl.migrate_schema(
+            StorageSchema(
+                T.StructType([T.StructField("k", L), T.StructField("v", L)]),
+                num_primary_keys=1,
+            )
+        )
+    # update-mode change -> refused
+    with pytest.raises(ValueError, match="update mode"):
+        tbl.migrate_schema(
+            StorageSchema(
+                T.StructType(
+                    [T.StructField("k", L), T.StructField("v", T.BinaryType())]
+                ),
+                num_primary_keys=1,
+                update_mode=UpdateMode.APPEND,
+            )
+        )
+    # added PK WITH a default -> accepted, persisted, survives reopen
+    tbl.migrate_schema(
+        StorageSchema(
+            T.StructType(
+                [T.StructField("k", L), T.StructField("k2", L), T.StructField("v", D)]
+            ),
+            num_primary_keys=2,
+            column_defaults={"k2": 7},
+        )
+    )
+    reopened = ColumnarTable(
+        spark,
+        str(tmp_path / "mig"),
+        StorageSchema(
+            T.StructType([T.StructField("k", L), T.StructField("v", D)]),
+            num_primary_keys=1,
+        ),
+        HOUR,
+    )
+    assert reopened.schema.primary_keys == ("k", "k2")
+    assert reopened.schema.column_defaults == {"k2": 7}

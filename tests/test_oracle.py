@@ -17,7 +17,14 @@ def con(sf_dir):
 
 
 ORACLE_QUERIES = sorted(n for n, q in QUERIES.items() if q.oracle is not None)
-ROWS_ONLY_QUERIES = sorted(n for n, q in QUERIES.items() if q.oracle is None)
+
+
+def test_every_query_has_an_oracle():
+    """Regression guard: every registered query carries a DuckDB oracle —
+    the weaker rows-only driver check must never silently re-appear. A
+    genuinely non-SQL-expressible query would need a deliberate allowlist
+    here, not a None oracle."""
+    assert sorted(n for n, q in QUERIES.items() if q.oracle is None) == []
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
@@ -25,11 +32,3 @@ def test_query_matches_oracle(spark, sf_dir, con, name):
     q = QUERIES[name]
     result = compare_query(q.fn(spark, sf_dir), q.oracle, con, name)
     assert result.ok, result.detail
-
-
-@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
-def test_rows_only_query_runs(spark, sf_dir, name):
-    q = QUERIES[name]
-    df = q.fn(spark, sf_dir)
-    assert df.count() >= 0
-    assert len(df.columns) > 0

@@ -877,6 +877,21 @@ def test_expression_paths_reject_zero_norm_vectors(spark):
     ).count() > 0
 
 
+def test_lsh_quantized_to_zero_error_names_quantization(spark):
+    """A legitimate nonzero vector whose components are all |x| < 0.5/scale
+    quantizes to all-zeros; blaming the input as plain 'zero-norm' would
+    mislead (the input is NOT zero-norm). The quantized paths' error names
+    quantization as a possible cause with the rescale remedy. (A per-row
+    distinction would need the raw vector carried past the candidate join,
+    breaking the scoring-time-enforcement contract pinned above.)"""
+    from horaedb_spark.functions.similarity import lsh_ann_topk
+
+    tiny = [(1, [1.0, 2.0, 3.0, 4.0]), (2, [1e-5, 1e-5, 1e-5, 1e-5])]
+    emb = spark.createDataFrame(tiny, "vec_id long, qv array<double>")
+    with pytest.raises(Exception, match="quantization scale"):
+        lsh_ann_topk(emb, emb, "qv", "vec_id", k=1, num_planes=4, dim=4).collect()
+
+
 def test_checked_norm_folds_once_in_optimized_plan(spark):
     """The zero-norm check must not double the per-row norm fold: Spark's
     subexpression elimination skips higher-order functions (SPARK-35410),
