@@ -35,9 +35,17 @@ re-bucketing is a full rebuild (``rebuild()``), so pick the count for the
 target scale (buckets ≈ cluster cores at the final size; skew within a
 bucket is not AQE-splittable because bucketed scans bypass the exchange).
 The mirror doubles storage for the mirrored table, and catalog metadata is
-session-scoped under Spark's default in-memory catalog (files persist in the
-warehouse; a new session rebuilds metadata from them — production would sit
-on a persistent metastore).
+session-scoped under Spark's default in-memory catalog. The FILES persist in
+the warehouse: a new session whose per-segment digests still match the
+manifest RE-REGISTERS the catalog entry over the existing files
+(``CREATE TABLE … CLUSTERED BY … LOCATION`` + partition recovery — metadata
+only, no write job); only digest drift triggers an actual rebuild.
+Production would sit on a persistent metastore and skip even that.
+
+Re-registered tables are EXTERNAL, where ``DROP PARTITION`` removes only
+metadata — every partition drop here therefore also deletes the partition
+directory itself, else the following append would resurrect the stale files
+into the re-discovered partition.
 """
 
 from __future__ import annotations
@@ -118,6 +126,64 @@ class BucketedMirror:
     def _exists(self) -> bool:
         return self.table.spark.catalog.tableExists(self.name)
 
+    def _warehouse_location(self) -> str:
+        """The mirror's data directory — always ``<warehouse>/<name>``, both
+        for the managed initial build (saveAsTable default) and for the
+        external re-registration (explicit LOCATION of the same path)."""
+        wh = self.table.spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+            "file:"
+        )
+        return os.path.join(wh, self.name)
+
+    def _drop_partition(self, seg) -> None:
+        """Drop one partition: catalog metadata AND the partition directory.
+        Managed tables delete files with the metadata; EXTERNAL tables (a
+        re-registered mirror) keep them — and a later append into the same
+        segment would re-discover the stale files as live rows. Explicit
+        directory removal makes the two table types behave identically."""
+        from horaedb_spark.storage.table import SEGMENT_COLUMN
+
+        self.table.spark.sql(
+            f"ALTER TABLE {self.name} DROP IF EXISTS "
+            f"PARTITION ({SEGMENT_COLUMN}={seg})"
+        )
+        shutil.rmtree(
+            os.path.join(self._warehouse_location(), f"{SEGMENT_COLUMN}={seg}"),
+            ignore_errors=True,
+        )
+
+    def _register_existing(self, live: dict[str, str]) -> None:
+        """Recreate the catalog entry over the EXISTING warehouse files —
+        metadata only, no write job. Sound exactly when the stored
+        per-segment digests match the manifest (the caller checks): the
+        files on disk ARE the current merged state, laid out under the
+        current BucketSpec. Partition directories not in the live segment
+        set (residue a previous session left behind) are dropped so
+        recovery cannot resurrect them."""
+        from horaedb_spark.storage.table import SEGMENT_COLUMN
+
+        spark = self.table.spark
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in self.table.schema.fields.fields
+        )
+        bucket_cols = ", ".join(f"`{c}`" for c in self.spec.columns)
+        spark.sql(
+            f"CREATE TABLE {self.name} ({cols}, `{SEGMENT_COLUMN}` bigint) "
+            f"USING PARQUET PARTITIONED BY (`{SEGMENT_COLUMN}`) "
+            f"CLUSTERED BY ({bucket_cols}) SORTED BY ({bucket_cols}) "
+            f"INTO {self.spec.num_buckets} BUCKETS "
+            f"LOCATION '{self._warehouse_location()}'"
+        )
+        spark.sql(f"MSCK REPAIR TABLE {self.name}")
+        discovered = [
+            r[0].split("=", 1)[1]
+            for r in spark.sql(f"SHOW PARTITIONS {self.name}").collect()
+        ]
+        for seg in discovered:
+            if seg not in live:
+                self._drop_partition(seg)
+
     def is_fresh(self) -> bool:
         """Fresh = catalog table exists, built under THIS BucketSpec, and
         every segment digest matches. The spec is part of the token: a
@@ -164,14 +230,30 @@ class BucketedMirror:
         live = self._live_digests()
         meta = self._stored()
         stored = meta["segments"]
-        stats = {"rebuilt": False, "overwritten": [], "dropped": []}
+        stats = {
+            "rebuilt": False,
+            "reregistered": False,
+            "overwritten": [],
+            "dropped": [],
+        }
         spec_changed = self._exists() and meta.get("spec") != self._spec_json()
         if spec_changed:
             spark.sql(f"DROP TABLE {self.name}")
         if not self._exists():
+            # A new session lost the in-memory catalog entry but the
+            # warehouse FILES survive: when the stored digests still match
+            # the manifest, the files are the current state — re-register
+            # the catalog entry over them instead of rewriting the table.
+            if (
+                meta.get("spec") == self._spec_json()
+                and stored == live
+                and os.path.isdir(self._warehouse_location())
+            ):
+                self._register_existing(live)
+                stats["reregistered"] = True
+                return stats
             # stale warehouse residue from a previous session's catalog
-            wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-            shutil.rmtree(os.path.join(wh, self.name), ignore_errors=True)
+            shutil.rmtree(self._warehouse_location(), ignore_errors=True)
             frames = [self._segment_frame(int(s)) for s in sorted(live, key=int)]
             if not frames:
                 self.table.backend.put_text(
@@ -205,17 +287,11 @@ class BucketedMirror:
                 # DELETE) would keep serving its stale rows (caught by
                 # test_bucketed_mirror_tracks_dml_and_random_ops).
                 for s in changed:
-                    spark.sql(
-                        f"ALTER TABLE {self.name} DROP IF EXISTS "
-                        f"PARTITION ({SEGMENT_COLUMN}={s})"
-                    )
+                    self._drop_partition(s)
                 up.write.mode("append").insertInto(self.name)
                 stats["overwritten"] = [int(s) for s in changed]
             for s in removed:
-                spark.sql(
-                    f"ALTER TABLE {self.name} DROP IF EXISTS "
-                    f"PARTITION ({SEGMENT_COLUMN}={s})"
-                )
+                self._drop_partition(s)
                 stats["dropped"].append(int(s))
         self.table.backend.put_text(
             self._meta_path,

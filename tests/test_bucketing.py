@@ -177,7 +177,12 @@ def test_bucketed_mirror_incremental_refresh_and_staleness(spark, tmp_path):
     with pytest.raises(RuntimeError, match="stale"):
         t.bucketed_scan(auto_refresh=False)
     stats = t.refresh_bucketed()
-    assert stats == {"rebuilt": False, "overwritten": [1000], "dropped": []}
+    assert stats == {
+        "rebuilt": False,
+        "reregistered": False,
+        "overwritten": [1000],
+        "dropped": [],
+    }
     got = sorted((r.k, r.v) for r in t.bucketed_scan(auto_refresh=False).collect())
     assert got == [(1, 1.0), (2, 2.0), (9, 9.0)]
     # the incremental insertInto path must PRESERVE the bucketed layout:
@@ -331,3 +336,83 @@ def test_bucketed_mirror_on_fake_s3_rooted_table(spark):
     # the freshness meta is an OBJECT in the bucket, not a local file
     assert t.backend.exists(f"{root}/bucketed.json")
     assert t.bucketed.is_fresh()
+
+
+def test_restart_reregisters_over_existing_files_without_write_job(spark, tmp_path):
+    """A new session loses the in-memory catalog entry but keeps the
+    warehouse files. When the stored per-segment digests still match the
+    manifest, serve() must RE-REGISTER the catalog table over the existing
+    files — metadata only, no Spark write job — instead of rmtree + full
+    rebuild (at 100 TB a restart must not rewrite the mirror)."""
+    import os
+    import shutil
+
+    from horaedb_spark.core.timeutil import TimeRange
+    from horaedb_spark.storage.table import WriteRequest
+
+    t = _mk_table(spark, tmp_path, "btr")
+    t.write(WriteRequest(_rows(spark, [(1, 100, 1.0), (2, 200, 2.0)]), TimeRange(0, 1000)))
+    t.write(WriteRequest(_rows(spark, [(3, 1500, 3.0)]), TimeRange(1000, 2000)))
+    t.refresh_bucketed()
+    want = sorted(map(tuple, t.bucketed_scan().select("k", "ts_ms", "v").collect()))
+
+    # simulate the restart: catalog entry gone, warehouse files intact
+    # (DROP TABLE on the managed mirror deletes its files, so stash them)
+    loc = t.bucketed._warehouse_location()
+    stash = str(tmp_path / "stash")
+    shutil.copytree(loc, stash)
+    spark.sql(f"DROP TABLE {t.bucketed.name}")
+    shutil.copytree(stash, loc)
+    assert not t.bucketed._exists()
+
+    sc = spark.sparkContext
+    sc.setJobGroup("reregister", "reregister")
+    try:
+        got = sorted(map(tuple, t.bucketed_scan().select("k", "ts_ms", "v").collect()))
+    finally:
+        sc.setJobGroup("reregister-done", "clear")
+    assert got == want
+    # metadata-only: the only jobs in the group are the serving READ —
+    # compare against a plain re-read of the already-registered table
+    n_total = len(sc.statusTracker().getJobIdsForGroup("reregister"))
+    sc.setJobGroup("reread", "reread")
+    try:
+        t.bucketed_scan().select("k", "ts_ms", "v").collect()
+    finally:
+        sc.setJobGroup("reread-done", "clear")
+    n_read = len(sc.statusTracker().getJobIdsForGroup("reread"))
+    assert n_total <= n_read + 1, (n_total, n_read)  # +1: MSCK partition listing
+    # the re-registered (external) mirror still skips the exchange and
+    # keeps serving correct rows through a subsequent incremental refresh
+    _assert_bucketed_self_join_no_exchange(spark, t)
+    t.write(WriteRequest(_rows(spark, [(9, 1600, 9.0)]), TimeRange(1000, 2000)))
+    stats = t.refresh_bucketed()
+    assert stats["rebuilt"] is False and stats["overwritten"] == [1000]
+    got = sorted(map(tuple, t.bucketed_scan().select("k", "ts_ms", "v").collect()))
+    assert got == [(1, 100, 1.0), (2, 200, 2.0), (3, 1500, 3.0), (9, 1600, 9.0)]
+    _assert_bucketed_self_join_no_exchange(spark, t)
+
+
+def test_restart_with_digest_drift_rebuilds(spark, tmp_path):
+    """Counter-case to re-registration: catalog entry gone AND the manifest
+    moved on since the files were written -> the files are NOT current, so
+    refresh() must rebuild, not re-register."""
+    import shutil
+
+    from horaedb_spark.core.timeutil import TimeRange
+    from horaedb_spark.storage.table import WriteRequest
+
+    t = _mk_table(spark, tmp_path, "btd")
+    t.write(WriteRequest(_rows(spark, [(1, 100, 1.0)]), TimeRange(0, 1000)))
+    t.refresh_bucketed()
+    loc = t.bucketed._warehouse_location()
+    stash = str(tmp_path / "stash2")
+    shutil.copytree(loc, stash)
+    spark.sql(f"DROP TABLE {t.bucketed.name}")
+    shutil.copytree(stash, loc)
+    # manifest moves on while the catalog is gone
+    t.write(WriteRequest(_rows(spark, [(1, 100, 7.0)]), TimeRange(0, 1000)))
+    stats = t.refresh_bucketed()
+    assert stats["rebuilt"] is True and stats["reregistered"] is False
+    got = [(r.k, r.v) for r in t.bucketed_scan(auto_refresh=False).collect()]
+    assert got == [(1, 7.0)]
