@@ -199,18 +199,23 @@ class BucketedMirror:
 
     # ---------------------------------------------------------- refresh
 
-    def _segment_frame(self, seg: int) -> DataFrame:
-        """One segment's MERGED user rows, stamped with its partition value.
-        SSTs never span segments (write/bulk_ingest invariant), so the
-        manifest lookup is exact — no row-level time filter needed."""
-        from pyspark.sql import functions as F
-
-        from horaedb_spark.storage.table import SEGMENT_COLUMN
-
+    def _segments_frame(self, segs: list[int]) -> DataFrame:
+        """The MERGED user rows of the given segments, with ``__segment__``
+        retained for the mirror's partitioning — ONE scan over the union of
+        their SST files (``scan_ssts`` merges per (segment, PK) already), not
+        a per-segment union: a thousand-segment initial build must be one
+        parquet scan node, not a thousand unioned subtrees. SSTs never span
+        segments (write/bulk_ingest invariant), so per-segment manifest
+        lookups are exact — no row-level time filter needed."""
         dur = self.table.segment_duration_ms
-        ssts = self.table.manifest.find_ssts(TimeRange(seg, seg + dur))
-        df = self.table.scan_ssts(ssts, self._ScanRequest(ordered=False))
-        return df.withColumn(SEGMENT_COLUMN, F.lit(int(seg)))
+        ssts = [
+            s
+            for seg in segs
+            for s in self.table.manifest.find_ssts(TimeRange(seg, seg + dur))
+        ]
+        return self.table.scan_ssts(
+            ssts, self._ScanRequest(ordered=False, keep_segment=True)
+        )
 
     def refresh(self) -> dict:
         """Bring the mirror up to date. Returns
@@ -222,8 +227,6 @@ class BucketedMirror:
         (different count or columns than the mirror was built with) forces
         a full rebuild — incremental appends under a different spec would
         mix layouts."""
-        from functools import reduce
-
         from horaedb_spark.storage.table import SEGMENT_COLUMN
 
         spark = self.table.spark
@@ -254,14 +257,13 @@ class BucketedMirror:
                 return stats
             # stale warehouse residue from a previous session's catalog
             shutil.rmtree(self._warehouse_location(), ignore_errors=True)
-            frames = [self._segment_frame(int(s)) for s in sorted(live, key=int)]
-            if not frames:
+            if not live:
                 self.table.backend.put_text(
                     self._meta_path,
                     json.dumps({"segments": {}, "spec": self._spec_json()}),
                 )
                 return stats
-            full = reduce(lambda a, b: a.unionByName(b), frames)
+            full = self._segments_frame([int(s) for s in sorted(live, key=int)])
             (
                 full.write.partitionBy(SEGMENT_COLUMN)
                 .bucketBy(self.spec.num_buckets, *self.spec.columns)
@@ -276,8 +278,7 @@ class BucketedMirror:
             )
             removed = sorted((s for s in stored if s not in live), key=int)
             if changed:
-                frames = [self._segment_frame(int(s)) for s in changed]
-                up = reduce(lambda a, b: a.unionByName(b), frames)
+                up = self._segments_frame([int(s) for s in changed])
                 # insertInto is POSITION-based: align to the catalog order
                 up = up.select(*spark.table(self.name).columns)
                 # DROP the changed partitions first, then APPEND the fresh

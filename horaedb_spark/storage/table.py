@@ -114,6 +114,9 @@ class ScanRequest:
     drop_tombstones: bool | None = None  # None = drop iff not keep_builtin;
                                          # compaction sets True on a
                                          # full-segment rewrite (tombstone GC)
+    keep_segment: bool = False  # retain __segment__ in the output (the
+                                # bucketed mirror partitions its layout by it
+                                # — one scan instead of per-segment unions)
 
 
 class ColumnarTable:
@@ -994,6 +997,8 @@ class ColumnarTable:
         keep = list(req.projections or self.schema.user_columns)
         if req.keep_builtin:
             keep += [SEQ_COLUMN, RESERVED_COLUMN]
+        if req.keep_segment:
+            keep += [SEGMENT_COLUMN]
         return merged.select(*keep)
 
     def _empty_df(self, req: ScanRequest) -> DataFrame:
@@ -1001,6 +1006,9 @@ class ColumnarTable:
         keep = list(req.projections or self.schema.user_columns)
         if req.keep_builtin:
             keep += [SEQ_COLUMN, RESERVED_COLUMN]
+        if req.keep_segment:
+            base = base.withColumn(SEGMENT_COLUMN, F.lit(None).cast("long"))
+            keep += [SEGMENT_COLUMN]
         return base.select(*keep)
 
     # ------------------------------------------------------------ clone leases

@@ -416,3 +416,36 @@ def test_restart_with_digest_drift_rebuilds(spark, tmp_path):
     assert stats["rebuilt"] is True and stats["reregistered"] is False
     got = [(r.k, r.v) for r in t.bucketed_scan(auto_refresh=False).collect()]
     assert got == [(1, 7.0)]
+
+
+def test_mirror_build_is_one_scan_regardless_of_segment_count(spark, tmp_path):
+    """The initial mirror build (and any multi-segment incremental refresh)
+    reads ALL its SSTs in ONE parquet scan node with __segment__ from
+    partition discovery — not a per-segment union of scans: at 100 TB a
+    thousand-segment table must not compile a thousand-subtree plan."""
+    from horaedb_spark.core.timeutil import TimeRange
+    from horaedb_spark.storage.table import WriteRequest
+
+    def scan_nodes(df):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        return plan.count("Relation") + plan.count("LogicalRDD")
+
+    t1 = _mk_table(spark, tmp_path, "one")
+    t1.write(WriteRequest(_rows(spark, [(1, 100, 1.0)]), TimeRange(0, 1000)))
+    t6 = _mk_table(spark, tmp_path, "six")
+    for i in range(6):
+        t6.write(
+            WriteRequest(
+                _rows(spark, [(i, i * 1000 + 1, float(i))]),
+                TimeRange(i * 1000, (i + 1) * 1000),
+            )
+        )
+    segs1 = [0]
+    segs6 = [i * 1000 for i in range(6)]
+    n1 = scan_nodes(t1.bucketed._segments_frame(segs1))
+    n6 = scan_nodes(t6.bucketed._segments_frame(segs6))
+    assert n1 == n6 == 1, (n1, n6)
+    # and the built mirror still serves the right rows
+    t6.refresh_bucketed()
+    got = sorted((r.k, r.v) for r in t6.bucketed_scan(auto_refresh=False).collect())
+    assert got == [(i, float(i)) for i in range(6)]
