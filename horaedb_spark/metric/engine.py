@@ -71,6 +71,19 @@ def matches_labels(labels: dict[str, str], matchers: list[Matcher]) -> bool:
     return True
 
 
+def _parse_byte_conf(value: str) -> int:
+    """Spark byte-size conf string -> bytes ('10485760b', '10MB', '-1')."""
+    v = value.strip().lower()
+    for suffix, mult in (
+        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30), ("tb", 1 << 40),
+        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40),
+        ("b", 1),
+    ):
+        if v.endswith(suffix):
+            return int(float(v[: -len(suffix)]) * mult)
+    return int(v)
+
+
 class MetricEngine:
     """Query layer over a samples frame (name, labels, ts_ms, value, seq)."""
 
@@ -83,6 +96,30 @@ class MetricEngine:
         self.data = model.build_data_table(samples)
         self._cached = False
         self._flat: DataFrame | None = None
+        # Byte threshold under which the series label table gets an explicit
+        # broadcast hint on data joins; None defers to the session's
+        # spark.sql.autoBroadcastJoinThreshold. Above it, the join shuffles
+        # on tsid (SortMergeJoin) — at 100 TB the series table of a
+        # high-cardinality store is itself data-sized and force-broadcasting
+        # it would OOM every executor.
+        self.series_broadcast_threshold: int | None = None
+
+    def _series_join_side(self) -> DataFrame:
+        """``series (tsid, series_key)`` prepared for a data-side join:
+        broadcast-hinted only when Catalyst's size estimate fits the
+        threshold (a plan-stats lookup — metadata, no job)."""
+        sel = self.series.select("tsid", "series_key")
+        thr = self.series_broadcast_threshold
+        if thr is None:
+            thr = _parse_byte_conf(
+                sel.sparkSession.conf.get(
+                    "spark.sql.autoBroadcastJoinThreshold", "10MB"
+                )
+            )
+        if thr <= 0:
+            return sel
+        est = int(sel._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        return F.broadcast(sel) if est <= thr else sel
 
     def cache(self) -> "MetricEngine":
         """Persist the derived tables for engines that serve MANY queries
@@ -114,11 +151,7 @@ class MetricEngine:
             for df in (self.data, self.series, self.index, self.metrics):
                 df.persist(StorageLevel.MEMORY_AND_DISK)
             self._flat = (
-                self.data.join(
-                    F.broadcast(self.series.select("tsid", "series_key")),
-                    "tsid",
-                    "left",
-                )
+                self.data.join(self._series_join_side(), "tsid", "left")
                 .repartition("series_key")
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
@@ -296,5 +329,5 @@ class MetricEngine:
             tsids = self.resolve_tsids(metric, matchers)
             out = out.join(F.broadcast(tsids), "tsid", "left_semi")
         if with_labels and self._flat is None:
-            out = out.join(F.broadcast(self.series.select("tsid", "series_key")), "tsid", "left")
+            out = out.join(self._series_join_side(), "tsid", "left")
         return out

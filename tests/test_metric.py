@@ -502,3 +502,51 @@ def test_cached_multi_field_engine_matches_uncached(spark):
         assert a == b and a
     finally:
         ceng.uncache()
+
+
+def test_series_label_join_is_size_aware(spark):
+    """The series label join broadcasts only under a size estimate: at
+    100 TB the series table of a high-cardinality store is data-sized and
+    force-broadcasting it would OOM the executors. A forced-low threshold
+    must flip the plan to a shuffle join on tsid with row-equal results;
+    the default (estimate well under the session threshold) must keep the
+    broadcast."""
+    buf = encode_write_request(
+        [
+            {
+                "name": "m",
+                "labels": {"job": f"j{i % 3}", "host": f"h{i}"},
+                "samples": [(float(i), 1000 + i)],
+            }
+            for i in range(6)
+        ]
+    )
+    payloads = spark.createDataFrame([(buf, 7)], "payload binary, seq long")
+
+    def plan_of(eng):
+        out = eng.select_series("m", with_labels=True)
+        rows = sorted(
+            (r.ts_ms, r.value, r.series_key) for r in out.collect()
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        return rows, plan.split("== Initial Plan ==")[0]
+
+    small = MetricEngine(decode_payloads(payloads))
+    rows_b, plan_b = plan_of(small)
+    assert "BroadcastHashJoin" in plan_b, plan_b[:1500]
+
+    # forced-low threshold: the engine stops hinting; with the session
+    # auto-broadcast also off (the at-100-TB condition — AQE would otherwise
+    # re-broadcast the tiny test table at runtime), the plan must flip to a
+    # shuffle join on tsid with row-equal results
+    forced = MetricEngine(decode_payloads(payloads))
+    forced.series_broadcast_threshold = 1  # everything is "too big"
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        rows_s, plan_s = plan_of(forced)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastHashJoin" not in plan_s, plan_s[:1500]
+    assert "SortMergeJoin" in plan_s or "ShuffledHashJoin" in plan_s, plan_s[:1500]
+    assert rows_s == rows_b and len(rows_b) == 6
