@@ -87,6 +87,13 @@ def _parse_byte_conf(value: str) -> int:
 class MetricEngine:
     """Query layer over a samples frame (name, labels, ts_ms, value, seq)."""
 
+    # Byte threshold under which the series label table gets an explicit
+    # broadcast hint on data joins; None defers to the session's
+    # spark.sql.autoBroadcastJoinThreshold. Class attribute so engines
+    # built without __init__ (MetricStore.engine's __new__) share the
+    # default; assign on an instance to override per engine.
+    series_broadcast_threshold: int | None = None
+
     def __init__(self, samples: DataFrame):
         self.samples = samples
         self.metrics = model.build_metrics_table(samples)
@@ -96,13 +103,6 @@ class MetricEngine:
         self.data = model.build_data_table(samples)
         self._cached = False
         self._flat: DataFrame | None = None
-        # Byte threshold under which the series label table gets an explicit
-        # broadcast hint on data joins; None defers to the session's
-        # spark.sql.autoBroadcastJoinThreshold. Above it, the join shuffles
-        # on tsid (SortMergeJoin) — at 100 TB the series table of a
-        # high-cardinality store is itself data-sized and force-broadcasting
-        # it would OOM every executor.
-        self.series_broadcast_threshold: int | None = None
 
     def _series_join_side(self) -> DataFrame:
         """``series (tsid, series_key)`` prepared for a data-side join:

@@ -242,8 +242,9 @@ class MetricStore:
     @property
     def packed_data(self) -> ColumnarTable:
         """Opt-in packed data table (RFC 20240827:218-231): PK
-        (metric_id, tsid, pack_start_ms), one row per series per pack
-        window carrying an array<struct<ts_ms,value>> plus explicit
+        (metric_id, tsid, field_id, pack_start_ms), one row per series per
+        FIELD per pack window (two fields of one series pack separately —
+        RFC:222-229) carrying an array<struct<ts_ms,value>> plus explicit
         ts_min/ts_max stats (parquet can't see inside the packed column —
         the RFC's own-maintained min/max). Lazily created."""
         if self._packed is None:

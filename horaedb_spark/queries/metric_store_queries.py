@@ -25,7 +25,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from horaedb_spark.queries.metric_queries import _DEDUP_CTE, DAY_MS
+from horaedb_spark.queries.metric_queries import _DEDUP_CTE, _MF_DEDUP_CTE, DAY_MS
 from horaedb_spark.queries.registry import register
 from horaedb_spark.queries.tables import events_ms
 
@@ -149,3 +149,100 @@ def metric_packed_promql(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_ms",
         (F.floor(F.col("value") * 1_000_000 + 0.5) / 1_000_000).alias("value"),
     ).orderBy("series_key", "ts_ms")
+
+
+_MF_STORES: dict[str, object] = {}
+
+
+def _packed_mf_store(spark: SparkSession, sf_dir: str):
+    """A durable MULTI-FIELD MetricStore, packed: event names suffixed into
+    a Prometheus family (``click_sum``/``click_count``), folded to one
+    metric with two fields (``group_metric_families``), ingested
+    row-per-sample and compacted into the packed layout — the RFC's packing
+    (RFC:218-231) composed with its multi-field catalog (RFC:106-113)."""
+    if sf_dir in _MF_STORES:
+        return _MF_STORES[sf_dir]
+    from horaedb_spark.metric.ingest import group_metric_families
+    from horaedb_spark.metric.store import MetricStore
+
+    ev = events_ms(spark, sf_dir)
+    suffix = F.when(F.col("event_id") % 2 == 0, F.lit("sum")).otherwise(
+        F.lit("count")
+    )
+    raw = ev.select(
+        F.concat(F.col("event_type"), F.lit("_"), suffix).alias("name"),
+        F.create_map(
+            F.lit("user"),
+            F.col("user_id").cast("string"),
+            F.lit("cohort"),
+            (F.col("user_id") % 10).cast("string"),
+        ).alias("labels"),
+        "ts_ms",
+        "value",
+        F.col("event_id").alias("seq"),
+    )
+    store = MetricStore(
+        spark, tempfile.mkdtemp(prefix="metric_packed_mf_") + "/ms", 15 * DAY_MS
+    )
+    store.ingest(group_metric_families(raw))
+    store.compact_to_packed()
+    _MF_STORES[sf_dir] = store
+    return store
+
+
+@register(
+    "metric_packed_multi_field",
+    oracle=_MF_DEDUP_CTE
+    + """
+    SELECT field, cohort, count(*) AS n_samples,
+           round(sum(value), 2) + 0 AS sum_value
+    FROM samples WHERE name = 'click'
+    GROUP BY field, cohort
+    ORDER BY field, cohort
+    """,
+)
+def metric_packed_multi_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-field data through the PACKED path — the RFC's packing
+    (RFC 20240827:218-231) composed with its multi-field catalog
+    (RFC:106-113): family-grouped samples (metric ``click``, fields
+    ``sum``/``count``) ingest into a durable store whose packed layout
+    keys on (metric_id, tsid, FIELD_ID, pack window) — two fields of one
+    series pack into separate rows, unpack-on-scan keeps field_id, and
+    ``select_series(field=…)`` aggregates each field independently. The
+    pack must stay observationally invisible per FIELD, not just per
+    series; dedup (D10) is per (field, series, ts). Hash-gated against
+    the per-field deduped sample stream DuckDB derives from events.
+
+    The packed table's field_id is part of its PK (a sanity assert here,
+    documented eager action: two metadata-sized scans at first call per
+    sf_dir, cached afterwards)."""
+    from pyspark.sql import functions as SF
+
+    from horaedb_spark.queries.metric_queries import _series_with_labels
+    from horaedb_spark.storage.table import ScanRequest
+
+    key = f"pmf:{sf_dir}"
+    if key in _PACKED_CACHE:
+        return _PACKED_CACHE[key]
+    store = _packed_mf_store(spark, sf_dir)
+    assert "field_id" in store.packed_data.schema.primary_keys
+    n_samples = store.data.scan(ScanRequest(ordered=False)).count()
+    n_packs = store.packed_data.scan(ScanRequest(ordered=False)).count()
+    assert 0 < n_packs <= n_samples, (n_packs, n_samples)
+    eng = store.packed_engine()
+    parts = []
+    for fld in ("sum", "count"):
+        sel = _series_with_labels(
+            eng.select_series("click", field=fld, with_labels=True)
+        )
+        parts.append(
+            sel.groupBy("cohort").agg(
+                SF.count(SF.lit(1)).alias("n_samples"),
+                SF.round(SF.sum("value"), 2).alias("sum_value"),
+            ).select(
+                SF.lit(fld).alias("field"), "cohort", "n_samples", "sum_value"
+            )
+        )
+    out = parts[0].unionByName(parts[1]).orderBy("field", "cohort")
+    _PACKED_CACHE[key] = out
+    return out

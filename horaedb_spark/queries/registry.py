@@ -94,6 +94,7 @@ _RUN_FIRST = (
     "storage_bucketed_scan",
     "metric_packed_scan",
     "metric_packed_promql",
+    "metric_packed_multi_field",
     "promql_parse_eval",
     "remote_write_ingest",
     "remote_write_exemplars",
