@@ -118,10 +118,21 @@ class BucketedMirror:
             "columns": list(self.spec.columns),
         }
 
+    def _schema_token(self) -> str:
+        """Digest of the table's full schema (fields, PKs, defaults). Part
+        of the freshness token alongside the SST digests: a schema
+        evolution/migration changes scan OUTPUT without touching the
+        manifest — a mirror built under the old schema must not keep
+        serving (it lacks the new columns, and an existence default would
+        read back as NULL from its files)."""
+        return hashlib.md5(
+            json.dumps(self.table.schema.to_json(), sort_keys=True).encode()
+        ).hexdigest()
+
     def _stored(self) -> dict:
         if self.table.backend.exists(self._meta_path):
             return json.loads(self.table.backend.read_text(self._meta_path))
-        return {"segments": {}, "spec": None}
+        return {"segments": {}, "spec": None, "schema": None}
 
     def _exists(self) -> bool:
         return self.table.spark.catalog.tableExists(self.name)
@@ -185,15 +196,18 @@ class BucketedMirror:
                 self._drop_partition(seg)
 
     def is_fresh(self) -> bool:
-        """Fresh = catalog table exists, built under THIS BucketSpec, and
-        every segment digest matches. The spec is part of the token: a
-        table reopened with a different bucket count/columns must NOT
-        serve (or incrementally extend) the old layout as if current —
-        refresh() detects the mismatch and does a full rebuild."""
+        """Fresh = catalog table exists, built under THIS BucketSpec AND
+        this table schema, and every segment digest matches. Spec and
+        schema are part of the token: a table reopened with a different
+        bucket count/columns — or schema-evolved/migrated since the build
+        (which changes scan output without touching the manifest) — must
+        NOT serve the old layout as if current; refresh() detects either
+        mismatch and does a full rebuild."""
         stored = self._stored()
         return (
             self._exists()
             and stored.get("spec") == self._spec_json()
+            and stored.get("schema") == self._schema_token()
             and stored["segments"] == self._live_digests()
         )
 
@@ -224,9 +238,10 @@ class BucketedMirror:
         (their dropped-then-appended union is ONE insertInto job — see the
         inline note on why NOT dynamic partition overwrite); vanished
         segments' partitions are dropped driver-side. A BucketSpec change
-        (different count or columns than the mirror was built with) forces
-        a full rebuild — incremental appends under a different spec would
-        mix layouts."""
+        (different count or columns than the mirror was built with) or a
+        table schema change (evolution/migration) forces a full rebuild —
+        incremental appends under a different spec would mix layouts, and
+        the catalog table's column set is fixed at creation."""
         from horaedb_spark.storage.table import SEGMENT_COLUMN
 
         spark = self.table.spark
@@ -239,16 +254,21 @@ class BucketedMirror:
             "overwritten": [],
             "dropped": [],
         }
-        spec_changed = self._exists() and meta.get("spec") != self._spec_json()
-        if spec_changed:
+        layout_changed = self._exists() and (
+            meta.get("spec") != self._spec_json()
+            or meta.get("schema") != self._schema_token()
+        )
+        if layout_changed:
             spark.sql(f"DROP TABLE {self.name}")
         if not self._exists():
             # A new session lost the in-memory catalog entry but the
-            # warehouse FILES survive: when the stored digests still match
-            # the manifest, the files are the current state — re-register
-            # the catalog entry over them instead of rewriting the table.
+            # warehouse FILES survive: when the stored spec/schema/digests
+            # all still match, the files are the current state —
+            # re-register the catalog entry over them instead of rewriting
+            # the table.
             if (
                 meta.get("spec") == self._spec_json()
+                and meta.get("schema") == self._schema_token()
                 and stored == live
                 and os.path.isdir(self._warehouse_location())
             ):
@@ -259,8 +279,7 @@ class BucketedMirror:
             shutil.rmtree(self._warehouse_location(), ignore_errors=True)
             if not live:
                 self.table.backend.put_text(
-                    self._meta_path,
-                    json.dumps({"segments": {}, "spec": self._spec_json()}),
+                    self._meta_path, json.dumps(self._meta_json({}))
                 )
                 return stats
             full = self._segments_frame([int(s) for s in sorted(live, key=int)])
@@ -295,10 +314,16 @@ class BucketedMirror:
                 self._drop_partition(s)
                 stats["dropped"].append(int(s))
         self.table.backend.put_text(
-            self._meta_path,
-            json.dumps({"segments": live, "spec": self._spec_json()}),
+            self._meta_path, json.dumps(self._meta_json(live))
         )
         return stats
+
+    def _meta_json(self, segments: dict[str, str]) -> dict:
+        return {
+            "segments": segments,
+            "spec": self._spec_json(),
+            "schema": self._schema_token(),
+        }
 
     def rebuild(self) -> dict:
         """Full rebuild (e.g. to change the bucket count: construct a new

@@ -449,3 +449,51 @@ def test_mirror_build_is_one_scan_regardless_of_segment_count(spark, tmp_path):
     t6.refresh_bucketed()
     got = sorted((r.k, r.v) for r in t6.bucketed_scan(auto_refresh=False).collect())
     assert got == [(i, float(i)) for i in range(6)]
+
+
+def test_schema_change_invalidates_mirror(spark, tmp_path):
+    """A schema evolution/migration changes scan OUTPUT without touching
+    the manifest, so SST digests alone would call the mirror fresh while
+    it lacks the new column (and an existence default would read back as
+    NULL from its files). The schema is part of the freshness token:
+    refresh() must full-rebuild after either change."""
+    from pyspark.sql import types as T
+
+    from horaedb_spark.core.schema import StorageSchema
+    from horaedb_spark.core.timeutil import TimeRange
+    from horaedb_spark.storage.table import WriteRequest
+
+    t = _mk_table(spark, tmp_path, "bts")
+    t.write(WriteRequest(_rows(spark, [(1, 100, 1.0)]), TimeRange(0, 1000)))
+    t.refresh_bucketed()
+    assert t.bucketed.is_fresh()
+    # evolution: new nullable value column
+    t.evolve_schema([T.StructField("note", T.StringType(), True)])
+    assert not t.bucketed.is_fresh()
+    stats = t.refresh_bucketed()
+    assert stats["rebuilt"] is True
+    rows = t.bucketed_scan(auto_refresh=False).collect()
+    assert [(r.k, r.v, r.note) for r in rows] == [(1, 1.0, None)]
+    # migration: added PK column with an existence default — the mirror
+    # must serve the DEFAULT for pre-migration rows, not NULL
+    L, D = T.LongType(), T.DoubleType()
+    t.migrate_schema(
+        StorageSchema(
+            T.StructType(
+                [
+                    T.StructField("k", L),
+                    T.StructField("shard", L),
+                    T.StructField("ts_ms", L),
+                    T.StructField("v", D),
+                    T.StructField("note", T.StringType(), True),
+                ]
+            ),
+            num_primary_keys=2,
+            column_defaults={"shard": 7},
+        )
+    )
+    assert not t.bucketed.is_fresh()
+    stats = t.refresh_bucketed()
+    assert stats["rebuilt"] is True
+    rows = t.bucketed_scan(auto_refresh=False).collect()
+    assert [(r.k, r.shard, r.v) for r in rows] == [(1, 7, 1.0)]
