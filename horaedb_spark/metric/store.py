@@ -190,6 +190,50 @@ class MetricStore:
                     2,
                 )
             )
+        # packed data table (lazily created, so it may not exist): the r8
+        # layout keyed packs on (metric_id, tsid, pack_start_ms) — the pack
+        # rows gain the field_id PK with the same existence default
+        import os as _os
+
+        packed_root = f"{root}/data_packed"
+        if _os.path.exists(_os.path.join(packed_root, "schema.json")):
+            point = T.StructType(
+                [T.StructField("ts_ms", L), T.StructField("value", D)]
+            )
+            packed = ColumnarTable(
+                spark,
+                packed_root,
+                _schema(
+                    [("metric_id", L), ("tsid", L), ("field_id", L),
+                     ("pack_start_ms", L), ("points", T.ArrayType(point)),
+                     ("ts_min", L), ("ts_max", L), ("n_points", L)],
+                    4,
+                ),
+                segment_duration_ms,
+            )
+            if "field_id" not in packed.schema.user_columns:
+                default_fid = spark.range(1).select(
+                    model.field_id(F.lit(model.DEFAULT_FIELD)).alias("f")
+                ).first()["f"]
+                packed.migrate_schema(
+                    StorageSchema(
+                        T.StructType(
+                            [
+                                T.StructField("metric_id", L),
+                                T.StructField("tsid", L),
+                                T.StructField("field_id", L),
+                                T.StructField("pack_start_ms", L),
+                                T.StructField("points", T.ArrayType(point)),
+                                T.StructField("ts_min", L),
+                                T.StructField("ts_max", L),
+                                T.StructField("n_points", L),
+                            ]
+                        ),
+                        num_primary_keys=4,
+                        update_mode=UpdateMode.OVERWRITE,
+                        column_defaults={"field_id": default_fid},
+                    )
+                )
         return cls(spark, root, segment_duration_ms, pack_ms)
 
     # ------------------------------------------------------------------ write
@@ -270,6 +314,17 @@ class MetricStore:
                 ),
                 self.data.segment_duration_ms,
             )
+            # same trap as the flat data table: a packed table persisted
+            # before the multi-field layout would reopen 3-key and
+            # bulk_ingest's schema enforcement would silently drop the
+            # pack's field_id, collapsing fields per (series, window)
+            if "field_id" not in self._packed.schema.user_columns:
+                self._packed = None
+                raise ValueError(
+                    f"packed table at {self.root!r} predates the multi-field "
+                    "layout; run MetricStore.migrate_legacy(spark, root, "
+                    "segment_duration_ms) once (metadata-only)"
+                )
         return self._packed
 
     def compact_to_packed(self) -> None:

@@ -429,3 +429,84 @@ def test_migrate_schema_validation_rules(spark, tmp_path):
     )
     assert reopened.schema.primary_keys == ("k", "k2")
     assert reopened.schema.column_defaults == {"k2": 7}
+
+
+def test_migrate_legacy_covers_packed_table(spark, tmp_path):
+    """The packed data table (lazily created, r8 layout keyed on
+    (metric_id, tsid, pack_start_ms)) migrates too: legacy pack rows
+    surface the default field_id, the packed property refuses to open an
+    unmigrated legacy packed table, and a post-migration multi-field
+    compact_to_packed keeps fields in separate pack rows."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from horaedb_spark.core.schema import StorageSchema, UpdateMode
+    from horaedb_spark.metric import model
+    from horaedb_spark.storage.table import ColumnarTable
+
+    root = str(tmp_path / "legacy3")
+    samples = _legacy_store(spark, root)
+    # materialize a LEGACY packed table (pre-field_id shape) from the
+    # legacy flat data, exactly what r8's compact_to_packed persisted
+    L, D = T.LongType(), T.DoubleType()
+    point = T.StructType([T.StructField("ts_ms", L), T.StructField("value", D)])
+    legacy_packed = ColumnarTable(
+        spark,
+        f"{root}/data_packed",
+        StorageSchema(
+            T.StructType(
+                [
+                    T.StructField("metric_id", L),
+                    T.StructField("tsid", L),
+                    T.StructField("pack_start_ms", L),
+                    T.StructField("points", T.ArrayType(point)),
+                    T.StructField("ts_min", L),
+                    T.StructField("ts_max", L),
+                    T.StructField("n_points", L),
+                ]
+            ),
+            num_primary_keys=3,
+            update_mode=UpdateMode.OVERWRITE,
+        ),
+        HOUR,
+    )
+    flat = model.with_ids(samples).select("metric_id", "tsid", "ts_ms", "value")
+    packed_rows = model.pack_data_table(flat, HOUR).select(
+        "metric_id", "tsid", "pack_start_ms", "points", "ts_min", "ts_max", "n_points"
+    )
+    legacy_packed.bulk_ingest(packed_rows, "pack_start_ms")
+
+    # unmigrated open refuses on the packed property too
+    from horaedb_spark.metric.store import MetricStore
+
+    store = None
+    with pytest.raises(ValueError, match="predates the multi-field layout"):
+        MetricStore(spark, root, HOUR)
+
+    store = MetricStore.migrate_legacy(spark, root, HOUR)
+    assert store.packed_data.schema.primary_keys == (
+        "metric_id", "tsid", "field_id", "pack_start_ms",
+    )
+    default_fid = spark.range(1).select(
+        model.field_id(F.lit(model.DEFAULT_FIELD)).alias("f")
+    ).first()["f"]
+    unp = store.packed_scan().orderBy("ts_ms").collect()
+    assert [(r.ts_ms, r.value, r.field_id) for r in unp] == [
+        (1000, 1.0, default_fid),
+        (2000, 2.0, default_fid),
+    ]
+    # multi-field ingest + re-pack after migration: fields stay separate
+    store.ingest(
+        spark.createDataFrame(
+            [("req", "sum", {"host": "a"}, 1000, 10.0, 2),
+             ("req", "count", {"host": "a"}, 1000, 4.0, 2)],
+            "name string, field string, labels map<string,string>, "
+            "ts_ms long, value double, seq long",
+        )
+    )
+    store.compact_to_packed()
+    eng = store.packed_engine()
+    out = eng.select_series("req", field="sum")
+    assert [(r.ts_ms, r.value) for r in out.collect()] == [(1000, 10.0)]
+    out = eng.select_series("req", field="count")
+    assert [(r.ts_ms, r.value) for r in out.collect()] == [(1000, 4.0)]
