@@ -54,6 +54,13 @@ class StorageSchema:
     # rewritten; the scan coalesces. Compaction materializes the default
     # into its outputs (it writes the scan's merged rows), so the coalesce
     # becomes an identity on compacted files over time.
+    #
+    # PRIMARY-KEY COLUMNS ONLY: a PK is never legitimately NULL in written
+    # data, so NULL unambiguously means "file predates the column". On a
+    # nullable VALUE column the per-COLUMN coalesce could not distinguish a
+    # pre-migration file from a row that deliberately stored NULL (Delta/
+    # Iceberg gate existence defaults per FILE; we don't track that) — it
+    # would silently rewrite legitimate NULLs, so it is rejected outright.
     column_defaults: dict = field(default_factory=dict)
     value_fields: tuple[str, ...] = field(init=False)
     primary_keys: tuple[str, ...] = field(init=False)
@@ -63,6 +70,12 @@ class StorageSchema:
         for col in self.column_defaults:
             if col not in names:
                 raise ValueError(f"column_defaults references unknown column {col!r}")
+            if col not in names[: self.num_primary_keys]:
+                raise ValueError(
+                    f"column_defaults on non-PK column {col!r}: an existence "
+                    "default on a nullable value column cannot distinguish a "
+                    "pre-migration file from a deliberately-stored NULL"
+                )
         if not 0 < self.num_primary_keys <= len(names):
             raise ValueError(
                 f"num_primary_keys={self.num_primary_keys} out of range for {len(names)} fields"

@@ -107,19 +107,29 @@ class MetricEngine:
     def _series_join_side(self) -> DataFrame:
         """``series (tsid, series_key)`` prepared for a data-side join:
         broadcast-hinted only when Catalyst's size estimate fits the
-        threshold (a plan-stats lookup — metadata, no job)."""
+        threshold (a plan-stats lookup — metadata, no job). The decision is
+        memoized per engine: the series frame never changes under an
+        engine, and the stats lookup runs a full driver-side optimizer
+        pass we don't want on every labeled select."""
         sel = self.series.select("tsid", "series_key")
-        thr = self.series_broadcast_threshold
-        if thr is None:
-            thr = _parse_byte_conf(
-                sel.sparkSession.conf.get(
-                    "spark.sql.autoBroadcastJoinThreshold", "10MB"
+        hint = self.__dict__.get("_series_broadcast_decision")
+        if hint is None:
+            thr = self.series_broadcast_threshold
+            if thr is None:
+                thr = _parse_byte_conf(
+                    sel.sparkSession.conf.get(
+                        "spark.sql.autoBroadcastJoinThreshold", "10MB"
+                    )
                 )
-            )
-        if thr <= 0:
-            return sel
-        est = int(sel._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-        return F.broadcast(sel) if est <= thr else sel
+            if thr <= 0:
+                hint = False
+            else:
+                est = int(
+                    sel._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+                )
+                hint = est <= thr
+            self.__dict__["_series_broadcast_decision"] = hint
+        return F.broadcast(sel) if hint else sel
 
     def cache(self) -> "MetricEngine":
         """Persist the derived tables for engines that serve MANY queries

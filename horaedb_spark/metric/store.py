@@ -32,12 +32,52 @@ from horaedb_spark.storage.table import ColumnarTable, ScanRequest, WriteRequest
 CATALOG_SEGMENT = 1 << 60  # catalogs are not time-partitioned: one segment
 
 
-def _schema(fields: list[tuple[str, T.DataType]], n_pks: int) -> StorageSchema:
+def _schema(
+    fields: list[tuple[str, T.DataType]],
+    n_pks: int,
+    column_defaults: dict | None = None,
+) -> StorageSchema:
     return StorageSchema(
         T.StructType([T.StructField(n, t) for n, t in fields]),
         num_primary_keys=n_pks,
         update_mode=UpdateMode.OVERWRITE,
+        column_defaults=column_defaults or {},
     )
+
+
+_L, _S, _D = T.LongType(), T.StringType(), T.DoubleType()
+_POINT = T.StructType([T.StructField("ts_ms", _L), T.StructField("value", _D)])
+
+# The authoritative table shapes — __init__, packed_data and migrate_legacy
+# all build from these, so a column change cannot silently diverge between
+# the open path and the migration path.
+_METRICS_FIELDS = [
+    ("metric_name", _S), ("field_name", _S), ("metric_id", _L),
+    ("field_id", _L), ("field_type", _S),
+]
+_DATA_FIELDS = [
+    ("metric_id", _L), ("tsid", _L), ("field_id", _L),
+    ("ts_ms", _L), ("value", _D),
+]
+_PACKED_FIELDS = [
+    ("metric_id", _L), ("tsid", _L), ("field_id", _L), ("pack_start_ms", _L),
+    ("points", T.ArrayType(_POINT)), ("ts_min", _L), ("ts_max", _L),
+    ("n_points", _L),
+]
+
+
+def _default_field_id(spark: SparkSession) -> int:
+    """xxhash64(DEFAULT_FIELD) as a literal — the existence default legacy
+    rows surface after migration. One tiny Spark job, memoized."""
+    global _DEFAULT_FID
+    if _DEFAULT_FID is None:
+        _DEFAULT_FID = spark.range(1).select(
+            model.field_id(F.lit(model.DEFAULT_FIELD)).alias("f")
+        ).first()["f"]
+    return _DEFAULT_FID
+
+
+_DEFAULT_FID: int | None = None
 
 
 class MetricStore:
@@ -54,19 +94,12 @@ class MetricStore:
         self.root = root
         self.pack_ms = pack_ms
         self._packed: ColumnarTable | None = None
-        L, S, D = T.LongType(), T.StringType(), T.DoubleType()
+        L, S = _L, _S
         # PK (metric_name, field_name): the RFC metrics table carries one
         # row PER FIELD of a metric (RFC:106-113) — re-ingesting a family
         # upserts each field row idempotently under overwrite merge.
         self.metrics = ColumnarTable(
-            spark,
-            f"{root}/metrics",
-            _schema(
-                [("metric_name", S), ("field_name", S), ("metric_id", L),
-                 ("field_id", L), ("field_type", S)],
-                2,
-            ),
-            CATALOG_SEGMENT,
+            spark, f"{root}/metrics", _schema(_METRICS_FIELDS, 2), CATALOG_SEGMENT
         )
         self.series = ColumnarTable(
             spark,
@@ -89,14 +122,7 @@ class MetricStore:
         # the PK-sorted layout then keeps each field's samples contiguous
         # within an SST, so a field selection prunes on parquet min/max.
         self.data = ColumnarTable(
-            spark,
-            f"{root}/data",
-            _schema(
-                [("metric_id", L), ("tsid", L), ("field_id", L),
-                 ("ts_ms", L), ("value", D)],
-                4,
-            ),
-            segment_duration_ms,
+            spark, f"{root}/data", _schema(_DATA_FIELDS, 4), segment_duration_ms
         )
         # ColumnarTable treats the persisted schema.json as authoritative, so
         # a store created before the multi-field layout reopens with the old
@@ -141,97 +167,36 @@ class MetricStore:
           because legacy rows are unique under the wider key too.
 
         Idempotent: re-running on an already-migrated store is a no-op."""
-        L, S, D = T.LongType(), T.StringType(), T.DoubleType()
+        import os as _os
+
         data = ColumnarTable(
-            spark,
-            f"{root}/data",
-            _schema(
-                [("metric_id", L), ("tsid", L), ("field_id", L),
-                 ("ts_ms", L), ("value", D)],
-                4,
-            ),
-            segment_duration_ms,
+            spark, f"{root}/data", _schema(_DATA_FIELDS, 4), segment_duration_ms
         )
         if "field_id" not in data.schema.user_columns:
-            default_fid = spark.range(1).select(
-                model.field_id(F.lit(model.DEFAULT_FIELD)).alias("f")
-            ).first()["f"]
             data.migrate_schema(
-                StorageSchema(
-                    T.StructType(
-                        [
-                            T.StructField("metric_id", L),
-                            T.StructField("tsid", L),
-                            T.StructField("field_id", L),
-                            T.StructField("ts_ms", L),
-                            T.StructField("value", D),
-                        ]
-                    ),
-                    num_primary_keys=4,
-                    update_mode=UpdateMode.OVERWRITE,
-                    column_defaults={"field_id": default_fid},
+                _schema(
+                    _DATA_FIELDS, 4,
+                    column_defaults={"field_id": _default_field_id(spark)},
                 )
             )
         metrics = ColumnarTable(
-            spark,
-            f"{root}/metrics",
-            _schema(
-                [("metric_name", S), ("field_name", S), ("metric_id", L),
-                 ("field_id", L), ("field_type", S)],
-                2,
-            ),
-            CATALOG_SEGMENT,
+            spark, f"{root}/metrics", _schema(_METRICS_FIELDS, 2), CATALOG_SEGMENT
         )
         if metrics.schema.primary_keys != ("metric_name", "field_name"):
-            metrics.migrate_schema(
-                _schema(
-                    [("metric_name", S), ("field_name", S), ("metric_id", L),
-                     ("field_id", L), ("field_type", S)],
-                    2,
-                )
-            )
+            metrics.migrate_schema(_schema(_METRICS_FIELDS, 2))
         # packed data table (lazily created, so it may not exist): the r8
         # layout keyed packs on (metric_id, tsid, pack_start_ms) — the pack
         # rows gain the field_id PK with the same existence default
-        import os as _os
-
         packed_root = f"{root}/data_packed"
         if _os.path.exists(_os.path.join(packed_root, "schema.json")):
-            point = T.StructType(
-                [T.StructField("ts_ms", L), T.StructField("value", D)]
-            )
             packed = ColumnarTable(
-                spark,
-                packed_root,
-                _schema(
-                    [("metric_id", L), ("tsid", L), ("field_id", L),
-                     ("pack_start_ms", L), ("points", T.ArrayType(point)),
-                     ("ts_min", L), ("ts_max", L), ("n_points", L)],
-                    4,
-                ),
-                segment_duration_ms,
+                spark, packed_root, _schema(_PACKED_FIELDS, 4), segment_duration_ms
             )
             if "field_id" not in packed.schema.user_columns:
-                default_fid = spark.range(1).select(
-                    model.field_id(F.lit(model.DEFAULT_FIELD)).alias("f")
-                ).first()["f"]
                 packed.migrate_schema(
-                    StorageSchema(
-                        T.StructType(
-                            [
-                                T.StructField("metric_id", L),
-                                T.StructField("tsid", L),
-                                T.StructField("field_id", L),
-                                T.StructField("pack_start_ms", L),
-                                T.StructField("points", T.ArrayType(point)),
-                                T.StructField("ts_min", L),
-                                T.StructField("ts_max", L),
-                                T.StructField("n_points", L),
-                            ]
-                        ),
-                        num_primary_keys=4,
-                        update_mode=UpdateMode.OVERWRITE,
-                        column_defaults={"field_id": default_fid},
+                    _schema(
+                        _PACKED_FIELDS, 4,
+                        column_defaults={"field_id": _default_field_id(spark)},
                     )
                 )
         return cls(spark, root, segment_duration_ms, pack_ms)
@@ -292,26 +257,10 @@ class MetricStore:
         ts_min/ts_max stats (parquet can't see inside the packed column —
         the RFC's own-maintained min/max). Lazily created."""
         if self._packed is None:
-            L, D = T.LongType(), T.DoubleType()
-            point = T.StructType(
-                [T.StructField("ts_ms", L), T.StructField("value", D)]
-            )
             self._packed = ColumnarTable(
                 self.spark,
                 f"{self.root}/data_packed",
-                _schema(
-                    [
-                        ("metric_id", L),
-                        ("tsid", L),
-                        ("field_id", L),
-                        ("pack_start_ms", L),
-                        ("points", T.ArrayType(point)),
-                        ("ts_min", L),
-                        ("ts_max", L),
-                        ("n_points", L),
-                    ],
-                    4,
-                ),
+                _schema(_PACKED_FIELDS, 4),
                 self.data.segment_duration_ms,
             )
             # same trap as the flat data table: a packed table persisted

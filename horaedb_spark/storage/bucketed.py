@@ -163,6 +163,22 @@ class BucketedMirror:
             ignore_errors=True,
         )
 
+    def _all_partitions_on_disk(self, live: dict[str, str]) -> bool:
+        """Every live segment has its ``__segment__=<s>`` directory under
+        the warehouse location (non-empty). Guard for re-registration."""
+        from horaedb_spark.storage.table import SEGMENT_COLUMN
+
+        loc = self._warehouse_location()
+        if not os.path.isdir(loc):
+            return False
+        on_disk = {
+            d.split("=", 1)[1]
+            for d in os.listdir(loc)
+            if d.startswith(f"{SEGMENT_COLUMN}=")
+            and os.listdir(os.path.join(loc, d))
+        }
+        return set(live) <= on_disk
+
     def _register_existing(self, live: dict[str, str]) -> None:
         """Recreate the catalog entry over the EXISTING warehouse files —
         metadata only, no write job. Sound exactly when the stored
@@ -263,14 +279,17 @@ class BucketedMirror:
         if not self._exists():
             # A new session lost the in-memory catalog entry but the
             # warehouse FILES survive: when the stored spec/schema/digests
-            # all still match, the files are the current state —
-            # re-register the catalog entry over them instead of rewriting
-            # the table.
+            # all still match AND every live segment's partition directory
+            # is actually on disk (digests hash SOURCE SST ids — they can't
+            # see a mirror directory someone deleted; re-registering over a
+            # hole would serve a silently incomplete table as fresh
+            # forever), re-register the catalog entry over the files
+            # instead of rewriting the table. One listdir, metadata-sized.
             if (
                 meta.get("spec") == self._spec_json()
                 and meta.get("schema") == self._schema_token()
                 and stored == live
-                and os.path.isdir(self._warehouse_location())
+                and self._all_partitions_on_disk(live)
             ):
                 self._register_existing(live)
                 stats["reregistered"] = True
@@ -326,11 +345,16 @@ class BucketedMirror:
         }
 
     def rebuild(self) -> dict:
-        """Full rebuild (e.g. to change the bucket count: construct a new
-        BucketSpec table option first)."""
+        """Full PHYSICAL rebuild (e.g. to change the bucket count —
+        construct a new BucketSpec table option first — or to recover from
+        suspect mirror files). Deletes the warehouse files too: DROP TABLE
+        alone keeps an EXTERNAL (re-registered) mirror's files, and
+        refresh() would then just re-register over them instead of
+        rewriting — rebuild() must always rewrite."""
         spark = self.table.spark
         if self._exists():
             spark.sql(f"DROP TABLE {self.name}")
+        shutil.rmtree(self._warehouse_location(), ignore_errors=True)
         return self.refresh()
 
     # ------------------------------------------------------------ serve

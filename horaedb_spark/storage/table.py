@@ -193,10 +193,13 @@ class ColumnarTable:
         - the update mode is unchanged;
         - every existing column survives with an identical data type
           (reads use an explicit by-name schema, so order is metadata);
-        - every ADDED column either carries an existence default
-          (``new_schema.column_defaults``) or is a nullable value column —
-          a defaultless added PK would give pre-migration rows a NULL merge
-          key, which is undefined.
+        - the key only WIDENS: every existing PK stays a PK (narrowing
+          would re-dedup the table per the smaller key — silent data loss);
+        - every ADDED PK column carries an existence default
+          (``new_schema.column_defaults``, PK-only by construction) — a
+          defaultless added PK would give pre-migration rows a NULL merge
+          key, which is undefined; added VALUE columns must be nullable
+          (old SSTs surface NULL, same as ``evolve_schema``).
 
         PK reorder/widen is sound here because the merge is a shuffle +
         window over the key columns, never a file-order k-way walk: old
@@ -214,6 +217,18 @@ class ColumnarTable:
                 raise ValueError(
                     f"migration changes type of {name!r}: {typ} -> {new[name]}"
                 )
+        # widen-only key rule, ENFORCED: every existing PK must stay a PK.
+        # Narrowing (or reordering a column out of the key) would re-dedup
+        # the table per the smaller key on the next scan — max-__seq__ wins
+        # per group, everything else silently vanishes, and a compaction
+        # makes it permanent.
+        demoted = set(self.schema.primary_keys) - set(new_schema.primary_keys)
+        if demoted:
+            raise ValueError(
+                f"migration demotes PK column(s) {sorted(demoted)}: the key "
+                "may only widen — narrowing re-dedups the table and loses "
+                "every non-max-seq row per narrowed group"
+            )
         for f in new_schema.fields.fields:
             if f.name in old:
                 continue
@@ -224,9 +239,10 @@ class ColumnarTable:
                     f"added PK column {f.name!r} needs an existence default "
                     "(pre-migration rows would get a NULL merge key)"
                 )
-            if not is_pk and not has_default and not f.nullable:
+            if not is_pk and not f.nullable:
                 raise ValueError(
-                    f"added column {f.name!r} must be nullable or carry a default"
+                    f"added value column {f.name!r} must be nullable (old "
+                    "SSTs have no values for it; defaults are PK-only)"
                 )
         self.schema = new_schema
         self._persist_schema()

@@ -497,3 +497,60 @@ def test_schema_change_invalidates_mirror(spark, tmp_path):
     assert stats["rebuilt"] is True
     rows = t.bucketed_scan(auto_refresh=False).collect()
     assert [(r.k, r.shard, r.v) for r in rows] == [(1, 7, 1.0)]
+
+
+def test_reregistration_requires_all_partition_dirs(spark, tmp_path):
+    """Digests hash SOURCE SST ids — they cannot see a mirror partition
+    directory deleted while no session was running. Re-registration must
+    verify every live segment's directory survived; a hole falls back to
+    a full rebuild instead of serving a silently incomplete table as
+    fresh forever."""
+    import shutil
+
+    from horaedb_spark.core.timeutil import TimeRange
+    from horaedb_spark.storage.table import WriteRequest
+
+    t = _mk_table(spark, tmp_path, "bth")
+    t.write(WriteRequest(_rows(spark, [(1, 100, 1.0)]), TimeRange(0, 1000)))
+    t.write(WriteRequest(_rows(spark, [(2, 1100, 2.0)]), TimeRange(1000, 2000)))
+    t.refresh_bucketed()
+    loc = t.bucketed._warehouse_location()
+    stash = str(tmp_path / "stash3")
+    shutil.copytree(loc, stash)
+    spark.sql(f"DROP TABLE {t.bucketed.name}")
+    shutil.copytree(stash, loc)
+    shutil.rmtree(f"{loc}/__segment__=1000")  # the hole
+    stats = t.refresh_bucketed()
+    assert stats["rebuilt"] is True and stats["reregistered"] is False
+    got = sorted((r.k, r.v) for r in t.bucketed_scan(auto_refresh=False).collect())
+    assert got == [(1, 1.0), (2, 2.0)]
+
+
+def test_rebuild_on_external_mirror_rewrites_files(spark, tmp_path):
+    """After a restart the mirror is EXTERNAL (DROP TABLE keeps its files);
+    rebuild() — the documented hammer for suspect mirror files — must
+    still physically rewrite, not degenerate into a metadata-only
+    re-register over the suspect files."""
+    import glob
+    import shutil
+
+    from horaedb_spark.core.timeutil import TimeRange
+    from horaedb_spark.storage.table import WriteRequest
+
+    t = _mk_table(spark, tmp_path, "btx")
+    t.write(WriteRequest(_rows(spark, [(1, 100, 1.0)]), TimeRange(0, 1000)))
+    t.refresh_bucketed()
+    loc = t.bucketed._warehouse_location()
+    stash = str(tmp_path / "stash4")
+    shutil.copytree(loc, stash)
+    spark.sql(f"DROP TABLE {t.bucketed.name}")
+    shutil.copytree(stash, loc)
+    stats = t.refresh_bucketed()
+    assert stats["reregistered"] is True  # now external
+    before = set(glob.glob(f"{loc}/**/*.parquet", recursive=True))
+    stats = t.bucketed.rebuild()
+    assert stats["rebuilt"] is True and stats["reregistered"] is False
+    after = set(glob.glob(f"{loc}/**/*.parquet", recursive=True))
+    assert after and after.isdisjoint(before), (before, after)
+    got = [(r.k, r.v) for r in t.bucketed_scan(auto_refresh=False).collect()]
+    assert got == [(1, 1.0)]

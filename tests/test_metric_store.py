@@ -510,3 +510,54 @@ def test_migrate_legacy_covers_packed_table(spark, tmp_path):
     assert [(r.ts_ms, r.value) for r in out.collect()] == [(1000, 10.0)]
     out = eng.select_series("req", field="count")
     assert [(r.ts_ms, r.value) for r in out.collect()] == [(1000, 4.0)]
+
+
+def test_migrate_schema_rejects_pk_narrowing_and_value_defaults(spark, tmp_path):
+    """Two guards from the round-10 review: (a) the key may only WIDEN —
+    narrowing (or reordering a column out of the key) would re-dedup the
+    table per the smaller key and silently lose every non-max-seq row;
+    (b) existence defaults are PK-only — on a nullable value column the
+    scan-side coalesce could not distinguish a pre-migration file from a
+    deliberately-stored NULL and would rewrite legitimate NULLs."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from horaedb_spark.core.schema import StorageSchema
+    from horaedb_spark.storage.table import ColumnarTable
+
+    L, D = T.LongType(), T.DoubleType()
+    tbl = ColumnarTable(
+        spark,
+        str(tmp_path / "narrow"),
+        StorageSchema(
+            T.StructType(
+                [T.StructField("a", L), T.StructField("b", L), T.StructField("v", D)]
+            ),
+            num_primary_keys=2,
+        ),
+        HOUR,
+    )
+    with pytest.raises(ValueError, match="demotes PK"):
+        tbl.migrate_schema(
+            StorageSchema(
+                T.StructType(
+                    [T.StructField("a", L), T.StructField("b", L), T.StructField("v", D)]
+                ),
+                num_primary_keys=1,
+            )
+        )
+    with pytest.raises(ValueError, match="demotes PK"):
+        tbl.migrate_schema(  # reorder b past the key boundary
+            StorageSchema(
+                T.StructType(
+                    [T.StructField("a", L), T.StructField("v", D), T.StructField("b", L)]
+                ),
+                num_primary_keys=1,
+            )
+        )
+    with pytest.raises(ValueError, match="non-PK column"):
+        StorageSchema(
+            T.StructType([T.StructField("a", L), T.StructField("v", D)]),
+            num_primary_keys=1,
+            column_defaults={"v": 0.0},
+        )
