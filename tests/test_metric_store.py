@@ -561,3 +561,65 @@ def test_migrate_schema_rejects_pk_narrowing_and_value_defaults(spark, tmp_path)
             num_primary_keys=1,
             column_defaults={"v": 0.0},
         )
+
+
+def test_compaction_materializes_existence_defaults(spark, tmp_path):
+    """DIVERGENCES #28 claims compaction bakes existence defaults into its
+    outputs (the coalesce decays to identity as files rewrite). Pin it:
+    after migrating a table to a defaulted PK column and compacting, the
+    compacted parquet PHYSICALLY contains the default (raw read, no
+    coalesce), and the scan still serves identical rows."""
+    from pyspark.sql import types as T
+
+    from horaedb_spark.core.schema import StorageSchema
+    from horaedb_spark.core.timeutil import TimeRange
+    from horaedb_spark.storage.compaction import CompactionTask, Compactor, SchedulerConfig
+    from horaedb_spark.storage.table import ColumnarTable, WriteRequest
+
+    L, D = T.LongType(), T.DoubleType()
+    root = str(tmp_path / "mat")
+    tbl = ColumnarTable(
+        spark,
+        root,
+        StorageSchema(
+            T.StructType([T.StructField("k", L), T.StructField("v", D)]),
+            num_primary_keys=1,
+        ),
+        HOUR,
+    )
+    tbl.write(
+        WriteRequest(
+            spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double"),
+            TimeRange(0, 1000),
+        )
+    )
+    tbl.write(
+        WriteRequest(
+            spark.createDataFrame([(1, 9.0)], "k long, v double"),
+            TimeRange(0, 1000),
+        )
+    )
+    tbl.migrate_schema(
+        StorageSchema(
+            T.StructType(
+                [T.StructField("k", L), T.StructField("shard", L), T.StructField("v", D)]
+            ),
+            num_primary_keys=2,
+            column_defaults={"shard": 42},
+        )
+    )
+    want = sorted(map(tuple, tbl.scan().select("k", "shard", "v").collect()))
+    assert want == [(1, 42, 9.0), (2, 42, 2.0)]
+    comp = Compactor(tbl, SchedulerConfig())
+    task = CompactionTask(inputs=list(tbl.manifest.all_ssts()))
+    out = comp.execute(task)
+    assert out is not None
+    # raw parquet of the compacted SST: the default is PHYSICAL now
+    raw = spark.read.parquet(out.path)
+    assert "shard" in raw.columns
+    assert sorted((r.k, r.shard) for r in raw.select("k", "shard").collect()) == [
+        (1, 42), (2, 42),
+    ]
+    # merged scan unchanged
+    got = sorted(map(tuple, tbl.scan().select("k", "shard", "v").collect()))
+    assert got == want
