@@ -18,7 +18,7 @@ from pyspark.sql import types as T
 
 from horaedb_spark import StorageSchema, TimeRange, UpdateMode
 from horaedb_spark.core.session import get_spark
-from horaedb_spark.storage import ColumnarTable, ScanRequest
+from horaedb_spark.storage import ColumnarTable, ScanRequest, WriteRequest
 
 
 def main() -> None:
@@ -178,6 +178,42 @@ def main() -> None:
     served = bt.bucketed_scan()  # auto-refreshes the catalog mirror
     per_user = served.groupBy("user_id").count()  # no exchange on the fact side
     print("bucketed mirror users:", per_user.count())
+
+    # -- 10. metadata-only schema migration (round 10) -----------------------
+    #        widen the PK of an already-written table without rewriting an
+    #        SST: the added key column carries an existence default that
+    #        pre-migration files surface on scan (compaction materializes
+    #        it over time). MetricStore.migrate_legacy uses this to upgrade
+    #        pre-multi-field stores in place.
+    mig = ColumnarTable(
+        spark, tempfile.mkdtemp(prefix="qs_mig_"),
+        StorageSchema(
+            T.StructType(
+                [T.StructField("k", T.LongType()), T.StructField("v", T.DoubleType())]
+            ),
+            num_primary_keys=1,
+        ),
+        15 * 86_400_000,
+    )
+    mig.write(
+        WriteRequest(
+            spark.createDataFrame([(1, 1.0)], "k long, v double"), TimeRange(0, 1000)
+        )
+    )
+    mig.migrate_schema(
+        StorageSchema(
+            T.StructType(
+                [
+                    T.StructField("k", T.LongType()),
+                    T.StructField("shard", T.LongType()),
+                    T.StructField("v", T.DoubleType()),
+                ]
+            ),
+            num_primary_keys=2,
+            column_defaults={"shard": 0},
+        )
+    )
+    print("migrated scan:", mig.scan().collect())  # shard=0 from the default
 
 
 if __name__ == "__main__":
