@@ -64,16 +64,26 @@ from horaedb_spark.core.timeutil import TimeRange, truncate_by
 @dataclass(frozen=True)
 class BucketSpec:
     """num_buckets hash buckets on ``columns`` (the join/dedup key — usually
-    the PK prefix ahead of the timestamp)."""
+    the PK prefix ahead of the timestamp).
+
+    ``sort_columns`` (default: the bucket columns) orders rows WITHIN each
+    bucket file. Exchange elimination only needs the hash bucketing; the
+    sort is what parquet row-group min/max pruning sees — a mirror whose
+    selective predicates hit a non-bucket column (e.g. tsid buckets but
+    metric_id filters) should sort by the table's full PK order so the
+    filter keeps its row-group pruning."""
 
     num_buckets: int
     columns: tuple[str, ...]
+    sort_columns: tuple[str, ...] = ()
 
     def __post_init__(self):
         if self.num_buckets < 1:
             raise ValueError("num_buckets must be >= 1")
         if not self.columns:
             raise ValueError("bucket columns must be non-empty")
+        if not self.sort_columns:
+            object.__setattr__(self, "sort_columns", tuple(self.columns))
 
 
 class BucketedMirror:
@@ -85,7 +95,11 @@ class BucketedMirror:
         self._ScanRequest = ScanRequest
         self.table = table
         self.spec = spec
-        missing = [c for c in spec.columns if c not in table.schema.user_columns]
+        missing = [
+            c
+            for c in (*spec.columns, *spec.sort_columns)
+            if c not in table.schema.user_columns
+        ]
         if missing:
             raise ValueError(f"bucket columns {missing} not in table schema")
         self._meta_path = os.path.join(table.root, "bucketed.json")
@@ -116,6 +130,7 @@ class BucketedMirror:
         return {
             "num_buckets": self.spec.num_buckets,
             "columns": list(self.spec.columns),
+            "sort_columns": list(self.spec.sort_columns),
         }
 
     def _schema_token(self) -> str:
@@ -195,10 +210,11 @@ class BucketedMirror:
             for f in self.table.schema.fields.fields
         )
         bucket_cols = ", ".join(f"`{c}`" for c in self.spec.columns)
+        sort_cols = ", ".join(f"`{c}`" for c in self.spec.sort_columns)
         spark.sql(
             f"CREATE TABLE {self.name} ({cols}, `{SEGMENT_COLUMN}` bigint) "
             f"USING PARQUET PARTITIONED BY (`{SEGMENT_COLUMN}`) "
-            f"CLUSTERED BY ({bucket_cols}) SORTED BY ({bucket_cols}) "
+            f"CLUSTERED BY ({bucket_cols}) SORTED BY ({sort_cols}) "
             f"INTO {self.spec.num_buckets} BUCKETS "
             f"LOCATION '{self._warehouse_location()}'"
         )
@@ -305,7 +321,7 @@ class BucketedMirror:
             (
                 full.write.partitionBy(SEGMENT_COLUMN)
                 .bucketBy(self.spec.num_buckets, *self.spec.columns)
-                .sortBy(*self.spec.columns)
+                .sortBy(*self.spec.sort_columns)
                 .mode("overwrite")
                 .saveAsTable(self.name)
             )

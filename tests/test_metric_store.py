@@ -623,3 +623,58 @@ def test_compaction_materializes_existence_defaults(spark, tmp_path):
     # merged scan unchanged
     got = sorted(map(tuple, tbl.scan().select("k", "shard", "v").collect()))
     assert got == want
+
+
+def test_engine_serves_from_tsid_bucketed_mirror(spark, tmp_path):
+    """data_buckets opts the data table into a tsid-bucketed mirror and
+    engine() serves from it: (a) row-identical to the merge-on-read scan
+    across overwrites and time ranges, (b) the data plan has NO dedup
+    window (merge pre-paid at refresh), (c) a tsid-keyed aggregation runs
+    exchange-free, (d) time-range selection prunes catalog partitions."""
+    root = str(tmp_path / "bkt_store")
+    store = MetricStore(spark, root, HOUR, data_buckets=4)
+    rows = [("cpu", {"host": f"h{i % 3}"}, i * HOUR // 2 + 500, float(i), 1)
+            for i in range(8)]
+    store.ingest(_samples(spark, rows))
+    # overwrite one sample: the mirror must serve the WINNING version
+    store.ingest(_samples(spark, [("cpu", {"host": "h0"}, 500, 99.0, 2)]))
+
+    plain = store.engine(from_mirror=False)
+    mirror = store.engine()  # auto: data_buckets set
+    want = sorted(map(tuple, plain.data.collect()))
+    got = sorted(map(tuple, mirror.data.collect()))
+    assert got == want and len(got) == 8
+
+    # (b) no dedup window in the mirror-served plan
+    plan = mirror.data._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan[:1500]
+
+    # (c) tsid-keyed aggregation: no exchange below the aggregate
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        agg = mirror.data.groupBy("tsid").agg(F.sum("value").alias("s"))
+        agg.collect()
+        aplan = agg._jdf.queryExecution().executedPlan().toString()
+        aplan = aplan.split("== Initial Plan ==")[0]
+        assert "Exchange" not in aplan, aplan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # (a cont.) time-ranged engines agree too
+    tr = TimeRange(HOUR, 3 * HOUR)
+    want = sorted(map(tuple, store.engine(tr, from_mirror=False).data.collect()))
+    got_df = store.engine(tr).data
+    got = sorted(map(tuple, got_df.collect()))
+    assert got == want and got
+    # (d) partition pruning visible in the plan
+    splan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "__segment__" in splan.split("PartitionFilters", 1)[-1][:300], splan[:2000]
+
+    # select_series + matchers through the mirror-served engine
+    eng = store.engine()
+    out = eng.select_series("cpu", [Matcher("host", "=", "h0")])
+    ref = store.engine(from_mirror=False).select_series(
+        "cpu", [Matcher("host", "=", "h0")]
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, ref.collect()))
