@@ -151,6 +151,132 @@ def metric_packed_promql(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("series_key", "ts_ms")
 
 
+_MIRROR_STORES: dict[str, object] = {}
+
+
+def _mirror_store(spark: SparkSession, sf_dir: str):
+    """A durable MetricStore whose DATA table opted into the tsid-bucketed
+    read-optimized mirror (``data_buckets``): ``engine()`` then serves the
+    data path from the mirror — merge-on-read is PRE-PAID at refresh time,
+    and per-series work runs exchange-free. The Spark-first analogue of the
+    reference serving reads from compacted SSTs rather than re-merging per
+    query (analytic-engine read path; compaction/executor parity in
+    storage/compaction.py)."""
+    if sf_dir in _MIRROR_STORES:
+        return _MIRROR_STORES[sf_dir]
+    from horaedb_spark.metric.store import MetricStore
+
+    ev = events_ms(spark, sf_dir)
+    samples = ev.select(
+        F.col("event_type").alias("name"),
+        F.create_map(
+            F.lit("user"),
+            F.col("user_id").cast("string"),
+            F.lit("cohort"),
+            (F.col("user_id") % 10).cast("string"),
+        ).alias("labels"),
+        "ts_ms",
+        "value",
+        F.col("event_id").alias("seq"),
+    )
+    store = MetricStore(
+        spark,
+        tempfile.mkdtemp(prefix="metric_mirror_") + "/ms",
+        15 * DAY_MS,
+        data_buckets=8,
+    )
+    store.ingest(samples)
+    _MIRROR_STORES[sf_dir] = store
+    return store
+
+
+@register(
+    "metric_mirror_select",
+    oracle=_DEDUP_CTE
+    + """
+    SELECT cohort, count(*) AS n_samples,
+           round(sum(value), 2) + 0 AS sum_value, max(ts_ms) AS last_ts
+    FROM samples WHERE name = 'click'
+    GROUP BY cohort ORDER BY cohort
+    """,
+)
+def metric_mirror_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """select_series through the MIRROR-served engine (``data_buckets``,
+    metric/store.py): the data path reads the tsid-bucketed catalog mirror
+    holding the already-MERGED state, so the per-query dedup window
+    disappears (pre-paid at refresh — asserted on the plan here) while the
+    answer must stay identical to the merge-on-read scan. Hash-gated
+    against the deduped sample stream DuckDB derives from events."""
+    from pyspark.sql import functions as SF
+
+    from horaedb_spark.queries.metric_queries import _series_with_labels
+
+    key = f"mirror_sel:{sf_dir}"
+    if key in _PACKED_CACHE:
+        return _PACKED_CACHE[key]
+    eng = _mirror_store(spark, sf_dir).engine()
+    # merge is pre-paid at mirror refresh: the served data plan carries no
+    # per-query dedup window (the plan property that makes this layout pay
+    # at 100 TB — documented eager action: one plan render per sf_dir)
+    plan = eng.data._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan[:1500]
+    sel = _series_with_labels(eng.select_series("click", with_labels=True))
+    out = (
+        sel.groupBy("cohort")
+        .agg(
+            SF.count(SF.lit(1)).alias("n_samples"),
+            (SF.round(SF.sum("value"), 2) + 0).alias("sum_value"),
+            SF.max("ts_ms").alias("last_ts"),
+        )
+        .orderBy("cohort")
+    )
+    _PACKED_CACHE[key] = out
+    return out
+
+
+@register(
+    "metric_mirror_promql",
+    oracle=_DEDUP_CTE
+    + f"""
+    , r AS (
+      SELECT cohort, ts_ms - ts_ms % {DAY_MS} AS bucket_ms,
+             arg_max(value, ts_ms) AS v_last, arg_min(value, ts_ms) AS v_first,
+             max(ts_ms) AS t_last, min(ts_ms) AS t_first, count(*) AS n
+      FROM samples WHERE name = 'view'
+      GROUP BY cohort, user_label, 2
+    )
+    SELECT 'cohort=' || cohort AS series_key, bucket_ms AS ts_ms,
+           floor(CAST(sum(CAST((v_last - v_first)
+                               / ((t_last - t_first) / 1000.0)
+                               AS DECIMAL(30,10))) AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS value
+    FROM r WHERE n >= 2 AND t_last > t_first
+    GROUP BY 1, 2 ORDER BY series_key, ts_ms
+    """,
+)
+def metric_mirror_promql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A full PromQL string over the MIRROR-served engine:
+    ``sum by (cohort) (rate(view[1d]))`` compiled against an engine whose
+    data path is the tsid-bucketed mirror — the read-optimized layout must
+    be observationally invisible to the whole query language, exactly as
+    the packed layout must be (metric_packed_promql). Hash-gated against
+    the row-per-sample DuckDB replica."""
+    from horaedb_spark.metric.promql import promql_eval
+
+    key = f"mirror_pq:{sf_dir}"
+    if key in _PACKED_CACHE:
+        return _PACKED_CACHE[key]
+    eng = _mirror_store(spark, sf_dir).engine()
+    out = promql_eval(eng, "sum by (cohort) (rate(view[1d]))", DAY_MS)
+    out = out.select(
+        "series_key",
+        "ts_ms",
+        (F.floor(F.col("value") * 1_000_000 + 0.5) / 1_000_000).alias("value"),
+    ).orderBy("series_key", "ts_ms")
+    _PACKED_CACHE[key] = out
+    return out
+
+
 _MF_STORES: dict[str, object] = {}
 
 

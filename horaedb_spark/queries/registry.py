@@ -87,6 +87,8 @@ _QUERY_MODULES = (
 # this list in sync with the latest CORRECTNESS_r{N}.json: drop names once
 # green, promote any regression.
 _RUN_FIRST = (
+    "metric_mirror_select",
+    "metric_mirror_promql",
     "metric_multi_field_select",
     "metric_field_catalog",
     "remote_write_multi_field",
