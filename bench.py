@@ -102,6 +102,9 @@ HEADLINE = [
     # answers)
     "metric_multi_field_select",
     "storage_bucketed_scan",
+    # round-10: the mirror-served metric engine (data_buckets) — merge
+    # pre-paid at refresh, per-series work exchange-free
+    "metric_mirror_select",
 ]
 
 
@@ -125,6 +128,7 @@ FIXTURE_QUERIES = (
     "storage_delete_scan",
     "metric_packed_scan",  # ingest + pack-on-compaction is the fixture
     "storage_bucketed_scan",  # ingest + bucketed-mirror build is the fixture
+    "metric_mirror_select",  # ingest + tsid-bucketed mirror build is the fixture
 )
 
 
@@ -277,6 +281,38 @@ def main() -> None:
         }
     except Exception as e:
         print(f"# packing bench error: {e}", file=sys.stderr)
+    # Mirror pre-pay stat (round 10): the same per-series aggregate over
+    # the SAME durable store, once through the merge-on-read scan (dedup
+    # window per query) and once through the tsid-bucketed mirror (merge
+    # pre-paid at refresh, exchange-free tsid agg). The ratio is the
+    # read-amplification the mirror removes for serving workloads — the
+    # Spark-first analogue of reading compacted SSTs instead of re-merging
+    # per query. Warm best-of-two per path; NOT in the headline total.
+    mirror: dict = {}
+    try:
+        from horaedb_spark.queries.metric_store_queries import _mirror_store
+
+        store = _mirror_store(spark, sf_dir)  # warm fixture (built in warmup)
+
+        def _tsid_agg(eng) -> float:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                eng.data.groupBy("tsid").agg(
+                    F.sum("value").alias("s"), F.count(F.lit(1)).alias("n")
+                ).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        plain_s = _tsid_agg(store.engine(from_mirror=False))
+        mirror_s = _tsid_agg(store.engine())
+        mirror = {
+            "merge_on_read_s": round(plain_s, 3),
+            "mirror_s": round(mirror_s, 3),
+            "speedup_x": round(plain_s / max(mirror_s, 1e-9), 2),
+        }
+    except Exception as e:
+        print(f"# mirror prepay bench error: {e}", file=sys.stderr)
     # Viral-cluster MinHash probe (bounded): a planted near-dup cluster 8x
     # and 16x the band-bucket cap over the sf documents. Quadratic bucket
     # behavior would grow candidate pairs 4x between the runs; the capped
@@ -340,6 +376,7 @@ def main() -> None:
                 "sf": sf,
                 "calibration": calib,
                 "packing": packing,
+                "mirror_prepay": mirror,
                 "viral_minhash": viral,
                 "manifest": manifest_stats,
             }
