@@ -89,6 +89,7 @@ _QUERY_MODULES = (
 _RUN_FIRST = (
     "metric_mirror_select",
     "metric_mirror_promql",
+    "streaming_mirror_serve",
     "metric_multi_field_select",
     "metric_field_catalog",
     "remote_write_multi_field",

@@ -1084,3 +1084,134 @@ def streaming_ingest_autocompact(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert n_final < writes["n"], (n_final, writes["n"])
         _CACHE[key] = table.scan()
     return _CACHE[key]
+
+
+@register(
+    "streaming_mirror_serve",
+    oracle="""
+    WITH samples AS (
+      SELECT event_type AS name,
+             CAST(user_id % 10 AS VARCHAR) AS cohort,
+             ts_ms, value
+      FROM (
+        SELECT *, epoch_ms(ts) AS ts_ms,
+               row_number() OVER (PARTITION BY event_type, user_id, epoch_ms(ts)
+                                  ORDER BY event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT cohort, count(*) AS n_samples,
+           round(sum(value), 2) + 0 AS sum_value, max(ts_ms) AS last_ts
+    FROM samples WHERE name = 'click'
+    GROUP BY cohort ORDER BY cohort
+    """,
+)
+def streaming_mirror_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest COMPOSED with the tsid-bucketed mirror: four
+    time-ordered micro-batches ingest into a ``data_buckets`` MetricStore
+    and the mirror refreshes after every batch — the serving layout is
+    maintained INSIDE the stream, not rebuilt at query time. Incrementality
+    is asserted in-code: refreshes after the first never full-rebuild, and
+    at least one rewrites strictly fewer partitions than the table holds
+    (refresh cost follows the batch's touched segments, never history —
+    the property that makes a per-batch refresh affordable at 100 TB).
+    The final mirror-served per-cohort aggregate must equal the batch
+    answer DuckDB derives from events (streaming/batch equivalence)."""
+    key = f"mirror_serve:{sf_dir}"
+    if key not in _CACHE:
+        import os as _os
+
+        from horaedb_spark.metric.store import MetricStore
+        from horaedb_spark.queries.metric_queries import (
+            DAY_MS,
+            _series_with_labels,
+        )
+
+        ev = events_ms(spark, sf_dir).persist()
+        lo, hi = ev.agg(F.min("ts_ms"), F.max("ts_ms")).first()
+        width = (hi - lo) // 4 + 1
+        root = tempfile.mkdtemp(prefix="horaedb_mirror_stream_")
+        for i in range(4):
+            sl = ev.filter(
+                (F.col("ts_ms") >= lo + i * width)
+                & (F.col("ts_ms") < lo + (i + 1) * width)
+            )
+            d = f"{root}/f{i}"
+            sl.coalesce(1).write.parquet(d)
+            for fn in _os.listdir(d):
+                _os.utime(f"{d}/{fn}", (1_700_000_000 + i * 10,) * 2)
+        ev.unpersist()
+
+        store = MetricStore(
+            spark, root + "/ms", 15 * DAY_MS, data_buckets=8
+        )
+        refreshes: list[dict] = []
+
+        def sink(batch_df, batch_id):
+            if batch_df.isEmpty():
+                return
+            store.ingest(
+                batch_df.select(
+                    F.col("event_type").alias("name"),
+                    F.create_map(
+                        F.lit("user"),
+                        F.col("user_id").cast("string"),
+                        F.lit("cohort"),
+                        (F.col("user_id") % 10).cast("string"),
+                    ).alias("labels"),
+                    "ts_ms",
+                    "value",
+                    F.col("event_id").alias("seq"),
+                )
+            )
+            refreshes.append(store.data.refresh_bucketed())
+
+        stream = (
+            spark.readStream.schema(spark.read.parquet(f"{root}/f0").schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/f*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="horaedb_mirror_stream_ckpt_"),
+            )
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+        # incrementality: after the initial build, refreshes stay partial
+        assert len(refreshes) >= 2, refreshes
+        later = refreshes[1:]
+        assert all(not r["rebuilt"] and not r["reregistered"] for r in later), (
+            refreshes
+        )
+        from horaedb_spark.storage.table import ScanRequest as _SR
+
+        n_segments = (
+            store.data.scan(_SR(ordered=False))
+            .select(F.expr(f"ts_ms div {15 * DAY_MS}"))
+            .distinct()
+            .count()
+        )
+        assert any(0 < len(r["overwritten"]) < n_segments for r in later), (
+            refreshes,
+            n_segments,
+        )
+
+        eng = store.engine()  # mirror already fresh: no refresh work here
+        sel = _series_with_labels(
+            eng.select_series("click", with_labels=True)
+        )
+        _CACHE[key] = (
+            sel.groupBy("cohort")
+            .agg(
+                F.count(F.lit(1)).alias("n_samples"),
+                (F.round(F.sum("value"), 2) + 0).alias("sum_value"),
+                F.max("ts_ms").alias("last_ts"),
+            )
+            .orderBy("cohort")
+        )
+    return _CACHE[key]
