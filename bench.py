@@ -306,10 +306,32 @@ def main() -> None:
 
         plain_s = _tsid_agg(store.engine(from_mirror=False))
         mirror_s = _tsid_agg(store.engine())
+        # maintenance side: one small ingest into ONE segment, then time the
+        # incremental refresh — cost must follow the touched batch, not the
+        # table (full-rebuild cost is the restart-path measurement in
+        # SCALING.md). Stats are asserted partial, not just timed.
+        lo = store.data.scan().agg(F.min("ts_ms")).first()[0]
+        store.ingest(
+            spark.range(64).select(
+                F.lit("bench_probe").alias("name"),
+                F.create_map(
+                    F.lit("k"), (F.col("id") % 4).cast("string")
+                ).alias("labels"),
+                (F.lit(lo) + F.col("id")).alias("ts_ms"),
+                F.col("id").cast("double").alias("value"),
+                F.col("id").alias("seq"),
+            )
+        )
+        t0 = time.perf_counter()
+        stats = store.data.refresh_bucketed()
+        refresh_s = time.perf_counter() - t0
+        assert not stats["rebuilt"] and len(stats["overwritten"]) == 1, stats
         mirror = {
             "merge_on_read_s": round(plain_s, 3),
             "mirror_s": round(mirror_s, 3),
             "speedup_x": round(plain_s / max(mirror_s, 1e-9), 2),
+            "incremental_refresh_s": round(refresh_s, 3),
+            "segments_rewritten": len(stats["overwritten"]),
         }
     except Exception as e:
         print(f"# mirror prepay bench error: {e}", file=sys.stderr)
