@@ -215,6 +215,22 @@ def main() -> None:
     )
     print("migrated scan:", mig.scan().collect())  # shard=0 from the default
 
+    # -- 11. mirror-served metric engine (round 10) --------------------------
+    #        a MetricStore whose DATA table opted into the tsid-bucketed
+    #        mirror: engine() serves the already-MERGED state (no per-query
+    #        dedup window) and per-series aggregations run exchange-free
+    from horaedb_spark.metric.store import MetricStore
+    from horaedb_spark.queries.tables import events_to_samples
+
+    ms = MetricStore(
+        spark, tempfile.mkdtemp(prefix="qs_ms_") + "/ms",
+        15 * 86_400_000, data_buckets=8,
+    )
+    ms.ingest(events_to_samples(events_ms(spark, sf_dir).limit(10_000)))
+    meng = ms.engine()  # auto: serves from the mirror, refreshed incrementally
+    sel = meng.select_series("click")
+    print("mirror-served click samples:", sel.count())
+
 
 if __name__ == "__main__":
     main()

@@ -72,16 +72,28 @@ def matches_labels(labels: dict[str, str], matchers: list[Matcher]) -> bool:
 
 
 def _parse_byte_conf(value: str) -> int:
-    """Spark byte-size conf string -> bytes ('10485760b', '10MB', '-1')."""
+    """Spark byte-size conf string -> bytes ('10485760b', '10MB', '-1').
+    Mirrors JavaUtils.byteStringAsBytes' suffix set (b/k/m/g/t/p and the
+    *b forms). A string this parser can't read must never crash a query —
+    callers treat the fallback (largest int) as 'always broadcast-eligible
+    by conf', matching a huge threshold's intent."""
     v = value.strip().lower()
     for suffix, mult in (
         ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30), ("tb", 1 << 40),
+        ("pb", 1 << 50),
         ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40),
+        ("p", 1 << 50),
         ("b", 1),
     ):
         if v.endswith(suffix):
-            return int(float(v[: -len(suffix)]) * mult)
-    return int(v)
+            try:
+                return int(float(v[: -len(suffix)]) * mult)
+            except ValueError:
+                return 1 << 62
+    try:
+        return int(v)
+    except ValueError:
+        return 1 << 62
 
 
 class MetricEngine:
@@ -112,7 +124,12 @@ class MetricEngine:
         engine, and the stats lookup runs a full driver-side optimizer
         pass we don't want on every labeled select."""
         sel = self.series.select("tsid", "series_key")
-        hint = self.__dict__.get("_series_broadcast_decision")
+        # The memo dict may be SHARED across engines over the same base
+        # (MetricStore hands every engine() the store's dict and clears it
+        # on ingest) so a per-query engine() loop pays the optimizer pass
+        # once, not per query.
+        memo = self.__dict__.setdefault("_series_broadcast_memo", {})
+        hint = memo.get("hint")
         if hint is None:
             thr = self.series_broadcast_threshold
             if thr is None:
@@ -128,7 +145,7 @@ class MetricEngine:
                     sel._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
                 )
                 hint = est <= thr
-            self.__dict__["_series_broadcast_decision"] = hint
+            memo["hint"] = hint
         return F.broadcast(sel) if hint else sel
 
     def cache(self) -> "MetricEngine":

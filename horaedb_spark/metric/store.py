@@ -166,6 +166,9 @@ class MetricStore:
                 "MetricStore.migrate_legacy(spark, root, segment_duration_ms) "
                 "once — a metadata-only migration, no SST is rewritten"
             )
+        # series-label-join broadcast decision, shared by all engines over
+        # this store (see engine()); cleared when ingest() grows the series
+        self._series_bcast_memo: dict = {}
 
     # -------------------------------------------------------------- migration
 
@@ -211,7 +214,13 @@ class MetricStore:
             spark, f"{root}/metrics", _schema(_METRICS_FIELDS, 2), CATALOG_SEGMENT
         )
         if metrics.schema.primary_keys != ("metric_name", "field_name"):
-            metrics.migrate_schema(_schema(_METRICS_FIELDS, 2))
+            # field_name is promoted into the key: sound because every
+            # legacy catalog row carried the constant 'value' field_name
+            # (single-field layout), so the wider key groups identically
+            metrics.migrate_schema(
+                _schema(_METRICS_FIELDS, 2),
+                allow_pk_promotion=("field_name",),
+            )
         # packed data table (lazily created, so it may not exist): the r8
         # layout keyed packs on (metric_id, tsid, pack_start_ms) — the pack
         # rows gain the field_id PK with the same existence default
@@ -273,6 +282,9 @@ class MetricStore:
             ided.select("metric_id", "tsid", "field_id", "ts_ms", "value"),
             "ts_ms",
         )
+        # the series table grew: engines must re-decide the label-join
+        # broadcast against fresh plan stats (memo shared via engine())
+        self._series_bcast_memo.clear()
 
     # --------------------------------------------------- packed data (RFC:218)
 
@@ -337,8 +349,13 @@ class MetricStore:
 
     def packed_engine(self, time_range: TimeRange | None = None) -> MetricEngine:
         """A MetricEngine whose data path reads the PACKED table — query
-        layer identical, storage layout batched (RFC:218-231)."""
-        eng = self.engine(time_range)
+        layer identical, storage layout batched (RFC:218-231).
+
+        The data frame is the packed scan, so never ask ``engine()`` for
+        the mirror path: on a ``data_buckets`` store that would run a
+        mirror freshness check (and, right after an ingest, a refresh
+        WRITE job) whose served frame is discarded one line later."""
+        eng = self.engine(time_range, from_mirror=False)
         eng.data = self.packed_scan(time_range)
         return eng
 
@@ -366,6 +383,11 @@ class MetricStore:
         eng.samples = None
         eng._cached = False
         eng._flat = None
+        # every engine over this store shares the store's broadcast-decision
+        # memo: a per-query engine() loop (dashboards, rule evaluators) pays
+        # the series-size optimizer pass once, not per query; ingest()
+        # clears it
+        eng._series_broadcast_memo = self._series_bcast_memo
         eng.metrics = self.metrics.scan(ScanRequest(ordered=False))
         eng.series = self.series.scan(ScanRequest(ordered=False))
         eng.index = self.index.scan(ScanRequest(ordered=False))

@@ -19,7 +19,7 @@ from horaedb_spark.core.timeutil import TimeRange
 from horaedb_spark.functions import promql
 from horaedb_spark.metric.engine import Matcher, MetricEngine
 from horaedb_spark.queries.registry import register
-from horaedb_spark.queries.tables import events_ms
+from horaedb_spark.queries.tables import events_ms, events_to_samples
 
 _ENGINES: dict[str, MetricEngine] = {}
 
@@ -45,19 +45,7 @@ _DEDUP_CTE = """
 
 def _engine(spark: SparkSession, sf_dir: str) -> MetricEngine:
     if sf_dir not in _ENGINES:
-        ev = events_ms(spark, sf_dir)
-        samples = ev.select(
-            F.col("event_type").alias("name"),
-            F.create_map(
-                F.lit("user"),
-                F.col("user_id").cast("string"),
-                F.lit("cohort"),
-                (F.col("user_id") % 10).cast("string"),
-            ).alias("labels"),
-            "ts_ms",
-            "value",
-            F.col("event_id").alias("seq"),
-        )
+        samples = events_to_samples(events_ms(spark, sf_dir))
         # NOT cache()d, deliberately: A/B at sf0.1 measured the cached
         # engine SLOWER for the suite queries (10.2/6.7 s vs 7.8/4.7 s
         # cold/warm) — the in-memory columnar deser of _flat costs more
@@ -2219,21 +2207,12 @@ def _mf_engine(spark: SparkSession, sf_dir: str) -> MetricEngine:
     if sf_dir not in _MF_ENGINES:
         from horaedb_spark.metric.ingest import group_metric_families
 
-        ev = events_ms(spark, sf_dir)
         suffix = F.when(F.col("event_id") % 2 == 0, F.lit("sum")).otherwise(
             F.lit("count")
         )
-        raw = ev.select(
-            F.concat(F.col("event_type"), F.lit("_"), suffix).alias("name"),
-            F.create_map(
-                F.lit("user"),
-                F.col("user_id").cast("string"),
-                F.lit("cohort"),
-                (F.col("user_id") % 10).cast("string"),
-            ).alias("labels"),
-            "ts_ms",
-            "value",
-            F.col("event_id").alias("seq"),
+        raw = events_to_samples(
+            events_ms(spark, sf_dir),
+            name=F.concat(F.col("event_type"), F.lit("_"), suffix),
         )
         _MF_ENGINES[sf_dir] = MetricEngine(group_metric_families(raw))
     return _MF_ENGINES[sf_dir]

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from horaedb_spark.queries.metric_queries import _DEDUP_CTE, _MF_DEDUP_CTE, DAY_MS
 from horaedb_spark.queries.registry import register
-from horaedb_spark.queries.tables import events_ms
+from horaedb_spark.queries.tables import events_ms, events_to_samples
 
 _PACKED_CACHE: dict[str, DataFrame] = {}
 _STORES: dict[str, object] = {}
@@ -40,19 +40,7 @@ def _packed_store(spark: SparkSession, sf_dir: str):
         return _STORES[sf_dir]
     from horaedb_spark.metric.store import MetricStore
 
-    ev = events_ms(spark, sf_dir)
-    samples = ev.select(
-        F.col("event_type").alias("name"),
-        F.create_map(
-            F.lit("user"),
-            F.col("user_id").cast("string"),
-            F.lit("cohort"),
-            (F.col("user_id") % 10).cast("string"),
-        ).alias("labels"),
-        "ts_ms",
-        "value",
-        F.col("event_id").alias("seq"),
-    )
+    samples = events_to_samples(events_ms(spark, sf_dir))
     store = MetricStore(
         spark, tempfile.mkdtemp(prefix="metric_packed_") + "/ms", 15 * DAY_MS
     )
@@ -166,19 +154,7 @@ def _mirror_store(spark: SparkSession, sf_dir: str):
         return _MIRROR_STORES[sf_dir]
     from horaedb_spark.metric.store import MetricStore
 
-    ev = events_ms(spark, sf_dir)
-    samples = ev.select(
-        F.col("event_type").alias("name"),
-        F.create_map(
-            F.lit("user"),
-            F.col("user_id").cast("string"),
-            F.lit("cohort"),
-            (F.col("user_id") % 10).cast("string"),
-        ).alias("labels"),
-        "ts_ms",
-        "value",
-        F.col("event_id").alias("seq"),
-    )
+    samples = events_to_samples(events_ms(spark, sf_dir))
     store = MetricStore(
         spark,
         tempfile.mkdtemp(prefix="metric_mirror_") + "/ms",
@@ -291,21 +267,12 @@ def _packed_mf_store(spark: SparkSession, sf_dir: str):
     from horaedb_spark.metric.ingest import group_metric_families
     from horaedb_spark.metric.store import MetricStore
 
-    ev = events_ms(spark, sf_dir)
     suffix = F.when(F.col("event_id") % 2 == 0, F.lit("sum")).otherwise(
         F.lit("count")
     )
-    raw = ev.select(
-        F.concat(F.col("event_type"), F.lit("_"), suffix).alias("name"),
-        F.create_map(
-            F.lit("user"),
-            F.col("user_id").cast("string"),
-            F.lit("cohort"),
-            (F.col("user_id") % 10).cast("string"),
-        ).alias("labels"),
-        "ts_ms",
-        "value",
-        F.col("event_id").alias("seq"),
+    raw = events_to_samples(
+        events_ms(spark, sf_dir),
+        name=F.concat(F.col("event_type"), F.lit("_"), suffix),
     )
     store = MetricStore(
         spark, tempfile.mkdtemp(prefix="metric_packed_mf_") + "/ms", 15 * DAY_MS

@@ -25,7 +25,7 @@ from horaedb_spark.metric.engine import MetricEngine
 from horaedb_spark.metric.promql import promql_eval, promql_eval_many
 from horaedb_spark.queries.metric_queries import _DEDUP_CTE, _engine
 from horaedb_spark.queries.registry import register
-from horaedb_spark.queries.tables import events_ms
+from horaedb_spark.queries.tables import events_ms, events_to_samples
 
 DAY_MS = 86_400_000
 
@@ -555,16 +555,7 @@ def streaming_promql_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         if batch_df.isEmpty():
             return
         batch_df.write.mode("append").parquet(acc)
-        samples = spark.read.parquet(acc).select(
-            F.col("event_type").alias("name"),
-            F.create_map(
-                F.lit("user"), F.col("user_id").cast("string"),
-                F.lit("cohort"), (F.col("user_id") % 10).cast("string"),
-            ).alias("labels"),
-            "ts_ms",
-            "value",
-            F.col("event_id").alias("seq"),
-        )
+        samples = events_to_samples(spark.read.parquet(acc))
         out = promql_eval(
             MetricEngine(samples),
             "sum by (cohort) (rate(click[1d]))",

@@ -16,7 +16,12 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from horaedb_spark.queries.registry import register
-from horaedb_spark.queries.tables import ensure_session_conf, events_ms, ts_ms_expr
+from horaedb_spark.queries.tables import (
+    ensure_session_conf,
+    events_ms,
+    events_to_samples,
+    ts_ms_expr,
+)
 from horaedb_spark.queries.storage_queries import _SEG_15D, _events_schema
 from horaedb_spark.storage.table import ColumnarTable
 from horaedb_spark.streaming.sink import ingest_stream
@@ -1150,20 +1155,7 @@ def streaming_mirror_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         def sink(batch_df, batch_id):
             if batch_df.isEmpty():
                 return
-            store.ingest(
-                batch_df.select(
-                    F.col("event_type").alias("name"),
-                    F.create_map(
-                        F.lit("user"),
-                        F.col("user_id").cast("string"),
-                        F.lit("cohort"),
-                        (F.col("user_id") % 10).cast("string"),
-                    ).alias("labels"),
-                    "ts_ms",
-                    "value",
-                    F.col("event_id").alias("seq"),
-                )
-            )
+            store.ingest(events_to_samples(batch_df))
             refreshes.append(store.data.refresh_bucketed())
 
         stream = (

@@ -102,3 +102,27 @@ def events_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     df = df.withColumn("ts_ms", ts_ms_expr(df, "ts"))
     return normalize_ts(df, "ts")
+
+
+def events_to_samples(ev: DataFrame, name: Column | None = None) -> DataFrame:
+    """The canonical events -> metric-samples projection the metric-layer
+    queries share: name = event_type, labels = {user: user_id,
+    cohort: user_id % 10}, ts_ms, value, seq = event_id. The DuckDB
+    oracles hard-code this label scheme (the ``user_label`` / ``cohort``
+    CTE columns) — change it HERE and in ``_DEDUP_CTE`` together.
+
+    ``name`` overrides the metric-name expression (e.g. family suffixing
+    for multi-field stores); ``ev`` needs event_type, user_id, ts_ms,
+    value, event_id."""
+    return ev.select(
+        (name if name is not None else F.col("event_type")).alias("name"),
+        F.create_map(
+            F.lit("user"),
+            F.col("user_id").cast("string"),
+            F.lit("cohort"),
+            (F.col("user_id") % 10).cast("string"),
+        ).alias("labels"),
+        "ts_ms",
+        "value",
+        F.col("event_id").alias("seq"),
+    )

@@ -178,21 +178,32 @@ class BucketedMirror:
             ignore_errors=True,
         )
 
-    def _all_partitions_on_disk(self, live: dict[str, str]) -> bool:
-        """Every live segment has its ``__segment__=<s>`` directory under
-        the warehouse location (non-empty). Guard for re-registration."""
+    def _dirs_on_disk(self) -> set[str]:
+        """Segments with a non-empty ``__segment__=<s>`` directory under the
+        warehouse location."""
         from horaedb_spark.storage.table import SEGMENT_COLUMN
 
         loc = self._warehouse_location()
         if not os.path.isdir(loc):
-            return False
-        on_disk = {
+            return set()
+        return {
             d.split("=", 1)[1]
             for d in os.listdir(loc)
             if d.startswith(f"{SEGMENT_COLUMN}=")
             and os.listdir(os.path.join(loc, d))
         }
-        return set(live) <= on_disk
+
+    def _written_partitions_on_disk(self, meta: dict, live: dict[str, str]) -> bool:
+        """Every partition the mirror actually WROTE at its last refresh
+        (``meta['on_disk']``) still has its non-empty directory — the guard
+        for re-registration. A live segment absent from that set had an
+        EMPTY merged state (every row tombstoned): partitionBy writes no
+        directory for it, by design, and requiring one would force a full
+        rebuild on every restart forever. Metas from before on_disk
+        tracking fall back to requiring every live segment (the old,
+        stricter guard)."""
+        need = set(meta.get("on_disk", list(live)))
+        return need <= self._dirs_on_disk()
 
     def _register_existing(self, live: dict[str, str]) -> None:
         """Recreate the catalog entry over the EXISTING warehouse files —
@@ -305,7 +316,7 @@ class BucketedMirror:
                 meta.get("spec") == self._spec_json()
                 and meta.get("schema") == self._schema_token()
                 and stored == live
-                and self._all_partitions_on_disk(live)
+                and self._written_partitions_on_disk(meta, live)
             ):
                 self._register_existing(live)
                 stats["reregistered"] = True
@@ -358,6 +369,10 @@ class BucketedMirror:
             "segments": segments,
             "spec": self._spec_json(),
             "schema": self._schema_token(),
+            # which partitions this refresh actually left on disk — live
+            # segments whose merged state is EMPTY have no directory, and
+            # the restart re-registration guard must not demand one
+            "on_disk": sorted(self._dirs_on_disk(), key=int),
         }
 
     def rebuild(self) -> dict:

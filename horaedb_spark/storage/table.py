@@ -184,7 +184,11 @@ class ColumnarTable:
         self.schema = self.schema.evolved(list(new_fields))
         self._persist_schema()
 
-    def migrate_schema(self, new_schema: StorageSchema) -> None:
+    def migrate_schema(
+        self,
+        new_schema: StorageSchema,
+        allow_pk_promotion: tuple[str, ...] = (),
+    ) -> None:
         """Metadata-only schema migration: replace the persisted schema with
         ``new_schema`` without rewriting any SST — the 100 TB migration.
         Unlike ``evolve_schema`` this may reorder columns, widen the primary
@@ -228,6 +232,32 @@ class ColumnarTable:
                 f"migration demotes PK column(s) {sorted(demoted)}: the key "
                 "may only widen — narrowing re-dedups the table and loses "
                 "every non-max-seq row per narrowed group"
+            )
+        # The key may widen ONLY with NEW columns (which carry an existence
+        # default, checked below). Promoting an EXISTING value column into
+        # the PK is a re-key, not a migration: rows previously merged as
+        # versions of one key (overwritten history) become distinct keys and
+        # resurrect on the next scan, and NULL values in the promoted column
+        # become NULL merge keys — both silent. That operation needs a
+        # rewrite with an explicit uniqueness/backfill story, which a
+        # metadata-only migration cannot provide.
+        # ``allow_pk_promotion`` is the caller's explicit attestation that
+        # the named columns are constant across all versions of any old key
+        # and never NULL (e.g. a catalog whose rows always carried
+        # field_name='value') — then the wider key groups exactly as the
+        # old one did. Without it, promotion is a re-key, not a migration.
+        promoted = (
+            set(new_schema.primary_keys) - set(self.schema.primary_keys)
+        ) & set(old) - set(allow_pk_promotion)
+        if promoted:
+            raise ValueError(
+                f"migration promotes existing value column(s) "
+                f"{sorted(promoted)} into the PK: overwritten versions that "
+                "merged under the old key would resurrect as distinct keys, "
+                "and NULLs in the promoted column become NULL merge keys. "
+                "Widen the key with NEW defaulted columns, or pass "
+                "allow_pk_promotion=(name,) if every historical version of "
+                "a key holds one identical non-NULL value in that column"
             )
         for f in new_schema.fields.fields:
             if f.name in old:

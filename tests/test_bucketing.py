@@ -554,3 +554,44 @@ def test_rebuild_on_external_mirror_rewrites_files(spark, tmp_path):
     assert after and after.isdisjoint(before), (before, after)
     got = [(r.k, r.v) for r in t.bucketed_scan(auto_refresh=False).collect()]
     assert got == [(1, 1.0)]
+
+
+def test_restart_reregisters_with_empty_merged_segment(spark, tmp_path):
+    """A live segment whose merged state is EMPTY (every row tombstoned by
+    a DELETE) has no partition directory — partitionBy writes nothing for
+    it, by design. The restart re-registration guard must treat that
+    segment as validly absent (meta records which partitions were actually
+    written), not as a hole that forces a full rebuild on every new
+    session forever."""
+    import shutil
+
+    from horaedb_spark.core.timeutil import TimeRange
+    from horaedb_spark.storage.table import WriteRequest
+
+    t = _mk_table(spark, tmp_path, "btes")
+    t.write(
+        WriteRequest(
+            _rows(spark, [(1, 100, 1.0), (2, 200, 2.0)]), TimeRange(0, 1000)
+        )
+    )
+    t.write(WriteRequest(_rows(spark, [(3, 1500, 3.0)]), TimeRange(1000, 2000)))
+    t.delete(F.col("ts_ms") < 1000)  # empties segment 0's merged state
+    t.refresh_bucketed()
+    want = sorted(
+        map(tuple, t.bucketed_scan().select("k", "ts_ms", "v").collect())
+    )
+    assert want == [(3, 1500, 3.0)]
+
+    for round_ in range(2):  # must hold across REPEATED restarts
+        loc = t.bucketed._warehouse_location()
+        stash = str(tmp_path / f"stash{round_}")
+        shutil.copytree(loc, stash)
+        spark.sql(f"DROP TABLE {t.bucketed.name}")
+        shutil.rmtree(loc, ignore_errors=True)
+        shutil.copytree(stash, loc)
+        stats = t.refresh_bucketed()
+        assert stats["reregistered"] and not stats["rebuilt"], (round_, stats)
+        got = sorted(
+            map(tuple, t.bucketed_scan().select("k", "ts_ms", "v").collect())
+        )
+        assert got == want

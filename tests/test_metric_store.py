@@ -408,6 +408,16 @@ def test_migrate_schema_validation_rules(spark, tmp_path):
                 update_mode=UpdateMode.APPEND,
             )
         )
+    # promoting an EXISTING value column into the PK -> refused (rows
+    # previously merged as versions of one key would resurrect as
+    # distinct keys; NULLs in the promoted column become NULL merge keys)
+    with pytest.raises(ValueError, match="promotes existing value column"):
+        tbl.migrate_schema(
+            StorageSchema(
+                T.StructType([T.StructField("k", L), T.StructField("v", D)]),
+                num_primary_keys=2,
+            )
+        )
     # added PK WITH a default -> accepted, persisted, survives reopen
     tbl.migrate_schema(
         StorageSchema(
