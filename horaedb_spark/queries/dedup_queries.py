@@ -1054,3 +1054,77 @@ def dedup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from horaedb_spark.functions.dedup import duplicated_span_stats
 
     return duplicated_span_stats(corpus, "doc_id", "text").orderBy("doc_id")
+
+
+@register(
+    "dedup_split_decontaminate",
+    oracle=_NEAR_CORPUS
+    + _SIG_CTES
+    + r"""
+    , pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ), sp AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                       < '1a'
+                  THEN 'test' ELSE 'train' END AS split
+      FROM corpus
+    ), leaks AS (
+      SELECT CASE WHEN sa.split = 'train' THEN p.id_a ELSE p.id_b END
+               AS doc_id,
+             CASE WHEN sa.split = 'train' THEN p.id_b ELSE p.id_a END
+               AS test_id
+      FROM pairs p
+      JOIN sp sa ON sa.doc_id = p.id_a
+      JOIN sp sb ON sb.doc_id = p.id_b
+      WHERE sa.split <> sb.split
+    )
+    SELECT doc_id, count(DISTINCT test_id) AS n_test_neighbors
+    FROM leaks GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def dedup_split_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split: near-dup pairs (the same word-3-
+    shingle → 16-minhash → 4-band LSH pipeline as dedup_minhash_lsh) that
+    CROSS the deterministic md5 split boundary identify train documents
+    whose near-copy sits in the test set — the docs a leakage-safe
+    pipeline must drop from train before training (exact-match
+    decontamination alone misses them; pipeline_decontamination is the
+    exact-overlap complement). Output: each leaked train doc with its
+    distinct test-neighbor count.
+
+    100 TB shape: the split is row-local (no shuffle), candidate pairs
+    come from the banded (and at scale band-bucket-capped) LSH join —
+    never a cross join — and the split lookup is a hash join on doc_id;
+    per-doc neighbor counts are bounded by the LSH cluster cap."""
+    from horaedb_spark.functions.sampling import train_test_split
+
+    corpus = _with_near_copies(load_table(spark, sf_dir, "documents"))
+    sp = train_test_split(corpus, "doc_id").select("doc_id", "split")
+    pairs = DD.minhash_lsh_pairs(corpus, "text", "doc_id", num_hashes=16, bands=4)
+    e = (
+        pairs.join(
+            sp.withColumnsRenamed({"doc_id": "id_a", "split": "split_a"}),
+            "id_a",
+        )
+        .join(
+            sp.withColumnsRenamed({"doc_id": "id_b", "split": "split_b"}),
+            "id_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+    leaks = e.select(
+        F.when(F.col("split_a") == "train", F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("doc_id"),
+        F.when(F.col("split_a") == "train", F.col("id_b"))
+        .otherwise(F.col("id_a"))
+        .alias("test_id"),
+    )
+    return (
+        leaks.groupBy("doc_id")
+        .agg(F.countDistinct("test_id").alias("n_test_neighbors"))
+        .orderBy("doc_id")
+    )

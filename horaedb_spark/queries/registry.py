@@ -90,6 +90,7 @@ _RUN_FIRST = (
     "metric_mirror_select",
     "metric_mirror_promql",
     "streaming_mirror_serve",
+    "dedup_split_decontaminate",
     "metric_multi_field_select",
     "metric_field_catalog",
     "remote_write_multi_field",
