@@ -595,3 +595,71 @@ def test_restart_reregisters_with_empty_merged_segment(spark, tmp_path):
             map(tuple, t.bucketed_scan().select("k", "ts_ms", "v").collect())
         )
         assert got == want
+
+
+def test_bucketed_mirror_restart_interleaved_with_mutations(spark, tmp_path):
+    """Falsifier sweep for the RESTART path: session restarts (catalog
+    entry lost, warehouse files kept) interleaved among writes, DELETEs,
+    UPDATEs and a compaction. Invariants at every step: a restart that
+    follows a CLEAN refresh re-registers (metadata-only, never a rebuild),
+    including while a segment's merged state is empty and again after it
+    refills; and the mirror always serves exactly table.scan()."""
+    import shutil
+
+    from horaedb_spark.core.timeutil import TimeRange
+    from horaedb_spark.storage.compaction import (
+        CompactionTask,
+        Compactor,
+        SchedulerConfig,
+    )
+    from horaedb_spark.storage.table import WriteRequest
+
+    t = _mk_table(spark, tmp_path, "btsoak")
+    comp = Compactor(t, SchedulerConfig())
+    n_restarts = [0]
+
+    def restart():
+        n_restarts[0] += 1
+        loc = t.bucketed._warehouse_location()
+        stash = str(tmp_path / f"soak_stash_{n_restarts[0]}")
+        shutil.copytree(loc, stash)
+        spark.sql(f"DROP TABLE {t.bucketed.name}")
+        shutil.rmtree(loc, ignore_errors=True)
+        shutil.copytree(stash, loc)
+        stats = t.refresh_bucketed()
+        assert stats["reregistered"] and not stats["rebuilt"], (
+            n_restarts[0],
+            stats,
+        )
+
+    def check():
+        got = sorted(
+            map(tuple, t.bucketed_scan().select("k", "ts_ms", "v").collect())
+        )
+        want = sorted(map(tuple, t.scan().select("k", "ts_ms", "v").collect()))
+        assert got == want
+        return got
+
+    def w(rows, seg):
+        t.write(WriteRequest(_rows(spark, rows), TimeRange(seg, seg + 1000)))
+
+    w([(1, 100, 1.0), (2, 200, 2.0), (3, 300, 3.0)], 0)
+    w([(4, 1100, 4.0), (5, 1200, 5.0)], 1000)
+    t.refresh_bucketed()
+    restart()                                   # clean restart
+    check()
+
+    t.delete("ts_ms < 1000")                    # empties segment 0
+    t.update("k = 5", {"v": "55.0"})
+    t.refresh_bucketed()
+    restart()                                   # restart WITH an empty segment
+    assert check() == [(4, 1100, 4.0), (5, 1200, 55.0)]
+
+    w([(7, 150, 7.0)], 0)                       # segment 0 refills
+    seg0 = [s for s in t.manifest.all_ssts() if s.time_range.start == 0]
+    if len(seg0) > 1:
+        comp.execute(CompactionTask(inputs=seg0))
+    t.refresh_bucketed()
+    restart()                                   # restart after refill+compaction
+    assert check() == [(4, 1100, 4.0), (5, 1200, 55.0), (7, 150, 7.0)]
+    assert t.bucketed.is_fresh()
