@@ -1128,3 +1128,82 @@ def dedup_split_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("test_id").alias("n_test_neighbors"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_quality_representatives",
+    oracle="WITH RECURSIVE "
+    + _NEAR_CORPUS.strip()[len("WITH ") :]
+    + ",\n"
+    + _PAIRS_CTES.strip()
+    + r"""
+    , edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach(id, lbl) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    ), comp AS (
+      SELECT id, min(lbl) AS component FROM reach GROUP BY id
+    ), lab AS (
+      SELECT s.doc_id,
+             coalesce(c.component, s.doc_id) AS component,
+             len(string_split_regex(s.text, '\s+')) AS n_words
+      FROM corpus s LEFT JOIN comp c ON c.id = s.doc_id
+    ), ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY n_words DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY component) AS cluster_size
+      FROM lab
+    )
+    SELECT component, doc_id AS kept_doc, n_words AS kept_words,
+           cluster_size
+    FROM ranked WHERE rn = 1 ORDER BY component
+    """,
+)
+def dedup_quality_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection per near-dup cluster: LSH pairs →
+    transitive components (min-label propagation) → keep the HIGHEST-
+    quality member of every cluster (longest by whitespace token count,
+    doc_id tie-break) instead of the arbitrary min-id — how production
+    dedup actually picks survivors (keep the richest copy, drop the
+    truncated ones). Docs with no near-dup are their own singleton
+    cluster. The oracle recomputes the closure with a recursive CTE and
+    the same argmax.
+
+    100 TB shape: pairs are banded LSH (never cross-join), the closure is
+    per-round join + min-agg on the PAIR GRAPH only (near-dup nodes, a
+    tiny fraction of the corpus), and the representative choice is one
+    window over cluster-partitioned rows."""
+    from pyspark.sql.window import Window
+
+    corpus = _with_near_copies(load_table(spark, sf_dir, "documents"))
+    pairs = DD.minhash_lsh_pairs(corpus, "text", "doc_id", num_hashes=16, bands=4)
+    cc = DD.connected_components(pairs)
+    scored = corpus.select(
+        "doc_id", F.size(F.split(F.col("text"), r"\s+")).alias("n_words")
+    )
+    lab = (
+        scored.join(cc, scored.doc_id == cc.id, "left")
+        .withColumn("component", F.coalesce("component", "doc_id"))
+        .select("doc_id", "component", "n_words")
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_words"), F.asc("doc_id")
+    )
+    ranked = lab.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cluster_size", F.count(F.lit(1)).over(Window.partitionBy("component"))
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("kept_doc"),
+            F.col("n_words").alias("kept_words"),
+            "cluster_size",
+        )
+        .orderBy("component")
+    )

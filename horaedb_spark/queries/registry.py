@@ -91,6 +91,7 @@ _RUN_FIRST = (
     "metric_mirror_promql",
     "streaming_mirror_serve",
     "dedup_split_decontaminate",
+    "dedup_quality_representatives",
     "metric_multi_field_select",
     "metric_field_catalog",
     "remote_write_multi_field",
