@@ -103,8 +103,10 @@ HEADLINE = [
     "metric_multi_field_select",
     "storage_bucketed_scan",
     # round-10: the mirror-served metric engine (data_buckets) — merge
-    # pre-paid at refresh, per-series work exchange-free
+    # pre-paid at refresh, per-series work exchange-free — and the
+    # leakage-safe split (near-dup decontamination across the boundary)
     "metric_mirror_select",
+    "dedup_split_decontaminate",
 ]
 
 
