@@ -339,3 +339,69 @@ def metric_packed_multi_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = parts[0].unionByName(parts[1]).orderBy("field", "cohort")
     _PACKED_CACHE[key] = out
     return out
+
+
+@register(
+    "metric_mirror_multi_field",
+    oracle=_MF_DEDUP_CTE
+    + """
+    SELECT field, cohort, count(*) AS n_samples,
+           round(sum(value), 2) + 0 AS sum_value
+    FROM samples WHERE name = 'view'
+    GROUP BY field, cohort
+    ORDER BY field, cohort
+    """,
+)
+def metric_mirror_multi_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-field data through the MIRROR-served engine — the tsid-
+    bucketed read-optimized layout (data_buckets) composed with the RFC's
+    multi-field catalog (RFC:106-113): family-grouped samples ingest into
+    a durable store whose mirror keys buckets on tsid but sorts files in
+    full PK order (metric_id, tsid, FIELD_ID, ts), so a per-field
+    selection keeps its parquet row-group pruning inside every bucket,
+    the per-query dedup window stays pre-paid PER (field, series, ts)
+    (D10), and ``select_series(field=…)`` aggregates each field
+    independently off the merged serving copy. Hash-gated against the
+    per-field deduped sample stream DuckDB derives from events."""
+    from pyspark.sql import functions as SF
+
+    from horaedb_spark.metric.ingest import group_metric_families
+    from horaedb_spark.metric.store import MetricStore
+    from horaedb_spark.queries.metric_queries import _series_with_labels
+
+    key = f"mirror_mf:{sf_dir}"
+    if key in _PACKED_CACHE:
+        return _PACKED_CACHE[key]
+    suffix = SF.when(SF.col("event_id") % 2 == 0, SF.lit("sum")).otherwise(
+        SF.lit("count")
+    )
+    raw = events_to_samples(
+        events_ms(spark, sf_dir),
+        name=SF.concat(SF.col("event_type"), SF.lit("_"), suffix),
+    )
+    store = MetricStore(
+        spark,
+        tempfile.mkdtemp(prefix="metric_mirror_mf_") + "/ms",
+        15 * DAY_MS,
+        data_buckets=8,
+    )
+    store.ingest(group_metric_families(raw))
+    eng = store.engine()  # mirror-served (data_buckets)
+    parts = []
+    for fld in ("sum", "count"):
+        sel = _series_with_labels(
+            eng.select_series("view", field=fld, with_labels=True)
+        )
+        parts.append(
+            sel.groupBy("cohort")
+            .agg(
+                SF.count(SF.lit(1)).alias("n_samples"),
+                (SF.round(SF.sum("value"), 2) + 0).alias("sum_value"),
+            )
+            .select(
+                SF.lit(fld).alias("field"), "cohort", "n_samples", "sum_value"
+            )
+        )
+    out = parts[0].unionByName(parts[1]).orderBy("field", "cohort")
+    _PACKED_CACHE[key] = out
+    return out

@@ -89,6 +89,7 @@ _QUERY_MODULES = (
 _RUN_FIRST = (
     "metric_mirror_select",
     "metric_mirror_promql",
+    "metric_mirror_multi_field",
     "streaming_mirror_serve",
     "dedup_split_decontaminate",
     "dedup_quality_representatives",
