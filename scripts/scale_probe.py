@@ -77,9 +77,15 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--probe", default="scale", choices=("scale", "mirror"))
+    ap.add_argument("--segments", type=int, default=120)
     args = ap.parse_args()
     spark = get_spark(app_name="scale_probe")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    if args.probe == "mirror":
+        out = mirror_restart_probe(spark, n_segments=args.segments)
+        print(json.dumps({"probe": "mirror_restart", **out}))
+        return
 
     base = tempfile.mkdtemp(prefix="scale_probe_")
     ev1 = events_ms(spark, args.sf).select(
@@ -269,6 +275,72 @@ def viral_minhash_probe(
         "t1_s": round(t1, 3),
         f"t{mult}_s": round(tN, 3),
         "wall_ratio": round(tN / t1, 2),
+    }
+
+
+def mirror_restart_probe(
+    spark, n_segments: int = 120, rows_per_segment: int = 8000, buckets: int = 16
+) -> dict:
+    """Reproduces the SCALING.md restart measurement: initial bucketed-
+    mirror build (a full write job over every segment) vs the post-restart
+    re-registration over the SAME warehouse files (metadata only — CREATE
+    TABLE ... LOCATION + partition recovery). The ratio grows with data
+    size: re-registration does no data job at all.
+
+    Run: python scripts/scale_probe.py --probe mirror [--segments N]"""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from horaedb_spark.core.schema import StorageSchema, UpdateMode
+    from horaedb_spark.storage.bucketed import BucketSpec
+    from horaedb_spark.storage.table import ColumnarTable
+
+    schema = StorageSchema(
+        T.StructType(
+            [
+                T.StructField("k", T.LongType()),
+                T.StructField("ts_ms", T.LongType()),
+                T.StructField("v", T.DoubleType()),
+            ]
+        ),
+        num_primary_keys=1,
+        update_mode=UpdateMode.OVERWRITE,
+    )
+    root = tempfile.mkdtemp(prefix="mirror_probe_") + "/t"
+    t = ColumnarTable(
+        spark, root, schema, 1000, bucket_spec=BucketSpec(buckets, ("k",))
+    )
+    n = n_segments * rows_per_segment
+    rows = spark.range(n).select(
+        F.col("id").alias("k"),
+        ((F.col("id") % n_segments) * 1000 + 500).alias("ts_ms"),
+        F.col("id").cast("double").alias("v"),
+    )
+    t.bulk_ingest(rows, "ts_ms")
+    t0 = time.perf_counter()
+    t.refresh_bucketed()
+    build_s = time.perf_counter() - t0
+    # restart: catalog entry gone, warehouse files kept (DROP TABLE on the
+    # managed mirror deletes files, so stash/restore like the tests do)
+    loc = t.bucketed._warehouse_location()
+    stash = tempfile.mkdtemp(prefix="mirror_probe_stash_")
+    shutil.copytree(loc, stash, dirs_exist_ok=True)
+    spark.sql(f"DROP TABLE {t.bucketed.name}")
+    shutil.rmtree(loc, ignore_errors=True)
+    shutil.copytree(stash, loc, dirs_exist_ok=True)
+    t0 = time.perf_counter()
+    stats = t.refresh_bucketed()
+    reregister_s = time.perf_counter() - t0
+    assert stats["reregistered"] and not stats["rebuilt"], stats
+    # serving correctness after re-registration: row counts agree
+    assert t.bucketed_scan().count() == n
+    return {
+        "segments": n_segments,
+        "rows": n,
+        "build_s": round(build_s, 3),
+        "reregister_s": round(reregister_s, 3),
+        "ratio_x": round(build_s / max(reregister_s, 1e-9), 1),
     }
 
 
