@@ -27,6 +27,19 @@ def test_every_query_has_an_oracle():
     assert sorted(n for n, q in QUERIES.items() if q.oracle is None) == []
 
 
+def test_run_first_names_all_registered():
+    """Regression guard on the driver-sample priority list: queries_map()
+    silently skips _RUN_FIRST names that don't resolve, so a typo (or a
+    rename that misses the list) would quietly demote a query out of the
+    driver's next correctness sample — the exact signal-wasting failure
+    the r9→r10 rotation exists to prevent."""
+    from horaedb_spark.queries.registry import _RUN_FIRST
+
+    missing = [n for n in _RUN_FIRST if n not in QUERIES]
+    assert missing == [], missing
+    assert len(set(_RUN_FIRST)) == len(_RUN_FIRST)  # no duplicates either
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_query_matches_oracle(spark, sf_dir, con, name):
     q = QUERIES[name]
