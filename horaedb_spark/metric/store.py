@@ -395,6 +395,13 @@ class MetricStore:
         if from_mirror is None:
             from_mirror = self.data.bucket_spec is not None
         if from_mirror:
+            if self.data.bucket_spec is None:
+                raise ValueError(
+                    "this MetricStore was opened without data_buckets, so "
+                    "there is no read-optimized mirror to serve from; "
+                    "reopen with MetricStore(..., data_buckets=N) or call "
+                    "engine(from_mirror=False)"
+                )
             from horaedb_spark.storage.table import SEGMENT_COLUMN
 
             served = self.data.bucketed_scan()

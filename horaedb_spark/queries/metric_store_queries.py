@@ -405,3 +405,51 @@ def metric_mirror_multi_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = parts[0].unionByName(parts[1]).orderBy("field", "cohort")
     _PACKED_CACHE[key] = out
     return out
+
+
+@register(
+    "metric_mirror_time_range",
+    oracle=_DEDUP_CTE
+    + """
+    SELECT cohort, count(*) AS n_samples,
+           round(sum(value), 2) + 0 AS sum_value
+    FROM samples
+    WHERE name = 'purchase'
+      AND ts_ms >= 1704844800000 AND ts_ms < 1705708800000
+    GROUP BY cohort ORDER BY cohort
+    """,
+)
+def metric_mirror_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-ranged selection through the MIRROR-served engine: the
+    store-level range prunes catalog PARTITIONS on ``__segment__`` (the
+    mirror analogue of manifest SST pruning — an engine docstring
+    contract, pinned on the plan in tests/test_metric_store.py) and the
+    engine-level range row-filters to the exact [start, end) bounds (D5)
+    — the two prunings compose, and the answer must equal the
+    merge-on-read path's. A mid-month 10-day window, so the range is NOT
+    segment-aligned (15-day segments): partition pruning alone would
+    over-return, row filtering alone would over-scan."""
+    from pyspark.sql import functions as SF
+
+    from horaedb_spark.queries.metric_queries import _series_with_labels
+
+    key = f"mirror_tr:{sf_dir}"
+    if key in _PACKED_CACHE:
+        return _PACKED_CACHE[key]
+    from horaedb_spark.core.timeutil import TimeRange
+
+    tr = TimeRange(1704844800000, 1705708800000)
+    eng = _mirror_store(spark, sf_dir).engine(tr)
+    sel = _series_with_labels(
+        eng.select_series("purchase", time_range=tr, with_labels=True)
+    )
+    out = (
+        sel.groupBy("cohort")
+        .agg(
+            SF.count(SF.lit(1)).alias("n_samples"),
+            (SF.round(SF.sum("value"), 2) + 0).alias("sum_value"),
+        )
+        .orderBy("cohort")
+    )
+    _PACKED_CACHE[key] = out
+    return out

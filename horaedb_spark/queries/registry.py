@@ -90,6 +90,7 @@ _RUN_FIRST = (
     "metric_mirror_select",
     "metric_mirror_promql",
     "metric_mirror_multi_field",
+    "metric_mirror_time_range",
     "streaming_mirror_serve",
     "dedup_split_decontaminate",
     "dedup_quality_representatives",

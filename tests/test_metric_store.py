@@ -688,3 +688,16 @@ def test_engine_serves_from_tsid_bucketed_mirror(spark, tmp_path):
         "cpu", [Matcher("host", "=", "h0")]
     )
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_engine_from_mirror_without_data_buckets_raises(spark, tmp_path):
+    """Asking for the mirror path on a store that never opted in must fail
+    with a store-level remedy, not a ColumnarTable internals error."""
+    import pytest
+
+    store = MetricStore(spark, str(tmp_path / "nomirror"), HOUR)
+    store.ingest(_samples(spark, [("cpu", {"host": "a"}, 1000, 1.0, 1)]))
+    with pytest.raises(ValueError, match="data_buckets"):
+        store.engine(from_mirror=True)
+    # and the merge-on-read path still serves
+    assert store.engine().data.count() == 1
