@@ -75,8 +75,9 @@ def _parse_byte_conf(value: str) -> int:
     """Spark byte-size conf string -> bytes ('10485760b', '10MB', '-1').
     Mirrors JavaUtils.byteStringAsBytes' suffix set (b/k/m/g/t/p and the
     *b forms). A string this parser can't read must never crash a query —
-    callers treat the fallback (largest int) as 'always broadcast-eligible
-    by conf', matching a huge threshold's intent."""
+    and the fallback fails SAFE to Spark's 10 MB default: treating an
+    unreadable threshold as huge would force-broadcast an arbitrarily
+    large series table into the driver."""
     v = value.strip().lower()
     for suffix, mult in (
         ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30), ("tb", 1 << 40),
@@ -89,11 +90,11 @@ def _parse_byte_conf(value: str) -> int:
             try:
                 return int(float(v[: -len(suffix)]) * mult)
             except ValueError:
-                return 1 << 62
+                return 10 << 20
     try:
         return int(v)
     except ValueError:
-        return 1 << 62
+        return 10 << 20
 
 
 class MetricEngine:
@@ -124,20 +125,23 @@ class MetricEngine:
         engine, and the stats lookup runs a full driver-side optimizer
         pass we don't want on every labeled select."""
         sel = self.series.select("tsid", "series_key")
+        thr = self.series_broadcast_threshold
+        if thr is None:
+            thr = _parse_byte_conf(
+                sel.sparkSession.conf.get(
+                    "spark.sql.autoBroadcastJoinThreshold", "10MB"
+                )
+            )
         # The memo dict may be SHARED across engines over the same base
         # (MetricStore hands every engine() the store's dict and clears it
         # on ingest) so a per-query engine() loop pays the optimizer pass
-        # once, not per query.
+        # once, not per query. Keyed by the EFFECTIVE threshold: an engine
+        # whose instance-level series_broadcast_threshold differs (the
+        # documented per-engine override) must not inherit a sibling's
+        # decision made under another threshold.
         memo = self.__dict__.setdefault("_series_broadcast_memo", {})
-        hint = memo.get("hint")
+        hint = memo.get(thr)
         if hint is None:
-            thr = self.series_broadcast_threshold
-            if thr is None:
-                thr = _parse_byte_conf(
-                    sel.sparkSession.conf.get(
-                        "spark.sql.autoBroadcastJoinThreshold", "10MB"
-                    )
-                )
             if thr <= 0:
                 hint = False
             else:
@@ -145,7 +149,7 @@ class MetricEngine:
                     sel._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
                 )
                 hint = est <= thr
-            memo["hint"] = hint
+            memo[thr] = hint
         return F.broadcast(sel) if hint else sel
 
     def cache(self) -> "MetricEngine":

@@ -1058,14 +1058,13 @@ def dedup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_split_decontaminate",
+    # pairs come from the SHARED _PAIRS_CTES chain (same candidate set as
+    # dedup_minhash_lsh / dedup_connected_components), not another copy
     oracle=_NEAR_CORPUS
-    + _SIG_CTES
+    + ", "
+    + _PAIRS_CTES.strip()
     + r"""
-    , pairs AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-    ), sp AS (
+    , sp AS (
       SELECT doc_id,
              CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
                        < '1a'

@@ -256,14 +256,14 @@ def metric_mirror_promql(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MF_STORES: dict[str, object] = {}
 
 
-def _packed_mf_store(spark: SparkSession, sf_dir: str):
-    """A durable MULTI-FIELD MetricStore, packed: event names suffixed into
-    a Prometheus family (``click_sum``/``click_count``), folded to one
-    metric with two fields (``group_metric_families``), ingested
-    row-per-sample and compacted into the packed layout — the RFC's packing
-    (RFC:218-231) composed with its multi-field catalog (RFC:106-113)."""
-    if sf_dir in _MF_STORES:
-        return _MF_STORES[sf_dir]
+def _build_mf_store(
+    spark: SparkSession, sf_dir: str, prefix: str, data_buckets: int | None = None
+):
+    """THE multi-field fixture: event names suffixed into a Prometheus
+    family (``click_sum``/``click_count``), folded to one metric with two
+    fields (``group_metric_families``), ingested row-per-sample into a
+    fresh durable store. Shared by the packed and mirror multi-field
+    queries so they test the SAME fixture, layout differences aside."""
     from horaedb_spark.metric.ingest import group_metric_families
     from horaedb_spark.metric.store import MetricStore
 
@@ -275,9 +275,22 @@ def _packed_mf_store(spark: SparkSession, sf_dir: str):
         name=F.concat(F.col("event_type"), F.lit("_"), suffix),
     )
     store = MetricStore(
-        spark, tempfile.mkdtemp(prefix="metric_packed_mf_") + "/ms", 15 * DAY_MS
+        spark,
+        tempfile.mkdtemp(prefix=prefix) + "/ms",
+        15 * DAY_MS,
+        data_buckets=data_buckets,
     )
     store.ingest(group_metric_families(raw))
+    return store
+
+
+def _packed_mf_store(spark: SparkSession, sf_dir: str):
+    """The multi-field fixture compacted into the packed layout — the RFC's
+    packing (RFC:218-231) composed with its multi-field catalog
+    (RFC:106-113)."""
+    if sf_dir in _MF_STORES:
+        return _MF_STORES[sf_dir]
+    store = _build_mf_store(spark, sf_dir, "metric_packed_mf_")
     store.compact_to_packed()
     _MF_STORES[sf_dir] = store
     return store
@@ -365,27 +378,14 @@ def metric_mirror_multi_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-field deduped sample stream DuckDB derives from events."""
     from pyspark.sql import functions as SF
 
-    from horaedb_spark.metric.ingest import group_metric_families
-    from horaedb_spark.metric.store import MetricStore
     from horaedb_spark.queries.metric_queries import _series_with_labels
 
     key = f"mirror_mf:{sf_dir}"
     if key in _PACKED_CACHE:
         return _PACKED_CACHE[key]
-    suffix = SF.when(SF.col("event_id") % 2 == 0, SF.lit("sum")).otherwise(
-        SF.lit("count")
+    store = _build_mf_store(
+        spark, sf_dir, "metric_mirror_mf_", data_buckets=8
     )
-    raw = events_to_samples(
-        events_ms(spark, sf_dir),
-        name=SF.concat(SF.col("event_type"), SF.lit("_"), suffix),
-    )
-    store = MetricStore(
-        spark,
-        tempfile.mkdtemp(prefix="metric_mirror_mf_") + "/ms",
-        15 * DAY_MS,
-        data_buckets=8,
-    )
-    store.ingest(group_metric_families(raw))
     eng = store.engine()  # mirror-served (data_buckets)
     parts = []
     for fld in ("sum", "count"):

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from horaedb_spark.queries.metric_queries import _DEDUP_CTE
 from horaedb_spark.queries.registry import register
 from horaedb_spark.queries.tables import (
     ensure_session_conf,
@@ -1093,18 +1094,11 @@ def streaming_ingest_autocompact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_mirror_serve",
-    oracle="""
-    WITH samples AS (
-      SELECT event_type AS name,
-             CAST(user_id % 10 AS VARCHAR) AS cohort,
-             ts_ms, value
-      FROM (
-        SELECT *, epoch_ms(ts) AS ts_ms,
-               row_number() OVER (PARTITION BY event_type, user_id, epoch_ms(ts)
-                                  ORDER BY event_id DESC) AS rn
-        FROM events
-      ) WHERE rn = 1
-    )
+    # the canonical events->samples dedup CTE (metric_queries._DEDUP_CTE),
+    # not a third inline copy — events_to_samples documents the
+    # single-source contract
+    oracle=_DEDUP_CTE
+    + """
     SELECT cohort, count(*) AS n_samples,
            round(sum(value), 2) + 0 AS sum_value, max(ts_ms) AS last_ts
     FROM samples WHERE name = 'click'

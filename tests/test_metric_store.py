@@ -701,3 +701,38 @@ def test_engine_from_mirror_without_data_buckets_raises(spark, tmp_path):
         store.engine(from_mirror=True)
     # and the merge-on-read path still serves
     assert store.engine().data.count() == 1
+
+
+def test_store_engine_threshold_override_not_poisoned_by_shared_memo(spark, tmp_path):
+    """Engines from one store share the broadcast-decision memo, but the
+    documented per-instance series_broadcast_threshold override must still
+    win: a sibling engine's earlier broadcast=True decision (made under
+    the default threshold) must not leak into an engine whose override
+    says the series table is too big to broadcast."""
+    store = MetricStore(spark, str(tmp_path / "memo"), HOUR)
+    store.ingest(
+        _samples(
+            spark,
+            [("cpu", {"host": f"h{i}"}, 1000 + i, float(i), 1) for i in range(5)],
+        )
+    )
+    a = store.engine()
+    out_a = a.select_series("cpu", with_labels=True)
+    rows_a = sorted((r.ts_ms, r.value) for r in out_a.collect())
+    plan_a = out_a._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_a.split("== Initial Plan ==")[0]
+
+    b = store.engine()
+    b.series_broadcast_threshold = 1  # everything is "too big"
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out_b = b.select_series("cpu", with_labels=True)
+        rows_b = sorted((r.ts_ms, r.value) for r in out_b.collect())
+        plan_b = out_b._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastHashJoin" not in plan_b.split("== Initial Plan ==")[0], (
+        plan_b[:1500]
+    )
+    assert rows_b == rows_a and len(rows_a) == 5
