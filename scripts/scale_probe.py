@@ -335,12 +335,55 @@ def mirror_restart_probe(
     assert stats["reregistered"] and not stats["rebuilt"], stats
     # serving correctness after re-registration: row counts agree
     assert t.bucketed_scan().count() == n
+
+    # second claim: INCREMENTAL refresh cost follows the touched batch,
+    # not the table — the same single-segment ingest must refresh in
+    # ~constant time on a table 10x the segment count
+    def _one_segment_refresh(table) -> float:
+        table.bulk_ingest(
+            spark.range(64).select(
+                (F.col("id") + 10_000_000_000).alias("k"),
+                F.lit(500).alias("ts_ms"),
+                F.col("id").cast("double").alias("v"),
+            ),
+            "ts_ms",
+        )
+        t0 = time.perf_counter()
+        st = table.refresh_bucketed()
+        dt = time.perf_counter() - t0
+        assert not st["rebuilt"] and len(st["overwritten"]) == 1, st
+        return dt
+
+    small_n = max(n_segments // 10, 1)
+    small = ColumnarTable(
+        spark,
+        tempfile.mkdtemp(prefix="mirror_probe_small_") + "/t",
+        schema,
+        1000,
+        bucket_spec=BucketSpec(buckets, ("k",)),
+    )
+    small.bulk_ingest(
+        spark.range(small_n * rows_per_segment).select(
+            F.col("id").alias("k"),
+            ((F.col("id") % small_n) * 1000 + 500).alias("ts_ms"),
+            F.col("id").cast("double").alias("v"),
+        ),
+        "ts_ms",
+    )
+    small.refresh_bucketed()
+    refresh_small_s = _one_segment_refresh(small)
+    refresh_large_s = _one_segment_refresh(t)
     return {
         "segments": n_segments,
         "rows": n,
         "build_s": round(build_s, 3),
         "reregister_s": round(reregister_s, 3),
         "ratio_x": round(build_s / max(reregister_s, 1e-9), 1),
+        "one_segment_refresh_small_s": round(refresh_small_s, 3),
+        "one_segment_refresh_large_s": round(refresh_large_s, 3),
+        "refresh_size_sensitivity_x": round(
+            refresh_large_s / max(refresh_small_s, 1e-9), 2
+        ),
     }
 
 
