@@ -1011,3 +1011,53 @@ def embedding_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_label", "predicted_label")
     )
+
+
+@register(
+    "ann_filtered_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {_QV} AS qv FROM embeddings),
+    corpus AS (
+      SELECT q.vec_id, q.qv FROM q
+      JOIN documents d ON d.doc_id = q.vec_id AND d.lang = 'en'
+    )
+    SELECT query_id, corpus_id, rank, cos_sim FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+             round({_DOT} / ({_NORM_A} * {_NORM_B}), 6) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {_DOT} / ({_NORM_A} * {_NORM_B}) DESC, b.vec_id) AS rank
+      FROM q a JOIN corpus b ON b.vec_id != a.vec_id
+      WHERE a.vec_id < 5
+    ) WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-FILTERED vector search — the production ANN shape (a
+    predicate on document metadata composed with top-k similarity): the
+    corpus side is PRE-filtered to English documents via a left-semi join
+    on the documents table (vec_id = doc_id in the testdata), then the
+    exact cosine top-10 runs over only the qualifying vectors. Pre-filter
+    beats post-filter both for correctness (k survivors guaranteed, not
+    k-minus-filtered) and at 100 TB (the similarity kernel never scores a
+    vector the predicate excludes; the semi-join is a hash join on the id,
+    and the filtered corpus still never shuffles until the final per-query
+    top-k). At IVF scale the same pre-filter composes in front of the
+    centroid probe."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    qemb = emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+    corpus = qemb.join(
+        docs.filter(F.col("lang") == "en").select(
+            F.col("doc_id").alias("vec_id")
+        ),
+        "vec_id",
+        "left_semi",
+    )
+    out = brute_force_topk(
+        corpus, qemb.filter(F.col("vec_id") < 5), "qv", "vec_id", 10
+    )
+    return out.select(
+        "query_id", "corpus_id", "rank", F.round("cos_sim", 6).alias("cos_sim")
+    ).orderBy("query_id", "rank")

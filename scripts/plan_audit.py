@@ -109,6 +109,8 @@ def _bad_nested_loops(plan: str) -> int:
 NESTED_LOOP_OK = {
     "ann_bruteforce_topk": "the intentional brute-force kNN baseline: "
     "bounded query set broadcast against the corpus",
+    "ann_filtered_topk": "bounded query set broadcast against the "
+    "metadata-pre-filtered corpus (same kernel as the brute baseline)",
     "ann_pq_topk": "bounded query set broadcast (PQ scan)",
     "ann_recall_check": "brute-force arm of the recall comparison",
     "dedup_threshold_sweep": "bounded threshold grid x cluster stats",
