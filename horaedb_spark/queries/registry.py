@@ -95,6 +95,7 @@ _RUN_FIRST = (
     "dedup_split_decontaminate",
     "dedup_quality_representatives",
     "ann_filtered_topk",
+    "ann_ivf_filtered_topk",
     "metric_multi_field_select",
     "metric_field_catalog",
     "remote_write_multi_field",

@@ -1061,3 +1061,81 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "corpus_id", "rank", F.round("cos_sim", 6).alias("cos_sim")
     ).orderBy("query_id", "rank")
+
+
+@register(
+    "ann_ivf_filtered_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {_QV} AS qv FROM embeddings),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) AS cid, qv AS cv
+      FROM q WHERE vec_id IN (
+        SELECT vec_id FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)
+    ), pairs AS (
+      SELECT a.vec_id, c.cid, {_SQL2} AS d FROM q a, cent c
+    ), ranked AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r
+      FROM pairs
+    ), cellof AS (
+      SELECT r1.vec_id, r1.cid AS cell FROM ranked r1
+      JOIN documents d ON d.doc_id = r1.vec_id AND d.lang = 'en'
+      WHERE r1.r = 1
+    ), qprobe AS (
+      SELECT vec_id, cid AS cell FROM ranked WHERE r <= 2 AND vec_id < 20
+    )
+    SELECT query_id, corpus_id, rank, cos_sim FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+             round({_DOT} / ({_NORM_A} * {_NORM_B}), 6) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {_DOT} / ({_NORM_A} * {_NORM_B}) DESC, b.vec_id) AS rank
+      FROM q a
+      JOIN qprobe p ON p.vec_id = a.vec_id
+      JOIN cellof cf ON cf.cell = p.cell
+      JOIN q b ON b.vec_id = cf.vec_id AND b.vec_id != a.vec_id
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def ann_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered search on the IVF SCALE PATH: the coarse quantizer
+    is trained on the FULL corpus (the index already exists — production
+    never re-trains per predicate), the candidate set is the probed cells
+    INTERSECTED with the metadata pre-filter (English documents, left-semi
+    join on doc_id = vec_id), and the exact cosine re-rank scores only
+    qualifying vectors. Complements ann_filtered_topk (the brute
+    baseline): at 100 TB the filter composes in front of the cell-pruned
+    candidate generation, so selectivity multiplies with nprobe/cells
+    pruning instead of paying a full scan."""
+    from horaedb_spark.functions.similarity import ivf_ann_topk, ivf_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    qemb = emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+    # full-corpus index: 16 deterministic centroids (metadata-sized collect)
+    cent_rows = [
+        (r.cid, r.centv)
+        for r in ivf_centroids(qemb, "vec_id", "qv", 16).collect()
+    ]
+    corpus = qemb.join(
+        docs.filter(F.col("lang") == "en").select(
+            F.col("doc_id").alias("vec_id")
+        ),
+        "vec_id",
+        "left_semi",
+    )
+    out = ivf_ann_topk(
+        corpus,
+        qemb.filter(F.col("vec_id") < 20),
+        "qv",
+        "vec_id",
+        k=5,
+        num_cells=16,
+        nprobe=2,
+        centroids=cent_rows,
+    )
+    return out.select(
+        "query_id", "corpus_id", "rank", F.round("cos_sim", 6).alias("cos_sim")
+    ).orderBy("query_id", "rank")
