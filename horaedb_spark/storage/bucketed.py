@@ -112,19 +112,31 @@ class BucketedMirror:
 
     def _live_digests(self) -> dict[str, str]:
         """segment -> md5 over its sorted live SST ids: the freshness token.
-        Driver-side manifest fold, no Spark job."""
+        Driver-side manifest fold, no Spark job — MEMOIZED on the
+        manifest's live-set mutation counter: ``serve()`` runs this on
+        every read, and at 1e5+ SSTs an O(n_ssts) fold per query is real
+        driver time; with the memo, steady-state serving (no writes
+        between reads) is O(1). Exactly as fresh as the fold itself — the
+        counter and the SST map live in the same process and bump
+        together."""
+        counter = self.table.manifest.mutations
+        cached = self.__dict__.get("_digest_memo")
+        if cached is not None and cached[0] == counter:
+            return cached[1]
         by_seg: dict[int, list[int]] = {}
         dur = self.table.segment_duration_ms
         for s in self.table.manifest.all_ssts():
             by_seg.setdefault(truncate_by(s.time_range.start, dur), []).append(
                 s.file_id
             )
-        return {
+        digests = {
             str(seg): hashlib.md5(
                 ",".join(map(str, sorted(ids))).encode()
             ).hexdigest()
             for seg, ids in by_seg.items()
         }
+        self._digest_memo = (counter, digests)
+        return digests
 
     def _spec_json(self) -> dict:
         return {

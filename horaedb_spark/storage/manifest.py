@@ -181,6 +181,12 @@ class Manifest:
         self._fold_proc = None
         self._fold_thread: threading.Thread | None = None
         self._ssts: dict[int, SstFile] = {}
+        # Monotonic LIVE-SET change counter: bumped whenever the in-memory
+        # SST map's membership can change (delta apply, log re-read).
+        # Readers (e.g. the bucketed mirror's freshness fold) may memoize
+        # O(n_ssts) derivations keyed on it — exactly as fresh as reading
+        # _ssts directly, since both live in this process.
+        self.mutations = 0
         self._next_delta_id = 0
         self._folded_through = -1
         self.backend.makedirs(self.delta_dir)
@@ -269,11 +275,13 @@ class Manifest:
         preserved for files still live."""
         flags = {fid for fid, s in self._ssts.items() if s.in_compaction}
         self._ssts, self._folded_through, self._next_delta_id, _ = self._load_log()
+        self.mutations += 1
         for fid in flags:
             if fid in self._ssts:
                 self._ssts[fid] = replace(self._ssts[fid], in_compaction=True)
 
     def _apply_delta(self, delta: dict) -> None:
+        self.mutations += 1
         for d in delta.get("to_adds", []):
             sst = SstFile.from_json(d)
             self._ssts[sst.file_id] = sst

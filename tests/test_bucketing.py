@@ -663,3 +663,29 @@ def test_bucketed_mirror_restart_interleaved_with_mutations(spark, tmp_path):
     restart()                                   # restart after refill+compaction
     assert check() == [(4, 1100, 4.0), (5, 1200, 55.0), (7, 150, 7.0)]
     assert t.bucketed.is_fresh()
+
+
+def test_live_digest_memo_tracks_manifest_mutations(spark, tmp_path):
+    """The freshness fold is memoized on the manifest's live-set mutation
+    counter: repeated serves with no writes reuse the SAME digest dict
+    (O(1) steady-state serving), while any write invalidates it and
+    staleness is still detected through the memo."""
+    from horaedb_spark.core.timeutil import TimeRange
+    from horaedb_spark.storage.table import WriteRequest
+
+    t = _mk_table(spark, tmp_path, "btmemo")
+    t.write(WriteRequest(_rows(spark, [(1, 100, 1.0)]), TimeRange(0, 1000)))
+    t.refresh_bucketed()
+    assert t.bucketed.is_fresh()
+    d1 = t.bucketed._live_digests()
+    d2 = t.bucketed._live_digests()
+    assert d1 is d2  # memo hit: no refold between unmutated reads
+
+    t.write(WriteRequest(_rows(spark, [(2, 1500, 2.0)]), TimeRange(1000, 2000)))
+    d3 = t.bucketed._live_digests()
+    assert d3 is not d1 and set(d3) > set(d1)  # write invalidated the memo
+    assert not t.bucketed.is_fresh()  # staleness detected through the memo
+    t.refresh_bucketed()
+    assert t.bucketed.is_fresh()
+    got = sorted(map(tuple, t.bucketed_scan().select("k", "ts_ms", "v").collect()))
+    assert got == [(1, 100, 1.0), (2, 1500, 2.0)]
