@@ -1013,6 +1013,21 @@ def embedding_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _english_corpus(qemb: DataFrame, docs: DataFrame) -> DataFrame:
+    """The shared metadata pre-filter of the two filtered-search queries:
+    corpus vectors whose document (doc_id = vec_id) is English — a
+    left-semi hash join, so excluded vectors are never scored. One
+    definition keeps the brute baseline and the IVF path filtering the
+    same candidate universe."""
+    return qemb.join(
+        docs.filter(F.col("lang") == "en").select(
+            F.col("doc_id").alias("vec_id")
+        ),
+        "vec_id",
+        "left_semi",
+    )
+
+
 @register(
     "ann_filtered_topk",
     oracle=f"""
@@ -1048,13 +1063,7 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
     qemb = emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
-    corpus = qemb.join(
-        docs.filter(F.col("lang") == "en").select(
-            F.col("doc_id").alias("vec_id")
-        ),
-        "vec_id",
-        "left_semi",
-    )
+    corpus = _english_corpus(qemb, docs)
     out = brute_force_topk(
         corpus, qemb.filter(F.col("vec_id") < 5), "qv", "vec_id", 10
     )
@@ -1119,13 +1128,7 @@ def ann_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r.cid, r.centv)
         for r in ivf_centroids(qemb, "vec_id", "qv", 16).collect()
     ]
-    corpus = qemb.join(
-        docs.filter(F.col("lang") == "en").select(
-            F.col("doc_id").alias("vec_id")
-        ),
-        "vec_id",
-        "left_semi",
-    )
+    corpus = _english_corpus(qemb, docs)
     out = ivf_ann_topk(
         corpus,
         qemb.filter(F.col("vec_id") < 20),

@@ -103,6 +103,11 @@ class BucketedMirror:
         if missing:
             raise ValueError(f"bucket columns {missing} not in table schema")
         self._meta_path = os.path.join(table.root, "bucketed.json")
+        # per-instance memos (see _live_digests / _stored): freshness checks
+        # run on EVERY serve, so both the manifest fold and the meta read
+        # must be O(1) between writes
+        self._digest_memo: tuple | None = None
+        self._stored_memo: dict | None = None
         self.name = (
             "bkt_"
             + hashlib.md5(os.path.abspath(table.root).encode()).hexdigest()[:16]
@@ -120,7 +125,7 @@ class BucketedMirror:
         counter and the SST map live in the same process and bump
         together."""
         counter = self.table.manifest.mutations
-        cached = self.__dict__.get("_digest_memo")
+        cached = self._digest_memo
         if cached is not None and cached[0] == counter:
             return cached[1]
         by_seg: dict[int, list[int]] = {}
@@ -157,9 +162,19 @@ class BucketedMirror:
         ).hexdigest()
 
     def _stored(self) -> dict:
+        """The persisted mirror meta — MEMOIZED: it only changes when
+        refresh() writes it (both write sites update the memo), so the
+        per-serve freshness check costs no backend read in steady state.
+        A NEW session starts with a fresh instance (empty memo) and reads
+        the file once — the cross-process restart path is unaffected."""
+        if self._stored_memo is not None:
+            return self._stored_memo
         if self.table.backend.exists(self._meta_path):
-            return json.loads(self.table.backend.read_text(self._meta_path))
-        return {"segments": {}, "spec": None, "schema": None}
+            meta = json.loads(self.table.backend.read_text(self._meta_path))
+        else:
+            meta = {"segments": {}, "spec": None, "schema": None}
+        self._stored_memo = meta
+        return meta
 
     def _exists(self) -> bool:
         return self.table.spark.catalog.tableExists(self.name)
@@ -336,9 +351,11 @@ class BucketedMirror:
             # stale warehouse residue from a previous session's catalog
             shutil.rmtree(self._warehouse_location(), ignore_errors=True)
             if not live:
+                meta_out = self._meta_json({})
                 self.table.backend.put_text(
-                    self._meta_path, json.dumps(self._meta_json({}))
+                    self._meta_path, json.dumps(meta_out)
                 )
+                self._stored_memo = meta_out
                 return stats
             full = self._segments_frame([int(s) for s in sorted(live, key=int)])
             (
@@ -371,9 +388,9 @@ class BucketedMirror:
             for s in removed:
                 self._drop_partition(s)
                 stats["dropped"].append(int(s))
-        self.table.backend.put_text(
-            self._meta_path, json.dumps(self._meta_json(live))
-        )
+        meta_out = self._meta_json(live)
+        self.table.backend.put_text(self._meta_path, json.dumps(meta_out))
+        self._stored_memo = meta_out
         return stats
 
     def _meta_json(self, segments: dict[str, str]) -> dict:
