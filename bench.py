@@ -107,6 +107,15 @@ HEADLINE = [
     # leakage-safe split (near-dup decontamination across the boundary)
     "metric_mirror_select",
     "dedup_split_decontaminate",
+    # round-11 (VERDICT r10 task 5): the rest of the round-10 surface as
+    # headline entries so the driver tracks them round-over-round — the
+    # production filtered-ANN shape on both strategies, mirror serving
+    # composed with time-range partition pruning, and the quality-aware
+    # cluster-representative pick
+    "ann_filtered_topk",
+    "ann_ivf_filtered_topk",
+    "metric_mirror_time_range",
+    "dedup_quality_representatives",
 ]
 
 
@@ -292,9 +301,24 @@ def main() -> None:
     # per query. Warm best-of-two per path; NOT in the headline total.
     mirror: dict = {}
     try:
-        from horaedb_spark.queries.metric_store_queries import _mirror_store
+        # PRIVATE store under its own temp root — same samples, same spec as
+        # the _mirror_store fixture, but the probe's 'bench_probe' ingest
+        # must never land in the fixture the cached metric_mirror_* query
+        # DataFrames also read (a future mirror query aggregating across all
+        # metrics would be silently perturbed by bench ordering).
+        import tempfile
 
-        store = _mirror_store(spark, sf_dir)  # warm fixture (built in warmup)
+        from horaedb_spark.metric.store import MetricStore
+        from horaedb_spark.queries.tables import events_ms, events_to_samples
+
+        DAY_MS = 86_400_000
+        store = MetricStore(
+            spark,
+            tempfile.mkdtemp(prefix="bench_mirror_") + "/ms",
+            15 * DAY_MS,
+            data_buckets=8,
+        )
+        store.ingest(events_to_samples(events_ms(spark, sf_dir)))
 
         def _tsid_agg(eng) -> float:
             best = float("inf")

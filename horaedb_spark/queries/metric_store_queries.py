@@ -453,3 +453,135 @@ def metric_mirror_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _PACKED_CACHE[key] = out
     return out
+
+
+@register(
+    "metric_mirror_retention",
+    oracle=_DEDUP_CTE
+    + f"""
+    , cutoff AS (
+      SELECT max(ts_ms) - max(ts_ms) % {15 * DAY_MS} AS seg FROM samples
+    )
+    SELECT ts_ms - ts_ms % {DAY_MS} AS day_ms,
+           CASE WHEN ts_ms - ts_ms % {DAY_MS} < (SELECT seg FROM cutoff)
+                THEN 'rollup' ELSE 'live' END AS src,
+           count(*) AS n, round(sum(value), 2) + 0 AS sum_value
+    FROM samples WHERE name = 'click'
+    GROUP BY 1, 2 ORDER BY day_ms
+    """,
+)
+def metric_mirror_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror serving composed with TTL retention (VERDICT r10 task 6):
+    raw samples roll up daily (storage/rollup.py ContinuousRollup), then a
+    TTL compaction pass (picker.rs:55-59 expiry + executor swap-
+    before-delete) EXPIRES every data segment before the last one — and
+    the compaction-driven mirror refresh must DROP the expired catalog
+    partitions (storage/bucketed.py), not merely stop finding their SSTs.
+    The query unions pre-cutoff days from the rollup with post-cutoff days
+    from the MIRROR-served engine, deliberately NOT time-filtering the
+    live branch: if an expired partition kept serving, its days would
+    surface twice (once per src) and the hash gate would fail. The oracle
+    re-derives both branches from the original events, which the raw
+    table no longer holds past the cutoff."""
+    key = f"mirror_ret:{sf_dir}"
+    if key in _PACKED_CACHE:
+        return _PACKED_CACHE[key]
+    from pyspark.sql import types as T
+
+    from horaedb_spark.core.schema import StorageSchema, UpdateMode
+    from horaedb_spark.metric.store import MetricStore
+    from horaedb_spark.storage.compaction import Compactor, SchedulerConfig
+    from horaedb_spark.storage.rollup import ContinuousRollup
+    from horaedb_spark.storage.table import ColumnarTable
+
+    SEG = 15 * DAY_MS
+    store = MetricStore(
+        spark,
+        tempfile.mkdtemp(prefix="metric_ret_") + "/ms",
+        SEG,
+        data_buckets=8,
+    )
+    store.ingest(events_to_samples(events_ms(spark, sf_dir)))
+    roll = ColumnarTable(
+        spark,
+        tempfile.mkdtemp(prefix="metric_ret_roll_") + "/t",
+        StorageSchema(
+            T.StructType(
+                [
+                    T.StructField("metric_id", T.LongType()),
+                    T.StructField("day_ms", T.LongType()),
+                    T.StructField("n", T.LongType()),
+                    T.StructField("sum_value", T.DoubleType()),
+                ]
+            ),
+            num_primary_keys=2,
+            update_mode=UpdateMode.OVERWRITE,
+        ),
+        SEG,
+    )
+
+    def daily(df: DataFrame) -> DataFrame:
+        # decimal-exact sum (deterministic under any partial-agg order),
+        # stored UNROUNDED: the final round(2) then equals a single
+        # rounding of the true sum on both branches and in the oracle
+        return df.groupBy(
+            "metric_id",
+            (F.col("ts_ms") - F.pmod("ts_ms", F.lit(DAY_MS))).alias("day_ms"),
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(30,10)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+
+    rollup = ContinuousRollup(store.data, roll, "ts_ms", "day_ms", DAY_MS, daily)
+    rollup.refresh()
+    # TTL pass: retention = everything before the LAST segment. Expiry
+    # watermark now-ttl lands 1ms past the cutoff so boundary SSTs
+    # (time_range.end == cutoff, exclusive) expire too.
+    hi = store.data.scan().agg(F.max("ts_ms")).first()[0]
+    cutoff = hi - hi % SEG
+    comp = Compactor(store.data, SchedulerConfig(input_sst_min_num=999, ttl_ms=1))
+    for _ in range(64):
+        if all(s.time_range.end >= cutoff + 1 for s in store.data.manifest.all_ssts()):
+            break
+        comp.run_once(now_ms=cutoff + 2)
+    live_segs = {s.time_range.start - s.time_range.start % SEG
+                 for s in store.data.manifest.all_ssts()}
+    assert live_segs == {cutoff}, f"expiry incomplete: {live_segs} vs {cutoff}"
+    # the compaction-driven refresh dropped the expired partitions: the
+    # mirror is already fresh (no serve-time rebuild pending) and its
+    # served plan carries no per-query dedup window
+    assert store.data.bucketed.is_fresh()
+    eng = store.engine()
+    plan = eng.data._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan[:1500]
+
+    click_id = F.xxhash64(F.lit("click"))
+    old = (
+        roll.scan()
+        .filter((F.col("metric_id") == click_id) & (F.col("day_ms") < cutoff))
+        .select(
+            "day_ms",
+            F.lit("rollup").alias("src"),
+            "n",
+            (F.round("sum_value", 2) + 0).alias("sum_value"),
+        )
+    )
+    live = (
+        eng.select_series("click", with_labels=False)
+        .groupBy((F.col("ts_ms") - F.pmod("ts_ms", F.lit(DAY_MS))).alias("day_ms"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.round(
+                    F.sum(F.col("value").cast("decimal(30,10)")).cast("double"), 2
+                )
+                + 0
+            ).alias("sum_value"),
+        )
+        .select("day_ms", F.lit("live").alias("src"), "n", "sum_value")
+    )
+    out = old.unionByName(live).orderBy("day_ms")
+    _PACKED_CACHE[key] = out
+    return out

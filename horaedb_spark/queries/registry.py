@@ -76,143 +76,122 @@ _QUERY_MODULES = (
 )
 
 # The driver's correctness run walks queries in map order and covers only
-# ~44-50 per round (time-capped). Queries that still lack ANY green driver
-# row across all rounds surface FIRST (a query that never had hard signal is
-# the most valuable row to produce) — round 10 rotated out the 50 names the
-# r08/r09 samples already confirmed and promoted the 96 never-drawn ones,
-# led by the round-9 additions (multi-field catalog, bucketed scan) and the
-# shared-fixture promql tail. The 12 queries that were drawn early but
-# errored on since-fixed issues (TIMESTAMP_NTZ shift, oracle typing) come
-# next; everything already driver-green follows in registration order. Keep
-# this list in sync with the latest CORRECTNESS_r{N}.json: drop names once
-# green, promote any regression.
-_RUN_FIRST = (
-    "metric_mirror_select",
-    "metric_mirror_promql",
-    "metric_mirror_multi_field",
-    "metric_mirror_time_range",
-    "streaming_mirror_serve",
-    "dedup_split_decontaminate",
-    "dedup_quality_representatives",
-    "ann_filtered_topk",
-    "ann_ivf_filtered_topk",
-    "metric_multi_field_select",
-    "metric_field_catalog",
-    "remote_write_multi_field",
-    "promql_field_matcher",
-    "storage_bucketed_scan",
-    "metric_packed_scan",
-    "metric_packed_promql",
-    "metric_packed_multi_field",
-    "promql_parse_eval",
-    "remote_write_ingest",
-    "remote_write_exemplars",
-    "promql_irate",
-    "promql_delta_idelta",
-    "promql_over_time",
-    "promql_topk",
-    "promql_bottomk",
-    "promql_histogram_quantile",
-    "promql_instant_vector",
-    "promql_resets_changes",
-    "promql_quantile_stddev",
-    "metric_label_replace_join",
-    "promql_vector_ratio",
-    "metric_label_names",
-    "metric_series_list",
-    "promql_gap_fill",
-    "promql_deriv_predict",
-    "promql_clamp",
-    "promql_count_values",
-    "promql_absent",
-    "promql_holt_winters",
-    "promql_math_functions",
-    "promql_time_functions",
-    "promql_offset_dod",
-    "promql_subquery_max_rate",
-    "metric_agg_stddev_quantile",
-    "promql_limitk_ratio",
-    "promql_moving_avg",
-    "promql_zscore_anomalies",
-    "promql_edge_over_time",
-    "promql_sliding_rate",
-    "promql_sliding_increase",
-    "promql_sliding_over_time",
-    "promql_sliding_histogram_quantile",
-    "streaming_promql_eval",
-    "promql_alert_states",
+# ~44-50 per round (time-capped), so ORDER IS EVIDENCE: a query the driver
+# has never hash-matched is the most valuable row to produce. Rounds 8-10
+# maintained a hand-rotated _RUN_FIRST list; round 9 shipped a stale copy
+# and burned a whole driver sample re-confirming known-green names. The
+# ordering is now COMPUTED from the committed CORRECTNESS_r*.json files at
+# import time: any registered query without a green driver row (hash_match,
+# or rows_match for oracle-less entries) in ANY committed round surfaces
+# first, so the rotation can never go stale again. _PRIORITY only breaks
+# ties WITHIN the unconfirmed block (heavy compound queries lead, so the
+# time-capped sample spends its budget on the highest-information rows);
+# unconfirmed names absent from _PRIORITY follow in registration order, so
+# brand-new queries surface automatically. Confirmed names run last, in
+# registration order.
+_PRIORITY = (
+    # Heavy compound surfaces the judge called out explicitly (VERDICT r10).
+    "promql_fn_eval",
     "promql_recording_rules",
     "promql_alerting_rules",
+    "streaming_continuous_rollup",
+    "streaming_heavy_hitters",
+    "ann_recall_check",
+    "ann_pq_topk",
+    "ann_ivf_topk_arrow",
+    "sketch_heavy_hitters",
+    "pipeline_corpus_clean",
+    "storage_zorder_scan",
+    # Remaining never-driver-drawn tail as of CORRECTNESS_r10 (r01-r10 union).
+    "promql_sliding_over_time",
+    "promql_sliding_histogram_quantile",
+    "promql_slo_burn_rate",
+    "streaming_promql_eval",
+    "promql_alert_states",
     "promql_power_div_guard",
     "promql_atan2_at_end",
-    "promql_fn_eval",
-    "promql_slo_burn_rate",
-    "streaming_late_data",
-    "streaming_session_window",
-    "streaming_stream_join",
-    "streaming_dedup",
-    "streaming_enrich_join",
-    "streaming_continuous_rollup",
-    "streaming_ann_retrieval",
-    "streaming_heavy_hitters",
-    "storage_incremental_rollup",
-    "storage_retention_downsample",
-    "storage_zorder_scan",
-    "storage_snapshot_diff",
-    "analyze_table_profile",
-    "ann_recall_check",
-    "ann_rerank_pipeline",
-    "ann_pq_topk",
-    "ann_bruteforce_topk_arrow",
-    "ann_ivf_topk_large_queryset",
-    "ann_ivf_topk_arrow",
-    "pipeline_corpus_clean",
+    "text_bpe_pairs",
+    "text_char_entropy",
+    "text_bigram_lm",
+    "text_bpe_batched",
+    "pipeline_contamination_rate",
     "pipeline_length_histogram",
     "pipeline_token_budget",
     "pipeline_export_shards",
-    "pipeline_contamination_rate",
     "pipeline_weighted_resample",
+    "dedup_minhash_capped",
     "dedup_prefix_cluster",
     "dedup_minhash_estimate_check",
     "dedup_quality_survivors",
     "dedup_incremental_batch",
-    "dedup_semantic_clusters",
-    "dedup_minhash_capped",
-    "multimodal_dedup",
-    "multimodal_phash_near_dup",
-    "sketch_heavy_hitters",
-    "sketch_hll_distinct",
-    "sketch_kmv_overlap",
-    "text_bigram_lm",
-    "text_bpe_pairs",
-    "text_char_entropy",
-    "text_bpe_batched",
+    "ann_bruteforce_topk_arrow",
+    "ann_ivf_topk_large_queryset",
+    "ann_rerank_pipeline",
     "embedding_kmeans",
     "embedding_label_outliers",
+    "dedup_semantic_clusters",
+    "multimodal_dedup",
+    "multimodal_phash_near_dup",
     "campaign_interval_join",
     "user_journey_paths",
+    "sketch_hll_distinct",
+    "sketch_kmv_overlap",
+    "analyze_table_profile",
     "dq_referential_check",
     "returned_item_losses_q10",
-    # --- drawn in r1/r2 but errored on since-fixed issues: re-confirm
-    "streaming_ingest_scan",
-    "streaming_stateful_increase",
-    "streaming_window_agg",
-    "storage_stats_pruned_scan",
-    "storage_continuous_rollup",
-    "funnel_conversion",
-    "retention_cohorts",
-    "approx_sketches",
-    "multimodal_feature_extract",
-    "pipeline_sequence_packing",
-    "text_token_stats",
-    "shipmode_priority_q12",
+    "storage_incremental_rollup",
+    "storage_retention_downsample",
+    "storage_snapshot_diff",
+    "streaming_session_window",
+    "streaming_stream_join",
+    "streaming_dedup",
+    "streaming_enrich_join",
+    "streaming_ann_retrieval",
+    "streaming_late_data",
 )
 
 
+def _repo_root():
+    from pathlib import Path
+
+    return Path(__file__).resolve().parents[2]
+
+
+def driver_confirmed() -> set[str]:
+    """Query names with >=1 green row in any committed CORRECTNESS_r*.json.
+
+    Green = no error AND hash-matched against the DuckDB oracle (rows-only
+    match suffices for entries registered without an oracle, where the
+    driver records hash_match: null). Unreadable files are skipped: a
+    missing/corrupt report must degrade to "re-verify everything", never to
+    an import failure.
+    """
+    import json
+
+    confirmed: set[str] = set()
+    for path in sorted(_repo_root().glob("CORRECTNESS_r*.json")):
+        try:
+            report = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(report, dict):
+            continue
+        for name, row in report.items():
+            if not isinstance(row, dict) or row.get("err") is not None:
+                continue
+            hm = row.get("hash_match")
+            if hm is True or (hm is None and row.get("rows_match") is True):
+                confirmed.add(name)
+    return confirmed
+
+
 def _ordered() -> dict[str, Query]:
-    first = [n for n in _RUN_FIRST if n in QUERIES]
-    rest = [n for n in QUERIES if n not in set(_RUN_FIRST)]
-    return {n: QUERIES[n] for n in (*first, *rest)}
+    confirmed = driver_confirmed()
+    rank = {n: i for i, n in enumerate(_PRIORITY)}
+    unconfirmed = [n for n in QUERIES if n not in confirmed]
+    unconfirmed.sort(key=lambda n: rank.get(n, len(rank)))  # stable: reg order ties
+    rest = [n for n in QUERIES if n in confirmed]
+    return {n: QUERIES[n] for n in (*unconfirmed, *rest)}
 
 
 def _load_modules() -> None:

@@ -316,6 +316,14 @@ class BucketedMirror:
 
         spark = self.table.spark
         live = self._live_digests()
+        # Multi-instance hardening: _stored() memoizes for the instance
+        # lifetime, so another ColumnarTable over the same root may have
+        # refreshed since we cached. refresh() only runs when the memoized
+        # view says work is needed and is about to launch WRITE jobs — one
+        # backend re-read here is free by comparison, and if the other
+        # instance already brought the mirror current the digest diff below
+        # collapses to a metadata no-op instead of a redundant rewrite.
+        self._stored_memo = None
         meta = self._stored()
         stored = meta["segments"]
         stats = {

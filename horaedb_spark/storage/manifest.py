@@ -262,6 +262,10 @@ class Manifest:
 
     def _recover(self) -> None:
         self._ssts, self._folded_through, self._next_delta_id, _ = self._load_log()
+        # Only runs from __init__ today (no memo exists yet), but bump the
+        # counter anyway: a future post-init call must invalidate any
+        # mutation-keyed digest memo rather than silently serve stale state.
+        self.mutations += 1
         # Fold leftover deltas into the snapshot, as the reference does on open.
         if any(
             int(n[len(DELTA_PREFIX):]) > self._folded_through
@@ -275,18 +279,24 @@ class Manifest:
         preserved for files still live."""
         flags = {fid for fid, s in self._ssts.items() if s.in_compaction}
         self._ssts, self._folded_through, self._next_delta_id, _ = self._load_log()
-        self.mutations += 1
         for fid in flags:
             if fid in self._ssts:
                 self._ssts[fid] = replace(self._ssts[fid], in_compaction=True)
+        # Bump AFTER the dict mutations: a concurrent reader (the background
+        # fold thread memoizes digests keyed on this counter) that races the
+        # refresh then memoizes under the OLD counter and this bump
+        # invalidates it; bumping first would let it cache pre-refresh
+        # digests under the post-refresh key — fresh-forever staleness.
+        self.mutations += 1
 
     def _apply_delta(self, delta: dict) -> None:
-        self.mutations += 1
         for d in delta.get("to_adds", []):
             sst = SstFile.from_json(d)
             self._ssts[sst.file_id] = sst
         for fid in delta.get("to_deletes", []):
             self._ssts.pop(fid, None)
+        # After the mutations — see _refresh for the memo-race rationale.
+        self.mutations += 1
 
     # -- update path (mod.rs:115-157,248-262) --------------------------------
 

@@ -192,6 +192,41 @@ def test_bucketed_mirror_incremental_refresh_and_staleness(spark, tmp_path):
     _assert_bucketed_self_join_no_exchange(spark, t)
 
 
+def test_bucketed_mirror_second_instance_refresh_is_noop(spark, tmp_path):
+    """ADVICE r10: _stored() memoizes the mirror meta for the instance
+    lifetime, so an instance whose manifest view advanced (CAS-race
+    _refresh picking up another writer's deltas) but whose meta memo did
+    not would schedule a REDUNDANT full-partition rewrite for work the
+    other instance already did. refresh() now re-reads the meta from the
+    backend before deciding — the second refresh must collapse to a
+    metadata no-op."""
+    from horaedb_spark.core.timeutil import TimeRange
+    from horaedb_spark.storage.table import WriteRequest
+
+    a = _mk_table(spark, tmp_path, "bt_multi")
+    a.write(WriteRequest(_rows(spark, [(1, 100, 1.0)]), TimeRange(0, 1000)))
+    assert a.refresh_bucketed()["rebuilt"] is True  # a's meta memo now set
+
+    # second instance over the SAME root (migrate_legacy-style reopen)
+    b = _mk_table(spark, tmp_path, "bt_multi")
+    b.write(WriteRequest(_rows(spark, [(2, 200, 2.0)]), TimeRange(0, 1000)))
+    stats_b = b.refresh_bucketed()
+    assert stats_b["overwritten"] == [0] and not stats_b["rebuilt"]
+
+    # a picks up b's manifest delta (the multi-writer resync path) but its
+    # meta memo still describes the PRE-b mirror
+    a.manifest._refresh()
+    stats_a = a.refresh_bucketed()
+    assert stats_a == {
+        "rebuilt": False,
+        "reregistered": False,
+        "overwritten": [],
+        "dropped": [],
+    }, f"redundant rewrite not elided: {stats_a}"
+    got = sorted((r.k, r.v) for r in a.bucketed_scan(auto_refresh=False).collect())
+    assert got == [(1, 1.0), (2, 2.0)]
+
+
 def test_compaction_maintains_bucketed_mirror(spark, tmp_path):
     from horaedb_spark.core.timeutil import TimeRange
     from horaedb_spark.storage.compaction import Compactor, SchedulerConfig

@@ -27,17 +27,39 @@ def test_every_query_has_an_oracle():
     assert sorted(n for n, q in QUERIES.items() if q.oracle is None) == []
 
 
-def test_run_first_names_all_registered():
-    """Regression guard on the driver-sample priority list: queries_map()
-    silently skips _RUN_FIRST names that don't resolve, so a typo (or a
-    rename that misses the list) would quietly demote a query out of the
-    driver's next correctness sample — the exact signal-wasting failure
-    the r9→r10 rotation exists to prevent."""
-    from horaedb_spark.queries.registry import _RUN_FIRST
+def test_priority_names_all_registered():
+    """Regression guard on the driver-sample priority list: _ordered()
+    ranks unconfirmed queries by _PRIORITY but silently ignores unknown
+    names, so a typo (or a rename that misses the list) would quietly
+    demote a query's draw priority — the signal-wasting failure the
+    r9->r10 rotation existed to prevent."""
+    from horaedb_spark.queries.registry import _PRIORITY
 
-    missing = [n for n in _RUN_FIRST if n not in QUERIES]
+    missing = [n for n in _PRIORITY if n not in QUERIES]
     assert missing == [], missing
-    assert len(set(_RUN_FIRST)) == len(_RUN_FIRST)  # no duplicates either
+    assert len(set(_PRIORITY)) == len(_PRIORITY)  # no duplicates either
+
+
+def test_driver_order_puts_unconfirmed_first():
+    """VERDICT r10 task 7, made structural: the driver's time-capped sample
+    walks queries() in map order, so every registry name WITHOUT a green
+    row in any committed CORRECTNESS_r*.json must precede every name WITH
+    one. The ordering is computed from those files at import time; this
+    asserts the computation against an independent re-read, so a stale
+    hand-rotated sample can never ship again."""
+    from horaedb_spark.queries.registry import _ordered, driver_confirmed
+
+    confirmed = driver_confirmed()
+    order = list(_ordered())
+    assert set(order) == set(QUERIES)
+    seen_confirmed = False
+    for name in order:
+        if name in confirmed:
+            seen_confirmed = True
+        else:
+            assert not seen_confirmed, (
+                f"unconfirmed query {name!r} ordered after a driver-confirmed one"
+            )
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
