@@ -332,6 +332,38 @@ def main() -> None:
 
         plain_s = _tsid_agg(store.engine(from_mirror=False))
         mirror_s = _tsid_agg(store.engine())
+        # The same win measured END-TO-END through the PromQL HTTP surface
+        # (VERDICT r10 task 4): a live /api/v1/query_range against a server
+        # over each engine. Responses are byte-equal (pinned in
+        # tests/test_server.py); the stat here is serving latency.
+        import urllib.parse
+        import urllib.request
+
+        from horaedb_spark.server import ControlServer
+        from horaedb_spark.storage.compaction import Compactor, SchedulerConfig
+
+        qp = urllib.parse.quote("sum by (cohort) (rate(click[1d]))")
+        path = f"/api/v1/query_range?query={qp}&step=1d"
+
+        def _http(eng) -> float:
+            srv = ControlServer(
+                Compactor(store.data, SchedulerConfig()), metric_engine=eng
+            )
+            srv.start()
+            try:
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    urllib.request.urlopen(
+                        f"http://127.0.0.1:{srv.port}{path}", timeout=300
+                    ).read()
+                    best = min(best, time.perf_counter() - t0)
+                return best
+            finally:
+                srv.stop()
+
+        http_plain_s = _http(store.engine(from_mirror=False))
+        http_mirror_s = _http(store.engine())
         # maintenance side: one small ingest into ONE segment, then time the
         # incremental refresh — cost must follow the touched batch, not the
         # table (full-rebuild cost is the restart-path measurement in
@@ -356,6 +388,9 @@ def main() -> None:
             "merge_on_read_s": round(plain_s, 3),
             "mirror_s": round(mirror_s, 3),
             "speedup_x": round(plain_s / max(mirror_s, 1e-9), 2),
+            "http_merge_on_read_s": round(http_plain_s, 3),
+            "http_mirror_s": round(http_mirror_s, 3),
+            "http_speedup_x": round(http_plain_s / max(http_mirror_s, 1e-9), 2),
             "incremental_refresh_s": round(refresh_s, 3),
             "segments_rewritten": len(stats["overwritten"]),
         }

@@ -29,40 +29,36 @@ from horaedb_spark.core.session import get_spark  # noqa: E402
 from horaedb_spark.queries.tables import events_ms, load_table  # noqa: E402
 
 
+def _replicate(spark, df: DataFrame, mult: int, shift_cols: list[str]) -> DataFrame:
+    """mult disjoint copies of df: each id column in shift_cols moves by
+    copy_index * (max+1), so entity spaces (users, documents, vectors)
+    stay disjoint while every distribution is preserved. A broadcast
+    crossJoin against range(mult), NOT an N-way union — at mult=100 a
+    100-branch union plan costs Catalyst quadratic analysis time and
+    produces a 100-subtree scan; one nested-loop join against a 100-row
+    broadcast is the plan shape that survives any multiplier."""
+    maxes = df.agg(*[F.max(c).alias(c) for c in shift_cols]).first()
+    out = df.crossJoin(
+        F.broadcast(spark.range(mult).withColumnRenamed("id", "__copy__"))
+    )
+    for c in shift_cols:
+        out = out.withColumn(c, F.col(c) + F.col("__copy__") * (maxes[c] + 1))
+    return out.drop("__copy__")
+
+
 def _scaled_events(spark, sf_dir: str, mult: int, path: str) -> str:
     ev = events_ms(spark, sf_dir).select(
         "event_id", "ts_ms", "user_id", "event_type", "value"
     )
-    n_users = ev.agg(F.max("user_id")).first()[0] + 1
-    n_events = ev.agg(F.max("event_id")).first()[0] + 1
-    copies = [
-        ev.select(
-            (F.col("event_id") + F.lit(i * n_events)).alias("event_id"),
-            "ts_ms",
-            (F.col("user_id") + F.lit(i * n_users)).alias("user_id"),
-            "event_type",
-            "value",
-        )
-        for i in range(mult)
-    ]
-    out = copies[0]
-    for c in copies[1:]:
-        out = out.unionByName(c)
-    out.write.mode("overwrite").parquet(path)
+    _replicate(spark, ev, mult, ["event_id", "user_id"]).write.mode(
+        "overwrite"
+    ).parquet(path)
     return path
 
 
 def _scaled_docs(spark, sf_dir: str, mult: int, path: str) -> str:
     docs = load_table(spark, sf_dir, "documents")
-    n = docs.agg(F.max("doc_id")).first()[0] + 1
-    copies = [
-        docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * n))
-        for i in range(mult)
-    ]
-    out = copies[0]
-    for c in copies[1:]:
-        out = out.unionByName(c)
-    out.write.mode("overwrite").parquet(path)
+    _replicate(spark, docs, mult, ["doc_id"]).write.mode("overwrite").parquet(path)
     return path
 
 
@@ -148,15 +144,9 @@ def main() -> None:
     # serving question is "what does 50x MORE CORPUS cost per query?".
     # Brute force must pay ~N; IVF pays ~N/num_cells * nprobe.
     emb1 = load_table(spark, args.sf, "embeddings")
-    n_vec = emb1.agg(F.max("vec_id")).first()[0] + 1
-    emb_copies = [
-        emb1.withColumn("vec_id", F.col("vec_id") + F.lit(i * n_vec))
-        for i in range(args.mult)
-    ]
-    embN = emb_copies[0]
-    for c in emb_copies[1:]:
-        embN = embN.unionByName(c)
-    embN.write.mode("overwrite").parquet(f"{base}/embeddings")
+    _replicate(spark, emb1, args.mult, ["vec_id"]).write.mode("overwrite").parquet(
+        f"{base}/embeddings"
+    )
     embN = spark.read.parquet(f"{base}/embeddings")
     qset = emb1.orderBy("vec_id").limit(100)
 
@@ -193,9 +183,72 @@ def main() -> None:
             qc, qs, "qv", "vec_id", 10, num_cells=cells, nprobe=4
         )
 
+    def funnel(ev: DataFrame):
+        # per-user staged-event fold (signup -> click -> purchase): one
+        # shuffle on user_id, no global window
+        from horaedb_spark.queries.events_queries import funnel_stages
+
+        staged = funnel_stages(ev.select("user_id", "event_type", "ts_ms"))
+        return staged.groupBy("stage_reached").agg(
+            F.count(F.lit(1)).alias("n_users"), F.sum("user_id").alias("cs")
+        )
+
+    # Merge-on-read scan: the storage hot path. Fixture (bulk ingest + a
+    # 10%-of-rows OVERWRITE batch into the first segment, so the scan's
+    # PK merge has real work) is built here, outside the timed window.
+    def _merge_table(ev: DataFrame, tag: str):
+        from pyspark.sql import types as T
+
+        from horaedb_spark.core.schema import StorageSchema, UpdateMode
+        from horaedb_spark.core.timeutil import TimeRange
+        from horaedb_spark.storage.table import ColumnarTable, WriteRequest
+
+        SEG = 15 * 86_400_000
+        t = ColumnarTable(
+            spark,
+            f"{base}/mor_{tag}/t",
+            StorageSchema(
+                T.StructType(
+                    [
+                        T.StructField("event_id", T.LongType()),
+                        T.StructField("ts_ms", T.LongType()),
+                        T.StructField("user_id", T.LongType()),
+                        T.StructField("event_type", T.StringType()),
+                        T.StructField("value", T.DoubleType()),
+                    ]
+                ),
+                num_primary_keys=1,
+                update_mode=UpdateMode.OVERWRITE,
+            ),
+            SEG,
+        )
+        t.bulk_ingest(ev, "ts_ms")
+        lo = ev.agg(F.min("ts_ms")).first()[0]
+        seg = lo - lo % SEG
+        over = ev.filter(
+            (F.col("ts_ms") >= seg)
+            & (F.col("ts_ms") < seg + SEG)
+            & (F.col("event_id") % 10 == 0)
+        ).withColumn("value", F.col("value") * 2)
+        t.write(WriteRequest(over, TimeRange(seg, seg + SEG)))
+        return t
+
+    mor1 = _merge_table(ev1, "1x")
+    morN = _merge_table(evN, "Nx")
+
+    def merge_scan(table):
+        from horaedb_spark.storage.table import ScanRequest
+
+        return table.scan(ScanRequest(ordered=False)).groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(30,10)")).alias("v"),
+        )
+
     ops = {
         "metric_rate_agg": (rate_agg, ev1, evN),
         "sessionization": (sessionize, ev1, evN),
+        "funnel": (funnel, ev1, evN),
+        "storage_merge_scan": (merge_scan, mor1, morN, ev1, evN),
         "dedup_exact": (exact_dedup_docs, docs1, docsN),
         "dedup_minhash_pairs": (minhash_docs, docs1, docsN),
         "ann_brute_100q": (ann_brute, emb1, embN),
@@ -203,15 +256,21 @@ def main() -> None:
         "ann_ivf_arrow_100q": (ann_ivf_arrow, emb1, embN),
     }
     out = {}
-    for name, (fn, d1, dN) in ops.items():
-        t1 = _time(lambda: fn(d1))
-        tN = _time(lambda: fn(dN))
+    for name, spec in ops.items():
+        fn, a1, aN = spec[0], spec[1], spec[2]
+        rows1, rowsN = (spec[3], spec[4]) if len(spec) == 5 else (a1, aN)
+        t1 = _time(lambda: fn(a1))
+        tN = _time(lambda: fn(aN))
         out[name] = {
-            "rows_1x": d1.count(),
-            f"rows_{args.mult}x": dN.count(),
+            "rows_1x": rows1.count(),
+            f"rows_{args.mult}x": rowsN.count(),
             "t1_s": round(t1, 3),
             f"t{args.mult}_s": round(tN, 3),
             "ratio": round(tN / t1, 2),
+            # the scale verdict: wall growth per unit of data growth —
+            # <1.0 means sub-linear (fixed costs amortize), 1.0 is perfect
+            # linear on fixed cores, >1.0 is the red flag
+            "ratio_vs_linear": round(tN / t1 / args.mult, 3),
         }
         print(f"# {name}: {out[name]}", file=sys.stderr)
 

@@ -39,6 +39,15 @@ def test_remote_write_codec_throughput():
     # observed ~300k samples/s/core; bound at 10x slack for CI noise
     assert r["decode_samples_per_s"] > 30_000, r
     assert r["payload_bytes"] > 0 and r["encode_s"] > 0
+    # calibration-normalized bound (VERDICT r10 #3, DIVERGENCES #30): with
+    # from_protobuf unreachable in this environment, the pure-Python codec
+    # is the shipped hot path — normalize against an in-process fixed-work
+    # probe so a real codec regression can't hide behind a slow host (nor
+    # a fast host hide it behind the absolute bound above). Observed:
+    # decoding 10k samples ~0.13x the md5 probe; bound at ~12x slack.
+    from horaedb_spark.storage.manifest_bench import py_md5_probe
+
+    assert r["decode_s"] < 1.5 * py_md5_probe(), r
 
 
 def test_manifest_scaling_is_linear(tmp_path):

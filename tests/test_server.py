@@ -767,3 +767,74 @@ def test_fields_endpoint_lists_multi_field_catalog(spark, tmp_path):
         assert vals == [10.0, 30.0]
     finally:
         srv.stop()
+
+
+def test_query_range_serves_from_bucketed_mirror(spark, tmp_path):
+    """VERDICT r10 task 4: the PromQL HTTP surface end-to-end over a
+    MIRROR-backed store (MetricStore(data_buckets=N)). The mirror is a
+    layout decision, so /api/v1/query_range responses must be BYTE-equal
+    to the merge-on-read engine's — same matrix envelope, same value
+    formatting, same series order (the handler orders by series_key and
+    sorts the dict, so equality is well-defined). Also pins that the
+    served data plan really is the mirror (no per-query dedup Window)."""
+    import urllib.parse
+
+    from pyspark.sql import functions as F
+
+    from horaedb_spark.metric.store import MetricStore
+
+    DAY = 86_400_000
+    store = MetricStore(
+        spark, str(tmp_path / "ms"), 15 * DAY, data_buckets=4
+    )
+    base = 1_704_067_200_000  # 2024-01-01
+    samples = spark.range(120).select(
+        F.when(F.col("id") % 2 == 0, "click").otherwise("view").alias("name"),
+        F.create_map(
+            F.lit("host"), F.concat(F.lit("h"), (F.col("id") % 3).cast("string"))
+        ).alias("labels"),
+        (F.lit(base) + (F.col("id") / 2).cast("long") * (DAY // 4)).alias("ts_ms"),
+        (F.col("id") % 7).cast("double").alias("value"),
+        F.col("id").alias("seq"),
+    )
+    store.ingest(samples)
+    # duplicate ingest at higher seq: merge-on-read AND the mirror refresh
+    # must both resolve to the later write, or the two paths diverge
+    store.ingest(samples.withColumn("value", F.col("value") + 100).withColumn(
+        "seq", F.col("seq") + 1000
+    ))
+
+    eng_mirror = store.engine()
+    plan = eng_mirror.data._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan[:1500]
+    eng_plain = store.engine(from_mirror=False)
+
+    t = ColumnarTable(spark, str(tmp_path / "dummy"), kv_schema(), TWO_HOURS)
+    srv_m = ControlServer(Compactor(t, SchedulerConfig()), metric_engine=eng_mirror)
+    srv_p = ControlServer(Compactor(t, SchedulerConfig()), metric_engine=eng_plain)
+    srv_m.start()
+    srv_p.start()
+    try:
+        for q in (
+            "sum by (host) (rate(click[1d]))",
+            'view{host="h1"}',
+        ):
+            path = f"/api/v1/query_range?query={urllib.parse.quote(q)}&step=6h"
+            raw_m = urllib.request.urlopen(
+                f"http://127.0.0.1:{srv_m.port}{path}", timeout=30
+            ).read()
+            raw_p = urllib.request.urlopen(
+                f"http://127.0.0.1:{srv_p.port}{path}", timeout=30
+            ).read()
+            assert raw_m == raw_p, (q, raw_m[:300], raw_p[:300])
+            body = json.loads(raw_m)
+            assert body["status"] == "success"
+            assert body["data"]["result"], q
+            # the duplicate-ingest values (+100, higher seq) won: both
+            # paths resolved dedup identically, not just consistently
+            if q.startswith("view"):
+                vals = [float(v) for _ts, v in body["data"]["result"][0]["values"]]
+                assert all(v >= 100 for v in vals), vals
+    finally:
+        srv_m.stop()
+        srv_p.stop()
