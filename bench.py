@@ -352,7 +352,7 @@ def main() -> None:
             srv.start()
             try:
                 best = float("inf")
-                for _ in range(2):
+                for _ in range(3):
                     t0 = time.perf_counter()
                     urllib.request.urlopen(
                         f"http://127.0.0.1:{srv.port}{path}", timeout=300

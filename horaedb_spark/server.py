@@ -106,6 +106,14 @@ class ControlServer:
 
         self.metadata: dict[str, dict] = {}
         self.exemplars: collections.deque = collections.deque(maxlen=100_000)
+        # /scan is a debug peek with a per-REQUEST row cap; without a
+        # concurrency cap N simultaneous peeks still pile N collect jobs
+        # onto the driver. Bounded, non-blocking: excess requests get 429
+        # instead of queueing (a debug surface must never back up the
+        # server thread pool that query_range shares).
+        import threading
+
+        self._scan_gate = threading.BoundedSemaphore(4)
         # Optional MetricEngine: enables the Prometheus-compatible
         # /api/v1/query_range endpoint (the RFC's PromQL-over-HTTP contract,
         # docs/rfcs/20220702-prometheus-read-extension.md) backed by the
@@ -150,6 +158,12 @@ class ControlServer:
 
                     q = parse_qs(urlparse(self.path).query)
                     pred = q.get("predicate", [None])[0]
+                    if not outer._scan_gate.acquire(blocking=False):
+                        self._reply(
+                            {"error": "too many concurrent /scan requests"},
+                            status=429,
+                        )
+                        return
                     try:
                         limit = min(int(q.get("limit", ["100"])[0]), 1000)
                         df = outer.compactor.table.scan(
@@ -159,6 +173,8 @@ class ControlServer:
                     except Exception as e:  # bad predicate -> client error
                         self._reply({"error": str(e)[:500]}, status=400)
                         return
+                    finally:
+                        outer._scan_gate.release()
                     self._reply({"n": len(rows), "rows": rows})
                 elif self.path.startswith("/api/v1/query?") or self.path == "/api/v1/query":
                     # Prometheus INSTANT query: ?query=<promql>[&time=<s>]

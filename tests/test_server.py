@@ -838,3 +838,32 @@ def test_query_range_serves_from_bucketed_mirror(spark, tmp_path):
     finally:
         srv_m.stop()
         srv_p.stop()
+
+
+def test_scan_endpoint_concurrency_gate(spark, tmp_path):
+    """/scan is bounded per request (1000-row cap) AND per server: excess
+    concurrent peeks get 429 instead of stacking collect jobs behind the
+    thread pool query_range shares."""
+    t = ColumnarTable(spark, str(tmp_path / "gate"), kv_schema(), TWO_HOURS)
+    mk = lambda rows: spark.createDataFrame(rows, "pk1 long, pk2 long, value long")
+    t.write(WriteRequest(mk([(1, 1, 1)]), TimeRange(0, 10)))
+    srv = ControlServer(Compactor(t, SchedulerConfig()))
+    srv.start()
+    try:
+        assert _get(srv.port, "/scan?limit=5")["n"] == 1
+        # exhaust the gate, then the next request must 429 — and release
+        # restores service
+        for _ in range(4):
+            assert srv._scan_gate.acquire(blocking=False)
+        import urllib.error
+
+        try:
+            _get(srv.port, "/scan?limit=5")
+            raise AssertionError("expected HTTP 429")
+        except urllib.error.HTTPError as e:
+            assert e.code == 429
+        for _ in range(4):
+            srv._scan_gate.release()
+        assert _get(srv.port, "/scan?limit=5")["n"] == 1
+    finally:
+        srv.stop()
