@@ -609,6 +609,7 @@ def pq_ann_topk(
     k: int,
     num_codes: int = 16,
     num_subspaces: int = 8,
+    centroids: list[tuple[int, list[int]]] | None = None,
 ) -> DataFrame:
     """Product-quantization ANN — the memory-compression scale path: the
     corpus is ENCODED once into ``num_subspaces`` small integer codes
@@ -620,11 +621,21 @@ def pq_ann_topk(
     shared with IVF init) sliced per subspace; everything stays exact
     integer so results hash-match the SQL oracle. The codebook is
     metadata-sized: it ships as literals into both the Arrow encode kernel
-    and the ADC expression — no quantizer join anywhere."""
+    and the ADC expression — no quantizer join anywhere.
+
+    ``centroids``: a precomputed codebook source (same shape as
+    ``ivf_ann_topk``'s) — pass it when searching a FILTERED corpus with an
+    index trained on the full one (production never re-trains the codebook
+    per predicate; a per-predicate codebook would also change every code
+    and silently re-encode the corpus)."""
     ds = None
-    cent_rows = sorted(
-        (r["cid"], r["centv"])
-        for r in ivf_centroids(corpus, id_col, vec_col, num_codes).collect()
+    cent_rows = (
+        sorted(centroids)
+        if centroids is not None
+        else sorted(
+            (r["cid"], r["centv"])
+            for r in ivf_centroids(corpus, id_col, vec_col, num_codes).collect()
+        )
     )
     dim = len(cent_rows[0][1])
     ds = dim // num_subspaces

@@ -90,6 +90,11 @@ _QUERY_MODULES = (
 # brand-new queries surface automatically. Confirmed names run last, in
 # registration order.
 _PRIORITY = (
+    # Round-11 additions first: fresh work earns driver signal immediately
+    # (anything they displace from the ~50-query sample auto-promotes next
+    # round — the ordering recomputes from the committed reports).
+    "metric_mirror_retention",
+    "ann_pq_filtered_topk",
     # Heavy compound surfaces the judge called out explicitly (VERDICT r10).
     "promql_fn_eval",
     "promql_recording_rules",

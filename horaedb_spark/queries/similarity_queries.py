@@ -757,6 +757,79 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_pq_filtered_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {_QV} AS qv FROM embeddings),
+    cb AS (
+      SELECT row_number() OVER (ORDER BY q.vec_id) AS k, q.qv AS cv
+      FROM q JOIN (
+        SELECT vec_id FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+      ) s USING (vec_id)
+    ),
+    corpus AS (
+      SELECT q.vec_id, q.qv FROM q
+      JOIN documents d ON d.doc_id = q.vec_id AND d.lang = 'en'
+    ),
+    codes AS (
+      SELECT vec_id, m, k AS code FROM (
+        SELECT a.vec_id, m.m, c.k,
+               row_number() OVER (
+                 PARTITION BY a.vec_id, m.m
+                 ORDER BY {_PQ_SUB_L2}, c.k) AS r
+        FROM corpus a, cb c, (SELECT unnest(generate_series(1, 8)) AS m) m
+      ) WHERE r = 1
+    ),
+    adc AS (
+      SELECT a.vec_id AS query_id, cd.vec_id AS corpus_id,
+             sum({_PQ_SUB_L2.replace("m.m", "cd.m")}) AS dist
+      FROM q a, codes cd
+      JOIN cb c ON c.k = cd.code
+      WHERE a.vec_id < 20 AND cd.vec_id != a.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, corpus_id, rank, dist FROM (
+      SELECT query_id, corpus_id, CAST(dist AS BIGINT) AS dist,
+             row_number() OVER (PARTITION BY query_id ORDER BY dist, corpus_id) AS rank
+      FROM adc
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def ann_pq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered search on the PQ MEMORY path — completing the
+    filtered family across all three strategies (brute baseline:
+    ann_filtered_topk; IVF pruning: ann_ivf_filtered_topk; PQ compression:
+    here). The codebook is trained on the FULL corpus (the encoded index
+    already exists — production never re-trains per predicate, and a
+    per-predicate codebook would change every code, silently re-encoding
+    the corpus), only English documents are ENCODED into the candidate
+    set (left-semi on doc_id = vec_id), and ADC ranks exact-integer
+    distances over qualifying codes only. At 100 TB the predicate
+    multiplies with the 97% PQ memory cut: the ADC scan touches
+    filter-selectivity × encoded-corpus bytes."""
+    from horaedb_spark.functions.similarity import ivf_centroids, pq_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    qemb = emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+    # full-corpus codebook: 16 deterministic centroids (metadata-sized)
+    cent_rows = [
+        (r.cid, r.centv)
+        for r in ivf_centroids(qemb, "vec_id", "qv", 16).collect()
+    ]
+    corpus = _english_corpus(qemb, docs)
+    out = pq_ann_topk(
+        corpus,
+        qemb.filter(F.col("vec_id") < 20),
+        "qv",
+        "vec_id",
+        k=5,
+        centroids=cent_rows,
+    )
+    return out.orderBy("query_id", "rank")
+
+
+@register(
     "embedding_quantize_int8",
     oracle=f"""
     WITH q AS (SELECT vec_id, {_QV} AS qv FROM embeddings),

@@ -112,6 +112,8 @@ NESTED_LOOP_OK = {
     "ann_filtered_topk": "bounded query set broadcast against the "
     "metadata-pre-filtered corpus (same kernel as the brute baseline)",
     "ann_pq_topk": "bounded query set broadcast (PQ scan)",
+    "ann_pq_filtered_topk": "bounded query set broadcast (PQ scan over the "
+    "metadata-pre-filtered encoded corpus)",
     "ann_recall_check": "brute-force arm of the recall comparison",
     "dedup_threshold_sweep": "bounded threshold grid x cluster stats",
     "embedding_centroid_confusion": "centroid x centroid grid (<=65k rows)",
