@@ -628,7 +628,6 @@ def pq_ann_topk(
     index trained on the full one (production never re-trains the codebook
     per predicate; a per-predicate codebook would also change every code
     and silently re-encode the corpus)."""
-    ds = None
     cent_rows = (
         sorted(centroids)
         if centroids is not None

@@ -162,8 +162,13 @@ def _repo_root():
     return Path(__file__).resolve().parents[2]
 
 
-def driver_confirmed() -> set[str]:
-    """Query names with >=1 green row in any committed CORRECTNESS_r*.json.
+def driver_confirmed(root=None) -> set[str]:
+    """Query names whose LATEST row across the committed CORRECTNESS_r*.json
+    reports is green. Latest-wins, not any-wins: a query that hash-matched
+    in an old round but errored or mismatched in the newest one has
+    REGRESSED and must be re-prioritized into the next driver sample (the
+    old rotation's "promote any regression" rule, kept). Rounds sort
+    lexicographically (r01..r99 zero-padded).
 
     Green = no error AND hash-matched against the DuckDB oracle (rows-only
     match suffices for entries registered without an oracle, where the
@@ -173,8 +178,8 @@ def driver_confirmed() -> set[str]:
     """
     import json
 
-    confirmed: set[str] = set()
-    for path in sorted(_repo_root().glob("CORRECTNESS_r*.json")):
+    status: dict[str, bool] = {}
+    for path in sorted((root or _repo_root()).glob("CORRECTNESS_r*.json")):
         try:
             report = json.loads(path.read_text())
         except (OSError, ValueError):
@@ -182,12 +187,13 @@ def driver_confirmed() -> set[str]:
         if not isinstance(report, dict):
             continue
         for name, row in report.items():
-            if not isinstance(row, dict) or row.get("err") is not None:
+            if not isinstance(row, dict):
                 continue
             hm = row.get("hash_match")
-            if hm is True or (hm is None and row.get("rows_match") is True):
-                confirmed.add(name)
-    return confirmed
+            status[name] = row.get("err") is None and (
+                hm is True or (hm is None and row.get("rows_match") is True)
+            )
+    return {name for name, green in status.items() if green}
 
 
 def _ordered() -> dict[str, Query]:

@@ -703,9 +703,14 @@ _PQ_SUB_L2 = (
 )
 
 
-@register(
-    "ann_pq_topk",
-    oracle=f"""
+def _pq_oracle(codes_source: str = "q", extra_ctes: str = "") -> str:
+    """ONE copy of the PQ oracle (codebook sample -> per-subspace encode ->
+    ADC -> top-k), parameterized by the CTE the corpus codes derive from —
+    the baseline encodes the full corpus (``q``), the filtered variant an
+    ``extra_ctes``-defined subset. Keeping the math in one string means a
+    fix to the codebook/encode/ADC replica cannot silently diverge between
+    the two registered oracles."""
+    return f"""
     WITH q AS (SELECT vec_id, {_QV} AS qv FROM embeddings),
     cb AS (
       SELECT row_number() OVER (ORDER BY q.vec_id) AS k, q.qv AS cv
@@ -713,13 +718,13 @@ _PQ_SUB_L2 = (
         SELECT vec_id FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
       ) s USING (vec_id)
     ),
-    codes AS (
+    {extra_ctes}codes AS (
       SELECT vec_id, m, k AS code FROM (
         SELECT a.vec_id, m.m, c.k,
                row_number() OVER (
                  PARTITION BY a.vec_id, m.m
                  ORDER BY {_PQ_SUB_L2}, c.k) AS r
-        FROM q a, cb c, (SELECT unnest(generate_series(1, 8)) AS m) m
+        FROM {codes_source} a, cb c, (SELECT unnest(generate_series(1, 8)) AS m) m
       ) WHERE r = 1
     ),
     adc AS (
@@ -736,8 +741,10 @@ _PQ_SUB_L2 = (
       FROM adc
     ) WHERE rank <= 5
     ORDER BY query_id, rank
-    """,
-)
+    """
+
+
+@register("ann_pq_topk", oracle=_pq_oracle())
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (M=8 subspaces, K=16 codes): the corpus is
     encoded once into 8 small integer codes per vector (the 100 TB memory
@@ -758,42 +765,14 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_pq_filtered_topk",
-    oracle=f"""
-    WITH q AS (SELECT vec_id, {_QV} AS qv FROM embeddings),
-    cb AS (
-      SELECT row_number() OVER (ORDER BY q.vec_id) AS k, q.qv AS cv
-      FROM q JOIN (
-        SELECT vec_id FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
-      ) s USING (vec_id)
-    ),
-    corpus AS (
+    oracle=_pq_oracle(
+        codes_source="corpus",
+        extra_ctes="""corpus AS (
       SELECT q.vec_id, q.qv FROM q
       JOIN documents d ON d.doc_id = q.vec_id AND d.lang = 'en'
     ),
-    codes AS (
-      SELECT vec_id, m, k AS code FROM (
-        SELECT a.vec_id, m.m, c.k,
-               row_number() OVER (
-                 PARTITION BY a.vec_id, m.m
-                 ORDER BY {_PQ_SUB_L2}, c.k) AS r
-        FROM corpus a, cb c, (SELECT unnest(generate_series(1, 8)) AS m) m
-      ) WHERE r = 1
-    ),
-    adc AS (
-      SELECT a.vec_id AS query_id, cd.vec_id AS corpus_id,
-             sum({_PQ_SUB_L2.replace("m.m", "cd.m")}) AS dist
-      FROM q a, codes cd
-      JOIN cb c ON c.k = cd.code
-      WHERE a.vec_id < 20 AND cd.vec_id != a.vec_id
-      GROUP BY 1, 2
-    )
-    SELECT query_id, corpus_id, rank, dist FROM (
-      SELECT query_id, corpus_id, CAST(dist AS BIGINT) AS dist,
-             row_number() OVER (PARTITION BY query_id ORDER BY dist, corpus_id) AS rank
-      FROM adc
-    ) WHERE rank <= 5
-    ORDER BY query_id, rank
     """,
+    ),
 )
 def ann_pq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-filtered search on the PQ MEMORY path — completing the

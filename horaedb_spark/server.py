@@ -111,8 +111,6 @@ class ControlServer:
         # onto the driver. Bounded, non-blocking: excess requests get 429
         # instead of queueing (a debug surface must never back up the
         # server thread pool that query_range shares).
-        import threading
-
         self._scan_gate = threading.BoundedSemaphore(4)
         # Optional MetricEngine: enables the Prometheus-compatible
         # /api/v1/query_range endpoint (the RFC's PromQL-over-HTTP contract,

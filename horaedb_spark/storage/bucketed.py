@@ -379,6 +379,25 @@ class BucketedMirror:
                 (s for s in live if stored.get(s) != live[s]), key=int
             )
             removed = sorted((s for s in stored if s not in live), key=int)
+            if removed:
+                # A segment in the stored meta but not in OUR manifest view
+                # may simply be one a CONCURRENT writer ingested after our
+                # last log sync (its meta write raced ahead of us) — the
+                # meta re-read above makes that visible, and dropping it
+                # would delete live rows from the mirror while the other
+                # instance still reports fresh. Before trusting a removal,
+                # re-sync the manifest from the durable log: a genuinely
+                # deleted segment (TTL, compaction) stays absent; a
+                # concurrent ingest shows up and moves to the changed set.
+                # Only paid when a drop is pending — never in steady state.
+                self.table.manifest._refresh()
+                live = self._live_digests()
+                changed = sorted(
+                    (s for s in live if stored.get(s) != live[s]), key=int
+                )
+                removed = sorted(
+                    (s for s in stored if s not in live), key=int
+                )
             if changed:
                 up = self._segments_frame([int(s) for s in changed])
                 # insertInto is POSITION-based: align to the catalog order

@@ -724,3 +724,37 @@ def test_live_digest_memo_tracks_manifest_mutations(spark, tmp_path):
     assert t.bucketed.is_fresh()
     got = sorted(map(tuple, t.bucketed_scan().select("k", "ts_ms", "v").collect()))
     assert got == [(1, 100, 1.0), (2, 1500, 2.0)]
+
+
+def test_refresh_does_not_drop_concurrent_writers_new_segment(spark, tmp_path):
+    """Follow-up to the meta re-read hardening: a segment present in the
+    re-read meta but ABSENT from this instance's manifest view may be one
+    a concurrent writer ingested after our last log sync — dropping its
+    partition would delete live rows from the mirror while the writer
+    still reports fresh. refresh() must re-sync the manifest before
+    trusting a removal."""
+    from horaedb_spark.core.timeutil import TimeRange
+    from horaedb_spark.storage.table import WriteRequest
+
+    a = _mk_table(spark, tmp_path, "bt_race")
+    a.write(WriteRequest(_rows(spark, [(1, 100, 1.0)]), TimeRange(0, 1000)))
+    a.refresh_bucketed()
+
+    b = _mk_table(spark, tmp_path, "bt_race")
+    # a writes into segment 0 (making itself mirror-stale), THEN b lands a
+    # NEW segment and refreshes — b's delta is later than a's last sync
+    a.write(WriteRequest(_rows(spark, [(2, 200, 2.0)]), TimeRange(0, 1000)))
+    b.manifest._refresh()  # b picks up a's delta (the CAS resync path)
+    b.write(WriteRequest(_rows(spark, [(9, 1500, 9.0)]), TimeRange(1000, 2000)))
+    b.refresh_bucketed()
+    assert {int(s) for s in b.bucketed._stored()["segments"]} == {0, 1000}
+
+    # a's manifest still lacks b's segment-1000 delta; its refresh must
+    # NOT drop that partition
+    stats = a.refresh_bucketed()
+    assert stats["dropped"] == [], stats
+    got = sorted((r.k, r.v) for r in a.bucketed_scan(auto_refresh=False).collect())
+    assert got == [(1, 1.0), (2, 2.0), (9, 9.0)]
+    # and the genuine-removal path still works: expire nothing here, but
+    # the no-op refresh must have left the meta covering both segments
+    assert {int(s) for s in a.bucketed._stored()["segments"]} == {0, 1000}

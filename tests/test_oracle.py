@@ -40,16 +40,39 @@ def test_priority_names_all_registered():
     assert len(set(_PRIORITY)) == len(_PRIORITY)  # no duplicates either
 
 
+def _confirmed_independent():
+    """Re-derive the confirmed set with SEPARATE logic from
+    registry.driver_confirmed (plain dict walk, explicit latest-wins), so
+    a parsing bug there cannot pass the ordering test trivially."""
+    import json
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    latest: dict[str, dict] = {}
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        for name, row in json.loads(path.read_text()).items():
+            latest[name] = row
+    out = set()
+    for name, row in latest.items():
+        if row.get("err") is not None:
+            continue
+        if row.get("hash_match") is True:
+            out.add(name)
+        elif row.get("hash_match") is None and row.get("rows_match") is True:
+            out.add(name)
+    return out
+
+
 def test_driver_order_puts_unconfirmed_first():
     """VERDICT r10 task 7, made structural: the driver's time-capped sample
-    walks queries() in map order, so every registry name WITHOUT a green
-    row in any committed CORRECTNESS_r*.json must precede every name WITH
-    one. The ordering is computed from those files at import time; this
-    asserts the computation against an independent re-read, so a stale
-    hand-rotated sample can never ship again."""
+    walks queries() in map order, so every registry name whose LATEST
+    committed CORRECTNESS row is not green must precede every name whose
+    latest row is. The confirmation set is re-derived here with independent
+    parsing logic, so a bug in registry.driver_confirmed cannot hide."""
     from horaedb_spark.queries.registry import _ordered, driver_confirmed
 
     confirmed = driver_confirmed()
+    assert confirmed == _confirmed_independent()
     order = list(_ordered())
     assert set(order) == set(QUERIES)
     seen_confirmed = False
@@ -60,6 +83,29 @@ def test_driver_order_puts_unconfirmed_first():
             assert not seen_confirmed, (
                 f"unconfirmed query {name!r} ordered after a driver-confirmed one"
             )
+
+
+def test_driver_confirmed_latest_row_wins(tmp_path):
+    """A query green in an old round but errored/mismatched in the newest
+    one has REGRESSED and must drop out of the confirmed set (the old
+    rotation's "promote any regression" rule, now structural)."""
+    import json
+
+    from horaedb_spark.queries.registry import driver_confirmed
+
+    g = {"rows_match": True, "schema_match": True, "hash_match": True,
+         "spark_rows": 1, "oracle_rows": 1, "err": None}
+    bad_hash = dict(g, hash_match=False)
+    errored = dict(g, err="boom")
+    rows_only = {"rows_match": True, "schema_match": True, "hash_match": None,
+                 "spark_rows": 1, "oracle_rows": 1, "err": None}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"a": g, "b": g, "c": g, "d": rows_only})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"a": bad_hash, "b": errored, "e": g})
+    )
+    assert driver_confirmed(root=tmp_path) == {"c", "d", "e"}
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
