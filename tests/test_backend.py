@@ -209,7 +209,7 @@ def test_concurrent_threaded_writers_and_snapshots(tmp_path, backend_cls):
     SSTs, zero lost deletes."""
     root = str(tmp_path / "mt")
     n_each = 40
-    errs: list[Exception] = []
+    errs: list[str] = []
 
     def writer(offset: int) -> None:
         try:
@@ -219,8 +219,13 @@ def test_concurrent_threaded_writers_and_snapshots(tmp_path, backend_cls):
             )
             for i in range(n_each):
                 m.update([_sst(offset + i)], [])
-        except Exception as e:  # surfaced below
-            errs.append(e)
+        except Exception:  # surfaced below — FULL traceback, not just the
+            # exception repr: this test flaked once in ~60 full-suite runs
+            # (fake_s3, 2026-08-16) and the bare message wasn't enough to
+            # localize which racing path raised
+            import traceback
+
+            errs.append(traceback.format_exc())
 
     t1 = threading.Thread(target=writer, args=(0,))
     t2 = threading.Thread(target=writer, args=(1000,))
