@@ -51,7 +51,7 @@ from __future__ import annotations
 
 import math
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -1129,6 +1129,34 @@ class PromQLCompiler:
                 ),
                 arg.at_ms,
             )
+        if fn in ("histogram_count", "histogram_sum", "histogram_avg"):
+            # Prometheus defines these over native-histogram samples; this
+            # engine's sample type is scalar, but the RFC multi-field
+            # catalog (20240827:106-113) stores the SAME information as the
+            # family's `sum` / `count` fields (ingest.group_metric_families
+            # folds `*_sum` / `*_count` series into one metric). The
+            # functions therefore route to the field: histogram_count(m) ==
+            # m{__field__="count"}, histogram_sum(m) == m{__field__="sum"},
+            # histogram_avg(m) == their series-matched ratio. A single-field
+            # engine (no field dimension) rejects the selection downstream
+            # with the standard non-default-field error.
+            sel = node.args[0]
+            if not isinstance(sel, Selector) or sel.range_ms is not None:
+                raise PromQLError(
+                    f"{fn} takes an instant vector selector argument"
+                )
+
+            def _field(fname: str) -> Selector:
+                kept = tuple(m for m in sel.matchers if m.key != "__field__")
+                return replace(
+                    sel, matchers=(*kept, Matcher("__field__", "=", fname))
+                )
+
+            if fn == "histogram_count":
+                return self._eval(_field("count"))
+            if fn == "histogram_sum":
+                return self._eval(_field("sum"))
+            return self._binop(BinOp("/", _field("sum"), _field("count")))
         raise PromQLError(f"unsupported function {fn!r}")
 
     @staticmethod

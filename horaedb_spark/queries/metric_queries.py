@@ -2434,3 +2434,75 @@ def promql_field_matcher(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_ms",
         (F.floor(F.col("value") * 1_000_000 + 0.5) / 1_000_000).alias("value"),
     ).orderBy("series_key", "ts_ms")
+
+
+@register(
+    "promql_histogram_family",
+    oracle=_MF_DEDUP_CTE
+    + f"""
+    , clicks AS (
+      SELECT field, user_label, cohort, ts_ms, value
+      FROM samples WHERE name = 'click'
+    ), bounds AS (
+      -- the compiler derives the step grid from the ENGINE's full data
+      -- range (all metrics, all fields), not the selected series
+      SELECT ((min(ts_ms) + {7 * DAY_MS - 1}) // {7 * DAY_MS}) * {7 * DAY_MS} AS lo,
+             (max(ts_ms) // {7 * DAY_MS}) * {7 * DAY_MS} AS hi
+      FROM samples
+    ), steps AS (
+      SELECT unnest(generate_series(lo, hi, {7 * DAY_MS})) AS step_ms FROM bounds
+    ), anchors AS (
+      SELECT field, user_label, cohort, step_ms
+      FROM (SELECT DISTINCT field, user_label, cohort FROM clicks)
+           CROSS JOIN steps
+    ), latest AS (
+      SELECT field, user_label, cohort, step_ms, value FROM (
+        SELECT a.field, a.user_label, a.cohort, a.step_ms, s.value,
+               row_number() OVER (
+                 PARTITION BY a.field, a.user_label, a.cohort, a.step_ms
+                 ORDER BY s.ts_ms DESC) AS rn
+        FROM anchors a
+        JOIN clicks s
+          ON a.field = s.field AND a.user_label = s.user_label
+         AND a.cohort = s.cohort
+         AND s.ts_ms <= a.step_ms AND s.ts_ms > a.step_ms - {3 * DAY_MS}
+      ) WHERE rn = 1
+    )
+    SELECT series_key, ts_ms, value FROM (
+      SELECT 'cohort=' || s.cohort || ',user=' || s.user_label AS series_key,
+             s.step_ms AS ts_ms,
+             floor(s.value / c.value * 1000000 + 0.5) / 1000000 AS value
+      FROM (SELECT * FROM latest WHERE field = 'sum') s
+      JOIN (SELECT * FROM latest WHERE field = 'count') c
+        ON s.user_label = c.user_label AND s.cohort = c.cohort
+       AND s.step_ms = c.step_ms
+      WHERE c.value != 0
+    ) ORDER BY series_key, ts_ms
+    """,
+)
+def promql_histogram_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``histogram_avg`` through the string path — the histogram-family
+    functions (histogram_avg / histogram_count / histogram_sum) routed to
+    the RFC multi-field catalog: Prometheus defines them over native
+    histograms, and this engine's classic equivalent is the family's
+    ``sum`` / ``count`` FIELDS (20240827:106-113), so the functions
+    rewrite the selector with ``__field__`` and histogram_avg is the
+    series-matched sum/count ratio. Evaluated at 7-day steps with a 3-day
+    staleness lookback; the oracle replays the per-field as-of grid and
+    the join. Non-finite ratios (a zero count sample) are excluded on
+    both sides."""
+    eng = _mf_engine(spark, sf_dir)
+    out = eng.promql(
+        "histogram_avg(click)", step_ms=7 * DAY_MS, lookback_ms=3 * DAY_MS
+    )
+    return (
+        out.filter(~F.isnan("value") & (F.abs("value") != float("inf")))
+        .select(
+            "series_key",
+            "ts_ms",
+            (F.floor(F.col("value") * 1_000_000 + 0.5) / 1_000_000).alias(
+                "value"
+            ),
+        )
+        .orderBy("series_key", "ts_ms")
+    )

@@ -95,6 +95,7 @@ _PRIORITY = (
     # round — the ordering recomputes from the committed reports).
     "metric_mirror_retention",
     "ann_pq_filtered_topk",
+    "promql_histogram_family",
     # Heavy compound surfaces the judge called out explicitly (VERDICT r10).
     "promql_fn_eval",
     "promql_recording_rules",

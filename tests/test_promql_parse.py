@@ -940,3 +940,42 @@ def test_histogram_fraction_degenerate_bounds(spark):
     assert {(r["series_key"], r["ts_ms"]) for r in inverted} == {
         (r["series_key"], r["ts_ms"]) for r in valid
     }
+
+
+def test_histogram_family_functions(spark):
+    """histogram_count/sum/avg route to the multi-field catalog's
+    count/sum FIELDS (the classic equivalent of Prometheus's native
+    histogram accessors): count/sum equal explicit __field__ selections,
+    avg is their series-matched ratio, an explicit __field__ matcher on
+    the argument is overridden (the function names the field), and the
+    usual error surfaces hold (range arg, non-selector arg, single-field
+    engine)."""
+    from horaedb_spark.queries.metric_queries import _mf_engine
+
+    eng = _mf_engine(spark, SF_DIR)
+    for fn, fld in (("histogram_count", "count"), ("histogram_sum", "sum")):
+        got = _rows(promql_eval(eng, f"{fn}(click)", 7 * DAY))
+        want = _rows(promql_eval(eng, f'click{{__field__="{fld}"}}', 7 * DAY))
+        assert got == want and got
+    # avg = sum / count, matched on (series, step)
+    avg = _rows(promql_eval(eng, "histogram_avg(click)", 7 * DAY))
+    ratio = _rows(
+        promql_eval(
+            eng,
+            'click{__field__="sum"} / click{__field__="count"}',
+            7 * DAY,
+        )
+    )
+    assert avg == ratio and avg
+    # the function names the field — a caller's __field__ matcher loses
+    over = _rows(
+        promql_eval(eng, 'histogram_count(click{__field__="sum"})', 7 * DAY)
+    )
+    assert over == _rows(promql_eval(eng, "histogram_count(click)", 7 * DAY))
+    with pytest.raises(PromQLError, match="instant vector selector"):
+        promql_eval(eng, "histogram_avg(click[1d])", 7 * DAY)
+    with pytest.raises(PromQLError, match="instant vector selector"):
+        promql_eval(eng, "histogram_sum(rate(click[1d]))", 7 * DAY)
+    single = _engine(spark, SF_DIR)  # no field dimension
+    with pytest.raises(PromQLError):
+        promql_eval(single, "histogram_count(click)", 7 * DAY)
