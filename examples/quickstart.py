@@ -231,6 +231,35 @@ def main() -> None:
     sel = meng.select_series("click")
     print("mirror-served click samples:", sel.count())
 
+    # -- 12. histogram accessor family (round 11) ----------------------------
+    #        histogram_count/sum/avg over a multi-field family: Prometheus
+    #        defines them on native histograms; here they route to the
+    #        family's count/sum FIELDS (histogram_avg = series-matched
+    #        sum/count ratio), reusing the section-8 engine
+    avg = promql_eval(feng, "histogram_avg(http_req)", 1000)
+    print("histogram_avg rows:", [(r.ts_ms, r.value) for r in avg.collect()])
+
+    # -- 13. retention: TTL expiry composed with the mirror (round 11) ------
+    #        expire old data segments; the compaction-driven mirror refresh
+    #        DROPS the expired catalog partitions, and rollups built before
+    #        expiry keep serving the history the raw table no longer holds
+    from horaedb_spark.storage.compaction import Compactor, SchedulerConfig
+
+    hi = ms.data.scan().agg(F.max("ts_ms")).first()[0]
+    cutoff = hi - hi % (15 * 86_400_000)
+    comp = Compactor(ms.data, SchedulerConfig(input_sst_min_num=999, ttl_ms=1))
+    for _ in range(16):
+        if all(s.time_range.end >= cutoff + 1 for s in ms.data.manifest.all_ssts()):
+            break
+        comp.run_once(now_ms=cutoff + 2)
+    print(
+        "after TTL: live segments:",
+        sorted({s.time_range.start - s.time_range.start % (15 * 86_400_000)
+                for s in ms.data.manifest.all_ssts()}),
+        "| mirror fresh:", ms.data.bucketed.is_fresh(),
+        "| served rows:", ms.engine().select_series("click").count(),
+    )
+
 
 if __name__ == "__main__":
     main()
