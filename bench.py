@@ -116,6 +116,13 @@ HEADLINE = [
     "ann_ivf_filtered_topk",
     "metric_mirror_time_range",
     "dedup_quality_representatives",
+    # round-11: the filtered family's PQ memory path and the histogram
+    # accessor family through the string front-end. metric_mirror_retention
+    # is deliberately NOT headline: its fixture is a full store build + TTL
+    # compaction loop per run (a maintenance scenario, not a query cost —
+    # it stays oracle-gated and in the driver correctness sample instead)
+    "ann_pq_filtered_topk",
+    "promql_histogram_family",
 ]
 
 
