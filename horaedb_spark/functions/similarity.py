@@ -636,7 +636,18 @@ def pq_ann_topk(
             for r in ivf_centroids(corpus, id_col, vec_col, num_codes).collect()
         )
     )
+    if centroids is not None and len(cent_rows) != num_codes:
+        raise ValueError(
+            f"precomputed codebook has {len(cent_rows)} centroids but "
+            f"num_codes={num_codes}; pass a matching num_codes (it is not "
+            "inferred) or the ADC code range silently diverges from encode"
+        )
     dim = len(cent_rows[0][1])
+    if dim % num_subspaces != 0:
+        raise ValueError(
+            f"vector dim {dim} is not divisible by num_subspaces={num_subspaces}; "
+            "trailing dimensions would be silently dropped from encode and ADC"
+        )
     ds = dim // num_subspaces
     C = np.array([cv for _, cv in cent_rows], dtype=np.int64)  # (K, dim)
     codebook = np.stack(

@@ -171,9 +171,12 @@ def driver_confirmed(root=None) -> set[str]:
     old rotation's "promote any regression" rule, kept). Rounds sort
     lexicographically (r01..r99 zero-padded).
 
-    Green = no error AND hash-matched against the DuckDB oracle (rows-only
-    match suffices for entries registered without an oracle, where the
-    driver records hash_match: null). Unreadable files are skipped: a
+    Green = no error AND hash-matched against the DuckDB oracle. A
+    hash_match of null (the driver's marker for an oracle comparison it
+    skipped or could not run) does NOT count: every registered query has an
+    oracle (pinned by tests/test_oracle.py::test_every_query_has_an_oracle),
+    so a null here means the comparison never happened and the query must
+    stay in the re-verification sample. Unreadable files are skipped: a
     missing/corrupt report must degrade to "re-verify everything", never to
     an import failure.
     """
@@ -190,10 +193,7 @@ def driver_confirmed(root=None) -> set[str]:
         for name, row in report.items():
             if not isinstance(row, dict):
                 continue
-            hm = row.get("hash_match")
-            status[name] = row.get("err") is None and (
-                hm is True or (hm is None and row.get("rows_match") is True)
-            )
+            status[name] = row.get("err") is None and row.get("hash_match") is True
     return {name for name, green in status.items() if green}
 
 

@@ -415,6 +415,35 @@ class BucketedMirror:
             for s in removed:
                 self._drop_partition(s)
                 stats["dropped"].append(int(s))
+            # The final meta write below is last-writer-wins (no CAS on the
+            # backend): a CONCURRENT refresh that ingested+mirrored a
+            # segment we never saw would have its digest clobbered, and the
+            # next refresh would redundantly rewrite an already-current
+            # partition (converges, no data loss — the rewrite re-derives
+            # from the manifest). Shrink that window: re-read the meta now
+            # and carry forward digests for segments we neither observed
+            # live nor just dropped — those can only have been written by a
+            # refresh that ran after our initial read, and its partition
+            # files are on disk (it appends before it writes meta). A race
+            # between THIS re-read and the put_text remains possible;
+            # serialized refreshes keep the strict metadata-no-op guarantee.
+            # NOT done on the full-rebuild path above: the rebuild rmtree'd
+            # the warehouse, so a concurrent segment's partition files are
+            # gone and preserving its digest would serve a hole as fresh.
+            try:
+                latest = json.loads(
+                    self.table.backend.read_text(self._meta_path)
+                )
+            except Exception:  # best-effort: missing/torn meta = no merge
+                latest = None
+            if (
+                isinstance(latest, dict)
+                and latest.get("spec") == self._spec_json()
+                and latest.get("schema") == self._schema_token()
+            ):
+                for s, dig in (latest.get("segments") or {}).items():
+                    if s not in live and s not in removed:
+                        live[s] = dig
         meta_out = self._meta_json(live)
         self.table.backend.put_text(self._meta_path, json.dumps(meta_out))
         self._stored_memo = meta_out

@@ -758,3 +758,47 @@ def test_refresh_does_not_drop_concurrent_writers_new_segment(spark, tmp_path):
     # and the genuine-removal path still works: expire nothing here, but
     # the no-op refresh must have left the meta covering both segments
     assert {int(s) for s in a.bucketed._stored()["segments"]} == {0, 1000}
+
+
+def test_refresh_meta_write_preserves_concurrent_refresh_digests(spark, tmp_path):
+    """ADVICE r11: the final meta write in refresh() is last-writer-wins
+    (no backend CAS), so a concurrent refresh's meta landing BETWEEN this
+    instance's initial meta read and its final put_text used to be
+    clobbered — the concurrent segment's digest vanished and the next
+    refresh redundantly rewrote an already-current partition. refresh()
+    now re-reads the meta just before writing and carries forward digests
+    for segments it neither observed live nor dropped. Simulated by
+    pinning instance a's _stored() to the PRE-b meta while the backend
+    holds b's newer one (exactly the in-flight-race interleaving)."""
+    import json
+
+    from horaedb_spark.core.timeutil import TimeRange
+    from horaedb_spark.storage.table import WriteRequest
+
+    a = _mk_table(spark, tmp_path, "bt_meta_race")
+    a.write(WriteRequest(_rows(spark, [(1, 100, 1.0)]), TimeRange(0, 1000)))
+    a.refresh_bucketed()
+    stale_meta = json.loads(a.backend.read_text(a.bucketed._meta_path))
+
+    # concurrent instance lands a NEW segment and refreshes: backend meta
+    # now covers {0, 1000}, but a's manifest never saw segment 1000
+    b = _mk_table(spark, tmp_path, "bt_meta_race")
+    b.write(WriteRequest(_rows(spark, [(9, 1500, 9.0)]), TimeRange(1000, 2000)))
+    b.refresh_bucketed()
+    assert {int(s) for s in b.bucketed._stored()["segments"]} == {0, 1000}
+
+    # simulate "b's meta write raced into a's refresh window": a's initial
+    # read returns the stale pre-b meta, the backend holds b's newer one
+    a.bucketed._stored = lambda: stale_meta
+    stats = a.refresh_bucketed()
+    del a.bucketed.__dict__["_stored"]
+    assert stats["dropped"] == [] and stats["overwritten"] == [], stats
+
+    # b's segment-1000 digest must have been carried forward, so b's next
+    # refresh stays a metadata no-op instead of a redundant rewrite
+    final = json.loads(a.backend.read_text(a.bucketed._meta_path))
+    assert {int(s) for s in final["segments"]} == {0, 1000}, final["segments"]
+    stats_b = b.refresh_bucketed()
+    assert stats_b["overwritten"] == [] and stats_b["dropped"] == [], stats_b
+    got = sorted((r.k, r.v) for r in b.bucketed_scan(auto_refresh=False).collect())
+    assert got == [(1, 1.0), (9, 9.0)]

@@ -56,9 +56,10 @@ def _confirmed_independent():
     for name, row in latest.items():
         if row.get("err") is not None:
             continue
+        # hash_match must be literally True: null marks a comparison the
+        # driver skipped (every registered query has an oracle, so a skip
+        # means unverified, not oracle-less).
         if row.get("hash_match") is True:
-            out.add(name)
-        elif row.get("hash_match") is None and row.get("rows_match") is True:
             out.add(name)
     return out
 
@@ -97,6 +98,9 @@ def test_driver_confirmed_latest_row_wins(tmp_path):
          "spark_rows": 1, "oracle_rows": 1, "err": None}
     bad_hash = dict(g, hash_match=False)
     errored = dict(g, err="boom")
+    # hash_match: null = driver skipped the oracle comparison. Since every
+    # registered query HAS an oracle, a skipped comparison must not confirm
+    # the query (ADVICE r11): "d" stays in the re-verification sample.
     rows_only = {"rows_match": True, "schema_match": True, "hash_match": None,
                  "spark_rows": 1, "oracle_rows": 1, "err": None}
     (tmp_path / "CORRECTNESS_r01.json").write_text(
@@ -105,7 +109,7 @@ def test_driver_confirmed_latest_row_wins(tmp_path):
     (tmp_path / "CORRECTNESS_r02.json").write_text(
         json.dumps({"a": bad_hash, "b": errored, "e": g})
     )
-    assert driver_confirmed(root=tmp_path) == {"c", "d", "e"}
+    assert driver_confirmed(root=tmp_path) == {"c", "e"}
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)

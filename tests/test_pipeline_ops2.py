@@ -280,3 +280,23 @@ def test_duplicated_span_stats_golden(spark):
     out = {r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
            for r in duplicated_span_stats(docs, "doc_id", "text").collect()}
     assert out == {1: (3, 2), 2: (3, 2), 3: (3, 0)}
+
+
+def test_pq_ann_topk_validates_codebook_shape(spark):
+    """ADVICE r11: a precomputed codebook whose size disagrees with
+    num_codes, or a vector dim not divisible by num_subspaces, used to be
+    silently accepted (truncating trailing dims in both encode and ADC)."""
+    import pytest
+
+    from horaedb_spark.functions.similarity import pq_ann_topk
+
+    corpus = spark.createDataFrame(
+        [(i, [i, i + 1, i + 2, i + 3]) for i in range(4)], ["id", "vec"]
+    )
+    cents = [(1, [0, 0, 0, 0]), (2, [9, 9, 9, 9])]
+    with pytest.raises(ValueError, match="num_codes"):
+        pq_ann_topk(corpus, corpus, "vec", "id", k=1, num_codes=16,
+                    num_subspaces=2, centroids=cents)
+    with pytest.raises(ValueError, match="divisible"):
+        pq_ann_topk(corpus, corpus, "vec", "id", k=1, num_codes=2,
+                    num_subspaces=3, centroids=cents)
