@@ -526,3 +526,78 @@ def duplicated_span_stats(
             6,
         ).alias("dup_fraction"),
     )
+
+
+def exact_substr_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_span: int = 10,
+    max_docs_per_shingle: int = 50,
+) -> DataFrame:
+    """Full-strength ExactSubstr (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better"): every maximal token span of length
+    ≥ ``min_span`` shared verbatim between two documents, reported as
+    per-pair stats (longest span, span count, total shared tokens). This is
+    the suffix-array operator re-expressed for Spark: instead of one global
+    suffix array, sort the corpus's stride-1 ``min_span``-token shingles and
+    EXTEND consecutive matches — two docs sharing an L-token span produce
+    L-min_span+1 shingle matches on one (pos_a - pos_b) diagonal with
+    consecutive pos_a, so a gaps-and-islands pass over (pair, diagonal)
+    recovers the maximal span exactly (length = run + min_span - 1). Unlike
+    duplicated_span_stats (the windowed ExactSubstr-lite, stride>1), spans
+    here are exact to the token: no granularity floor, no stride aliasing.
+
+    Scale shape: the shuffle is SHINGLE-sized, never pairwise-doc-sized —
+    one md5-keyed aggregate finds duplicated shingles, and the pair join
+    runs only inside duplicated-shingle groups, each capped at
+    ``max_docs_per_shingle`` distinct docs (boilerplate shingles shared by
+    more docs than the cap carry no pair-level signal and would alone
+    produce O(docs²) anchors — the same blocking-cap discipline as the LSH
+    band buckets). Anchors per group are bounded by cap², the island window
+    partitions by (pair, diagonal) — small, naturally parallel keys. Docs
+    shorter than ``min_span`` tokens emit nothing: sub-threshold spans are
+    not ExactSubstr matches by definition.
+
+    Reference parity: the reference has no span-level dedup (it is a
+    metrics/OLAP engine); this implements the training-pipeline operator
+    the brief's extension table names, with semantics pinned to the paper.
+    Output: (id_a, id_b, longest_shared_span, n_shared_spans,
+    shared_span_tokens), one row per unordered doc pair with id_a < id_b.
+    """
+    k = min_span
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                    lambda w: w != "")
+    n = F.size(toks)
+    hashes = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(hashes).alias("pos0", "h")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    dup_h = (
+        sh.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= max_docs_per_shingle))
+        .select("h")
+    )
+    shf = sh.join(dup_h, "h", "left_semi")
+    a = shf.select(F.col("doc_id").alias("id_a"), F.col("pos").alias("pos_a"), "h")
+    b = shf.select(F.col("doc_id").alias("id_b"), F.col("pos").alias("pos_b"), "h")
+    anch = a.join(b, "h").filter(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", "pos_a", (F.col("pos_a") - F.col("pos_b")).alias("diag")
+    )
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    runs = anch.withColumn("grp", F.col("pos_a") - F.row_number().over(w))
+    spans = runs.groupBy("id_a", "id_b", "diag", "grp").agg(
+        (F.count("*") + k - 1).alias("span_len")
+    )
+    return spans.groupBy("id_a", "id_b").agg(
+        F.max("span_len").alias("longest_shared_span"),
+        F.count("*").alias("n_shared_spans"),
+        F.sum("span_len").alias("shared_span_tokens"),
+    )

@@ -1206,3 +1206,91 @@ def dedup_quality_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("component")
     )
+
+
+@register(
+    "dedup_exact_substr",
+    # corpus: documents + half-copies (shared leading span, divergent tail)
+    # — the planted spans full-strength ExactSubstr must recover EXACTLY
+    # (token-precise lengths, unlike the windowed dedup_span_stats)
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_COPY_OFFSET},
+             array_to_string(
+               (string_split_regex(lower(text), '[^a-z0-9]+'))
+                 [1:greatest(len(string_split_regex(lower(text), '[^a-z0-9]+')) // 2, 1)],
+               ' ') || ' divergent tail entirely new words'
+      FROM documents WHERE doc_id % 5 = 0
+    ), toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         w -> w != '') AS t
+      FROM corpus
+    ), sh AS (
+      SELECT doc_id, u.pos AS pos, u.h AS h
+      FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(t) >= 10
+                      THEN [{{'pos': i, 'h': md5(array_to_string(t[i:i+9], ' '))}}
+                            FOR i IN generate_series(1, len(t) - 9)]
+                      ELSE [] END) AS u
+        FROM toks
+      )
+    ), freq AS (
+      SELECT h FROM sh GROUP BY h
+      HAVING count(DISTINCT doc_id) BETWEEN 2 AND 50
+    ), shf AS (
+      SELECT sh.doc_id, sh.pos, sh.h FROM sh JOIN freq USING (h)
+    ), anch AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a,
+             a.pos - b.pos AS diag
+      FROM shf a JOIN shf b USING (h)
+      WHERE a.doc_id < b.doc_id
+    ), runs AS (
+      SELECT id_a, id_b, diag, pos_a,
+             pos_a - row_number()
+               OVER (PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS grp
+      FROM anch
+    ), spans AS (
+      SELECT id_a, id_b, count(*) + 9 AS span_len
+      FROM runs GROUP BY id_a, id_b, diag, grp
+    )
+    SELECT id_a, id_b,
+           CAST(max(span_len) AS BIGINT) AS longest_shared_span,
+           count(*) AS n_shared_spans,
+           CAST(sum(span_len) AS BIGINT) AS shared_span_tokens
+    FROM spans GROUP BY id_a, id_b ORDER BY id_a, id_b
+    """,
+)
+def dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-strength ExactSubstr: token-exact maximal shared spans per doc
+    pair via sorted stride-1 shingles + diagonal run extension (the Spark
+    suffix-array equivalent — see functions.dedup.exact_substr_spans). The
+    planted corpus copies each 5th document's first half verbatim with a
+    divergent tail; the operator must report the shared span at its EXACT
+    token length (half the doc), where the windowed dedup_span_stats can
+    only localize it to a stride-10 window. Also surfaces the generator's
+    own verbatim cross-doc repeats (spans up to ~95 tokens at sf0.001).
+
+    100 TB shape: shuffle is shingle-sized (one md5 aggregate + a join
+    inside duplicated-shingle groups capped at 50 docs); no doc-pair
+    cross join anywhere; the island window partitions on (pair, diagonal)
+    — many small keys, no global window."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda w: w != ""
+    )
+    half = F.concat_ws(
+        " ",
+        F.slice(toks, 1, F.greatest((F.size(toks) / 2).cast("int"), F.lit(1))),
+    )
+    copies = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+        F.concat(half, F.lit(" divergent tail entirely new words")).alias("text"),
+    )
+    corpus = docs.unionByName(copies)
+    return DD.exact_substr_spans(
+        corpus, "doc_id", "text", min_span=10, max_docs_per_shingle=50
+    ).orderBy("id_a", "id_b")

@@ -300,3 +300,49 @@ def test_pq_ann_topk_validates_codebook_shape(spark):
     with pytest.raises(ValueError, match="divisible"):
         pq_ann_topk(corpus, corpus, "vec", "id", k=1, num_codes=2,
                     num_subspaces=3, centroids=cents)
+
+
+def test_exact_substr_spans_hand_computed(spark):
+    """Token-exact semantics on a hand-built corpus: a 6-token span shared
+    at different offsets (diagonal extension), a doc shorter than min_span
+    (emits nothing), and two separate shared spans in one pair."""
+    from horaedb_spark.functions.dedup import exact_substr_spans
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+    other = "one two three four five six seven"  # 7 tokens, second span
+    docs = spark.createDataFrame(
+        [
+            (1, f"x y z {shared} p q r {other}"),
+            (2, f"{shared} a b c d e f g h i j {other} k"),
+            (3, "tiny doc"),  # < min_span tokens: no shingles at all
+        ],
+        ["doc_id", "text"],
+    )
+    out = exact_substr_spans(docs, "doc_id", "text", min_span=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    # two maximal spans: 6 tokens and 7 tokens; longest = 7, total = 13
+    assert r.longest_shared_span == 7
+    assert r.n_shared_spans == 2
+    assert r.shared_span_tokens == 13
+
+
+def test_exact_substr_shingle_cap_blocks_boilerplate(spark):
+    """A shingle shared by more docs than max_docs_per_shingle carries no
+    pair signal (the blocking cap that keeps the anchor join from going
+    O(docs²) on boilerplate)."""
+    from horaedb_spark.functions.dedup import exact_substr_spans
+
+    boiler = "this license text appears in every single document verbatim"
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} says {boiler}") for i in range(5)], ["doc_id", "text"]
+    )
+    capped = exact_substr_spans(
+        docs, "doc_id", "text", min_span=4, max_docs_per_shingle=3
+    )
+    assert capped.count() == 0
+    uncapped = exact_substr_spans(
+        docs, "doc_id", "text", min_span=4, max_docs_per_shingle=50
+    )
+    assert uncapped.count() == 10  # all C(5,2) pairs share the span
