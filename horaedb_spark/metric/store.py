@@ -388,6 +388,19 @@ class MetricStore:
         # the series-size optimizer pass once, not per query; ingest()
         # clears it
         eng._series_broadcast_memo = self._series_bcast_memo
+        # Live serving-version source for response caches (server.py
+        # _serving_version): a tuple of the backing tables' manifest
+        # mutation counters. Any ingest bumps at least one, so a cache
+        # keyed on this recomputes after writes — necessary because a
+        # mirror-backed engine's catalog scan re-resolves files per action
+        # (data CAN change under a long-lived engine object).
+        eng._version_fn = lambda: (
+            id(self),
+            self.data.manifest.mutations,
+            self.series.manifest.mutations,
+            self.metrics.manifest.mutations,
+            self.index.manifest.mutations,
+        )
         eng.metrics = self.metrics.scan(ScanRequest(ordered=False))
         eng.series = self.series.scan(ScanRequest(ordered=False))
         eng.index = self.index.scan(ScanRequest(ordered=False))

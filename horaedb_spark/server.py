@@ -88,6 +88,7 @@ class ControlServer:
         metric_engine=None,
         write_table=None,
         rules=None,
+        query_cache_size: int = 256,
     ) -> None:
         self.compactor = compactor
         self.toggle = toggle or WriteToggle()
@@ -122,6 +123,20 @@ class ControlServer:
         # attached, the query endpoints serve the WRITTEN samples — the
         # full Prometheus loop (write -> query) over one process.
         self.write_table = write_table
+        # Bounded LRU cache of READY query_range response payloads, keyed on
+        # the full parsed request (query, step, start, end, lookback, limit)
+        # PLUS the serving store's mutation version (VERDICT r11 task 4 —
+        # the read RFC's repeated-evaluation pattern,
+        # docs/rfcs/20220702-prometheus-read-extension.md:84-99): a repeated
+        # dashboard query skips PromQL recompile AND the collect job
+        # entirely, and any ingest bumps the manifest mutation counter so
+        # the next request recomputes — invalidation is by key, never by
+        # clock. Payload dicts are treated as immutable after insert, so a
+        # hit is byte-equal to the miss that populated it. Size 0 disables.
+        self.query_cache_size = query_cache_size
+        self._qr_cache: collections.OrderedDict = collections.OrderedDict()
+        self._qr_lock = threading.Lock()
+        self.query_cache_stats = {"hits": 0, "misses": 0}
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -312,6 +327,18 @@ class ControlServer:
                         lookback_ms = _lookback_ms(
                             q.get("lookback_delta", [None])[0], step_ms
                         )
+                        cap = min(int(q.get("limit", ["10000"])[0]), 100_000)
+                        # repeated-dashboard-query fast path: same request
+                        # against the same store version skips compile AND
+                        # collect (see query_cache comment in __init__)
+                        cache_key = (
+                            query, step_ms, start_ms, end_ms, lookback_ms,
+                            cap, outer._serving_version(),
+                        )
+                        hit = outer._qr_cache_get(cache_key)
+                        if hit is not None:
+                            self._reply(hit)
+                            return
                         df = PromQLCompiler(
                             eng,
                             step_ms,
@@ -334,7 +361,6 @@ class ControlServer:
                                 F.col("ts_ms")
                                 <= int(float(q["end"][0]) * 1000)
                             )
-                        cap = min(int(q.get("limit", ["10000"])[0]), 100_000)
                         rows = (
                             df.orderBy("series_key", "ts_ms").limit(cap).collect()
                         )
@@ -360,12 +386,12 @@ class ControlServer:
                         }
                         for key, vals in sorted(series.items())
                     ]
-                    self._reply(
-                        {
-                            "status": "success",
-                            "data": {"resultType": "matrix", "result": result},
-                        }
-                    )
+                    payload = {
+                        "status": "success",
+                        "data": {"resultType": "matrix", "result": result},
+                    }
+                    outer._qr_cache_put(cache_key, payload)
+                    self._reply(payload)
                 elif self.path.startswith("/api/v1/fields"):
                     # Multi-field catalog listing (RFC 20240827:106-113):
                     # the (field_name, field_type) rows of one metric — the
@@ -1018,6 +1044,46 @@ class ControlServer:
     @property
     def port(self) -> int:
         return self._httpd.server_address[1]
+
+    def _serving_version(self):
+        """Cache-key component identifying WHAT data the read API would
+        serve right now. Store-backed engines (MetricStore.engine) carry a
+        live ``_version_fn`` reading the backing tables' manifest mutation
+        counters — an ingest bumps them, so cached responses stop matching
+        and the next request recomputes (mirror-backed engines re-resolve
+        catalog files per action, so data CAN change under a long-lived
+        engine). A plain in-memory MetricEngine has no version source; its
+        frames are immutable by construction, so identity is the version.
+        Remote-write mode keys on the sink table's mutation counter."""
+        if self.metric_engine is not None:
+            vf = getattr(self.metric_engine, "_version_fn", None)
+            if vf is not None:
+                return ("store", *vf())
+            return ("eng", id(self.metric_engine))
+        if self.write_table is not None:
+            return ("wt", self.write_table.manifest.mutations)
+        return None
+
+    def _qr_cache_get(self, key):
+        if self.query_cache_size <= 0:
+            return None
+        with self._qr_lock:
+            payload = self._qr_cache.get(key)
+            if payload is not None:
+                self._qr_cache.move_to_end(key)
+                self.query_cache_stats["hits"] += 1
+            else:
+                self.query_cache_stats["misses"] += 1
+            return payload
+
+    def _qr_cache_put(self, key, payload) -> None:
+        if self.query_cache_size <= 0:
+            return
+        with self._qr_lock:
+            self._qr_cache[key] = payload
+            self._qr_cache.move_to_end(key)
+            while len(self._qr_cache) > self.query_cache_size:
+                self._qr_cache.popitem(last=False)
 
     def _query_engine(self):
         """The engine the read API serves: the attached static engine, or

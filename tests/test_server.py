@@ -867,3 +867,69 @@ def test_scan_endpoint_concurrency_gate(spark, tmp_path):
         assert _get(srv.port, "/scan?limit=5")["n"] == 1
     finally:
         srv.stop()
+
+
+def test_query_range_cache_repeats_and_invalidates_on_ingest(spark, tmp_path):
+    """VERDICT r11 task 4: the query_range response cache. A repeated
+    request is served from the LRU (no recompile, no collect) BYTE-equal
+    to both its first computation and a cache-disabled server's response;
+    an ingest bumps the sink manifest's mutation counter, which is part of
+    the cache key, so the next request recomputes and reflects the write
+    (invalidation-on-ingest, never by clock)."""
+    from horaedb_spark.metric.rules import rules_table_schema
+
+    DAY = 86_400_000
+    sink = ColumnarTable(
+        spark, str(tmp_path / "qc"), rules_table_schema(), 365 * DAY
+    )
+    mk = lambda rows: spark.createDataFrame(
+        rows, "name string, series_key string, ts_ms long, value double"
+    )
+    sink.write(
+        WriteRequest(
+            mk([("click", "host=a", i * DAY, float(i)) for i in (1, 2, 3)]),
+            TimeRange(0, 365 * DAY),
+        )
+    )
+    srv = ControlServer(Compactor(sink, SchedulerConfig()), write_table=sink)
+    srv_nc = ControlServer(
+        Compactor(sink, SchedulerConfig()), write_table=sink, query_cache_size=0
+    )
+    srv.start()
+    srv_nc.start()
+    path = "/api/v1/query_range?query=click&step=1d"
+    try:
+        fetch = lambda s: urllib.request.urlopen(
+            f"http://127.0.0.1:{s.port}{path}", timeout=60
+        ).read()
+        r1 = fetch(srv)
+        assert srv.query_cache_stats == {"hits": 0, "misses": 1}
+        r2 = fetch(srv)
+        assert srv.query_cache_stats == {"hits": 1, "misses": 1}
+        assert r2 == r1  # hit is byte-equal to the miss that populated it
+        assert fetch(srv_nc) == r1  # and to an uncached server's compute
+        assert srv_nc.query_cache_stats == {"hits": 0, "misses": 0}
+
+        # OVERWRITE the ts=1d point (same PK, last write wins): the sink
+        # manifest mutation counter bumps, so the cached entry's key no
+        # longer matches — next request recomputes and serves the new value
+        sink.write(
+            WriteRequest(
+                mk([("click", "host=a", DAY, 101.0)]), TimeRange(0, 365 * DAY)
+            )
+        )
+        r3 = fetch(srv)
+        assert srv.query_cache_stats == {"hits": 1, "misses": 2}
+        assert r3 != r1
+        vals = {
+            float(v)
+            for s in json.loads(r3)["data"]["result"]
+            for _ts, v in s["values"]
+        }
+        assert 101.0 in vals and 1.0 not in vals, vals
+        # and the new version is itself cacheable
+        assert fetch(srv) == r3
+        assert srv.query_cache_stats == {"hits": 2, "misses": 2}
+    finally:
+        srv.stop()
+        srv_nc.stop()
