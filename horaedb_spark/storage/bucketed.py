@@ -61,6 +61,21 @@ from pyspark.sql import DataFrame
 from horaedb_spark.core.timeutil import TimeRange, truncate_by
 
 
+def _is_missing_file_error(e: Exception) -> bool:
+    """True when a Spark failure is a vanished-input race: a concurrent
+    instance's compaction/TTL pass physically deleted an SST between our
+    manifest sync and the read (PATH_NOT_FOUND at analysis when the eager
+    parquet resolution lists the path, FileNotFoundException at task time
+    when a running job opens it)."""
+    msg = str(e)
+    return (
+        "PATH_NOT_FOUND" in msg
+        or "Path does not exist" in msg
+        or "FileNotFoundException" in msg
+        or "FILE_NOT_EXIST" in msg
+    )
+
+
 @dataclass(frozen=True)
 class BucketSpec:
     """num_buckets hash buckets on ``columns`` (the join/dedup key — usually
@@ -375,43 +390,57 @@ class BucketedMirror:
             )
             stats["rebuilt"] = True
         else:
-            changed = sorted(
-                (s for s in live if stored.get(s) != live[s]), key=int
-            )
-            removed = sorted((s for s in stored if s not in live), key=int)
-            if removed:
-                # A segment in the stored meta but not in OUR manifest view
-                # may simply be one a CONCURRENT writer ingested after our
-                # last log sync (its meta write raced ahead of us) — the
-                # meta re-read above makes that visible, and dropping it
-                # would delete live rows from the mirror while the other
-                # instance still reports fresh. Before trusting a removal,
-                # re-sync the manifest from the durable log: a genuinely
-                # deleted segment (TTL, compaction) stays absent; a
-                # concurrent ingest shows up and moves to the changed set.
-                # Only paid when a drop is pending — never in steady state.
+            def _diff():
+                lv = self._live_digests()
+                ch = sorted((s for s in lv if stored.get(s) != lv[s]), key=int)
+                rm = sorted((s for s in stored if s not in lv), key=int)
+                return lv, ch, rm
+
+            live, changed, removed = _diff()
+            if changed or removed:
+                # ANY pending work means our memoized manifest view may be
+                # behind the durable log, in BOTH directions. A segment in
+                # the stored meta but absent from our view may be one a
+                # CONCURRENT writer ingested after our last sync (dropping
+                # it would delete live rows, r11 fix); and a segment our
+                # STALE view still lists may have been TTL-expired by
+                # another instance whose compactor already physically
+                # deleted the SSTs (rewriting from that view fails on the
+                # missing files — found by the r12 interleaving soak). One
+                # log re-read before launching write jobs is free by
+                # comparison; steady-state no-op refreshes never pay it.
                 self.table.manifest._refresh()
-                live = self._live_digests()
-                changed = sorted(
-                    (s for s in live if stored.get(s) != live[s]), key=int
-                )
-                removed = sorted(
-                    (s for s in stored if s not in live), key=int
-                )
-            if changed:
-                up = self._segments_frame([int(s) for s in changed])
-                # insertInto is POSITION-based: align to the catalog order
-                up = up.select(*spark.table(self.name).columns)
-                # DROP the changed partitions first, then APPEND the fresh
-                # merged rows — NOT dynamic partition overwrite, which only
-                # touches partitions PRESENT in the incoming data: a segment
-                # whose merged state became EMPTY (every row tombstoned by a
-                # DELETE) would keep serving its stale rows (caught by
-                # test_bucketed_mirror_tracks_dml_and_random_ops).
-                for s in changed:
-                    self._drop_partition(s)
-                up.write.mode("append").insertInto(self.name)
-                stats["overwritten"] = [int(s) for s in changed]
+                live, changed, removed = _diff()
+            for attempt in (0, 1):
+                try:
+                    if changed:
+                        up = self._segments_frame([int(s) for s in changed])
+                        # insertInto is POSITION-based: align to catalog order
+                        up = up.select(*spark.table(self.name).columns)
+                        # DROP the changed partitions first, then APPEND the
+                        # fresh merged rows — NOT dynamic partition
+                        # overwrite, which only touches partitions PRESENT
+                        # in the incoming data: a segment whose merged state
+                        # became EMPTY (every row tombstoned by a DELETE)
+                        # would keep serving its stale rows (caught by
+                        # test_bucketed_mirror_tracks_dml_and_random_ops).
+                        for s in changed:
+                            self._drop_partition(s)
+                        up.write.mode("append").insertInto(self.name)
+                        stats["overwritten"] = [int(s) for s in changed]
+                    break
+                except Exception as e:  # noqa: BLE001 — filtered below
+                    if attempt or not _is_missing_file_error(e):
+                        raise
+                    # TOCTOU tail of the staleness window: another instance
+                    # physically deleted an SST between our re-sync and the
+                    # scan job (swap-before-delete publishes the manifest
+                    # removal FIRST, so the durable log already agrees).
+                    # Re-sync and retry once from the fresh view; a dropped
+                    # partition whose append died re-enters `changed`
+                    # (stored digest still differs) and is rebuilt.
+                    self.table.manifest._refresh()
+                    live, changed, removed = _diff()
             for s in removed:
                 self._drop_partition(s)
                 stats["dropped"].append(int(s))

@@ -44,6 +44,12 @@ SNAP_PREFIX = "snapshot-"
 DELTA_PREFIX = "delta-"
 
 
+class _SnapshotRace(Exception):
+    """A concurrent fold published a newer snapshot while we were reading
+    the log — our snapshot-base + delta-list view may straddle its GC.
+    Internal retry signal for _load_log, never user-visible."""
+
+
 class ManifestBackpressure(RuntimeError):
     """Raised when the delta count exceeds the hard threshold (mod.rs:258-262)."""
 
@@ -211,14 +217,16 @@ class Manifest:
 
     def _load_log(self) -> tuple[dict[int, SstFile], int, int]:
         """Read snapshot + deltas into a fresh view, retrying when a
-        concurrent snapshot fold deletes an object between LIST and GET
-        (its content is in the newer snapshot the retry picks up). Returns
-        (ssts, folded_through, next_delta_id)."""
+        concurrent snapshot fold perturbs the window: an object deleted
+        between LIST and GET (FileNotFoundError — its content is in the
+        newer snapshot the retry picks up), or a newer snapshot published
+        mid-read (_SnapshotRace — see _load_log_once's closing check).
+        Returns (ssts, folded_through, next_delta_id)."""
         last_err: Exception | None = None
         for _attempt in range(50):
             try:
                 return self._load_log_once()
-            except FileNotFoundError as e:
+            except (FileNotFoundError, _SnapshotRace) as e:
                 last_err = e
         raise last_err  # pragma: no cover — 50 racing folds in a row
 
@@ -258,6 +266,30 @@ class Manifest:
                 ssts[sst.file_id] = sst
             for fid in delta.get("to_deletes", []):
                 ssts.pop(fid, None)
+        # CLOSING CONSISTENCY CHECK (root cause of the one-in-hundreds lost
+        # SST, round 12): the snapshot LIST above and the delta LIST are
+        # not atomic. A concurrent fold that published a newer snapshot AND
+        # garbage-collected its folded deltas INSIDE our window leaves a
+        # clean hole — the GC'd deltas simply don't appear in our delta
+        # list (no FileNotFoundError fires), while a surviving higher delta
+        # advances applied_max past them, so a fold built from this view
+        # would publish a snapshot silently missing their content. Detect
+        # it: if the latest snapshot name changed since we chose our base,
+        # the window was dirty — retry from the new snapshot, which folds
+        # everything the GC removed. Sound because snapshot names strictly
+        # grow along the fold chain and keep-last-2 GC can only delete a
+        # snapshot when two larger-named ones exist, so any fold that GC'd
+        # a delta above our base leaves behind a snapshot newer than our
+        # base for this re-list to observe.
+        snaps_after = self._snapshot_files()
+        if (snaps_after[-1] if snaps_after else None) != (
+            snaps[-1] if snaps else None
+        ):
+            raise _SnapshotRace(
+                f"snapshot advanced during log read: "
+                f"{snaps[-1] if snaps else None} -> "
+                f"{snaps_after[-1] if snaps_after else None}"
+            )
         return ssts, folded, next_id, applied_max
 
     def _recover(self) -> None:

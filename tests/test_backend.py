@@ -500,3 +500,68 @@ def test_s3_backend_conditional_put_retries_409_conflict():
     b2 = S3Backend("bkt", client=c2)
     assert b2.put_if_absent("s3://bkt/k2", "lost") is False  # definitive 412
     assert c2.store["k2"] == b"other"
+
+
+def test_load_log_detects_snapshot_fold_race(tmp_path):
+    """Root cause of the one-in-hundreds lost-SST flake (round 12): the
+    snapshot LIST and delta LIST inside _load_log_once are not atomic. A
+    concurrent fold that publishes a newer snapshot AND garbage-collects
+    its folded deltas inside the reader's window leaves a CLEAN hole: the
+    GC'd deltas never appear in the delta list (no FileNotFoundError), a
+    surviving higher delta advances applied_max past them, and a fold
+    built from that view publishes a snapshot silently missing their
+    content. Simulated deterministically with a backend whose FIRST
+    snapshot-dir list is stale (pre-publish) while the delta dir already
+    reflects the post-GC truth; the closing re-list must detect the
+    advance and retry from the new snapshot."""
+    import json as _json
+
+    from horaedb_spark.storage.manifest import (
+        DELTA_PREFIX,
+        SNAP_PREFIX,
+    )
+
+    root = str(tmp_path / "race")
+    mdir = os.path.join(root, "manifest")
+    ddir = os.path.join(mdir, "delta")
+    os.makedirs(ddir)
+
+    def snap(folded: int, ids: range) -> None:
+        payload = {"ssts": [_sst(i).to_json() for i in ids],
+                   "folded_through": folded}
+        name = f"{SNAP_PREFIX}{folded + 1:012d}.json"
+        with open(os.path.join(mdir, name), "w") as f:
+            f.write(_json.dumps(payload))
+
+    def delta(did: int) -> None:
+        payload = {"to_adds": [_sst(did).to_json()], "to_deletes": []}
+        with open(os.path.join(ddir, f"{DELTA_PREFIX}{did:012d}"), "w") as f:
+            f.write(_json.dumps(payload))
+
+    # durable truth: old snap-2 {0,1}, new snap-31 {0..30} whose fold GC'd
+    # deltas 2..19; deltas 20..35 retained/new
+    snap(1, range(0, 2))
+    snap(30, range(0, 31))
+    for d in range(20, 36):
+        delta(d)
+
+    stale_name = f"{SNAP_PREFIX}{31:012d}.json"
+
+    class StaleListBackend(PosixBackend):
+        """First list of the manifest dir predates snap-31's publish."""
+
+        def __init__(self):
+            self.stale_lists_left = 1
+
+        def list_dir(self, path):
+            names = super().list_dir(path)
+            if path == mdir and self.stale_lists_left > 0:
+                self.stale_lists_left -= 1
+                return [n for n in names if n != stale_name]
+            return names
+
+    m = Manifest(root, backend=StaleListBackend(), background_fold=False)
+    got = {s.file_id for s in m.all_ssts()}
+    assert got == set(range(0, 36)), (
+        f"stale-window read lost {sorted(set(range(36)) - got)}"
+    )

@@ -802,3 +802,96 @@ def test_refresh_meta_write_preserves_concurrent_refresh_digests(spark, tmp_path
     assert stats_b["overwritten"] == [] and stats_b["dropped"] == [], stats_b
     got = sorted((r.k, r.v) for r in b.bucketed_scan(auto_refresh=False).collect())
     assert got == [(1, 1.0), (9, 9.0)]
+
+
+@pytest.mark.slow
+def test_mirror_multiwriter_ttl_interleaving_soak(spark, tmp_path):
+    """VERDICT r11 task 3: randomized interleavings of TWO table instances
+    over one root — writes into random segments, manifest resyncs, mirror
+    refreshes, and TTL compaction dropping old segments — generalizing the
+    hand-built r11 regression (a concurrent writer's segment classified as
+    removed) into a soak. After every mirror-changing step the acting
+    instance's mirror must serve EXACTLY its merge-on-read state: no lost
+    partition (rows missing from the mirror) and no double-served
+    partition (rows appended without the matching drop). Deterministic
+    seed; N via SOAK_INTERLEAVINGS (default 100)."""
+    import os
+    import random
+
+    from horaedb_spark.storage.compaction import Compactor, SchedulerConfig
+
+    n_rounds = int(os.environ.get("SOAK_INTERLEAVINGS", "100"))
+    rng = random.Random(0xC0FFEE)
+    a = _mk_table(spark, tmp_path, "bt_soak_ttl")
+    b = _mk_table(spark, tmp_path, "bt_soak_ttl")
+    tables = [a, b]
+    next_k = [0]
+    lo_seg = [0]  # TTL cutoff floor: segments below never get new writes
+    hi_seg = [3]
+
+    def do_write(x) -> None:
+        seg = rng.randint(lo_seg[0], hi_seg[0])
+        k = next_k[0]
+        next_k[0] += 1
+        from horaedb_spark.core.timeutil import TimeRange
+        from horaedb_spark.storage.table import WriteRequest
+
+        x.write(
+            WriteRequest(
+                _rows(spark, [(k, seg * 1000 + rng.randint(0, 999), float(k))]),
+                TimeRange(seg * 1000, (seg + 1) * 1000),
+            )
+        )
+
+    def check(x) -> None:
+        if not x.bucketed.is_fresh():
+            x.refresh_bucketed()
+        got = sorted((r.k, r.ts_ms, r.v) for r in
+                     x.bucketed_scan(auto_refresh=False).collect())
+        want = sorted((r.k, r.ts_ms, r.v) for r in x.scan().collect())
+        assert got == want, (
+            f"mirror/scan divergence: {len(got)} mirror rows vs "
+            f"{len(want)} scanned; extra={set(got)-set(want)} "
+            f"missing={set(want)-set(got)}"
+        )
+
+    do_write(a)
+    a.refresh_bucketed()
+    for rnd in range(n_rounds):
+        op = rng.choice(["write", "write", "write", "resync", "refresh", "ttl"])
+        x = tables[rng.randrange(2)]
+        if op == "write":
+            do_write(x)
+            # writes advance the live window so TTL always has a tail
+            if rng.random() < 0.3:
+                hi_seg[0] += 1
+        elif op == "resync":
+            x.manifest._refresh()
+        elif op == "refresh":
+            x.refresh_bucketed()
+            check(x)
+        else:  # TTL: expire everything below the acting instance's newest
+            ssts = list(x.manifest.all_ssts())
+            if not ssts:
+                continue
+            cutoff = max(s.time_range.end for s in ssts) - 1000
+            if cutoff <= lo_seg[0] * 1000:
+                continue
+            lo_seg[0] = cutoff // 1000  # no future writes below the cutoff
+            comp = Compactor(
+                x, SchedulerConfig(input_sst_min_num=999, ttl_ms=1)
+            )
+            for _ in range(8):
+                if all(s.time_range.end >= cutoff + 1
+                       for s in x.manifest.all_ssts()):
+                    break
+                comp.run_once(now_ms=cutoff + 2)
+            check(x)
+    # final: both instances fully synced must converge to identical state
+    for x in tables:
+        x.manifest._refresh()
+        x.refresh_bucketed()
+        check(x)
+    sa = sorted((r.k, r.ts_ms, r.v) for r in a.scan().collect())
+    sb = sorted((r.k, r.ts_ms, r.v) for r in b.scan().collect())
+    assert sa == sb
