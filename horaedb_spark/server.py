@@ -229,6 +229,21 @@ class ControlServer:
                         lookback_ms = _lookback_ms(
                             q.get("lookback_delta", [None])[0], step_ms
                         )
+                        cap = min(int(q.get("limit", ["10000"])[0]), 100_000)
+                        # same repeated-query cache as query_range, keyed on
+                        # the RAW time param: when `time` is absent the
+                        # default latest-step lookup is itself a Spark job,
+                        # and with an unchanged store version its result is
+                        # deterministic — a hit skips that job too
+                        cache_key = (
+                            "instant", query, step_ms,
+                            q.get("time", [None])[0], lookback_ms, cap,
+                            outer._serving_version(),
+                        )
+                        hit = outer._qr_cache_get(cache_key)
+                        if hit is not None:
+                            self._reply(hit)
+                            return
                         if "time" in q:
                             t_ms = int(float(q["time"][0]) * 1000)
                             at_ms = t_ms - t_ms % step_ms
@@ -245,7 +260,6 @@ class ControlServer:
                         ).compile(query)
                         from pyspark.sql import functions as F
 
-                        cap = min(int(q.get("limit", ["10000"])[0]), 100_000)
                         rows = (
                             df.filter(F.col("ts_ms") == at_ms)
                             .orderBy("series_key")
@@ -269,12 +283,12 @@ class ControlServer:
                         }
                         for r in rows
                     ]
-                    self._reply(
-                        {
-                            "status": "success",
-                            "data": {"resultType": "vector", "result": result},
-                        }
-                    )
+                    payload = {
+                        "status": "success",
+                        "data": {"resultType": "vector", "result": result},
+                    }
+                    outer._qr_cache_put(cache_key, payload)
+                    self._reply(payload)
                 elif self.path.startswith("/api/v1/query_range"):
                     # Prometheus HTTP API shape: ?query=<promql>&step=<dur>
                     # [&start=<s>&end=<s>] — start/end are unix SECONDS
@@ -332,8 +346,8 @@ class ControlServer:
                         # against the same store version skips compile AND
                         # collect (see query_cache comment in __init__)
                         cache_key = (
-                            query, step_ms, start_ms, end_ms, lookback_ms,
-                            cap, outer._serving_version(),
+                            "range", query, step_ms, start_ms, end_ms,
+                            lookback_ms, cap, outer._serving_version(),
                         )
                         hit = outer._qr_cache_get(cache_key)
                         if hit is not None:

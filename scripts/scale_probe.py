@@ -73,7 +73,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
-    ap.add_argument("--probe", default="scale", choices=("scale", "mirror"))
+    ap.add_argument(
+        "--probe", default="scale", choices=("scale", "mirror", "ann_filtered")
+    )
     ap.add_argument("--segments", type=int, default=120)
     args = ap.parse_args()
     spark = get_spark(app_name="scale_probe")
@@ -81,6 +83,14 @@ def main() -> None:
     if args.probe == "mirror":
         out = mirror_restart_probe(spark, n_segments=args.segments)
         print(json.dumps({"probe": "mirror_restart", **out}))
+        return
+    if args.probe == "ann_filtered":
+        out = ann_filtered_probe(spark, args.sf, args.mult)
+        print(
+            json.dumps(
+                {"probe": "ann_filtered_scaling", "mult": args.mult, "ops": out}
+            )
+        )
         return
 
     base = tempfile.mkdtemp(prefix="scale_probe_")
@@ -283,6 +293,96 @@ def main() -> None:
     out["viral_minhash"] = viral_minhash_probe(spark, docs1, docsN, args.mult)
     print(f"# viral_minhash: {out['viral_minhash']}", file=sys.stderr)
     print(json.dumps({"probe": "data_scaling", "mult": args.mult, "ops": out}))
+
+
+def ann_filtered_probe(spark, sf_dir: str, mult: int) -> dict:
+    """VERDICT r11 task 5: the 100x rows for the FILTERED ANN family — the
+    production search shape (metadata predicate composed with top-k) on
+    all three strategies. Embeddings AND documents replicate with a COMMON
+    id offset so the vec_id=doc_id pairing (and therefore the language
+    predicate's selectivity, ~41% English) is preserved at every scale.
+    Queries are a fixed 100-vector batch; indexes (IVF centroids, PQ
+    codebook) are trained on each scale's FULL corpus, exactly like the
+    registered queries — production never re-trains per predicate.
+    Expectation: each filtered variant costs ~selectivity x its unfiltered
+    SCALE100 row; PQ's ADC scan touches selectivity x encoded-corpus."""
+    import math
+
+    from horaedb_spark.functions.similarity import (
+        brute_force_topk,
+        ivf_ann_topk,
+        ivf_centroids,
+        pq_ann_topk,
+        quantize,
+    )
+
+    base = tempfile.mkdtemp(prefix="ann_filtered_probe_")
+    emb1 = load_table(spark, sf_dir, "embeddings")
+    docs1 = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    off = max(
+        emb1.agg(F.max("vec_id")).first()[0],
+        docs1.agg(F.max("doc_id")).first()[0],
+    ) + 1
+    for df, col, name in ((emb1, "vec_id", "emb"), (docs1, "doc_id", "docs")):
+        rep = df.crossJoin(
+            F.broadcast(spark.range(mult).withColumnRenamed("id", "__copy__"))
+        )
+        rep = rep.withColumn(col, F.col(col) + F.col("__copy__") * off)
+        rep.drop("__copy__").write.mode("overwrite").parquet(f"{base}/{name}")
+    embN = spark.read.parquet(f"{base}/emb")
+    docsN = spark.read.parquet(f"{base}/docs")
+
+    q1 = emb1.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+    qset = q1.orderBy("vec_id").limit(100)
+
+    def _corpus(emb, docs):
+        qc = emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+        en = docs.filter(F.col("lang") == "en").select(
+            F.col("doc_id").alias("vec_id")
+        )
+        return qc.join(en, "vec_id", "left_semi")
+
+    def brute(emb, docs):
+        return brute_force_topk(_corpus(emb, docs), qset, "qv", "vec_id", 10)
+
+    def _full_centroids(emb, cells):
+        qc = emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+        return [(r.cid, r.centv) for r in
+                ivf_centroids(qc, "vec_id", "qv", cells).collect()]
+
+    def ivf(emb, docs):
+        n = emb.count()
+        cells = max(16, int(math.isqrt(n)))
+        return ivf_ann_topk(
+            _corpus(emb, docs), qset, "qv", "vec_id", 10,
+            num_cells=cells, nprobe=4,
+            centroids=_full_centroids(emb, cells),
+        )
+
+    def pq(emb, docs):
+        return pq_ann_topk(
+            _corpus(emb, docs), qset, "qv", "vec_id", 10,
+            num_codes=16, centroids=_full_centroids(emb, 16),
+        )
+
+    out = {}
+    for name, fn in (
+        ("ann_filtered_brute_100q", brute),
+        ("ann_filtered_ivf_100q", ivf),
+        ("ann_filtered_pq_100q", pq),
+    ):
+        t1 = _time(lambda: fn(emb1, docs1))
+        tN = _time(lambda: fn(embN, docsN))
+        out[name] = {
+            "rows_1x": emb1.count(),
+            f"rows_{mult}x": embN.count(),
+            "t1_s": round(t1, 3),
+            f"t{mult}_s": round(tN, 3),
+            "ratio": round(tN / t1, 2),
+            "ratio_vs_linear": round(tN / t1 / mult, 3),
+        }
+        print(f"# {name}: {out[name]}", file=sys.stderr)
+    return out
 
 
 def planted_cluster(spark, m: int, offset: int = 10_000_000) -> DataFrame:

@@ -930,6 +930,18 @@ def test_query_range_cache_repeats_and_invalidates_on_ingest(spark, tmp_path):
         # and the new version is itself cacheable
         assert fetch(srv) == r3
         assert srv.query_cache_stats == {"hits": 2, "misses": 2}
+
+        # INSTANT endpoint shares the cache (keyed on the raw time param,
+        # so the default latest-step lookup job is skipped on a hit too)
+        ipath = "/api/v1/query?query=click&step=1d"
+        gi = lambda s: urllib.request.urlopen(
+            f"http://127.0.0.1:{s.port}{ipath}", timeout=60
+        ).read()
+        i1 = gi(srv)
+        assert srv.query_cache_stats == {"hits": 2, "misses": 3}
+        assert gi(srv) == i1
+        assert srv.query_cache_stats == {"hits": 3, "misses": 3}
+        assert gi(srv_nc) == i1  # byte-equal to uncached compute
     finally:
         srv.stop()
         srv_nc.stop()
