@@ -906,3 +906,33 @@ def test_checked_norm_folds_once_in_optimized_plan(spark):
     out = with_checked_norm(emb, F.col("qv"), F.col("vec_id"), "n")
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("aggregate(") == 1, plan
+
+
+def test_pq_adc_strategies_agree_on_adversarial_vectors(spark):
+    """PQ strategy equivalence (round 12, mirrors the IVF/brute test): on
+    a corpus built to maximize ADC DISTANCE TIES (exact duplicate vectors
+    encode to identical codes, so many corpus rows share a distance), the
+    Arrow LUT kernel must return row-for-row the SAME top-k as the
+    per-pair expression path, including tie-breaks on corpus_id — both are
+    exact int64 so equality is literal, not approximate. auto must pick a
+    strategy that returns the same rows (a small query batch dispatches to
+    the Arrow kernel)."""
+    from horaedb_spark.functions.similarity import pq_ann_topk
+
+    base = [
+        [3, 1, 4, 1, 5, 9, 2, 6], [3, 1, 4, 1, 5, 9, 2, 6],
+        [1, 0, 0, 0, 0, 0, 0, 1], [0, 1, 0, 0, 1, 0, 0, 0],
+        [2, 2, 2, 2, 2, 2, 2, 2], [-3, -1, -4, -1, -5, -9, -2, -6],
+    ]
+    rows = [(i, base[i % len(base)]) for i in range(48)]
+    emb = spark.createDataFrame(rows, "vec_id long, qv array<long>")
+    q = emb.filter(F.col("vec_id") < 6)
+    kw = dict(k=4, num_codes=6, num_subspaces=4)
+    e = pq_ann_topk(emb, q, "qv", "vec_id", adc="expression", **kw)
+    a = pq_ann_topk(emb, q, "qv", "vec_id", adc="arrow", **kw)
+    auto = pq_ann_topk(emb, q, "qv", "vec_id", **kw)
+    le = sorted(map(tuple, e.collect()))
+    assert le == sorted(map(tuple, a.collect()))
+    assert le == sorted(map(tuple, auto.collect()))
+    with pytest.raises(ValueError, match="adc"):
+        pq_ann_topk(emb, q, "qv", "vec_id", adc="gemm", **kw)
