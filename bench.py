@@ -124,8 +124,10 @@ HEADLINE = [
     "ann_pq_filtered_topk",
     "promql_histogram_family",
     # round-12: full-strength ExactSubstr (token-exact shared spans,
-    # shingle-sized shuffle — the training-pipeline span dedup operator)
+    # shingle-sized shuffle) and its removal half (keep-first span
+    # pruning, no pair join) — the training-pipeline span dedup operators
     "dedup_exact_substr",
+    "dedup_exact_substr_prune",
 ]
 
 

@@ -601,3 +601,83 @@ def exact_substr_spans(
         F.count("*").alias("n_shared_spans"),
         F.sum("span_len").alias("shared_span_tokens"),
     )
+
+
+def exact_substr_prune_stats(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_span: int = 10,
+) -> DataFrame:
+    """The REMOVAL half of ExactSubstr (Lee et al.): per document, the
+    token spans that would be pruned under the keep-first-occurrence
+    discipline — every stride-1 ``min_span``-token shingle that has an
+    EARLIER occurrence anywhere in the corpus (order: (doc_id, pos)) marks
+    its span for removal; overlapping marked spans merge (interval union
+    via a running-max gaps-and-islands pass per doc). Output per doc:
+    total/removed/kept token counts, merged removal-span count, longest
+    removed span. ``exact_substr_spans`` answers "who shares what";
+    this answers "what do I delete" — the operator that actually shrinks
+    a training corpus.
+
+    Scale shape: NO pair join anywhere — one shuffle keyed on the 16-byte
+    shingle hash (a row_number window: first occurrence wins), one shuffle
+    back on doc_id for the interval union. Cost is linear in shingles even
+    for boilerplate shared by millions of docs (marking is per-occurrence,
+    so no frequency cap is needed, unlike the pair operator). Docs shorter
+    than ``min_span`` tokens emit no shingles and are reported unpruned.
+    """
+    k = min_span
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                    lambda w: w != "")
+    n = F.size(toks)
+    hashes = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), n.alias("n_tokens"), hashes.alias("hs")
+    )
+    sh = base.select(
+        "doc_id", F.posexplode("hs").alias("pos0", "h")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    wh = Window.partitionBy("h").orderBy("doc_id", "pos")
+    marked = (
+        sh.withColumn("rn", F.row_number().over(wh))
+        .filter(F.col("rn") >= 2)
+        .select("doc_id", "pos", (F.col("pos") + k - 1).alias("end"))
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max = F.max("end").over(wd.rowsBetween(Window.unboundedPreceding, -1))
+    isl = marked.withColumn(
+        "new_isl", (prev_max.isNull() | (F.col("pos") > prev_max)).cast("int")
+    ).withColumn(
+        "isl", F.sum("new_isl").over(wd.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = isl.groupBy("doc_id", "isl").agg(
+        (F.max("end") - F.min("pos") + 1).alias("span_len")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("span_len").alias("removed_tokens"),
+        F.count("*").alias("n_removed_spans"),
+        F.max("span_len").alias("longest_removed_span"),
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("removed_tokens", F.lit(0)).alias("removed_tokens"),
+            (F.col("n_tokens") - F.coalesce("removed_tokens", F.lit(0))).alias(
+                "kept_tokens"
+            ),
+            F.coalesce("n_removed_spans", F.lit(0)).alias("n_removed_spans"),
+            F.coalesce("longest_removed_span", F.lit(0)).alias(
+                "longest_removed_span"
+            ),
+        )
+    )

@@ -1294,3 +1294,105 @@ def dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.exact_substr_spans(
         corpus, "doc_id", "text", min_span=10, max_docs_per_shingle=50
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_exact_substr_prune",
+    # same half-copy corpus as dedup_exact_substr: the planted copies'
+    # leading halves are LATER occurrences (doc_id + offset sorts after
+    # the original) and must be pruned; originals keep their tokens
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_COPY_OFFSET},
+             array_to_string(
+               (string_split_regex(lower(text), '[^a-z0-9]+'))
+                 [1:greatest(len(string_split_regex(lower(text), '[^a-z0-9]+')) // 2, 1)],
+               ' ') || ' divergent tail entirely new words'
+      FROM documents WHERE doc_id % 5 = 0
+    ), toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         w -> w != '') AS t
+      FROM corpus
+    ), sh AS (
+      SELECT doc_id, u.pos AS pos, u.h AS h
+      FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(t) >= 10
+                      THEN [{{'pos': i, 'h': md5(array_to_string(t[i:i+9], ' '))}}
+                            FOR i IN generate_series(1, len(t) - 9)]
+                      ELSE [] END) AS u
+        FROM toks
+      )
+    ), marked AS (
+      SELECT doc_id, pos, pos + 9 AS e
+      FROM (SELECT doc_id, pos, h,
+                   row_number() OVER (PARTITION BY h ORDER BY doc_id, pos)
+                     AS rn
+            FROM sh)
+      WHERE rn >= 2
+    ), isl AS (
+      SELECT doc_id, pos, e,
+             CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  OR pos > max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_isl
+      FROM marked
+    ), isl2 AS (
+      SELECT doc_id, pos, e,
+             sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      FROM isl
+    ), spans AS (
+      SELECT doc_id, max(e) - min(pos) + 1 AS span_len
+      FROM isl2 GROUP BY doc_id, g
+    ), per_doc AS (
+      SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS removed_tokens,
+             count(*) AS n_removed_spans,
+             CAST(max(span_len) AS BIGINT) AS longest_removed_span
+      FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id, len(t.t) AS n_tokens,
+           coalesce(p.removed_tokens, 0) AS removed_tokens,
+           len(t.t) - coalesce(p.removed_tokens, 0) AS kept_tokens,
+           coalesce(p.n_removed_spans, 0) AS n_removed_spans,
+           coalesce(p.longest_removed_span, 0) AS longest_removed_span
+    FROM toks t LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def dedup_exact_substr_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of ExactSubstr: per-document pruned-span stats
+    under keep-first-occurrence — every 10-token shingle with an earlier
+    occurrence anywhere in the corpus marks its span; overlapping marks
+    merge (interval union). The planted half-copies sort AFTER their
+    originals, so the copies lose their duplicated leading halves while
+    originals keep every token — the asymmetric outcome that
+    distinguishes pruning from the symmetric pair view
+    (dedup_exact_substr). Also prunes the generator's own verbatim
+    repeats and in-document repetition.
+
+    100 TB shape: NO pair join — one row_number window keyed on the
+    16-byte shingle hash (first occurrence wins) and one per-doc interval
+    union; cost stays linear in shingles even for boilerplate shared by
+    millions of docs, which is why the pair operator's frequency cap is
+    unnecessary here."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda w: w != ""
+    )
+    half = F.concat_ws(
+        " ",
+        F.slice(toks, 1, F.greatest((F.size(toks) / 2).cast("int"), F.lit(1))),
+    )
+    copies = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+        F.concat(half, F.lit(" divergent tail entirely new words")).alias("text"),
+    )
+    corpus = docs.unionByName(copies)
+    return DD.exact_substr_prune_stats(
+        corpus, "doc_id", "text", min_span=10
+    ).orderBy("doc_id")

@@ -346,3 +346,36 @@ def test_exact_substr_shingle_cap_blocks_boilerplate(spark):
         docs, "doc_id", "text", min_span=4, max_docs_per_shingle=50
     )
     assert uncapped.count() == 10  # all C(5,2) pairs share the span
+
+
+def test_exact_substr_prune_keep_first_and_interval_merge(spark):
+    """Pruning semantics pinned by hand: the EARLIER occurrence (by
+    (doc_id, pos)) keeps its tokens, the later one loses them; two
+    overlapping marked shingles merge into ONE removal interval; a doc
+    with no duplicated shingles (or shorter than min_span) is untouched."""
+    from horaedb_spark.functions.dedup import exact_substr_prune_stats
+
+    shared = "alpha beta gamma delta epsilon"  # 5 tokens, min_span=4
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} unique tail here"),      # first occurrence: kept
+            (2, f"prefix words {shared} suffix"),   # later: loses the 5 tokens
+            (3, "tiny"),                            # < min_span: unpruned
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in
+           exact_substr_prune_stats(docs, "doc_id", "text", min_span=4).collect()}
+    assert out[1].removed_tokens == 0 and out[1].kept_tokens == out[1].n_tokens
+    # doc 2: shingles (alpha..delta) and (beta..epsilon) both duplicated,
+    # overlapping -> ONE merged span of 5 tokens
+    assert (out[2].removed_tokens, out[2].n_removed_spans,
+            out[2].longest_removed_span) == (5, 1, 5)
+    assert out[2].kept_tokens == out[2].n_tokens - 5
+    assert out[3].removed_tokens == 0 and out[3].n_removed_spans == 0
+    # self-repetition prunes too: the second copy inside ONE doc
+    rep = spark.createDataFrame(
+        [(9, f"{shared} bridge {shared}")], ["doc_id", "text"]
+    )
+    r9 = exact_substr_prune_stats(rep, "doc_id", "text", min_span=4).collect()[0]
+    assert r9.removed_tokens == 5 and r9.n_removed_spans == 1
