@@ -568,16 +568,22 @@ def exact_substr_spans(
     k = min_span
     toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
                     lambda w: w != "")
-    n = F.size(toks)
+    # MATERIALIZE the token array in its own projection before the
+    # per-position transform: referencing the split expression inside the
+    # lambda makes codegen re-tokenize the document for EVERY position
+    # (O(positions × tokens) per doc — measured 4-5× slower at sf0.1);
+    # through a named column the split runs once per row.
+    tok_docs = docs.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
+    n = F.size(F.col("t"))
     hashes = F.when(
         n >= k,
         F.transform(
             F.sequence(F.lit(1), n - k + 1),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, k))),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"), F.posexplode(hashes).alias("pos0", "h")
+    sh = tok_docs.select(
+        "doc_id", F.posexplode(hashes).alias("pos0", "h")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
     dup_h = (
         sh.groupBy("h")
@@ -630,17 +636,18 @@ def exact_substr_prune_stats(
     k = min_span
     toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
                     lambda w: w != "")
-    n = F.size(toks)
+    # materialized token column before the per-position transform — same
+    # rationale as exact_substr_spans (split once per row, not per pos)
+    tok_docs = docs.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
+    n = F.size(F.col("t"))
     hashes = F.when(
         n >= k,
         F.transform(
             F.sequence(F.lit(1), n - k + 1),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, k))),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), n.alias("n_tokens"), hashes.alias("hs")
-    )
+    base = tok_docs.select("doc_id", n.alias("n_tokens"), hashes.alias("hs"))
     sh = base.select(
         "doc_id", F.posexplode("hs").alias("pos0", "h")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
