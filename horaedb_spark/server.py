@@ -136,7 +136,13 @@ class ControlServer:
         self.query_cache_size = query_cache_size
         self._qr_cache: collections.OrderedDict = collections.OrderedDict()
         self._qr_lock = threading.Lock()
-        self.query_cache_stats = {"hits": 0, "misses": 0}
+        # single-flight stripes: a cold burst of identical requests (the
+        # multi-user dashboard refresh) serializes per stripe and re-checks
+        # the cache under the gate, so one Spark job serves the burst.
+        # Plain striped locks (vs per-key events) cannot leak on error
+        # paths — release is a with-statement.
+        self._qr_gates = [threading.Lock() for _ in range(64)]
+        self.query_cache_stats = {"hits": 0, "misses": 0, "computes": 0}
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -240,54 +246,56 @@ class ControlServer:
                             q.get("time", [None])[0], lookback_ms, cap,
                             outer._serving_version(),
                         )
-                        hit = outer._qr_cache_get(cache_key)
-                        if hit is not None:
-                            self._reply(hit)
-                            return
-                        if "time" in q:
-                            t_ms = int(float(q["time"][0]) * 1000)
-                            at_ms = t_ms - t_ms % step_ms
-                        else:  # default: the latest aligned step with data
-                            at_ms = PromQLCompiler(
-                                eng, step_ms
-                            )._bounds()[1]
-                        df = PromQLCompiler(
-                            eng,
-                            step_ms,
-                            lookback_ms,
-                            start_ms=at_ms,
-                            end_ms=at_ms,
-                        ).compile(query)
-                        from pyspark.sql import functions as F
+                        def _compute() -> dict:
+                            if "time" in q:
+                                t_ms = int(float(q["time"][0]) * 1000)
+                                at_ms = t_ms - t_ms % step_ms
+                            else:  # default: latest aligned step with data
+                                at_ms = PromQLCompiler(
+                                    eng, step_ms
+                                )._bounds()[1]
+                            df = PromQLCompiler(
+                                eng,
+                                step_ms,
+                                lookback_ms,
+                                start_ms=at_ms,
+                                end_ms=at_ms,
+                            ).compile(query)
+                            from pyspark.sql import functions as F
 
-                        rows = (
-                            df.filter(F.col("ts_ms") == at_ms)
-                            .orderBy("series_key")
-                            .limit(cap)
-                            .collect()
-                        )
+                            rows = (
+                                df.filter(F.col("ts_ms") == at_ms)
+                                .orderBy("series_key")
+                                .limit(cap)
+                                .collect()
+                            )
+                            result = [
+                                {
+                                    "metric": dict(
+                                        kv.split("=", 1)
+                                        for kv in r["series_key"].split(",")
+                                        if "=" in kv
+                                    ),
+                                    "value": [
+                                        r["ts_ms"] / 1000.0, str(r["value"])
+                                    ],
+                                }
+                                for r in rows
+                            ]
+                            return {
+                                "status": "success",
+                                "data": {
+                                    "resultType": "vector", "result": result
+                                },
+                            }
+
+                        payload = outer._qr_cached(cache_key, _compute)
                     except (PromQLError, KeyError, ValueError) as e:
                         self._reply(
                             {"status": "error", "error": str(e)[:500]},
                             status=400,
                         )
                         return
-                    result = [
-                        {
-                            "metric": dict(
-                                kv.split("=", 1)
-                                for kv in r["series_key"].split(",")
-                                if "=" in kv
-                            ),
-                            "value": [r["ts_ms"] / 1000.0, str(r["value"])],
-                        }
-                        for r in rows
-                    ]
-                    payload = {
-                        "status": "success",
-                        "data": {"resultType": "vector", "result": result},
-                    }
-                    outer._qr_cache_put(cache_key, payload)
                     self._reply(payload)
                 elif self.path.startswith("/api/v1/query_range"):
                     # Prometheus HTTP API shape: ?query=<promql>&step=<dur>
@@ -349,62 +357,58 @@ class ControlServer:
                             "range", query, step_ms, start_ms, end_ms,
                             lookback_ms, cap, outer._serving_version(),
                         )
-                        hit = outer._qr_cache_get(cache_key)
-                        if hit is not None:
-                            self._reply(hit)
-                            return
-                        df = PromQLCompiler(
-                            eng,
-                            step_ms,
-                            lookback_ms,
-                            start_ms=start_ms,
-                            end_ms=end_ms,
-                        ).compile(query)
-                        from pyspark.sql import functions as F
+                        def _compute() -> dict:
+                            df = PromQLCompiler(
+                                eng,
+                                step_ms,
+                                lookback_ms,
+                                start_ms=start_ms,
+                                end_ms=end_ms,
+                            ).compile(query)
+                            from pyspark.sql import functions as F
 
-                        if "start" in q:
-                            df = df.filter(
-                                F.col("ts_ms")
-                                >= int(float(q["start"][0]) * 1000)
+                            if start_ms is not None:
+                                df = df.filter(F.col("ts_ms") >= start_ms)
+                            if end_ms is not None:
+                                # Prometheus treats `end` as INCLUSIVE: a
+                                # response timestamp fed back as `end` must
+                                # still return that sample (round-trip safe).
+                                df = df.filter(F.col("ts_ms") <= end_ms)
+                            rows = (
+                                df.orderBy("series_key", "ts_ms")
+                                .limit(cap)
+                                .collect()
                             )
-                        if "end" in q:
-                            # Prometheus treats `end` as INCLUSIVE: a
-                            # response timestamp fed back as `end` must
-                            # still return that sample (round-trip safe).
-                            df = df.filter(
-                                F.col("ts_ms")
-                                <= int(float(q["end"][0]) * 1000)
-                            )
-                        rows = (
-                            df.orderBy("series_key", "ts_ms").limit(cap).collect()
-                        )
+                            series: dict[str, list] = {}
+                            for r in rows:
+                                series.setdefault(r["series_key"], []).append(
+                                    [r["ts_ms"] / 1000.0, str(r["value"])]
+                                )
+                            result = [
+                                {
+                                    "metric": dict(
+                                        kv.split("=", 1)
+                                        for kv in skey.split(",")
+                                        if "=" in kv
+                                    ),
+                                    "values": vals,
+                                }
+                                for skey, vals in sorted(series.items())
+                            ]
+                            return {
+                                "status": "success",
+                                "data": {
+                                    "resultType": "matrix", "result": result
+                                },
+                            }
+
+                        payload = outer._qr_cached(cache_key, _compute)
                     except (PromQLError, KeyError, ValueError) as e:
                         self._reply(
                             {"status": "error", "error": str(e)[:500]},
                             status=400,
                         )
                         return
-                    series: dict[str, list] = {}
-                    for r in rows:
-                        series.setdefault(r["series_key"], []).append(
-                            [r["ts_ms"] / 1000.0, str(r["value"])]
-                        )
-                    result = [
-                        {
-                            "metric": dict(
-                                kv.split("=", 1)
-                                for kv in key.split(",")
-                                if "=" in kv
-                            ),
-                            "values": vals,
-                        }
-                        for key, vals in sorted(series.items())
-                    ]
-                    payload = {
-                        "status": "success",
-                        "data": {"resultType": "matrix", "result": result},
-                    }
-                    outer._qr_cache_put(cache_key, payload)
                     self._reply(payload)
                 elif self.path.startswith("/api/v1/fields"):
                     # Multi-field catalog listing (RFC 20240827:106-113):
@@ -1078,16 +1082,41 @@ class ControlServer:
             return ("wt", self.write_table.manifest.mutations)
         return None
 
-    def _qr_cache_get(self, key):
+    def _qr_cache_get(self, key, count: bool = True):
         if self.query_cache_size <= 0:
             return None
         with self._qr_lock:
             payload = self._qr_cache.get(key)
-            if payload is not None:
-                self._qr_cache.move_to_end(key)
-                self.query_cache_stats["hits"] += 1
-            else:
-                self.query_cache_stats["misses"] += 1
+            if count:
+                if payload is not None:
+                    self._qr_cache.move_to_end(key)
+                    self.query_cache_stats["hits"] += 1
+                else:
+                    self.query_cache_stats["misses"] += 1
+            return payload
+
+    def _qr_cached(self, key, compute):
+        """Serve a query payload from the cache, computing at most ONCE per
+        concurrent burst: cold identical requests serialize on a striped
+        lock and re-check under the gate (double-checked locking), so a
+        burst of the same dashboard query runs one Spark job and the rest
+        are served the cached bytes. Distinct keys sharing a stripe contend
+        only while cold. Cache disabled: compute directly, ungated."""
+        if self.query_cache_size <= 0:
+            with self._qr_lock:
+                self.query_cache_stats["computes"] += 1
+            return compute()
+        hit = self._qr_cache_get(key)
+        if hit is not None:
+            return hit
+        with self._qr_gates[hash(key) % len(self._qr_gates)]:
+            hit = self._qr_cache_get(key, count=False)
+            if hit is not None:
+                return hit
+            with self._qr_lock:
+                self.query_cache_stats["computes"] += 1
+            payload = compute()
+            self._qr_cache_put(key, payload)
             return payload
 
     def _qr_cache_put(self, key, payload) -> None:

@@ -903,12 +903,12 @@ def test_query_range_cache_repeats_and_invalidates_on_ingest(spark, tmp_path):
             f"http://127.0.0.1:{s.port}{path}", timeout=60
         ).read()
         r1 = fetch(srv)
-        assert srv.query_cache_stats == {"hits": 0, "misses": 1}
+        assert srv.query_cache_stats == {"hits": 0, "misses": 1, "computes": 1}
         r2 = fetch(srv)
-        assert srv.query_cache_stats == {"hits": 1, "misses": 1}
+        assert srv.query_cache_stats == {"hits": 1, "misses": 1, "computes": 1}
         assert r2 == r1  # hit is byte-equal to the miss that populated it
         assert fetch(srv_nc) == r1  # and to an uncached server's compute
-        assert srv_nc.query_cache_stats == {"hits": 0, "misses": 0}
+        assert srv_nc.query_cache_stats["hits"] == 0 and srv_nc.query_cache_stats["misses"] == 0
 
         # OVERWRITE the ts=1d point (same PK, last write wins): the sink
         # manifest mutation counter bumps, so the cached entry's key no
@@ -919,7 +919,7 @@ def test_query_range_cache_repeats_and_invalidates_on_ingest(spark, tmp_path):
             )
         )
         r3 = fetch(srv)
-        assert srv.query_cache_stats == {"hits": 1, "misses": 2}
+        assert srv.query_cache_stats == {"hits": 1, "misses": 2, "computes": 2}
         assert r3 != r1
         vals = {
             float(v)
@@ -929,7 +929,7 @@ def test_query_range_cache_repeats_and_invalidates_on_ingest(spark, tmp_path):
         assert 101.0 in vals and 1.0 not in vals, vals
         # and the new version is itself cacheable
         assert fetch(srv) == r3
-        assert srv.query_cache_stats == {"hits": 2, "misses": 2}
+        assert srv.query_cache_stats == {"hits": 2, "misses": 2, "computes": 2}
 
         # INSTANT endpoint shares the cache (keyed on the raw time param,
         # so the default latest-step lookup job is skipped on a hit too)
@@ -938,10 +938,59 @@ def test_query_range_cache_repeats_and_invalidates_on_ingest(spark, tmp_path):
             f"http://127.0.0.1:{s.port}{ipath}", timeout=60
         ).read()
         i1 = gi(srv)
-        assert srv.query_cache_stats == {"hits": 2, "misses": 3}
+        assert srv.query_cache_stats == {"hits": 2, "misses": 3, "computes": 3}
         assert gi(srv) == i1
-        assert srv.query_cache_stats == {"hits": 3, "misses": 3}
+        assert srv.query_cache_stats == {"hits": 3, "misses": 3, "computes": 3}
         assert gi(srv_nc) == i1  # byte-equal to uncached compute
     finally:
         srv.stop()
         srv_nc.stop()
+
+
+def test_query_cache_concurrent_requests(spark, tmp_path):
+    """The response cache is shared across the server's request threads:
+    a burst of concurrent repeated queries (the dashboard refresh shape)
+    must all succeed with byte-identical bodies — no torn LRU state, no
+    partially-cached payloads."""
+    import concurrent.futures
+
+    from horaedb_spark.metric.rules import rules_table_schema
+
+    DAY = 86_400_000
+    sink = ColumnarTable(
+        spark, str(tmp_path / "qcc"), rules_table_schema(), 365 * DAY
+    )
+    rows = spark.createDataFrame(
+        [("click", f"host=h{i % 3}", (i + 1) * DAY, float(i)) for i in range(9)],
+        "name string, series_key string, ts_ms long, value double",
+    )
+    sink.write(WriteRequest(rows, TimeRange(0, 365 * DAY)))
+    srv = ControlServer(Compactor(sink, SchedulerConfig()), write_table=sink)
+    srv.start()
+    try:
+        paths = [
+            "/api/v1/query_range?query=click&step=1d",
+            "/api/v1/query?query=click&step=1d",
+        ]
+
+        def fetch(i):
+            p = paths[i % 2]
+            return p, urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}{p}", timeout=120
+            ).read()
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+            got = list(ex.map(fetch, range(24)))
+        by_path: dict = {}
+        for p, body in got:
+            by_path.setdefault(p, set()).add(body)
+        assert all(len(v) == 1 for v in by_path.values()), {
+            p: len(v) for p, v in by_path.items()
+        }
+        stats = srv.query_cache_stats
+        # single-flight: one Spark compute per (path, store version) no
+        # matter how the 24 concurrent requests raced the cold cache
+        assert stats["computes"] == 2, stats
+        assert stats["hits"] + stats["misses"] == 24, stats
+    finally:
+        srv.stop()
