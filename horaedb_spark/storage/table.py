@@ -881,6 +881,25 @@ class ColumnarTable:
 
     def scan(self, req: ScanRequest | None = None) -> DataFrame:
         req = req or ScanRequest()
+        try:
+            return self._scan_once(req)
+        except Exception as e:
+            from horaedb_spark.storage.bucketed import _is_missing_file_error
+
+            if not _is_missing_file_error(e):
+                raise
+            # Stale-reader race (r12, same class the mirror-refresh soak
+            # found): this handle's memoized manifest view can reference
+            # SSTs another instance's compaction/TTL pass already swapped
+            # out and physically deleted — the durable log agrees (deletes
+            # publish AFTER the manifest update), so a resync + one retry
+            # reads the fresh, complete state. Readers may see a NEWER
+            # snapshot than the stale handle would have — the normal
+            # multi-writer read semantics, never a partial one.
+            self.manifest._refresh()
+            return self._scan_once(req)
+
+    def _scan_once(self, req: ScanRequest) -> DataFrame:
         ssts = self.manifest.find_ssts(req.time_range)
         if req.as_of_seq is not None:
             ssts = [s for s in ssts if s.file_id <= req.as_of_seq]

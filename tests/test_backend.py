@@ -565,3 +565,25 @@ def test_load_log_detects_snapshot_fold_race(tmp_path):
     assert got == set(range(0, 36)), (
         f"stale-window read lost {sorted(set(range(36)) - got)}"
     )
+
+
+def test_stale_reader_scan_survives_concurrent_compaction_delete(spark, tmp_path):
+    """r12 stale-reader hardening: a table handle whose memoized manifest
+    view references SSTs another instance's compaction already swapped out
+    and physically DELETED must transparently resync and serve the fresh
+    state instead of failing with a missing-input error (swap-before-delete
+    publishes the manifest removal first, so the durable log is complete)."""
+    root = str(tmp_path / "stale")
+    a = ColumnarTable(spark, root, kv_schema(), TWO_HOURS)
+    mk = lambda rows: spark.createDataFrame(rows, "pk1 long, pk2 long, value long")
+    for i in range(3):
+        a.write(WriteRequest(mk([(i, i, i)]), TimeRange(0, 100)))
+    assert a.scan().count() == 3  # warm view over the 3 input SSTs
+
+    b = ColumnarTable(spark, root, kv_schema(), TWO_HOURS)
+    out = Compactor(b, SchedulerConfig(input_sst_min_num=2)).run_once()
+    assert out is not None  # inputs swapped out and physically deleted
+
+    # a's memoized view still lists the deleted SSTs; scan must resync
+    got = sorted(tuple(r) for r in a.scan().collect())
+    assert got == [(0, 0, 0), (1, 1, 1), (2, 2, 2)]
