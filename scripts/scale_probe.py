@@ -74,7 +74,9 @@ def main() -> None:
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument(
-        "--probe", default="scale", choices=("scale", "mirror", "ann_filtered")
+        "--probe",
+        default="scale",
+        choices=("scale", "mirror", "ann_filtered", "prune"),
     )
     ap.add_argument("--segments", type=int, default=120)
     args = ap.parse_args()
@@ -83,6 +85,10 @@ def main() -> None:
     if args.probe == "mirror":
         out = mirror_restart_probe(spark, n_segments=args.segments)
         print(json.dumps({"probe": "mirror_restart", **out}))
+        return
+    if args.probe == "prune":
+        out = prune_probe(spark, args.sf, args.mult)
+        print(json.dumps({"probe": "prune_scaling", "mult": args.mult, "ops": out}))
         return
     if args.probe == "ann_filtered":
         out = ann_filtered_probe(spark, args.sf, args.mult)
@@ -382,6 +388,63 @@ def ann_filtered_probe(spark, sf_dir: str, mult: int) -> dict:
             "ratio_vs_linear": round(tN / t1 / mult, 3),
         }
         print(f"# {name}: {out[name]}", file=sys.stderr)
+    return out
+
+
+def prune_probe(spark, sf_dir: str, mult: int) -> dict:
+    """ExactSubstr-prune at the 100× standard under DEGENERATE duplication:
+    plain replication makes every document a mult-way verbatim duplicate,
+    so ~(mult-1)/mult of ALL tokens are marked for removal — the worst
+    realistic shape for a span-pruning pass (a crawl where nearly
+    everything is boilerplate). The operator's claim is linearity in
+    shingles with no pair join; this measures it where a pairwise
+    formulation would be O(docs²·mult²). Replicated docs are repartitioned
+    to a realistic file count — the crossJoin writer otherwise emits ~2
+    giant files and the row-local shingle stage inherits 2 tasks (a
+    fixture artifact, not an operator property)."""
+    from horaedb_spark.functions.dedup import exact_substr_prune_stats
+
+    base = tempfile.mkdtemp(prefix="prune_probe_")
+    d1 = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    off = d1.agg(F.max("doc_id")).first()[0] + 1
+    rep = d1.crossJoin(
+        F.broadcast(spark.range(mult).withColumnRenamed("id", "__copy__"))
+    )
+    (
+        rep.withColumn("doc_id", F.col("doc_id") + F.col("__copy__") * off)
+        .drop("__copy__")
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(f"{base}/docs")
+    )
+    dN = spark.read.parquet(f"{base}/docs")
+
+    def t(docs):
+        t0 = time.perf_counter()
+        exact_substr_prune_stats(docs, "doc_id", "text", min_span=10).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    t1 = t(d1)
+    tN = t(dN)
+    stats = (
+        exact_substr_prune_stats(dN, "doc_id", "text", min_span=10)
+        .agg(F.sum("removed_tokens").alias("rm"), F.sum("n_tokens").alias("nt"))
+        .first()
+    )
+    out = {
+        f"dedup_exact_substr_prune_{mult}x": {
+            "rows_1x": d1.count(),
+            f"rows_{mult}x": dN.count(),
+            "t1_s": round(t1, 3),
+            f"t{mult}_s": round(tN, 3),
+            "ratio": round(tN / t1, 2),
+            "ratio_vs_linear": round(tN / t1 / mult, 3),
+            f"removed_frac_{mult}x": round(stats.rm / stats.nt, 4),
+        }
+    }
+    print(f"# {out}", file=sys.stderr)
     return out
 
 
