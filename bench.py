@@ -411,6 +411,13 @@ def main() -> None:
             "merge_on_read_s": round(plain_s, 3),
             "mirror_s": round(mirror_s, 3),
             "speedup_x": round(plain_s / max(mirror_s, 1e-9), 2),
+            # KEY CONTINUITY (round 12): http_speedup_x changed meaning per
+            # VERDICT r11 task 4 — it now measures repeated-dashboard-query
+            # serving (merge-on-read per request vs mirror+response-cache),
+            # the quantity the task's >=1.5x target names. The pre-r12
+            # quantity (layout-only, uncached mirror vs merge-on-read)
+            # continues uninterrupted as http_uncached_speedup_x; compare
+            # BENCH_r11-and-earlier http_speedup_x against THAT key.
             "http_merge_on_read_s": round(http_plain_s, 3),
             "http_mirror_s": round(http_mirror_s, 3),
             "http_mirror_cached_s": round(http_cached_s, 3),

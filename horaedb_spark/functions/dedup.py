@@ -528,6 +528,39 @@ def duplicated_span_stats(
     )
 
 
+def _substr_shingles(
+    docs: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """Shared front half of both ExactSubstr operators: lowercase-alnum
+    tokenize, then stride-1 ``k``-token shingle hashes per position.
+    Returns (doc_id, n_tokens, hs: array<md5>) — one row per doc; docs
+    shorter than ``k`` tokens get an empty shingle list. The token array
+    MUST be materialized in its own projection before the per-position
+    transform: referencing the split expression inside the lambda makes
+    codegen re-tokenize the document for EVERY position (O(positions ×
+    tokens) per doc — measured 4-5× slower at sf0.1); through a named
+    column the split runs once per row."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                    lambda w: w != "")
+    tok_docs = docs.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
+    n = F.size(F.col("t"))
+    hashes = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return tok_docs.select("doc_id", n.alias("n_tokens"), hashes.alias("hs"))
+
+
+def _explode_shingles(base: DataFrame) -> DataFrame:
+    """(doc_id, pos, h) rows from a _substr_shingles frame; pos is 1-based."""
+    return base.select(
+        "doc_id", F.posexplode("hs").alias("pos0", "h")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+
+
 def exact_substr_spans(
     docs: DataFrame,
     id_col: str,
@@ -551,13 +584,19 @@ def exact_substr_spans(
     Scale shape: the shuffle is SHINGLE-sized, never pairwise-doc-sized —
     one md5-keyed aggregate finds duplicated shingles, and the pair join
     runs only inside duplicated-shingle groups, each capped at
-    ``max_docs_per_shingle`` distinct docs (boilerplate shingles shared by
-    more docs than the cap carry no pair-level signal and would alone
-    produce O(docs²) anchors — the same blocking-cap discipline as the LSH
-    band buckets). Anchors per group are bounded by cap², the island window
-    partitions by (pair, diagonal) — small, naturally parallel keys. Docs
-    shorter than ``min_span`` tokens emit nothing: sub-threshold spans are
-    not ExactSubstr matches by definition.
+    ``max_docs_per_shingle`` distinct docs AND 4× that many total
+    OCCURRENCES (boilerplate shingles shared by more docs than the cap
+    carry no pair-level signal and would alone produce O(docs²) anchors —
+    the same blocking-cap discipline as the LSH band buckets; the
+    occurrence term additionally bounds degenerate IN-DOCUMENT repetition,
+    where two docs full of one repeated run would otherwise emit
+    O(positions²) anchors from a single two-doc group). Anchors per group
+    are therefore bounded by (4·cap)², the island window partitions by
+    (pair, diagonal) — small, naturally parallel keys. Docs shorter than
+    ``min_span`` tokens emit nothing: sub-threshold spans are not
+    ExactSubstr matches by definition. For corpora where the capped
+    boilerplate/repetition content still needs pruning, the no-join
+    ``exact_substr_prune_stats`` handles it at any multiplicity.
 
     Reference parity: the reference has no span-level dedup (it is a
     metrics/OLAP engine); this implements the training-pipeline operator
@@ -566,29 +605,18 @@ def exact_substr_spans(
     shared_span_tokens), one row per unordered doc pair with id_a < id_b.
     """
     k = min_span
-    toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
-                    lambda w: w != "")
-    # MATERIALIZE the token array in its own projection before the
-    # per-position transform: referencing the split expression inside the
-    # lambda makes codegen re-tokenize the document for EVERY position
-    # (O(positions × tokens) per doc — measured 4-5× slower at sf0.1);
-    # through a named column the split runs once per row.
-    tok_docs = docs.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
-    n = F.size(F.col("t"))
-    hashes = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - k + 1),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, k))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    sh = tok_docs.select(
-        "doc_id", F.posexplode(hashes).alias("pos0", "h")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    sh = _explode_shingles(_substr_shingles(docs, id_col, text_col, k))
     dup_h = (
         sh.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter((F.col("nd") >= 2) & (F.col("nd") <= max_docs_per_shingle))
+        .agg(
+            F.count_distinct("doc_id").alias("nd"),
+            F.count("*").alias("nocc"),
+        )
+        .filter(
+            (F.col("nd") >= 2)
+            & (F.col("nd") <= max_docs_per_shingle)
+            & (F.col("nocc") <= 4 * max_docs_per_shingle)
+        )
         .select("h")
     )
     shf = sh.join(dup_h, "h", "left_semi")
@@ -634,23 +662,8 @@ def exact_substr_prune_stats(
     than ``min_span`` tokens emit no shingles and are reported unpruned.
     """
     k = min_span
-    toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
-                    lambda w: w != "")
-    # materialized token column before the per-position transform — same
-    # rationale as exact_substr_spans (split once per row, not per pos)
-    tok_docs = docs.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
-    n = F.size(F.col("t"))
-    hashes = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - k + 1),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, k))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    base = tok_docs.select("doc_id", n.alias("n_tokens"), hashes.alias("hs"))
-    sh = base.select(
-        "doc_id", F.posexplode("hs").alias("pos0", "h")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    base = _substr_shingles(docs, id_col, text_col, k)
+    sh = _explode_shingles(base)
     wh = Window.partitionBy("h").orderBy("doc_id", "pos")
     marked = (
         sh.withColumn("rn", F.row_number().over(wh))

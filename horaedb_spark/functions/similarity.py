@@ -743,9 +743,22 @@ def pq_ann_topk(
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
 
+    # The Arrow kernel's LUT gather and output schema are integer-typed;
+    # non-integer ids (string keys, uuids) stay on the type-generic
+    # expression path — a previously-working call site must never regress
+    # to a numpy cast error because the DEFAULT dispatch changed (review
+    # r12). Explicit adc="arrow" with such ids raises with the remedy.
+    integral_ids = dict(corpus.dtypes)[id_col] in (
+        "bigint", "int", "smallint", "tinyint"
+    ) and dict(queries.dtypes)[id_col] in ("bigint", "int", "smallint", "tinyint")
     if adc == "arrow":
+        if not integral_ids:
+            raise ValueError(
+                f"adc='arrow' requires an integral id column; {id_col!r} is "
+                f"{dict(corpus.dtypes)[id_col]} — use adc='expression'"
+            )
         return _pq_adc_arrow_topk(encoded, q.collect(), codebook, k)
-    if adc == "auto":
+    if adc == "auto" and integral_ids:
         # bounded probe: limit() short-circuits, so sizing a huge query
         # frame costs one early-terminated job, never a full scan
         qrows = q.limit(_PQ_ARROW_QUERY_CAP + 1).collect()

@@ -394,12 +394,19 @@ class MetricStore:
         # keyed on this recomputes after writes — necessary because a
         # mirror-backed engine's catalog scan re-resolves files per action
         # (data CAN change under a long-lived engine object).
+        # Local counters catch THIS instance's ingests exactly; the data
+        # manifest's durable token (memoized ≤1s) additionally catches
+        # writes from OTHER instances over the same root — a sample lands
+        # in the data table on every ingest, so its log identity moves
+        # whenever any writer commits (review r12: without it, a cached
+        # response over a shared mirror never invalidated cross-instance).
         eng._version_fn = lambda: (
             id(self),
             self.data.manifest.mutations,
             self.series.manifest.mutations,
             self.metrics.manifest.mutations,
             self.index.manifest.mutations,
+            self.data.manifest.durable_token(),
         )
         eng.metrics = self.metrics.scan(ScanRequest(ordered=False))
         eng.series = self.series.scan(ScanRequest(ordered=False))

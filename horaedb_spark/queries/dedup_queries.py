@@ -44,6 +44,67 @@ _NEAR_CORPUS = f"""
 """
 
 
+# half-copy corpus (ExactSubstr family): each 5th document's FIRST HALF
+# verbatim plus a divergent tail — a duplicated leading span whole-doc
+# dedup misses. The slice is over the FILTERED token list on BOTH sides
+# (Spark's F.filter(...) and DuckDB's list_filter), so a document with
+# leading/trailing punctuation (empty split tokens) yields the same half
+# in both corpora — slicing the unfiltered DuckDB split would shift the
+# half by the empty tokens and silently diverge (review r12).
+_FILTERED_TOKS_SQL = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w != '')"
+)
+_HALF_COPY_CORPUS = f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_COPY_OFFSET},
+             array_to_string(
+               ({_FILTERED_TOKS_SQL})
+                 [1:greatest(len({_FILTERED_TOKS_SQL}) // 2, 1)],
+               ' ') || ' divergent tail entirely new words'
+      FROM documents WHERE doc_id % 5 = 0
+    )
+"""
+
+# stride-1 10-token shingles per position over the half-copy corpus —
+# the shared front half of both ExactSubstr oracles (mirrors
+# functions.dedup._substr_shingles)
+_SUBSTR_SHINGLE_CTES = """
+    , toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         w -> w != '') AS t
+      FROM corpus
+    ), sh AS (
+      SELECT doc_id, u.pos AS pos, u.h AS h
+      FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(t) >= 10
+                      THEN [{'pos': i, 'h': md5(array_to_string(t[i:i+9], ' '))}
+                            FOR i IN generate_series(1, len(t) - 9)]
+                      ELSE [] END) AS u
+        FROM toks
+      )
+    )
+"""
+
+
+def _with_half_copies(docs: DataFrame) -> DataFrame:
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda w: w != ""
+    )
+    half = F.concat_ws(
+        " ",
+        F.slice(toks, 1, F.greatest((F.size(toks) / 2).cast("int"), F.lit(1))),
+    )
+    copies = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+        F.concat(half, F.lit(" divergent tail entirely new words")).alias("text"),
+    )
+    return docs.unionByName(copies)
+
+
 def _with_exact_copies(docs: DataFrame) -> DataFrame:
     copies = docs.select(
         (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"), "text", "source"
@@ -989,17 +1050,9 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus: documents + planted near-copies that share the FIRST half of
     # an original (a duplicated leading span with a divergent tail) — the
     # exact case span-level dedup exists for and whole-doc dedup misses
-    oracle=f"""
-    WITH corpus AS (
-      SELECT doc_id, text FROM documents
-      UNION ALL
-      SELECT doc_id + {_COPY_OFFSET},
-             array_to_string(
-               (string_split_regex(lower(text), '[^a-z0-9]+'))
-                 [1:greatest(len(string_split_regex(lower(text), '[^a-z0-9]+')) // 2, 1)],
-               ' ') || ' divergent tail entirely new words'
-      FROM documents WHERE doc_id % 5 = 0
-    ), toks AS (
+    oracle=_HALF_COPY_CORPUS
+    + """
+    , toks AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                          w -> w != '') AS t
@@ -1038,19 +1091,9 @@ def dedup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside a single fingerprint; that is inherent to windowed span dedup,
     not a defect). Row-local explode + one md5-keyed aggregate +
     semi-join back: no text ever shuffles."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.filter(
-        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda w: w != ""
+    corpus = _with_half_copies(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
-    half = F.concat_ws(
-        " ",
-        F.slice(toks, 1, F.greatest((F.size(toks) / 2).cast("int"), F.lit(1))),
-    )
-    copies = docs.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
-        F.concat(half, F.lit(" divergent tail entirely new words")).alias("text"),
-    )
-    corpus = docs.unionByName(copies)
     from horaedb_spark.functions.dedup import duplicated_span_stats
 
     return duplicated_span_stats(corpus, "doc_id", "text").orderBy("doc_id")
@@ -1213,34 +1256,12 @@ def dedup_quality_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     # corpus: documents + half-copies (shared leading span, divergent tail)
     # — the planted spans full-strength ExactSubstr must recover EXACTLY
     # (token-precise lengths, unlike the windowed dedup_span_stats)
-    oracle=f"""
-    WITH corpus AS (
-      SELECT doc_id, text FROM documents
-      UNION ALL
-      SELECT doc_id + {_COPY_OFFSET},
-             array_to_string(
-               (string_split_regex(lower(text), '[^a-z0-9]+'))
-                 [1:greatest(len(string_split_regex(lower(text), '[^a-z0-9]+')) // 2, 1)],
-               ' ') || ' divergent tail entirely new words'
-      FROM documents WHERE doc_id % 5 = 0
-    ), toks AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                         w -> w != '') AS t
-      FROM corpus
-    ), sh AS (
-      SELECT doc_id, u.pos AS pos, u.h AS h
-      FROM (
-        SELECT doc_id,
-               unnest(CASE WHEN len(t) >= 10
-                      THEN [{{'pos': i, 'h': md5(array_to_string(t[i:i+9], ' '))}}
-                            FOR i IN generate_series(1, len(t) - 9)]
-                      ELSE [] END) AS u
-        FROM toks
-      )
-    ), freq AS (
+    oracle=_HALF_COPY_CORPUS
+    + _SUBSTR_SHINGLE_CTES
+    + """
+    , freq AS (
       SELECT h FROM sh GROUP BY h
-      HAVING count(DISTINCT doc_id) BETWEEN 2 AND 50
+      HAVING count(DISTINCT doc_id) BETWEEN 2 AND 50 AND count(*) <= 200
     ), shf AS (
       SELECT sh.doc_id, sh.pos, sh.h FROM sh JOIN freq USING (h)
     ), anch AS (
@@ -1278,19 +1299,9 @@ def dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside duplicated-shingle groups capped at 50 docs); no doc-pair
     cross join anywhere; the island window partitions on (pair, diagonal)
     — many small keys, no global window."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.filter(
-        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda w: w != ""
+    corpus = _with_half_copies(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
-    half = F.concat_ws(
-        " ",
-        F.slice(toks, 1, F.greatest((F.size(toks) / 2).cast("int"), F.lit(1))),
-    )
-    copies = docs.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
-        F.concat(half, F.lit(" divergent tail entirely new words")).alias("text"),
-    )
-    corpus = docs.unionByName(copies)
     return DD.exact_substr_spans(
         corpus, "doc_id", "text", min_span=10, max_docs_per_shingle=50
     ).orderBy("id_a", "id_b")
@@ -1301,32 +1312,10 @@ def dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same half-copy corpus as dedup_exact_substr: the planted copies'
     # leading halves are LATER occurrences (doc_id + offset sorts after
     # the original) and must be pruned; originals keep their tokens
-    oracle=f"""
-    WITH corpus AS (
-      SELECT doc_id, text FROM documents
-      UNION ALL
-      SELECT doc_id + {_COPY_OFFSET},
-             array_to_string(
-               (string_split_regex(lower(text), '[^a-z0-9]+'))
-                 [1:greatest(len(string_split_regex(lower(text), '[^a-z0-9]+')) // 2, 1)],
-               ' ') || ' divergent tail entirely new words'
-      FROM documents WHERE doc_id % 5 = 0
-    ), toks AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                         w -> w != '') AS t
-      FROM corpus
-    ), sh AS (
-      SELECT doc_id, u.pos AS pos, u.h AS h
-      FROM (
-        SELECT doc_id,
-               unnest(CASE WHEN len(t) >= 10
-                      THEN [{{'pos': i, 'h': md5(array_to_string(t[i:i+9], ' '))}}
-                            FOR i IN generate_series(1, len(t) - 9)]
-                      ELSE [] END) AS u
-        FROM toks
-      )
-    ), marked AS (
+    oracle=_HALF_COPY_CORPUS
+    + _SUBSTR_SHINGLE_CTES
+    + """
+    , marked AS (
       SELECT doc_id, pos, pos + 9 AS e
       FROM (SELECT doc_id, pos, h,
                    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos)
@@ -1380,19 +1369,9 @@ def dedup_exact_substr_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     union; cost stays linear in shingles even for boilerplate shared by
     millions of docs, which is why the pair operator's frequency cap is
     unnecessary here."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.filter(
-        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda w: w != ""
+    corpus = _with_half_copies(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
-    half = F.concat_ws(
-        " ",
-        F.slice(toks, 1, F.greatest((F.size(toks) / 2).cast("int"), F.lit(1))),
-    )
-    copies = docs.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
-        F.concat(half, F.lit(" divergent tail entirely new words")).alias("text"),
-    )
-    corpus = docs.unionByName(copies)
     return DD.exact_substr_prune_stats(
         corpus, "doc_id", "text", min_span=10
     ).orderBy("doc_id")

@@ -206,8 +206,7 @@ class ControlServer:
                     # is accepted like query_range (default 1d).
                     from urllib.parse import parse_qs, urlparse
 
-                    eng = outer._query_engine()
-                    if eng is None:
+                    if outer.metric_engine is None and outer.write_table is None:
                         self._reply(
                             {"status": "error",
                              "error": "no metric engine attached"},
@@ -247,6 +246,7 @@ class ControlServer:
                             outer._serving_version(),
                         )
                         def _compute() -> dict:
+                            eng = outer._query_engine()
                             if "time" in q:
                                 t_ms = int(float(q["time"][0]) * 1000)
                                 at_ms = t_ms - t_ms % step_ms
@@ -308,8 +308,7 @@ class ControlServer:
                     # surface, not a bulk-export path.
                     from urllib.parse import parse_qs, urlparse
 
-                    eng = outer._query_engine()
-                    if eng is None:
+                    if outer.metric_engine is None and outer.write_table is None:
                         self._reply(
                             {"status": "error",
                              "error": "no metric engine attached"},
@@ -358,6 +357,7 @@ class ControlServer:
                             lookback_ms, cap, outer._serving_version(),
                         )
                         def _compute() -> dict:
+                            eng = outer._query_engine()
                             df = PromQLCompiler(
                                 eng,
                                 step_ms,
@@ -1079,7 +1079,14 @@ class ControlServer:
                 return ("store", *vf())
             return ("eng", id(self.metric_engine))
         if self.write_table is not None:
-            return ("wt", self.write_table.manifest.mutations)
+            # local counter = exact same-process invalidation; the durable
+            # token (memoized ≤1s) notices OTHER instances writing to the
+            # same sink root — bounded staleness instead of forever-stale
+            return (
+                "wt",
+                self.write_table.manifest.mutations,
+                self.write_table.manifest.durable_token(),
+            )
         return None
 
     def _qr_cache_get(self, key, count: bool = True):
@@ -1141,6 +1148,16 @@ class ControlServer:
 
         from horaedb_spark.metric.engine import MetricEngine
 
+        # Serve the DURABLE state, not this handle's memoized view: another
+        # instance over the same sink root may have written since our last
+        # sync (the cross-instance case the cache's durable token detects —
+        # without this resync the rebuilt engine would re-serve the stale
+        # view the invalidation just evicted). Conditional: own writes never
+        # trigger it (they advance the local view as they land), so the
+        # mutation counter — part of the cache key — only moves when state
+        # actually changed. Runs only on cache misses (engines are built
+        # inside _compute); metadata-sized.
+        self.write_table.manifest.sync_if_behind()
         samples = self.write_table.scan().select(
             "name",
             F.str_to_map("series_key", F.lit(","), F.lit("=")).alias("labels"),

@@ -549,6 +549,51 @@ class Manifest:
             key=lambda s: s.file_id,
         )
 
+    def durable_token(self, max_age_s: float = 1.0) -> tuple:
+        """A cheap identity of the DURABLE log state — (latest snapshot
+        name, latest delta name) from two metadata LISTs — for cache keys
+        that must notice writes from OTHER instances over the same root
+        (this instance's ``mutations`` counter only sees local writes;
+        review r12). Memoized for ``max_age_s`` so a dashboard burst pays
+        at most one LIST round per second: cross-instance invalidation is
+        bounded-staleness (≤ max_age_s), local invalidation stays exact
+        via the counters callers combine this with."""
+        now = time.monotonic()
+        memo = self.__dict__.get("_durable_token_memo")
+        if memo is not None and now - memo[0] <= max_age_s:
+            return memo[1]
+        snaps = self._snapshot_files()
+        deltas = self._delta_files()
+        token = (
+            snaps[-1] if snaps else None,
+            deltas[-1] if deltas else None,
+        )
+        self._durable_token_memo = (now, token)
+        return token
+
+    def sync_if_behind(self) -> bool:
+        """Re-read the log ONLY when the durable state is ahead of this
+        handle's view: a foreign delta at or past our next id, or a fold
+        point past ours. Own writes advance ``_next_delta_id`` as they
+        land, so they never trigger a spurious refresh — which matters for
+        callers keying caches on ``mutations`` (an unconditional _refresh
+        would bump the counter per call and defeat the cache; review r12).
+        Two metadata LISTs when in sync; a full log re-read when behind."""
+        names = self._delta_files()
+        latest_delta = int(names[-1][len(DELTA_PREFIX):]) if names else -1
+        snaps = self._snapshot_files()
+        latest_fold = (
+            int(snaps[-1][len(SNAP_PREFIX):-len(".json")]) - 1 if snaps else -1
+        )
+        with self._lock:
+            behind = (
+                latest_delta >= self._next_delta_id
+                or latest_fold > self._folded_through
+            )
+            if behind:
+                self._refresh()
+            return behind
+
     def all_ssts(self) -> list[SstFile]:
         return self.find_ssts(None)
 

@@ -379,3 +379,39 @@ def test_exact_substr_prune_keep_first_and_interval_merge(spark):
     )
     r9 = exact_substr_prune_stats(rep, "doc_id", "text", min_span=4).collect()[0]
     assert r9.removed_tokens == 5 and r9.n_removed_spans == 1
+
+
+def test_half_copy_corpus_agrees_with_oracle_on_punctuated_text(spark):
+    """Review r12: the oracle used to slice the UNFILTERED DuckDB split
+    (leading/trailing punctuation yields empty tokens that shift the
+    half), while Spark slices the filtered token array — latent only
+    because the generator's testdata has no such docs. Both sides now
+    slice the filtered list; pin it with punctuation-bounded fixtures."""
+    import duckdb
+    import pandas as pd
+
+    from horaedb_spark.queries.dedup_queries import (
+        _HALF_COPY_CORPUS,
+        _with_half_copies,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 5, 10],
+            "text": [
+                "...leading punct one two three four five six!",
+                "ends with period one two three four.",
+                "no punctuation at all here one two",
+            ],
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    oracle_rows = con.sql(
+        _HALF_COPY_CORPUS + " SELECT doc_id, text FROM corpus ORDER BY doc_id"
+    ).fetchall()
+    sdf = _with_half_copies(
+        spark.createDataFrame(docs[["doc_id", "text"]])
+    )
+    spark_rows = sorted((r.doc_id, r.text) for r in sdf.collect())
+    assert spark_rows == sorted(oracle_rows), (spark_rows, oracle_rows)

@@ -936,3 +936,21 @@ def test_pq_adc_strategies_agree_on_adversarial_vectors(spark):
     assert le == sorted(map(tuple, auto.collect()))
     with pytest.raises(ValueError, match="adc"):
         pq_ann_topk(emb, q, "qv", "vec_id", adc="gemm", **kw)
+
+
+def test_pq_auto_dispatch_keeps_string_ids_on_expression_path(spark):
+    """Review r12: the Arrow ADC kernel is integer-typed; a corpus keyed by
+    string ids must stay on the type-generic expression path under
+    adc='auto' (it used to crash in the numpy cast), and adc='arrow' must
+    refuse with a clear remedy instead of a cast error."""
+    from horaedb_spark.functions.similarity import pq_ann_topk
+
+    rows = [(f"doc-{i}", [(i * 7 + j) % 5 for j in range(8)]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id string, qv array<long>")
+    q = emb.limit(3)
+    out = pq_ann_topk(emb, q, "qv", "vec_id", k=3, num_codes=4, num_subspaces=4)
+    got = out.collect()
+    assert got and all(isinstance(r.query_id, str) for r in got)
+    with pytest.raises(ValueError, match="integral id"):
+        pq_ann_topk(emb, q, "qv", "vec_id", k=3, num_codes=4,
+                    num_subspaces=4, adc="arrow")

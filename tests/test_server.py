@@ -994,3 +994,51 @@ def test_query_cache_concurrent_requests(spark, tmp_path):
         assert stats["hits"] + stats["misses"] == 24, stats
     finally:
         srv.stop()
+
+
+def test_query_cache_invalidates_on_cross_instance_ingest(spark, tmp_path):
+    """Review r12: the serving version used to read only the server-side
+    table handle's LOCAL mutation counters, so a write from a DIFFERENT
+    instance over the same root (the multi-writer deployment the storage
+    layer explicitly supports) never invalidated cached responses — stale
+    forever, since invalidation is by key. The version now also carries
+    the durable-log token (latest snapshot/delta names, memoized ≤1s):
+    cross-instance writes surface within a second."""
+    import time as _time
+
+    from horaedb_spark.metric.rules import rules_table_schema
+
+    DAY = 86_400_000
+    root = str(tmp_path / "xinst")
+    a = ColumnarTable(spark, root, rules_table_schema(), 365 * DAY)
+    mk = lambda rows: spark.createDataFrame(
+        rows, "name string, series_key string, ts_ms long, value double"
+    )
+    a.write(WriteRequest(mk([("click", "host=a", DAY, 1.0)]),
+                         TimeRange(0, 365 * DAY)))
+    srv = ControlServer(Compactor(a, SchedulerConfig()), write_table=a)
+    srv.start()
+    path = "/api/v1/query_range?query=click&step=1d"
+    try:
+        fetch = lambda: urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}{path}", timeout=60
+        ).read()
+        r1 = fetch()
+        assert fetch() == r1 and srv.query_cache_stats["hits"] == 1
+
+        # a SECOND instance over the same root overwrites the sample; the
+        # server handle's local counters never move
+        b = ColumnarTable(spark, root, rules_table_schema(), 365 * DAY)
+        b.write(WriteRequest(mk([("click", "host=a", DAY, 101.0)]),
+                             TimeRange(0, 365 * DAY)))
+        _time.sleep(1.1)  # let the durable-token memo age out
+        r3 = fetch()
+        assert r3 != r1
+        vals = {
+            float(v)
+            for s in json.loads(r3)["data"]["result"]
+            for _ts, v in s["values"]
+        }
+        assert vals == {101.0}, vals
+    finally:
+        srv.stop()
