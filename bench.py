@@ -499,6 +499,31 @@ def main() -> None:
             }
         )
     )
+    # LAST line, minified: the driver records only the final 2000 chars of
+    # stdout, and the full record above outgrows that window — so every
+    # pre-r13 BENCH artifact has "parsed": null and round-over-round
+    # comparison rode on whichever keys landed in the tail (r12 verdict
+    # advisory #3). This summary repeats the headline contract keys
+    # (metric/value/unit/queries/sf) plus the continuity scalars, compact
+    # separators, guaranteed to fit the tail window whole.
+    summary = {
+        "metric": "headline_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "calibration": calib,
+        "http_speedup_x": mirror.get("http_speedup_x"),
+        "http_uncached_speedup_x": mirror.get("http_uncached_speedup_x"),
+        "mirror_speedup_x": mirror.get("speedup_x"),
+    }
+    line = json.dumps(summary, separators=(",", ":"))
+    if len(line) > 1900:  # never let the summary itself outgrow the window
+        line = json.dumps(
+            {k: summary[k] for k in ("metric", "value", "unit", "queries", "sf")},
+            separators=(",", ":"),
+        )
+    print(line)
 
 
 if __name__ == "__main__":

@@ -528,21 +528,30 @@ def duplicated_span_stats(
     )
 
 
-def _substr_shingles(
-    docs: DataFrame, id_col: str, text_col: str, k: int
-) -> DataFrame:
-    """Shared front half of both ExactSubstr operators: lowercase-alnum
-    tokenize, then stride-1 ``k``-token shingle hashes per position.
-    Returns (doc_id, n_tokens, hs: array<md5>) — one row per doc; docs
-    shorter than ``k`` tokens get an empty shingle list. The token array
-    MUST be materialized in its own projection before the per-position
-    transform: referencing the split expression inside the lambda makes
-    codegen re-tokenize the document for EVERY position (O(positions ×
-    tokens) per doc — measured 4-5× slower at sf0.1); through a named
-    column the split runs once per row."""
+def _substr_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Shared tokenizer of both ExactSubstr operators: lowercase-alnum
+    split, empties dropped. Returns (doc_id, t: array<string>) — the token
+    array in its OWN projection so every consumer references it as a bound
+    column, never as the raw split expression."""
     toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
                     lambda w: w != "")
-    tok_docs = docs.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
+    return docs.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
+
+
+def _explode_shingles(tok_docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, pos, h) stride-1 ``k``-token shingle-hash rows from a
+    _substr_tokens frame; pos is 1-based; docs shorter than ``k`` tokens
+    emit nothing.
+
+    PLAN-SHAPE CONTRACT (the round-12 regression): the posexplode MUST sit
+    in the SAME select as the per-position hash transform, so the analyzer
+    lifts the transform into a Generate node whose child is the token
+    projection. A bare Project holding the transform instead gets merged by
+    CollapseProject with the tokenizer projection below it, inlining the
+    split/filter into the per-position lambda — codegen then re-tokenizes
+    the document for EVERY position (O(positions × tokens) per doc;
+    measured 5-7× slower at sf0.1). Generate does not collapse into its
+    child Project, so this shape keeps the tokenizer at once-per-row."""
     n = F.size(F.col("t"))
     hashes = F.when(
         n >= k,
@@ -551,13 +560,8 @@ def _substr_shingles(
             lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, k))),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return tok_docs.select("doc_id", n.alias("n_tokens"), hashes.alias("hs"))
-
-
-def _explode_shingles(base: DataFrame) -> DataFrame:
-    """(doc_id, pos, h) rows from a _substr_shingles frame; pos is 1-based."""
-    return base.select(
-        "doc_id", F.posexplode("hs").alias("pos0", "h")
+    return tok_docs.select(
+        "doc_id", F.posexplode(hashes).alias("pos0", "h")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
 
 
@@ -605,7 +609,7 @@ def exact_substr_spans(
     shared_span_tokens), one row per unordered doc pair with id_a < id_b.
     """
     k = min_span
-    sh = _explode_shingles(_substr_shingles(docs, id_col, text_col, k))
+    sh = _explode_shingles(_substr_tokens(docs, id_col, text_col), k)
     dup_h = (
         sh.groupBy("h")
         .agg(
@@ -654,20 +658,33 @@ def exact_substr_prune_stats(
     this answers "what do I delete" — the operator that actually shrinks
     a training corpus.
 
-    Scale shape: NO pair join anywhere — one shuffle keyed on the 16-byte
-    shingle hash (a row_number window: first occurrence wins), one shuffle
-    back on doc_id for the interval union. Cost is linear in shingles even
-    for boilerplate shared by millions of docs (marking is per-occurrence,
-    so no frequency cap is needed, unlike the pair operator). Docs shorter
-    than ``min_span`` tokens emit no shingles and are reported unpruned.
+    Scale shape: NO pair join anywhere — one map-side-combinable aggregate
+    keyed on the 16-byte shingle hash finds each hash's FIRST occurrence
+    (``min(struct(doc_id, pos))``), a semi-style join back marks every
+    other occurrence, and one shuffle on doc_id does the interval union.
+    The first-occurrence pass deliberately avoids a per-hash window
+    (``row_number() over (partition by h)``): a planet-scale boilerplate
+    shingle would funnel all its occurrences through one task's sort (AQE
+    cannot split a single window key), whereas the min-struct aggregate is
+    partial-aggregated map-side and the h-keyed join is AQE-skew-splittable.
+    Cost is linear in shingles even for boilerplate shared by millions of
+    docs (marking is per-occurrence, so no frequency cap is needed, unlike
+    the pair operator). Docs shorter than ``min_span`` tokens emit no
+    shingles and are reported unpruned.
     """
     k = min_span
-    base = _substr_shingles(docs, id_col, text_col, k)
-    sh = _explode_shingles(base)
-    wh = Window.partitionBy("h").orderBy("doc_id", "pos")
+    tok = _substr_tokens(docs, id_col, text_col)
+    base = tok.select("doc_id", F.size("t").alias("n_tokens"))
+    sh = _explode_shingles(tok, k)
+    firsts = sh.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first_occ")
+    )
     marked = (
-        sh.withColumn("rn", F.row_number().over(wh))
-        .filter(F.col("rn") >= 2)
+        sh.join(firsts, "h")
+        .filter(
+            (F.col("doc_id") != F.col("first_occ.doc_id"))
+            | (F.col("pos") != F.col("first_occ.pos"))
+        )
         .select("doc_id", "pos", (F.col("pos") + k - 1).alias("end"))
     )
     wd = Window.partitionBy("doc_id").orderBy("pos")

@@ -69,7 +69,7 @@ _HALF_COPY_CORPUS = f"""
 
 # stride-1 10-token shingles per position over the half-copy corpus —
 # the shared front half of both ExactSubstr oracles (mirrors
-# functions.dedup._substr_shingles)
+# functions.dedup._substr_tokens + _explode_shingles)
 _SUBSTR_SHINGLE_CTES = """
     , toks AS (
       SELECT doc_id,

@@ -76,7 +76,7 @@ def main() -> None:
     ap.add_argument(
         "--probe",
         default="scale",
-        choices=("scale", "mirror", "ann_filtered", "prune"),
+        choices=("scale", "mirror", "ann_filtered", "prune", "spans"),
     )
     ap.add_argument("--segments", type=int, default=120)
     args = ap.parse_args()
@@ -89,6 +89,10 @@ def main() -> None:
     if args.probe == "prune":
         out = prune_probe(spark, args.sf, args.mult)
         print(json.dumps({"probe": "prune_scaling", "mult": args.mult, "ops": out}))
+        return
+    if args.probe == "spans":
+        out = spans_probe(spark, args.sf, args.mult)
+        print(json.dumps({"probe": "spans_scaling", "mult": args.mult, "ops": out}))
         return
     if args.probe == "ann_filtered":
         out = ann_filtered_probe(spark, args.sf, args.mult)
@@ -442,6 +446,134 @@ def prune_probe(spark, sf_dir: str, mult: int) -> dict:
             "ratio": round(tN / t1, 2),
             "ratio_vs_linear": round(tN / t1 / mult, 3),
             f"removed_frac_{mult}x": round(stats.rm / stats.nt, 4),
+        }
+    }
+    print(f"# {out}", file=sys.stderr)
+    return out
+
+
+def spans_probe(spark, sf_dir: str, mult: int, cap: int = 50) -> dict:
+    """ExactSubstr pair-spans at the 100× standard — the half whose scaling
+    claim rests on the duplicated-shingle-group caps (``max_docs_per_shingle``
+    docs AND 4× that many occurrences), because the pair join inside a group
+    is quadratic and only the cap bounds it.
+
+    Fixture (1×): the sf documents corpus + a half-copy per 5th doc (each
+    copy shares its source's leading ~60% tokens — real recoverable spans
+    that SURVIVE the cap) + a planted viral-boilerplate cluster of
+    ``8 × cap`` docs sharing one 60-token run (the O(docs²) shape the cap
+    must disarm: 400 docs sharing a shingle would alone emit ~80k anchors
+    per position without it).
+
+    Scaling (N×): ``mult`` copies with PER-COPY TOKEN SALT (every
+    whitespace token gets a copy-id suffix), so each copy is an independent
+    sub-corpus: group count grows ~linearly while per-group occupancy stays
+    constant — the realistic growth shape for a crawl. Plain replication
+    (the prune probe's fixture) would instead multiply every group's
+    occupancy past the doc cap and EMPTY the pair join — trivially fast and
+    evidence of nothing, which is why this probe salts. The viral cluster is
+    replicated too: at N× there are ``mult`` capped-out clusters, proving
+    the cap engages at scale rather than only at 1×."""
+    from horaedb_spark.functions.dedup import exact_substr_spans
+
+    base = tempfile.mkdtemp(prefix="spans_probe_")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    off = d.agg(F.max("doc_id")).first()[0] + 1
+    toks = F.split(F.col("text"), " ")
+    keep = F.greatest((F.size(toks) * 3 / 5).cast("int"), F.lit(12))
+    fresh_tail = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(11)),
+            lambda i: F.concat(
+                F.lit("zz"),
+                F.col("doc_id").cast("string"),
+                F.lit("x"),
+                i.cast("string"),
+            ),
+        ),
+    )
+    half = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            (F.col("doc_id") + off).alias("doc_id"),
+            F.concat_ws(
+                " ", F.concat_ws(" ", F.slice(toks, 1, keep)), fresh_tail
+            ).alias("text"),
+        )
+    )
+    bp = " ".join(f"bp{i}" for i in range(60))
+    viral = spark.range(8 * cap).select(
+        (F.col("id") + 2 * off).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit(bp),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(11)),
+                    lambda i: F.concat(
+                        F.lit("vv"),
+                        F.col("id").cast("string"),
+                        F.lit("x"),
+                        i.cast("string"),
+                    ),
+                ),
+            ),
+        ).alias("text"),
+    )
+    one = d.unionByName(half).unionByName(viral)
+    one.repartition(16).write.mode("overwrite").parquet(f"{base}/docs1")
+    d1 = spark.read.parquet(f"{base}/docs1")
+    big_off = 4 * off
+    salted = F.concat_ws(
+        " ",
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda w: F.concat(w, F.lit("c"), F.col("__copy__").cast("string")),
+        ),
+    )
+    (
+        d1.crossJoin(
+            F.broadcast(spark.range(mult).withColumnRenamed("id", "__copy__"))
+        )
+        .select(
+            (F.col("doc_id") + F.col("__copy__") * big_off).alias("doc_id"),
+            salted.alias("text"),
+        )
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(f"{base}/docsN")
+    )
+    dN = spark.read.parquet(f"{base}/docsN")
+
+    def run(docs):
+        t0 = time.perf_counter()
+        exact_substr_spans(
+            docs, "doc_id", "text", min_span=10, max_docs_per_shingle=cap
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    run(d1)  # untimed warm-up: first run pays one-time codegen/analysis
+    t1 = run(d1)
+    tN = run(dN)
+    p1 = exact_substr_spans(d1, "doc_id", "text", 10, cap).count()
+    pN = exact_substr_spans(dN, "doc_id", "text", 10, cap).count()
+    # the viral cluster must contribute ZERO pairs at both scales (every
+    # boilerplate shingle sits in 8×cap docs, over the cap): pair counts
+    # grow ~mult×, never (8·cap·mult choose 2)-shaped
+    out = {
+        f"dedup_exact_substr_{mult}x": {
+            "rows_1x": d1.count(),
+            f"rows_{mult}x": dN.count(),
+            "viral_docs_1x": 8 * cap,
+            "pairs_1x": p1,
+            f"pairs_{mult}x": pN,
+            "pair_growth_x": round(pN / max(p1, 1), 2),
+            "t1_s": round(t1, 3),
+            f"t{mult}_s": round(tN, 3),
+            "ratio": round(tN / t1, 2),
+            "ratio_vs_linear": round(tN / t1 / mult, 3),
         }
     }
     print(f"# {out}", file=sys.stderr)
