@@ -583,7 +583,10 @@ def mean_pool(
     )
 
 
-def _pq_adc_arrow_topk(encoded, qrows, codebook, k: int):
+def _pq_adc_arrow_topk(
+    encoded, qrows, codebook, k: int,
+    qid_type: str = "bigint", cid_type: str = "bigint",
+):
     """Arrow ADC over an encoded corpus — the faiss execution shape for
     product quantization: per query ONE (subspaces × codes) int64 lookup
     table of squared subvector-to-centroid distances (metadata-sized:
@@ -638,7 +641,16 @@ def _pq_adc_arrow_topk(encoded, qrows, codebook, k: int):
     return (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "corpus_id", "rank", "dist")
+        # the kernel computes in int64; cast ids back to the INPUT id types
+        # so adc="auto" returns one schema regardless of which strategy the
+        # query-batch size picked (ADVICE r12: a downstream union/schema
+        # comparison must not depend on data volume)
+        .select(
+            F.col("query_id").cast(qid_type).alias("query_id"),
+            F.col("corpus_id").cast(cid_type).alias("corpus_id"),
+            "rank",
+            "dist",
+        )
     )
 
 
@@ -748,22 +760,27 @@ def pq_ann_topk(
     # expression path — a previously-working call site must never regress
     # to a numpy cast error because the DEFAULT dispatch changed (review
     # r12). Explicit adc="arrow" with such ids raises with the remedy.
-    integral_ids = dict(corpus.dtypes)[id_col] in (
-        "bigint", "int", "smallint", "tinyint"
-    ) and dict(queries.dtypes)[id_col] in ("bigint", "int", "smallint", "tinyint")
+    cid_type = dict(corpus.dtypes)[id_col]
+    qid_type = dict(queries.dtypes)[id_col]
+    integral = ("bigint", "int", "smallint", "tinyint")
+    integral_ids = cid_type in integral and qid_type in integral
     if adc == "arrow":
         if not integral_ids:
             raise ValueError(
                 f"adc='arrow' requires an integral id column; {id_col!r} is "
-                f"{dict(corpus.dtypes)[id_col]} — use adc='expression'"
+                f"{cid_type} — use adc='expression'"
             )
-        return _pq_adc_arrow_topk(encoded, q.collect(), codebook, k)
+        return _pq_adc_arrow_topk(
+            encoded, q.collect(), codebook, k, qid_type, cid_type
+        )
     if adc == "auto" and integral_ids:
         # bounded probe: limit() short-circuits, so sizing a huge query
         # frame costs one early-terminated job, never a full scan
         qrows = q.limit(_PQ_ARROW_QUERY_CAP + 1).collect()
         if len(qrows) <= _PQ_ARROW_QUERY_CAP:
-            return _pq_adc_arrow_topk(encoded, qrows, codebook, k)
+            return _pq_adc_arrow_topk(
+                encoded, qrows, codebook, k, qid_type, cid_type
+            )
 
     cb_lit = F.lit([[[int(x) for x in row] for row in sub] for sub in codebook])
     pairs = encoded.join(F.broadcast(q), F.col("corpus_id") != F.col("query_id"))

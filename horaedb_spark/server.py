@@ -236,20 +236,29 @@ class ControlServer:
                         )
                         cap = min(int(q.get("limit", ["10000"])[0]), 100_000)
                         # same repeated-query cache as query_range, keyed on
-                        # the RAW time param: when `time` is absent the
-                        # default latest-step lookup is itself a Spark job,
-                        # and with an unchanged store version its result is
-                        # deterministic — a hit skips that job too
+                        # the STEP-ALIGNED evaluation instant (computable
+                        # from the raw param without the engine): time=100,
+                        # 100.0 and 100.4 at step 1s all evaluate the same
+                        # aligned step, so they share one entry instead of
+                        # each paying a full compute (ADVICE r13; raw-string
+                        # keying before). When `time` is absent the default
+                        # latest-step lookup is itself a Spark job, and with
+                        # an unchanged store version its result is
+                        # deterministic — a hit skips that job too.
+                        if "time" in q:
+                            t_ms = int(float(q["time"][0]) * 1000)
+                            aligned_ms = t_ms - t_ms % step_ms
+                        else:
+                            aligned_ms = None
                         cache_key = (
                             "instant", query, step_ms,
-                            q.get("time", [None])[0], lookback_ms, cap,
+                            aligned_ms, lookback_ms, cap,
                             outer._serving_version(),
                         )
                         def _compute() -> dict:
                             eng = outer._query_engine()
-                            if "time" in q:
-                                t_ms = int(float(q["time"][0]) * 1000)
-                                at_ms = t_ms - t_ms % step_ms
+                            if aligned_ms is not None:
+                                at_ms = aligned_ms
                             else:  # default: latest aligned step with data
                                 at_ms = PromQLCompiler(
                                     eng, step_ms

@@ -896,6 +896,17 @@ class ColumnarTable:
             # reads the fresh, complete state. Readers may see a NEWER
             # snapshot than the stale handle would have — the normal
             # multi-writer read semantics, never a partial one.
+            #
+            # SCOPE (ADVICE r13): this try only shields errors raised while
+            # BUILDING the DataFrame — eager path/footer resolution at
+            # analysis time. A vanished-SST FileNotFoundException can also
+            # surface task-time, at the caller's ACTION, outside any frame
+            # this method can catch (the DataFrame is lazy). Callers running
+            # actions over a long-lived handle in a multi-writer deployment
+            # should wrap the action with the same discipline — catch
+            # `_is_missing_file_error`, call `table.manifest._refresh()`,
+            # rebuild via scan(), retry once — exactly what
+            # BucketedMirror.refresh() does internally for its own read jobs.
             self.manifest._refresh()
             return self._scan_once(req)
 

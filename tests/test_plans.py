@@ -938,6 +938,26 @@ def test_pq_adc_strategies_agree_on_adversarial_vectors(spark):
         pq_ann_topk(emb, q, "qv", "vec_id", adc="gemm", **kw)
 
 
+def test_pq_adc_strategies_return_identical_schema_for_int_ids(spark):
+    """ADVICE r13: with int (non-long) ids, adc='auto' used to return a
+    schema that VARIED with query-batch size — the Arrow kernel hardcoded
+    long ids while the expression path preserved the source type, so a
+    downstream union/schema comparison could break on data volume. Both
+    strategies must now return the input id types."""
+    from horaedb_spark.functions.similarity import pq_ann_topk
+
+    rows = [(i, [(i * 7 + j) % 5 for j in range(8)]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id int, qv array<long>")
+    q = emb.limit(3)
+    kw = dict(k=3, num_codes=4, num_subspaces=4)
+    e = pq_ann_topk(emb, q, "qv", "vec_id", adc="expression", **kw)
+    a = pq_ann_topk(emb, q, "qv", "vec_id", adc="arrow", **kw)
+    assert e.schema == a.schema, (e.schema, a.schema)
+    assert dict(e.dtypes)["query_id"] == "int"
+    assert dict(a.dtypes)["corpus_id"] == "int"
+    assert sorted(map(tuple, e.collect())) == sorted(map(tuple, a.collect()))
+
+
 def test_pq_auto_dispatch_keeps_string_ids_on_expression_path(spark):
     """Review r12: the Arrow ADC kernel is integer-typed; a corpus keyed by
     string ids must stay on the type-generic expression path under

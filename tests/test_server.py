@@ -250,6 +250,20 @@ def test_instant_query_endpoint(spark, tmp_path):
         assert len(vres) == 1 and vres[0]["value"] == [
             float(t_s), str(float(t_s))
         ]
+        # ADVICE r13: the cache keys on the STEP-ALIGNED instant, so raw
+        # `time` spellings that alias to one aligned step ('100' / '100.0'
+        # / '100.4' at step 1s) share one entry — the repeats below must be
+        # hits (zero new computes), and mid-step offsets answer identically
+        srv.query_cache_stats.update(hits=0, misses=0, computes=0)
+        base = _get(srv.port, f"/api/v1/query?query={q}&step=1d&time={t_s}")
+        computes_after_first = srv.query_cache_stats["computes"]
+        for alias in (f"{t_s}.0", f"{float(t_s)}", f"{t_s + 1}.5"):
+            again = _get(
+                srv.port, f"/api/v1/query?query={q}&step=1d&time={alias}"
+            )
+            assert again["data"] == base["data"], alias
+        assert srv.query_cache_stats["computes"] == computes_after_first
+        assert srv.query_cache_stats["hits"] >= 3
     finally:
         srv.stop()
 
