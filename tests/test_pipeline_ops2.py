@@ -302,6 +302,39 @@ def test_pq_ann_topk_validates_codebook_shape(spark):
                     num_subspaces=3, centroids=cents)
 
 
+def test_exact_substr_tokenizer_never_inlined_into_generate(spark):
+    """The round-12 perf regression, pinned structurally: CollapseProject
+    merged the shingle-transform Project with the tokenizer projection,
+    inlining split() into the per-position lambda — codegen then
+    re-tokenized the document for EVERY position (5-7× wall at sf0.1,
+    hash-identical results, clean plan shape, invisible to plan_audit).
+    The fix keeps the transform inside a Generate node (posexplode in the
+    same select), which never collapses into its child Project. Guard: in
+    the OPTIMIZED plan of both operators, split() must never appear INSIDE
+    a lambda body — i.e. after the first `lambdafunction(` on a plan line.
+    (The tokenizer's own filter-lambda is fine: there split precedes its
+    lambda. Verified against the regressed shape: it produces exactly such
+    a line; the fixed shape produces none.)"""
+    from horaedb_spark.functions.dedup import (
+        exact_substr_prune_stats,
+        exact_substr_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(i, i + 30))) for i in range(6)],
+        "doc_id long, text string",
+    )
+    for df in (
+        exact_substr_spans(docs, "doc_id", "text", min_span=10),
+        exact_substr_prune_stats(docs, "doc_id", "text", min_span=10),
+    ):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "Generate " in plan, plan
+        for ln in plan.splitlines():
+            i = ln.find("lambdafunction(")
+            assert i < 0 or "split(" not in ln[i:], ln
+
+
 def test_exact_substr_spans_hand_computed(spark):
     """Token-exact semantics on a hand-built corpus: a 6-token span shared
     at different offsets (diagonal extension), a doc shorter than min_span
