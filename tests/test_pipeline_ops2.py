@@ -325,7 +325,13 @@ def test_exact_substr_tokenizer_never_inlined_into_generate(spark):
         "doc_id long, text string",
     )
     for df in (
-        exact_substr_spans(docs, "doc_id", "text", min_span=10),
+        # reuse_filtered=False (explicit, though it is the default): the
+        # fully-declarative plan end to end — the opt-in localCheckpoint
+        # mode hides the shingle subtree behind a LogicalRDD this
+        # inspection could not see into
+        exact_substr_spans(
+            docs, "doc_id", "text", min_span=10, reuse_filtered=False
+        ),
         exact_substr_prune_stats(docs, "doc_id", "text", min_span=10),
     ):
         plan = df._jdf.queryExecution().optimizedPlan().toString()
@@ -333,6 +339,28 @@ def test_exact_substr_tokenizer_never_inlined_into_generate(spark):
         for ln in plan.splitlines():
             i = ln.find("lambdafunction(")
             assert i < 0 or "split(" not in ln[i:], ln
+
+
+def test_exact_substr_spans_reuse_modes_row_equal(spark):
+    """The declarative default and the opt-in reuse_filtered=True
+    (localCheckpoint-reused filtered shingle stream) must be row-identical
+    — the materialization is an execution strategy, never a semantics
+    change."""
+    from horaedb_spark.functions.dedup import exact_substr_spans
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{j % 7}" for j in range(i, i + 40)))
+            for i in range(8)
+        ],
+        "doc_id long, text string",
+    )
+    kw = dict(min_span=5, max_docs_per_shingle=50)
+    a = exact_substr_spans(
+        docs, "doc_id", "text", reuse_filtered=True, **kw
+    ).collect()
+    b = exact_substr_spans(docs, "doc_id", "text", **kw).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)) and a
 
 
 def test_exact_substr_spans_hand_computed(spark):
