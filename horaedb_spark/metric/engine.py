@@ -193,6 +193,63 @@ class MetricEngine:
             self.__dict__.pop("_eval_memo", None)
         return self
 
+    def materialized(self) -> "MetricEngine":
+        """A shallow clone whose derived tables (``data``, ``series``,
+        ``index``) are eagerly ``localCheckpoint``ed — the shared-base
+        materialization for SUITE evaluation (many PromQL strings over one
+        store in one batch, ``promql_eval_many(share_base=True)``).
+
+        Why: every compiled string re-embeds the scan → D10-dedup →
+        series-key derivation subtree; a 16-string suite re-analyzes it 16x
+        on the driver and re-executes it 16x on the executors. Checkpointing
+        the three derived tables once collapses every per-string plan to a
+        filter over executor-resident blocks — the same job the reference
+        assigns to compaction (serve merged SSTs, don't re-merge per query;
+        src/columnar_storage/src/compaction/executor.rs).
+
+        localCheckpoint policy (SCALING.md "localCheckpoint boundary"): this
+        is the SERVING-SUITE side of the boundary — the blast radius of a
+        lost executor is one suite re-run, and the blocks die with the clone
+        (ContextCleaner frees them on GC; the parent engine keeps its
+        declarative plans). Library operators over corpus-sized frames keep
+        declarative defaults instead (functions/dedup.exact_substr_spans).
+
+        The parent's series-broadcast decision is copied (a checkpointed
+        frame is a LogicalRDD whose size estimate defaults to huge, which
+        would silently flip the per-string series join from broadcast to
+        sort-merge); the data-range bounds memo transfers for the same
+        reason (same rows, one less probe job)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        # populate the broadcast memo from the PARENT's stats before the
+        # clone inherits it — the clone's checkpointed series has no stats
+        self._series_join_side()
+        marked = {
+            name: getattr(self, name).localCheckpoint(eager=False)
+            for name in ("data", "series", "index")
+        }
+        # materialize the three checkpoints as concurrent jobs (count() over
+        # a checkpoint-marked frame computes the full RDD; nothing prunes
+        # through a LogicalRDD)
+        with ThreadPoolExecutor(len(marked)) as pool:
+            list(pool.map(lambda df: df.count(), marked.values()))
+        clone = MetricEngine.__new__(MetricEngine)
+        clone.samples = self.samples
+        clone.metrics = self.metrics
+        clone.tags = self.tags
+        clone.data = marked["data"]
+        clone.series = marked["series"]
+        clone.index = marked["index"]
+        clone._cached = False
+        clone._flat = None
+        clone.__dict__["_series_broadcast_memo"] = self.__dict__[
+            "_series_broadcast_memo"
+        ]
+        bounds = getattr(self, "_data_ts_bounds", None)
+        if bounds is not None:
+            clone._data_ts_bounds = bounds
+        return clone
+
     def uncache(self) -> "MetricEngine":
         """Release the persisted tables (e.g. per-micro-batch engines)."""
         if self._cached:

@@ -1766,6 +1766,7 @@ def promql_eval_many(
     materialize: bool = False,
     max_workers: int = 16,
     post=None,
+    share_base: bool = False,
 ) -> list[DataFrame]:
     """Evaluate MANY PromQL strings against their engines (dashboard /
     rule-group shape), returning frames in input order.
@@ -1787,10 +1788,38 @@ def promql_eval_many(
     plan: 3.3 s total, build included. ``post(df, i)`` (e.g. a
     tag+rounding projection) is applied before the checkpoint so only
     final rows materialize. Memo races under the pool cost at most a
-    duplicate subtree compile, never a wrong result."""
+    duplicate subtree compile, never a wrong result.
+
+    ``share_base=True`` (with ``materialize``) additionally materializes
+    each engine's derived base ONCE per batch
+    (``MetricEngine.materialized()``): engines referenced by two or more
+    strings are replaced by a clone whose data/series/index tables are
+    eager localCheckpoints, so the scan → dedup → series-key subtree is
+    analyzed and executed once instead of per string — per-string plans
+    become filters over executor-resident blocks. Results are unchanged
+    (checkpointing only materializes the same rows); the clone's blocks
+    are released on GC with the returned frames. localCheckpoint policy:
+    see the SCALING.md boundary paragraph — this is the serving-suite
+    side (blast radius = one suite re-run), not a library-operator
+    default."""
     if not materialize:
         return [promql_eval(eng, q, step_ms) for eng, q in jobs]
     from concurrent.futures import ThreadPoolExecutor
+
+    if share_base:
+        counts: dict[int, int] = {}
+        uniq: dict[int, MetricEngine] = {}
+        for eng, _ in jobs:
+            counts[id(eng)] = counts.get(id(eng), 0) + 1
+            uniq[id(eng)] = eng
+        shared = {k: e for k, e in uniq.items() if counts[k] >= 2}
+        if shared:
+            with ThreadPoolExecutor(len(shared)) as pool:
+                futs = {
+                    k: pool.submit(e.materialized) for k, e in shared.items()
+                }
+                clones = {k: f.result() for k, f in futs.items()}
+            jobs = [(clones.get(id(e), e), q) for e, q in jobs]
 
     def one(i: int, eng: MetricEngine, q: str) -> DataFrame:
         out = promql_eval(eng, q, step_ms)

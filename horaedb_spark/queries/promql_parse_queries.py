@@ -493,11 +493,17 @@ def promql_parse_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
 
+    # share_base (round 14): both engines' derived tables (scan → D10
+    # dedup → series key) are localCheckpointed ONCE for the batch instead
+    # of being re-analyzed and re-executed inside all 16 string plans —
+    # measured best-of-4 interleaved at sf0.1: 8.8 s → 6.4 s, rows
+    # byte-identical (oracle-gated). See MetricEngine.materialized().
     parts = promql_eval_many(
         [(engine, q) for _, engine, q in suite],
         DAY_MS,
         materialize=True,
         post=post,
+        share_base=True,
     )
     from functools import reduce
 

@@ -979,3 +979,63 @@ def test_histogram_family_functions(spark):
     single = _engine(spark, SF_DIR)  # no field dimension
     with pytest.raises(PromQLError):
         promql_eval(single, "histogram_count(click)", 7 * DAY)
+
+
+def test_eval_many_share_base_row_equality(spark):
+    """share_base=True (round-14: the batch's engines are replaced by
+    MetricEngine.materialized() clones whose data/series/index are
+    localCheckpointed once) must be a pure execution-strategy change:
+    identical rows to the unshared path for a matcher + agg + binop
+    suite, the clone must keep the parent's series-broadcast decision
+    (a checkpointed LogicalRDD has no usable size stats — without the
+    copied memo the per-string series join silently flips from
+    broadcast to sort-merge), and engines referenced once must be left
+    alone (no wasted base materialization)."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    from horaedb_spark.metric.promql import promql_eval_many
+
+    eng = _engine(spark, SF_DIR)
+    suite = [
+        'sum by (cohort) (rate(click{cohort=~"[0-3]"}[1d]))',
+        "sum by (cohort) (rate(error[1d])) "
+        "/ sum by (cohort) (rate(click[1d]))",
+        "topk(3, sum by (user) (increase(purchase[1d])))",
+    ]
+
+    def post(out, i):
+        return out.select(
+            F.lit(str(i)).alias("query_id"), "series_key", "ts_ms", "value"
+        )
+
+    base = promql_eval_many(
+        [(eng, q) for q in suite], DAY, materialize=True, post=post
+    )
+    sharing = promql_eval_many(
+        [(eng, q) for q in suite], DAY, materialize=True, post=post,
+        share_base=True,
+    )
+    da = reduce(DataFrame.unionByName, base)
+    db = reduce(DataFrame.unionByName, sharing)
+    assert da.exceptAll(db).count() == 0
+    assert db.exceptAll(da).count() == 0
+    assert da.count() == db.count() and da.count() > 0
+
+    # the materialized clone inherits the broadcast decision + bounds memo
+    clone = eng.materialized()
+    assert clone.__dict__["_series_broadcast_memo"] is eng.__dict__[
+        "_series_broadcast_memo"
+    ]
+    plan = clone.select_series("click")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    # data table is served from checkpointed blocks, not the parquet scan
+    assert "Scan ExistingRDD" in plan and "Scan parquet" not in plan, plan
+
+    # single-reference engines are not materialized: a one-job batch keeps
+    # its original engine plan (parquet-scan-backed)
+    solo = promql_eval_many(
+        [(eng, suite[0])], DAY, materialize=True, post=post, share_base=True
+    )
+    assert reduce(DataFrame.unionByName, solo).count() == base[0].count()
