@@ -525,6 +525,35 @@ def main() -> None:
     # calibration/continuity scalars FLATTENED: the full-precision record
     # above keeps everything; this line's job is to fit the window whole
     # with the queries dict AND the continuity scalars both visible
+    # Drift normalization (round 14, VERDICT r13 #1): the bench artifact
+    # must be self-normalizing — r13's record showed phantom 2x
+    # regressions on compile-bound queries purely from host drift.
+    # drift_x = this session's py_md5 probe over the r12 clean-host
+    # reference (0.162 s, the value the r13 verdict normalized against);
+    # normalized wall = raw / drift_x. The summary publishes the scalar
+    # plus pre-normalized values for the compile-bound / watch-list
+    # queries so the round-over-round diff needs no manual arithmetic.
+    # Raw values stay the "queries" dict for continuity.
+    PY_MD5_REF_S = 0.162
+    drift_x = (
+        round(calib["py_md5_s"] / PY_MD5_REF_S, 2)
+        if calib.get("py_md5_s")
+        else None
+    )
+    WATCH = (
+        "promql_parse_eval",
+        "promql_fn_eval",
+        "metric_multi_field_select",
+    )
+    norm = (
+        {
+            k: round(timings[k] / drift_x, 2)
+            for k in WATCH
+            if timings.get(k, -1) >= 0
+        }
+        if drift_x
+        else {}
+    )
     summary = {
         "metric": "headline_query_wall_time",
         "value": total,
@@ -534,16 +563,33 @@ def main() -> None:
         "jvm_s": calib.get("jvm_range_sum_s"),
         "py_md5_s": calib.get("py_md5_s"),
         "jvm_pre_s": calib_pre.get("jvm_range_sum_s"),
+        "drift_x": drift_x,
+        "norm": norm,
         "http_speedup_x": mirror.get("http_speedup_x"),
         "http_uncached_speedup_x": mirror.get("http_uncached_speedup_x"),
         "mirror_speedup_x": mirror.get("speedup_x"),
     }
+    # Fit the 2000-char tail window (ADVICE r13: re-check after every
+    # shrink step). Optional keys drop in priority order — the LEAST
+    # critical first, so drift_x/norm (the self-normalization the verdict
+    # asked for) survive the longest; the queries dict goes last.
+    DROP_ORDER = (
+        "jvm_pre_s",
+        "http_uncached_speedup_x",
+        "mirror_speedup_x",
+        "jvm_s",
+        "http_speedup_x",
+        "py_md5_s",
+        "norm",
+        "drift_x",
+        "queries",
+    )
     line = json.dumps(summary, separators=(",", ":"))
-    if len(line) > 1950:  # never let the summary itself outgrow the window
-        line = json.dumps(
-            {k: summary[k] for k in ("metric", "value", "unit", "queries", "sf")},
-            separators=(",", ":"),
-        )
+    for key in DROP_ORDER:
+        if len(line) <= 1950:
+            break
+        summary.pop(key, None)
+        line = json.dumps(summary, separators=(",", ":"))
     print(line)
 
 

@@ -643,7 +643,11 @@ def exact_substr_spans(
     # would instead leak session-lifetime cache blocks with no unpersist
     # seam in a function that returns a DataFrame. A single-digit win does
     # not buy that at 100 TB; flip it on for stable, small deployments
-    # where the filtered stream is hot.
+    # where the filtered stream is hot. This is the library-operator side
+    # of the localCheckpoint policy boundary (SCALING.md "The
+    # localCheckpoint policy boundary"): corpus-sized frames keep
+    # declarative defaults; bounded serving-suite frames
+    # (promql_eval_many) may checkpoint by default.
     shf = sh.join(dup_h, "h", "left_semi")
     if reuse_filtered:
         shf = shf.localCheckpoint(eager=False)
@@ -694,6 +698,14 @@ def exact_substr_prune_stats(
     docs (marking is per-occurrence, so no frequency cap is needed, unlike
     the pair operator). Docs shorter than ``min_span`` tokens emit no
     shingles and are reported unpruned.
+
+    Precondition (ADVICE r13): ``id_col`` must be UNIQUE and NON-NULL —
+    the corpus contract every caller in this repo satisfies (doc_id is a
+    key). With duplicate doc_id rows, identical (doc_id, pos, h) shingles
+    all equal the min-struct first occurrence and none are marked (the
+    old per-hash window marked all but one); a NULL doc_id makes the
+    null-unsafe ``!=`` filter drop its rows entirely. Dedup or re-key
+    upstream if your ids can repeat.
     """
     k = min_span
     tok = _substr_tokens(docs, id_col, text_col)

@@ -525,7 +525,12 @@ def spans_probe(spark, sf_dir: str, mult: int, cap: int = 50) -> dict:
     one = d.unionByName(half).unionByName(viral)
     one.repartition(16).write.mode("overwrite").parquet(f"{base}/docs1")
     d1 = spark.read.parquet(f"{base}/docs1")
-    big_off = 4 * off
+    # id-space stride between copies (ADVICE r13): viral ids occupy
+    # [2*off, 2*off + 8*cap), so a stride of 4*off alone collides when
+    # off <= (8*cap - 1)/2 (~200 base docs at cap=50) — copy 0's viral
+    # block would overlap copy 1's base block, silently merging distinct
+    # docs under one doc_id and corrupting pair counts. Take the max.
+    big_off = max(4 * off, 2 * off + 8 * cap + 1)
     salted = F.concat_ws(
         " ",
         F.transform(
