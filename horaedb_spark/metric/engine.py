@@ -387,9 +387,14 @@ class MetricEngine:
         the default ``value`` field. Because field ids are stable hashes,
         the selection is a literal equality on the data table's ``field_id``
         column — no catalog join, and it prunes at the parquet scan like any
-        other PK-prefix predicate. On a single-field engine (no field
-        dimension in the data) the filter is skipped entirely, and asking
-        for a non-default field there is an error rather than silence.
+        other PK-prefix predicate. A tuple/list of field names selects
+        SEVERAL fields in one pass (an OR of field_id equalities) — the
+        fused-evaluation shape ``histogram_avg`` compiles to (round 14),
+        where one derivation of the base replaces one per field; rows then
+        carry the ``field_id`` column for downstream disambiguation. On a
+        single-field engine (no field dimension in the data) the filter is
+        skipped entirely, and asking for a non-default field there is an
+        error rather than silence.
 
         On a cached engine the labeled path reads ``_flat`` (pre-joined,
         series_key-partitioned): filters and the broadcast matcher
@@ -401,8 +406,25 @@ class MetricEngine:
         else:
             out = self.data.filter(F.col("metric_id") == mid)
         if "field_id" in out.columns:
-            want = field if field is not None else model.DEFAULT_FIELD
-            out = out.filter(F.col("field_id") == F.xxhash64(F.lit(want)))
+            if isinstance(field, (tuple, list)):
+                if not field:
+                    raise ValueError("field tuple must name at least one field")
+                conds = [
+                    F.col("field_id") == F.xxhash64(F.lit(f)) for f in field
+                ]
+                cond = conds[0]
+                for c in conds[1:]:
+                    cond = cond | c
+                out = out.filter(cond)
+            else:
+                want = field if field is not None else model.DEFAULT_FIELD
+                out = out.filter(F.col("field_id") == F.xxhash64(F.lit(want)))
+        elif isinstance(field, (tuple, list)):
+            raise ValueError(
+                f"engine data has no field dimension; cannot select "
+                f"fields={field!r} (ingest multi-field samples with a "
+                f"'field' column to enable it)"
+            )
         elif field is not None and field != model.DEFAULT_FIELD:
             raise ValueError(
                 f"engine data has no field dimension; cannot select "

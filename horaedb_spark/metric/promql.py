@@ -1156,7 +1156,57 @@ class PromQLCompiler:
                 return self._eval(_field("count"))
             if fn == "histogram_sum":
                 return self._eval(_field("sum"))
-            return self._binop(BinOp("/", _field("sum"), _field("count")))
+            # histogram_avg: FUSED two-field evaluation (round 14). The
+            # naive compile — binop("/", sum-selector, count-selector) —
+            # derives the engine base and runs the instant-vector kernel
+            # once per field (20 input scans in the executed plan; Spark
+            # compiles DAG references as trees and ReuseExchange cannot
+            # dedup the differently-filtered subtrees). One select of BOTH
+            # fields + one instant vector keyed on (series, field) + a
+            # two-way conditional aggregate halves the plan. Semantics:
+            # the ratio exists where both fields report a sample in the
+            # lookback (the isNotNull filter = the join's inner matching),
+            # division is the same _promql_div the binop path uses, and
+            # the step grid derives from the two-field frame's range
+            # (the per-field grids of the unfused form agree on every
+            # oracle-gated fixture; both are subsets of the engine range).
+            kept = tuple(m for m in sel.matchers if m.key != "__field__")
+            try:
+                df = self.engine.select_series(
+                    sel.name, list(kept) or None, field=("sum", "count")
+                )
+            except ValueError as e:
+                raise PromQLError(str(e)) from e
+            if sel.offset_ms:
+                df = df.withColumn(
+                    "ts_ms", F.col("ts_ms") + F.lit(sel.offset_ms)
+                )
+            iv = P.instant_vector(
+                df.select("series_key", "field_id", "ts_ms", "value"),
+                ["series_key", "field_id"],
+                self.step_ms,
+                self.lookback_ms,
+            )
+            sum_id = F.xxhash64(F.lit("sum"))
+            cnt_id = F.xxhash64(F.lit("count"))
+            piv = (
+                iv.groupBy("series_key", F.col("step_ms").alias("ts_ms"))
+                .agg(
+                    F.max(
+                        F.when(F.col("field_id") == sum_id, F.col("value"))
+                    ).alias("__s__"),
+                    F.max(
+                        F.when(F.col("field_id") == cnt_id, F.col("value"))
+                    ).alias("__c__"),
+                )
+                .filter(F.col("__s__").isNotNull() & F.col("__c__").isNotNull())
+            )
+            out = piv.select(
+                "series_key",
+                "ts_ms",
+                _promql_div(F.col("__s__"), F.col("__c__")).alias("value"),
+            )
+            return self._apply_at(out, sel.at_ms)
         raise PromQLError(f"unsupported function {fn!r}")
 
     @staticmethod

@@ -436,6 +436,30 @@ def test_engine_field_selection_and_promql_field_matcher(spark):
         plain.select_series("m", field="sum")
 
 
+def test_engine_multi_field_tuple_selection(spark):
+    """Round-14 fused shape: field=(a, b) selects BOTH fields in ONE pass
+    (an OR of literal field_id equalities), the union of the per-field
+    selections, with field_id retained for downstream disambiguation.
+    Error surfaces: empty tuple, tuple on a field-less engine."""
+    eng = MetricEngine(_mf_samples(spark))
+    both = eng.select_series("http_req", field=("sum", "count"), with_labels=False)
+    assert "field_id" in both.columns
+    sums = eng.select_series("http_req", field="sum", with_labels=False)
+    counts = eng.select_series("http_req", field="count", with_labels=False)
+    key = lambda r: (r["field_id"], r["ts_ms"], r["value"])  # noqa: E731
+    assert sorted(key(r) for r in both.collect()) == sorted(
+        [key(r) for r in sums.collect()] + [key(r) for r in counts.collect()]
+    )
+    with pytest.raises(ValueError, match="at least one field"):
+        eng.select_series("http_req", field=())
+    plain = MetricEngine(spark.createDataFrame(
+        [("m", {"h": "a"}, 1000, 1.0, 1)],
+        "name string, labels map<string,string>, ts_ms long, value double, seq long",
+    ))
+    with pytest.raises(ValueError, match="field dimension"):
+        plain.select_series("m", field=("sum", "count"))
+
+
 def test_store_multi_field_round_trip(spark, tmp_path):
     """Durable path: data-table PK includes field_id (RFC:222-229), the
     catalog upserts one row per field, and the packed layout packs per
