@@ -138,6 +138,37 @@ def run_query(fn, spark, sf_dir: str) -> float:
     return time.perf_counter() - start
 
 
+def mc_probe(n_threads: int) -> tuple[float, float]:
+    """Multi-core drift probe (round 15, VERDICT r14 #1b): the single-thread
+    py_md5 probe was blind to the failure mode that hit round 14 — multi-core
+    hypervisor starvation bursts that left single-thread speed unchanged
+    while the 32-core wall inflated 1.4x. This probe runs the SAME fixed
+    work on ONE thread and then on ``n_threads`` (= session cores) at once;
+    hashlib releases the GIL for >2 KiB buffers, so the threads hash truly
+    in parallel. On a healthy host with >= n free cores the parallel wall
+    ~= the single wall; their ratio is the session's multi-core stall
+    factor, legible in the artifact itself with no external reference.
+    Returns (single_thread_s, n_thread_wall_s)."""
+    import hashlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    buf = b"\xa5" * (4 << 20)  # 4 MiB chunks: few GIL transitions per unit
+
+    def unit(_=None) -> None:
+        h = hashlib.md5()
+        for _ in range(7):  # ~28 MB per thread, ~0.05 s on one clean core
+            h.update(buf)
+
+    t0 = time.perf_counter()
+    unit()
+    single_s = time.perf_counter() - t0
+    with ThreadPoolExecutor(n_threads) as pool:
+        t0 = time.perf_counter()
+        list(pool.map(unit, range(n_threads)))
+        multi_s = time.perf_counter() - t0
+    return single_s, multi_s
+
+
 # Queries whose first invocation BUILDS a fixture (SST ingest jobs, streams
 # driven to completion). The fixture is setup, not the operator under test —
 # pre-build it in warmup so the timed run measures the scan/merge/query path
@@ -265,6 +296,14 @@ def main() -> None:
         calib_pre = {"jvm_range_sum_s": round(time.perf_counter() - t0, 3)}
     except Exception as e:
         print(f"# pre-calibration error: {e}", file=sys.stderr)
+    n_cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    try:
+        mc1, mcn = mc_probe(n_cores)
+        calib_pre["mc1_s"] = round(mc1, 3)
+        calib_pre["mcn_s"] = round(mcn, 3)
+        calib_pre["mc_stall_x"] = round(mcn / max(mc1, 1e-9), 2)
+    except Exception as e:
+        print(f"# pre mc-probe error: {e}", file=sys.stderr)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qmap.get(name)
@@ -295,6 +334,13 @@ def main() -> None:
         calib = {"jvm_range_sum_s": round(jvm_s, 3), "py_md5_s": round(py_s, 3)}
     except Exception as e:
         print(f"# calibration error: {e}", file=sys.stderr)
+    try:
+        mc1, mcn = mc_probe(n_cores)
+        calib["mc1_s"] = round(mc1, 3)
+        calib["mcn_s"] = round(mcn, 3)
+        calib["mc_stall_x"] = round(mcn / max(mc1, 1e-9), 2)
+    except Exception as e:
+        print(f"# post mc-probe error: {e}", file=sys.stderr)
     # RFC packed-layout row-count reduction (RFC 20240827:218-231): a
     # 30-day single series at 15 s resolution packs ~120x fewer data rows.
     # Not in the headline total — it's a layout stat, not a query.
@@ -564,6 +610,12 @@ def main() -> None:
         "py_md5_s": calib.get("py_md5_s"),
         "jvm_pre_s": calib_pre.get("jvm_range_sum_s"),
         "drift_x": drift_x,
+        # multi-core stall factor (n-thread wall / 1-thread wall of the same
+        # per-thread fixed work) on each side of the timed loop: ~1.0-1.3 on
+        # a healthy host, >>1 when the hypervisor starves the vCPUs — the
+        # round-14 failure mode the single-thread drift_x could not see
+        "mc_pre_x": calib_pre.get("mc_stall_x"),
+        "mc_post_x": calib.get("mc_stall_x"),
         "norm": norm,
         "http_speedup_x": mirror.get("http_speedup_x"),
         "http_uncached_speedup_x": mirror.get("http_uncached_speedup_x"),
@@ -580,6 +632,8 @@ def main() -> None:
         "jvm_s",
         "http_speedup_x",
         "py_md5_s",
+        "mc_pre_x",
+        "mc_post_x",
         "norm",
         "drift_x",
         "queries",

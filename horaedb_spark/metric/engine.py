@@ -193,7 +193,7 @@ class MetricEngine:
             self.__dict__.pop("_eval_memo", None)
         return self
 
-    def materialized(self) -> "MetricEngine":
+    def materialized(self, metrics=None) -> "MetricEngine":
         """A shallow clone whose derived tables (``data``, ``series``,
         ``index``) are eagerly ``localCheckpoint``ed — the shared-base
         materialization for SUITE evaluation (many PromQL strings over one
@@ -206,6 +206,37 @@ class MetricEngine:
         filter over executor-resident blocks — the same job the reference
         assigns to compaction (serve merged SSTs, don't re-merge per query;
         src/columnar_storage/src/compaction/executor.rs).
+
+        ``metrics`` (round 15, VERDICT r14 #2 — the 100 TB size guard):
+        the metric names the batch actually references. When given, the
+        checkpointed ``data`` and ``index`` frames are bounded to those
+        metrics BEFORE materialization, so the working set follows the
+        batch, not the store. Two shapes:
+
+        - samples-backed engines (``__init__``) REBUILD data/index from
+          ``samples.filter(name IN batch)`` — ``name`` is a source
+          column, so the predicate pushes at the scan (PushedFilters;
+          metric_id is ``xxhash64(name)``, a derived column nothing can
+          push) AND the D10 dedup window shuffles only the referenced
+          metrics' rows instead of the whole store. Identical rows to
+          filter-after-build: the dedup partitions by metric_id, so
+          dropping other metrics' partitions cannot change a kept row
+          (the engine already treats xxhash64(name) as the collision-free
+          identity everywhere, e.g. select_series).
+        - store-backed engines (``MetricStore.engine``, samples=None)
+          filter on the literal ``metric_id`` — there it IS a stored
+          column (pushes / prunes as-is) and the scan is already merged
+          (no dedup to prune).
+
+        A wide store whose suite touches a handful of metrics checkpoints
+        only those metrics' rows. The evaluation grid must not move when
+        the base shrinks, so the parent's (min, max) ts bounds are
+        computed and pinned on the clone before filtering —
+        time()/vector()/absent() grids stay identical to the declarative
+        path. ``series`` stays whole: it joins on tsid (extra rows are
+        inert) and filtering it through the index would drop label-less
+        series; at store scale it is the same frame the per-string path
+        would broadcast anyway.
 
         localCheckpoint policy (SCALING.md "localCheckpoint boundary"): this
         is the SERVING-SUITE side of the boundary — the blast radius of a
@@ -224,9 +255,30 @@ class MetricEngine:
         # populate the broadcast memo from the PARENT's stats before the
         # clone inherits it — the clone's checkpointed series has no stats
         self._series_join_side()
+        data, index = self.data, self.index
+        if metrics is not None:
+            # pin the grid to the PARENT's data range before shrinking the
+            # base (one two-value aggregate, memoized on the parent)
+            if getattr(self, "_data_ts_bounds", None) is None:
+                row = data.agg(F.min("ts_ms"), F.max("ts_ms")).first()
+                if row[0] is not None:
+                    self._data_ts_bounds = (int(row[0]), int(row[1]))
+            names = sorted(set(metrics))
+            if names and self.samples is not None:
+                filt = self.samples.filter(F.col("name").isin(names))
+                data = model.build_data_table(filt)
+                index = model.build_index_table(filt)
+            elif names:
+                cond = None
+                for name in names:
+                    eq = F.col("metric_id") == F.xxhash64(F.lit(name))
+                    cond = eq if cond is None else (cond | eq)
+                data = data.filter(cond)
+                index = index.filter(cond)
         marked = {
-            name: getattr(self, name).localCheckpoint(eager=False)
-            for name in ("data", "series", "index")
+            "data": data.localCheckpoint(eager=False),
+            "series": self.series.localCheckpoint(eager=False),
+            "index": index.localCheckpoint(eager=False),
         }
         # materialize the three checkpoints as concurrent jobs (count() over
         # a checkpoint-marked frame computes the full RDD; nothing prunes
@@ -245,6 +297,13 @@ class MetricEngine:
         clone.__dict__["_series_broadcast_memo"] = self.__dict__[
             "_series_broadcast_memo"
         ]
+        # a per-INSTANCE threshold override must travel with the memo: the
+        # memo is keyed by effective threshold, so a clone falling back to
+        # the class default would miss the memo, run the stats pass over
+        # the checkpointed LogicalRDD (size estimate defaults huge), and
+        # silently flip the series join to sort-merge (ADVICE r14)
+        if "series_broadcast_threshold" in self.__dict__:
+            clone.series_broadcast_threshold = self.series_broadcast_threshold
         bounds = getattr(self, "_data_ts_bounds", None)
         if bounds is not None:
             clone._data_ts_bounds = bounds

@@ -1810,6 +1810,35 @@ def promql_eval(engine: MetricEngine, query: str, step_ms: int) -> DataFrame:
     return PromQLCompiler(engine, step_ms).compile(query)
 
 
+def referenced_metrics(query: str) -> set[str] | None:
+    """The metric names a PromQL string reads, or ``None`` when they cannot
+    be determined (parse error — let evaluation surface it). The compiler's
+    only data access is ``engine.select_series(selector.name, ...)``, so
+    walking the frozen-dataclass AST for ``Selector`` nodes is exhaustive
+    by construction; strings with no selector (``vector(time())``) return
+    the empty set (they touch the grid, never the data)."""
+    import dataclasses
+
+    try:
+        root = parse_promql(query)
+    except Exception:
+        return None
+    names: set[str] = set()
+
+    def walk(node) -> None:
+        if isinstance(node, Selector):
+            names.add(node.name)
+        if dataclasses.is_dataclass(node):
+            for f in dataclasses.fields(node):
+                walk(getattr(node, f.name))
+        elif isinstance(node, (tuple, list)):
+            for item in node:
+                walk(item)
+
+    walk(root)
+    return names
+
+
 def promql_eval_many(
     jobs: list[tuple[MetricEngine, str]],
     step_ms: int,
@@ -1846,8 +1875,15 @@ def promql_eval_many(
     strings are replaced by a clone whose data/series/index tables are
     eager localCheckpoints, so the scan → dedup → series-key subtree is
     analyzed and executed once instead of per string — per-string plans
-    become filters over executor-resident blocks. Results are unchanged
-    (checkpointing only materializes the same rows); the clone's blocks
+    become filters over executor-resident blocks. The checkpointed base
+    is BOUNDED (round 15): each engine's clone is pre-filtered to the
+    union of metric names its strings reference, so the materialized
+    working set follows the batch, not the store, and the metric_id
+    predicate still prunes at the parquet scan. Engines the caller
+    already ``cache()``d are left alone (their persisted base + _flat
+    pre-join IS the shared base). Results are unchanged (checkpointing
+    only materializes the same rows; the evaluation grid is pinned to
+    the parent's data bounds before filtering); the clone's blocks
     are released on GC with the returned frames. localCheckpoint policy:
     see the SCALING.md boundary paragraph — this is the serving-suite
     side (blast radius = one suite re-run), not a library-operator
@@ -1859,14 +1895,33 @@ def promql_eval_many(
     if share_base:
         counts: dict[int, int] = {}
         uniq: dict[int, MetricEngine] = {}
-        for eng, _ in jobs:
+        batch_metrics: dict[int, set[str] | None] = {}
+        for eng, q in jobs:
             counts[id(eng)] = counts.get(id(eng), 0) + 1
             uniq[id(eng)] = eng
-        shared = {k: e for k, e in uniq.items() if counts[k] >= 2}
+            # union of metric names this engine's strings reference — the
+            # size guard for materialized(): the checkpointed base is
+            # bounded by the batch's working set, and the metric_id
+            # predicate stays pushed down at the parquet scan. One
+            # unparseable string disables pruning for its engine (None).
+            m = referenced_metrics(q)
+            prev = batch_metrics.get(id(eng), set())
+            batch_metrics[id(eng)] = (
+                None if (m is None or prev is None) else prev | m
+            )
+        # engines cache()d by the caller already share a persisted base —
+        # re-materializing them would duplicate the working set and drop
+        # the _flat pre-join every compiled plan reads (ADVICE r14)
+        shared = {
+            k: e
+            for k, e in uniq.items()
+            if counts[k] >= 2 and not getattr(e, "_cached", False)
+        }
         if shared:
-            with ThreadPoolExecutor(len(shared)) as pool:
+            with ThreadPoolExecutor(min(len(shared), max_workers)) as pool:
                 futs = {
-                    k: pool.submit(e.materialized) for k, e in shared.items()
+                    k: pool.submit(e.materialized, batch_metrics.get(k))
+                    for k, e in shared.items()
                 }
                 clones = {k: f.result() for k, f in futs.items()}
             jobs = [(clones.get(id(e), e), q) for e, q in jobs]

