@@ -18,6 +18,7 @@ Spark-first planning choices:
 from __future__ import annotations
 
 import re
+import threading
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -97,6 +98,12 @@ def _parse_byte_conf(value: str) -> int:
         return 10 << 20
 
 
+# serializes materialized()'s AQE-off window for the _flat checkpoint so a
+# concurrent materialization's conf restore cannot strip another's
+# partitioning mid-plan (see materialized())
+_FLAT_CKPT_LOCK = threading.Lock()
+
+
 class MetricEngine:
     """Query layer over a samples frame (name, labels, ts_ms, value, seq)."""
 
@@ -152,6 +159,20 @@ class MetricEngine:
             memo[thr] = hint
         return F.broadcast(sel) if hint else sel
 
+    def _series_broadcast_hint(self) -> bool:
+        """The memoized broadcast decision alone — for joins whose series
+        side is NOT ``self.series`` (e.g. ``materialized()`` joining the
+        checkpointed series, whose LogicalRDD has no usable stats)."""
+        self._series_join_side()
+        thr = self.series_broadcast_threshold
+        if thr is None:
+            thr = _parse_byte_conf(
+                self.series.sparkSession.conf.get(
+                    "spark.sql.autoBroadcastJoinThreshold", "10MB"
+                )
+            )
+        return bool(self.__dict__["_series_broadcast_memo"].get(thr))
+
     def cache(self) -> "MetricEngine":
         """Persist the derived tables for engines that serve MANY queries
         over one base (dashboards, rule evaluators, multi-string suites).
@@ -202,10 +223,14 @@ class MetricEngine:
         Why: every compiled string re-embeds the scan → D10-dedup →
         series-key derivation subtree; a 16-string suite re-analyzes it 16x
         on the driver and re-executes it 16x on the executors. Checkpointing
-        the three derived tables once collapses every per-string plan to a
+        the derived tables once collapses every per-string plan to a
         filter over executor-resident blocks — the same job the reference
         assigns to compaction (serve merged SSTs, don't re-merge per query;
-        src/columnar_storage/src/compaction/executor.rs).
+        src/columnar_storage/src/compaction/executor.rs). The data lands in
+        the ``cache()`` ``_flat`` shape (pre-joined with series_key,
+        repartitioned by it, partitioning preserved through the
+        checkpoint's LogicalRDD), so per-string plans additionally lose
+        the data ⋈ series join and the per-series shuffle (round 15).
 
         ``metrics`` (round 15, VERDICT r14 #2 — the 100 TB size guard):
         the metric names the batch actually references. When given, the
@@ -233,10 +258,11 @@ class MetricEngine:
         the base shrinks, so the parent's (min, max) ts bounds are
         computed and pinned on the clone before filtering —
         time()/vector()/absent() grids stay identical to the declarative
-        path. ``series`` stays whole: it joins on tsid (extra rows are
-        inert) and filtering it through the index would drop label-less
-        series; at store scale it is the same frame the per-string path
-        would broadcast anyway.
+        path. In the samples-backed shape the clone's ``series`` is
+        bounded with everything else (tsid embeds the metric name, so
+        bounded data only references bounded-series tsids; the clone
+        serves exactly this batch's strings); store-backed clones keep
+        the whole series scan.
 
         localCheckpoint policy (SCALING.md "localCheckpoint boundary"): this
         is the SERVING-SUITE side of the boundary — the blast radius of a
@@ -250,50 +276,138 @@ class MetricEngine:
         would silently flip the per-string series join from broadcast to
         sort-merge); the data-range bounds memo transfers for the same
         reason (same rows, one less probe job)."""
-        from concurrent.futures import ThreadPoolExecutor
 
         # populate the broadcast memo from the PARENT's stats before the
         # clone inherits it — the clone's checkpointed series has no stats
         self._series_join_side()
-        data, index = self.data, self.index
-        if metrics is not None:
-            # pin the grid to the PARENT's data range before shrinking the
-            # base (one two-value aggregate, memoized on the parent)
+        data, index, series = self.data, self.index, self.series
+        names = sorted(set(metrics)) if metrics is not None else None
+
+        def _pin_bounds() -> None:
+            # pin the grid to the PARENT's range before the base shrinks.
+            # The agg runs over ``samples`` when available: the D10 dedup
+            # keeps one row per (metric, tsid, ts) — it never removes a
+            # timestamp entirely — so min/max ts_ms over samples equals
+            # min/max over data, without paying the dedup window's shuffle
+            # just to read two scalars. Memoized on the PARENT, so a
+            # long-lived engine pays it once across batches.
             if getattr(self, "_data_ts_bounds", None) is None:
-                row = data.agg(F.min("ts_ms"), F.max("ts_ms")).first()
+                src = self.samples if self.samples is not None else self.data
+                row = src.agg(F.min("ts_ms"), F.max("ts_ms")).first()
                 if row[0] is not None:
                     self._data_ts_bounds = (int(row[0]), int(row[1]))
-            names = sorted(set(metrics))
-            if names and self.samples is not None:
-                filt = self.samples.filter(F.col("name").isin(names))
-                data = model.build_data_table(filt)
-                index = model.build_index_table(filt)
-            elif names:
-                cond = None
-                for name in names:
-                    eq = F.col("metric_id") == F.xxhash64(F.lit(name))
-                    cond = eq if cond is None else (cond | eq)
-                data = data.filter(cond)
-                index = index.filter(cond)
-        marked = {
-            "data": data.localCheckpoint(eager=False),
-            "series": self.series.localCheckpoint(eager=False),
-            "index": index.localCheckpoint(eager=False),
-        }
-        # materialize the three checkpoints as concurrent jobs (count() over
-        # a checkpoint-marked frame computes the full RDD; nothing prunes
-        # through a LogicalRDD)
-        with ThreadPoolExecutor(len(marked)) as pool:
-            list(pool.map(lambda df: df.count(), marked.values()))
+
+        background: list = []
+        if names and self.samples is not None:
+            # ONE derivation of the (possibly expensive) samples subtree:
+            # checkpoint the name-bounded sample stream — the name
+            # predicate pushes at the scan — then derive data/series/index
+            # from the materialized blocks instead of re-deriving the
+            # subtree once per table. The clone's series is bounded
+            # with everything else: tsid embeds the metric name, so the
+            # bounded data can only reference bounded-series tsids, and
+            # the clone serves exactly this batch's strings.
+            bounded = self.samples.filter(F.col("name").isin(names))
+            est_src = bounded
+            base = bounded.localCheckpoint(eager=False)
+            background.append(base.count)
+            data = model.build_data_table(base)
+            index = model.build_index_table(base)
+            series = model.build_series_table(base)
+        elif names:
+            # store-backed: metric_id is a stored column (pushes/prunes
+            # as-is) and the scan is already merged — filter in place
+            cond = None
+            for name in names:
+                eq = F.col("metric_id") == F.xxhash64(F.lit(name))
+                cond = eq if cond is None else (cond | eq)
+            data = data.filter(cond)
+            index = index.filter(cond)
+            est_src = data
+        else:
+            est_src = self.samples if self.samples is not None else data
+        # the grid source of truth must be pinned BEFORE the clone serves
+        # a compile (a compiler falling through to the clone's bounded
+        # data would derive a wrong grid) — this one stays blocking; it is
+        # metadata-sized and memoized on the parent
+        if names:
+            _pin_bounds()
+
+        series_ck = series.localCheckpoint(eager=False)
+        index_ck = index.localCheckpoint(eager=False)
+        # ONE job derives the bounded data and lands it pre-joined with
+        # series_key and REPARTITIONED BY series_key (the cache() _flat
+        # shape): every per-string kernel's first aggregation/window keys
+        # on (series_key, ...), and a localCheckpoint preserves the
+        # physical partitioning through the LogicalRDD — so the one
+        # data-sized shuffle in every compiled string is paid once per
+        # BATCH instead of once per string, and per-string plans lose the
+        # data ⋈ series join outright. ``data`` is served from the same
+        # blocks by projection (no second data-sized checkpoint).
+        side = series_ck.select("tsid", "series_key")
+        if self._series_broadcast_hint():
+            side = F.broadcast(side)
+        # Partition count is derived from the INPUT's size estimate
+        # (~32 MB of source bytes per partition, i.e. ~100-250 MB
+        # in-memory), clamped to [1, spark.sql.shuffle.partitions]: AQE is
+        # off for this one job (below), so it cannot coalesce for us, and
+        # a fixed conf-sized count hands every tiny per-string job
+        # conf-many near-empty tasks while the conf itself is the
+        # deployment's parallelism ceiling at scale.
+        spark = data.sparkSession
+        try:
+            est = int(
+                est_src._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            est = 1 << 60
+        conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        n_parts = max(1, min(conf_parts, est // (32 << 20) + 1))
+        # the checkpoint only carries the repartition's hashpartitioning
+        # into its LogicalRDD when the plan is NOT wrapped in
+        # AdaptiveSparkPlanExec (AQE's output partitioning is invisible to
+        # LogicalRDD.fromDataset — verified empirically: AQE on = Exchange
+        # under every downstream per-series agg, AQE off = none). Plan
+        # this ONE frame with AQE off; the lock serializes concurrent
+        # materializations (promql_eval_many's per-engine pool) through the
+        # conf toggle so a sibling's restore cannot strip a flat mid-plan.
+        # localCheckpoint(eager=False) builds the physical plan (and its
+        # LogicalRDD) HERE; the RDD computes on first action.
+        with _FLAT_CKPT_LOCK:
+            prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            try:
+                flat = (
+                    data.join(side, "tsid", "left")
+                    .repartition(n_parts, "series_key")
+                    .localCheckpoint(eager=False)
+                )
+            finally:
+                spark.conf.set("spark.sql.adaptive.enabled", prev)
+        # materialize the checkpoints as BACKGROUND jobs: per-string
+        # compilation (driver-side Catalyst/py4j, no cluster work) overlaps
+        # the executor-side materialization instead of waiting on it. A
+        # per-string job that lands first simply computes the marked RDD
+        # itself (block-level locking makes concurrent computes safe).
+        background += [series_ck.count, index_ck.count, flat.count]
+
+        def _swallow(fn):
+            try:
+                fn()
+            except Exception:
+                pass  # the per-string action will surface the real error
+
+        for fn in background:
+            threading.Thread(target=_swallow, args=(fn,), daemon=True).start()
         clone = MetricEngine.__new__(MetricEngine)
         clone.samples = self.samples
         clone.metrics = self.metrics
         clone.tags = self.tags
-        clone.data = marked["data"]
-        clone.series = marked["series"]
-        clone.index = marked["index"]
+        clone.data = flat.select(*self.data.columns)
+        clone.series = series_ck
+        clone.index = index_ck
         clone._cached = False
-        clone._flat = None
+        clone._flat = flat
         clone.__dict__["_series_broadcast_memo"] = self.__dict__[
             "_series_broadcast_memo"
         ]

@@ -1029,9 +1029,23 @@ def test_eval_many_share_base_row_equality(spark):
         "_series_broadcast_memo"
     ]
     plan = clone.select_series("click")._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan, plan
+    # round 15: the clone carries the cache()-shaped _flat checkpoint, so
+    # a labeled select has NO data ⋈ series join at all (the join was paid
+    # once at materialization) — and in particular it can never flip to a
+    # sort-merge over the stats-less LogicalRDD
+    assert "SortMergeJoin" not in plan, plan
     # data table is served from checkpointed blocks, not the parquet scan
     assert "Scan ExistingRDD" in plan and "Scan parquet" not in plan, plan
+    # the _flat checkpoint preserves its series_key partitioning through
+    # the LogicalRDD: a per-series aggregation over the labeled selection
+    # needs no Exchange (the per-string shuffle is paid once per batch)
+    agg_plan = (
+        clone.select_series("click")
+        .groupBy("series_key")
+        .count()
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in agg_plan, agg_plan
 
     # single-reference engines are not materialized: a one-job batch keeps
     # its original engine plan (parquet-scan-backed)
