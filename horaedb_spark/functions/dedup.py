@@ -366,6 +366,11 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr"))
         )
+        # the convergence flag rides INSIDE the update row (a label
+        # shrinks iff a neighbor's label beats it), so the changed-count
+        # is a filter+count over the just-materialized checkpoint blocks
+        # instead of a fresh updated ⋈ labels join — two shuffles fewer
+        # per round, same fixpoint test (new != old ⟺ nbr < old).
         updated = (
             labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
             .select(
@@ -373,16 +378,14 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce(F.col("nbr"), F.col("component"))
                 ).alias("component"),
+                F.coalesce(
+                    F.col("nbr") < F.col("component"), F.lit(False)
+                ).alias("__chg__"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            updated.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = updated
+        changed = updated.filter(F.col("__chg__")).count()
+        labels = updated.select("id", "component")
         if changed == 0:
             break
     return labels

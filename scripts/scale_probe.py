@@ -76,7 +76,7 @@ def main() -> None:
     ap.add_argument(
         "--probe",
         default="scale",
-        choices=("scale", "mirror", "ann_filtered", "prune", "spans"),
+        choices=("scale", "mirror", "ann_filtered", "prune", "spans", "ingest"),
     )
     ap.add_argument("--segments", type=int, default=120)
     args = ap.parse_args()
@@ -93,6 +93,10 @@ def main() -> None:
     if args.probe == "spans":
         out = spans_probe(spark, args.sf, args.mult)
         print(json.dumps({"probe": "spans_scaling", "mult": args.mult, "ops": out}))
+        return
+    if args.probe == "ingest":
+        out = ingest_probe(spark, args.sf, args.mult)
+        print(json.dumps({"probe": "ingest_scaling", "mult": args.mult, "ops": out}))
         return
     if args.probe == "ann_filtered":
         out = ann_filtered_probe(spark, args.sf, args.mult)
@@ -303,6 +307,80 @@ def main() -> None:
     out["viral_minhash"] = viral_minhash_probe(spark, docs1, docsN, args.mult)
     print(f"# viral_minhash: {out['viral_minhash']}", file=sys.stderr)
     print(json.dumps({"probe": "data_scaling", "mult": args.mult, "ops": out}))
+
+
+def ingest_probe(spark, sf_dir: str, mult: int) -> dict:
+    """The ingest leg's data-scaling row (VERDICT r14 #8): remote-write
+    payload decode (``mapInPandas`` Python protobuf walk) → samples →
+    data-table dedup → packed layout, timed end-to-end at 1x and ``mult``x
+    payload volume. The decode is the one Python-side boundary on the
+    write path — its scaling must be measured, not assumed. Payload
+    FIXTURES are built untimed (encode is the same wire walk in reverse,
+    grouped ~200 samples per request, one request row per group) and
+    written to parquet so both timed runs start from a real binary scan.
+    """
+    import pandas as pd
+
+    from horaedb_spark.metric import model
+    from horaedb_spark.metric.ingest import (
+        SAMPLES_SCHEMA,  # noqa: F401  (documents the decode contract)
+        decode_payloads,
+        encode_write_request,
+    )
+
+    base = tempfile.mkdtemp(prefix="scale_probe_ingest_")
+
+    def _payloads(ev: DataFrame, path: str) -> str:
+        def enc(batches):
+            for pdf in batches:
+                rows = []
+                for lo in range(0, len(pdf), 200):
+                    chunk = pdf.iloc[lo : lo + 200]
+                    series = [
+                        {
+                            "name": str(r.event_type),
+                            "labels": {
+                                "user": str(r.user_id),
+                                "cohort": str(r.user_id % 10),
+                            },
+                            "samples": [(float(r.value), int(r.ts_ms))],
+                        }
+                        for r in chunk.itertuples()
+                    ]
+                    rows.append(
+                        (int(chunk.iloc[0].event_id), encode_write_request(series))
+                    )
+                yield pd.DataFrame(rows, columns=["seq", "payload"])
+
+        ev.mapInPandas(enc, "seq long, payload binary").write.mode(
+            "overwrite"
+        ).parquet(path)
+        return path
+
+    ev1 = events_ms(spark, sf_dir).select(
+        "event_id", "ts_ms", "user_id", "event_type", "value"
+    )
+    evN = _replicate(spark, ev1, mult, ["event_id", "user_id"])
+    p1 = spark.read.parquet(_payloads(ev1, f"{base}/pay1"))
+    pN = spark.read.parquet(_payloads(evN, f"{base}/payN"))
+
+    def decode_pack(payloads: DataFrame):
+        samples = decode_payloads(payloads)
+        return model.pack_data_table(model.build_data_table(samples))
+
+    out: dict = {}
+    n1, nN = p1.count(), pN.count()
+    t1 = _time(lambda: decode_pack(p1))
+    tN = _time(lambda: decode_pack(pN))
+    out["ingest_decode_pack"] = {
+        "payload_rows_1x": n1,
+        "payload_rows_Nx": nN,
+        "t1_s": round(t1, 3),
+        "tN_s": round(tN, 3),
+        "ratio": round(tN / max(t1, 1e-9), 2),
+        "ratio_vs_linear": round((tN / max(t1, 1e-9)) / mult, 3),
+    }
+    return out
 
 
 def ann_filtered_probe(spark, sf_dir: str, mult: int) -> dict:

@@ -3,8 +3,15 @@ metadata path must stay driver-cheap as the SST count grows, and the
 backpressure invariant must hold through inline folds. No Spark session —
 pure driver-side cost, like the reference's encoding_bench."""
 
+import pytest
+
 from horaedb_spark.storage.manifest_bench import manifest_scale_bench
 
+
+
+# second-tier property soak (pytest.ini round-15 tiering): the
+# hypothesis-driven model differential is minutes-scale; run with -m slow
+pytestmark = pytest.mark.slow
 
 def test_manifest_scale_bounds(tmp_path):
     r = manifest_scale_bench(str(tmp_path / "m"), n_ssts=50_000, batch=5_000)

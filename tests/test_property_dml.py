@@ -9,6 +9,8 @@ space (DML interleavings over colliding keys and two segments) is the part
 that matters — every resurrect/ordering bug found by hand in development
 lives in exactly this space."""
 
+import pytest
+
 import hypothesis.strategies as st
 from hypothesis import HealthCheck, given, settings
 
@@ -51,6 +53,11 @@ workload = st.lists(
     st.one_of(write_op, update_op, delete_op, merge_op), min_size=1, max_size=5
 )
 
+
+
+# second-tier property soak (pytest.ini round-15 tiering): the
+# hypothesis-driven model differential is minutes-scale; run with -m slow
+pytestmark = pytest.mark.slow
 
 def model_apply(ops):
     """state[(seg, pk1, pk2)] = value or absent (deleted)."""

@@ -13,6 +13,8 @@ duplicate seqs resolved by value order stability is NOT assumed — seqs are
 kept unique per example); one Spark round-trip per example is expensive, so
 examples are bounded but collisions are forced by tight ranges."""
 
+import pytest
+
 import hypothesis.strategies as st
 from hypothesis import HealthCheck, given, settings
 
@@ -27,6 +29,11 @@ sample = st.tuples(
 )
 workload = st.lists(sample, min_size=1, max_size=12)
 
+
+
+# second-tier property soak (pytest.ini round-15 tiering): the
+# hypothesis-driven model differential is minutes-scale; run with -m slow
+pytestmark = pytest.mark.slow
 
 def _model(rows):
     """Pure-Python reference: last-writer (max seq) per

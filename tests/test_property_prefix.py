@@ -5,6 +5,8 @@ carry) must produce the exact cumulative sums of a sequential Python fold
 over the same total order. Partition boundaries — whatever the range
 sampler picks — must never leak into the answer."""
 
+import pytest
+
 import hypothesis.strategies as st
 from hypothesis import HealthCheck, given, settings
 
@@ -22,6 +24,11 @@ rows = st.lists(
 )
 parts = st.integers(min_value=1, max_value=7)
 
+
+
+# second-tier property soak (pytest.ini round-15 tiering): the
+# hypothesis-driven model differential is minutes-scale; run with -m slow
+pytestmark = pytest.mark.slow
 
 @settings(
     max_examples=12,
