@@ -354,8 +354,21 @@ SAMPLES_SCHEMA = T.StructType(
 def decode_payloads(payloads: DataFrame, payload_col: str = "payload", seq_col: str = "seq") -> DataFrame:
     """Distributed decode: a DataFrame with a binary remote-write payload
     column -> the flat samples frame. Arrow-batched via mapInPandas — the
-    Python decode cost rides inside the executors, scaling with partitions."""
+    Python decode cost rides inside the executors, scaling with partitions.
+
+    The decode is ~10-30x more expensive per byte than moving the bytes
+    (pure-Python wire walk, ~100k samples/s/core measured), so when the
+    source partitioning is BYTE-sized below the cluster's parallelism
+    (e.g. a few hundred MB of payloads = 2-3 parquet splits), the stage
+    runs on 2-3 cores while the rest idle. Repartition up to
+    defaultParallelism first — one cheap shuffle of opaque bytes buys a
+    fully parallel CPU-bound stage (round 15; measured 10M samples:
+    327 s on 3 input splits -> see SCALE100.json ingest row)."""
     import pandas as pd
+
+    sc = payloads.sparkSession.sparkContext
+    if payloads.rdd.getNumPartitions() < sc.defaultParallelism:
+        payloads = payloads.repartition(sc.defaultParallelism)
 
     def decode_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
