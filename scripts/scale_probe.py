@@ -76,7 +76,10 @@ def main() -> None:
     ap.add_argument(
         "--probe",
         default="scale",
-        choices=("scale", "mirror", "ann_filtered", "prune", "spans", "ingest"),
+        choices=(
+            "scale", "mirror", "ann_filtered", "prune", "spans", "ingest",
+            "queries",
+        ),
     )
     ap.add_argument("--segments", type=int, default=120)
     args = ap.parse_args()
@@ -93,6 +96,10 @@ def main() -> None:
     if args.probe == "spans":
         out = spans_probe(spark, args.sf, args.mult)
         print(json.dumps({"probe": "spans_scaling", "mult": args.mult, "ops": out}))
+        return
+    if args.probe == "queries":
+        out = queries_probe(spark, args.sf, args.mult)
+        print(json.dumps({"probe": "queries_scaling", "mult": args.mult, "ops": out}))
         return
     if args.probe == "ingest":
         out = ingest_probe(spark, args.sf, args.mult)
@@ -380,6 +387,75 @@ def ingest_probe(spark, sf_dir: str, mult: int) -> dict:
         "ratio": round(tN / max(t1, 1e-9), 2),
         "ratio_vs_linear": round((tN / max(t1, 1e-9)) / mult, 3),
     }
+    return out
+
+
+def queries_probe(spark, sf_dir: str, mult: int, names: list[str] | None = None) -> dict:
+    """Data-scaling rows for the HEAVIEST registered queries, run through
+    their real entry points (VERDICT r14 #7): build one scaled data dir
+    (events/orders/embeddings/documents replicated ``mult``x with
+    disjoint entity ids, every other table symlinked), then time each
+    query fn at 1x and Nx. Timing evidence only — the scaled dir is a
+    measurement input, never an oracle input."""
+    import os
+
+    from horaedb_spark.queries.registry import queries_map
+
+    qmap = queries_map()
+    names = names or [
+        "promql_parse_eval",
+        "promql_fn_eval",
+        "customer_rfm_segments",
+        "embedding_kmeans",
+        "dedup_quality_representatives",
+        "dedup_minhash_lsh",
+        "text_bigram_lm",
+        "text_bpe_apply",
+        "market_basket_pairs",
+        "tpch_q1_pricing_summary",
+    ]
+    scaled_cols = {
+        "events": ["event_id", "user_id"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "embeddings": ["vec_id"],
+        "documents": ["doc_id"],
+        "lineitem": ["l_orderkey"],
+        "sales": [],
+    }
+    base = tempfile.mkdtemp(prefix="scale_probe_q_")
+    from horaedb_spark.queries.tables import TABLES
+
+    for t in TABLES:
+        src = f"{sf_dir}/{t}.parquet"
+        if not os.path.exists(src):
+            continue
+        if t in scaled_cols:
+            df = spark.read.parquet(src)
+            cols = [c for c in scaled_cols[t] if c in df.columns]
+            _replicate(spark, df, mult, cols).write.mode("overwrite").parquet(
+                f"{base}/{t}.parquet"
+            )
+        else:
+            os.symlink(os.path.abspath(src), f"{base}/{t}.parquet")
+    out: dict = {}
+    for name in names:
+        fn = qmap.get(name)
+        if fn is None:
+            continue
+        try:
+            spark.sparkContext.setJobDescription(f"probe1x:{name}")
+            t1 = _time(lambda: fn(spark, sf_dir))
+            spark.sparkContext.setJobDescription(f"probeNx:{name}")
+            tN = _time(lambda: fn(spark, base))
+            out[name] = {
+                "t1_s": round(t1, 3),
+                "tN_s": round(tN, 3),
+                "ratio": round(tN / max(t1, 1e-9), 2),
+                "ratio_vs_linear": round((tN / max(t1, 1e-9)) / mult, 3),
+            }
+        except Exception as e:
+            out[name] = {"error": str(e)[:200]}
+        print(f"# {name}: {out[name]}", file=sys.stderr)
     return out
 
 
